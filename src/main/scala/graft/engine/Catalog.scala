@@ -1,0 +1,56 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.concurrent.TrieMap
+
+/** Table registry + schema introspection over a directory of parquet tables.
+  *
+  * Reference semantics: Glue catalog listing (`app/main.py:124-128`) and
+  * per-table `[{Name, Type}]` schema introspection (`app/main.py:194`),
+  * re-expressed as a path registry over `spark.read.parquet` with
+  * metadata memoization (the reference cached these in Redis,
+  * `app/main.py:119-129, 180-196`).
+  *
+  * Scale note: only *metadata* is cached here (schemas, distinct partition
+  * values), never data. Reads go through the DataSource V2 vectorized
+  * parquet reader, so column pruning / predicate pushdown stay intact.
+  */
+final class Catalog(spark: SparkSession, rootDir: String) {
+
+  private val schemaCache = TrieMap.empty[String, Seq[(String, String)]]
+  private val distinctCache = TrieMap.empty[(String, String), Seq[String]]
+
+  def path(name: String): String = s"$rootDir/$name.parquet"
+
+  /** Lazy DataFrame over the named table. No caching of data: the scan must
+    * stay a fresh logical leaf so Catalyst can push filters per-query. */
+  def table(name: String): DataFrame = spark.read.parquet(path(name))
+
+  /** A9: enumerate queryable data types (parquet files/dirs under root). */
+  def listTables(): Seq[String] = {
+    val dir = new java.io.File(rootDir)
+    Option(dir.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.getName.endsWith(".parquet"))
+      .map(_.getName.stripSuffix(".parquet"))
+      .sorted
+  }
+
+  /** A10: column names + SQL types, shaped like the reference's
+    * `[{Name, Type}]` response. Memoized (metadata only). */
+  def describe(name: String): Seq[(String, String)] =
+    schemaCache.getOrElseUpdate(
+      name,
+      table(name).schema.fields.toSeq.map(f => (f.name, f.dataType.sql.toLowerCase))
+    )
+
+  /** `GET /filters/{data_type}` analog: distinct values of a filter-seeding
+    * column (the reference's `SELECT DISTINCT species`, `app/main.py:185`),
+    * cached forever after first hit like the reference. */
+  def distinctValues(name: String, column: String): Seq[String] =
+    distinctCache.getOrElseUpdate(
+      (name, column),
+      table(name).select(column).distinct().collect().map(r => String.valueOf(r.get(0))).toSeq.sorted
+    )
+
+  def exists(name: String): Boolean = new java.io.File(path(name)).exists()
+}

@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators (SURVEY.md §2 C12/C13 + north-star dedup family):
+  * exact, n-gram Jaccard, MinHash/LSH, SimHash.
+  *
+  * Scale posture: every variant is expressed as shuffle-bounded DataFrame
+  * ops — the candidate-pair generation always goes through an inverted
+  * index (token/shingle/band → doc) equi-join, never an O(n²) cross join,
+  * so it survives a 100× corpus. Skewed posting lists (stop-shingles) are
+  * the known hazard; `jaccardNearDup` takes a `maxDf` cut to drop them,
+  * exactly like large-scale near-dup pipelines do.
+  */
+object Dedup {
+
+  /** C12: exact dedup with deterministic survivor (min id) + multiplicity.
+    * One hash-partial + final aggregate; equivalent to dropDuplicates but
+    * reproducible (dropDuplicates keeps an arbitrary row). */
+  def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+
+  /** Distinct (docId, shingle) posting list — the inverted index both
+    * Jaccard and MinHash build on. */
+  def postings(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs
+      .select(col(idCol).as("doc"), explode(Text.shingles(col(textCol), n)).as("shingle"))
+
+  /** C13 (exact flavor): all pairs with shingle-set Jaccard >= threshold.
+    *
+    * Plan: inverted-index self-equi-join on shingle (sort-merge/shuffled
+    * hash on the shingle key — no cross join), count common shingles per
+    * pair, then join per-doc set sizes (broadcast-able: one row per doc).
+    * `maxDf` drops shingles appearing in more than that many docs: they
+    * generate quadratic pair blowup while contributing almost no Jaccard
+    * discrimination (standard trick; at 100 TB this is what keeps the
+    * pair count near-linear).
+    */
+  def jaccardNearDup(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int, threshold: Double, maxDf: Option[Int] = None): DataFrame = {
+    val post = postings(docs, idCol, textCol, n)
+    val pruned = maxDf match {
+      case Some(m) =>
+        val keep = post.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") <= m)
+        post.join(keep.select("shingle"), Seq("shingle"))
+      case None => post
+    }
+    val sizes = post.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    val a = pruned.select(col("shingle"), col("doc").as("doc_a"))
+    val b = pruned.select(col("shingle"), col("doc").as("doc_b"))
+    val common = a
+      .join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("n_a") + col("n_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** MinHash signature: k permutation-hash minima over the shingle set.
+    * Pure codegen expressions — xxhash64 with per-permutation seed columns,
+    * min per doc — no mllib dependency and fully deterministic, so it
+    * scales as a single aggregate over the posting list. */
+  def minhashSignatures(post: DataFrame, k: Int): DataFrame = {
+    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
+    post.groupBy("doc").agg(mins.head, mins.tail: _*)
+  }
+
+  /** C13 (MinHash+LSH banding): approximate near-dup candidate pairs.
+    *
+    * signatures → split into `bands` bands of `rowsPerBand` hashes → hash
+    * each band → explode (doc, bandIdx, bandHash) → self-equi-join on
+    * (bandIdx, bandHash) → distinct candidate pairs with estimated Jaccard
+    * (fraction of matching signature positions). The band join is the LSH
+    * bucket join: only near-identical docs collide, so pair generation is
+    * ~linear in corpus size instead of quadratic.
+    */
+  def minhashLshCandidates(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int, bands: Int, rowsPerBand: Int,
+                           estThreshold: Double): DataFrame = {
+    val k = bands * rowsPerBand
+    val sig = minhashSignatures(postings(docs, idCol, textCol, n), k)
+    val sigArr = sig.select(col("doc"), array((0 until k).map(i => col(s"mh_$i")): _*).as("sig"))
+    val banded = sigArr.select(
+      col("doc"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), bnd =>
+        hash(slice(col("sig"), bnd * rowsPerBand + 1, lit(rowsPerBand)))))
+        .as(Seq("band", "band_hash"))
+    )
+    val l = banded.select(col("band"), col("band_hash"), col("doc").as("doc_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band"), col("band_hash"), col("doc").as("doc_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / k).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= estThreshold)
+  }
+
+  /** SimHash: 64-bit signature where bit b is the sign of the sum of
+    * (+1/-1) votes from each token's hash bit b. Hamming-close signatures
+    * ⇒ similar documents. Implemented as 64 conditional-sum aggregates
+    * (single shuffle, codegen) then bit-packed. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc"),
+      explode(Text.tokens(col(textCol))).as("token"))
+      .withColumn("h", xxhash64(col("token")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$b")
+    }
+    val summed = tok.groupBy("doc").agg(bitSums.head, bitSums.tail: _*)
+    val packed = (0 until 64).map { b =>
+      when(col(s"s$b") > 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    summed.select(col("doc"), packed.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Embedding-cosine near-dup pairs; delegates candidate generation to
+    * the LSH path in [[Similarity]] and filters by cosine threshold. */
+  def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, planes: Int = 16): DataFrame =
+    Similarity.lshCandidatePairs(emb, idCol, vecCol, planes)
+      .filter(col("cosine") >= threshold)
+}

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (north-star extension): image/audio/video
+  * payloads as opaque `binary` columns + typed metadata structs, with the
+  * decode/feature steps STUBBED (no codec libraries in this environment)
+  * behind deterministic fakes — the Spark-side contract (schema, batch
+  * shape, partition-parallel execution, spill-free projection) is real.
+  *
+  * At 100 TB the rules this module encodes: payloads travel as `binary`
+  * inside the row (never driver-collected), per-item work is a map-side
+  * projection or `mapPartitions` (no shuffle), and derived features are
+  * small fixed-width arrays so downstream shuffles carry KBs not MBs.
+  */
+object Multimodal {
+
+  /** Canonical multimodal schema: payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true)
+    )), nullable = false)
+  ))
+
+  /** Wrap any (id, text) table into the media shape — payload = UTF-8
+    * bytes standing in for an encoded image/audio blob. */
+  def asMedia(df: DataFrame, idCol: String, textCol: String, mime: String = "application/octet-stream"): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      struct(
+        lit(mime).as("mime"),
+        octet_length(encode(col(textCol), "UTF-8")).as("width"),
+        lit(1).as("height"),
+        octet_length(encode(col(textCol), "UTF-8")).cast("long").as("duration_ms")
+      ).as("meta")
+    )
+
+  /** STUB decode→feature-extract: a real pipeline would decode the codec
+    * and emit model features; the deterministic fake is a 16-bin byte
+    * histogram, normalized — same shape (fixed-width float array), same
+    * execution profile (pure projection, codegen, no shuffle). */
+  def featurize(df: DataFrame, payloadCol: String = "payload", bins: Int = 16): DataFrame = {
+    val bytes = col(payloadCol)
+    val n = octet_length(bytes)
+    val hist = transform(sequence(lit(0), lit(bins - 1)), b =>
+      (size(filter(
+        transform(sequence(lit(1), n), i => floor(getbit_byte(bytes, i) / (256 / bins))),
+        v => v === b.cast("long")
+      )).cast("float") / n.cast("float"))
+    )
+    df.withColumn("features", hist)
+  }
+
+  /** Unsigned value of byte at 1-based position `i` (payload treated as a
+    * byte stream; `substr` on binary yields a 1-byte slice). */
+  private def getbit_byte(bytes: Column, i: Column): Column =
+    // decode single byte via its hex representation — pure codegen path
+    conv(hex(substring(bytes, i.cast("int"), lit(1))), 16, 10).cast("long")
+
+  /** STUB frame-sample: take every `stride`-th byte as a stand-in for
+    * frame extraction from a video payload; emits (media_id, frame_idx,
+    * frame) rows via posexplode — the real op has the same generator
+    * shape with a codec call in the lambda. */
+  def frameSample(df: DataFrame, stride: Int): DataFrame = {
+    val n = octet_length(col("payload"))
+    val frames = transform(
+      sequence(lit(1), greatest((n / stride).cast("int"), lit(1))),
+      k => substring(col("payload"), ((k - 1) * stride + 1).cast("int"), lit(stride))
+    )
+    df.select(col("media_id"), posexplode(frames).as(Seq("frame_idx", "frame")))
+  }
+
+  /** STUB resize: truncate/pad the payload to `targetBytes` — stands in
+    * for image resize; preserves the binary-in/binary-out contract. */
+  def resize(df: DataFrame, targetBytes: Int): DataFrame =
+    df.withColumn("payload_resized",
+      rpad(substring(col("payload"), 1, targetBytes), targetBytes, Array[Byte](0)))
+
+  private def rpad(c: Column, len: Int, pad: Array[Byte]): Column =
+    org.apache.spark.sql.functions.rpad(c, len, pad)
+}

@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (SURVEY.md §2 C14 + north-star ANN):
+  * brute-force cosine top-k as the exact baseline, and a random-hyperplane
+  * LSH path for scale (bucketed candidate generation instead of a full
+  * scan per query / O(n²) pair space).
+  *
+  * Arithmetic is all `functions._` (`zip_with` + `aggregate` in double),
+  * kept inside whole-stage codegen — no UDF boxing per element.
+  */
+object Similarity {
+
+  /** Dot product of two array columns, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
+      lit(0.0),
+      (acc, v) => acc + v
+    )
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Exact brute-force cosine top-k against one query vector.
+    *
+    * The query row is a 1-row broadcast (no shuffle); scoring is a
+    * map-side projection over the corpus; `orderBy(...).limit(k)` plans as
+    * `TakeOrderedAndProject` — per-partition top-k heaps + driver merge,
+    * never a global sort. That plan shape is exactly what survives a
+    * 1000-executor scan of a 100 TB corpus.
+    */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     query: DataFrame, queryVecCol: String, k: Int): DataFrame = {
+    val q = broadcast(query.select(col(queryVecCol).as("__qv")))
+    emb
+      .crossJoin(q)
+      .select(col(idCol), round(cosine(col(vecCol), col("__qv")), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic random hyperplanes: `tables` independent LSH tables of
+    * `planesPerTable` planes each (seeded driver-side constants). */
+  private[ops] def hyperplanes(tables: Int, planesPerTable: Int, dim: Int,
+                               seed: Long): Seq[Seq[Seq[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(tables)(Seq.fill(planesPerTable)(Seq.fill(dim)(rnd.nextGaussian())))
+  }
+
+  /** Sign-bit signature of a vector under one table's planes, packed into
+    * an int bucket id. */
+  private def signature(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(vec, typedlit(p)) > 0, shiftleft(lit(1), i)).otherwise(0)
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** (id, table, bucket) index for the corpus — the shuffle key for all
+    * LSH joins. Near-identical vectors collide in at least one table with
+    * high probability; unrelated vectors spread over 2^planes buckets. */
+  def lshIndex(emb: DataFrame, idCol: String, vecCol: String,
+               tables: Int = 4, planesPerTable: Int = 12,
+               dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val hp = hyperplanes(tables, planesPerTable, dim, seed)
+    val sigs = hp.zipWithIndex.map { case (planes, t) =>
+      struct(lit(t).as("table"), signature(col(vecCol), planes).as("bucket"))
+    }
+    emb.select(col(idCol), col(vecCol), explode(array(sigs: _*)).as("tb"))
+      .select(col(idCol), col(vecCol), col("tb.table"), col("tb.bucket"))
+  }
+
+  /** ANN self-join: candidate pairs that share an LSH bucket in any table,
+    * scored with exact cosine. Pair generation is an equi-join on
+    * (table, bucket) — near-linear in corpus size — instead of the O(n²)
+    * exact pair space. */
+  def lshCandidatePairs(emb: DataFrame, idCol: String, vecCol: String,
+                        planesPerTable: Int = 16, tables: Int = 4,
+                        dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val idx = lshIndex(emb, idCol, vecCol, tables, planesPerTable, dim, seed)
+    val l = idx.select(col("table"), col("bucket"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val r = idx.select(col("table"), col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    l.join(r, Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("vec_a"), col("vec_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("vec_a"), col("vec_b")), 4).as("cosine"))
+  }
+
+  /** ANN query: probe the query vector's buckets, brute-force only within
+    * the union of candidates (the IVF-style "probe a few cells" pattern,
+    * with hyperplane buckets as cells). Falls back to nothing matching ⇒
+    * empty result; callers wanting recall guarantees re-probe with more
+    * tables or brute-force. */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
+              query: DataFrame, queryVecCol: String, k: Int,
+              tables: Int = 8, planesPerTable: Int = 8,
+              dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val idx = lshIndex(emb, idCol, vecCol, tables, planesPerTable, dim, seed)
+    val qIdx = lshIndex(query.select(col(queryVecCol).as("__qv")), "__qv", "__qv",
+      tables, planesPerTable, dim, seed)
+      .select(col("table"), col("bucket"), col("__qv"))
+    idx
+      .join(broadcast(qIdx), Seq("table", "bucket"))
+      .dropDuplicates(idCol)
+      .select(col(idCol), round(cosine(col(vecCol), col("__qv")), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+}

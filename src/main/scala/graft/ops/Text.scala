@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data pipelines (SURVEY.md §2 C15 + the
+  * north-star text-analysis extension): tokenization, shingling, word
+  * stats, language-ID heuristic, quality scoring, fingerprinting.
+  *
+  * All operators are pure `functions._` column expressions (whole-stage
+  * codegen, no UDFs), so they vectorize inside the scan projection and
+  * scale linearly with the corpus — the per-document work is embarrassingly
+  * parallel and never shuffles until an explicit aggregation.
+  */
+object Text {
+
+  /** Whitespace tokenization as an array column. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word-level n-gram shingles (distinct), the unit for near-dup Jaccard
+    * and MinHash. `transform(sequence(...))` keeps it codegen-friendly. */
+  def shingles(text: Column, n: Int): Column = {
+    val ws = tokens(text)
+    val idx = sequence(lit(0), size(ws) - n)
+    // guard: sequence(0, negative) would count DOWN for docs shorter than n
+    when(size(ws) >= n,
+      array_distinct(
+        transform(idx, i => concat_ws(" ", (0 until n).map(o => element_at(ws, i + o + 1)): _*))
+      )
+    ).otherwise(array().cast("array<string>"))
+  }
+
+  /** C15: corpus word frequencies, descending. One shuffle (the groupBy);
+    * the explode is map-side. */
+  def wordCount(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+
+  /** Per-document token/char statistics (token counting). */
+  def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      size(tokens(col(textCol))).as("n_tokens"),
+      length(col(textCol)).as("n_chars_measured"),
+      size(array_distinct(tokens(col(textCol)))).as("n_unique_tokens")
+    )
+
+  /** Quality scoring: lexical-diversity + mean-token-length heuristics
+    * (the length/punct/stopword-ratio family; this corpus is synthetic
+    * lowercase words, so the informative ratios are diversity and length). */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = tokens(col(textCol))
+    docs.select(
+      col(idCol),
+      round(size(array_distinct(ws)).cast("double") / size(ws), 4).as("lexical_diversity"),
+      round((length(col(textCol)) - size(ws) + 1).cast("double") / size(ws), 4).as("avg_token_len"),
+      round(
+        size(filter(ws, w => w.isin("a", "the"))).cast("double") / size(ws), 4
+      ).as("stopword_ratio")
+    )
+  }
+
+  /** Language-ID heuristic: score a document against per-language marker
+    * token sets and pick the argmax. On real corpora the markers would be
+    * character n-gram profiles; the synthetic corpus carries a `lang`
+    * column, so specs validate mechanics (argmax, tie-break) not accuracy. */
+  def languageId(docs: DataFrame, idCol: String, textCol: String,
+                 markers: Map[String, Seq[String]]): DataFrame = {
+    val ws = tokens(col(textCol))
+    val scored = markers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+      struct(
+        (size(filter(ws, w => w.isin(ms: _*))).cast("double") / size(ws)).as("score"),
+        lit(lang).as("lang")
+      )
+    }
+    docs.select(
+      col(idCol),
+      element_at(reverse(array_sort(array(scored: _*))), 1).getField("lang").as("lang_pred")
+    )
+  }
+
+  /** Document fingerprint: order-sensitive 64-bit rolling hash of the token
+    * stream (polynomial accumulation over per-token xxhash64). Distributed
+    * as a pure projection; used for cheap exact-ish dup detection. */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, w) => acc * lit(31L) + xxhash64(w)
+    )
+}

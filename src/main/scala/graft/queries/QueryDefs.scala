@@ -1,0 +1,535 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.QueryBuilder
+import graft.ops.{Dedup, Multimodal, Relational, Similarity, Text}
+
+/** One named query per implemented operator (SURVEY.md §2 checklist), each
+  * with DuckDB oracle SQL where the semantics are SQL-expressible.
+  *
+  * Conventions shared with the oracle (the driver hash-compares values
+  * after sorting columns by name):
+  *  - every computed column is aliased identically on both sides;
+  *  - floating-point aggregates are `round`-ed (2–4 dp) on both sides so
+  *    summation-order FP noise can't flip the hash;
+  *  - every LIMIT is preceded by a total order with a unique tie-break.
+  */
+final case class QueryDef(
+    name: String,
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String]
+)
+
+object QueryDefs {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.engine.Tables.read(s, dir, name)
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ── Layer B: the reference's query surface ─────────────────────────
+    QueryDef(
+      "b1_scan_filter_project",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_returnflag") === lit("R") && col("l_quantity") > 30)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice"),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+              WHERE l_returnflag = 'R' AND l_quantity > 30""")
+    ),
+
+    // The reference's exact query shape (`SELECT {fields} FROM {t} WHERE
+    // part='{v}' AND {condition}`) with l_returnflag as the species-analog
+    // mandatory partition filter (reference app/main.py:479).
+    QueryDef(
+      "b2_reference_shape",
+      (s, d) => QueryBuilder.build(
+        t(s, d, "lineitem"),
+        partitionColumn = "l_returnflag", partitionValue = "A",
+        fields = "l_orderkey, l_partkey, l_quantity, l_extendedprice",
+        condition = Some("l_quantity BETWEEN 10 AND 20 AND l_shipdate >= TIMESTAMP '1995-06-01'")
+      ),
+      Some("""SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice FROM lineitem
+              WHERE l_returnflag = 'A' AND l_quantity BETWEEN 10 AND 20
+                AND l_shipdate >= TIMESTAMP '1995-06-01'""")
+    ),
+
+    QueryDef(
+      "b5_distinct",
+      (s, d) => QueryBuilder.distinct(t(s, d, "orders"), "o_orderpriority"),
+      Some("SELECT DISTINCT o_orderpriority FROM orders")
+    ),
+
+    QueryDef(
+      "b6_limit_topn",
+      (s, d) => t(s, d, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(25),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""")
+    ),
+
+    // B7: the scalar-expression grammar reachable through the reference's
+    // condition/fields pass-through (CASE/LIKE/BETWEEN/string/math fns).
+    QueryDef(
+      "b7_expr_grammar",
+      (s, d) => t(s, d, "part")
+        .filter(expr("p_name LIKE '%a%' AND p_size BETWEEN 5 AND 45 AND p_type IS NOT NULL"))
+        .selectExpr(
+          "p_partkey",
+          "upper(substr(p_name, 1, 5)) AS name5",
+          "CASE WHEN p_size < 10 THEN 'small' WHEN p_size < 30 THEN 'medium' ELSE 'large' END AS size_class",
+          "round(sqrt(p_retailprice), 3) AS sqrt_price",
+          "coalesce(nullif(p_brand, 'Brand#33'), 'other') AS brand_adj"
+        ),
+      Some("""SELECT p_partkey, upper(substr(p_name, 1, 5)) AS name5,
+                CASE WHEN p_size < 10 THEN 'small' WHEN p_size < 30 THEN 'medium' ELSE 'large' END AS size_class,
+                round(sqrt(p_retailprice), 3) AS sqrt_price,
+                coalesce(nullif(p_brand, 'Brand#33'), 'other') AS brand_adj
+              FROM part
+              WHERE p_name LIKE '%a%' AND p_size BETWEEN 5 AND 45 AND p_type IS NOT NULL""")
+    ),
+
+    // ── Layer C: relational ────────────────────────────────────────────
+    QueryDef(
+      "c1_join_inner",
+      (s, d) => t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(t(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_lines")
+        ),
+      Some("""SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                count(*) AS n_lines
+              FROM customer JOIN orders ON c_custkey = o_custkey
+                            JOIN lineitem ON l_orderkey = o_orderkey
+              WHERE c_mktsegment = 'BUILDING' GROUP BY l_orderkey""")
+    ),
+
+    QueryDef(
+      "c1_join_left",
+      (s, d) => t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"), "left")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), count(col("c_custkey")).as("n_matched")),
+      Some("""SELECT o_orderstatus, count(*) AS n_orders, count(c_custkey) AS n_matched
+              FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+              GROUP BY o_orderstatus""")
+    ),
+
+    QueryDef(
+      "c1_join_full",
+      (s, d) => t(s, d, "nation")
+        .join(t(s, d, "supplier"), col("n_nationkey") === col("s_nationkey"), "full")
+        .select("n_name", "s_name"),
+      Some("""SELECT n_name, s_name FROM nation
+              FULL OUTER JOIN supplier ON n_nationkey = s_nationkey""")
+    ),
+
+    QueryDef(
+      "c2_semi_join",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_acctbal"),
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+              WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""")
+    ),
+
+    QueryDef(
+      "c2_anti_join",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name"),
+      Some("""SELECT c_custkey, c_name FROM customer
+              WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""")
+    ),
+
+    // C3: star join — every dimension side explicitly broadcast; only the
+    // fact↔orders join shuffles. TPC-H Q5 shape.
+    QueryDef(
+      "c3_star_join_broadcast",
+      (s, d) => {
+        val dims = broadcast(
+          t(s, d, "customer")
+            .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+            .join(broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select("c_custkey", "n_name")
+        )
+        t(s, d, "lineitem")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(dims, col("o_custkey") === col("c_custkey"))
+          .groupBy("n_name")
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      },
+      Some("""SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                            JOIN customer ON o_custkey = c_custkey
+                            JOIN nation ON c_nationkey = n_nationkey
+                            JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA' GROUP BY n_name""")
+    ),
+
+    // C4: point-in-band range join. The non-equi side is a 5-row broadcast
+    // (BroadcastNestedLoop with a tiny build side) — the scalable shape for
+    // point-in-interval joins; never BNL two large sides.
+    QueryDef(
+      "c4_range_join",
+      (s, d) => t(s, d, "orders")
+        .join(
+          broadcast(t(s, d, "region")),
+          col("o_totalprice") >= col("r_regionkey") * 100000.0 &&
+            col("o_totalprice") < (col("r_regionkey") + 1) * 100000.0
+        )
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total")),
+      Some("""SELECT r_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+              FROM orders JOIN region
+                ON o_totalprice >= r_regionkey * 100000.0
+               AND o_totalprice < (r_regionkey + 1) * 100000.0
+              GROUP BY r_name""")
+    ),
+
+    // C5: as-of join — most recent order at/before each event's timestamp.
+    QueryDef(
+      "c5_asof_join",
+      (s, d) => Relational.asOfJoin(
+        t(s, d, "events"), t(s, d, "orders"),
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        leftIdCol = "event_id", rightTieBreak = "o_orderkey"
+      ).select(col("event_id"), col("o_orderkey").as("last_orderkey")),
+      Some("""SELECT event_id, o_orderkey AS last_orderkey FROM (
+                SELECT e.event_id, o.o_orderkey,
+                       row_number() OVER (PARTITION BY e.event_id
+                                          ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+                FROM events e JOIN orders o
+                  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) t
+              WHERE rn = 1""")
+    ),
+
+    // C6: TPC-H Q1 — partial (map-side) + final hash aggregate.
+    QueryDef(
+      "c6_agg_q1",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          count(lit(1)).as("n")
+        ),
+      Some("""SELECT l_returnflag, l_linestatus,
+                round(sum(l_quantity), 2) AS sum_qty,
+                round(sum(l_extendedprice), 2) AS sum_base,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+                round(avg(l_quantity), 4) AS avg_qty,
+                count(*) AS n
+              FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+              GROUP BY l_returnflag, l_linestatus""")
+    ),
+
+    QueryDef(
+      "c7_rollup",
+      (s, d) => t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n")),
+      Some("""SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+              FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""")
+    ),
+
+    // C8: HLL++ sketch — estimates are implementation-specific, so no SQL
+    // oracle (driver records rows-only); exactness is spec-tested against
+    // count_distinct at small scale.
+    QueryDef(
+      "c8_approx_distinct",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_suppkey")).as("approx_supps")
+        ),
+      None
+    ),
+
+    QueryDef(
+      "c9_window_running",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, d, "orders").select(
+          col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).as("rn"),
+          round(sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+            .as("running_spend"),
+          lag("o_orderkey", 1).over(w).as("prev_order")
+        )
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+                CAST(row_number() OVER w AS INTEGER) AS rn,
+                round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+                lag(o_orderkey, 1) OVER w AS prev_order
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""")
+    ),
+
+    QueryDef(
+      "c10_topk_per_group",
+      (s, d) => Relational.topKPerGroup(
+        t(s, d, "lineitem").select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"),
+        groupCols = Seq("l_returnflag"),
+        orderBy = Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")),
+        k = 5
+      ),
+      Some("""SELECT * FROM (
+                SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+                       CAST(row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS INTEGER) AS rk
+                FROM lineitem) t
+              WHERE rk <= 5""")
+    ),
+
+    QueryDef(
+      "c11_union_agg",
+      (s, d) => t(s, d, "customer").select(lit("c").as("src"), col("c_nationkey").as("nationkey"))
+        .unionAll(t(s, d, "supplier").select(lit("s").as("src"), col("s_nationkey").as("nationkey")))
+        .groupBy("src", "nationkey")
+        .agg(count(lit(1)).as("n")),
+      Some("""SELECT src, nationkey, count(*) AS n FROM (
+                SELECT 'c' AS src, c_nationkey AS nationkey FROM customer
+                UNION ALL
+                SELECT 's' AS src, s_nationkey AS nationkey FROM supplier) t
+              GROUP BY src, nationkey""")
+    ),
+
+    QueryDef(
+      "c11_intersect",
+      (s, d) => t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersect(t(s, d, "supplier").select(col("s_nationkey").as("nationkey"))),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+              INTERSECT
+              SELECT s_nationkey AS nationkey FROM supplier""")
+    ),
+
+    QueryDef(
+      "c11_except",
+      (s, d) => t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .except(t(s, d, "supplier").select(col("s_nationkey").as("nationkey"))),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+              EXCEPT
+              SELECT s_nationkey AS nationkey FROM supplier""")
+    ),
+
+    // ── Layer C: LLM-pipeline extensions ───────────────────────────────
+    QueryDef(
+      "c12_dedup_exact",
+      (s, d) => Dedup.exact(t(s, d, "lineitem"), Seq("l_partkey", "l_suppkey"), "l_orderkey"),
+      Some("""SELECT l_partkey, l_suppkey, min(l_orderkey) AS l_orderkey, count(*) AS dup_count
+              FROM lineitem GROUP BY l_partkey, l_suppkey""")
+    ),
+
+    QueryDef(
+      "c12_dedup_text",
+      (s, d) => Dedup.exact(t(s, d, "documents"), Seq("text"), "doc_id"),
+      Some("""SELECT text, min(doc_id) AS doc_id, count(*) AS dup_count
+              FROM documents GROUP BY text""")
+    ),
+
+    // C13 exact flavor: 3-gram shingle Jaccard ≥ 0.6 via inverted-index
+    // self-join (no cross join).
+    QueryDef(
+      "c13_jaccard_ngram",
+      (s, d) => Dedup.jaccardNearDup(t(s, d, "documents"), "doc_id", "text", n = 3, threshold = 0.6),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+                sh AS (SELECT DISTINCT doc_id AS doc, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+                       FROM toks, UNNEST(generate_series(1, len(ws) - 2)) t(i)),
+                cnt AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+                pair AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS common
+                         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+                         GROUP BY 1, 2)
+              SELECT doc_a, doc_b, round(common * 1.0 / (ca.n_sh + cb.n_sh - common), 4) AS jaccard
+              FROM pair JOIN cnt ca ON ca.doc = doc_a JOIN cnt cb ON cb.doc = doc_b
+              WHERE common * 1.0 / (ca.n_sh + cb.n_sh - common) >= 0.6""")
+    ),
+
+    // C13 approximate flavor: MinHash + LSH banding (deterministic seeded
+    // hashes; estimates aren't SQL-expressible → rows-only + specs).
+    QueryDef(
+      "c13_minhash_lsh",
+      (s, d) => Dedup.minhashLshCandidates(
+        t(s, d, "documents"), "doc_id", "text",
+        n = 3, bands = 8, rowsPerBand = 4, estThreshold = 0.5
+      ),
+      None
+    ),
+
+    QueryDef(
+      "c13_simhash",
+      (s, d) => Dedup.simhash(t(s, d, "documents"), "doc_id", "text"),
+      None
+    ),
+
+    // C14: exact brute-force cosine top-10 around vec_id=0. Oracle computes
+    // the dot product in double via an indexed unnest join (DuckDB's
+    // list_inner_product accumulates in float, which would flip the 4 dp
+    // rounding).
+    QueryDef(
+      "c14_cosine_topk",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+          emb.filter(col("vec_id") === 0), "embedding", k = 10
+        )
+      },
+      Some("""WITH q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS v,
+                                generate_subscripts(embedding, 1) AS i
+                         FROM embeddings WHERE vec_id = 0),
+                e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                             generate_subscripts(embedding, 1) AS i
+                      FROM embeddings WHERE vec_id <> 0),
+                dots AS (SELECT e.vec_id, sum(e.v * q.v) AS dot, sum(e.v * e.v) AS ne,
+                                sum(q.v * q.v) AS nq
+                         FROM e JOIN q ON e.i = q.i GROUP BY e.vec_id)
+              SELECT vec_id, round(dot / (sqrt(ne) * sqrt(nq)), 4) AS sim
+              FROM dots ORDER BY sim DESC, vec_id LIMIT 10""")
+    ),
+
+    // C14 scale path: hyperplane-LSH bucketed candidate pairs (rows-only;
+    // recall vs brute force is spec-tested).
+    QueryDef(
+      "c14_ann_lsh_pairs",
+      (s, d) => Similarity.lshCandidatePairs(t(s, d, "embeddings"), "vec_id", "embedding"),
+      None
+    ),
+
+    // ── C15: text analysis ─────────────────────────────────────────────
+    QueryDef(
+      "c15_lang_stats",
+      (s, d) => t(s, d, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), round(avg("n_chars"), 2).as("avg_chars")),
+      Some("""SELECT lang, count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars
+              FROM documents GROUP BY lang""")
+    ),
+
+    QueryDef(
+      "c15_wordcount_topk",
+      (s, d) => Text.wordCount(t(s, d, "documents"), "text")
+        .orderBy(col("n").desc, col("token"))
+        .limit(20),
+      Some("""SELECT token, count(*) AS n
+              FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+              GROUP BY token ORDER BY n DESC, token LIMIT 20""")
+    ),
+
+    QueryDef(
+      "c15_token_stats",
+      (s, d) => Text.tokenStats(t(s, d, "documents"), "doc_id", "text"),
+      Some("""SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+                CAST(length(text) AS INTEGER) AS n_chars_measured,
+                CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_unique_tokens
+              FROM documents""")
+    ),
+
+    QueryDef(
+      "c15_quality",
+      (s, d) => Text.qualityScore(t(s, d, "documents"), "doc_id", "text"),
+      Some("""SELECT doc_id,
+                round(len(list_distinct(string_split(text, ' '))) * 1.0
+                      / len(string_split(text, ' ')), 4) AS lexical_diversity,
+                round((length(text) - len(string_split(text, ' ')) + 1) * 1.0
+                      / len(string_split(text, ' ')), 4) AS avg_token_len,
+                round(len(list_filter(string_split(text, ' '), x -> x IN ('a', 'the'))) * 1.0
+                      / len(string_split(text, ' ')), 4) AS stopword_ratio
+              FROM documents""")
+    ),
+
+    // ── C16: semi-structured + multimodal columns ──────────────────────
+    QueryDef(
+      "c16_json_extract",
+      (s, d) => t(s, d, "events")
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum("value"), 2).as("total_value"),
+          max(get_json_object(col("props"), "$.k").cast("long")).as("max_k")
+        ),
+      Some("""SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value,
+                max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+              FROM events GROUP BY event_type""")
+    ),
+
+    QueryDef(
+      "c16_multimodal_bytes",
+      (s, d) => Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text")
+        .select(col("media_id"), octet_length(col("payload")).as("n_bytes")),
+      Some("""SELECT CAST(doc_id AS BIGINT) AS media_id,
+                CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
+              FROM documents""")
+    ),
+
+    QueryDef(
+      "c16_multimodal_features",
+      (s, d) => Multimodal.featurize(
+        Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text")
+      ).select(col("media_id"), col("features")),
+      None
+    ),
+
+    // ── C17-C21: event-time windows (batch equivalents of the streaming
+    //    plans in graft.streaming; identical groupBy(window) expressions) ─
+    QueryDef(
+      "c18_window_tumbling",
+      (s, d) => t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("total")),
+      Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
+                count(*) AS n, round(sum(value), 2) AS total
+              FROM events GROUP BY 1, 2""")
+    ),
+
+    QueryDef(
+      "c18_window_sliding",
+      (s, d) => t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("total")),
+      Some("""SELECT w_start, event_type, count(*) AS n, round(sum(value), 2) AS total FROM (
+                SELECT time_bucket(INTERVAL '60 minutes', ts) AS w_start, event_type, value FROM events
+                UNION ALL
+                SELECT time_bucket(INTERVAL '60 minutes', ts, INTERVAL '30 minutes') AS w_start,
+                       event_type, value FROM events) t
+              GROUP BY 1, 2""")
+    ),
+
+    QueryDef(
+      "c19_session_window",
+      (s, d) => t(s, d, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("n"), col("total")),
+      Some("""WITH g AS (SELECT user_id, ts, value,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               < INTERVAL '30 minutes' THEN 0 ELSE 1 END AS newsess
+                   FROM events),
+                sess AS (SELECT user_id, ts, value,
+                       sum(newsess) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                     FROM g)
+              SELECT user_id, min(ts) AS session_start, count(*) AS n, round(sum(value), 2) AS total
+              FROM sess GROUP BY user_id, sid""")
+    )
+  )
+
+  lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
+}
