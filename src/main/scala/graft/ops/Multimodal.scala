@@ -54,7 +54,7 @@ object Multimodal {
       (size(filter(
         transform(sequence(lit(1), n), i => floor(getbit_byte(bytes, i) / (256 / bins))),
         v => v === b.cast("long")
-      )).cast("float") / n.cast("float"))
+      )).cast("double") / n).cast("float")
     )
     df.withColumn("features", hist)
   }

@@ -82,12 +82,14 @@ object Text {
   }
 
   /** Document fingerprint: order-sensitive 64-bit rolling hash of the token
-    * stream (polynomial accumulation over per-token xxhash64). Distributed
-    * as a pure projection; used for cheap exact-ish dup detection. */
+    * stream (hash chaining: acc' = xxhash64(acc, token), which is
+    * position-sensitive and never overflows under ANSI mode, unlike a
+    * polynomial `acc*31+h` accumulation). Distributed as a pure projection;
+    * used for cheap exact-ish dup detection. */
   def fingerprint(text: Column): Column =
     aggregate(
       tokens(text),
       lit(0L),
-      (acc, w) => acc * lit(31L) + xxhash64(w)
+      (acc, w) => xxhash64(acc, w)
     )
 }

@@ -236,12 +236,41 @@ object QueryDefs {
     ),
 
     QueryDef(
+      "c6_agg_stats",
+      (s, d) => t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          round(stddev_samp(col("o_totalprice")), 2).as("sd_price"),
+          round(min("o_totalprice"), 2).as("min_price"),
+          round(max("o_totalprice"), 2).as("max_price"),
+          countDistinct(col("o_custkey")).as("n_custs"),
+          array_join(sort_array(collect_set(col("o_orderpriority"))), ",").as("priorities")
+        ),
+      Some("""SELECT o_orderstatus,
+                round(stddev_samp(o_totalprice), 2) AS sd_price,
+                round(min(o_totalprice), 2) AS min_price,
+                round(max(o_totalprice), 2) AS max_price,
+                count(DISTINCT o_custkey) AS n_custs,
+                array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',') AS priorities
+              FROM orders GROUP BY o_orderstatus""")
+    ),
+
+    QueryDef(
       "c7_rollup",
       (s, d) => t(s, d, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n")),
       Some("""SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
               FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""")
+    ),
+
+    QueryDef(
+      "c7_cube",
+      (s, d) => t(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_extendedprice"), 2).as("sum_price"), count(lit(1)).as("n")),
+      Some("""SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+              FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""")
     ),
 
     // C8: HLL++ sketch — estimates are implementation-specific, so no SQL
@@ -277,6 +306,27 @@ object QueryDefs {
                 lag(o_orderkey, 1) OVER w AS prev_order
               FROM orders
               WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""")
+    ),
+
+    QueryDef(
+      "c9_window_rank",
+      (s, d) => {
+        val w = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, d, "orders").select(
+          col("o_orderstatus"), col("o_orderkey"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"),
+          lead("o_orderkey", 1).over(w).as("next_order")
+        )
+      },
+      Some("""SELECT o_orderstatus, o_orderkey,
+                CAST(rank() OVER w AS INTEGER) AS rnk,
+                CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+                CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+                lead(o_orderkey, 1) OVER w AS next_order
+              FROM orders
+              WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)""")
     ),
 
     QueryDef(
@@ -323,6 +373,16 @@ object QueryDefs {
         .except(t(s, d, "supplier").select(col("s_nationkey").as("nationkey"))),
       Some("""SELECT c_nationkey AS nationkey FROM customer
               EXCEPT
+              SELECT s_nationkey AS nationkey FROM supplier""")
+    ),
+
+    QueryDef(
+      "c11_union_distinct",
+      (s, d) => t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .union(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+        .distinct(),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+              UNION
               SELECT s_nationkey AS nationkey FROM supplier""")
     ),
 
@@ -375,6 +435,15 @@ object QueryDefs {
       None
     ),
 
+    // C13 embedding flavor: near-dup by embedding cosine over LSH buckets
+    // (rows-only; pair semantics spec-tested with planted duplicates).
+    QueryDef(
+      "c13_embedding_neardup",
+      (s, d) => Dedup.embeddingNearDup(t(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.15),
+      None
+    ),
+
     // C14: exact brute-force cosine top-10 around vec_id=0. Oracle computes
     // the dot product in double via an indexed unnest join (DuckDB's
     // list_inner_product accumulates in float, which would flip the 4 dp
@@ -406,6 +475,19 @@ object QueryDefs {
     QueryDef(
       "c14_ann_lsh_pairs",
       (s, d) => Similarity.lshCandidatePairs(t(s, d, "embeddings"), "vec_id", "embedding"),
+      None
+    ),
+
+    // C14 query path: probe-only ANN top-k (IVF-style bucket probe).
+    QueryDef(
+      "c14_ann_topk",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.lshTopK(
+          emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+          emb.filter(col("vec_id") === 0), "embedding", k = 10
+        )
+      },
       None
     ),
 
@@ -452,6 +534,27 @@ object QueryDefs {
               FROM documents""")
     ),
 
+    // Order-sensitive rolling fingerprint (xxhash64 chain — not DuckDB-
+    // expressible; exactness spec-tested).
+    QueryDef(
+      "c15_fingerprint",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), graft.ops.Text.fingerprint(col("text")).as("fingerprint")),
+      None
+    ),
+
+    // Language-ID heuristic (marker-token argmax; accuracy is a property of
+    // the marker profiles, mechanics spec-tested → rows-only).
+    QueryDef(
+      "c15_language_id",
+      (s, d) => Text.languageId(t(s, d, "documents"), "doc_id", "text",
+        markers = Map(
+          "en" -> Seq("the", "a", "of", "and", "to"),
+          "es" -> Seq("el", "la", "de", "y", "en")
+        )),
+      None
+    ),
+
     // ── C16: semi-structured + multimodal columns ──────────────────────
     QueryDef(
       "c16_json_extract",
@@ -482,6 +585,22 @@ object QueryDefs {
         Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text")
       ).select(col("media_id"), col("features")),
       None
+    ),
+
+    // Frame-sampling generator shape over binary payloads; md5 per frame so
+    // the oracle compares fixed-width strings (DuckDB 1.0 can't substring
+    // blobs — text is ASCII, so char-substring md5 matches byte-substring).
+    QueryDef(
+      "c16_frame_sample",
+      (s, d) => Multimodal.frameSample(
+        Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text"), stride = 64)
+        .select(col("media_id"), col("frame_idx"),
+          md5(col("frame")).as("frame_md5")),
+      Some("""WITH m AS (SELECT CAST(doc_id AS BIGINT) AS media_id, text,
+                                length(text) AS n FROM documents)
+              SELECT media_id, CAST(k - 1 AS INTEGER) AS frame_idx,
+                     md5(substring(text, CAST((k-1)*64 + 1 AS INTEGER), 64)) AS frame_md5
+              FROM m, UNNEST(generate_series(1, greatest(n // 64, 1))) t(k)""")
     ),
 
     // ── C17-C21: event-time windows (batch equivalents of the streaming

@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all suites (one JVM-wide session keeps the
+  * test run fast; suites must not mutate global state other than conf
+  * flags they re-set). */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  val sf0001 = "/root/testdata/sf0.001"
+}
+
+abstract class SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  def sf0001: String = TestSpark.sf0001
+}

@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog today"),
+    (2L, "the quick brown fox jumps over the lazy dog today"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat today"),   // near dup
+    (4L, "completely different words appear in this other document here now")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id and counts multiplicity") {
+    val out = Dedup.exact(docs, Seq("text"), "doc_id")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out(1L) == 2)  // survivor id 1 with dup_count 2
+    assert(out(3L) == 1)
+    assert(out(4L) == 1)
+  }
+
+  test("jaccard near-dup finds exact and near pairs, not unrelated") {
+    val pairs = Dedup.jaccardNearDup(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair((1L, 2L)) == 1.0)
+    // docs 1,3 differ in 1 of 10 tokens: trigrams 8 shared of 8+8 distinct
+    assert(byPair.contains((1L, 3L)) && byPair((1L, 3L)) > 0.5)
+    assert(!byPair.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("maxDf prunes ubiquitous shingles from pair generation") {
+    val all = Dedup.jaccardNearDup(docs, "doc_id", "text", 3, 0.0)
+    val pruned = Dedup.jaccardNearDup(docs, "doc_id", "text", 3, 0.0, maxDf = Some(1))
+    assert(pruned.count() <= all.count())
+  }
+
+  test("minhash LSH: exact dups estimated 1.0; unrelated docs don't pair") {
+    val cands = Dedup.minhashLshCandidates(docs, "doc_id", "text",
+      n = 3, bands = 8, rowsPerBand = 4, estThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val m = cands.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((1L, 2L)) == 1.0)
+    assert(!m.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical docs share signature; near dups are hamming-close") {
+    val sig = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sig(1L), sig(3L)) < ham(sig(1L), sig(4L)))
+  }
+
+  test("hamming column matches bitCount") {
+    val out = Seq((0x0FL, 0x00L)).toDF("a", "b")
+      .select(Dedup.hamming($"a", $"b")).as[Long].collect().head
+    assert(out == 4)
+  }
+}

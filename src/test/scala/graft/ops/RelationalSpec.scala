@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("as-of join picks most recent right row at/before left time") {
+    val events = Seq(
+      (100L, 1L, ts("2024-01-01 10:00:00")),
+      (101L, 1L, ts("2024-01-01 12:00:00")),
+      (102L, 2L, ts("2024-01-01 09:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val orders = Seq(
+      (7L, 1L, ts("2024-01-01 09:30:00")),
+      (8L, 1L, ts("2024-01-01 11:00:00")),
+      (9L, 1L, ts("2024-01-01 13:00:00")), // after both events
+      (10L, 2L, ts("2024-01-01 09:30:00")) // after event 102
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val out = Relational.asOfJoin(events, orders,
+      "user_id", "o_custkey", "ts", "o_orderdate", "event_id", "o_orderkey")
+      .select("event_id", "o_orderkey")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(100L -> 7L, 101L -> 8L)) // 102 has no order at/before
+  }
+
+  test("as-of join tie-break is deterministic on rightTieBreak desc") {
+    val ev = Seq((1L, 1L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val or = Seq(
+      (5L, 1L, ts("2024-01-01 09:00:00")),
+      (6L, 1L, ts("2024-01-01 09:00:00"))
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val out = Relational.asOfJoin(ev, or, "user_id", "o_custkey",
+      "ts", "o_orderdate", "event_id", "o_orderkey")
+      .select("o_orderkey").as[Long].collect()
+    assert(out.toSeq == Seq(6L))
+  }
+
+  test("topKPerGroup keeps exactly k rows per group in order") {
+    val df = Seq(
+      ("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0),
+      ("b", 4, 5.0)
+    ).toDF("g", "id", "v")
+    val out = Relational.topKPerGroup(df, Seq("g"), Seq($"v".desc, $"id"), k = 2)
+      .select("g", "id").collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(out == Set(("a", 2), ("a", 3), ("b", 4)))
+  }
+
+  test("topKPerGroup plans a WindowGroupLimit (no full per-group materialization)") {
+    val li = graft.engine.Tables.read(spark, sf0001, "lineitem")
+    val plan = Relational.topKPerGroup(li, Seq("l_returnflag"),
+      Seq($"l_extendedprice".desc, $"l_orderkey"), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"missing WindowGroupLimit:\n$plan")
+  }
+}

@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "a b"),            // shorter than trigram
+    (3L, "x y z"),          // exactly one trigram
+    (4L, "the cat sat on the mat") // dup of 1
+  ).toDF("doc_id", "text")
+
+  test("shingles: exact trigram set, distinct") {
+    val sh = docs.filter($"doc_id" === 1)
+      .select(explode(Text.shingles($"text", 3)).as("s"))
+      .as[String].collect().toSet
+    assert(sh == Set("the cat sat", "cat sat on", "sat on the", "on the mat"))
+  }
+
+  test("shingles: doc shorter than n yields empty array, not a descending sequence") {
+    val sh = docs.select(size(Text.shingles($"text", 3)).as("n")).as[Int].collect()
+    assert(sh.toSeq == Seq(4, 0, 1, 4))
+  }
+
+  test("wordCount aggregates corpus-wide") {
+    val wc = Text.wordCount(docs, "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wc("the") == 4)
+    assert(wc("cat") == 2)
+    assert(wc("x") == 1)
+  }
+
+  test("tokenStats counts tokens, chars, distinct tokens") {
+    val row = Text.tokenStats(docs, "doc_id", "text")
+      .filter($"doc_id" === 1).collect().head
+    assert(row.getInt(1) == 6)  // n_tokens
+    assert(row.getInt(2) == 22) // n_chars
+    assert(row.getInt(3) == 5)  // unique ("the" twice)
+  }
+
+  test("qualityScore: diversity and stopword ratio") {
+    val row = Text.qualityScore(docs, "doc_id", "text")
+      .filter($"doc_id" === 1).collect().head
+    assert(row.getDouble(1) == 0.8333)                        // lexical_diversity, rounded 4dp
+    assert(math.abs(row.getDouble(3) - 2.0 / 6) < 1e-3)       // "the" x2 of 6
+  }
+
+  test("languageId picks argmax marker overlap") {
+    val markers = Map(
+      "en" -> Seq("the", "cat"),
+      "xx" -> Seq("zzz")
+    )
+    val out = Text.languageId(docs, "doc_id", "text", markers)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+  }
+
+  test("fingerprint is order-sensitive and equal for identical docs") {
+    val fps = docs.select($"doc_id", Text.fingerprint($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(4L))
+    val rev = Seq((9L, "mat the on sat cat the")).toDF("doc_id", "text")
+      .select(Text.fingerprint($"text")).as[Long].collect().head
+    assert(rev != fps(1L))
+  }
+}
