@@ -1,0 +1,84 @@
+package graft.engine
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+class QueryServiceSpec extends SparkSpec {
+  import QueryService._
+
+  private def freshService(ttl: Long = QueryService.DefaultCacheTtlMillis,
+                           clock: () => Long = () => System.currentTimeMillis()) = {
+    val dir = Files.createTempDirectory("graft-results").toString
+    new QueryService(spark, new Catalog(spark, sf0001), dir, ttl, clock)
+  }
+
+  test("submit -> SUCCEEDED with a readable CSV result") {
+    val svc = freshService()
+    val id = svc.submit("lineitem", "l_returnflag", "R",
+      fields = "l_orderkey, l_extendedprice", condition = Some("l_quantity > 30"))
+    assert(isValidQueryId(id))
+    assert(svc.await(id) == Succeeded)
+    val st = svc.status(id).get
+    assert(st.state == Succeeded && st.resultPath.isDefined)
+    val back = spark.read.option("header", "true").csv(st.resultPath.get)
+    assert(back.columns.toSeq == Seq("l_orderkey", "l_extendedprice"))
+    assert(back.count() > 0)
+  }
+
+  test("semantically equal queries reuse the same query id (AND commutativity)") {
+    val svc = freshService()
+    val a = svc.submit("orders", "o_orderstatus", "F",
+      condition = Some("o_totalprice > 1000 AND o_custkey < 50"))
+    svc.await(a)
+    val b = svc.submit("orders", "o_orderstatus", "F",
+      condition = Some("o_custkey < 50 AND o_totalprice > 1000"))
+    assert(a == b)
+    // distinct literals must NOT collide (the reference's token-sort bug)
+    val c = svc.submit("orders", "o_orderstatus", "F",
+      condition = Some("o_totalprice > 50 AND o_custkey < 1000"))
+    assert(c != a)
+  }
+
+  test("cache entries expire after the TTL") {
+    var now = 0L
+    val svc = freshService(ttl = 1000, clock = () => now)
+    val a = svc.submit("region", "r_name", "ASIA")
+    svc.await(a)
+    now = 2000
+    val b = svc.submit("region", "r_name", "ASIA")
+    assert(a != b)
+  }
+
+  test("status/preview reject malformed ids and unknown ids") {
+    val svc = freshService()
+    assert(svc.status("not-a-uuid").isEmpty)
+    assert(svc.preview("not-a-uuid").isLeft)
+    assert(svc.preview("00000000-0000-0000-0000-000000000000").isLeft)
+  }
+
+  test("preview: header row 0, all strings, default 26 total rows, cap enforced") {
+    val svc = freshService()
+    val id = svc.submit("lineitem", "l_returnflag", "N", fields = "l_orderkey, l_quantity")
+    svc.await(id)
+    val rows = svc.preview(id).toOption.get
+    assert(rows.length == 26)
+    assert(rows.head == Seq("l_orderkey", "l_quantity"))
+    assert(rows(1).forall(_.isInstanceOf[String]))
+    assert(svc.preview(id, 0).isLeft)
+    assert(svc.preview(id, 1001).isLeft)
+    assert(svc.preview(id, 2).toOption.get.length == 2)
+  }
+
+  test("failed query reports FAILED and is not cached for reuse") {
+    val svc = freshService()
+    val id = svc.submit("lineitem", "l_returnflag", "R",
+      condition = Some("no_such_column > 5"))
+    svc.await(id) match {
+      case Failed(msg) => assert(msg != null)
+      case other => fail(s"expected Failed, got $other")
+    }
+    val retry = svc.submit("lineitem", "l_returnflag", "R",
+      condition = Some("no_such_column > 5"))
+    assert(retry != id)
+  }
+}
