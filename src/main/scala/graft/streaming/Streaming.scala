@@ -1,0 +1,120 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the `events` table shape (SURVEY.md §2
+  * C17–C21). Every transform is written against a plain DataFrame so the
+  * SAME expression tree runs in batch (the oracle-checked c18/c19
+  * queries) and on a stream — Spark's unified model is the point: the
+  * batch oracle validates the streaming semantics.
+  *
+  * Scale posture: all stateful ops are bounded by watermarks from day
+  * one (unbounded state is the way streaming jobs die at production
+  * scale); session windows use the native `session_window` (state-store
+  * merge, partitioned by grouping key, scales horizontally with
+  * executors); dedup state is `dropDuplicatesWithinWatermark` so the
+  * key set is evicted as event time advances.
+  */
+object Streaming {
+
+  /** events table schema (TESTDATA.md), ts at microsecond precision. */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)
+  ))
+
+  /** C17: file-source ingest with the events schema (json-lines or csv
+    * dirs dropped by an upstream producer; parquet for replay). */
+  def readEventsStream(spark: SparkSession, dir: String, format: String = "parquet"): DataFrame =
+    spark.readStream.format(format).schema(eventSchema).load(dir)
+
+  /** C18 tumbling: fixed windows; C20: watermark bounds state + drops
+    * rows later than `lateness`. */
+  def tumblingCounts(events: DataFrame, window: String = "1 hour",
+                     lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("total"))
+
+  /** C18 sliding: overlapping windows (each row lands in window/slide
+    * buckets). */
+  def slidingCounts(events: DataFrame, window: String = "1 hour",
+                    slide: String = "30 minutes",
+                    lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("total"))
+
+  /** C19: native session windows — gap-merged per user, state-store
+    * backed on streams. */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes",
+                 lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n"), col("total"))
+
+  /** C21a: exactly-once-per-key dedup with watermark-bounded state (the
+    * streaming analog of exact dedup C12). */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+                           lateness: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  // ── C21b: arbitrary custom state ─────────────────────────────────────
+
+  final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class UserRunning(user_id: Long, n: Long, total: Double)
+
+  /** Per-user running aggregate via flatMapGroupsWithState — the escape
+    * hatch for state machines `groupBy(window)` can't express. State is a
+    * single fixed-size record per key, evicted `stateTtl` past the
+    * watermark (event-time timeout — deterministic and replay-safe,
+    * unlike processing-time timeouts which also force continuous empty
+    * micro-batches just to evaluate timers). */
+  def userRunningTotals(events: Dataset[UserEvent],
+                        lateness: String = "10 minutes",
+                        stateTtlMs: Long = 7200000): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+            var n = prev.n
+            var total = prev.total
+            var maxTs = 0L
+            rows.foreach { e =>
+              n += 1; total += e.value
+              maxTs = math.max(maxTs, e.ts.getTime)
+            }
+            val next = UserRunning(uid, n, math.rint(total * 100) / 100)
+            state.update(next)
+            // anchor eviction to the key's own latest event time — the
+            // watermark at batch 1 is still epoch-0, so watermark+ttl
+            // would expire fresh state immediately
+            state.setTimeoutTimestamp(math.max(maxTs, state.getCurrentWatermarkMs()) + stateTtlMs)
+            Iterator.single(next)
+          }
+      }
+  }
+}

@@ -1,0 +1,139 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+                    event_type: String, value: Double, props: String)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def ev(id: Long, t: String, uid: Long = 1L, typ: String = "click",
+                 v: Double = 1.0) = Ev(id, ts(t), uid, typ, v, "{}")
+
+  private var sinkN = 0
+  private def runStream[T](
+      mem: MemoryStream[Ev],
+      plan: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      mode: OutputMode,
+      feeds: Seq[Seq[Ev]]): Seq[org.apache.spark.sql.Row] = {
+    sinkN += 1
+    val name = s"sink$sinkN"
+    val q = plan(mem.toDF()).writeStream
+      .format("memory").queryName(name).outputMode(mode).start()
+    try {
+      feeds.foreach { batch => mem.addData(batch); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(name).collect().toSeq
+  }
+
+  test("tumbling window counts on a stream match the batch expression") {
+    val mem = MemoryStream[Ev]
+    val rows = runStream(mem, Streaming.tumblingCounts(_, "1 hour", "10 minutes"),
+      OutputMode.Complete(),
+      Seq(Seq(
+        ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:55:00"),
+        ev(3, "2024-01-01 11:05:00", typ = "buy", v = 5.0)
+      )))
+    val byKey = rows.map(r => (r.getTimestamp(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    assert(byKey(("2024-01-01 10:00:00.0", "click")) == 2)
+    assert(byKey(("2024-01-01 11:00:00.0", "buy")) == 1)
+  }
+
+  test("watermark drops events later than the allowed lateness (append mode)") {
+    val mem = MemoryStream[Ev]
+    val rows = runStream(mem, Streaming.tumblingCounts(_, "1 hour", "10 minutes"),
+      OutputMode.Append(),
+      Seq(
+        Seq(ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:20:00")),
+        // advance event time far ahead -> watermark passes 10:00-11:00
+        Seq(ev(3, "2024-01-01 13:00:00")),
+        // this row is hours behind the watermark: must be dropped
+        Seq(ev(4, "2024-01-01 10:30:00")),
+        Seq(ev(5, "2024-01-01 15:00:00"))
+      ))
+    val w10 = rows.filter(_.getTimestamp(0).toString == "2024-01-01 10:00:00.0")
+    assert(w10.length == 1 && w10.head.getLong(2) == 2, s"late row leaked: $rows")
+  }
+
+  test("session windows merge events within the gap and split beyond it") {
+    val mem = MemoryStream[Ev]
+    val rows = runStream(mem, Streaming.sessionAgg(_, "30 minutes", "10 minutes"),
+      OutputMode.Complete(),
+      Seq(Seq(
+        ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:20:00"), // session A
+        ev(3, "2024-01-01 12:00:00"),                               // session B
+        ev(4, "2024-01-01 10:05:00", uid = 2)                       // other user
+      )))
+    val u1 = rows.filter(_.getLong(0) == 1L).map(r => (r.getTimestamp(1).toString, r.getLong(2)))
+    assert(u1.toSet == Set(("2024-01-01 10:00:00.0", 2L), ("2024-01-01 12:00:00.0", 1L)))
+    assert(rows.count(_.getLong(0) == 2L) == 1)
+  }
+
+  test("dropDuplicatesWithinWatermark dedups by event_id across batches") {
+    val mem = MemoryStream[Ev]
+    val rows = runStream(mem, Streaming.dedupWithinWatermark(_, Seq("event_id"), "10 minutes"),
+      OutputMode.Append(),
+      Seq(
+        Seq(ev(1, "2024-01-01 10:00:00"), ev(1, "2024-01-01 10:00:00")),
+        Seq(ev(1, "2024-01-01 10:01:00"), ev(2, "2024-01-01 10:02:00"))
+      ))
+    assert(rows.map(_.getAs[Long]("event_id")).sorted == Seq(1L, 2L))
+  }
+
+  test("flatMapGroupsWithState keeps running per-user totals across batches") {
+    val mem = MemoryStream[Streaming.UserEvent]
+    val q = Streaming.userRunningTotals(mem.toDS()).writeStream
+      .format("memory").queryName("running").outputMode("update").start()
+    try {
+      mem.addData(Streaming.UserEvent(1, ts("2024-01-01 10:00:00"), 2.0),
+        Streaming.UserEvent(1, ts("2024-01-01 10:01:00"), 3.0))
+      q.processAllAvailable()
+      mem.addData(Streaming.UserEvent(1, ts("2024-01-01 10:02:00"), 5.0),
+        Streaming.UserEvent(2, ts("2024-01-01 10:03:00"), 7.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("running").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // update mode emits one row per key per batch; the latest per key wins
+    assert(last.contains((1L, 2L, 5.0)))   // after batch 1
+    assert(last.contains((1L, 3L, 10.0)))  // after batch 2
+    assert(last.contains((2L, 1L, 7.0)))
+  }
+
+  test("C17 file-source ingest: stream the events parquet and aggregate") {
+    // the testdata events table stores ns timestamps; stream the converted
+    // table (same loader as batch) through a file source instead
+    val dir = java.nio.file.Files.createTempDirectory("graft-events").toString
+    graft.engine.Tables.read(spark, sf0001, "events")
+      .write.mode("overwrite").parquet(dir)
+    val q = Streaming.tumblingCounts(
+      Streaming.readEventsStream(spark, dir), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("filesrc").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val n = spark.table("filesrc").agg(sum("n")).collect().head.getLong(0)
+    assert(n == 1000L, s"expected all 1000 events aggregated, got $n")
+  }
+
+  test("streaming tumbling agg equals the batch run of the same expression") {
+    val events = Seq(
+      ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:55:00"),
+      ev(3, "2024-01-01 11:05:00", typ = "buy", v = 5.0),
+      ev(4, "2024-01-01 11:30:00", typ = "buy", v = 2.5)
+    )
+    val mem = MemoryStream[Ev]
+    val streamed = runStream(mem, Streaming.tumblingCounts(_, "1 hour", "10 minutes"),
+      OutputMode.Complete(), Seq(events))
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = Streaming.tumblingCounts(events.toDF(), "1 hour", "10 minutes")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch)
+  }
+}
