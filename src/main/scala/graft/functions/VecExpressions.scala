@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnShim
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expressions for embedding arithmetic (SURVEY.md §4.3
+  * item 2: "cosine/dot-product Expression with codegen, if UDF proves
+  * slow" — it did).
+  *
+  * Why not `aggregate(zip_with(...))`: Spark evaluates higher-order-
+  * function lambdas interpretively, per element, with closure allocation —
+  * a 64-dim cosine via HOFs costs ~3 lambda chains × 64 elements per row.
+  * These expressions compile to a tight `for` loop over `ArrayData`
+  * inside whole-stage codegen: one virtual call per array, not per
+  * element. Inputs implicitly cast to array<double>, so float embeddings
+  * are widened BEFORE multiplication — bit-identical to the DuckDB oracle
+  * (`CAST(unnest(embedding) AS DOUBLE)`), which a float-multiply fast
+  * path would not be.
+  *
+  * Array-element nulls are not expected in embedding data and read as 0.
+  */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // inputs must already be array<double>: the VecFunctions wrappers cast
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      s"""
+         |int n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double s = 0.0;
+         |for (int i = 0; i < n; i++) { s += $x.getDouble(i) * $y.getDouble(i); }
+         |${ev.value} = s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** One-pass cosine similarity: dot, |a|², |b|² in a single loop — replaces
+  * three HOF aggregates per comparison. NaN when either norm is zero
+  * (matching `dot/(sqrt(na)*sqrt(nb))`). */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // inputs must already be array<double>: the VecFunctions wrappers cast
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      s"""
+         |int n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double dot = 0.0, na = 0.0, nb = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  double xi = $x.getDouble(i);
+         |  double yi = $y.getDouble(i);
+         |  dot += xi * yi; na += xi * xi; nb += yi * yi;
+         |}
+         |${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-level entry points for the native vector expressions. */
+object VecFunctions {
+  private def d(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    ColumnShim.expression(c.cast("array<double>"))
+  def vecDot(a: Column, b: Column): Column = ColumnShim.column(VecDot(d(a), d(b)))
+  def cosineSim(a: Column, b: Column): Column = ColumnShim.column(CosineSim(d(a), d(b)))
+}

@@ -22,11 +22,19 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
 
+  /** (doc, shingle-array) with tokenization staged in its own projection
+    * (see [[Text.shinglesFromTokens]] — keeps the split off the lambda
+    * re-evaluation path). */
+  def shingleArrays(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs
+      .select(col(idCol).as("doc"), Text.tokens(col(textCol)).as("__ws"))
+      .select(col("doc"), Text.shinglesFromTokens(col("__ws"), n).as("shs"))
+
   /** Distinct (docId, shingle) posting list — the inverted index both
     * Jaccard and MinHash build on. */
   def postings(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs
-      .select(col(idCol).as("doc"), explode(Text.shingles(col(textCol), n)).as("shingle"))
+    shingleArrays(docs, idCol, textCol, n)
+      .select(col("doc"), explode(col("shs")).as("shingle"))
 
   /** C13 (exact flavor): all pairs with shingle-set Jaccard >= threshold.
     *
@@ -40,18 +48,24 @@ object Dedup {
     */
   def jaccardNearDup(docs: DataFrame, idCol: String, textCol: String,
                      n: Int, threshold: Double, maxDf: Option[Int] = None): DataFrame = {
-    val post = postings(docs, idCol, textCol, n)
+    // One shingle computation per doc: sizes come from the array length
+    // (pure projection, no second explode+aggregate), and the join key is
+    // the 64-bit shingle hash — an 8-byte shuffle key instead of a ~20-60
+    // byte string, and a long equi-join instead of string comparison.
+    val sh = shingleArrays(docs, idCol, textCol, n)
+    val sizes = sh.select(col("doc"), size(col("shs")).as("n_sh"))
+    val post = sh.select(col("doc"), explode(col("shs")).as("shingle"))
+      .select(col("doc"), xxhash64(col("shingle")).as("sh"))
     val pruned = maxDf match {
       case Some(m) =>
-        val keep = post.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") <= m)
-        post.join(keep.select("shingle"), Seq("shingle"))
+        val keep = post.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= m)
+        post.join(keep.select("sh"), Seq("sh"))
       case None => post
     }
-    val sizes = post.groupBy("doc").agg(count(lit(1)).as("n_sh"))
-    val a = pruned.select(col("shingle"), col("doc").as("doc_a"))
-    val b = pruned.select(col("shingle"), col("doc").as("doc_b"))
+    val a = pruned.select(col("sh"), col("doc").as("doc_a"))
+    val b = pruned.select(col("sh"), col("doc").as("doc_b"))
     val common = a
-      .join(b, Seq("shingle"))
+      .join(b, Seq("sh"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("common"))
@@ -64,12 +78,20 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** (doc, sh) posting list with shingles pre-hashed to 64-bit — the
+    * shuffle-friendly form every downstream op consumes. */
+  def hashedPostings(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    postings(docs, idCol, textCol, n)
+      .select(col("doc"), xxhash64(col("shingle")).as("sh"))
+
   /** MinHash signature: k permutation-hash minima over the shingle set.
-    * Pure codegen expressions — xxhash64 with per-permutation seed columns,
-    * min per doc — no mllib dependency and fully deterministic, so it
-    * scales as a single aggregate over the posting list. */
+    * Pure codegen expressions — the shingle is hashed ONCE to a long, and
+    * each of the k permutations re-hashes that 8-byte value
+    * (`xxhash64(i, sh)`), not the original string — min per doc. No mllib
+    * dependency, fully deterministic, a single aggregate over the posting
+    * list. Input must carry the hashed `sh` column ([[hashedPostings]]). */
   def minhashSignatures(post: DataFrame, k: Int): DataFrame = {
-    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
+    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"mh_$i"))
     post.groupBy("doc").agg(mins.head, mins.tail: _*)
   }
 
@@ -86,7 +108,7 @@ object Dedup {
                            n: Int, bands: Int, rowsPerBand: Int,
                            estThreshold: Double): DataFrame = {
     val k = bands * rowsPerBand
-    val sig = minhashSignatures(postings(docs, idCol, textCol, n), k)
+    val sig = minhashSignatures(hashedPostings(docs, idCol, textCol, n), k)
     val sigArr = sig.select(col("doc"), array((0 until k).map(i => col(s"mh_$i")): _*).as("sig"))
     val banded = sigArr.select(
       col("doc"), col("sig"),

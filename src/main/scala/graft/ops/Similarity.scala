@@ -13,17 +13,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two array columns, accumulated in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
-      lit(0.0),
-      (acc, v) => acc + v
-    )
+  /** Dot product of two array columns, accumulated in double — a native
+    * codegen Expression ([[graft.functions.VecDot]]); HOF `aggregate(
+    * zip_with(...))` evaluates lambdas interpretively per element and was
+    * the similarity family's bottleneck. */
+  def dot(a: Column, b: Column): Column = graft.functions.VecFunctions.vecDot(a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  /** One-pass cosine ([[graft.functions.CosineSim]]). */
+  def cosine(a: Column, b: Column): Column = graft.functions.VecFunctions.cosineSim(a, b)
 
   /** Exact brute-force cosine top-k against one query vector.
     *
@@ -51,25 +50,20 @@ object Similarity {
     Seq.fill(tables)(Seq.fill(planesPerTable)(Seq.fill(dim)(rnd.nextGaussian())))
   }
 
-  /** Sign-bit signature of a vector under one table's planes, packed into
-    * an int bucket id. */
-  private def signature(vec: Column, planes: Seq[Seq[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      when(dot(vec, typedlit(p)) > 0, shiftleft(lit(1), i)).otherwise(0)
-    }.reduce((a, b) => a.bitwiseOR(b))
-
   /** (id, table, bucket) index for the corpus — the shuffle key for all
     * LSH joins. Near-identical vectors collide in at least one table with
-    * high probability; unrelated vectors spread over 2^planes buckets. */
+    * high probability; unrelated vectors spread over 2^planes buckets.
+    * All tables' signatures come from ONE pass over the vector
+    * ([[graft.functions.HyperplaneBuckets]]); posexplode yields the table
+    * index. */
   def lshIndex(emb: DataFrame, idCol: String, vecCol: String,
                tables: Int = 4, planesPerTable: Int = 12,
                dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val hp = hyperplanes(tables, planesPerTable, dim, seed)
-    val sigs = hp.zipWithIndex.map { case (planes, t) =>
-      struct(lit(t).as("table"), signature(col(vecCol), planes).as("bucket"))
-    }
-    emb.select(col(idCol), col(vecCol), explode(array(sigs: _*)).as("tb"))
-      .select(col(idCol), col(vecCol), col("tb.table"), col("tb.bucket"))
+    val flat = hyperplanes(tables, planesPerTable, dim, seed)
+      .flatten.flatten.toArray
+    val b = graft.functions.HyperplaneBuckets.buckets(
+      col(vecCol), flat, tables, planesPerTable, dim)
+    emb.select(col(idCol), col(vecCol), posexplode(b).as(Seq("table", "bucket")))
   }
 
   /** ANN self-join: candidate pairs that share an LSH bucket in any table,

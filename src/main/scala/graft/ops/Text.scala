@@ -19,13 +19,26 @@ object Text {
 
   /** Word-level n-gram shingles (distinct), the unit for near-dup Jaccard
     * and MinHash. `transform(sequence(...))` keeps it codegen-friendly. */
-  def shingles(text: Column, n: Int): Column = {
-    val ws = tokens(text)
-    val idx = sequence(lit(0), size(ws) - n)
-    // guard: sequence(0, negative) would count DOWN for docs shorter than n
+  def shingles(text: Column, n: Int): Column = shinglesFromTokens(tokens(text), n)
+
+  /** Shingles over a token array column.
+    *
+    * Formulated as `transform(arrays_zip(slice(ws,1,c), …, slice(ws,n,c)))`
+    * rather than `transform(sequence(...), i => element_at(ws, i+o))`: a
+    * subexpression inside a higher-order-function lambda is re-evaluated
+    * PER ARRAY ELEMENT, so the element_at form re-splits the document
+    * ~3·n times per shingle (measured 8s for 5000 docs — the whole
+    * near-dup pipeline's cost). Here every `ws` reference sits at row
+    * level, where whole-stage codegen's common-subexpression elimination
+    * applies, and the lambda touches only the zipped struct. */
+  def shinglesFromTokens(ws: Column, n: Int): Column = {
+    val cnt = size(ws) - (n - 1)
     when(size(ws) >= n,
       array_distinct(
-        transform(idx, i => concat_ws(" ", (0 until n).map(o => element_at(ws, i + o + 1)): _*))
+        transform(
+          arrays_zip((0 until n).map(o => slice(ws, lit(o + 1), cnt)): _*),
+          s => concat_ws(" ", (0 until n).map(o => s.getField(o.toString)): _*)
+        )
       )
     ).otherwise(array().cast("array<string>"))
   }
