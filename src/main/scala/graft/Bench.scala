@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm the JVM/codegen/parquet-reader paths so the first timed query
+    // doesn't absorb session startup
+    try {
+      spark.range(1000000L).selectExpr("sum(id)").collect()
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

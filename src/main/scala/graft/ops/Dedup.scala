@@ -52,26 +52,27 @@ object Dedup {
     // (pure projection, no second explode+aggregate), and the join key is
     // the 64-bit shingle hash — an 8-byte shuffle key instead of a ~20-60
     // byte string, and a long equi-join instead of string comparison.
-    val sh = shingleArrays(docs, idCol, textCol, n)
-    val sizes = sh.select(col("doc"), size(col("shs")).as("n_sh"))
-    val post = sh.select(col("doc"), explode(col("shs")).as("shingle"))
-      .select(col("doc"), xxhash64(col("shingle")).as("sh"))
+    // set size rides along with each posting (8 bytes/row) so the final
+    // aggregate has everything — no post-hoc size joins
+    val post = shingleArrays(docs, idCol, textCol, n)
+      .select(col("doc"), size(col("shs")).as("n_sh"), explode(col("shs")).as("shingle"))
+      .select(col("doc"), col("n_sh"), xxhash64(col("shingle")).as("sh"))
     val pruned = maxDf match {
       case Some(m) =>
         val keep = post.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= m)
         post.join(keep.select("sh"), Seq("sh"))
       case None => post
     }
-    val a = pruned.select(col("sh"), col("doc").as("doc_a"))
-    val b = pruned.select(col("sh"), col("doc").as("doc_b"))
-    val common = a
-      .join(b, Seq("sh"))
+    val a = pruned.select(col("sh"), col("doc").as("doc_a"), col("n_sh").as("n_a"))
+    val b = pruned.select(col("sh"), col("doc").as("doc_b"), col("n_sh").as("n_b"))
+    // SHUFFLE_HASH pin: AQE otherwise flips between sort-merge and a
+    // driver-side broadcast build of the whole exploded posting list —
+    // the broadcast runs the explode pipeline single-threaded (measured
+    // 3x run-to-run swings); shuffled-hash is deterministic and sortless
+    a.join(b.hint("SHUFFLE_HASH"), Seq("sh"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.select(col("doc").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
-      .join(sizes.select(col("doc").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .agg(count(lit(1)).as("common"), first("n_a").as("n_a"), first("n_b").as("n_b"))
       .withColumn("jaccard", col("common").cast("double") /
         (col("n_a") + col("n_b") - col("common")))
       .filter(col("jaccard") >= threshold)

@@ -30,13 +30,20 @@ object Relational {
       left(leftKey) === right(rightKey) && right(rightTime) <= left(leftTime),
       "inner"
     )
-    val w = Window
-      .partitionBy(left(leftIdCol))
-      .orderBy(right(rightTime).desc, right(rightTieBreak).desc)
+    // "latest right row per left row" as ONE hash aggregate (max_by over a
+    // lexicographic (time, tie-break) struct) — partial aggregation folds
+    // most candidates map-side, where the window formulation would shuffle
+    // every joined candidate and sort each partition
+    val best = max_by(
+      struct(right.columns.map(right(_)).toIndexedSeq: _*),
+      struct(right(rightTime), right(rightTieBreak))
+    ).as("__best")
+    val carriedNames = left.columns.filterNot(_ == leftIdCol).toIndexedSeq
+    val carried = carriedNames.map(c => first(left(c)).as(c))
     joined
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+      .groupBy(left(leftIdCol))
+      .agg(best, carried: _*)
+      .select(col(leftIdCol) +: carriedNames.map(col) :+ col("__best.*"): _*)
   }
 
   /** C10: per-group top-k, the window+filter idiom (rank pushes the filter
