@@ -273,6 +273,30 @@ object QueryDefs {
               FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""")
     ),
 
+    QueryDef(
+      "c7_grouping_sets",
+      (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("lineitem_gs")
+        s.sql("""SELECT l_returnflag, l_linestatus,
+                        round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+                 FROM lineitem_gs
+                 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
+      },
+      Some("""SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+              FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
+    ),
+
+    // C22: typed UDAF (Aggregator) — geometric mean, partial-agg capable.
+    QueryDef(
+      "c22_udaf_geomean",
+      (s, d) => t(s, d, "part")
+        .groupBy("p_brand")
+        .agg(round(graft.functions.Aggregators.geoMean(col("p_retailprice")), 4)
+          .as("geo_price")),
+      Some("""SELECT p_brand, round(exp(avg(ln(p_retailprice))), 4) AS geo_price
+              FROM part GROUP BY p_brand""")
+    ),
+
     // C8: HLL++ sketch — estimates are implementation-specific, so no SQL
     // oracle (driver records rows-only); exactness is spec-tested against
     // count_distinct at small scale.
