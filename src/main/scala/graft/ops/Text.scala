@@ -75,6 +75,29 @@ object Text {
     )
   }
 
+  /** TF-IDF, pure DataFrame ops (no mllib): tf = term count / doc length,
+    * idf = ln(N / df) with exact document frequencies. Two aggregates
+    * (term-per-doc counts, df per term) + one broadcast-able join on the
+    * per-term df table; the corpus-size N is a scalar literal computed
+    * once. At 100 TB the df table is vocabulary-sized (≪ corpus), so the
+    * join broadcasts. */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = docs.count()
+    val termCounts = docs
+      .select(col(idCol).as("doc"), size(tokens(col(textCol))).as("doc_len"),
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy("doc", "doc_len", "token")
+      .agg(count(lit(1)).as("tf_raw"))
+    val df_ = termCounts.groupBy("token").agg(count(lit(1)).as("df"))
+    termCounts
+      .join(broadcast(df_), Seq("token"))
+      .select(
+        col("doc"), col("token"),
+        round((col("tf_raw").cast("double") / col("doc_len")) *
+          log(lit(n.toDouble) / col("df")), 6).as("tfidf")
+      )
+  }
+
   /** Language-ID heuristic: score a document against per-language marker
     * token sets and pick the argmax. On real corpora the markers would be
     * character n-gram profiles; the synthetic corpus carries a `lang`

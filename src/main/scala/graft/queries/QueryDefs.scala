@@ -558,6 +558,28 @@ object QueryDefs {
               FROM documents""")
     ),
 
+    // TF-IDF scores for one document's terms (full-corpus df), top-20 by
+    // score with a term tie-break so LIMIT is total-ordered.
+    QueryDef(
+      "c15_tfidf",
+      (s, d) => Text.tfidf(t(s, d, "documents"), "doc_id", "text")
+        .filter(col("doc") === 7)
+        .orderBy(col("tfidf").desc, col("token"))
+        .limit(20),
+      Some("""WITH tc AS (SELECT doc_id AS doc, len(string_split(text, ' ')) AS doc_len,
+                                 unnest(string_split(text, ' ')) AS token
+                          FROM documents),
+                tcc AS (SELECT doc, doc_len, token, count(*) AS tf_raw
+                        FROM tc GROUP BY doc, doc_len, token),
+                dft AS (SELECT token, count(*) AS df FROM tcc GROUP BY token),
+                n AS (SELECT count(*) AS n FROM documents)
+              SELECT doc, token,
+                     round((tf_raw * 1.0 / doc_len) * ln(n.n * 1.0 / df), 6) AS tfidf
+              FROM tcc JOIN dft USING (token), n
+              WHERE doc = 7
+              ORDER BY tfidf DESC, token LIMIT 20""")
+    ),
+
     // Order-sensitive rolling fingerprint (xxhash64 chain — not DuckDB-
     // expressible; exactness spec-tested).
     QueryDef(
