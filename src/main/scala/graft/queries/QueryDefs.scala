@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.QueryBuilder
-import graft.ops.{Dedup, Multimodal, Relational, Similarity, Text}
+import graft.ops.{Dedup, Ivf, Multimodal, Relational, Similarity, Text}
 
 /** One named query per implemented operator (SURVEY.md §2 checklist), each
   * with DuckDB oracle SQL where the semantics are SQL-expressible.
@@ -511,6 +511,19 @@ object QueryDefs {
           emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
           emb.filter(col("vec_id") === 0), "embedding", k = 10
         )
+      },
+      None
+    ),
+
+    // C14 IVF variant: KMeans coarse quantizer (sample-trainable) +
+    // nprobe cell scan. Rows-only; recall mechanics spec-tested.
+    QueryDef(
+      "c14_ann_ivf",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val centroids = Ivf.trainCentroids(emb, "embedding", k = 16, maxIter = 5)
+        Ivf.topK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+          emb.filter(col("vec_id") === 0), "embedding", k = 10, centroids, nprobe = 4)
       },
       None
     ),

@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("nearest-cells assignment picks the true nearest centroid") {
+    val centroids = Array(Array.fill(4)(0.0), Array.fill(4)(10.0))
+    val df = Seq(
+      (1L, Array(0.1f, 0.2f, 0.1f, 0.0f)),   // near centroid 0
+      (2L, Array(9.8f, 10.1f, 9.9f, 10.0f))  // near centroid 1
+    ).toDF("vec_id", "embedding")
+    val cells = Ivf.index(df, "vec_id", "embedding", centroids)
+      .collect().map(r => r.getLong(1) -> r.getInt(0)).toMap
+    assert(cells == Map(1L -> 0, 2L -> 1))
+  }
+
+  test("IVF top-k finds a planted duplicate via cell probe") {
+    val emb = graft.engine.Tables.read(spark, sf0001, "embeddings")
+    val centroids = Ivf.trainCentroids(emb, "embedding", k = 8, maxIter = 5)
+    assert(centroids.length == 8 && centroids.head.length == 64)
+    val q = emb.filter($"vec_id" === 0)
+    // the planted duplicate: vec 0 itself stays in the corpus -> must be top-1
+    val top = Ivf.topK(emb, "vec_id", "embedding", q, "embedding",
+      k = 5, centroids, nprobe = 2).collect()
+    assert(top.head.getLong(0) == 0L && top.head.getDouble(1) == 1.0)
+    assert(top.length == 5)
+    val sims = top.map(_.getDouble(1))
+    assert(sims.sameElements(sims.sorted.reverse))
+  }
+
+  test("probing more cells can only grow the candidate set") {
+    val emb = graft.engine.Tables.read(spark, sf0001, "embeddings")
+    val centroids = Ivf.trainCentroids(emb, "embedding", k = 8, maxIter = 5)
+    val q = emb.filter($"vec_id" === 0)
+    def cand(np: Int) = {
+      val (m, cells, dim) = (centroids.flatten, centroids.length, 64)
+      Ivf.index(emb.filter($"vec_id" =!= 0), "vec_id", "embedding", centroids)
+        .join(broadcast(q.select(explode(
+          graft.functions.NearestCells.nearestCells($"embedding", m, cells, dim, np)).as("cell"))),
+          Seq("cell"))
+        .count()
+    }
+    assert(cand(1) <= cand(4))
+    assert(cand(4) <= cand(8))
+  }
+}
