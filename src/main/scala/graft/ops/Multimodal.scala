@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -64,6 +64,44 @@ object Multimodal {
   private def getbit_byte(bytes: Column, i: Column): Column =
     // decode single byte via its hex representation — pure codegen path
     conv(hex(substring(bytes, i.cast("int"), lit(1))), 16, 10).cast("long")
+
+  /** Decoder handle stub: a real pipeline holds a codec/model handle that
+    * is EXPENSIVE to open (native lib, GPU context) — the contract this
+    * stub preserves is per-partition initialization, not per-row. */
+  private class StubDecoder {
+    def decode(payload: Array[Byte], bins: Int): Array[Float] = {
+      val hist = new Array[Float](bins)
+      if (payload == null || payload.isEmpty) return hist
+      var i = 0
+      while (i < payload.length) {
+        hist((payload(i) & 0xff) * bins / 256) += 1f
+        i += 1
+      }
+      var b = 0
+      while (b < bins) { hist(b) /= payload.length; b += 1 }
+      hist
+    }
+  }
+
+  final case class MediaFeatures(media_id: Long, features: Array[Float])
+
+  /** The `mapPartitions` shape for multimodal work (the Scala analog of a
+    * pandas batch UDF): the decoder is constructed ONCE per partition and
+    * amortized over its rows, rows stream through an iterator (no
+    * partition-wide materialization), and the output is a typed Dataset.
+    * This is the pattern to swap a real image/audio codec into — only
+    * `StubDecoder.decode` changes. */
+  def featurizePartitions(df: DataFrame, bins: Int = 16): Dataset[MediaFeatures] = {
+    val session = df.sparkSession
+    import session.implicits._
+    df.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        val decoder = new StubDecoder // per-partition init (expensive IRL)
+        rows.map { r =>
+          MediaFeatures(r.getLong(0), decoder.decode(r.getAs[Array[Byte]](1), bins))
+        }
+      }
+  }
 
   /** STUB frame-sample: take every `stride`-th byte as a stand-in for
     * frame extraction from a video payload; emits (media_id, frame_idx,

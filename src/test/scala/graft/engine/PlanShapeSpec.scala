@@ -1,0 +1,71 @@
+package graft.engine
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Plan-shape assertions: at 100 TB the PLAN is the product — these
+  * specs pin the physical properties the operators were designed around
+  * (SURVEY.md §7.5), so a regression in partitioning/broadcast/pushdown
+  * fails the build even while results stay correct. */
+class PlanShapeSpec extends SparkSpec {
+
+  test("hive-partitioned layout by the mandatory filter column prunes partitions") {
+    // the reference's species= filter is a partition-pruning-shaped access
+    // pattern; written species-style, the scan must touch one partition
+    val dir = Files.createTempDirectory("graft-part").toString + "/lineitem_part"
+    Tables.read(spark, sf0001, "lineitem")
+      .write.partitionBy("l_returnflag").parquet(dir)
+    val scan = spark.read.parquet(dir).filter(col("l_returnflag") === "R")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(l_returnflag"),
+      s"no partition filter in:\n$plan")
+    // files actually read: only the l_returnflag=R partition's worth
+    scan.count()
+    val leaf = scan.queryExecution.executedPlan.collectLeaves().head
+    val filesRead = leaf.metrics("numFiles").value
+    val totalFiles = new java.io.File(dir).listFiles().count(_.getName.startsWith("l_returnflag="))
+    assert(totalFiles == 3, s"expected 3 partition dirs, got $totalFiles")
+    val perPartition = spark.read.parquet(dir).inputFiles.length / totalFiles
+    assert(filesRead <= perPartition * 1, s"pruning leaked: read $filesRead files")
+  }
+
+  test("star join plans broadcast joins for all dimension sides") {
+    val q = graft.SparkEntry.queries("c3_star_join_broadcast")(spark, sf0001)
+    val plan = q.queryExecution.executedPlan.toString
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "star-schema dims must not sort-merge at this size")
+  }
+
+  test("reference-shape query pushes both filters and the projection into the scan") {
+    val q = graft.SparkEntry.queries("b2_reference_shape")(spark, sf0001)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("EqualTo(l_returnflag,A)"),
+      s"mandatory filter not pushed:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_quantity:double"),
+      s"projection not pruned:\n$plan")
+  }
+
+  test("global top-k plans TakeOrderedAndProject, not a global sort") {
+    val q = graft.SparkEntry.queries("b6_limit_topn")(spark, sf0001)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k operator in:\n$plan")
+  }
+
+  test("brute-force cosine top-k also plans TakeOrderedAndProject") {
+    val q = graft.SparkEntry.queries("c14_cosine_topk")(spark, sf0001)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k operator in:\n$plan")
+    assert(plan.contains("cosine_sim"), s"native cosine expression missing in:\n$plan")
+  }
+
+  test("whole-stage codegen covers the scan->filter->project pipeline") {
+    val q = graft.SparkEntry.queries("b1_scan_filter_project")(spark, sf0001)
+    val plan = q.queryExecution.executedPlan.toString
+    // codegen stages render as "*(n) Operator" in the plan string
+    assert(plan.contains("*(1) Project") && plan.contains("*(1) Filter"),
+      s"no codegen span in:\n$plan")
+  }
+}

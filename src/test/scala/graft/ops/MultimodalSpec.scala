@@ -27,6 +27,15 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(feats.map(_.toDouble).sum - 1.0) < 1e-5)
   }
 
+  test("featurizePartitions matches the expression-based featurize") {
+    val expected = Multimodal.featurize(media, bins = 16)
+      .select($"media_id", $"features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(f => math.round(f * 1e5f))).toMap
+    val viaPartitions = Multimodal.featurizePartitions(media, bins = 16)
+      .collect().map(m => m.media_id -> m.features.toSeq.map(f => math.round(f * 1e5f))).toMap
+    assert(viaPartitions == expected)
+  }
+
   test("frameSample explodes stride-sized byte windows") {
     val frames = Multimodal.frameSample(media.filter($"media_id" === 1), stride = 4)
       .collect()
