@@ -149,6 +149,16 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Apply near-dup removal: keep every doc that never appears as the
+    * higher-id member of a duplicate pair (greedy min-id survivor — the
+    * standard single-pass policy; full connected components would need
+    * iterative label propagation and rarely changes survivors at
+    * realistic thresholds). `pairs` must carry (doc_a, doc_b) with
+    * doc_a < doc_b. Implemented as a left-anti join: one shuffle against
+    * a pairs set that is orders of magnitude smaller than the corpus. */
+  def removeNearDups(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    docs.join(pairs.select(col("doc_b")), docs(idCol) === col("doc_b"), "left_anti")
+
   /** Embedding-cosine near-dup pairs; delegates candidate generation to
     * the LSH path in [[Similarity]] and filters by cosine threshold. */
   def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,

@@ -131,6 +131,15 @@ object QueryDefs {
     ),
 
     QueryDef(
+      "c1_join_right",
+      (s, d) => t(s, d, "supplier")
+        .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"), "right")
+        .select("n_name", "s_name"),
+      Some("""SELECT n_name, s_name FROM supplier
+              RIGHT JOIN nation ON s_nationkey = n_nationkey""")
+    ),
+
+    QueryDef(
       "c2_semi_join",
       (s, d) => t(s, d, "customer")
         .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
@@ -440,6 +449,30 @@ object QueryDefs {
               SELECT doc_a, doc_b, round(common * 1.0 / (ca.n_sh + cb.n_sh - common), 4) AS jaccard
               FROM pair JOIN cnt ca ON ca.doc = doc_a JOIN cnt cb ON cb.doc = doc_b
               WHERE common * 1.0 / (ca.n_sh + cb.n_sh - common) >= 0.6""")
+    ),
+
+    // C13 applied: the corpus with near-duplicates REMOVED (greedy min-id
+    // survivor over the Jaccard pairs) — identify + drop, end to end.
+    QueryDef(
+      "c13_neardup_removed",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.removeNearDups(docs, "doc_id",
+          Dedup.jaccardNearDup(docs, "doc_id", "text", n = 3, threshold = 0.6))
+          .select("doc_id", "lang", "n_chars")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+                sh AS (SELECT DISTINCT doc_id AS doc, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+                       FROM toks, UNNEST(generate_series(1, len(ws) - 2)) t(i)),
+                cnt AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+                pair AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS common
+                         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+                         GROUP BY 1, 2),
+                dups AS (SELECT doc_b FROM pair
+                         JOIN cnt ca ON ca.doc = doc_a JOIN cnt cb ON cb.doc = doc_b
+                         WHERE common * 1.0 / (ca.n_sh + cb.n_sh - common) >= 0.6)
+              SELECT doc_id, lang, n_chars FROM documents
+              WHERE doc_id NOT IN (SELECT doc_b FROM dups)""")
     ),
 
     // C13 approximate flavor: MinHash + LSH banding (deterministic seeded
