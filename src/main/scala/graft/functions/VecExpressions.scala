@@ -96,10 +96,47 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Count of positions where two long-array signatures agree (MinHash
+  * signature agreement) — one codegen loop instead of
+  * `size(filter(zip_with(...)))`, which interprets three lambda chains
+  * per comparison. */
+case class ArrayEqCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // inputs must be array<bigint> (minhash signatures)
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "array_eq_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) { if (x.getLong(i) == y.getLong(i)) c += 1; i += 1 }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      s"""
+         |int n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int c = 0;
+         |for (int i = 0; i < n; i++) { if ($x.getLong(i) == $y.getLong(i)) c++; }
+         |${ev.value} = c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ArrayEqCount =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level entry points for the native vector expressions. */
 object VecFunctions {
   private def d(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     ColumnShim.expression(c.cast("array<double>"))
   def vecDot(a: Column, b: Column): Column = ColumnShim.column(VecDot(d(a), d(b)))
   def cosineSim(a: Column, b: Column): Column = ColumnShim.column(CosineSim(d(a), d(b)))
+  def arrayEqCount(a: Column, b: Column): Column =
+    ColumnShim.column(ArrayEqCount(ColumnShim.expression(a), ColumnShim.expression(b)))
 }

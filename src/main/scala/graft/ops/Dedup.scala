@@ -85,16 +85,15 @@ object Dedup {
     postings(docs, idCol, textCol, n)
       .select(col("doc"), xxhash64(col("shingle")).as("sh"))
 
-  /** MinHash signature: k permutation-hash minima over the shingle set.
-    * Pure codegen expressions — the shingle is hashed ONCE to a long, and
-    * each of the k permutations re-hashes that 8-byte value
-    * (`xxhash64(i, sh)`), not the original string — min per doc. No mllib
-    * dependency, fully deterministic, a single aggregate over the posting
-    * list. Input must carry the hashed `sh` column ([[hashedPostings]]). */
-  def minhashSignatures(post: DataFrame, k: Int): DataFrame = {
-    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"mh_$i"))
-    post.groupBy("doc").agg(mins.head, mins.tail: _*)
-  }
+  /** MinHash signatures as a pure projection — the whole k-permutation
+    * signature in one pass over each doc's shingle array
+    * ([[graft.functions.MinhashSignature]]); no posting explode, no
+    * shuffle until the band join. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, k: Int): DataFrame =
+    shingleArrays(docs, idCol, textCol, n)
+      .select(col("doc"),
+        graft.functions.MinhashSignature.minhashSignature(col("shs"), k).as("sig"))
 
   /** C13 (MinHash+LSH banding): approximate near-dup candidate pairs.
     *
@@ -109,8 +108,7 @@ object Dedup {
                            n: Int, bands: Int, rowsPerBand: Int,
                            estThreshold: Double): DataFrame = {
     val k = bands * rowsPerBand
-    val sig = minhashSignatures(hashedPostings(docs, idCol, textCol, n), k)
-    val sigArr = sig.select(col("doc"), array((0 until k).map(i => col(s"mh_$i")): _*).as("sig"))
+    val sigArr = minhashSignatures(docs, idCol, textCol, n, k)
     val banded = sigArr.select(
       col("doc"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), bnd =>
@@ -121,10 +119,13 @@ object Dedup {
     val r = banded.select(col("band"), col("band_hash"), col("doc").as("doc_b"), col("sig").as("sig_b"))
     l.join(r, Seq("band", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
+      // dedup FIRST (a pair colliding in j bands appears j times), THEN
+      // score each surviving pair once with the codegen signature-
+      // agreement loop (the HOF zip_with chain interprets per element)
+      .dropDuplicates("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+        (graft.functions.VecFunctions.arrayEqCount(col("sig_a"), col("sig_b"))
           .cast("double") / k).as("est_jaccard"))
-      .distinct()
       .filter(col("est_jaccard") >= estThreshold)
   }
 
@@ -157,7 +158,9 @@ object Dedup {
     * doc_a < doc_b. Implemented as a left-anti join: one shuffle against
     * a pairs set that is orders of magnitude smaller than the corpus. */
   def removeNearDups(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
-    docs.join(pairs.select(col("doc_b")), docs(idCol) === col("doc_b"), "left_anti")
+    // duplicate set ≪ corpus by construction: broadcast it explicitly so
+    // the anti-join never shuffles the corpus (and AQE never reconsiders)
+    docs.join(broadcast(pairs.select(col("doc_b"))), docs(idCol) === col("doc_b"), "left_anti")
 
   /** Embedding-cosine near-dup pairs; delegates candidate generation to
     * the LSH path in [[Similarity]] and filters by cosine threshold. */

@@ -84,13 +84,17 @@ object Text {
   def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val n = docs.count()
     val termCounts = docs
-      .select(col(idCol).as("doc"), size(tokens(col(textCol))).as("doc_len"),
-        explode(tokens(col(textCol))).as("token"))
+      .select(col(idCol).as("doc"), tokens(col(textCol)).as("__ws"))
+      .select(col("doc"), size(col("__ws")).as("doc_len"), explode(col("__ws")).as("token"))
       .groupBy("doc", "doc_len", "token")
       .agg(count(lit(1)).as("tf_raw"))
-    val df_ = termCounts.groupBy("token").agg(count(lit(1)).as("df"))
+    // document frequency via a window over the token partition: ONE
+    // evaluation of termCounts and one shuffle — a broadcast-join
+    // formulation computes the whole term-count aggregate twice (build +
+    // probe), which doubled the pipeline's cost
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("token")
     termCounts
-      .join(broadcast(df_), Seq("token"))
+      .withColumn("df", count(lit(1)).over(w))
       .select(
         col("doc"), col("token"),
         round((col("tf_raw").cast("double") / col("doc_len")) *
