@@ -12,6 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // one session runs 50+ queries; keep the ContextCleaner purging
+      // earlier queries' broadcast/shuffle blocks (see Bench.scala)
+      .config("spark.cleaner.periodicGC.interval", "15s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -264,6 +264,40 @@ object QueryDefs {
               FROM orders GROUP BY o_orderstatus""")
     ),
 
+    // C6 pivot: per-orderstatus revenue columns by priority bucket.
+    QueryDef(
+      "c6_pivot",
+      (s, d) => t(s, d, "orders")
+        .withColumn("prio", substring(col("o_orderpriority"), 1, 1))
+        .groupBy("o_orderstatus")
+        .pivot("prio", Seq("1", "2", "3", "4", "5"))
+        .agg(round(sum("o_totalprice"), 2))
+        .withColumnsRenamed((1 to 5).map(i => i.toString -> s"p$i").toMap),
+      Some("""SELECT o_orderstatus,
+                round(sum(CASE WHEN prio = '1' THEN o_totalprice END), 2) AS p1,
+                round(sum(CASE WHEN prio = '2' THEN o_totalprice END), 2) AS p2,
+                round(sum(CASE WHEN prio = '3' THEN o_totalprice END), 2) AS p3,
+                round(sum(CASE WHEN prio = '4' THEN o_totalprice END), 2) AS p4,
+                round(sum(CASE WHEN prio = '5' THEN o_totalprice END), 2) AS p5
+              FROM (SELECT o_orderstatus, substring(o_orderpriority, 1, 1) AS prio,
+                           o_totalprice FROM orders) t
+              GROUP BY o_orderstatus""")
+    ),
+
+    // C6 correlation/covariance between quantity and price.
+    QueryDef(
+      "c6_corr",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(corr("l_quantity", "l_extendedprice"), 4).as("corr_qp"),
+          round(covar_samp("l_quantity", "l_extendedprice"), 2).as("covar_qp")
+        ),
+      Some("""SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+                round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp
+              FROM lineitem GROUP BY l_returnflag""")
+    ),
+
     QueryDef(
       "c7_rollup",
       (s, d) => t(s, d, "lineitem")
@@ -304,6 +338,22 @@ object QueryDefs {
           .as("geo_price")),
       Some("""SELECT p_brand, round(exp(avg(ln(p_retailprice))), 4) AS geo_price
               FROM part GROUP BY p_brand""")
+    ),
+
+    // Exact percentiles with linear interpolation (both engines'
+    // continuous-quantile semantics).
+    QueryDef(
+      "c6_percentiles",
+      (s, d) => t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("median_price"),
+          round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90_price")
+        ),
+      Some("""SELECT o_orderstatus,
+                round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+                round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price
+              FROM orders GROUP BY o_orderstatus""")
     ),
 
     // C8: HLL++ sketch — estimates are implementation-specific, so no SQL
@@ -475,6 +525,25 @@ object QueryDefs {
               WHERE doc_id NOT IN (SELECT doc_b FROM dups)""")
     ),
 
+    // C13 edit-distance flavor for short strings (names/titles):
+    // levenshtein pair join on a small blocked candidate set.
+    QueryDef(
+      "c13_levenshtein",
+      (s, d) => {
+        val a = t(s, d, "nation").select(col("n_name").as("name_a"))
+        val b = t(s, d, "nation").select(col("n_name").as("name_b"))
+        a.crossJoin(broadcast(b))
+          .filter(col("name_a") < col("name_b"))
+          .select(col("name_a"), col("name_b"),
+            levenshtein(col("name_a"), col("name_b")).as("dist"))
+          .filter(col("dist") <= 4)
+      },
+      Some("""SELECT a.n_name AS name_a, b.n_name AS name_b,
+                CAST(levenshtein(a.n_name, b.n_name) AS INTEGER) AS dist
+              FROM nation a JOIN nation b ON a.n_name < b.n_name
+              WHERE levenshtein(a.n_name, b.n_name) <= 4""")
+    ),
+
     // C13 approximate flavor: MinHash + LSH banding (deterministic seeded
     // hashes; estimates aren't SQL-expressible → rows-only + specs).
     QueryDef(
@@ -624,6 +693,31 @@ object QueryDefs {
               FROM tcc JOIN dft USING (token), n
               WHERE doc = 7
               ORDER BY tfidf DESC, token LIMIT 20""")
+    ),
+
+    // Regex extraction (text analysis / structured scraping surface).
+    QueryDef(
+      "c15_regex_extract",
+      (s, d) => t(s, d, "customer")
+        .select(
+          col("c_custkey"),
+          regexp_extract(col("c_name"), "([0-9]+)$", 1).as("name_num"),
+          regexp_replace(col("c_name"), "[0-9]", "#").as("name_masked"))
+        .filter(col("name_num") =!= ""),
+      Some("""SELECT c_custkey, regexp_extract(c_name, '([0-9]+)$', 1) AS name_num,
+                regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked
+              FROM customer WHERE regexp_extract(c_name, '([0-9]+)$', 1) <> ''""")
+    ),
+
+    // Stratified sampling (training-data pipelines: per-class fractions).
+    // Seeded & deterministic within Spark but not SQL-portable -> rows-only;
+    // fraction tolerance spec-tested.
+    QueryDef(
+      "c23_sample_stratified",
+      (s, d) => t(s, d, "documents")
+        .stat.sampleBy("lang", Map("en" -> 0.5, "es" -> 0.2), 42L)
+        .select("doc_id", "lang"),
+      None
     ),
 
     // Order-sensitive rolling fingerprint (xxhash64 chain — not DuckDB-

@@ -58,6 +58,21 @@ class TextSpec extends SparkSpec {
     assert(out(1L) == "en")
   }
 
+  test("stratified sampling honors per-class fractions within tolerance") {
+    val docs = graft.engine.Tables.read(spark, sf0001, "documents")
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = docs.stat.sampleBy("lang", Map("en" -> 0.5, "es" -> 0.2), 42L)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sampled.keySet.subsetOf(Set("en", "es")), "unlisted classes must be excluded")
+    val enFrac = sampled.getOrElse("en", 0L).toDouble / totals("en")
+    assert(math.abs(enFrac - 0.5) < 0.15, s"en fraction $enFrac")
+    // determinism under the fixed seed
+    val again = docs.stat.sampleBy("lang", Map("en" -> 0.5, "es" -> 0.2), 42L).count()
+    assert(again == sampled.values.sum)
+  }
+
   test("fingerprint is order-sensitive and equal for identical docs") {
     val fps = docs.select($"doc_id", Text.fingerprint($"text").as("fp"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
