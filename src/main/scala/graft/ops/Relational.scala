@@ -54,4 +54,33 @@ object Relational {
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderBy: _*)
     df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
   }
+
+  /** Skew-resistant two-phase aggregation for decomposable aggregates
+    * (sum/count/min/max): phase 1 aggregates (key, salt) — a hot key's
+    * rows spread over `saltBuckets` reducers — phase 2 merges the salted
+    * partials per key. AQE's skew handling covers joins but NOT
+    * aggregations; this is the manual idiom for power-law keys (user ids,
+    * tokens) at the 100 TB end. Aggregate specs: (alias, partial agg on
+    * the raw column expr, final merge on the partial). */
+  def saltedAgg(df: DataFrame, keyCols: Seq[String], saltBuckets: Int,
+                aggs: Seq[(String, Column => Column, Column => Column)],
+                valueCols: Seq[String]): DataFrame = {
+    require(aggs.length == valueCols.length)
+    val salted = df.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val phase1 = salted
+      .groupBy((keyCols :+ "__salt").map(col): _*)
+      .agg(
+        aggs.head._2(col(valueCols.head)).as(s"__p0"),
+        aggs.tail.zipWithIndex.map { case ((_, p, _), i) =>
+          p(col(valueCols(i + 1))).as(s"__p${i + 1}")
+        }: _*)
+    phase1
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        aggs.head._3(col("__p0")).as(aggs.head._1),
+        aggs.tail.zipWithIndex.map { case ((name, _, f), i) =>
+          f(col(s"__p${i + 1}")).as(name)
+        }: _*)
+  }
 }

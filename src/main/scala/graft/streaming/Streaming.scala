@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TTLConfig, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming over the `events` table shape (SURVEY.md §2
@@ -78,6 +78,38 @@ object Streaming {
 
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserRunning(user_id: Long, n: Long, total: Double)
+
+  /** C21b on the Spark 4 `transformWithState` API: the same running
+    * aggregate as [[userRunningTotals]] but with composable named state
+    * (`ValueState` + built-in TTL) instead of a single GroupState blob.
+    * Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`). */
+  private class RunningTotalsProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[Long, UserEvent, UserRunning] {
+    @transient private var state: ValueState[UserRunning] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserRunning]("running",
+        Encoders.product[UserRunning], ttl)
+    override def handleInputRows(uid: Long, rows: Iterator[UserEvent],
+                                 timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserRunning] = {
+      val prev = if (state.exists()) state.get() else UserRunning(uid, 0L, 0.0)
+      var n = prev.n
+      var total = prev.total
+      rows.foreach { e => n += 1; total += e.value }
+      val next = UserRunning(uid, n, math.rint(total * 100) / 100)
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def userRunningTotalsTws(events: Dataset[UserEvent],
+                           ttl: TTLConfig = TTLConfig.NONE): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor(ttl),
+        TimeMode.None(), OutputMode.Update())
+  }
 
   /** Per-user running aggregate via flatMapGroupsWithState — the escape
     * hatch for state machines `groupBy(window)` can't express. State is a

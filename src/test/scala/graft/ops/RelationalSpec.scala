@@ -50,6 +50,23 @@ class RelationalSpec extends SparkSpec {
     assert(out == Set(("a", 2), ("a", 3), ("b", 4)))
   }
 
+  test("saltedAgg equals the direct aggregation (decomposable aggregates)") {
+    val li = graft.engine.Tables.read(spark, sf0001, "lineitem")
+    val direct = li.groupBy("l_returnflag")
+      .agg(sum("l_quantity").as("sq"), count(lit(1)).as("n"), max("l_extendedprice").as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2), r.getDouble(3))).toMap
+    val salted = Relational.saltedAgg(
+      li, Seq("l_returnflag"), saltBuckets = 16,
+      aggs = Seq(
+        ("sq", sum, (c: org.apache.spark.sql.Column) => sum(c)),
+        ("n", (c: org.apache.spark.sql.Column) => count(c), (c: org.apache.spark.sql.Column) => sum(c)),
+        ("mx", (c: org.apache.spark.sql.Column) => max(c), (c: org.apache.spark.sql.Column) => max(c))
+      ),
+      valueCols = Seq("l_quantity", "l_quantity", "l_extendedprice")
+    ).collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(salted == direct)
+  }
+
   test("topKPerGroup plans a WindowGroupLimit (no full per-group materialization)") {
     val li = graft.engine.Tables.read(spark, sf0001, "lineitem")
     val plan = Relational.topKPerGroup(li, Seq("l_returnflag"),

@@ -107,6 +107,27 @@ class StreamingSpec extends SparkSpec {
     assert(last.contains((2L, 1L, 7.0)))
   }
 
+  test("transformWithState (Spark 4 API) matches flatMapGroupsWithState semantics") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Streaming.UserEvent]
+      val q = Streaming.userRunningTotalsTws(mem.toDS()).writeStream
+        .format("memory").queryName("running_tws").outputMode("update").start()
+      try {
+        mem.addData(Streaming.UserEvent(1, ts("2024-01-01 10:00:00"), 2.0),
+          Streaming.UserEvent(1, ts("2024-01-01 10:01:00"), 3.0))
+        q.processAllAvailable()
+        mem.addData(Streaming.UserEvent(1, ts("2024-01-01 10:02:00"), 5.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("running_tws").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.contains((1L, 2L, 5.0)))
+      assert(rows.contains((1L, 3L, 10.0))) // state carried across batches
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("C17 file-source ingest: stream the events parquet and aggregate") {
     // the testdata events table stores ns timestamps; stream the converted
     // table (same loader as batch) through a file source instead
