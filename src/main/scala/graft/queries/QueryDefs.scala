@@ -789,6 +789,42 @@ object QueryDefs {
               FROM m, UNNEST(generate_series(1, greatest(n // 64, 1))) t(k)""")
     ),
 
+    // ── C24: the curation pipeline end-to-end (the north-star use case:
+    //    quality-filter → language-filter → near-dup-removal → stats) ──
+    QueryDef(
+      "c24_curation_pipeline",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val quality = Text.qualityScore(docs, "doc_id", "text")
+        val kept = docs
+          .join(quality.filter(col("lexical_diversity") >= 0.5).select("doc_id"), Seq("doc_id"))
+          .filter(col("lang").isin("en", "es", "de", "fr"))
+        val deduped = Dedup.removeNearDups(kept, "doc_id",
+          Dedup.jaccardNearDup(kept, "doc_id", "text", n = 3, threshold = 0.6))
+        deduped.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg("n_chars"), 2).as("avg_chars"))
+      },
+      Some("""WITH q AS (SELECT doc_id FROM documents
+                         WHERE len(list_distinct(string_split(text, ' '))) * 1.0
+                               / len(string_split(text, ' ')) >= 0.5),
+                kept AS (SELECT d.* FROM documents d JOIN q USING (doc_id)
+                         WHERE lang IN ('en', 'es', 'de', 'fr')),
+                toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM kept),
+                sh AS (SELECT DISTINCT doc_id AS doc, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+                       FROM toks, UNNEST(generate_series(1, len(ws) - 2)) t(i)),
+                cnt AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+                pair AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS common
+                         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+                         GROUP BY 1, 2),
+                dups AS (SELECT doc_b FROM pair
+                         JOIN cnt ca ON ca.doc = doc_a JOIN cnt cb ON cb.doc = doc_b
+                         WHERE common * 1.0 / (ca.n_sh + cb.n_sh - common) >= 0.6)
+              SELECT lang, count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars
+              FROM kept WHERE doc_id NOT IN (SELECT doc_b FROM dups)
+              GROUP BY lang""")
+    ),
+
     // ── C17-C21: event-time windows (batch equivalents of the streaming
     //    plans in graft.streaming; identical groupBy(window) expressions) ─
     QueryDef(

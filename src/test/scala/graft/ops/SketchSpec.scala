@@ -1,0 +1,30 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** C8: HLL++ estimates are implementation-specific (no SQL oracle), so
+  * accuracy is pinned here against exact counts. */
+class SketchSpec extends SparkSpec {
+
+  test("approx_count_distinct lands within the configured rsd of exact") {
+    val li = graft.engine.Tables.read(spark, sf0001, "lineitem")
+    val rows = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx02"),
+      approx_count_distinct(col("l_partkey"), 0.1).as("approx10")
+    ).collect().head
+    val exact = rows.getLong(0).toDouble
+    assert(math.abs(rows.getLong(1) - exact) / exact < 0.05,
+      s"rsd=0.02 estimate ${rows.getLong(1)} vs exact $exact")
+    assert(math.abs(rows.getLong(2) - exact) / exact < 0.25,
+      s"rsd=0.1 estimate ${rows.getLong(2)} vs exact $exact")
+  }
+
+  test("estimates are deterministic (same input => same sketch)") {
+    val li = graft.engine.Tables.read(spark, sf0001, "lineitem")
+    def est() = li.agg(approx_count_distinct(col("l_suppkey")).as("e"))
+      .collect().head.getLong(0)
+    assert(est() == est())
+  }
+}
