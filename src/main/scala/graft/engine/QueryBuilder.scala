@@ -54,8 +54,36 @@ object QueryBuilder {
   private def project(df: DataFrame, fields: String): DataFrame =
     fields.trim match {
       case "" | "*" => df
-      case fs       => df.selectExpr(fs.split(",").map(_.trim).filter(_.nonEmpty).toIndexedSeq: _*)
+      case fs       => df.selectExpr(splitTopLevel(fs): _*)
     }
+
+  /** Split the projection list on top-level commas only — `fields` is a
+    * verbatim SQL fragment in the reference (`app/main.py:479`), so
+    * `round(b, 2) AS x, a` must become two expressions, not three. Tracks
+    * paren depth and single-quote strings ('' = escaped quote). */
+  private[engine] def splitTopLevel(fields: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inStr = false
+    var i = 0
+    while (i < fields.length) {
+      val c = fields.charAt(i)
+      if (inStr) {
+        cur.append(c)
+        if (c == '\'') inStr = false
+      } else c match {
+        case '\'' => inStr = true; cur.append(c)
+        case '(' => depth += 1; cur.append(c)
+        case ')' => depth -= 1; cur.append(c)
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
 
   /** B5: DISTINCT column values (the reference's filter-seeding query). */
   def distinct(table: DataFrame, column: String): DataFrame =

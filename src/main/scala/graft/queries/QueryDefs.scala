@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.QueryBuilder
-import graft.ops.{Dedup, Ivf, Multimodal, Relational, Similarity, Text}
+import graft.ops.{Dedup, Ivf, Multimodal, Quantize, Relational, Similarity, Text}
 
 /** One named query per implemented operator (SURVEY.md §2 checklist), each
   * with DuckDB oracle SQL where the semantics are SQL-expressible.
@@ -626,6 +626,21 @@ object QueryDefs {
         val centroids = Ivf.trainCentroids(emb, "embedding", k = 16, maxIter = 5)
         Ivf.topK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
           emb.filter(col("vec_id") === 0), "embedding", k = 10, centroids, nprobe = 4)
+      },
+      None
+    ),
+
+    // C14 memory lever: exact top-k over int8-quantized embeddings (4x
+    // smaller column; rows-only — quantization rounding isn't portable
+    // SQL; recall vs float is spec-pinned).
+    QueryDef(
+      "c14_quantized_topk",
+      (s, d) => {
+        val emb = Quantize.toInt8(t(s, d, "embeddings"), "embedding")
+          .withColumn("deq", Quantize.dequantize(col("qvec"), col("qscale")))
+        Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") =!= 0), "vec_id", "deq",
+          emb.filter(col("vec_id") === 0), "deq", k = 10)
       },
       None
     ),

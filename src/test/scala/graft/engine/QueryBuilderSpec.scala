@@ -43,6 +43,15 @@ class QueryBuilderSpec extends SparkSpec {
     assert(QueryBuilder.limit(gene, 2).count() == 2)
   }
 
+  test("fields list with function-call commas splits on top-level commas only") {
+    val out = QueryBuilder.build(gene, "species", "homo_sapiens",
+      fields = "gene_id, concat(gene_stable_id, ',', gene_biotype) AS tagged, round(gene_id / 7, 2) AS r")
+    assert(out.columns.toSeq == Seq("gene_id", "tagged", "r"))
+    assert(out.count() == 2)
+    assert(QueryBuilder.splitTopLevel("a, f(b, g(c, d)) AS x, 'lit,eral' AS s") ==
+      Seq("a", "f(b, g(c, d)) AS x", "'lit,eral' AS s"))
+  }
+
   test("filter + projection are pushed into the parquet scan") {
     val li = Tables.read(spark, sf0001, "lineitem")
       .filter(col("l_quantity") > 30)

@@ -69,6 +69,19 @@ class QueryServiceSpec extends SparkSpec {
     assert(svc.preview(id, 2).toOption.get.length == 2)
   }
 
+  test("concurrent submissions all complete independently") {
+    val svc = freshService()
+    val ids = Seq("R", "A", "N").map(v =>
+      svc.submit("lineitem", "l_returnflag", v, fields = "l_orderkey, l_quantity",
+        condition = Some("l_quantity > 25")))
+    assert(ids.distinct.size == 3)
+    ids.foreach(id => assert(svc.await(id) == Succeeded))
+    ids.foreach { id =>
+      val n = spark.read.option("header", "true").csv(svc.resultPath(id)).count()
+      assert(n > 0)
+    }
+  }
+
   test("failed query reports FAILED and is not cached for reuse") {
     val svc = freshService()
     val id = svc.submit("lineitem", "l_returnflag", "R",
