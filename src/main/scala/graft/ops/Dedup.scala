@@ -162,6 +162,46 @@ object Dedup {
     // the anti-join never shuffles the corpus (and AQE never reconsiders)
     docs.join(broadcast(pairs.select(col("doc_b"))), docs(idCol) === col("doc_b"), "left_anti")
 
+  /** Connected components over a duplicate-pair graph: transitive closure
+    * of near-duplicate clusters (A~B, B~C ⇒ {A,B,C} one component, even
+    * when A~C was never emitted as a pair). Iterative min-label
+    * propagation — each round every node adopts the smallest component id
+    * among itself and its neighbors; converges in O(component diameter)
+    * rounds (duplicate clusters are shallow).
+    *
+    * Scale hygiene for iterative Spark: `localCheckpoint` each round cuts
+    * the exponentially growing lineage (without it round k replays all
+    * k-1 predecessors), and convergence is detected by counting changed
+    * labels. Returns (node, comp) with comp = min node id of the
+    * component. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node"))
+      .localCheckpoint(true)
+    var i = 0
+    var changed = 1L
+    while (changed > 0 && i < maxIter) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src")).agg(min("comp").as("ncomp"))
+      val updated = labels
+        .join(neighborMin, labels("node") === neighborMin("src"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      changed = updated.as("u")
+        .join(labels.as("l"), "node")
+        .filter(col("u.comp") =!= col("l.comp"))
+        .count()
+      labels = updated
+      i += 1
+    }
+    labels
+  }
+
   /** Embedding-cosine near-dup pairs; delegates candidate generation to
     * the LSH path in [[Similarity]] and filters by cosine threshold. */
   def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,

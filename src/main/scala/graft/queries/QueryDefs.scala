@@ -544,6 +544,36 @@ object QueryDefs {
               WHERE levenshtein(a.n_name, b.n_name) <= 4""")
     ),
 
+    // C13 transitive closure: duplicate clusters as connected components
+    // (A~B, B~C => one cluster). Oracle via DuckDB recursive CTE.
+    QueryDef(
+      "c13_dedup_components",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.connectedComponents(
+          Dedup.jaccardNearDup(docs, "doc_id", "text", n = 3, threshold = 0.6))
+          .select(col("node").cast("long").as("node"), col("comp").cast("long").as("comp"))
+      },
+      Some("""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+                sh AS (SELECT DISTINCT doc_id AS doc, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+                       FROM toks, UNNEST(generate_series(1, len(ws) - 2)) t(i)),
+                cnt AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+                pr AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS common
+                       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+                       GROUP BY 1, 2),
+                pair AS (SELECT doc_a, doc_b FROM pr
+                         JOIN cnt ca ON ca.doc = doc_a JOIN cnt cb ON cb.doc = doc_b
+                         WHERE common * 1.0 / (ca.n_sh + cb.n_sh - common) >= 0.6),
+                edges AS (SELECT doc_a AS src, doc_b AS dst FROM pair
+                          UNION ALL SELECT doc_b, doc_a FROM pair),
+                reach AS (
+                  SELECT DISTINCT src AS node, src AS comp FROM edges
+                  UNION
+                  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.node),
+              labels AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node)
+              SELECT CAST(node AS BIGINT) AS node, CAST(comp AS BIGINT) AS comp FROM labels""")
+    ),
+
     // C13 approximate flavor: MinHash + LSH banding (deterministic seeded
     // hashes; estimates aren't SQL-expressible → rows-only + specs).
     QueryDef(

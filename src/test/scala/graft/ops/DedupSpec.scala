@@ -54,6 +54,26 @@ class DedupSpec extends SparkSpec {
     assert(ham(sig(1L), sig(3L)) < ham(sig(1L), sig(4L)))
   }
 
+  test("connected components merge transitive duplicate chains") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),   // chain -> component 1
+      (5L, 6L),             // component 5
+      (10L, 11L), (11L, 12L), (12L, 13L), (10L, 13L) // cycle -> component 10
+    ).toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
+  }
+
+  test("connected components on a long chain converge within diameter rounds") {
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(chain, maxIter = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.values.toSet == Set(1L))
+    assert(comp.size == 12)
+  }
+
   test("hamming column matches bitCount") {
     val out = Seq((0x0FL, 0x00L)).toDF("a", "b")
       .select(Dedup.hamming($"a", $"b")).as[Long].collect().head
