@@ -23,8 +23,10 @@ final class Catalog(spark: SparkSession, rootDir: String) {
   def path(name: String): String = s"$rootDir/$name.parquet"
 
   /** Lazy DataFrame over the named table. No caching of data: the scan must
-    * stay a fresh logical leaf so Catalyst can push filters per-query. */
-  def table(name: String): DataFrame = spark.read.parquet(path(name))
+    * stay a fresh logical leaf so Catalyst can push filters per-query.
+    * Goes through [[Tables.read]] so TIMESTAMP(NANOS) columns (events.ts)
+    * load everywhere the catalog is used. */
+  def table(name: String): DataFrame = Tables.read(spark, rootDir, name)
 
   /** A9: enumerate queryable data types (parquet files/dirs under root). */
   def listTables(): Seq[String] = {

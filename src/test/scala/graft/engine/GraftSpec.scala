@@ -1,0 +1,36 @@
+package graft.engine
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+/** End-to-end facade spec: the full reference workflow through one
+  * object (what a migrating user of the reference service would call). */
+class GraftSpec extends SparkSpec {
+
+  test("catalog -> submit -> status -> preview -> export, one facade") {
+    val g = Graft(spark, sf0001, Files.createTempDirectory("graft-work").toString,
+      partitionColumn = "l_returnflag")
+    try {
+      assert(g.tables().contains("lineitem"))
+      assert(g.schema("lineitem").toMap.apply("l_quantity") == "double")
+      assert(g.filterValues("lineitem", "l_returnflag") == Seq("A", "N", "R"))
+      assert(g.formats() == Seq("csv", "tsv", "xlsx", "json", "xml", "feather", "parquet"))
+
+      val id = g.submit("lineitem", "R", "l_orderkey, l_extendedprice",
+        Some("l_quantity > 45"))
+      assert(g.awaitQuery(id) == QueryService.Succeeded)
+      val pv = g.preview(id, 5).toOption.get
+      assert(pv.head == Seq("l_orderkey", "l_extendedprice") && pv.length <= 5)
+
+      g.export(id, "json")
+      val done = g.awaitExport(id, "json")
+      assert(done.isInstanceOf[export.ExportService.Done])
+
+      // the analytics surface the reference never parameterized
+      val agg = g.sql(
+        """SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag""")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(agg.values.sum == 6000L)
+    } finally g.close()
+  }
+}

@@ -61,6 +61,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("cosine_sim"), s"native cosine expression missing in:\n$plan")
   }
 
+  test("bucketed tables co-locate the join: no shuffle exchange on either side") {
+    Tables.read(spark, sf0001, "orders")
+      .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("orders_bucketed")
+    Tables.read(spark, sf0001, "customer")
+      .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("customer_bucketed")
+    val j = spark.table("orders_bucketed")
+      .join(spark.table("customer_bucketed"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment").count()
+    val plan = j.queryExecution.executedPlan.toString
+    val exchangesBeforeAgg = plan.split("HashAggregate").last // below the agg = join subtree
+    assert(!exchangesBeforeAgg.contains("Exchange hashpartitioning(o_custkey") &&
+      !exchangesBeforeAgg.contains("Exchange hashpartitioning(c_custkey"),
+      s"bucketed join still shuffles:\n$plan")
+    assert(j.collect().map(_.getLong(1)).sum == 1500L)
+  }
+
   test("whole-stage codegen covers the scan->filter->project pipeline") {
     val q = graft.SparkEntry.queries("b1_scan_filter_project")(spark, sf0001)
     val plan = q.queryExecution.executedPlan.toString
