@@ -71,8 +71,10 @@ final class Graft(
   /** Full analytics surface: a table as a DataFrame... */
   def table(name: String): DataFrame = catalog.table(name)
 
-  /** ...or arbitrary SQL over the registered tables. */
+  /** ...or arbitrary SQL over the registered tables, with the engine's
+    * native functions (vec_dot/cosine_sim/array_eq_count) in scope. */
   def sql(query: String): DataFrame = {
+    graft.functions.VecFunctions.registerSqlFunctions(spark)
     tables().foreach(t => catalog.table(t).createOrReplaceTempView(t))
     spark.sql(query)
   }

@@ -139,4 +139,18 @@ object VecFunctions {
   def cosineSim(a: Column, b: Column): Column = ColumnShim.column(CosineSim(d(a), d(b)))
   def arrayEqCount(a: Column, b: Column): Column =
     ColumnShim.column(ArrayEqCount(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** Make the native expressions callable from SQL text
+    * (`SELECT cosine_sim(a, b) FROM ...`). */
+  def registerSqlFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    def asD(e: Expression): Expression = Cast(e, ArrayType(DoubleType))
+    ColumnShim.registerFunction(spark, "vec_dot",
+      args => VecDot(asD(args(0)), asD(args(1))))
+    ColumnShim.registerFunction(spark, "cosine_sim",
+      args => CosineSim(asD(args(0)), asD(args(1))))
+    ColumnShim.registerFunction(spark, "array_eq_count",
+      args => ArrayEqCount(args(0), args(1)))
+  }
 }

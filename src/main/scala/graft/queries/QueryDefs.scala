@@ -356,6 +356,17 @@ object QueryDefs {
               FROM orders GROUP BY o_orderstatus""")
     ),
 
+    // C22 scalar UDF (black-box Scala function; prefer native expressions
+    // on hot paths — this pins the registration surface itself).
+    QueryDef(
+      "c22_udf_scalar",
+      (s, d) => {
+        val rev = udf((name: String) => name.reverse)
+        t(s, d, "nation").select(col("n_nationkey"), rev(col("n_name")).as("rev_name"))
+      },
+      Some("SELECT n_nationkey, reverse(n_name) AS rev_name FROM nation")
+    ),
+
     // C8: HLL++ sketch — estimates are implementation-specific, so no SQL
     // oracle (driver records rows-only); exactness is spec-tested against
     // count_distinct at small scale.

@@ -16,4 +16,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a temp SQL function backed by a Catalyst expression builder
+    * (so `spark.sql("SELECT cosine_sim(a, b) ...")` works without
+    * SparkSessionExtensions — the registry is session state, also
+    * `private[sql]`). */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "built-in")
 }

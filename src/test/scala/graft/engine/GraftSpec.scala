@@ -31,6 +31,13 @@ class GraftSpec extends SparkSpec {
         """SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag""")
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(agg.values.sum == 6000L)
+
+      // native expressions callable from SQL text
+      val sim = g.sql(
+        """SELECT vec_id, round(cosine_sim(embedding, embedding), 4) AS self_sim
+           FROM embeddings LIMIT 3""")
+        .collect().map(_.getDouble(1))
+      assert(sim.forall(_ == 1.0))
     } finally g.close()
   }
 }
