@@ -181,9 +181,12 @@ object Dedup {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node"))
       .localCheckpoint(true)
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("comp"))).collect().head.getLong(0)
     var i = 0
-    var changed = 1L
-    while (changed > 0 && i < maxIter) {
+    var prevSum = labelSum(labels)
+    var converged = false
+    while (!converged && i < maxIter) {
       val neighborMin = edges
         .join(labels, edges("dst") === labels("node"))
         .groupBy(col("src")).agg(min("comp").as("ncomp"))
@@ -192,10 +195,12 @@ object Dedup {
         .select(col("node"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
         .localCheckpoint(true)
-      changed = updated.as("u")
-        .join(labels.as("l"), "node")
-        .filter(col("u.comp") =!= col("l.comp"))
-        .count()
+      // labels only ever decrease, so the label sum is a strictly
+      // decreasing convergence witness — one aggregate on the already-
+      // checkpointed frame instead of a self-join diff count
+      val s = labelSum(updated)
+      converged = s == prevSum
+      prevSum = s
       labels = updated
       i += 1
     }
