@@ -75,6 +75,7 @@ final class Graft(
     * native functions (vec_dot/cosine_sim/array_eq_count) in scope. */
   def sql(query: String): DataFrame = {
     graft.functions.VecFunctions.registerSqlFunctions(spark)
+    graft.functions.PrestoCompat.register(spark)
     tables().foreach(t => catalog.table(t).createOrReplaceTempView(t))
     spark.sql(query)
   }

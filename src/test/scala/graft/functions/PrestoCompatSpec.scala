@@ -1,0 +1,42 @@
+package graft.functions
+
+import graft.SparkSpec
+
+class PrestoCompatSpec extends SparkSpec {
+
+  test("Presto aliases resolve in SQL with Presto semantics") {
+    PrestoCompat.register(spark)
+    val row = spark.sql(
+      """SELECT strpos('hello world', 'o w') AS p,
+                strpos('hello', 'zz') AS missing,
+                json_extract_scalar('{"k": 87, "s": "x"}', '$.k') AS k,
+                cardinality(array(1, 2, 3)) AS card""").collect().head
+    assert(row.getInt(0) == 5)
+    assert(row.getInt(1) == 0)
+    assert(row.getString(2) == "87")
+    assert(row.getInt(3) == 3)
+  }
+
+  test("approx_distinct aggregates like approx_count_distinct") {
+    PrestoCompat.register(spark)
+    graft.engine.Tables.read(spark, sf0001, "lineitem")
+      .createOrReplaceTempView("li_presto")
+    val Array(a, b) = spark.sql(
+      """SELECT approx_distinct(l_partkey), approx_count_distinct(l_partkey)
+         FROM li_presto""").collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    assert(a == b)
+  }
+
+  test("the reference's documented condition runs verbatim through the builder") {
+    // postman_collection.json:180-199 shape, transposed to testdata columns
+    val g = graft.engine.Graft(spark, sf0001,
+      java.nio.file.Files.createTempDirectory("graft-pc").toString,
+      partitionColumn = "l_returnflag")
+    try {
+      PrestoCompat.register(spark)
+      val id = g.submit("lineitem", "R", "l_orderkey, l_partkey",
+        Some("l_orderkey = 5 AND l_linenumber = 2"))
+      assert(g.awaitQuery(id) == graft.engine.QueryService.Succeeded)
+    } finally g.close()
+  }
+}
