@@ -54,9 +54,14 @@ object Dedup {
     // byte string, and a long equi-join instead of string comparison.
     // set size rides along with each posting (8 bytes/row) so the final
     // aggregate has everything — no post-hoc size joins
+    // localCheckpoint: the self-join would otherwise re-run the whole
+    // tokenize→shingle→hash pipeline for BOTH branches; computing the
+    // posting list once and joining the materialization against itself
+    // is the right plan at any scale
     val post = shingleArrays(docs, idCol, textCol, n)
       .select(col("doc"), size(col("shs")).as("n_sh"), explode(col("shs")).as("shingle"))
       .select(col("doc"), col("n_sh"), xxhash64(col("shingle")).as("sh"))
+      .localCheckpoint(true)
     val pruned = maxDf match {
       case Some(m) =>
         val keep = post.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= m)
