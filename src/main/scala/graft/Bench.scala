@@ -22,9 +22,13 @@ object Bench {
     } catch { case _: Throwable => () }
     // best-of-2 per query: single-shot timings on this box swing 2-3x
     // from background noise; the min measures the plan, not the noise
+    // noop sink, not count(): count() lets Catalyst prune projections the
+    // count never reads, so projection-heavy queries were timed with their
+    // expensive expressions optimized away; noop materializes every column.
     def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.map { case (name, fn) =>

@@ -50,13 +50,16 @@ object Multimodal {
   def featurize(df: DataFrame, payloadCol: String = "payload", bins: Int = 16): DataFrame = {
     val bytes = col(payloadCol)
     val n = octet_length(bytes)
-    val hist = transform(sequence(lit(0), lit(bins - 1)), b =>
-      (size(filter(
-        transform(sequence(lit(1), n), i => floor(getbit_byte(bytes, i) / (256 / bins))),
-        v => v === b.cast("long")
-      )).cast("double") / n).cast("float")
-    )
-    df.withColumn("features", hist)
+    // byte→bin decoded ONCE per payload byte and staged in its own
+    // projection: the per-bin filters below reference the alias `bins`
+    // times, so CollapseProject keeps it materialized instead of inlining
+    // the decode into every filter (which would run it bins× per row).
+    val binCodes = transform(sequence(lit(1), n), i =>
+      floor(getbit_byte(bytes, i) / (256 / bins)).cast("int"))
+    df.withColumn("__bins", binCodes)
+      .withColumn("features", transform(sequence(lit(0), lit(bins - 1)), b =>
+        (size(filter(col("__bins"), v => v === b.cast("int"))).cast("double") / n).cast("float")))
+      .drop("__bins")
   }
 
   /** Unsigned value of byte at 1-based position `i` (payload treated as a

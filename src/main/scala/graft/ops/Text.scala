@@ -82,23 +82,31 @@ object Text {
     * once. At 100 TB the df table is vocabulary-sized (≪ corpus), so the
     * join broadcasts. */
   def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val n = docs.count()
+    // localCheckpoint: both the df aggregate and the probe side read the
+    // term-count pipeline; materializing it once avoids the
+    // double-computation that made the plain broadcast-join formulation
+    // 2× the window formulation — while ALSO dropping the
+    // Window.partitionBy(token) that put every posting of a hot token in
+    // one task (power-law token skew is the aggregation-skew failure mode
+    // at scale).
     val termCounts = docs
       .select(col(idCol).as("doc"), tokens(col(textCol)).as("__ws"))
       .select(col("doc"), size(col("__ws")).as("doc_len"), explode(col("__ws")).as("token"))
       .groupBy("doc", "doc_len", "token")
       .agg(count(lit(1)).as("tf_raw"))
-    // document frequency via a window over the token partition: ONE
-    // evaluation of termCounts and one shuffle — a broadcast-join
-    // formulation computes the whole term-count aggregate twice (build +
-    // probe), which doubled the pipeline's cost
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("token")
+      .localCheckpoint(true)
+    // df table is vocabulary-sized (≪ corpus) → broadcast the join back.
+    val dfTable = termCounts.groupBy("token").agg(count(lit(1)).as("df"))
+    // corpus size N folded into the plan as a broadcast 1-row frame
+    // instead of a separate docs.count() driver action per call.
+    val nRow = broadcast(docs.agg(count(lit(1)).cast("double").as("__n")))
     termCounts
-      .withColumn("df", count(lit(1)).over(w))
+      .join(broadcast(dfTable), Seq("token"))
+      .crossJoin(nRow)
       .select(
         col("doc"), col("token"),
         round((col("tf_raw").cast("double") / col("doc_len")) *
-          log(lit(n.toDouble) / col("df")), 6).as("tfidf")
+          log(col("__n") / col("df")), 6).as("tfidf")
       )
   }
 

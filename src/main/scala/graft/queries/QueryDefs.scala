@@ -99,11 +99,17 @@ object QueryDefs {
         .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
         .join(t(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
         .groupBy("l_orderkey")
+        // Decimal-exact revenue: double summation order differs between Spark's
+        // partitioned partial aggregates and DuckDB's scan order, flipping the
+        // 2-dp round for sums near a half-cent boundary. Cast the term to
+        // decimal BEFORE summing on both sides so the sum is order-independent.
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          round(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)")), 2)
+            .cast("double").as("revenue"),
           count(lit(1)).as("n_lines")
         ),
-      Some("""SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      Some("""SELECT l_orderkey,
+                CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
                 count(*) AS n_lines
               FROM customer JOIN orders ON c_custkey = o_custkey
                             JOIN lineitem ON l_orderkey = o_orderkey
@@ -173,9 +179,11 @@ object QueryDefs {
           .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
           .join(dims, col("o_custkey") === col("c_custkey"))
           .groupBy("n_name")
-          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          // decimal-cast before summing: order-independent (see c1_join_inner)
+          .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)")), 2)
+            .cast("double").as("revenue"))
       },
-      Some("""SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      Some("""SELECT n_name, CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                             JOIN customer ON o_custkey = c_custkey
                             JOIN nation ON c_nationkey = n_nationkey
@@ -496,16 +504,21 @@ object QueryDefs {
     ),
 
     // C13 exact flavor: 3-gram shingle Jaccard ≥ 0.6 via inverted-index
-    // self-join (no cross join).
+    // self-join (no cross join). maxDf=100 drops stop-shingles — the
+    // quadratic-pair cut that keeps pair-gen near-linear at scale; the
+    // oracle mirrors it with a HAVING on the shingle df.
     QueryDef(
       "c13_jaccard_ngram",
-      (s, d) => Dedup.jaccardNearDup(t(s, d, "documents"), "doc_id", "text", n = 3, threshold = 0.6),
+      (s, d) => Dedup.jaccardNearDup(t(s, d, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.6, maxDf = Some(100)),
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
                 sh AS (SELECT DISTINCT doc_id AS doc, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
                        FROM toks, UNNEST(generate_series(1, len(ws) - 2)) t(i)),
                 cnt AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+                keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+                shk AS (SELECT doc, sh.shingle FROM sh JOIN keep ON sh.shingle = keep.shingle),
                 pair AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS common
-                         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+                         FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc < b.doc
                          GROUP BY 1, 2)
               SELECT doc_a, doc_b, round(common * 1.0 / (ca.n_sh + cb.n_sh - common), 4) AS jaccard
               FROM pair JOIN cnt ca ON ca.doc = doc_a JOIN cnt cb ON cb.doc = doc_b
@@ -519,15 +532,17 @@ object QueryDefs {
       (s, d) => {
         val docs = t(s, d, "documents")
         Dedup.removeNearDups(docs, "doc_id",
-          Dedup.jaccardNearDup(docs, "doc_id", "text", n = 3, threshold = 0.6))
+          Dedup.jaccardNearDup(docs, "doc_id", "text", n = 3, threshold = 0.6, maxDf = Some(100)))
           .select("doc_id", "lang", "n_chars")
       },
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
                 sh AS (SELECT DISTINCT doc_id AS doc, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
                        FROM toks, UNNEST(generate_series(1, len(ws) - 2)) t(i)),
                 cnt AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+                keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+                shk AS (SELECT doc, sh.shingle FROM sh JOIN keep ON sh.shingle = keep.shingle),
                 pair AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS common
-                         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+                         FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc < b.doc
                          GROUP BY 1, 2),
                 dups AS (SELECT doc_b FROM pair
                          JOIN cnt ca ON ca.doc = doc_a JOIN cnt cb ON cb.doc = doc_b
@@ -562,15 +577,17 @@ object QueryDefs {
       (s, d) => {
         val docs = t(s, d, "documents")
         Dedup.connectedComponents(
-          Dedup.jaccardNearDup(docs, "doc_id", "text", n = 3, threshold = 0.6))
+          Dedup.jaccardNearDup(docs, "doc_id", "text", n = 3, threshold = 0.6, maxDf = Some(100)))
           .select(col("node").cast("long").as("node"), col("comp").cast("long").as("comp"))
       },
       Some("""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
                 sh AS (SELECT DISTINCT doc_id AS doc, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
                        FROM toks, UNNEST(generate_series(1, len(ws) - 2)) t(i)),
                 cnt AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+                keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+                shk AS (SELECT doc, sh.shingle FROM sh JOIN keep ON sh.shingle = keep.shingle),
                 pr AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS common
-                       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+                       FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc < b.doc
                        GROUP BY 1, 2),
                 pair AS (SELECT doc_a, doc_b FROM pr
                          JOIN cnt ca ON ca.doc = doc_a JOIN cnt cb ON cb.doc = doc_b
@@ -821,12 +838,29 @@ object QueryDefs {
               FROM documents""")
     ),
 
+    // Featurize, projected to scalars: the raw array<float> column chokes
+    // the driver's pandas row-sorter, so return (n_bins, bin_wsum) where
+    // bin_wsum = Σ_b (b+1)·count_b recovers an exact integer checksum of
+    // the whole histogram (float error ≪ 0.5, so the round is exact) and
+    // is DuckDB-expressible over the ASCII text → real oracle row.
     QueryDef(
       "c16_multimodal_features",
       (s, d) => Multimodal.featurize(
         Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text")
-      ).select(col("media_id"), col("features")),
-      None
+      ).select(
+        col("media_id"),
+        size(col("features")).as("n_bins"),
+        round(aggregate(
+          zip_with(col("features"), sequence(lit(1), lit(16)),
+            (f, w) => f.cast("double") * w),
+          lit(0.0d), (a, x) => a + x) * octet_length(col("payload")), 0)
+          .cast("long").as("bin_wsum")
+      ),
+      Some("""WITH ch AS (SELECT doc_id, unicode(substring(text, CAST(i AS INTEGER), 1)) AS code
+                          FROM documents, UNNEST(generate_series(1, len(text))) t(i))
+              SELECT CAST(doc_id AS BIGINT) AS media_id, CAST(16 AS INTEGER) AS n_bins,
+                     CAST(sum(code // 16 + 1) AS BIGINT) AS bin_wsum
+              FROM ch GROUP BY doc_id""")
     ),
 
     // Frame-sampling generator shape over binary payloads; md5 per frame so
@@ -852,11 +886,15 @@ object QueryDefs {
       (s, d) => {
         val docs = t(s, d, "documents")
         val quality = Text.qualityScore(docs, "doc_id", "text")
+        // localCheckpoint: `kept` feeds BOTH the dedup pair-gen branch and
+        // the final aggregate — materialize the filtered corpus once
+        // instead of re-running docs⋈quality in each branch.
         val kept = docs
           .join(quality.filter(col("lexical_diversity") >= 0.5).select("doc_id"), Seq("doc_id"))
           .filter(col("lang").isin("en", "es", "de", "fr"))
+          .localCheckpoint(true)
         val deduped = Dedup.removeNearDups(kept, "doc_id",
-          Dedup.jaccardNearDup(kept, "doc_id", "text", n = 3, threshold = 0.6))
+          Dedup.jaccardNearDup(kept, "doc_id", "text", n = 3, threshold = 0.6, maxDf = Some(100)))
         deduped.groupBy("lang")
           .agg(count(lit(1)).as("n_docs"),
             round(avg("n_chars"), 2).as("avg_chars"))
@@ -870,8 +908,10 @@ object QueryDefs {
                 sh AS (SELECT DISTINCT doc_id AS doc, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
                        FROM toks, UNNEST(generate_series(1, len(ws) - 2)) t(i)),
                 cnt AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+                keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+                shk AS (SELECT doc, sh.shingle FROM sh JOIN keep ON sh.shingle = keep.shingle),
                 pair AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS common
-                         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+                         FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc < b.doc
                          GROUP BY 1, 2),
                 dups AS (SELECT doc_b FROM pair
                          JOIN cnt ca ON ca.doc = doc_a JOIN cnt cb ON cb.doc = doc_b
