@@ -36,7 +36,8 @@ object QueryService {
   final case class Failed(error: String) extends State
   case object Cancelled extends State
 
-  final case class Status(queryId: String, state: State, resultPath: Option[String])
+  final case class Status(queryId: String, state: State, resultPath: Option[String],
+                          expiresAtMillis: Option[Long] = None)
 
   /** Reference query-id validation (`app/main.py:70-76`): 36 chars, 4
     * hyphens — the UUID shape. */
@@ -44,6 +45,10 @@ object QueryService {
     id.length == 36 && id.count(_ == '-') == 4
 
   val DefaultCacheTtlMillis: Long = 3801600L * 1000 // 44 days, app/main.py:488
+
+  /** Result delivery expiry (A18): the reference presigns the result URL
+    * for 3600s at poll time (`app/main.py:272`, `app/constants.py:16`). */
+  val ResultTtlMillis: Long = 3600L * 1000
 }
 
 final class QueryService(
@@ -59,6 +64,7 @@ final class QueryService(
   private val states = new ConcurrentHashMap[String, State]()
   // semanticHash of the canonicalized analyzed plan -> (queryId, insertedAt)
   private val planCache = new ConcurrentHashMap[Int, (String, Long)]()
+  loadRegistry() // query ids + reuse cache survive a restart (Redis role)
   private val pool = Executors.newFixedThreadPool(poolSize, new ThreadFactory {
     def newThread(r: Runnable): Thread = {
       val t = new Thread(r, "graft-query"); t.setDaemon(true); t
@@ -129,7 +135,11 @@ final class QueryService(
   def status(queryId: String): Option[Status] = {
     if (!isValidQueryId(queryId)) return None
     Option(states.get(queryId)).map { st =>
-      Status(queryId, st, if (st == Succeeded) Some(resultPath(queryId)) else None)
+      // expiry is stamped at poll time, like the reference presigning a
+      // fresh 3600s URL on every status call
+      Status(queryId, st,
+        if (st == Succeeded) Some(resultPath(queryId)) else None,
+        if (st == Succeeded) Some(clock() + ResultTtlMillis) else None)
     }
   }
 
@@ -176,5 +186,55 @@ final class QueryService(
     throw new java.util.concurrent.TimeoutException(queryId)
   }
 
-  def close(): Unit = pool.shutdown()
+  // ── durable registry (reference role: Redis, `app/redis_setup.py:1-6`,
+  //    shared by workers and surviving API restarts, `app/main.py:472-488`).
+  //    Here: a TSV snapshot in the result dir, written on close and loaded
+  //    on construction, so a client polling a query id after an engine
+  //    restart still gets status instead of "unknown query id". ──────────
+
+  private def registryPath = java.nio.file.Paths.get(resultDir, "_registry.tsv")
+
+  private def loadRegistry(): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (!java.nio.file.Files.exists(registryPath)) return
+    java.nio.file.Files.readAllLines(registryPath).asScala.foreach { line =>
+      line.split("\t", -1) match {
+        case Array("S", id, name, err) =>
+          val st = name match {
+            case "SUCCEEDED" => Succeeded
+            case "CANCELLED" => Cancelled
+            case _ => Failed(new String(
+              java.util.Base64.getDecoder.decode(err), "UTF-8"))
+          }
+          states.put(id, st)
+        case Array("C", key, id, at) => planCache.put(key.toInt, (id, at.toLong))
+        case _ => ()
+      }
+    }
+  }
+
+  private def persistRegistry(): Unit = {
+    val b64 = (s: String) =>
+      java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+    val sb = new StringBuilder
+    states.forEach { (id, st) =>
+      // a query still in flight at shutdown cannot resume (its Spark job
+      // died with the JVM): snapshot it as FAILED, honestly
+      val (name, err) = st match {
+        case Succeeded => ("SUCCEEDED", "")
+        case Cancelled => ("CANCELLED", "")
+        case Failed(e) => ("FAILED", b64(String.valueOf(e)))
+        case Queued | Running => ("FAILED", b64("interrupted by engine restart"))
+      }
+      sb.append(s"S\t$id\t$name\t$err\n")
+    }
+    planCache.forEach { (k, v) => sb.append(s"C\t$k\t${v._1}\t${v._2}\n") }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(resultDir))
+    java.nio.file.Files.write(registryPath, sb.toString.getBytes("UTF-8"))
+  }
+
+  def close(): Unit = {
+    pool.shutdown()
+    persistRegistry()
+  }
 }

@@ -179,7 +179,13 @@ object Dedup {
     * k-1 predecessors), and convergence is detected by counting changed
     * labels. Returns (node, comp) with comp = min node id of the
     * component. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds it took
+    * to converge (the scale metric: each round is a full edges⋈labels
+    * shuffle, so rounds ARE the cost of the operator). */
+  def connectedComponentsWithRounds(pairs: DataFrame, maxIter: Int = 20): (DataFrame, Int) = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true)
@@ -195,10 +201,22 @@ object Dedup {
       val neighborMin = edges
         .join(labels, edges("dst") === labels("node"))
         .groupBy(col("src")).agg(min("comp").as("ncomp"))
-      val updated = labels
+      val prop = labels
         .join(neighborMin, labels("node") === neighborMin("src"), "left")
         .select(col("node"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      // pointer jumping: follow the label one extra hop (comp := comp of
+      // comp) each round — labels chase the component minimum at doubling
+      // speed, so a diameter-d chain converges in O(log d) rounds instead
+      // of O(d). `comp` is always a node id present in `prop`, but the
+      // join stays `left` + coalesce so a missing parent degrades to the
+      // un-jumped label rather than dropping the node.
+      val parent = prop.select(col("node").as("p_node"), col("comp").as("p_comp"))
+      val updated = prop
+        .join(parent, prop("comp") === parent("p_node"), "left")
+        .select(prop("node"),
+          least(col("comp"), coalesce(col("p_comp"), col("comp"))).as("comp"))
         .localCheckpoint(true)
       // labels only ever decrease, so the label sum is a strictly
       // decreasing convergence witness — one aggregate on the already-
@@ -209,7 +227,7 @@ object Dedup {
       labels = updated
       i += 1
     }
-    labels
+    (labels, i)
   }
 
   /** Embedding-cosine near-dup pairs; delegates candidate generation to

@@ -965,6 +965,21 @@ object QueryDefs {
                      FROM g)
               SELECT user_id, min(ts) AS session_start, count(*) AS n, round(sum(value), 2) AS total
               FROM sess GROUP BY user_id, sid""")
+    ),
+
+    // C21 batch equivalence for stateful dedup: deterministic first-event
+    // survivor per (user_id, event_type) — the semantics
+    // dropDuplicatesWithinWatermark converges to on an in-order stream
+    // (stream==batch asserted in StreamingSpec).
+    QueryDef(
+      "c21_dedup_batch_equiv",
+      (s, d) => graft.streaming.Streaming.dedupFirstEvent(
+        t(s, d, "events"), Seq("user_id", "event_type")),
+      Some("""SELECT user_id, event_type, first_ts, first_event_id FROM (
+                SELECT user_id, event_type, ts AS first_ts, event_id AS first_event_id,
+                       row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id) AS rn
+                FROM events) t WHERE rn = 1""")
     )
   )
 

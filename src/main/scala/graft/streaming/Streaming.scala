@@ -74,6 +74,18 @@ object Streaming {
     events.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** C21a batch equivalence: the deterministic survivor the streaming
+    * dedup converges to on an in-order feed — the earliest (ts, event_id)
+    * row per key. One hash aggregate over a struct-ordered min (partial +
+    * final, no window), so it scales like exact dedup C12. */
+  def dedupFirstEvent(events: DataFrame, keys: Seq[String]): DataFrame =
+    events
+      .groupBy(keys.map(col): _*)
+      .agg(min(struct(col("ts"), col("event_id"))).as("__first"))
+      .select(keys.map(col) ++ Seq(
+        col("__first.ts").as("first_ts"),
+        col("__first.event_id").as("first_event_id")): _*)
+
   // ── C21b: arbitrary custom state ─────────────────────────────────────
 
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)

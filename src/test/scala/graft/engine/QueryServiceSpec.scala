@@ -82,6 +82,37 @@ class QueryServiceSpec extends SparkSpec {
     }
   }
 
+  test("registry survives close + reconstruct (reference Redis semantics)") {
+    val dir = Files.createTempDirectory("graft-results").toString
+    val cat = new Catalog(spark, sf0001)
+    val svc = new QueryService(spark, cat, dir)
+    val id = svc.submit("region", "r_name", "ASIA")
+    assert(svc.await(id) == Succeeded)
+    svc.close()
+    // a "restarted engine": new service over the same result dir
+    val svc2 = new QueryService(spark, cat, dir)
+    val st = svc2.status(id)
+    assert(st.exists(_.state == Succeeded), s"status after restart: $st")
+    // the plan-reuse cache survives too: the same query returns the prior
+    // id without re-executing
+    val again = svc2.submit("region", "r_name", "ASIA")
+    assert(again == id)
+    svc2.close()
+  }
+
+  test("status on a finished query carries 3600s result expiry metadata") {
+    var now = 5000L
+    val svc = freshService(clock = () => now)
+    val id = svc.submit("region", "r_name", "ASIA")
+    assert(svc.await(id) == Succeeded)
+    now = 9000L // expiry is stamped at poll time, like presigning
+    val st = svc.status(id).get
+    assert(st.expiresAtMillis.contains(now + QueryService.ResultTtlMillis))
+    // unfinished/unknown queries carry no expiry
+    assert(svc.status("00000000-0000-0000-0000-000000000000")
+      .forall(_.expiresAtMillis.isEmpty))
+  }
+
   test("failed query reports FAILED and is not cached for reuse") {
     val svc = freshService()
     val id = svc.submit("lineitem", "l_returnflag", "R",

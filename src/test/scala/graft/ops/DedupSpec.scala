@@ -66,12 +66,17 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
   }
 
-  test("connected components on a long chain converge within diameter rounds") {
+  test("connected components on a long chain converge in sub-diameter rounds") {
     val chain = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val comp = Dedup.connectedComponents(chain, maxIter = 15)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(chain, maxIter = 15)
+    val comp = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp.values.toSet == Set(1L))
     assert(comp.size == 12)
+    // pointer jumping: diameter-11 chain must converge in O(log d) rounds,
+    // not the ~11 plain min-propagation needs (+1 round to detect the
+    // fixed point via the label-sum witness)
+    info(s"chain of diameter 11 converged in $rounds rounds")
+    assert(rounds <= 7, s"expected sub-diameter convergence, got $rounds rounds")
   }
 
   test("hamming column matches bitCount") {

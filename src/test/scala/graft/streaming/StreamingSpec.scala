@@ -87,6 +87,29 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("event_id")).sorted == Seq(1L, 2L))
   }
 
+  test("stateful stream dedup equals the batch first-event survivor (in-order feed)") {
+    val events = Seq(
+      ev(1, "2024-01-01 10:00:00", uid = 1, typ = "click"),
+      ev(2, "2024-01-01 10:05:00", uid = 1, typ = "click"), // dup key, later
+      ev(3, "2024-01-01 10:06:00", uid = 1, typ = "buy"),
+      ev(4, "2024-01-01 10:07:00", uid = 2, typ = "click"),
+      ev(5, "2024-01-01 10:15:00", uid = 2, typ = "click")  // dup key, later
+    )
+    val mem = MemoryStream[Ev]
+    // one event per micro-batch: arrival order == event-time order, so the
+    // stream's first-arrival survivor is exactly the batch min-(ts,id) one
+    val streamed = runStream(mem,
+      Streaming.dedupWithinWatermark(_, Seq("user_id", "event_type"), "10 minutes"),
+      OutputMode.Append(), events.map(Seq(_)))
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Timestamp]("ts"), r.getAs[Long]("event_id"))).toSet
+    val batch = Streaming.dedupFirstEvent(events.toDF(), Seq("user_id", "event_type"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Timestamp]("first_ts"), r.getAs[Long]("first_event_id"))).toSet
+    assert(streamed == batch)
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals across batches") {
     val mem = MemoryStream[Streaming.UserEvent]
     val q = Streaming.userRunningTotals(mem.toDS()).writeStream
