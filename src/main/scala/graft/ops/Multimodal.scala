@@ -46,27 +46,13 @@ object Multimodal {
   /** STUB decode→feature-extract: a real pipeline would decode the codec
     * and emit model features; the deterministic fake is a 16-bin byte
     * histogram, normalized — same shape (fixed-width float array), same
-    * execution profile (pure projection, codegen, no shuffle). */
-  def featurize(df: DataFrame, payloadCol: String = "payload", bins: Int = 16): DataFrame = {
-    val bytes = col(payloadCol)
-    val n = octet_length(bytes)
-    // byte→bin decoded ONCE per payload byte and staged in its own
-    // projection: the per-bin filters below reference the alias `bins`
-    // times, so CollapseProject keeps it materialized instead of inlining
-    // the decode into every filter (which would run it bins× per row).
-    val binCodes = transform(sequence(lit(1), n), i =>
-      floor(getbit_byte(bytes, i) / (256 / bins)).cast("int"))
-    df.withColumn("__bins", binCodes)
-      .withColumn("features", transform(sequence(lit(0), lit(bins - 1)), b =>
-        (size(filter(col("__bins"), v => v === b.cast("int"))).cast("double") / n).cast("float")))
-      .drop("__bins")
-  }
-
-  /** Unsigned value of byte at 1-based position `i` (payload treated as a
-    * byte stream; `substr` on binary yields a 1-byte slice). */
-  private def getbit_byte(bytes: Column, i: Column): Column =
-    // decode single byte via its hex representation — pure codegen path
-    conv(hex(substring(bytes, i.cast("int"), lit(1))), 16, 10).cast("long")
+    * execution profile (pure projection, codegen, no shuffle). The hot
+    * loop is the [[graft.functions.ByteHistogram]] codegen expression
+    * (the HOF formulation interpreted hex-decode per byte × filter per
+    * bin — 40× slower under the noop bench, PERF.md finding 9). */
+  def featurize(df: DataFrame, payloadCol: String = "payload", bins: Int = 16): DataFrame =
+    df.withColumn("features",
+      graft.functions.MediaFunctions.byteHistogram(col(payloadCol), bins))
 
   /** Decoder handle stub: a real pipeline holds a codec/model handle that
     * is EXPENSIVE to open (native lib, GPU context) — the contract this
