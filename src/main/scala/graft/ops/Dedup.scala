@@ -64,8 +64,15 @@ object Dedup {
       .localCheckpoint(true)
     val pruned = maxDf match {
       case Some(m) =>
-        val keep = post.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= m)
-        post.join(keep.select("sh"), Seq("sh"))
+        // prune against the HOT set (df > m), not the keep set: hot
+        // shingles number at most postings/m and in Zipf corpora are a
+        // tiny head, so they broadcast, and the prune is a map-side
+        // anti-join instead of a vocabulary-sized shuffle join. The hot
+        // aggregate is checkpointed so the self-join's two branches don't
+        // each re-run it.
+        val hot = post.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > m).select("sh").localCheckpoint(true)
+        post.join(broadcast(hot), Seq("sh"), "left_anti")
       case None => post
     }
     val a = pruned.select(col("sh"), col("doc").as("doc_a"), col("n_sh").as("n_a"))

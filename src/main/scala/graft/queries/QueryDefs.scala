@@ -802,8 +802,9 @@ object QueryDefs {
       None
     ),
 
-    // Language-ID heuristic (marker-token argmax; accuracy is a property of
-    // the marker profiles, mechanics spec-tested → rows-only).
+    // Language-ID heuristic (marker-token argmax). The argmax + tie-break
+    // (max score; larger language code on a tie, from the reversed
+    // ascending struct sort) is mirrored in the oracle's CASE.
     QueryDef(
       "c15_language_id",
       (s, d) => Text.languageId(t(s, d, "documents"), "doc_id", "text",
@@ -811,7 +812,16 @@ object QueryDefs {
           "en" -> Seq("the", "a", "of", "and", "to"),
           "es" -> Seq("el", "la", "de", "y", "en")
         )),
-      None
+      Some("""WITH sc AS (SELECT doc_id,
+                len(list_filter(string_split(text, ' '),
+                    t -> t IN ('the','a','of','and','to'))) * 1.0
+                  / len(string_split(text, ' ')) AS s_en,
+                len(list_filter(string_split(text, ' '),
+                    t -> t IN ('el','la','de','y','en'))) * 1.0
+                  / len(string_split(text, ' ')) AS s_es
+              FROM documents)
+              SELECT doc_id, CASE WHEN s_es >= s_en THEN 'es' ELSE 'en' END AS lang_pred
+              FROM sc""")
     ),
 
     // ── C16: semi-structured + multimodal columns ──────────────────────
