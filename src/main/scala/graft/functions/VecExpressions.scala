@@ -131,6 +131,54 @@ case class ArrayEqCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Intersection size of two SORTED long arrays (shingle-hash signatures)
+  * via a two-pointer merge — one codegen loop per pair, replacing the
+  * posting-list pair groupBy that shuffled every co-posting row. Inputs
+  * MUST be sorted ascending (the jaccard pipeline sorts at signature
+  * build time). */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n1 = x.numElements(); val n2 = y.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < n1 && j < n2) {
+      val xi = x.getLong(i); val yj = y.getLong(j)
+      if (xi == yj) { c += 1; i += 1; j += 1 }
+      else if (xi < yj) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      // every local gets a fresh name: two instances of this expression in
+      // one whole-stage-codegen method must not redeclare the same variable
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $i = 0, $j = 0, $c = 0;
+         |int ${i}n = $x.numElements(), ${j}n = $y.numElements();
+         |while ($i < ${i}n && $j < ${j}n) {
+         |  long $xv = $x.getLong($i); long $yv = $y.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level entry points for the native vector expressions. */
 object VecFunctions {
   private def d(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
@@ -139,6 +187,8 @@ object VecFunctions {
   def cosineSim(a: Column, b: Column): Column = ColumnShim.column(CosineSim(d(a), d(b)))
   def arrayEqCount(a: Column, b: Column): Column =
     ColumnShim.column(ArrayEqCount(ColumnShim.expression(a), ColumnShim.expression(b)))
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ColumnShim.column(SortedIntersectCount(ColumnShim.expression(a), ColumnShim.expression(b)))
 
   /** Make the native expressions callable from SQL text
     * (`SELECT cosine_sim(a, b) FROM ...`). */

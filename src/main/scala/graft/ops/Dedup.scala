@@ -36,55 +36,75 @@ object Dedup {
     shingleArrays(docs, idCol, textCol, n)
       .select(col("doc"), explode(col("shs")).as("shingle"))
 
-  /** C13 (exact flavor): all pairs with shingle-set Jaccard >= threshold.
+  /** C13 (exact flavor): all pairs with shingle-set Jaccard >= threshold,
+    * via positional prefix filtering (the PPJoin family, Xiao et al.,
+    * WWW'08 — textbook algorithm, original implementation).
     *
-    * Plan: inverted-index self-equi-join on shingle (sort-merge/shuffled
-    * hash on the shingle key — no cross join), count common shingles per
-    * pair, then join per-doc set sizes (broadcast-able: one row per doc).
-    * `maxDf` drops shingles appearing in more than that many docs: they
-    * generate quadratic pair blowup while contributing almost no Jaccard
-    * discrimination (standard trick; at 100 TB this is what keeps the
-    * pair count near-linear).
+    * Plan:
+    *  1. signature per doc: SORTED array of 64-bit shingle hashes — a pure
+    *     projection, no shuffle (8-byte keys instead of 20-60-byte
+    *     strings). With `maxDf`, hot shingles (df > maxDf) are removed
+    *     from the signature first: Jaccard is then computed over the
+    *     stop-shingle-filtered sets (standard stopword-removal semantics,
+    *     mirrored in the oracle).
+    *  2. candidate pairs from an inverted index over each doc's PREFIX
+    *     only — its |s| − ⌈t·|s|⌉ + 1 smallest hashes. Lossless: a pair
+    *     with J ≥ t must share ≥ ⌈t·|s|⌉ shingles, which cannot all hide
+    *     in either suffix (prefix-filtering lemma). Candidate volume
+    *     drops by ~(1−t)² vs joining full posting lists.
+    *  3. exact intersection per candidate with one codegen two-pointer
+    *     merge over the two sorted signatures
+    *     ([[graft.functions.SortedIntersectCount]]) — replaces the pair
+    *     groupBy that shuffled every co-posting row.
+    *
+    * At 100 TB: the only shuffles are the prefix self-join (on an ~(1−t)
+    * fraction of postings) and the two signature join-backs; `maxDf`
+    * bounds the df of any prefix key, keeping pair-gen near-linear.
     */
   def jaccardNearDup(docs: DataFrame, idCol: String, textCol: String,
                      n: Int, threshold: Double, maxDf: Option[Int] = None): DataFrame = {
-    // One shingle computation per doc: sizes come from the array length
-    // (pure projection, no second explode+aggregate), and the join key is
-    // the 64-bit shingle hash — an 8-byte shuffle key instead of a ~20-60
-    // byte string, and a long equi-join instead of string comparison.
-    // set size rides along with each posting (8 bytes/row) so the final
-    // aggregate has everything — no post-hoc size joins
-    // localCheckpoint: the self-join would otherwise re-run the whole
-    // tokenize→shingle→hash pipeline for BOTH branches; computing the
-    // posting list once and joining the materialization against itself
-    // is the right plan at any scale
-    val post = shingleArrays(docs, idCol, textCol, n)
-      .select(col("doc"), size(col("shs")).as("n_sh"), explode(col("shs")).as("shingle"))
-      .select(col("doc"), col("n_sh"), xxhash64(col("shingle")).as("sh"))
-      .localCheckpoint(true)
-    val pruned = maxDf match {
+    val base = shingleArrays(docs, idCol, textCol, n)
+      .select(col("doc"),
+        sort_array(transform(col("shs"), s => xxhash64(s))).as("sig"))
+    val sigPruned = maxDf match {
       case Some(m) =>
-        // prune against the HOT set (df > m), not the keep set: hot
-        // shingles number at most postings/m and in Zipf corpora are a
-        // tiny head, so they broadcast, and the prune is a map-side
-        // anti-join instead of a vocabulary-sized shuffle join. The hot
-        // aggregate is checkpointed so the self-join's two branches don't
-        // each re-run it.
-        val hot = post.groupBy("sh").agg(count(lit(1)).as("df"))
-          .filter(col("df") > m).select("sh").localCheckpoint(true)
-        post.join(broadcast(hot), Seq("sh"), "left_anti")
-      case None => post
+        // hot set rides in as ONE broadcast row (bounded by postings/m;
+        // a tiny Zipf head in practice) — signature pruning stays a
+        // map-side projection, no re-grouping shuffle
+        val hotArr = base.select(explode(col("sig")).as("sh"))
+          .groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") > m)
+          .agg(collect_list(col("sh")).as("hot"))
+        base.crossJoin(broadcast(hotArr))
+          .select(col("doc"), array_except(col("sig"), col("hot")).as("sig"))
+      case None => base
     }
-    val a = pruned.select(col("sh"), col("doc").as("doc_a"), col("n_sh").as("n_a"))
-    val b = pruned.select(col("sh"), col("doc").as("doc_b"), col("n_sh").as("n_b"))
+    // localCheckpoint: sets feed the prefix explode AND both candidate
+    // join-backs; materialize the tokenize→shingle→hash pipeline once
+    val sets = sigPruned
+      .select(col("doc"), col("sig"), size(col("sig")).as("n_sh"))
+      .filter(col("n_sh") > 0)
+      .localCheckpoint(true)
+    // prefix length |s| − ⌈t·|s|⌉ + 1; the 1e-9 slack biases ceil DOWN on
+    // floating-point boundaries (longer prefix = more candidates, never a
+    // false negative)
+    val prefixLen = (col("n_sh") -
+      ceil(col("n_sh") * lit(threshold) - lit(1e-9)) + 1).cast("int")
+    val pre = sets.select(col("doc"),
+      explode(slice(col("sig"), lit(1), prefixLen)).as("sh"))
+    val a = pre.select(col("sh"), col("doc").as("doc_a"))
+    val b = pre.select(col("sh"), col("doc").as("doc_b"))
     // SHUFFLE_HASH pin: AQE otherwise flips between sort-merge and a
-    // driver-side broadcast build of the whole exploded posting list —
-    // the broadcast runs the explode pipeline single-threaded (measured
+    // driver-side broadcast build of the exploded prefix list (measured
     // 3x run-to-run swings); shuffled-hash is deterministic and sortless
-    a.join(b.hint("SHUFFLE_HASH"), Seq("sh"))
+    val cand = a.join(b.hint("SHUFFLE_HASH"), Seq("sh"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("common"), first("n_a").as("n_a"), first("n_b").as("n_b"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+    val sa = sets.select(col("doc").as("doc_a"), col("sig").as("sig_a"), col("n_sh").as("n_a"))
+    val sb = sets.select(col("doc").as("doc_b"), col("sig").as("sig_b"), col("n_sh").as("n_b"))
+    cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .withColumn("common",
+        graft.functions.VecFunctions.sortedIntersectCount(col("sig_a"), col("sig_b")))
       .withColumn("jaccard", col("common").cast("double") /
         (col("n_a") + col("n_b") - col("common")))
       .filter(col("jaccard") >= threshold)

@@ -514,9 +514,9 @@ object QueryDefs {
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
                 sh AS (SELECT DISTINCT doc_id AS doc, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
                        FROM toks, UNNEST(generate_series(1, len(ws) - 2)) t(i)),
-                cnt AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
                 keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
                 shk AS (SELECT doc, sh.shingle FROM sh JOIN keep ON sh.shingle = keep.shingle),
+                cnt AS (SELECT doc, count(*) AS n_sh FROM shk GROUP BY doc),
                 pair AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS common
                          FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc < b.doc
                          GROUP BY 1, 2)
@@ -538,9 +538,9 @@ object QueryDefs {
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
                 sh AS (SELECT DISTINCT doc_id AS doc, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
                        FROM toks, UNNEST(generate_series(1, len(ws) - 2)) t(i)),
-                cnt AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
                 keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
                 shk AS (SELECT doc, sh.shingle FROM sh JOIN keep ON sh.shingle = keep.shingle),
+                cnt AS (SELECT doc, count(*) AS n_sh FROM shk GROUP BY doc),
                 pair AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS common
                          FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc < b.doc
                          GROUP BY 1, 2),
@@ -583,9 +583,9 @@ object QueryDefs {
       Some("""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
                 sh AS (SELECT DISTINCT doc_id AS doc, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
                        FROM toks, UNNEST(generate_series(1, len(ws) - 2)) t(i)),
-                cnt AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
                 keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
                 shk AS (SELECT doc, sh.shingle FROM sh JOIN keep ON sh.shingle = keep.shingle),
+                cnt AS (SELECT doc, count(*) AS n_sh FROM shk GROUP BY doc),
                 pr AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS common
                        FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc < b.doc
                        GROUP BY 1, 2),
@@ -917,9 +917,9 @@ object QueryDefs {
                 toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM kept),
                 sh AS (SELECT DISTINCT doc_id AS doc, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
                        FROM toks, UNNEST(generate_series(1, len(ws) - 2)) t(i)),
-                cnt AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
                 keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
                 shk AS (SELECT doc, sh.shingle FROM sh JOIN keep ON sh.shingle = keep.shingle),
+                cnt AS (SELECT doc, count(*) AS n_sh FROM shk GROUP BY doc),
                 pair AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS common
                          FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc < b.doc
                          GROUP BY 1, 2),
