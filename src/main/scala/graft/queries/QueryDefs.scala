@@ -212,10 +212,14 @@ object QueryDefs {
     ),
 
     // C5: as-of join — most recent order at/before each event's timestamp.
+    // Orders pre-projected to the 3 needed columns: the max_by struct is
+    // opaque to Catalyst's column pruning, so without this the full
+    // 9-column row would ride through the join and the aggregate.
     QueryDef(
       "c5_asof_join",
       (s, d) => Relational.asOfJoin(
-        t(s, d, "events"), t(s, d, "orders"),
+        t(s, d, "events").select("event_id", "user_id", "ts"),
+        t(s, d, "orders").select("o_custkey", "o_orderdate", "o_orderkey"),
         leftKey = "user_id", rightKey = "o_custkey",
         leftTime = "ts", rightTime = "o_orderdate",
         leftIdCol = "event_id", rightTieBreak = "o_orderkey"

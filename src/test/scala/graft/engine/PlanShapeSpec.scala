@@ -86,4 +86,5 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("*(1) Project") && plan.contains("*(1) Filter"),
       s"no codegen span in:\n$plan")
   }
+
 }
