@@ -37,6 +37,16 @@ class DedupSpec extends SparkSpec {
     assert(pruned.count() <= all.count())
   }
 
+  test("jaccard plans the prefix-filter join: codegen intersect, no pair aggregate") {
+    val plan = Dedup.jaccardNearDup(docs, "doc_id", "text", 3, 0.6, Some(100))
+      .queryExecution.executedPlan.toString
+    // exact intersection computed per candidate by the codegen two-pointer
+    // merge, not by aggregating every co-posting row per pair
+    assert(plan.contains("sorted_intersect_count"), s"no codegen intersect in:\n$plan")
+    assert(!plan.toLowerCase.contains("partial_count(1)") ||
+      !plan.contains("keys=[doc_a"), s"pair-counting aggregate resurfaced:\n$plan")
+  }
+
   test("minhash LSH: exact dups estimated 1.0; unrelated docs don't pair") {
     val cands = Dedup.minhashLshCandidates(docs, "doc_id", "text",
       n = 3, bands = 8, rowsPerBand = 4, estThreshold = 0.5)
