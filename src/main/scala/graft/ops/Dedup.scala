@@ -182,6 +182,45 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming, via band
+    * blocking: split the 64-bit signature into `maxHamming + 1` bands —
+    * by pigeonhole, any pair within the distance agrees EXACTLY on at
+    * least one band — equi-join on (band index, band value), then verify
+    * the true bit distance on the candidates. This is the scalable form
+    * of a Hamming search: candidate generation is a hash equi-join on
+    * 16-bit band values, never an all-pairs XOR scan. */
+  def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15, "band width needs 64/(maxHamming+1) >= 4 bits")
+    val nBands = maxHamming + 1
+    val width = 64 / nBands
+    val sig = simhash(docs, idCol, textCol).localCheckpoint(true)
+    // bands unrolled statically (band count is a plan-time constant):
+    // shifts stay codegen, no interpreted lambda. Band b = `width` bits
+    // from b*width; the last band absorbs the remainder when 64 % nBands
+    // != 0.
+    val bandCols = (0 until nBands).map { b =>
+      val v =
+        if (b == nBands - 1) shiftrightunsigned(col("simhash"), b * width)
+        else shiftrightunsigned(col("simhash"), b * width).bitwiseAND(lit((1L << width) - 1))
+      struct(lit(b).as("band"), v.as("band_val"))
+    }
+    val banded = sig
+      .select(col("doc"), col("simhash"), explode(array(bandCols: _*)).as("bv"))
+      .select(col("doc"), col("simhash"),
+        col("bv.band").as("band"), col("bv.band_val").as("band_val"))
+    val l = banded.select(col("band"), col("band_val"),
+      col("doc").as("doc_a"), col("simhash").as("sig_a"))
+    val r = banded.select(col("band"), col("band_val"),
+      col("doc").as("doc_b"), col("simhash").as("sig_b"))
+    l.join(r.hint("SHUFFLE_HASH"), Seq("band", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        hamming(col("sig_a"), col("sig_b")).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Apply near-dup removal: keep every doc that never appears as the
     * higher-id member of a duplicate pair (greedy min-id survivor — the
     * standard single-pass policy; full connected components would need

@@ -623,6 +623,17 @@ object QueryDefs {
       None
     ),
 
+    // SimHash SEARCH: hamming-close pairs via band blocking (pigeonhole
+    // over maxHamming+1 bands — candidate gen is a 16-bit-band equi-join,
+    // never an all-pairs XOR scan). Rows-only: xxhash64-based signatures
+    // aren't DuckDB-expressible; pair semantics spec-tested.
+    QueryDef(
+      "c13_simhash_pairs",
+      (s, d) => Dedup.simhashNearDup(t(s, d, "documents"), "doc_id", "text",
+        maxHamming = 3),
+      None
+    ),
+
     // C13 embedding flavor: near-dup by embedding cosine over LSH buckets
     // (rows-only; pair semantics spec-tested with planted duplicates).
     QueryDef(
@@ -685,7 +696,10 @@ object QueryDefs {
       "c14_ann_ivf",
       (s, d) => {
         val emb = t(s, d, "embeddings")
-        val centroids = Ivf.trainCentroids(emb, "embedding", k = 16, maxIter = 5)
+        // sample-trained quantizer — the 100 TB posture (train on ~10⁶
+        // sampled vectors, never the corpus); seeded, so deterministic
+        val centroids = Ivf.trainCentroids(emb, "embedding", k = 16,
+          sampleFraction = 0.25, maxIter = 5)
         Ivf.topK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
           emb.filter(col("vec_id") === 0), "embedding", k = 10, centroids, nprobe = 4)
       },

@@ -64,6 +64,35 @@ class DedupSpec extends SparkSpec {
     assert(ham(sig(1L), sig(3L)) < ham(sig(1L), sig(4L)))
   }
 
+  test("simhash banded search finds hamming-close pairs, not unrelated docs") {
+    val pairs = Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // exact dups share the signature: distance 0, and found
+    assert(pairs((1L, 2L)) == 0)
+    // the unrelated doc 4 must not pair with anything within distance 3
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+    // every reported distance respects the cap and matches the signatures
+    val sig = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { case ((a, b), d) =>
+      assert(d <= 3 && d == java.lang.Long.bitCount(sig(a) ^ sig(b)))
+    }
+  }
+
+  test("banded search candidates are exactly the band-agreement pairs (lossless)") {
+    // brute-force oracle on the tiny corpus: all pairs within hamming 3
+    // must be found by the banded join (pigeonhole guarantee)
+    val sig = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (for {
+      a <- sig.keys; b <- sig.keys if a < b
+      if java.lang.Long.bitCount(sig(a) ^ sig(b)) <= 3
+    } yield (a, b)).toSet
+    val found = Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == expected)
+  }
+
   test("connected components merge transitive duplicate chains") {
     val pairs = Seq(
       (1L, 2L), (2L, 3L),   // chain -> component 1
