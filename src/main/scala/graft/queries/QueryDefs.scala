@@ -891,6 +891,19 @@ object QueryDefs {
               FROM ch GROUP BY doc_id""")
     ),
 
+    // Resize stub (truncate/zero-pad to a fixed width): binary-in/
+    // binary-out contract; oracle checks the enforced width (payload
+    // bytes themselves aren't DuckDB-comparable — no blob functions).
+    QueryDef(
+      "c16_resize",
+      (s, d) => Multimodal.resize(
+        Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text"), targetBytes = 256)
+        .select(col("media_id"),
+          octet_length(col("payload_resized")).as("n_bytes")),
+      Some("""SELECT CAST(doc_id AS BIGINT) AS media_id,
+                     CAST(256 AS INTEGER) AS n_bytes FROM documents""")
+    ),
+
     // Frame-sampling generator shape over binary payloads; md5 per frame so
     // the oracle compares fixed-width strings (DuckDB 1.0 can't substring
     // blobs — text is ASCII, so char-substring md5 matches byte-substring).
