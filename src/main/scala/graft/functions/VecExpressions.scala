@@ -202,5 +202,7 @@ object VecFunctions {
       args => CosineSim(asD(args(0)), asD(args(1))))
     ColumnShim.registerFunction(spark, "array_eq_count",
       args => ArrayEqCount(args(0), args(1)))
+    ColumnShim.registerFunction(spark, "sorted_intersect_count",
+      args => SortedIntersectCount(args(0), args(1)))
   }
 }

@@ -37,6 +37,31 @@ class DedupSpec extends SparkSpec {
     assert(pruned.count() <= all.count())
   }
 
+  test("maxDf semantics: jaccard over the stop-shingle-filtered sets (brute-force check)") {
+    // the synthetic corpora never trip the df cut, so the driver oracle
+    // can't exercise it — pin the pruned-set semantics here with a
+    // reference computation where the cut DOES fire (df > 2 removes the
+    // shingles common to docs 1, 2, 3)
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "the quick brown fox jumps over the lazy cat today"),
+      (4L, "completely different words appear in this other document here now"))
+    def sh3(s: String) = s.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val sets = corpus.map { case (id, t) => id -> sh3(t) }.toMap
+    val df = sets.values.flatten.groupBy(identity).map { case (k, v) => k -> v.size }
+    val prunedSets = sets.map { case (id, s) => id -> s.filter(df(_) <= 2) }
+    val expected = (for {
+      (a, sa) <- prunedSets; (b, sb) <- prunedSets if a < b
+      common = (sa & sb).size if common > 0
+      j = common.toDouble / (sa.size + sb.size - common) if j >= 0.3
+    } yield (a, b) -> math.rint(j * 1e4) / 1e4).toMap
+    val got = Dedup.jaccardNearDup(corpus.toDF("doc_id", "text"), "doc_id", "text",
+      n = 3, threshold = 0.3, maxDf = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got == expected, s"got $got, expected $expected")
+  }
+
   test("jaccard plans the prefix-filter join: codegen intersect, no pair aggregate") {
     val plan = Dedup.jaccardNearDup(docs, "doc_id", "text", 3, 0.6, Some(100))
       .queryExecution.executedPlan.toString
