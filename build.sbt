@@ -11,6 +11,9 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// pass the forked app's stdout through RAW (no "[info] " logger prefix):
+// Bench prints one machine-parsed JSON line that must arrive unmangled
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
