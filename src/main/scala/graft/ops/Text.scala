@@ -51,6 +51,15 @@ object Text {
       .groupBy("token")
       .agg(count(lit(1)).as("n"))
 
+  /** BPE-ish regex tokenization: letter runs, digit runs, and
+    * punctuation runs as separate tokens (the GPT-2-style pre-tokenizer
+    * shape, ASCII-simplified — real BPE then merges within these spans,
+    * which never changes the span boundaries this counts). Codegen
+    * `regexp_extract_all`, no UDF. */
+  val BpeishPattern = "[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]+"
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpeishPattern), lit(0))
+
   /** Per-document token/char statistics (token counting). */
   def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(

@@ -820,6 +820,20 @@ object QueryDefs {
       None
     ),
 
+    // BPE-ish token counting: pre-tokenizer span counts (letter/digit/
+    // punct runs) — the whitespace-independent token accounting a
+    // training-data pipeline budgets with.
+    QueryDef(
+      "c15_bpe_tokens",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        size(Text.bpeishTokens(col("text"))).as("n_bpe_tokens")),
+      Some("""SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]+')) AS INTEGER)
+                  AS n_bpe_tokens
+              FROM documents""")
+    ),
+
     // Language-ID heuristic (marker-token argmax). The argmax + tie-break
     // (max score; larger language code on a tie, from the reversed
     // ascending struct sort) is mirrored in the oracle's CASE.

@@ -41,6 +41,13 @@ class TextSpec extends SparkSpec {
     assert(row.getInt(3) == 5)  // unique ("the" twice)
   }
 
+  test("bpeish tokens split letter/digit/punct runs, skip spaces") {
+    import spark.implicits._
+    val out = Seq("ab2 c!! de-7").toDF("text")
+      .select(Text.bpeishTokens($"text")).as[Seq[String]].collect().head
+    assert(out == Seq("ab", "2", "c", "!!", "de", "-", "7"))
+  }
+
   test("qualityScore: diversity and stopword ratio") {
     val row = Text.qualityScore(docs, "doc_id", "text")
       .filter($"doc_id" === 1).collect().head
