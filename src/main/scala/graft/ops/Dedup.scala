@@ -63,9 +63,15 @@ object Dedup {
     */
   def jaccardNearDup(docs: DataFrame, idCol: String, textCol: String,
                      n: Int, threshold: Double, maxDf: Option[Int] = None): DataFrame = {
-    val base = shingleArrays(docs, idCol, textCol, n)
+    // signature = sorted distinct shingle hashes, fused into one codegen
+    // pass ([[graft.functions.ShingleHashes]]) — the HOF chain it
+    // replaces (zip → concat lambda → hash lambda → sort) interpreted
+    // per element and was the dominant per-query cost after the
+    // prefix-filter rewrite
+    val base = docs
+      .select(col(idCol).as("doc"), Text.tokens(col(textCol)).as("__ws"))
       .select(col("doc"),
-        sort_array(transform(col("shs"), s => xxhash64(s))).as("sig"))
+        graft.functions.ShingleHashes.sortedShingleHashes(col("__ws"), n).as("sig"))
     val sigPruned = maxDf match {
       case Some(m) =>
         // hot set rides in as ONE broadcast row (bounded by postings/m;
