@@ -66,7 +66,62 @@ case class MinhashSignature(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** MinHash signature from PRE-HASHED shingles (the [[ShingleHashes]]
+  * output): same k-permutation scheme, minus the per-string hashing —
+  * bit-identical to [[MinhashSignature]] over the same shingle strings
+  * because both use XXH64(bytes, seed 42) as the base hash. */
+case class MinhashFromHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  // input: array<bigint> (shingle hashes); output: array<bigint> length k
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_from_hashes"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var p = 0
+      while (p < k) {
+        val hp = XXH64.hashLong(h, p)
+        if (hp < sig(p)) sig(p) = hp
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n"); val sig = ctx.freshName("sig")
+      val i = ctx.freshName("i"); val p = ctx.freshName("p")
+      val h = ctx.freshName("h"); val hp = ctx.freshName("hp")
+      s"""
+         |int $n = $x.numElements();
+         |long[] $sig = new long[$k];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $x.getLong($i);
+         |  for (int $p = 0; $p < $k; $p++) {
+         |    long $hp = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong($h, (long) $p);
+         |    if ($hp < $sig[$p]) $sig[$p] = $hp;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashFromHashes =
+    copy(child = newChild)
+}
+
 object MinhashSignature {
   def minhashSignature(shingles: Column, k: Int): Column =
     ColumnShim.column(MinhashSignature(ColumnShim.expression(shingles), k))
+  def minhashFromHashes(hashes: Column, k: Int): Column =
+    ColumnShim.column(MinhashFromHashes(ColumnShim.expression(hashes), k))
 }

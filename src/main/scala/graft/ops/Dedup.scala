@@ -129,9 +129,15 @@ object Dedup {
     * shuffle until the band join. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, k: Int): DataFrame =
-    shingleArrays(docs, idCol, textCol, n)
+    // shingle hashing fused ([[graft.functions.ShingleHashes]]) and fed
+    // straight into the k-permutation pass — bit-identical signatures to
+    // the string-shingle form (same XXH64 base hash), minus the
+    // interpreted shingle-string build
+    docs
+      .select(col(idCol).as("doc"), Text.tokens(col(textCol)).as("__ws"))
       .select(col("doc"),
-        graft.functions.MinhashSignature.minhashSignature(col("shs"), k).as("sig"))
+        graft.functions.MinhashSignature.minhashFromHashes(
+          graft.functions.ShingleHashes.sortedShingleHashes(col("__ws"), n), k).as("sig"))
 
   /** C13 (MinHash+LSH banding): approximate near-dup candidate pairs.
     *
@@ -169,21 +175,14 @@ object Dedup {
 
   /** SimHash: 64-bit signature where bit b is the sign of the sum of
     * (+1/-1) votes from each token's hash bit b. Hamming-close signatures
-    * ⇒ similar documents. Implemented as 64 conditional-sum aggregates
-    * (single shuffle, codegen) then bit-packed. */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol).as("doc"),
-      explode(Text.tokens(col(textCol))).as("token"))
-      .withColumn("h", xxhash64(col("token")))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$b")
-    }
-    val summed = tok.groupBy("doc").agg(bitSums.head, bitSums.tail: _*)
-    val packed = (0 until 64).map { b =>
-      when(col(s"s$b") > 0, shiftleft(lit(1L), b)).otherwise(0L)
-    }.reduce(_.bitwiseOR(_))
-    summed.select(col("doc"), packed.as("simhash"))
-  }
+    * ⇒ similar documents. One row-level pass
+    * ([[graft.functions.SimhashBits]]) — a pure projection with ZERO
+    * shuffles, replacing the explode → groupBy(doc) formulation that
+    * shuffled the entire token stream (same signatures: both hash tokens
+    * with XXH64 seed 42 and vote sum>0). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc"),
+      graft.functions.SimhashBits.simhashBits(Text.tokens(col(textCol))).as("simhash"))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
