@@ -117,12 +117,6 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** (doc, sh) posting list with shingles pre-hashed to 64-bit — the
-    * shuffle-friendly form every downstream op consumes. */
-  def hashedPostings(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    postings(docs, idCol, textCol, n)
-      .select(col("doc"), xxhash64(col("shingle")).as("sh"))
-
   /** MinHash signatures as a pure projection — the whole k-permutation
     * signature in one pass over each doc's shingle array
     * ([[graft.functions.MinhashSignature]]); no posting explode, no
