@@ -30,8 +30,10 @@ object Dedup {
       .select(col(idCol).as("doc"), Text.tokens(col(textCol)).as("__ws"))
       .select(col("doc"), Text.shinglesFromTokens(col("__ws"), n).as("shs"))
 
-  /** Distinct (docId, shingle) posting list — the inverted index both
-    * Jaccard and MinHash build on. */
+  /** Distinct (docId, shingle) posting list — the string-level inverted
+    * index (reference form of what the fused
+    * [[graft.functions.ShingleHashes]] pipeline computes hashed; also the
+    * shape the DuckDB oracles mirror). */
   def postings(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     shingleArrays(docs, idCol, textCol, n)
       .select(col("doc"), explode(col("shs")).as("shingle"))
