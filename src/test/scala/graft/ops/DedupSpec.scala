@@ -62,6 +62,19 @@ class DedupSpec extends SparkSpec {
     assert(got == expected, s"got $got, expected $expected")
   }
 
+  test("fused shingle hashes: sorted, distinct, empty for docs shorter than n") {
+    val rows = Seq((1L, "a b"), (2L, "a b c a b c a b c"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", graft.functions.ShingleHashes.sortedShingleHashes(
+        org.apache.spark.sql.functions.split($"text", " "), 3).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+      .toMap
+    assert(rows(1L).isEmpty)                       // 2 tokens < n=3
+    val s2 = rows(2L)
+    assert(s2 == s2.sorted && s2.distinct == s2)   // sorted + deduped
+    assert(s2.length == 3)                         // "a b c","b c a","c a b"
+  }
+
   test("jaccard plans the prefix-filter join: codegen intersect, no pair aggregate") {
     val plan = Dedup.jaccardNearDup(docs, "doc_id", "text", 3, 0.6, Some(100))
       .queryExecution.executedPlan.toString
