@@ -87,4 +87,18 @@ class PlanShapeSpec extends SparkSpec {
       s"no codegen span in:\n$plan")
   }
 
+  test("simhash signature is a zero-shuffle projection") {
+    val plan = graft.ops.Dedup.simhash(
+      Tables.read(spark, sf0001, "documents"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"simhash shuffled:\n$plan")
+  }
+
+  test("minhash signature is a zero-shuffle projection") {
+    val plan = graft.ops.Dedup.minhashSignatures(
+      Tables.read(spark, sf0001, "documents"), "doc_id", "text", n = 3, k = 32)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"minhash signatures shuffled:\n$plan")
+  }
+
 }
