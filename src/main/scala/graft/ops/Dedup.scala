@@ -256,8 +256,13 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("comp", col("node"))
+    // initialization fuses the first propagation round: with comp₀ = node,
+    // round 1 would compute least(node, min(neighbor)) — that's a plain
+    // aggregate over edges, no join needed, so start there (one fewer
+    // full edges⋈labels iteration at any scale)
+    var labels = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("comp"))
+      .select(col("src").as("node"), col("comp"))
       .localCheckpoint(true)
     def labelSum(df: DataFrame): Long =
       df.agg(sum(col("comp"))).collect().head.getLong(0)
