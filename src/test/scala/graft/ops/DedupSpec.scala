@@ -102,6 +102,31 @@ class DedupSpec extends SparkSpec {
     assert(ham(sig(1L), sig(3L)) < ham(sig(1L), sig(4L)))
   }
 
+  test("prefix-filter jaccard is lossless on random corpora (property)") {
+    // brute-force equality over randomized docs: any prefix-length bug
+    // (off-by-one, float-ceil boundary) shows up as a missing pair
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    for (trial <- 1 to 5; threshold <- Seq(0.3, 0.5, 0.7)) {
+      val corpus = (1L to 14L).map { id =>
+        val len = 4 + rnd.nextInt(9)
+        id -> Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      }
+      def sh3(s: String) = s.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      val sets = corpus.map { case (id, t) => id -> sh3(t) }.toMap
+      val expected = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        common = (sa & sb).size if common > 0
+        j = common.toDouble / (sa.size + sb.size - common) if j >= threshold
+      } yield (a, b) -> math.rint(j * 1e4) / 1e4).toMap
+      val got = Dedup.jaccardNearDup(corpus.toDF("doc_id", "text"), "doc_id", "text",
+        n = 3, threshold = threshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(got == expected,
+        s"trial $trial t=$threshold: got ${got.keySet}, expected ${expected.keySet}")
+    }
+  }
+
   test("simhash banded search finds hamming-close pairs, not unrelated docs") {
     val pairs = Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
