@@ -156,6 +156,26 @@ class DedupSpec extends SparkSpec {
     assert(found == expected)
   }
 
+  test("banded hamming search is lossless on random corpora (property)") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    for (trial <- 1 to 3; maxH <- Seq(2, 3, 5)) {
+      val corpus = (1L to 12L).map { id =>
+        id -> Seq.fill(5 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      }
+      val df = corpus.toDF("doc_id", "text")
+      val sig = Dedup.simhash(df, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = (for {
+        a <- sig.keys; b <- sig.keys if a < b
+        if java.lang.Long.bitCount(sig(a) ^ sig(b)) <= maxH
+      } yield (a, b)).toSet
+      val found = Dedup.simhashNearDup(df, "doc_id", "text", maxHamming = maxH)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(found == expected, s"trial $trial maxH=$maxH: $found vs $expected")
+    }
+  }
+
   test("connected components merge transitive duplicate chains") {
     val pairs = Seq(
       (1L, 2L), (2L, 3L),   // chain -> component 1

@@ -165,6 +165,22 @@ class StreamingSpec extends SparkSpec {
     assert(n == 1000L, s"expected all 1000 events aggregated, got $n")
   }
 
+  test("streaming sliding agg equals the batch run of the same expression") {
+    val events = Seq(
+      ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:40:00"),
+      ev(3, "2024-01-01 11:05:00", typ = "buy", v = 5.0)
+    )
+    val mem = MemoryStream[Ev]
+    val streamed = runStream(mem,
+      Streaming.slidingCounts(_, "1 hour", "30 minutes", "10 minutes"),
+      OutputMode.Complete(), Seq(events))
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = Streaming.slidingCounts(events.toDF(), "1 hour", "30 minutes", "10 minutes")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch)
+  }
+
   test("streaming tumbling agg equals the batch run of the same expression") {
     val events = Seq(
       ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:55:00"),
