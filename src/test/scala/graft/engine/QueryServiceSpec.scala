@@ -82,6 +82,20 @@ class QueryServiceSpec extends SparkSpec {
     }
   }
 
+  test("cancel yields CANCELLED via job-group cancellation") {
+    val svc = freshService()
+    // a plan slow enough to still be in flight when cancel lands: per-row
+    // sleep via a scalar UDF over a multi-partition range
+    val slow = org.apache.spark.sql.functions.udf((x: Long) => { Thread.sleep(2); x })
+    val df = spark.range(0, 20000, 1, 8)
+      .select(slow(org.apache.spark.sql.functions.col("id")).as("v"))
+    val id = svc.submitPlan(df)
+    assert(svc.cancel(id), "cancel on a queued/running query must return true")
+    assert(svc.await(id) == Cancelled)
+    // cancel on a finished query is a no-op
+    assert(!svc.cancel(id))
+  }
+
   test("registry survives close + reconstruct (reference Redis semantics)") {
     val dir = Files.createTempDirectory("graft-results").toString
     val cat = new Catalog(spark, sf0001)
