@@ -1,6 +1,52 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.util.control.NonFatal
+
 object Bench {
+
+  /** One timed run through the noop sink. Returns (seconds, error). A
+    * failure is REPORTED, never swallowed: a query that starts throwing
+    * must not bench as a ~0.1 s "speedup" (round-3 verdict, harness
+    * honesty). */
+  def once(spark: SparkSession, sfDir: String,
+           fn: (SparkSession, String) => DataFrame): (Double, Option[String]) = {
+    val t0 = System.nanoTime()
+    try {
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      ((System.nanoTime() - t0) / 1e9, None)
+    } catch {
+      case NonFatal(e) =>
+        ((System.nanoTime() - t0) / 1e9,
+          Some(e.getClass.getSimpleName + ": " +
+            String.valueOf(e.getMessage).replaceAll("[\"\\\\\n\r\t]", " ").take(120)))
+    }
+  }
+
+  /** Run every query best-of-2 and emit ONE compact JSON line. Returns
+    * (jsonLine, failedCount) so the main can exit nonzero on failures and
+    * specs can exercise the error path without a process exit. */
+  def runAll(spark: SparkSession, sfDir: String,
+             queries: Map[String, (SparkSession, String) => DataFrame]): (String, Int) = {
+    // best-of-2 per query: single-shot timings on this box swing 2-3x
+    // from background noise; the min measures the plan, not the noise.
+    // noop sink, not count(): count() lets Catalyst prune projections the
+    // count never reads (PERF.md finding 9); noop materializes every column.
+    val results = queries.map { case (name, fn) =>
+      val (t1, e1) = once(spark, sfDir, fn)
+      val (sec, err) =
+        if (e1.isDefined) (t1, e1) // broken: don't re-run, report
+        else { val (t2, e2) = once(spark, sfDir, fn); (math.min(t1, t2), e2) }
+      name -> (sec, err)
+    }
+    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, (v, _)) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, (_, Some(e))) => s"\"$k\":\"$e\"" }
+    val total = results.values.map(_._1).sum
+    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
+      s""""errors":${errs.mkString("{", ",", "}")},"failed":${errs.size},"sf":"$sfDir"}"""
+    (json, errs.size)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -8,7 +54,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      // 53 queries in one session: without frequent cleaner GC the
+      // 60+ queries in one session: without frequent cleaner GC the
       // accumulated broadcast/shuffle blocks from earlier queries choke
       // the memory store (default periodicGC is 30min — never fires here)
       .config("spark.cleaner.periodicGC.interval", "15s")
@@ -19,25 +65,10 @@ object Bench {
     try {
       spark.range(1000000L).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/region.parquet").count()
-    } catch { case _: Throwable => () }
-    // best-of-2 per query: single-shot timings on this box swing 2-3x
-    // from background noise; the min measures the plan, not the noise
-    // noop sink, not count(): count() lets Catalyst prune projections the
-    // count never reads, so projection-heavy queries were timed with their
-    // expensive expressions optimized away; noop materializes every column.
-    def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
-    }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> math.min(once(fn), once(fn))
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    } catch { case NonFatal(_) => () }
+    val (json, failed) = runAll(spark, sfDir, SparkEntry.queries)
+    println(json)
     spark.stop()
+    if (failed > 0) sys.exit(1)
   }
 }

@@ -57,6 +57,10 @@ final class Graft(
              condition: Option[String]): String =
     queries.submit(table, partitionColumn, partitionValue, fields, condition)
 
+  /** HAL `_links` for a submitted query (reference `app/main.py:492-500`):
+    * the follow-up hrefs a client can take from a submit response. */
+  def links(queryId: String): Map[String, String] = queries.links(queryId)
+
   def status(queryId: String): Option[QueryService.Status] = queries.status(queryId)
   def cancel(queryId: String): Boolean = queries.cancel(queryId)
   def preview(queryId: String, maxResults: Int = 26): Either[String, Seq[Seq[String]]] =

@@ -2,7 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.util.UUID
-import java.util.concurrent.{ConcurrentHashMap, Executors, ThreadFactory}
+import java.util.concurrent.{ConcurrentHashMap, Executors, ThreadFactory, TimeUnit}
 import scala.util.control.NonFatal
 
 /** Async query lifecycle + result-reuse cache (reference §3.1 transposed).
@@ -14,6 +14,8 @@ import scala.util.control.NonFatal
   * plan, a driver-side pool executes `df.write.csv` under a job group
   * (= the query id, so CANCELLED maps to `cancelJobGroup`), and a state
   * registry tracks QUEUED → RUNNING → SUCCEEDED | FAILED | CANCELLED.
+  * Transitions are compare-and-set so a concurrent cancel() always wins
+  * over the worker's QUEUED→RUNNING and RUNNING→SUCCEEDED moves.
   *
   * Result reuse: the reference canonicalized the SQL text (lowercase
   * unquoted tokens + sort condition tokens, `app/main.py:78-86`) — which
@@ -57,13 +59,15 @@ final class QueryService(
     resultDir: String,
     cacheTtlMillis: Long = QueryService.DefaultCacheTtlMillis,
     clock: () => Long = () => System.currentTimeMillis(),
-    poolSize: Int = 4
+    poolSize: Int = 4,
+    requestLog: (String, String) => Unit = (_, _) => ()
 ) extends AutoCloseable {
   import QueryService._
 
   private val states = new ConcurrentHashMap[String, State]()
   // semanticHash of the canonicalized analyzed plan -> (queryId, insertedAt)
   private val planCache = new ConcurrentHashMap[Int, (String, Long)]()
+  private val registryLock = new Object
   loadRegistry() // query ids + reuse cache survive a restart (Redis role)
   private val pool = Executors.newFixedThreadPool(poolSize, new ThreadFactory {
     def newThread(r: Runnable): Thread = {
@@ -72,6 +76,35 @@ final class QueryService(
   })
 
   def resultPath(queryId: String): String = s"$resultDir/$queryId"
+
+  /** Correlation-id request logging (reference's `log_requests` middleware,
+    * `app/main.py:31-49`: every request gets a uuid, logged with path +
+    * latency, echoed as X-Correlation-ID). Facade methods wrap their work
+    * in this; the sink is injectable (`requestLog`) so a host can forward
+    * to any logger. Returns the correlation id with the result. */
+  def logged[A](action: String)(body: => A): (String, A) = {
+    val cid = UUID.randomUUID().toString
+    val t0 = System.nanoTime()
+    try {
+      val out = body
+      requestLog(cid, f"$action time=${(System.nanoTime() - t0) / 1e6}%.2fms ok")
+      (cid, out)
+    } catch {
+      case NonFatal(e) =>
+        requestLog(cid, s"""$action err="${String.valueOf(e.getMessage)}"""")
+        throw e
+    }
+  }
+
+  /** HAL `_links` for a submitted query (`app/main.py:492-500`,
+    * draft-kelly-json-hal-01): the follow-up actions a client can take,
+    * keyed exactly like the reference's response. */
+  def links(queryId: String): Map[String, String] = Map(
+    "self" -> s"/query/$queryId",
+    "status" -> s"/query/$queryId/status",
+    "preview" -> s"/query/$queryId/preview",
+    "export" -> s"/query/$queryId/export"
+  )
 
   /** Submit the reference's query shape; returns immediately with a query
     * id (cache hit returns the prior id without re-execution). */
@@ -86,8 +119,24 @@ final class QueryService(
 
   private def failedQuery(e: Throwable): String = {
     val queryId = UUID.randomUUID().toString
-    states.put(queryId, Failed(String.valueOf(e.getMessage)))
+    putState(queryId, Failed(String.valueOf(e.getMessage)))
     queryId
+  }
+
+  // ── state transitions: every successful move is write-through appended
+  //    to the registry log, so a kill -9 loses nothing (the reference's
+  //    Redis persisted each transition as it happened) ───────────────────
+
+  private def putState(queryId: String, st: State): Unit = {
+    states.put(queryId, st)
+    appendRegistry(stateLine(queryId, st))
+  }
+
+  /** CAS move; appends + returns true only if the transition won. */
+  private def casState(queryId: String, from: State, to: State): Boolean = {
+    val won = states.replace(queryId, from, to)
+    if (won) appendRegistry(stateLine(queryId, to))
+    won
   }
 
   /** Submit an arbitrary DataFrame as an async query (the engine surface
@@ -108,22 +157,29 @@ final class QueryService(
       return cached._1
     }
     val queryId = UUID.randomUUID().toString
-    states.put(queryId, Queued)
+    putState(queryId, Queued)
     planCache.put(key, (queryId, now))
+    appendRegistry(s"C\t$key\t$queryId\t$now")
     pool.submit(new Runnable {
       def run(): Unit = {
-        if (states.get(queryId) == Cancelled) return
-        states.put(queryId, Running)
+        // CAS: if cancel() flipped QUEUED→CANCELLED first, replace fails
+        // and we never run (the old get-then-put lost this race and
+        // overwrote CANCELLED with RUNNING)
+        if (!casState(queryId, Queued, Running)) return
         try {
           spark.sparkContext.setJobGroup(queryId, s"graft query $queryId",
             interruptOnCancel = true)
+          // cancelJobGroup before setJobGroup is a no-op interrupt:
+          // re-check state now that the group is registered, so a cancel
+          // that raced the gap above still stops the query
+          if (states.get(queryId) == Cancelled) return
           df.write.option("header", "true").mode("overwrite")
             .csv(resultPath(queryId))
-          states.put(queryId, Succeeded)
+          // CAS again: a cancel that landed mid-write wins the final state
+          casState(queryId, Running, Succeeded)
         } catch {
           case NonFatal(e) =>
-            if (states.get(queryId) == Cancelled) () // cancel wins
-            else states.put(queryId, Failed(String.valueOf(e.getMessage)))
+            casState(queryId, Running, Failed(String.valueOf(e.getMessage)))
         } finally spark.sparkContext.clearJobGroup()
       }
     })
@@ -144,14 +200,12 @@ final class QueryService(
   }
 
   /** CANCELLED state via Spark job-group cancellation. */
-  def cancel(queryId: String): Boolean =
-    Option(states.get(queryId)) match {
-      case Some(Queued) | Some(Running) =>
-        states.put(queryId, Cancelled)
-        spark.sparkContext.cancelJobGroup(queryId)
-        true
-      case _ => false
-    }
+  def cancel(queryId: String): Boolean = {
+    val won = casState(queryId, Queued, Cancelled) ||
+      casState(queryId, Running, Cancelled)
+    if (won) spark.sparkContext.cancelJobGroup(queryId)
+    won
+  }
 
   /** Preview (`app/main.py:361-424`): first `maxResults` rows of a
     * finished result **including the header as row 0**, every cell a
@@ -188,53 +242,77 @@ final class QueryService(
 
   // ── durable registry (reference role: Redis, `app/redis_setup.py:1-6`,
   //    shared by workers and surviving API restarts, `app/main.py:472-488`).
-  //    Here: a TSV snapshot in the result dir, written on close and loaded
-  //    on construction, so a client polling a query id after an engine
-  //    restart still gets status instead of "unknown query id". ──────────
+  //    Here: an append-only TSV transition log in the result dir — every
+  //    state change lands on disk as it happens (write-through, so even a
+  //    crashed engine resolves old query ids after restart), compacted to
+  //    a clean snapshot on close. Last line per id wins on load. ─────────
 
   private def registryPath = java.nio.file.Paths.get(resultDir, "_registry.tsv")
+
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+
+  private def stateLine(id: String, st: State): String = {
+    val (name, err) = st match {
+      case Succeeded => ("SUCCEEDED", "")
+      case Cancelled => ("CANCELLED", "")
+      case Failed(e) => ("FAILED", b64(String.valueOf(e)))
+      case Queued => ("QUEUED", "")
+      case Running => ("RUNNING", "")
+    }
+    s"S\t$id\t$name\t$err"
+  }
+
+  private def appendRegistry(line: String): Unit = registryLock.synchronized {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(resultDir))
+    java.nio.file.Files.write(registryPath, (line + "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+  }
 
   private def loadRegistry(): Unit = {
     import scala.jdk.CollectionConverters._
     if (!java.nio.file.Files.exists(registryPath)) return
     java.nio.file.Files.readAllLines(registryPath).asScala.foreach { line =>
-      line.split("\t", -1) match {
-        case Array("S", id, name, err) =>
-          val st = name match {
-            case "SUCCEEDED" => Succeeded
-            case "CANCELLED" => Cancelled
-            case _ => Failed(new String(
-              java.util.Base64.getDecoder.decode(err), "UTF-8"))
-          }
-          states.put(id, st)
-        case Array("C", key, id, at) => planCache.put(key.toInt, (id, at.toLong))
-        case _ => ()
-      }
+      // best-effort cache state: a corrupt/truncated line (crash mid-append)
+      // is skipped, never a constructor failure that bricks the service
+      try {
+        line.split("\t", -1) match {
+          case Array("S", id, name, err) =>
+            val st = name match {
+              case "SUCCEEDED" => Succeeded
+              case "CANCELLED" => Cancelled
+              // in-flight at crash: the Spark job died with the JVM
+              case "QUEUED" | "RUNNING" => Failed("interrupted by engine restart")
+              case _ => Failed(new String(
+                java.util.Base64.getDecoder.decode(err), "UTF-8"))
+            }
+            states.put(id, st) // later lines overwrite: last transition wins
+          case Array("C", key, id, at) => planCache.put(key.toInt, (id, at.toLong))
+          case _ => ()
+        }
+      } catch { case NonFatal(_) => () }
     }
   }
 
+  /** Clean-shutdown compaction: one line per id instead of the transition
+    * log (loads are last-wins either way; this just keeps the file small). */
   private def persistRegistry(): Unit = {
-    val b64 = (s: String) =>
-      java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
     val sb = new StringBuilder
-    states.forEach { (id, st) =>
-      // a query still in flight at shutdown cannot resume (its Spark job
-      // died with the JVM): snapshot it as FAILED, honestly
-      val (name, err) = st match {
-        case Succeeded => ("SUCCEEDED", "")
-        case Cancelled => ("CANCELLED", "")
-        case Failed(e) => ("FAILED", b64(String.valueOf(e)))
-        case Queued | Running => ("FAILED", b64("interrupted by engine restart"))
-      }
-      sb.append(s"S\t$id\t$name\t$err\n")
-    }
+    states.forEach { (id, st) => sb.append(stateLine(id, st)).append("\n") }
     planCache.forEach { (k, v) => sb.append(s"C\t$k\t${v._1}\t${v._2}\n") }
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(resultDir))
-    java.nio.file.Files.write(registryPath, sb.toString.getBytes("UTF-8"))
+    registryLock.synchronized {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(resultDir))
+      java.nio.file.Files.write(registryPath, sb.toString.getBytes("UTF-8"))
+    }
   }
 
   def close(): Unit = {
     pool.shutdown()
+    // let in-flight queries finish (bounded) before snapshotting: a query
+    // that completes during shutdown must be recorded SUCCEEDED, not
+    // frozen as interrupted (round-3 advisor finding)
+    if (!pool.awaitTermination(30, TimeUnit.SECONDS)) pool.shutdownNow()
     persistRegistry()
   }
 }

@@ -162,11 +162,12 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       // one whole-stage-codegen method must not redeclare the same variable
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val c = ctx.freshName("c")
+      val n1 = ctx.freshName("n1"); val n2 = ctx.freshName("n2")
       val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
       s"""
          |int $i = 0, $j = 0, $c = 0;
-         |int ${i}n = $x.numElements(), ${j}n = $y.numElements();
-         |while ($i < ${i}n && $j < ${j}n) {
+         |int $n1 = $x.numElements(), $n2 = $y.numElements();
+         |while ($i < $n1 && $j < $n2) {
          |  long $xv = $x.getLong($i); long $yv = $y.getLong($j);
          |  if ($xv == $yv) { $c++; $i++; $j++; }
          |  else if ($xv < $yv) { $i++; } else { $j++; }

@@ -63,8 +63,14 @@ object Dedup {
     * fraction of postings) and the two signature join-backs; `maxDf`
     * bounds the df of any prefix key, keeping pair-gen near-linear.
     */
+  /** Above this many hot shingles the maxDf prune switches from a single
+    * broadcast array row to a distributed anti-join: 4M longs ≈ 32 MB —
+    * comfortably broadcastable, far below single-array/task limits. */
+  val HotShingleBroadcastLimit: Long = 4000000L
+
   def jaccardNearDup(docs: DataFrame, idCol: String, textCol: String,
-                     n: Int, threshold: Double, maxDf: Option[Int] = None): DataFrame = {
+                     n: Int, threshold: Double, maxDf: Option[Int] = None,
+                     hotBroadcastLimit: Long = HotShingleBroadcastLimit): DataFrame = {
     // signature = sorted distinct shingle hashes, fused into one codegen
     // pass ([[graft.functions.ShingleHashes]]) — the HOF chain it
     // replaces (zip → concat lambda → hash lambda → sort) interpreted
@@ -76,14 +82,31 @@ object Dedup {
         graft.functions.ShingleHashes.sortedShingleHashes(col("__ws"), n).as("sig"))
     val sigPruned = maxDf match {
       case Some(m) =>
-        // hot set rides in as ONE broadcast row (bounded by postings/m;
-        // a tiny Zipf head in practice) — signature pruning stays a
-        // map-side projection, no re-grouping shuffle
-        val hotArr = base.select(explode(col("sig")).as("sh"))
+        // hot shingles (df > m) are computed as a DISTRIBUTED frame; how
+        // they are applied adapts to their measured size. The previous
+        // shape — collect_list into ONE array row, broadcast it — funnels
+        // postings/m elements through a single task and past array/
+        // broadcast limits at 100 TB (round-3 advisor finding), so the
+        // single-row form is now gated on an actual count.
+        val hot = base.select(explode(col("sig")).as("sh"))
           .groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") > m)
-          .agg(collect_list(col("sh")).as("hot"))
-        base.crossJoin(broadcast(hotArr))
-          .select(col("doc"), array_except(col("sig"), col("hot")).as("sig"))
+          .select("sh").localCheckpoint(true) // count + reuse: one pass
+        if (hot.count() <= hotBroadcastLimit) {
+          // small Zipf head (the common case): ship it as one broadcast
+          // array row so pruning stays a map-side projection — no
+          // re-grouping shuffle of the corpus postings
+          val hotArr = hot.agg(collect_list(col("sh")).as("hot"))
+          base.crossJoin(broadcast(hotArr))
+            .select(col("doc"), array_except(col("sig"), col("hot")).as("sig"))
+        } else {
+          // scale path: fully-distributed anti-join on exploded postings
+          // then re-group to sorted signatures. Costs one extra postings
+          // shuffle (the groupBy doc) but never a driver-side funnel —
+          // both joins and the regroup partition across the cluster.
+          base.select(col("doc"), explode(col("sig")).as("sh"))
+            .join(hot.hint("SHUFFLE_HASH"), Seq("sh"), "left_anti")
+            .groupBy("doc").agg(sort_array(collect_list(col("sh"))).as("sig"))
+        }
       case None => base
     }
     // localCheckpoint: sets feed the prefix explode AND both candidate
@@ -251,8 +274,24 @@ object Dedup {
 
   /** [[connectedComponents]] plus the number of propagation rounds it took
     * to converge (the scale metric: each round is a full edges⋈labels
-    * shuffle, so rounds ARE the cost of the operator). */
-  def connectedComponentsWithRounds(pairs: DataFrame, maxIter: Int = 20): (DataFrame, Int) = {
+    * shuffle, so rounds ARE the cost of the operator).
+    *
+    * Pointer jumping (comp := comp of comp) turns a diameter-d chain from
+    * O(d) rounds into O(log d), but each jump is an extra labels self-join
+    * + checkpoint per round — measured SLOWER on the shallow component
+    * graphs real dedup corpora produce (PERF.md round-4 A/B: every round
+    * paid the self-join, none saved a round). So jumping is GATED: plain
+    * min-propagation for the first `jumpFromRound - 1` rounds — enough for
+    * the common diameter ≤ 3 clusters to converge without ever paying it —
+    * then doubling kicks in for genuinely deep graphs.
+    *
+    * Throws [[IllegalStateException]] when `maxIter` is exhausted before
+    * convergence: partial labels are WRONG clusters, and at scale a silent
+    * partial result would poison a dedup pass with no signal (round-3
+    * verdict, wrong #3).
+    */
+  def connectedComponentsWithRounds(pairs: DataFrame, maxIter: Int = 20,
+                                    jumpFromRound: Int = 3): (DataFrame, Int) = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true)
@@ -278,18 +317,17 @@ object Dedup {
         .select(col("node"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
         .localCheckpoint(true)
-      // pointer jumping: follow the label one extra hop (comp := comp of
-      // comp) each round — labels chase the component minimum at doubling
-      // speed, so a diameter-d chain converges in O(log d) rounds instead
-      // of O(d). `comp` is always a node id present in `prop`, but the
-      // join stays `left` + coalesce so a missing parent degrades to the
+      // `comp` is always a node id present in `prop`, but the jump join
+      // stays `left` + coalesce so a missing parent degrades to the
       // un-jumped label rather than dropping the node.
-      val parent = prop.select(col("node").as("p_node"), col("comp").as("p_comp"))
-      val updated = prop
-        .join(parent, prop("comp") === parent("p_node"), "left")
-        .select(prop("node"),
-          least(col("comp"), coalesce(col("p_comp"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
+      val updated = if (i + 1 >= jumpFromRound) {
+        val parent = prop.select(col("node").as("p_node"), col("comp").as("p_comp"))
+        prop
+          .join(parent, prop("comp") === parent("p_node"), "left")
+          .select(prop("node"),
+            least(col("comp"), coalesce(col("p_comp"), col("comp"))).as("comp"))
+          .localCheckpoint(true)
+      } else prop
       // labels only ever decrease, so the label sum is a strictly
       // decreasing convergence witness — one aggregate on the already-
       // checkpointed frame instead of a self-join diff count
@@ -299,6 +337,10 @@ object Dedup {
       labels = updated
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxIter rounds — " +
+          "partial labels would be wrong clusters; raise maxIter")
     (labels, i)
   }
 

@@ -22,6 +22,13 @@ class GraftSpec extends SparkSpec {
       val pv = g.preview(id, 5).toOption.get
       assert(pv.head == Seq("l_orderkey", "l_extendedprice") && pv.length <= 5)
 
+      // HAL _links on the submitted query (reference app/main.py:492-500)
+      assert(g.links(id) == Map(
+        "self" -> s"/query/$id",
+        "status" -> s"/query/$id/status",
+        "preview" -> s"/query/$id/preview",
+        "export" -> s"/query/$id/export"))
+
       g.export(id, "json")
       val done = g.awaitExport(id, "json")
       assert(done.isInstanceOf[export.ExportService.Done])

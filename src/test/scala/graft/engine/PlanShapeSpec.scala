@@ -94,6 +94,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"simhash shuffled:\n$plan")
   }
 
+  test("lsh pair generation shuffles ids only — vectors join back after dedup") {
+    // a 64-float vector is ~512B vs an 8B id: the bucket self-join and the
+    // candidate dedup must exchange ids, with vectors joined back per
+    // surviving pair (round-3 verdict scale-weak #2)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val emb = Tables.read(spark, sf0001, "embeddings")
+      val plan = graft.ops.Similarity
+        .lshCandidatePairs(emb, "vec_id", "embedding")
+        .queryExecution.executedPlan
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val pairExchanges = plan.collect {
+        case e: ShuffleExchangeExec
+          if e.child.output.exists(_.name == "bucket") ||
+            (e.child.output.exists(_.name == "id_a") &&
+              e.child.output.exists(_.name == "id_b")) => e
+      }
+      assert(pairExchanges.nonEmpty, s"no pair exchanges found in:\n$plan")
+      pairExchanges.foreach { e =>
+        val names = e.child.output.map(_.name)
+        assert(!names.exists(n => n.startsWith("vec_") || n == "embedding"),
+          s"pair exchange carries vectors: $names in:\n$plan")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("minhash signature is a zero-shuffle projection") {
     val plan = graft.ops.Dedup.minhashSignatures(
       Tables.read(spark, sf0001, "documents"), "doc_id", "text", n = 3, k = 32)

@@ -114,6 +114,55 @@ class QueryServiceSpec extends SparkSpec {
     svc2.close()
   }
 
+  test("registry is write-through: a crashed engine (no close) still resolves ids") {
+    val dir = Files.createTempDirectory("graft-results").toString
+    val cat = new Catalog(spark, sf0001)
+    val svc = new QueryService(spark, cat, dir)
+    val id = svc.submit("region", "r_name", "ASIA")
+    assert(svc.await(id) == Succeeded)
+    // NO close(): simulate kill -9 — the transition log must already be
+    // on disk (the reference's Redis persisted every transition live)
+    val svc2 = new QueryService(spark, cat, dir)
+    val st = svc2.status(id)
+    assert(st.exists(_.state == Succeeded), s"status after crash-restart: $st")
+    // reuse cache survived too
+    assert(svc2.submit("region", "r_name", "ASIA") == id)
+    svc2.close()
+  }
+
+  test("registry load skips corrupt lines instead of failing construction") {
+    val dir = Files.createTempDirectory("graft-results").toString
+    val cat = new Catalog(spark, sf0001)
+    val svc = new QueryService(spark, cat, dir)
+    val id = svc.submit("region", "r_name", "AFRICA")
+    assert(svc.await(id) == Succeeded)
+    svc.close()
+    // corrupt the registry: a non-numeric cache key and a truncated line
+    val reg = java.nio.file.Paths.get(dir, "_registry.tsv")
+    java.nio.file.Files.write(reg,
+      "C\tnot_an_int\tx\tnot_a_long\nS\ttrunc".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.APPEND)
+    val svc2 = new QueryService(spark, cat, dir) // must not throw
+    assert(svc2.status(id).exists(_.state == Succeeded))
+    svc2.close()
+  }
+
+  test("in-flight state in a crashed registry loads as FAILED(interrupted)") {
+    val dir = Files.createTempDirectory("graft-results").toString
+    val cat = new Catalog(spark, sf0001)
+    // hand-write a log whose last transition is RUNNING (crash mid-query)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val id = java.util.UUID.randomUUID().toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_registry.tsv"),
+      s"S\t$id\tQUEUED\t\nS\t$id\tRUNNING\t\n".getBytes("UTF-8"))
+    val svc = new QueryService(spark, cat, dir)
+    svc.status(id).map(_.state) match {
+      case Some(Failed(msg)) => assert(msg.contains("interrupted"))
+      case other => fail(s"expected Failed(interrupted...), got $other")
+    }
+    svc.close()
+  }
+
   test("status on a finished query carries 3600s result expiry metadata") {
     var now = 5000L
     val svc = freshService(clock = () => now)
@@ -125,6 +174,26 @@ class QueryServiceSpec extends SparkSpec {
     // unfinished/unknown queries carry no expiry
     assert(svc.status("00000000-0000-0000-0000-000000000000")
       .forall(_.expiresAtMillis.isEmpty))
+  }
+
+  test("request-correlation logging: uuid per request, latency + error logged") {
+    val logs = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val dir = Files.createTempDirectory("graft-results").toString
+    val svc = new QueryService(spark, new Catalog(spark, sf0001), dir,
+      requestLog = (cid, msg) => logs.synchronized { logs += ((cid, msg)) })
+    val (cid, id) = svc.logged("GET /query/region/ASIA") {
+      svc.submit("region", "r_name", "ASIA")
+    }
+    assert(isValidQueryId(cid) && isValidQueryId(id) && cid != id)
+    assert(logs.exists { case (c, m) =>
+      c == cid && m.startsWith("GET /query/region/ASIA") && m.contains("ms ok") })
+    // errors are logged with the same correlation id, reference log_error
+    val boom = intercept[RuntimeException] {
+      svc.logged("GET /boom") { sys.error("kapow") }
+    }
+    assert(boom.getMessage == "kapow")
+    assert(logs.exists { case (_, m) => m.contains("""err="kapow"""") })
+    svc.close()
   }
 
   test("failed query reports FAILED and is not cached for reuse") {

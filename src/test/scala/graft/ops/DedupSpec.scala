@@ -201,6 +201,48 @@ class DedupSpec extends SparkSpec {
     assert(rounds <= 7, s"expected sub-diameter convergence, got $rounds rounds")
   }
 
+  test("distributed hot-shingle prune matches the broadcast-array path") {
+    // the maxDf cut has two physical shapes (small hot set -> broadcast
+    // array projection; huge hot set -> distributed anti-join + regroup);
+    // forcing the limit to -1 exercises the scale path — results must be
+    // identical pair-for-pair
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "the quick brown fox jumps over the lazy cat today"),
+      (4L, "completely different words appear in this other document here now"))
+      .toDF("doc_id", "text")
+    def run(limit: Long) =
+      Dedup.jaccardNearDup(corpus, "doc_id", "text", n = 3, threshold = 0.3,
+        maxDf = Some(2), hotBroadcastLimit = limit)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val broadcastPath = run(Dedup.HotShingleBroadcastLimit)
+    val distributedPath = run(-1L)
+    assert(distributedPath == broadcastPath, s"$distributedPath vs $broadcastPath")
+    assert(broadcastPath.nonEmpty) // the cut fires AND pairs survive
+  }
+
+  test("connected components throw when maxIter is exhausted before convergence") {
+    // silent partial labels are wrong clusters; the operator must fail
+    // loudly instead (a diameter-11 chain cannot settle in one round)
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponentsWithRounds(chain, maxIter = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("pointer jumping is gated: plain rounds first, doubling only when deep") {
+    // a single-edge graph converges before the jump gate opens — same
+    // labels as a run with jumping forced from round 1
+    val tiny = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val (l1, r1) = Dedup.connectedComponentsWithRounds(tiny, maxIter = 5, jumpFromRound = 1)
+    val (l2, r2) = Dedup.connectedComponentsWithRounds(tiny, maxIter = 5, jumpFromRound = 100)
+    assert(l1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      l2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    assert(r1 == r2) // shallow graph: jumping saved nothing
+  }
+
   test("hamming column matches bitCount") {
     val out = Seq((0x0FL, 0x00L)).toDF("a", "b")
       .select(Dedup.hamming($"a", $"b")).as[Long].collect().head

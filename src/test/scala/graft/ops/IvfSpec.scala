@@ -31,6 +31,27 @@ class IvfSpec extends SparkSpec {
     assert(sims.sameElements(sims.sorted.reverse))
   }
 
+  test("IVF recall >= 0.8 vs brute force on a clustered corpus (gate)") {
+    // planted structure, deterministic seeds: degraded centroids/nprobe
+    // must fail this, not silently return 10 plausible rows
+    val rnd = new scala.util.Random(13)
+    val rows = for (c <- 0 until 20; centre = Array.fill(64)(rnd.nextGaussian());
+                    m <- 0 until 10)
+      yield ((c * 10 + m).toLong,
+        centre.map(v => (v + 0.03 * rnd.nextGaussian()).toFloat))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val q = corpus.filter($"vec_id" === 0L)
+    val rest = corpus.filter($"vec_id" =!= 0L)
+    val exact = Similarity.bruteForceTopK(rest, "vec_id", "embedding",
+      q, "embedding", k = 9).collect().map(_.getLong(0)).toSet
+    val centroids = Ivf.trainCentroids(corpus, "embedding", k = 8, maxIter = 5)
+    val approx = Ivf.topK(rest, "vec_id", "embedding", q, "embedding",
+      k = 9, centroids, nprobe = 2).collect().map(_.getLong(0)).toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    info(f"IVF recall = $recall%.2f")
+    assert(recall >= 0.8, s"IVF recall degraded to $recall")
+  }
+
   test("probing more cells can only grow the candidate set") {
     val emb = graft.engine.Tables.read(spark, sf0001, "embeddings")
     val centroids = Ivf.trainCentroids(emb, "embedding", k = 8, maxIter = 5)

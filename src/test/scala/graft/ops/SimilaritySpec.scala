@@ -52,6 +52,54 @@ class SimilaritySpec extends SparkSpec {
     assert(exact.size == 10)
   }
 
+  // ── quantitative recall gates (round-3 verdict #6): a future change to
+  //    planes/tables/nprobe that quietly destroys recall must FAIL here,
+  //    not just keep returning 10 plausible rows. Clustered corpus with
+  //    planted structure (deterministic seed) so true neighbors are
+  //    unambiguous — random near-orthogonal vectors can't gate recall. ──
+
+  /** 20 clusters × 10 jittered members, dim 64: within a cluster cosine
+    * ≈ 0.999, across clusters ≈ 0. id = cluster*10 + member. */
+  private def clusteredCorpus = {
+    val rnd = new scala.util.Random(13)
+    val rows = for (c <- 0 until 20; centre = Array.fill(64)(rnd.nextGaussian());
+                    m <- 0 until 10)
+      yield ((c * 10 + m).toLong,
+        centre.map(v => (v + 0.03 * rnd.nextGaussian()).toFloat))
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private def recall(approx: Set[Long], exact: Set[Long]): Double =
+    (approx & exact).size.toDouble / exact.size
+
+  test("lshTopK recall >= 0.8 vs brute force on the clustered corpus") {
+    val corpus = clusteredCorpus
+    val q = corpus.filter($"vec_id" === 0L)
+    val rest = corpus.filter($"vec_id" =!= 0L)
+    val exact = Similarity.bruteForceTopK(rest, "vec_id", "embedding",
+      q, "embedding", k = 9).collect().map(_.getLong(0)).toSet
+    assert(exact == (1L to 9L).toSet, s"brute force must find cluster 0: $exact")
+    val ann = Similarity.lshTopK(rest, "vec_id", "embedding",
+      q, "embedding", k = 9).collect().map(_.getLong(0)).toSet
+    val r = recall(ann, exact)
+    info(f"lshTopK recall = $r%.2f")
+    assert(r >= 0.8, s"lshTopK recall degraded to $r (ann=$ann)")
+  }
+
+  test("lshCandidatePairs recall >= 0.8 on planted within-cluster pairs") {
+    val corpus = clusteredCorpus
+    // ground truth: all 20*45 within-cluster pairs have cosine >= 0.99
+    val truePairs = (for (c <- 0 until 20; a <- 0 until 10; b <- a + 1 until 10)
+      yield ((c * 10 + a).toLong, (c * 10 + b).toLong)).toSet
+    val found = Dedup.embeddingNearDup(corpus, "vec_id", "embedding", threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r = (found & truePairs).size.toDouble / truePairs.size
+    info(f"embedding near-dup pair recall = $r%.2f over ${truePairs.size} pairs")
+    assert(r >= 0.8, s"pair recall degraded to $r")
+    // and no cross-cluster false positives above the threshold
+    assert((found -- truePairs).isEmpty, s"false pairs: ${found -- truePairs}")
+  }
+
   test("embeddingNearDup surfaces only above-threshold cosine pairs") {
     val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
     val near = base.clone(); near(5) = near(5) * 1.001f
