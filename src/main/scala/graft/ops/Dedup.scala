@@ -344,6 +344,32 @@ object Dedup {
     (labels, i)
   }
 
+  /** Test-set decontamination: drop every corpus document that shares at
+    * least one word n-gram with the benchmark set (the n-gram-overlap
+    * rule — GPT-3 used 13-grams, Gopher/MassiveText 8-grams — standard in
+    * large-scale training-data pipelines to keep eval sets out of the
+    * training corpus).
+    *
+    * Scale shape: the benchmark is tiny relative to a 100 TB corpus, so
+    * its distinct shingle-hash set BROADCASTS; finding contaminated ids is
+    * then a map-side semi-join over the corpus postings (corpus never
+    * shuffles), and removal is a broadcast anti-join of the (small)
+    * contaminated-id set — two streaming passes over the corpus, zero
+    * corpus-sized shuffles. Shingling reuses the fused
+    * [[graft.functions.ShingleHashes]] codegen pass. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, n: Int = 8): DataFrame = {
+    def postingsOf(df: DataFrame) = df
+      .select(col(idCol).as("doc"), Text.tokens(col(textCol)).as("__ws"))
+      .select(col("doc"),
+        explode(graft.functions.ShingleHashes.sortedShingleHashes(col("__ws"), n)).as("sh"))
+    val benchSh = broadcast(postingsOf(benchmark).select("sh").distinct())
+    val contaminated = postingsOf(corpus)
+      .join(benchSh, Seq("sh"), "left_semi")
+      .select(col("doc")).distinct()
+    corpus.join(broadcast(contaminated), corpus(idCol) === contaminated("doc"), "left_anti")
+  }
+
   /** Embedding-cosine near-dup pairs; delegates candidate generation to
     * the LSH path in [[Similarity]] and filters by cosine threshold. */
   def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,

@@ -138,6 +138,28 @@ object Text {
     )
   }
 
+  /** Repetition signals (the Gopher-style repetitious-text filters, Rae et
+    * al. 2021 §A1.1): fraction of duplicate word n-grams per document,
+    * `1 − distinct_ngrams / total_ngrams` for n ∈ {2, 3}. High values mark
+    * degenerate boilerplate/looping text that LLM-data pipelines drop.
+    * Distinct counts reuse the fused [[graft.functions.ShingleHashes]]
+    * pass (sorted distinct hashes), so the whole metric is one codegen
+    * projection — no shuffle, no per-element lambda. */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = tokens(col(textCol))
+    def dupFrac(n: Int): Column = {
+      val total = (size(ws) - (n - 1)).cast("double")
+      when(size(ws) >= n,
+        round(lit(1.0) -
+          size(graft.functions.ShingleHashes.sortedShingleHashes(ws, n))
+            .cast("double") / total, 4))
+        .otherwise(lit(0.0))
+    }
+    docs.select(col(idCol),
+      dupFrac(2).as("dup2_frac"),
+      dupFrac(3).as("dup3_frac"))
+  }
+
   /** Document fingerprint: order-sensitive 64-bit rolling hash of the token
     * stream (hash chaining: acc' = xxhash64(acc, token), which is
     * position-sensitive and never overflows under ANSI mode, unlike a

@@ -764,6 +764,26 @@ object QueryDefs {
               FROM documents""")
     ),
 
+    // C15 repetition signals (Gopher-style duplicate-n-gram fractions):
+    // distinct n-gram counts via the fused ShingleHashes pass — one
+    // codegen projection, no shuffle. Oracle counts distinct string
+    // n-grams with a DuckDB list comprehension.
+    QueryDef(
+      "c15_repetition",
+      (s, d) => Text.repetitionSignals(t(s, d, "documents"), "doc_id", "text"),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+              SELECT doc_id,
+                CASE WHEN len(ws) >= 2 THEN round(1.0 -
+                  len(list_distinct([ws[i] || ' ' || ws[i+1]
+                                     for i in generate_series(1, len(ws)-1)]))::DOUBLE
+                  / (len(ws)-1), 4) ELSE 0.0 END AS dup2_frac,
+                CASE WHEN len(ws) >= 3 THEN round(1.0 -
+                  len(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                     for i in generate_series(1, len(ws)-2)]))::DOUBLE
+                  / (len(ws)-2), 4) ELSE 0.0 END AS dup3_frac
+              FROM toks""")
+    ),
+
     // TF-IDF scores for one document's terms (full-corpus df), top-20 by
     // score with a term tie-break so LIMIT is total-ordered.
     QueryDef(
@@ -974,6 +994,31 @@ object QueryDefs {
               SELECT lang, count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars
               FROM kept WHERE doc_id NOT IN (SELECT doc_b FROM dups)
               GROUP BY lang""")
+    ),
+
+    // C24 test-set decontamination: docs 0-49 stand in as the held-out
+    // benchmark; drop every remaining doc sharing an 8-gram with them
+    // (the GPT-3/Gopher n-gram-overlap rule). Benchmark shingles and the
+    // contaminated-id set both broadcast — the corpus never shuffles.
+    QueryDef(
+      "c24_decontaminate",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.decontaminate(
+          docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+          "doc_id", "text", n = 8)
+          .select(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+                sh AS (SELECT DISTINCT doc_id AS doc,
+                         ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||
+                         ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7] AS shingle
+                       FROM toks, UNNEST(generate_series(1, len(ws) - 7)) t(i)),
+                bench AS (SELECT DISTINCT shingle FROM sh WHERE doc < 50),
+                bad AS (SELECT DISTINCT doc FROM sh
+                        WHERE doc >= 50 AND shingle IN (SELECT shingle FROM bench))
+              SELECT doc_id FROM documents
+              WHERE doc_id >= 50 AND doc_id NOT IN (SELECT doc FROM bad)""")
     ),
 
     // ── C17-C21: event-time windows (batch equivalents of the streaming

@@ -243,6 +243,37 @@ class DedupSpec extends SparkSpec {
     assert(r1 == r2) // shallow graph: jumping saved nothing
   }
 
+  test("decontaminate drops exactly the docs sharing an n-gram with the benchmark") {
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      // shares the 8-gram "beta gamma ... iota" (offset copy) -> dropped
+      (1L, "xx beta gamma delta epsilon zeta eta theta iota yy"),
+      // shares only a 7-gram (one word changed) -> kept
+      (2L, "alpha beta gamma delta epsilon zeta eta CHANGED iota kappa"),
+      // disjoint vocabulary -> kept
+      (3L, "one two three four five six seven eight nine ten"),
+      // shorter than 8 tokens -> cannot be contaminated -> kept
+      (4L, "alpha beta gamma")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 4L), s"kept $kept")
+  }
+
+  test("decontaminate plan broadcasts the benchmark — the corpus never shuffles") {
+    val docs = graft.engine.Tables.read(spark, sf0001, "documents")
+    val plan = Dedup.decontaminate(
+      docs.filter($"doc_id" >= 50), docs.filter($"doc_id" < 50),
+      "doc_id", "text", n = 8).queryExecution.executedPlan.toString
+    // both joins against the corpus must be broadcast-side
+    assert("BroadcastHashJoin.*LeftSemi".r.findFirstIn(plan).isDefined ||
+      plan.contains("LeftSemi, BuildRight"), s"semi join not broadcast:\n$plan")
+    assert(plan.contains("LeftAnti, BuildRight"), s"anti join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus-shuffling join:\n$plan")
+  }
+
   test("hamming column matches bitCount") {
     val out = Seq((0x0FL, 0x00L)).toDF("a", "b")
       .select(Dedup.hamming($"a", $"b")).as[Long].collect().head

@@ -80,6 +80,25 @@ class TextSpec extends SparkSpec {
     assert(again == sampled.values.sum)
   }
 
+  test("repetition signals: duplicate n-gram fractions match a hand count") {
+    val rep = Seq(
+      (1L, "go go go go go"),                 // bigrams: 4 total, 1 distinct
+      (2L, "a b c d e"),                      // all distinct
+      (3L, "x y x y x y"),                    // bigrams: 5 total, 2 distinct
+      (4L, "one")                             // shorter than any n-gram
+    ).toDF("doc_id", "text")
+    val out = Text.repetitionSignals(rep, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(1L) == ((1.0 - 1.0 / 4).round4, (1.0 - 1.0 / 3).round4))
+    assert(out(2L) == ((0.0, 0.0)))
+    assert(out(3L) == ((1.0 - 2.0 / 5).round4, (1.0 - 2.0 / 4).round4))
+    assert(out(4L) == ((0.0, 0.0)))
+  }
+
+  private implicit class R4(d: Double) {
+    def round4: Double = math.rint(d * 1e4) / 1e4
+  }
+
   test("fingerprint is order-sensitive and equal for identical docs") {
     val fps = docs.select($"doc_id", Text.fingerprint($"text").as("fp"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
