@@ -55,6 +55,64 @@ object Relational {
     df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
   }
 
+  /** Distributed prefix (running) sum of `valueCol` in `orderCol` order.
+    *
+    * The naive `Window.orderBy(x)` with no partition spec plans an
+    * `Exchange SinglePartition` — the WHOLE dataset funnels through one
+    * task, the canonical scale cliff for running totals. This is the
+    * textbook two-phase parallel scan instead:
+    *  1. range-partition by `orderCol` (equal keys co-located, ranges
+    *     ordered across partitions) and compute the running sum WITHIN
+    *     each partition, windowed on the physical partition id — fully
+    *     parallel;
+    *  2. per-partition totals (numPartitions rows, ≪ data) get their own
+    *     tiny running sum — the only single-partition window, over ~32
+    *     rows — and join back as broadcast starting offsets.
+    *
+    * `alias` = inclusive running sum (ties share a value via the default
+    * RANGE frame, same as SQL window semantics). */
+  def prefixSum(df: DataFrame, orderCol: String, valueCol: String,
+                alias: String, numPartitions: Int = 0): DataFrame = {
+    val parts = if (numPartitions > 0) numPartitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // localCheckpoint: the ranged frame feeds both the per-partition scan
+    // and the totals aggregate; partition ids must also be STABLE across
+    // the two reads (spark_partition_id is plan-dependent otherwise)
+    val ranged = df.repartitionByRange(parts, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val local = ranged.withColumn("__local",
+      sum(col(valueCol)).over(Window.partitionBy("__pid").orderBy(orderCol)))
+    val offsets = ranged.groupBy("__pid").agg(sum(col(valueCol)).as("__ptotal"))
+    val off = offsets.withColumn("__offset",
+      coalesce(sum(col("__ptotal")).over(
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    local.join(broadcast(off), Seq("__pid"))
+      .withColumn(alias, col("__local") + col("__offset"))
+      .drop("__pid", "__local", "__offset")
+  }
+
+  /** Sequence packing for LLM training (concat-and-chunk): concatenate
+    * documents in `idCol` order and cut the stream into fixed
+    * `budget`-token sequences. Each doc gets the sequence id and offset
+    * where it STARTS — exactly the bookkeeping a packed-pretraining
+    * pipeline materializes. Built on [[prefixSum]], so it scales without
+    * a single-task global window. */
+  def packSequences(docs: DataFrame, idCol: String, tokenCount: Column,
+                    budget: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val withN = docs.select(col(idCol), tokenCount.cast("long").as("n_tokens"))
+    prefixSum(withN, idCol, "n_tokens", "__cum")
+      .withColumn("__before", col("__cum") - col("n_tokens"))
+      .select(col(idCol), col("n_tokens"),
+        // integer `div`, not `/`: float division + cast loses exactness
+        // once cumulative token counts pass 2^53
+        expr(s"__before div $budget").as("seq_id"),
+        (col("__before") % budget).cast("long").as("seq_offset"))
+  }
+
   /** Skew-resistant two-phase aggregation for decomposable aggregates
     * (sum/count/min/max): phase 1 aggregates (key, salt) — a hot key's
     * rows spread over `saltBuckets` reducers — phase 2 merges the salted

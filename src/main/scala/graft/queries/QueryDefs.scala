@@ -1021,6 +1021,26 @@ object QueryDefs {
               WHERE doc_id >= 50 AND doc_id NOT IN (SELECT doc FROM bad)""")
     ),
 
+    // C24 sequence packing (concat-and-chunk): where each doc lands when
+    // the corpus is concatenated in doc_id order and cut into 512-token
+    // training sequences. Runs on the distributed two-phase prefix sum —
+    // no single-partition global window (Relational.prefixSum).
+    QueryDef(
+      "c24_pack_sequences",
+      (s, d) => Relational.packSequences(t(s, d, "documents"), "doc_id",
+        size(Text.tokens(col("text"))), budget = 512),
+      Some("""WITH t AS (SELECT doc_id,
+                           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                         FROM documents),
+                c AS (SELECT doc_id, n_tokens,
+                        sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS bef
+                      FROM t)
+              SELECT doc_id, n_tokens,
+                CAST(bef // 512 AS BIGINT) AS seq_id,
+                CAST(bef % 512 AS BIGINT) AS seq_offset
+              FROM c""")
+    ),
+
     // ── C17-C21: event-time windows (batch equivalents of the streaming
     //    plans in graft.streaming; identical groupBy(window) expressions) ─
     QueryDef(

@@ -262,6 +262,27 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(2L, 3L, 4L), s"kept $kept")
   }
 
+  test("decontaminate matches brute-force n-gram overlap on random corpora (property)") {
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    def gen(id: Long) =
+      id -> Seq.fill(6 + rnd.nextInt(9))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    def grams4(s: String): Set[String] = {
+      val ws = s.split(" ")
+      if (ws.length < 4) Set.empty else ws.sliding(4).map(_.mkString(" ")).toSet
+    }
+    for (trial <- 1 to 3) {
+      val bench = (1L to 3L).map(gen)
+      val corpus = (10L to 19L).map(gen)
+      val benchGrams = bench.flatMap(d => grams4(d._2)).toSet
+      val expected = corpus.filter(d => (grams4(d._2) & benchGrams).isEmpty).map(_._1).toSet
+      val got = Dedup.decontaminate(corpus.toDF("doc_id", "text"),
+          bench.toDF("doc_id", "text"), "doc_id", "text", n = 4)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == expected, s"trial $trial: got $got, expected $expected")
+    }
+  }
+
   test("decontaminate plan broadcasts the benchmark — the corpus never shuffles") {
     val docs = graft.engine.Tables.read(spark, sf0001, "documents")
     val plan = Dedup.decontaminate(

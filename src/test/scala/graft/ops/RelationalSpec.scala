@@ -74,4 +74,39 @@ class RelationalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), s"missing WindowGroupLimit:\n$plan")
   }
+
+  test("distributed prefix sum equals the naive global-window running sum") {
+    val docs = graft.engine.Tables.read(spark, sf0001, "documents")
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
+    val naive = docs.withColumn("cum",
+      sum($"n").over(org.apache.spark.sql.expressions.Window.orderBy("doc_id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val dist = Relational.prefixSum(docs, "doc_id", "n", "cum", numPartitions = 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(dist == naive)
+  }
+
+  test("prefix sum windows on partition ids, never a full-data single partition") {
+    val docs = graft.engine.Tables.read(spark, sf0001, "documents")
+      .select($"doc_id", lit(1L).as("n"))
+    val plan = Relational.prefixSum(docs, "doc_id", "n", "cum")
+      .queryExecution.executedPlan.toString
+    // the big window must be partitioned by __pid (parallel scan); the
+    // only unpartitioned window runs over the numPartitions-row totals
+    assert(plan.contains("windowspecdefinition(__pid"),
+      s"per-partition scan window missing:\n$plan")
+  }
+
+  test("sequence packing: contiguous offsets, budget respected at chunk starts") {
+    val docs = Seq((1L, 300L), (2L, 300L), (3L, 100L), (4L, 500L))
+      .toDF("doc_id", "n")
+    val out = Relational.packSequences(docs, "doc_id", $"n", budget = 512)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // cumulative starts: 0, 300, 600, 700 with budget 512
+    assert(out == Map(
+      1L -> (0L, 0L),     // starts at token 0   -> seq 0 offset 0
+      2L -> (0L, 300L),   // starts at token 300 -> seq 0 offset 300
+      3L -> (1L, 88L),    // starts at token 600 -> seq 1 offset 88
+      4L -> (1L, 188L)))  // starts at token 700 -> seq 1 offset 188
+  }
 }
