@@ -356,7 +356,13 @@ object Dedup {
     * shuffles), and removal is a broadcast anti-join of the (small)
     * contaminated-id set — two streaming passes over the corpus, zero
     * corpus-sized shuffles. Shingling reuses the fused
-    * [[graft.functions.ShingleHashes]] codegen pass. */
+    * [[graft.functions.ShingleHashes]] codegen pass.
+    *
+    * The contaminated-id broadcast is bounded by the docs that overlap the
+    * benchmark — for a real held-out benchmark that is a sliver of the
+    * corpus. Decontaminating against a benchmark comparable in size to
+    * the corpus is a near-dup join, not decontamination: use
+    * [[jaccardNearDup]] there instead. */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
                     textCol: String, n: Int = 8): DataFrame = {
     def postingsOf(df: DataFrame) = df
