@@ -1068,6 +1068,28 @@ object QueryDefs {
               GROUP BY 1, 2""")
     ),
 
+    // C20 stream-stream interval join, batch form (same expression tree
+    // as the streaming plan — withWatermark is eliminated on batch):
+    // view→click attribution within 30 minutes per user.
+    QueryDef(
+      "c20_interval_join",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        graft.streaming.Streaming.viewClickAttribution(
+          ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "click"))
+      },
+      Some("""WITH v AS (SELECT event_id AS view_id, user_id, ts AS view_ts
+                         FROM events WHERE event_type = 'view'),
+                c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+                      FROM events WHERE event_type = 'click')
+              SELECT v.user_id, view_id, click_id,
+                epoch_us(click_ts) - epoch_us(view_ts) AS delay_us
+              FROM v JOIN c ON v.user_id = c.user_id
+              WHERE click_ts >= view_ts
+                AND click_ts <= view_ts + INTERVAL 30 MINUTE""")
+    ),
+
     QueryDef(
       "c19_session_window",
       (s, d) => t(s, d, "events")

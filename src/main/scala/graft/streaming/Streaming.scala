@@ -67,6 +67,35 @@ object Streaming {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n"), col("total"))
 
+  /** C20 stream-stream interval join: view→click attribution — each click
+    * matches the same user's views within `[view_ts, view_ts + horizon]`.
+    *
+    * The equality key (user_id) keeps it a hash join at any scale; the
+    * interval condition plus watermarks on BOTH inputs is what lets Spark
+    * bound the join buffers — state for a side is evicted once the
+    * watermark passes its interval, which is the only way a stream-stream
+    * join survives unbounded input. The same expression tree runs on
+    * batch frames (`withWatermark` is eliminated there), so the DuckDB
+    * oracle on the batch form checks the streaming semantics. */
+  def viewClickAttribution(views: DataFrame, clicks: DataFrame,
+                           horizon: String = "30 minutes",
+                           lateness: String = "10 minutes"): DataFrame = {
+    val v = views.withWatermark("ts", lateness)
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
+    val c = clicks.withWatermark("ts", lateness)
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
+        col("ts").as("click_ts"))
+    v.join(c,
+        col("user_id") === col("c_user_id") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        // exact microsecond delta on both sides (second-granularity
+        // functions truncate vs count-boundaries differently across
+        // engines)
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("delay_us"))
+  }
+
   /** C21a: exactly-once-per-key dedup with watermark-bounded state (the
     * streaming analog of exact dedup C12). */
   def dedupWithinWatermark(events: DataFrame, keys: Seq[String],

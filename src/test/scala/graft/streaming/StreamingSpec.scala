@@ -62,6 +62,32 @@ class StreamingSpec extends SparkSpec {
     assert(w10.length == 1 && w10.head.getLong(2) == 2, s"late row leaked: $rows")
   }
 
+  test("stream-stream interval join emits matched pairs and matches batch") {
+    val vm = MemoryStream[Ev]
+    val cm = MemoryStream[Ev]
+    val q = Streaming.viewClickAttribution(vm.toDF(), cm.toDF(),
+        "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append()).start()
+    val views = Seq(ev(1, "2024-01-01 10:00:00", uid = 1, typ = "view"),
+      ev(2, "2024-01-01 11:00:00", uid = 2, typ = "view"))
+    val clicks = Seq(
+      ev(10, "2024-01-01 10:10:00", uid = 1),  // within 30m of view 1 -> match
+      ev(11, "2024-01-01 10:45:00", uid = 1),  // 45m after view 1 -> no match
+      ev(12, "2024-01-01 11:10:00", uid = 3))  // no view for user 3
+    try {
+      vm.addData(views); cm.addData(clicks)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ssj").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == Set((1L, 1L, 10L, 600000000L)), s"got $streamed")
+    // the SAME expression on batch frames produces the same pairs
+    val batch = Streaming.viewClickAttribution(views.toDF(), clicks.toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(batch == streamed)
+  }
+
   test("session windows merge events within the gap and split beyond it") {
     val mem = MemoryStream[Ev]
     val rows = runStream(mem, Streaming.sessionAgg(_, "30 minutes", "10 minutes"),
