@@ -113,6 +113,25 @@ object Relational {
         (col("__before") % budget).cast("long").as("seq_offset"))
   }
 
+  /** Deterministic dataset mixing: fill a per-source quota in `orderCol`
+    * order — the exact, auditable variant of proportional sampling for
+    * assembling a training mix (seeded `sampleBy` is the statistical
+    * cousin; this one is reproducible row-for-row, the property you want
+    * when a mix must be re-derived bit-identically). Quotas ride in as a
+    * broadcast frame; the per-source `row_number` window bounds skew by
+    * the largest single source. */
+  def datasetMix(docs: DataFrame, sourceCol: String, orderCol: String,
+                 quotas: Map[String, Int]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qdf = broadcast(quotas.toSeq.toDF(sourceCol, "__quota"))
+    docs.join(qdf, Seq(sourceCol))
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(sourceCol).orderBy(orderCol)))
+      .filter(col("__rn") <= col("__quota"))
+      .drop("__rn", "__quota")
+  }
+
   /** Skew-resistant two-phase aggregation for decomposable aggregates
     * (sum/count/min/max): phase 1 aggregates (key, salt) — a hot key's
     * rows spread over `saltBuckets` reducers — phase 2 merges the salted

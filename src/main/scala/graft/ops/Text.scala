@@ -138,6 +138,32 @@ object Text {
     )
   }
 
+  /** Unigram language-model score per document: the corpus-trained
+    * unigram negative log-likelihood (the cheap, shuffle-bounded proxy
+    * for the LM-perplexity quality filters real pipelines run — CCNet
+    * trains a KenLM; the plumbing is identical, only the model is
+    * richer). Emits token count and the summed NLL, decimal-accumulated
+    * so summation order can't move the rounded result.
+    *
+    * Shape mirrors [[tfidf]]: one token-keyed aggregate builds the
+    * vocabulary (≪ corpus ⇒ the join back broadcasts), corpus total rides
+    * as a broadcast 1-row frame, then one per-doc aggregate. */
+  def unigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs
+      .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("token"))
+      .localCheckpoint(true) // feeds the vocab aggregate AND the probe side
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("c"))
+    val nRow = broadcast(vocab.agg(sum(col("c")).cast("double").as("__n")))
+    tok
+      .join(broadcast(vocab), Seq("token"))
+      .crossJoin(nRow)
+      .groupBy(col("doc"))
+      .agg(
+        count(lit(1)).as("n_tok"),
+        round(sum((-log(col("c").cast("double") / col("__n")))
+          .cast("decimal(18,6)")), 4).cast("double").as("sum_nll"))
+  }
+
   /** Repetition signals (the Gopher-style repetitious-text filters, Rae et
     * al. 2021 §A1.1): fraction of duplicate word n-grams per document,
     * `1 − distinct_ngrams / total_ngrams` for n ∈ {2, 3}. High values mark

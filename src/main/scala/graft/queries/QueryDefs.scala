@@ -764,6 +764,23 @@ object QueryDefs {
               FROM documents""")
     ),
 
+    // C15 unigram-LM quality score (the LM-perplexity filter family with
+    // a corpus-trained unigram model): per-doc token count + summed
+    // negative log-likelihood, decimal-accumulated on both sides.
+    QueryDef(
+      "c15_unigram_nll",
+      (s, d) => Text.unigramNll(t(s, d, "documents"), "doc_id", "text")
+        .select(col("doc").as("doc_id"), col("n_tok"), col("sum_nll")),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                           FROM documents),
+                vocab AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+                tot AS (SELECT sum(c)::DOUBLE AS n FROM vocab)
+              SELECT doc_id, count(*) AS n_tok,
+                CAST(round(sum(CAST(-ln(c / n) AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_nll
+              FROM tok JOIN vocab USING (token) CROSS JOIN tot
+              GROUP BY doc_id""")
+    ),
+
     // C15 repetition signals (Gopher-style duplicate-n-gram fractions):
     // distinct n-gram counts via the fused ShingleHashes pass — one
     // codegen projection, no shuffle. Oracle counts distinct string
@@ -994,6 +1011,22 @@ object QueryDefs {
               SELECT lang, count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars
               FROM kept WHERE doc_id NOT IN (SELECT doc_b FROM dups)
               GROUP BY lang""")
+    ),
+
+    // C23 deterministic dataset mixing: per-source quotas filled in
+    // doc_id order (reproducible row-for-row, unlike the seeded
+    // statistical sample in c23_sample_stratified).
+    QueryDef(
+      "c23_dataset_mix",
+      (s, d) => Relational.datasetMix(t(s, d, "documents"), "source", "doc_id",
+          Map("src0" -> 20, "src1" -> 12, "src2" -> 8))
+        .select(col("doc_id"), col("source")),
+      Some("""WITH r AS (SELECT doc_id, source,
+                           row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+                         FROM documents),
+                q(source, quota) AS (VALUES ('src0', 20), ('src1', 12), ('src2', 8))
+              SELECT doc_id, source FROM r JOIN q USING (source)
+              WHERE rn <= quota""")
     ),
 
     // C24 test-set decontamination: docs 0-49 stand in as the held-out
