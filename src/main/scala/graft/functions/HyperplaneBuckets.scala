@@ -63,20 +63,26 @@ case class HyperplaneBuckets(child: Expression, planes: Array[Double],
     val mat = ctx.addReferenceObj("planes", planes, "double[]")
     val getter = if (isFloat) "getFloat" else "getDouble"
     nullSafeCodeGen(ctx, ev, x => {
+      // every local gets a fresh name: two instances of this expression in
+      // one whole-stage-codegen method must not redeclare the same variable
+      val m = ctx.freshName("m"); val out = ctx.freshName("out")
+      val t = ctx.freshName("t"); val bucket = ctx.freshName("bucket")
+      val p = ctx.freshName("p"); val base = ctx.freshName("base")
+      val s = ctx.freshName("s"); val i = ctx.freshName("i")
       s"""
-         |int m = java.lang.Math.min($dim, $x.numElements());
-         |int[] out = new int[$tables];
-         |for (int t = 0; t < $tables; t++) {
-         |  int bucket = 0;
-         |  for (int p = 0; p < $planesPerTable; p++) {
-         |    int base = (t * $planesPerTable + p) * $dim;
-         |    double s = 0.0;
-         |    for (int i = 0; i < m; i++) s += ((double) $x.$getter(i)) * $mat[base + i];
-         |    if (s > 0) bucket |= (1 << p);
+         |int $m = java.lang.Math.min($dim, $x.numElements());
+         |int[] $out = new int[$tables];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  int $bucket = 0;
+         |  for (int $p = 0; $p < $planesPerTable; $p++) {
+         |    int $base = ($t * $planesPerTable + $p) * $dim;
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $m; $i++) $s += ((double) $x.$getter($i)) * $mat[$base + $i];
+         |    if ($s > 0) $bucket |= (1 << $p);
          |  }
-         |  out[t] = bucket;
+         |  $out[$t] = $bucket;
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(out);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
   }

@@ -45,20 +45,26 @@ case class MinhashSignature(child: Expression, k: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, x => {
+      // every local gets a fresh name: two instances of this expression in
+      // one whole-stage-codegen method must not redeclare the same variable
+      val n = ctx.freshName("n"); val sig = ctx.freshName("sig")
+      val i = ctx.freshName("i"); val s = ctx.freshName("s")
+      val h = ctx.freshName("h"); val p = ctx.freshName("p")
+      val hp = ctx.freshName("hp")
       s"""
-         |int n = $x.numElements();
-         |long[] sig = new long[$k];
-         |java.util.Arrays.fill(sig, Long.MAX_VALUE);
-         |for (int i = 0; i < n; i++) {
-         |  org.apache.spark.unsafe.types.UTF8String s = $x.getUTF8String(i);
-         |  long h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-         |    s.getBaseObject(), s.getBaseOffset(), s.numBytes(), 42L);
-         |  for (int p = 0; p < $k; p++) {
-         |    long hp = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(h, (long) p);
-         |    if (hp < sig[p]) sig[p] = hp;
+         |int $n = $x.numElements();
+         |long[] $sig = new long[$k];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  org.apache.spark.unsafe.types.UTF8String $s = $x.getUTF8String($i);
+         |  long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+         |    $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+         |  for (int $p = 0; $p < $k; $p++) {
+         |    long $hp = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong($h, (long) $p);
+         |    if ($hp < $sig[$p]) $sig[$p] = $hp;
          |  }
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(sig);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
        """.stripMargin
     })
 

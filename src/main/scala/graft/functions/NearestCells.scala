@@ -62,29 +62,36 @@ case class NearestCells(child: Expression, centroids: Array[Double],
     val mat = ctx.addReferenceObj("centroids", centroids, "double[]")
     val getter = if (isFloat) "getFloat" else "getDouble"
     nullSafeCodeGen(ctx, ev, x => {
+      // every local gets a fresh name: two instances of this expression in
+      // one whole-stage-codegen method must not redeclare the same variable
+      val m = ctx.freshName("m"); val np = ctx.freshName("np")
+      val bestId = ctx.freshName("bestId"); val bestD = ctx.freshName("bestD")
+      val c = ctx.freshName("c"); val d = ctx.freshName("d")
+      val base = ctx.freshName("base"); val i = ctx.freshName("i")
+      val diff = ctx.freshName("diff"); val j = ctx.freshName("j")
       s"""
-         |int m = java.lang.Math.min($dim, $x.numElements());
-         |int np = java.lang.Math.min($nprobe, $cells);
-         |int[] bestId = new int[np];
-         |double[] bestD = new double[np];
-         |java.util.Arrays.fill(bestId, -1);
-         |java.util.Arrays.fill(bestD, Double.MAX_VALUE);
-         |for (int c = 0; c < $cells; c++) {
-         |  double d = 0.0;
-         |  int base = c * $dim;
-         |  for (int i = 0; i < m; i++) {
-         |    double diff = ((double) $x.$getter(i)) - $mat[base + i];
-         |    d += diff * diff;
+         |int $m = java.lang.Math.min($dim, $x.numElements());
+         |int $np = java.lang.Math.min($nprobe, $cells);
+         |int[] $bestId = new int[$np];
+         |double[] $bestD = new double[$np];
+         |java.util.Arrays.fill($bestId, -1);
+         |java.util.Arrays.fill($bestD, Double.MAX_VALUE);
+         |for (int $c = 0; $c < $cells; $c++) {
+         |  double $d = 0.0;
+         |  int $base = $c * $dim;
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    double $diff = ((double) $x.$getter($i)) - $mat[$base + $i];
+         |    $d += $diff * $diff;
          |  }
-         |  int j = np - 1;
-         |  if (d < bestD[j]) {
-         |    while (j > 0 && bestD[j - 1] > d) {
-         |      bestD[j] = bestD[j - 1]; bestId[j] = bestId[j - 1]; j--;
+         |  int $j = $np - 1;
+         |  if ($d < $bestD[$j]) {
+         |    while ($j > 0 && $bestD[$j - 1] > $d) {
+         |      $bestD[$j] = $bestD[$j - 1]; $bestId[$j] = $bestId[$j - 1]; $j--;
          |    }
-         |    bestD[j] = d; bestId[j] = c;
+         |    $bestD[$j] = $d; $bestId[$j] = $c;
          |  }
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(bestId);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($bestId);
        """.stripMargin
     })
   }

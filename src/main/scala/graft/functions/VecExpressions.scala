@@ -42,11 +42,15 @@ case class VecDot(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
+      // every local gets a fresh name: two instances of this expression in
+      // one whole-stage-codegen method must not redeclare the same variable
+      val n = ctx.freshName("n"); val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
       s"""
-         |int n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double s = 0.0;
-         |for (int i = 0; i < n; i++) { s += $x.getDouble(i) * $y.getDouble(i); }
-         |${ev.value} = s;
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { $s += $x.getDouble($i) * $y.getDouble($i); }
+         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -80,15 +84,22 @@ case class CosineSim(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
+      // every local gets a fresh name (see SortedIntersectCount) — two
+      // CosineSim instances in one codegen method redeclared `i`/`n` and
+      // dropped c14_ann_topk's stage to interpreted mode (caught round 5)
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
       s"""
-         |int n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double dot = 0.0, na = 0.0, nb = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double xi = $x.getDouble(i);
-         |  double yi = $y.getDouble(i);
-         |  dot += xi * yi; na += xi * xi; nb += yi * yi;
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $x.getDouble($i);
+         |  double $yi = $y.getDouble($i);
+         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |}
-         |${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 
@@ -119,11 +130,14 @@ case class ArrayEqCount(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
+      // every local gets a fresh name (see SortedIntersectCount)
+      val n = ctx.freshName("n"); val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
       s"""
-         |int n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |int c = 0;
-         |for (int i = 0; i < n; i++) { if ($x.getLong(i) == $y.getLong(i)) c++; }
-         |${ev.value} = c;
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $c = 0;
+         |for (int $i = 0; $i < $n; $i++) { if ($x.getLong($i) == $y.getLong($i)) $c++; }
+         |${ev.value} = $c;
        """.stripMargin
     })
 

@@ -189,12 +189,10 @@ object Text {
   /** Document fingerprint: order-sensitive 64-bit rolling hash of the token
     * stream (hash chaining: acc' = xxhash64(acc, token), which is
     * position-sensitive and never overflows under ANSI mode, unlike a
-    * polynomial `acc*31+h` accumulation). Distributed as a pure projection;
-    * used for cheap exact-ish dup detection. */
+    * polynomial `acc*31+h` accumulation). Distributed as a pure projection.
+    * One codegen loop ([[graft.functions.RollingTokenHash]]) — the HOF
+    * `aggregate(..., (acc, w) => xxhash64(acc, w))` form computes the same
+    * chain but interprets its lambda per token (PERF.md finding 16). */
   def fingerprint(text: Column): Column =
-    aggregate(
-      tokens(text),
-      lit(0L),
-      (acc, w) => xxhash64(acc, w)
-    )
+    graft.functions.RollingTokenHash.rollingTokenHash(tokens(text))
 }

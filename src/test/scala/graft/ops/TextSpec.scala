@@ -107,4 +107,17 @@ class TextSpec extends SparkSpec {
       .select(Text.fingerprint($"text")).as[Long].collect().head
     assert(rev != fps(1L))
   }
+
+  test("rolling hash matches the HOF xxhash64 chain bit-for-bit") {
+    // the codegen RollingTokenHash must reproduce Spark's own
+    // aggregate(tokens, 0L, (acc, w) => xxhash64(acc, w)) exactly, so a
+    // Spark upgrade that changes xxhash64 folding surfaces here
+    val df = (docs union Seq((5L, ""), (6L, "solo"), (7L, "a a a a a a a a"))
+      .toDF("doc_id", "text"))
+    val both = df.select(
+      Text.fingerprint($"text").as("fused"),
+      aggregate(Text.tokens($"text"), lit(0L), (acc, w) => xxhash64(acc, w)).as("hof"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
 }
