@@ -120,6 +120,50 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("datasetMix ranks without a per-source single-task window") {
+    // round-4 verdict scale-weak #2: Window.partitionBy(source) sorts each
+    // source in ONE task. The two-phase rank must plan (a) no
+    // SinglePartition exchange anywhere and (b) no exchange keyed on the
+    // source column alone (that IS the one-task-per-source funnel; the
+    // tiny counts-frame window rides the same key but behind an aggregate
+    // of ≤ partitions × sources rows, keyed (__pid, source) upstream)
+    val docs = Tables.read(spark, sf0001, "documents")
+    val mix = graft.ops.Relational.datasetMix(
+      docs, "source", "doc_id", Map("src0" -> 20, "src1" -> 12, "src2" -> 8))
+    val plan = mix.queryExecution.executedPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, SinglePartition}
+    val dataExchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    dataExchanges.foreach { e =>
+      assert(e.outputPartitioning != SinglePartition,
+        s"single-partition exchange in:\n$plan")
+      e.outputPartitioning match {
+        case h: HashPartitioning =>
+          val keys = h.expressions.map(_.sql.toLowerCase).mkString(",")
+          assert(keys != "source",
+            s"exchange keyed on source alone (one task per source):\n$plan")
+        case _ =>
+      }
+    }
+    // and the result is exactly what the naive window form computes
+    val naive = {
+      import org.apache.spark.sql.expressions.Window
+      import spark.implicits._
+      val qdf = broadcast(Seq(("src0", 20), ("src1", 12), ("src2", 8))
+        .toDF("source", "__quota"))
+      docs.join(qdf, Seq("source"))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("source").orderBy("doc_id")))
+        .filter(col("__rn") <= col("__quota"))
+        .select(col("doc_id"), col("source"))
+    }
+    val got = mix.select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = naive.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want, s"mix diverges from naive window form")
+    assert(got.size == 40)
+  }
+
   test("minhash signature is a zero-shuffle projection") {
     val plan = graft.ops.Dedup.minhashSignatures(
       Tables.read(spark, sf0001, "documents"), "doc_id", "text", n = 3, k = 32)
