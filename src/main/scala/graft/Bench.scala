@@ -60,6 +60,14 @@ object Bench {
       .config("spark.cleaner.periodicGC.interval", "15s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // WindowExec's "No Partition Defined" warning fires on prefixSum's
+    // OFFSETS window — a ≤ shuffle-partitions-row frame by construction
+    // (Relational.prefixSum phase 2), not a data-sized funnel. Silence it
+    // so bench logs don't cry wolf; a REAL single-partition data window
+    // would be caught by PlanShapeSpec, not by log scraping.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // warm the JVM/codegen/parquet-reader paths so the first timed query
     // doesn't absorb session startup
     try {

@@ -358,22 +358,46 @@ object Dedup {
     * corpus-sized shuffles. Shingling reuses the fused
     * [[graft.functions.ShingleHashes]] codegen pass.
     *
-    * The contaminated-id broadcast is bounded by the docs that overlap the
-    * benchmark — for a real held-out benchmark that is a sliver of the
-    * corpus. Decontaminating against a benchmark comparable in size to
-    * the corpus is a near-dup join, not decontamination: use
+    * The contaminated-id set is *usually* bounded by the docs that overlap
+    * the benchmark — a sliver of the corpus for a real held-out benchmark.
+    * But common n-grams (boilerplate, stock phrases — the reason GPT-3
+    * moved to 13-grams) can contaminate a large corpus fraction, so the
+    * id broadcast is GATED on an actual count, mirroring the maxDf
+    * hot-shingle gate in [[jaccardNearDup]]: past `idBroadcastLimit` the
+    * removal becomes a distributed shuffled-hash anti-join instead of a
+    * driver-funneled broadcast. Both paths are result-identical
+    * (DedupSpec pins it). Decontaminating against a benchmark comparable
+    * in size to the corpus is a near-dup join, not decontamination: use
     * [[jaccardNearDup]] there instead. */
-  def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
-                    textCol: String, n: Int = 8): DataFrame = {
+  /** The contaminated-id frame: corpus docs sharing ≥1 word n-gram with
+    * the benchmark. The benchmark's distinct shingle set broadcasts, so
+    * this is a map-side semi-join over corpus postings — the corpus never
+    * shuffles (plan pinned by DedupSpec). Exposed un-checkpointed so the
+    * spec can assert the plan shape [[decontaminate]] materializes. */
+  def contaminatedIds(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                      textCol: String, n: Int): DataFrame = {
     def postingsOf(df: DataFrame) = df
       .select(col(idCol).as("doc"), Text.tokens(col(textCol)).as("__ws"))
       .select(col("doc"),
         explode(graft.functions.ShingleHashes.sortedShingleHashes(col("__ws"), n)).as("sh"))
-    val benchSh = broadcast(postingsOf(benchmark).select("sh").distinct())
-    val contaminated = postingsOf(corpus)
-      .join(benchSh, Seq("sh"), "left_semi")
+    postingsOf(corpus)
+      .join(broadcast(postingsOf(benchmark).select("sh").distinct()), Seq("sh"), "left_semi")
       .select(col("doc")).distinct()
-    corpus.join(broadcast(contaminated), corpus(idCol) === contaminated("doc"), "left_anti")
+  }
+
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, n: Int = 8,
+                    idBroadcastLimit: Long = HotShingleBroadcastLimit): DataFrame = {
+    // localCheckpoint: the id set feeds the count gate AND the anti-join
+    val contaminated = contaminatedIds(corpus, benchmark, idCol, textCol, n)
+      .localCheckpoint(true)
+    if (contaminated.count() <= idBroadcastLimit)
+      corpus.join(broadcast(contaminated), corpus(idCol) === contaminated("doc"), "left_anti")
+    else
+      // scale path: the corpus pays one hash-partition shuffle, but the
+      // contaminated set never funnels through the driver
+      corpus.join(contaminated.hint("SHUFFLE_HASH"),
+        corpus(idCol) === contaminated("doc"), "left_anti")
   }
 
   /** Embedding-cosine near-dup pairs; delegates candidate generation to

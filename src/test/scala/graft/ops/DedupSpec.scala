@@ -285,14 +285,43 @@ class DedupSpec extends SparkSpec {
 
   test("decontaminate plan broadcasts the benchmark — the corpus never shuffles") {
     val docs = graft.engine.Tables.read(spark, sf0001, "documents")
-    val plan = Dedup.decontaminate(
-      docs.filter($"doc_id" >= 50), docs.filter($"doc_id" < 50),
-      "doc_id", "text", n = 8).queryExecution.executedPlan.toString
-    // both joins against the corpus must be broadcast-side
-    assert("BroadcastHashJoin.*LeftSemi".r.findFirstIn(plan).isDefined ||
-      plan.contains("LeftSemi, BuildRight"), s"semi join not broadcast:\n$plan")
+    val corpus = docs.filter($"doc_id" >= 50)
+    val bench = docs.filter($"doc_id" < 50)
+    // stage 1 (id finding, materialized inside decontaminate's gate): the
+    // benchmark shingle set must broadcast into a semi join over corpus
+    // postings, with no corpus-sized shuffle before the distinct
+    val idPlan = Dedup.contaminatedIds(corpus, bench, "doc_id", "text", n = 8)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin.*LeftSemi".r.findFirstIn(idPlan).isDefined ||
+      idPlan.contains("LeftSemi, BuildRight"), s"semi join not broadcast:\n$idPlan")
+    assert(!idPlan.contains("SortMergeJoin"), s"corpus-shuffling join:\n$idPlan")
+    // stage 2 (removal, below the gate): broadcast anti join
+    val plan = Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 8)
+      .queryExecution.executedPlan.toString
     assert(plan.contains("LeftAnti, BuildRight"), s"anti join not broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"corpus-shuffling join:\n$plan")
+  }
+
+  test("decontaminate broadcast and distributed anti-join paths agree") {
+    // round-4 verdict scale-weak #3: the contaminated-id broadcast is now
+    // count-gated like the maxDf hot-shingle set. idBroadcastLimit = 0
+    // forces the distributed shuffled-hash path; results must be identical
+    val docs = graft.engine.Tables.read(spark, sf0001, "documents")
+    val corpus = docs.filter($"doc_id" >= 50)
+    val bench = docs.filter($"doc_id" < 50)
+    val viaBroadcast = Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaDistributed = Dedup.decontaminate(corpus, bench, "doc_id", "text",
+        n = 8, idBroadcastLimit = 0L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaBroadcast == viaDistributed)
+    assert(viaBroadcast.nonEmpty)
+    // and the forced scale path really does plan a shuffled-hash anti-join
+    val plan = Dedup.decontaminate(corpus, bench, "doc_id", "text",
+        n = 8, idBroadcastLimit = 0L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin") && plan.contains("LeftAnti"),
+      s"forced distributed path still broadcasts:\n$plan")
   }
 
   test("hamming column matches bitCount") {
