@@ -5,10 +5,13 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing (north-star extension): image/audio/video
-  * payloads as opaque `binary` columns + typed metadata structs, with the
-  * decode/feature steps STUBBED (no codec libraries in this environment)
-  * behind deterministic fakes — the Spark-side contract (schema, batch
-  * shape, partition-parallel execution, spill-free projection) is real.
+  * payloads as opaque `binary` columns + typed metadata structs. IMAGE
+  * decode is REAL (JDK `javax.imageio`: [[synthesizeImages]] /
+  * [[decodeImages]], oracle-checked); audio/video steps remain
+  * deterministic fakes (no codec libraries in this environment) — for
+  * those the Spark-side contract (schema, batch shape,
+  * partition-parallel execution, spill-free projection) is the tested
+  * part.
   *
   * At 100 TB the rules this module encodes: payloads travel as `binary`
   * inside the row (never driver-collected), per-item work is a map-side
@@ -90,6 +93,74 @@ object Multimodal {
           MediaFeatures(r.getLong(0), decoder.decode(r.getAs[Array[Byte]](1), bins))
         }
       }
+  }
+
+  final case class EncodedImage(media_id: Long, payload: Array[Byte], mime: String)
+  final case class DecodedImage(media_id: Long, width: Int, height: Int, pixel_sum: Long)
+
+  /** Deterministic PNG synthesis: one real encoded image per row, sized
+    * by `widthCol`/`heightCol`, filled with a vertical gradient keyed on
+    * the id — red = (id + y) mod 256 per pixel row, green = 7·id mod 256,
+    * blue = 13·id mod 256. The POINT of the gradient: every decoded
+    * property (width, height, Σ(r+g+b) over pixels) has a closed form,
+    * so a SQL oracle can check a REAL ImageIO decode without being able
+    * to decode PNG itself. `ImageIO.write` runs per row inside
+    * `mapPartitions` — encoded bytes never touch the driver. */
+  def synthesizeImages(df: DataFrame, idCol: String,
+                       widthCol: Column, heightCol: Column): Dataset[EncodedImage] = {
+    val session = df.sparkSession
+    import session.implicits._
+    df.select(col(idCol).cast("long"), widthCol.cast("int"), heightCol.cast("int"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (id, w, h) = (r.getLong(0), r.getInt(1), r.getInt(2))
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = ((id * 7) % 256).toInt; val b = ((id * 13) % 256).toInt
+          var y = 0
+          while (y < h) {
+            val red = ((id + y) % 256).toInt
+            val rgb = (red << 16) | (g << 8) | b
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          EncodedImage(id, out.toByteArray, "image/png")
+        }
+      }
+  }
+
+  /** REAL image decode (JDK `javax.imageio` — PNG/JPEG/GIF/BMP, no extra
+    * deps): bytes → pixels → oracle-checkable scalars (width, height,
+    * Σ(r+g+b)). Same batch shape as [[featurizePartitions]]: stream rows
+    * through `mapPartitions`, emit small fixed-width outputs so anything
+    * downstream shuffles KBs. PNG is lossless, so the pixel sum is exact
+    * — the DuckDB oracle predicts it in closed form for the
+    * [[synthesizeImages]] gradient. */
+  def decodeImages(ds: Dataset[EncodedImage]): Dataset[DecodedImage] = {
+    val session = ds.sparkSession
+    import session.implicits._
+    ds.mapPartitions { imgs =>
+      imgs.map { e =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(e.payload))
+        require(img != null, s"undecodable payload for media_id=${e.media_id}")
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        DecodedImage(e.media_id, w, h, sum)
+      }
+    }
   }
 
   /** STUB frame-sample: take every `stride`-th byte as a stand-in for

@@ -955,6 +955,33 @@ object QueryDefs {
                      CAST(256 AS INTEGER) AS n_bytes FROM documents""")
     ),
 
+    // REAL image decode (javax.imageio): synthesize a gradient PNG per doc
+    // (sized by table columns, pixels keyed on doc_id), decode it back
+    // through ImageIO, and emit scalars. PNG is lossless, so the DuckDB
+    // oracle predicts width/height/Σ(r+g+b) in CLOSED FORM — the oracle
+    // can't decode PNG, but it can check a real decode of a constructed
+    // image. Encode + decode both run inside mapPartitions.
+    QueryDef(
+      "c16_image_decode",
+      (s, d) => Multimodal.decodeImages(Multimodal.synthesizeImages(
+          t(s, d, "documents"), "doc_id",
+          lit(1) + col("n_chars") % 16, lit(1) + col("doc_id") % 8))
+        .toDF()
+        .select(col("media_id").as("doc_id"), col("width"), col("height"),
+          col("pixel_sum")),
+      // Σ_y((doc_id+y) mod 256) in closed form (DuckDB 1.0 can't lateral-
+      // join generate_series): with a = id mod 256 and h ≤ 8, at most one
+      // wrap past 256, so the sum is h·a + h(h−1)/2 − 256·max(0, a+h−256)
+      Some("""WITH p AS (SELECT doc_id, 1 + n_chars % 16 AS w, 1 + doc_id % 8 AS h,
+                                doc_id % 256 AS a,
+                                (doc_id * 7) % 256 + (doc_id * 13) % 256 AS gb
+                         FROM documents)
+              SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+                     CAST(w * (h * a + h * (h - 1) // 2
+                               - 256 * greatest(0, a + h - 256) + h * gb) AS BIGINT) AS pixel_sum
+              FROM p""")
+    ),
+
     // Frame-sampling generator shape over binary payloads; md5 per frame so
     // the oracle compares fixed-width strings (DuckDB 1.0 can't substring
     // blobs — text is ASCII, so char-substring md5 matches byte-substring).

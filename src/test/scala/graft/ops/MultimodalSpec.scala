@@ -44,6 +44,33 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(frames.head.getAs[Array[Byte]]("frame"), "UTF-8") == "hell")
   }
 
+  test("synthesized PNGs decode back to the analytic width/height/pixel sum") {
+    val rows = Seq((3L, 40L), (17L, 7L), (255L, 300L)).toDF("doc_id", "n_chars")
+    val decoded = Multimodal.decodeImages(Multimodal.synthesizeImages(
+        rows, "doc_id", lit(1) + col("n_chars") % 16, lit(1) + col("doc_id") % 8))
+      .collect().map(d => d.media_id -> d).toMap
+    for ((id, nChars) <- Seq((3L, 40L), (17L, 7L), (255L, 300L))) {
+      val w = (1 + nChars % 16).toInt; val h = (1 + id % 8).toInt
+      val expected = (0 until h).map(y => w * ((id + y) % 256)).sum +
+        w.toLong * h * ((id * 7) % 256 + (id * 13) % 256)
+      assert(decoded(id).width == w && decoded(id).height == h)
+      assert(decoded(id).pixel_sum == expected,
+        s"id=$id: got ${decoded(id).pixel_sum}, want $expected")
+    }
+  }
+
+  test("decodeImages reads real JPEG bytes too (dimensions survive lossy roundtrip)") {
+    // payload produced by a DIFFERENT encoder path than synthesizeImages:
+    // the decoder is format-agnostic ImageIO, not a PNG-only shortcut
+    val img = new java.awt.image.BufferedImage(9, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    val ds = Seq(Multimodal.EncodedImage(42L, out.toByteArray, "image/jpeg")).toDS()
+    val d = Multimodal.decodeImages(ds).collect().head
+    assert(d.media_id == 42L && d.width == 9 && d.height == 4)
+    assert(d.pixel_sum == 0L) // black stays black under JPEG
+  }
+
   test("resize truncates or zero-pads to the target width") {
     val out = Multimodal.resize(media, targetBytes = 5)
       .select($"media_id", $"payload_resized").collect()
