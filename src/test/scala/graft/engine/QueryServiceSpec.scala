@@ -196,6 +196,61 @@ class QueryServiceSpec extends SparkSpec {
     svc.close()
   }
 
+  test("concurrency soak: parallel submit/cancel storms keep CAS + registry consistent (property)") {
+    // round-4 verdict #7: the CAS transitions are spec'd individually;
+    // this exercises their INTERLEAVING — 8 client threads submitting 16
+    // distinct plans while 4 more race cancels against half of them,
+    // repeated 3 rounds. Invariants: a true cancel() always yields
+    // CANCELLED, a false cancel() never does, uncancelled queries
+    // succeed with readable results, and a crash-reload (no close) of
+    // the write-through registry reproduces every terminal state.
+    import org.apache.spark.sql.functions.{col, udf}
+    import scala.jdk.CollectionConverters._
+    val slow = udf((x: Long) => { Thread.sleep(1); x })
+    for (round <- 1 to 3) {
+      val dir = Files.createTempDirectory("graft-soak").toString
+      val svc = new QueryService(spark, new Catalog(spark, sf0001), dir)
+      val clients = java.util.concurrent.Executors.newFixedThreadPool(12)
+      try {
+        val plans = (0 until 16).map { k =>
+          // distinct literals defeat the reuse cache; odd plans are slow
+          // enough (per-row sleep, multi-partition) for cancels to land
+          // mid-flight, and the 4-worker pool keeps a QUEUED backlog
+          if (k % 2 == 0) spark.range(k * 1000, k * 1000 + 50).toDF("id")
+          else spark.range(0, 3000 + k, 1, 4).select(slow(col("id")).as("v"))
+        }
+        val ids = clients.invokeAll(plans.map(p =>
+          (() => svc.submitPlan(p)): java.util.concurrent.Callable[String]).asJava)
+          .asScala.map(_.get).toIndexedSeq
+        assert(ids.distinct.size == 16, "distinct plans must get distinct ids")
+        val cancelWon = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+        clients.invokeAll(ids.zipWithIndex.collect { case (id, i) if i % 2 == 1 =>
+          (() => { cancelWon.put(id, svc.cancel(id)); id }):
+            java.util.concurrent.Callable[String] }.asJava)
+        val finalStates = ids.map(id => id -> svc.await(id)).toMap
+        ids.zipWithIndex.foreach { case (id, i) =>
+          val st = finalStates(id)
+          if (i % 2 == 0) {
+            assert(st == Succeeded, s"round $round uncancelled query $i: $st")
+            assert(spark.read.option("header", "true").csv(svc.resultPath(id)).count() > 0)
+          } else if (cancelWon.get(id))
+            assert(st == Cancelled, s"round $round: cancel won but state is $st")
+          else
+            assert(st == Succeeded || st.isInstanceOf[Failed],
+              s"round $round: cancel lost but state is $st")
+        }
+        // crash-reload: no close(), the append-only log alone must
+        // reproduce every terminal state under the contention above
+        val reloaded = new QueryService(spark, new Catalog(spark, sf0001), dir)
+        ids.foreach { id =>
+          assert(reloaded.status(id).map(_.state) == Some(finalStates(id)),
+            s"round $round: registry lost $id")
+        }
+        reloaded.close()
+      } finally { clients.shutdownNow(); svc.close() }
+    }
+  }
+
   test("failed query reports FAILED and is not cached for reuse") {
     val svc = freshService()
     val id = svc.submit("lineitem", "l_returnflag", "R",

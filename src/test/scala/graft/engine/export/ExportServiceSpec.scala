@@ -50,6 +50,39 @@ class ExportServiceSpec extends SparkSpec {
     assert(retried != f)
   }
 
+  test("concurrency soak: racing exporters per (query, format) stay idempotent (property)") {
+    // 12 threads hammer the same 7 (query, format) targets concurrently,
+    // 3 rounds. Invariants: every call returns a legal state (never an
+    // exception), every target converges to DONE at the same path, and
+    // the artifact is a complete readable file — no torn writes from
+    // double-enqueued workers racing the idempotency probe.
+    import scala.jdk.CollectionConverters._
+    for (round <- 1 to 3) {
+      val (svc, _, exportDir) = setup()
+      val clients = java.util.concurrent.Executors.newFixedThreadPool(12)
+      try {
+        val calls = for (_ <- 0 until 6; f <- Exporters.SupportedFormats)
+          yield (() => svc.export("q1", f)): java.util.concurrent.Callable[State]
+        val observed = clients.invokeAll(scala.util.Random.shuffle(calls).asJava)
+          .asScala.map(_.get)
+        observed.foreach {
+          case Queued | Processing | Done(_) => ()
+          case f: Failed => fail(s"round $round: export failed under contention: $f")
+        }
+        for (f <- Exporters.SupportedFormats) {
+          val done = svc.await("q1", f).asInstanceOf[Done]
+          assert(done.path == svc.targetPath("q1", f))
+          assert(new java.io.File(done.path).isFile && new java.io.File(done.path).length > 0,
+            s"round $round: torn/missing artifact for $f")
+        }
+        // the tsv artifact must be complete and parseable after the storm
+        val tsv = spark.read.option("header", "true").option("sep", "\t")
+          .csv(svc.targetPath("q1", "tsv"))
+        assert(tsv.count() == 2 && tsv.columns.toSeq == Seq("k", "v"))
+      } finally { clients.shutdownNow(); svc.close() }
+    }
+  }
+
   test("unsupported format rejected synchronously") {
     val (svc, _, _) = setup()
     intercept[IllegalArgumentException] { svc.export("q1", "pdf") }
