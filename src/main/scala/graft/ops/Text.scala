@@ -186,6 +186,21 @@ object Text {
       dupFrac(3).as("dup3_frac"))
   }
 
+  /** PII scrubbing (training-data pipelines redact before the corpus ever
+    * reaches a trainer): emails → [EMAIL], IPv4 literals → [IP],
+    * phone-like digit runs → [PHONE]. Chained codegen `regexp_replace` —
+    * a pure projection, no UDF. Order is load-bearing: emails first
+    * (their local parts contain digits), then IPs (the phone rule would
+    * otherwise eat the octets), then phones. Patterns are RE2-compatible
+    * (no backtracking constructs), so the DuckDB oracle applies the SAME
+    * three rewrites in the same order. */
+  def scrubPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]")
+    val ip = regexp_replace(email, "[0-9]{1,3}(\\.[0-9]{1,3}){3}", "[IP]")
+    regexp_replace(ip, "\\+?[0-9][0-9 ()-]{6,}[0-9]", "[PHONE]")
+  }
+
   /** Document fingerprint: order-sensitive 64-bit rolling hash of the token
     * stream (hash chaining: acc' = xxhash64(acc, token), which is
     * position-sensitive and never overflows under ANSI mode, unlike a

@@ -848,6 +848,45 @@ object QueryDefs {
       None
     ),
 
+    // PII scrubbing over text with PLANTED pii (deterministic per doc_id:
+    // an email, a phone, an IPv4 appended to each doc) — the oracle runs
+    // the same three RE2-safe rewrites in the same order, so the match
+    // proves the redaction itself, not just a no-op pass-through.
+    QueryDef(
+      "c15_pii_scrub",
+      (s, d) => {
+        val planted = t(s, d, "documents").select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id"), lit("@example.com or +1 555-01"),
+            col("doc_id"), lit(" 4321 from 10.0."), pmod(col("doc_id"), lit(256)),
+            lit(".7")).as("text"))
+        planted.select(col("doc_id"),
+          md5(graft.ops.Text.scrubPii(col("text"))).as("scrub_md5"),
+          (size(split(graft.ops.Text.scrubPii(col("text")), "\\[EMAIL\\]")) - 1).as("n_email"),
+          (size(split(graft.ops.Text.scrubPii(col("text")), "\\[IP\\]")) - 1).as("n_ip"),
+          (size(split(graft.ops.Text.scrubPii(col("text")), "\\[PHONE\\]")) - 1).as("n_phone"))
+      },
+      Some("""WITH planted AS (
+                SELECT doc_id,
+                       concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                              '@example.com or +1 555-01', CAST(doc_id AS VARCHAR),
+                              ' 4321 from 10.0.', CAST(doc_id % 256 AS VARCHAR), '.7') AS text
+                FROM documents),
+              scrubbed AS (
+                SELECT doc_id, regexp_replace(
+                         regexp_replace(
+                           regexp_replace(text,
+                             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                           '[0-9]{1,3}(\.[0-9]{1,3}){3}', '[IP]', 'g'),
+                         '\+?[0-9][0-9 ()-]{6,}[0-9]', '[PHONE]', 'g') AS s
+                FROM planted)
+              SELECT doc_id, md5(s) AS scrub_md5,
+                     CAST(len(string_split(s, '[EMAIL]')) - 1 AS INTEGER) AS n_email,
+                     CAST(len(string_split(s, '[IP]')) - 1 AS INTEGER) AS n_ip,
+                     CAST(len(string_split(s, '[PHONE]')) - 1 AS INTEGER) AS n_phone
+              FROM scrubbed""")
+    ),
+
     // Order-sensitive rolling fingerprint (xxhash64 chain — not DuckDB-
     // expressible; exactness spec-tested).
     QueryDef(

@@ -108,6 +108,26 @@ class TextSpec extends SparkSpec {
     assert(rev != fps(1L))
   }
 
+  test("scrubPii redacts emails, IPs, and phone runs — and only those") {
+    val cases = Seq(
+      ("mail me at jo.na+x@sub.example.org thanks", "mail me at [EMAIL] thanks"),
+      ("server 192.168.001.200 is up", "server [IP] is up"),
+      ("call +1 (555) 010-4321 now", "call [PHONE] now"),
+      // email first: its digits must not be half-eaten by the phone rule
+      ("a1234567890@nums.example.com", "[EMAIL]"),
+      // ip before phone: octets must not become [PHONE]
+      ("10.0.0.1 then 555 010 99887", "[IP] then [PHONE]"),
+      ("no pii here, just words and the year 2024", "no pii here, just words and the year 2024")
+    )
+    val out = cases.map(_._1).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select($"id", Text.scrubPii($"text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((in, want), i) =>
+      assert(out(i.toLong) == want, s"input <$in>: got <${out(i.toLong)}>")
+    }
+  }
+
   test("rolling hash matches the HOF xxhash64 chain bit-for-bit") {
     // the codegen RollingTokenHash must reproduce Spark's own
     // aggregate(tokens, 0L, (acc, w) => xxhash64(acc, w)) exactly, so a
