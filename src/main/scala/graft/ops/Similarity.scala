@@ -69,7 +69,14 @@ object Similarity {
   /** ANN self-join: candidate pairs that share an LSH bucket in any table,
     * scored with exact cosine. Pair generation is an equi-join on
     * (table, bucket) — near-linear in corpus size — instead of the O(n²)
-    * exact pair space. */
+    * exact pair space.
+    *
+    * SIZING `planesPerTable` (PERF.md finding 17, measured): random
+    * collisions ≈ tables · C(n,2) / 2^planes, a QUADRATIC term that
+    * swamps the linear true-pair count once n approaches 2^planes.
+    * Keep planes ≈ log₂(n) + 4 so noise stays linear in n; if recall
+    * dips below the ≥0.8 gate, add a table per +2 planes rather than
+    * shrinking planes. The 16-plane default is sized for ~10⁵ vectors. */
   def lshCandidatePairs(emb: DataFrame, idCol: String, vecCol: String,
                         planesPerTable: Int = 16, tables: Int = 4,
                         dim: Int = 64, seed: Long = 42L): DataFrame = {

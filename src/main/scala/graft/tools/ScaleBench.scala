@@ -2,46 +2,62 @@ package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.Dedup
+import graft.ops.{Dedup, Relational, Similarity}
 
-/** Scaling evidence for the two hottest operators (round-3 verdict #8):
-  * run the Jaccard near-dup family and connected components on 1×/2×/5×
-  * the sf0.1 documents corpus and verify sublinear-to-linear growth —
-  * the 100 TB posture argued from plan shape, now measured over one more
-  * decade.
+/** Scaling evidence for the hot operator families (round-3 verdict #8,
+  * extended per round-4 verdict #6): run jaccard near-dup, connected
+  * components, near-dup removal, MinHash LSH, embedding-LSH ANN,
+  * decontamination (BOTH gate paths), and sequence packing on
+  * 1×/2×/5×/10×/25× the sf0.1 corpus and verify no superlinear term —
+  * the 100 TB posture argued from plan shape, measured over 1.4 decades.
   *
-  * The scaled corpora are derived (not driver data): each replica of the
-  * sf0.1 corpus gets ~25% of its tokens rewritten with a replica tag, so
-  * replicas are NOT near-duplicates of each other (cross-replica Jaccard
-  * ≪ 0.6) and the shingle-frequency shape stays realistic. Written to
-  * /tmp — /root/testdata stays untouched.
+  * The scaled corpora are derived (not driver data): every token of each
+  * extra replica is tagged with the replica id, so replicas are DISJOINT
+  * in shingle space — growth models NEW content (per-shingle df constant,
+  * postings grow k×). A partial rewrite instead multiplies per-shingle df
+  * by the replica count and measures the corpus model, not the operator.
+  * Embedding replicas get a per-(replica, position) SIGN FLIP: within a
+  * replica all dot products are preserved exactly (s_i² = 1), across
+  * replicas they scramble to ~0 — the vector analog of disjoint shingles.
+  * Written to /tmp — /root/testdata stays untouched.
   *
-  * Run: sbt "runMain graft.tools.ScaleBench"
+  * Run: sbt "runMain graft.tools.ScaleBench"   (SPARK_GRAFT_KS=1,2,5 to trim)
   */
 object ScaleBench {
 
-  /** Replicate docs `k`× with per-replica token perturbation. */
+  /** Replicate docs `k`× with per-replica token tagging. */
   def scaled(docs: DataFrame, k: Int): DataFrame = {
     val n = docs.count()
     (0 until k).map { r =>
       if (r == 0) docs
       else docs.select(
         (col("doc_id") + lit(r * n)).as("doc_id"),
-        // every token tagged per replica: replicas are DISJOINT in shingle
-        // space, modeling corpus growth as new content (df per shingle
-        // constant, postings grow k×). A partial rewrite instead leaves
-        // replicas sharing shingles, which multiplies per-shingle df by
-        // the replica count — a self-similarity artifact that inflates
-        // candidate volume quadratically and measures the corpus model,
-        // not the operator
         array_join(transform(split(col("text"), " "), t =>
           concat(t, lit("_"), lit(r))), " ").as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionAll _)
   }
 
+  /** Replicate embeddings `k`× with per-replica sign flips. */
+  def scaledEmb(emb: DataFrame, k: Int): DataFrame = {
+    val n = emb.count()
+    (0 until k).map { r =>
+      if (r == 0) emb
+      else emb.select(
+        (col("vec_id") + lit(r * n)).as("vec_id"),
+        // deterministic ±1 per (replica, position): xxhash parity
+        zip_with(col("embedding"),
+          transform(sequence(lit(0), size(col("embedding")) - 1),
+            i => when(pmod(xxhash64(lit(r), i), lit(2)) === 0, lit(1.0f)).otherwise(lit(-1.0f))),
+          (x, s) => x * s).as("embedding"),
+        col("label"))
+    }.reduce(_ unionAll _)
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val ks = sys.env.getOrElse("SPARK_GRAFT_KS", "1,2,5,10,25")
+      .split(",").map(_.trim.toInt).toSeq
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -52,48 +68,69 @@ object ScaleBench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
     val base = graft.engine.Tables.read(spark, "/root/testdata/sf0.1", "documents")
+    val baseEmb = graft.engine.Tables.read(spark, "/root/testdata/sf0.1", "embeddings")
+    val bench50 = base.filter(col("doc_id") < 50).localCheckpoint(true)
 
     def timeIt(body: => Long): (Double, Long) = {
       val t0 = System.nanoTime(); val out = body
       ((System.nanoTime() - t0) / 1e9, out)
+    }
+    def noop(df: DataFrame): Long = {
+      df.write.format("noop").mode("overwrite").save(); 0L
     }
 
     // warm codegen/shuffle paths untimed so x1 doesn't absorb JVM startup
     Dedup.jaccardNearDup(base.limit(1000), "doc_id", "text",
       n = 3, threshold = 0.6, maxDf = Some(100)).count()
 
-    for (round <- 1 to 2; k <- Seq(1, 2, 5)) {
+    for (round <- 1 to 2; k <- ks) {
       val dir = s"/tmp/graft_scale_x$k"
-      if (!new java.io.File(s"$dir/documents.parquet").exists()) {
+      if (!new java.io.File(s"$dir/documents.parquet").exists())
         scaled(base, k).write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      }
+      if (!new java.io.File(s"$dir/embeddings.parquet").exists())
+        scaledEmb(baseEmb, k).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
       // equalized parallelism + checkpoint: time the operators, not the
       // scan or the partition-count accident of how /tmp was written
       val docs = spark.read.parquet(s"$dir/documents.parquet")
         .repartition(cpus.toInt).localCheckpoint(true)
-      val nDocs = docs.count()
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .repartition(cpus.toInt).localCheckpoint(true)
+      val nDocs = docs.count(); val nVecs = emb.count()
 
-      val (tJac, _) = timeIt {
-        Dedup.jaccardNearDup(docs, "doc_id", "text",
-          n = 3, threshold = 0.6, maxDf = Some(100))
-          .write.format("noop").mode("overwrite").save(); 0L
-      }
+      val (tJac, _) = timeIt(noop(Dedup.jaccardNearDup(docs, "doc_id", "text",
+        n = 3, threshold = 0.6, maxDf = Some(100))))
       // pairs pre-materialized so CC / remove timings isolate THEIR cost
       val pairs = Dedup.jaccardNearDup(docs, "doc_id", "text",
         n = 3, threshold = 0.6, maxDf = Some(100)).localCheckpoint(true)
       val nPairs = pairs.count()
-      val (tCc, nNodes) = timeIt {
+      val (tCc, ccRounds) = timeIt {
         val (labels, rounds) = Dedup.connectedComponentsWithRounds(pairs, maxIter = 20)
         labels.write.format("noop").mode("overwrite").save()
         rounds.toLong
       }
-      val (tRm, nKept) = timeIt {
-        val kept = Dedup.removeNearDups(docs, "doc_id", pairs)
-        kept.write.format("noop").mode("overwrite").save()
-        kept.count()
+      val (tRm, _) = timeIt(noop(Dedup.removeNearDups(docs, "doc_id", pairs)))
+      val (tLsh, nLsh) = timeIt {
+        val c = Dedup.minhashLshCandidates(docs, "doc_id", "text",
+          n = 3, bands = 8, rowsPerBand = 4, estThreshold = 0.5).localCheckpoint(true)
+        val n = c.count(); noop(c); n
       }
-      println(f"[scale] r$round x$k docs=$nDocs%7d pairs=$nPairs%6d jaccard=$tJac%6.2fs " +
-        f"cc=$tCc%6.2fs (rounds=$nNodes) remove=$tRm%6.2fs kept=$nKept%7d")
+      val (tAnn, nAnn) = timeIt {
+        val c = Similarity.lshCandidatePairs(emb, "vec_id", "embedding").localCheckpoint(true)
+        val n = c.count(); noop(c); n
+      }
+      // decontaminate: gated default (broadcast at these sizes) AND the
+      // forced distributed path — the curve past the gate must also hold
+      val (tDec, _) = timeIt(noop(
+        Dedup.decontaminate(docs, bench50, "doc_id", "text", n = 8)))
+      val (tDecD, _) = timeIt(noop(
+        Dedup.decontaminate(docs, bench50, "doc_id", "text", n = 8, idBroadcastLimit = 0L)))
+      val (tPack, _) = timeIt(noop(Relational.packSequences(
+        docs, "doc_id", size(split(col("text"), " ")), budget = 512)))
+
+      println(f"[scale] r$round x$k%-2d docs=$nDocs%7d vecs=$nVecs%6d | " +
+        f"jaccard=$tJac%6.2fs pairs=$nPairs%6d cc=$tCc%5.2fs(r=$ccRounds) rm=$tRm%5.2fs | " +
+        f"lsh=$tLsh%5.2fs($nLsh%5d) ann=$tAnn%5.2fs($nAnn%6d) | " +
+        f"decon=$tDec%5.2fs dist=$tDecD%5.2fs pack=$tPack%5.2fs")
     }
     spark.stop()
   }
