@@ -344,6 +344,42 @@ object Dedup {
     (labels, i)
   }
 
+  /** Line-level exact dedup (the C4 / RefinedWeb curation step: repeated
+    * lines — boilerplate, navigation, legal footers — are removed
+    * corpus-wide, keeping only the FIRST occurrence in (doc, position)
+    * order; documents are reassembled from their surviving lines).
+    *
+    * Scale shape: one groupBy(line) whose min-aggregate folds map-side
+    * (hot boilerplate lines — the Zipf head this operator exists for —
+    * partial-aggregate before the shuffle), one equi-join of occurrences
+    * against winners (1 row per distinct line on the build side), one
+    * groupBy(doc) to reassemble. No collect, no window over the corpus;
+    * the only per-element lambda is the field extraction in reassembly
+    * (bounded by lines-per-doc, not corpus size).
+    *
+    * Returns (idCol, textCol) with deduped text; docs whose every line
+    * was claimed elsewhere drop out entirely (matching the SQL shape). */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+                sep: String = "\n"): DataFrame = {
+    val quoted = java.util.regex.Pattern.quote(sep)
+    // localCheckpoint: occurrences feed the winners aggregate AND the
+    // survivor join; materialize the explode once
+    val lines = docs
+      .select(col(idCol).as("doc"),
+        posexplode(split(col(textCol), quoted)).as(Seq("pos", "line")))
+      .localCheckpoint(true)
+    val winners = lines.groupBy("line")
+      .agg(min(struct(col("doc"), col("pos"))).as("w"))
+    lines.join(winners, Seq("line"))
+      .filter(col("doc") === col("w.doc") && col("pos") === col("w.pos"))
+      .groupBy(col("doc"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")), sep).as("text"),
+        count(lit(1)).cast("int").as("n_lines"))
+      .select(col("doc").as(idCol), col("text").as(textCol), col("n_lines"))
+  }
+
   /** Test-set decontamination: drop every corpus document that shares at
     * least one word n-gram with the benchmark set (the n-gram-overlap
     * rule — GPT-3 used 13-grams, Gopher/MassiveText 8-grams — standard in

@@ -1095,6 +1095,39 @@ object QueryDefs {
               WHERE rn <= quota""")
     ),
 
+    // C13 line-level dedup (C4/RefinedWeb): plant newline-separated
+    // boilerplate (one line shared by ALL docs, one with three variants)
+    // after each doc's unique body, then remove repeated lines corpus-wide
+    // keeping first occurrence — the oracle mirrors with a row_number over
+    // (line) window. Output md5 proves exact reassembly order.
+    QueryDef(
+      "c13_line_dedup",
+      (s, d) => {
+        val planted = t(s, d, "documents").select(col("doc_id"),
+          concat(col("text"),
+            lit("\nsubscribe to the newsletter today\ncopyright footer "),
+            pmod(col("doc_id"), lit(3))).as("text"))
+        Dedup.lineDedup(planted, "doc_id", "text")
+          .select(col("doc_id"), md5(col("text")).as("dedup_md5"), col("n_lines"))
+      },
+      Some("""WITH planted AS (
+                SELECT doc_id,
+                       concat(text, chr(10), 'subscribe to the newsletter today',
+                              chr(10), 'copyright footer ',
+                              CAST(doc_id % 3 AS VARCHAR)) AS text
+                FROM documents),
+              arrs AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM planted),
+              lines AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, arr[i] AS line
+                        FROM arrs, UNNEST(generate_series(1, len(arr))) t(i)),
+              ranked AS (SELECT doc_id, pos, line,
+                                row_number() OVER (PARTITION BY line
+                                                   ORDER BY doc_id, pos) AS rn
+                         FROM lines)
+              SELECT doc_id, md5(string_agg(line, chr(10) ORDER BY pos)) AS dedup_md5,
+                     CAST(count(*) AS INTEGER) AS n_lines
+              FROM ranked WHERE rn = 1 GROUP BY doc_id""")
+    ),
+
     // C24 test-set decontamination: docs 0-49 stand in as the held-out
     // benchmark; drop every remaining doc sharing an 8-gram with them
     // (the GPT-3/Gopher n-gram-overlap rule). Benchmark shingles and the

@@ -243,6 +243,21 @@ class DedupSpec extends SparkSpec {
     assert(r1 == r2) // shallow graph: jumping saved nothing
   }
 
+  test("lineDedup keeps first occurrence corpus-wide and reassembles in order") {
+    val docs = Seq(
+      (1L, "alpha body one\nSHARED FOOTER\nanother unique line"),
+      (2L, "beta body two\nSHARED FOOTER"),
+      (3L, "SHARED FOOTER"), // every line already claimed -> drops out
+      (4L, "gamma\nalpha body one") // cross-doc dup of doc 1's first line
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(out(1L) == (("alpha body one\nSHARED FOOTER\nanother unique line", 3)))
+    assert(out(2L) == (("beta body two", 1)))
+    assert(!out.contains(3L), "doc with zero surviving lines must drop out")
+    assert(out(4L) == (("gamma", 1)))
+  }
+
   test("decontaminate drops exactly the docs sharing an n-gram with the benchmark") {
     val bench = Seq(
       (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
