@@ -186,6 +186,37 @@ object Text {
       dupFrac(3).as("dup3_frac"))
   }
 
+  /** Byte-compressibility quality signal (LLM-data curation: degenerate /
+    * templated / looping text deflates far smaller than natural prose, so
+    * pipelines cut on compressed/raw ratio alongside the n-gram
+    * repetition fractions). One `Deflater` per PARTITION, reset per row
+    * (the expensive-handle `mapPartitions` contract — constructing a
+    * native zlib stream per row would dominate), released on partition
+    * end. Output bytes are counted, never buffered whole. Not
+    * SQL-expressible → rows-only query + ordering property spec. */
+  def compressionRatios(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val session = docs.sparkSession
+    import session.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+        val buf = new Array[Byte](1 << 16)
+        new Iterator[(Long, Double)] {
+          def hasNext: Boolean = rows.hasNext
+          def next(): (Long, Double) = {
+            val (id, t) = rows.next()
+            val bytes = if (t == null) Array.emptyByteArray else t.getBytes("UTF-8")
+            d.reset(); d.setInput(bytes); d.finish()
+            var n = 0L
+            while (!d.finished()) n += d.deflate(buf)
+            if (!rows.hasNext) d.end() // release native memory with the partition
+            (id, if (bytes.isEmpty) 1.0 else math.rint(n.toDouble / bytes.length * 1e4) / 1e4)
+          }
+        }
+      }.toDF(idCol, "compress_ratio")
+  }
+
   /** PII scrubbing (training-data pipelines redact before the corpus ever
     * reaches a trainer): emails → [EMAIL], IPv4 literals → [IP],
     * phone-like digit runs → [PHONE]. Chained codegen `regexp_replace` —

@@ -887,6 +887,15 @@ object QueryDefs {
               FROM scrubbed""")
     ),
 
+    // Compressibility quality signal (deflate ratio; zlib isn't DuckDB-
+    // expressible -> rows-only; ordering property spec-tested).
+    QueryDef(
+      "c15_compress_ratio",
+      (s, d) => graft.ops.Text.compressionRatios(
+        t(s, d, "documents"), "doc_id", "text"),
+      None
+    ),
+
     // Order-sensitive rolling fingerprint (xxhash64 chain — not DuckDB-
     // expressible; exactness spec-tested).
     QueryDef(

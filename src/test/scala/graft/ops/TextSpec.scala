@@ -108,6 +108,20 @@ class TextSpec extends SparkSpec {
     assert(rev != fps(1L))
   }
 
+  test("compression ratio separates degenerate from diverse text") {
+    val rnd = new scala.util.Random(11)
+    val looping = (1L, Seq.fill(200)("buy now click here").mkString(" "))
+    val diverse = (2L, Seq.fill(200)(rnd.alphanumeric.take(8).mkString).mkString(" "))
+    val empty = (3L, "")
+    val out = Text.compressionRatios(
+        Seq(looping, diverse, empty).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) < 0.1, s"looping text should crush: ${out(1L)}")
+    assert(out(2L) > 0.5, s"high-entropy text should not: ${out(2L)}")
+    assert(out(1L) < out(2L))
+    assert(out(3L) == 1.0)
+  }
+
   test("scrubPii redacts emails, IPs, and phone runs — and only those") {
     val cases = Seq(
       ("mail me at jo.na+x@sub.example.org thanks", "mail me at [EMAIL] thanks"),
