@@ -219,5 +219,20 @@ object VecFunctions {
       args => ArrayEqCount(args(0), args(1)))
     ColumnShim.registerFunction(spark, "sorted_intersect_count",
       args => SortedIntersectCount(args(0), args(1)))
+    // text-signature expressions: SQL callers pass token arrays
+    // (split(text, ' ')); integer literals fold to Int via eval
+    def asStrArr(e: Expression): Expression =
+      Cast(e, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType))
+    def litInt(e: Expression): Int =
+      e.eval(null).asInstanceOf[Number].intValue()
+    ColumnShim.registerFunction(spark, "shingle_hashes",
+      args => ShingleHashes(asStrArr(args(0)), litInt(args(1))))
+    ColumnShim.registerFunction(spark, "rolling_token_hash",
+      args => RollingTokenHash(asStrArr(args(0))))
+    ColumnShim.registerFunction(spark, "simhash_bits",
+      args => SimhashBits(asStrArr(args(0))))
+    ColumnShim.registerFunction(spark, "minhash_from_hashes",
+      args => MinhashFromHashes(args(0), litInt(args(1))))
   }
 }

@@ -45,6 +45,24 @@ class GraftSpec extends SparkSpec {
            FROM embeddings LIMIT 3""")
         .collect().map(_.getDouble(1))
       assert(sim.forall(_ == 1.0))
+
+      // text-signature expressions too, and they match the Column API
+      val row = g.sql(
+        """SELECT rolling_token_hash(split(text, ' ')) AS fp,
+                  size(shingle_hashes(split(text, ' '), 3)) AS n_sh,
+                  simhash_bits(split(text, ' ')) AS sh,
+                  size(minhash_from_hashes(shingle_hashes(split(text, ' '), 3), 8)) AS k
+           FROM documents ORDER BY doc_id LIMIT 1""").collect().head
+      val viaCols = g.sql("SELECT text FROM documents ORDER BY doc_id LIMIT 1")
+        .select(
+          graft.ops.Text.fingerprint(org.apache.spark.sql.functions.col("text")).as("fp"),
+          org.apache.spark.sql.functions.size(graft.functions.ShingleHashes
+            .sortedShingleHashes(graft.ops.Text.tokens(
+              org.apache.spark.sql.functions.col("text")), 3)).as("n_sh"))
+        .collect().head
+      assert(row.getLong(0) == viaCols.getLong(0), "SQL fingerprint != Column fingerprint")
+      assert(row.getInt(1) == viaCols.getInt(1))
+      assert(row.getInt(3) == 8)
     } finally g.close()
   }
 }
