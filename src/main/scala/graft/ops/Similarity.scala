@@ -42,6 +42,15 @@ object Similarity {
       .limit(k)
   }
 
+  /** Corpus-sized hyperplane count (PERF.md finding 17): random bucket
+    * collisions ≈ tables · C(n,2) / 2^planes, so planes must track
+    * log₂(n) to keep the noise term LINEAR in corpus size — at a fixed
+    * 16 planes, ScaleBench measured candidates growing quadratically
+    * (244 → 161k over 25× vectors). log₂(n) + 4 puts expected random
+    * collisions at ~tables · n / 32. Floor 16 = the historical default. */
+  def planesFor(corpusSize: Long): Int =
+    math.max(16, (math.log(math.max(corpusSize, 1).toDouble) / math.log(2)).ceil.toInt + 4)
+
   /** Deterministic random hyperplanes: `tables` independent LSH tables of
     * `planesPerTable` planes each (seeded driver-side constants). */
   private[ops] def hyperplanes(tables: Int, planesPerTable: Int, dim: Int,

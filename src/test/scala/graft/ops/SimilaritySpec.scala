@@ -100,6 +100,25 @@ class SimilaritySpec extends SparkSpec {
     assert((found -- truePairs).isEmpty, s"false pairs: ${found -- truePairs}")
   }
 
+  test("planesFor sizes hyperplanes with log2(n) and keeps recall at the sized count") {
+    // finding 17: fixed planes -> quadratic noise; the sizing rule keeps
+    // E[random collisions] linear and must NOT cost recall on real clusters
+    assert(Similarity.planesFor(1000) == 16)     // floor
+    assert(Similarity.planesFor(100000) == 21)
+    assert(Similarity.planesFor(100000000) == 31)
+    assert(Similarity.planesFor(0) == 16)
+    val corpus = clusteredCorpus
+    val sized = Similarity.planesFor(200) // 12 -> floor 16, the tested default
+    val found = Similarity.lshCandidatePairs(corpus, "vec_id", "embedding",
+        planesPerTable = sized)
+      .filter($"cosine" >= 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truePairs = (for (c <- 0 until 20; a <- 0 until 10; b <- a + 1 until 10)
+      yield ((c * 10 + a).toLong, (c * 10 + b).toLong)).toSet
+    val r = (found & truePairs).size.toDouble / truePairs.size
+    assert(r >= 0.8, s"recall at sized plane count degraded to $r")
+  }
+
   test("embeddingNearDup surfaces only above-threshold cosine pairs") {
     val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
     val near = base.clone(); near(5) = near(5) * 1.001f
