@@ -1,0 +1,47 @@
+package graft.engine
+
+import graft.SparkSpec
+
+/** Plan-quality pins for the round-5 queries: column pruning must reach
+  * the scan (a decode/scrub pipeline that drags `text`/`embedding` or
+  * every column through mapPartitions is wrong at 100 TB). */
+class NewQueryPlanCheck extends SparkSpec {
+
+  private def scanSchema(q: String): String = {
+    val plan = graft.SparkEntry.queries(q)(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan)
+      .map(_.group(1)).getOrElse(s"NO SCAN in:\n$plan")
+  }
+
+  test("image decode scans only the id and size columns") {
+    val s = scanSchema("c16_image_decode")
+    assert(s.contains("doc_id") && s.contains("n_chars") && !s.contains("text:"),
+      s"image decode over-reads: $s")
+  }
+
+  test("pii scrub scans only id + text") {
+    val s = scanSchema("c15_pii_scrub")
+    assert(s.contains("doc_id") && s.contains("text") && !s.contains("lang"),
+      s"pii scrub over-reads: $s")
+  }
+
+  test("line dedup materializes only (doc, pos, line) at the checkpoint") {
+    // the parquet scan sits behind lineDedup's localCheckpoint, so the
+    // final plan starts at Scan ExistingRDD — assert the checkpointed
+    // frame was pruned to the three working columns before materializing
+    val plan = graft.SparkEntry.queries("c13_line_dedup")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val rdd = "Scan ExistingRDD\\[([^\\]]*)\\]".r.findFirstMatchIn(plan)
+      .map(_.group(1)).getOrElse(s"NO ExistingRDD in:\n$plan")
+    assert(rdd.contains("doc") && rdd.contains("pos") && rdd.contains("line")
+      && !rdd.contains("lang") && !rdd.contains("source"),
+      s"line dedup checkpoint over-materializes: $rdd")
+  }
+
+  test("compression ratio scans only id + text") {
+    val s = scanSchema("c15_compress_ratio")
+    assert(s.contains("doc_id") && s.contains("text") && !s.contains("n_chars"),
+      s"compress ratio over-reads: $s")
+  }
+}
