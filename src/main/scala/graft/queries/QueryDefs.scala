@@ -354,6 +354,26 @@ object QueryDefs {
 
     // Exact percentiles with linear interpolation (both engines'
     // continuous-quantile semantics).
+    // Skew-resistant two-phase salted aggregation (AQE covers join skew
+    // only, NOT aggregation skew — this is the manual idiom for power-law
+    // keys at 100 TB). Salt is internal; results must equal the direct
+    // groupBy, which is exactly what the oracle computes.
+    QueryDef(
+      "c6_salted_agg",
+      (s, d) => Relational.saltedAgg(
+        t(s, d, "lineitem"), Seq("l_returnflag"), saltBuckets = 16,
+        aggs = Seq(
+          ("sum_qty", sum(_: org.apache.spark.sql.Column), sum(_: org.apache.spark.sql.Column)),
+          ("n", count(_: org.apache.spark.sql.Column), sum(_: org.apache.spark.sql.Column)),
+          ("max_price", max(_: org.apache.spark.sql.Column), max(_: org.apache.spark.sql.Column))),
+        valueCols = Seq("l_quantity", "l_quantity", "l_extendedprice"))
+        .select(col("l_returnflag"), round(col("sum_qty"), 2).as("sum_qty"),
+          col("n"), round(col("max_price"), 2).as("max_price")),
+      Some("""SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+                     count(*) AS n, round(max(l_extendedprice), 2) AS max_price
+              FROM lineitem GROUP BY l_returnflag""")
+    ),
+
     QueryDef(
       "c6_percentiles",
       (s, d) => t(s, d, "orders")
