@@ -258,6 +258,27 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == (("gamma", 1)))
   }
 
+  test("lineDedup matches brute-force first-occurrence semantics on random corpora (property)") {
+    val rnd = new scala.util.Random(31)
+    // tiny line vocabulary forces heavy cross-doc duplication, the regime
+    // where survivor ties (same line at several (doc, pos)) actually bite
+    val lineVocab = Vector("aa bb", "cc", "dd ee ff", "gg", "hh ii")
+    for (trial <- 1 to 3) {
+      val docs = (1L to 8L).map(id =>
+        id -> Seq.fill(2 + rnd.nextInt(4))(lineVocab(rnd.nextInt(lineVocab.length)))
+          .mkString("\n"))
+      // brute force: scan in (doc, pos) order, keep first sight of a line
+      val seen = scala.collection.mutable.Set[String]()
+      val expected = docs.flatMap { case (id, text) =>
+        val kept = text.split("\n", -1).filter(seen.add)
+        if (kept.isEmpty) None else Some(id -> kept.mkString("\n"))
+      }.toMap
+      val got = Dedup.lineDedup(docs.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == expected, s"trial $trial: got $got, expected $expected")
+    }
+  }
+
   test("decontaminate drops exactly the docs sharing an n-gram with the benchmark") {
     val bench = Seq(
       (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
