@@ -126,11 +126,23 @@ object ScaleBench {
         Dedup.decontaminate(docs, bench50, "doc_id", "text", n = 8, idBroadcastLimit = 0L)))
       val (tPack, _) = timeIt(noop(Relational.packSequences(
         docs, "doc_id", size(split(col("text"), " ")), budget = 512)))
+      // line dedup over 12-token chunk "lines": bodies are near-unique, so
+      // this times the worst case (every line survives = full groupBy +
+      // join + regroup volume), not the easy boilerplate-collapse case.
+      // Corpus prep (chunking) is checkpointed OUTSIDE the timing.
+      val ws = split(col("text"), " ")
+      val withLines = docs.select(col("doc_id"),
+        array_join(transform(
+          sequence(lit(0), greatest(ceil(size(ws) / 12.0).cast("int"), lit(1)) - 1),
+          i => array_join(slice(ws, i * 12 + 1, lit(12)), " ")), "\n").as("text"))
+        .localCheckpoint(true)
+      withLines.count()
+      val (tLine, _) = timeIt(noop(Dedup.lineDedup(withLines, "doc_id", "text")))
 
       println(f"[scale] r$round x$k%-2d docs=$nDocs%7d vecs=$nVecs%6d | " +
         f"jaccard=$tJac%6.2fs pairs=$nPairs%6d cc=$tCc%5.2fs(r=$ccRounds) rm=$tRm%5.2fs | " +
         f"lsh=$tLsh%5.2fs($nLsh%5d) ann=$tAnn%5.2fs($nAnn%6d) | " +
-        f"decon=$tDec%5.2fs dist=$tDecD%5.2fs pack=$tPack%5.2fs")
+        f"decon=$tDec%5.2fs dist=$tDecD%5.2fs pack=$tPack%5.2fs line=$tLine%5.2fs")
     }
     spark.stop()
   }
