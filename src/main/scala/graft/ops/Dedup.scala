@@ -409,23 +409,44 @@ object Dedup {
     * the benchmark. The benchmark's distinct shingle set broadcasts, so
     * this is a map-side semi-join over corpus postings — the corpus never
     * shuffles (plan pinned by DedupSpec). Exposed un-checkpointed so the
-    * spec can assert the plan shape [[decontaminate]] materializes. */
+    * spec can assert the plan shape [[decontaminate]] materializes.
+    *
+    * `stopDf`: benchmark-side stop-shingle cut — a benchmark n-gram
+    * occurring in more than `stopDf` corpus docs is boilerplate (stock
+    * phrase, license header), evidence of nothing; matching on it would
+    * nuke a corpus fraction (the failure mode that pushed GPT-3 from 8-
+    * to 13-grams). The df count runs AFTER the benchmark semi-join, so
+    * only benchmark-hitting postings aggregate — the corpus itself still
+    * never shuffles, it is scanned twice (df pass + contamination pass),
+    * both map-side. */
   def contaminatedIds(corpus: DataFrame, benchmark: DataFrame, idCol: String,
-                      textCol: String, n: Int): DataFrame = {
+                      textCol: String, n: Int,
+                      stopDf: Option[Int] = None): DataFrame = {
     def postingsOf(df: DataFrame) = df
       .select(col(idCol).as("doc"), Text.tokens(col(textCol)).as("__ws"))
       .select(col("doc"),
         explode(graft.functions.ShingleHashes.sortedShingleHashes(col("__ws"), n)).as("sh"))
+    val benchSh = broadcast(postingsOf(benchmark).select("sh").distinct())
+    val effective = stopDf match {
+      case Some(m) =>
+        // a benchmark shingle absent from the corpus has no bhits row —
+        // and also nothing to contaminate, so dropping it changes nothing
+        val bhits = postingsOf(corpus).join(benchSh, Seq("sh"), "left_semi")
+          .groupBy("sh").agg(count(lit(1)).as("__df"))
+        broadcast(bhits.filter(col("__df") <= m).select("sh"))
+      case None => benchSh
+    }
     postingsOf(corpus)
-      .join(broadcast(postingsOf(benchmark).select("sh").distinct()), Seq("sh"), "left_semi")
+      .join(effective, Seq("sh"), "left_semi")
       .select(col("doc")).distinct()
   }
 
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
                     textCol: String, n: Int = 8,
-                    idBroadcastLimit: Long = HotShingleBroadcastLimit): DataFrame = {
+                    idBroadcastLimit: Long = HotShingleBroadcastLimit,
+                    stopDf: Option[Int] = None): DataFrame = {
     // localCheckpoint: the id set feeds the count gate AND the anti-join
-    val contaminated = contaminatedIds(corpus, benchmark, idCol, textCol, n)
+    val contaminated = contaminatedIds(corpus, benchmark, idCol, textCol, n, stopDf)
       .localCheckpoint(true)
     if (contaminated.count() <= idBroadcastLimit)
       corpus.join(broadcast(contaminated), corpus(idCol) === contaminated("doc"), "left_anti")

@@ -1182,6 +1182,35 @@ object QueryDefs {
               WHERE doc_id >= 50 AND doc_id NOT IN (SELECT doc FROM bad)""")
     ),
 
+    // Decontamination with the benchmark-side stop-shingle cut: an 8-gram
+    // occurring in more than stopDf corpus docs is boilerplate, evidence
+    // of nothing — matching on it would nuke a corpus fraction. stopDf=1
+    // ignores the df-2 shingles at this SF, so the kept set observably
+    // differs from c24_decontaminate (the cut is exercised, not vacuous).
+    QueryDef(
+      "c24_decontaminate_stopdf",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.decontaminate(
+          docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+          "doc_id", "text", n = 8, stopDf = Some(1))
+          .select(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+                sh AS (SELECT DISTINCT doc_id AS doc,
+                         ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||
+                         ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7] AS shingle
+                       FROM toks, UNNEST(generate_series(1, len(ws) - 7)) t(i)),
+                bench AS (SELECT DISTINCT shingle FROM sh WHERE doc < 50),
+                eff AS (SELECT shingle FROM sh
+                        WHERE doc >= 50 AND shingle IN (SELECT shingle FROM bench)
+                        GROUP BY shingle HAVING count(*) <= 1),
+                bad AS (SELECT DISTINCT doc FROM sh
+                        WHERE doc >= 50 AND shingle IN (SELECT shingle FROM eff))
+              SELECT doc_id FROM documents
+              WHERE doc_id >= 50 AND doc_id NOT IN (SELECT doc FROM bad)""")
+    ),
+
     // C24 sequence packing (concat-and-chunk): where each doc lands when
     // the corpus is concatenated in doc_id order and cut into 512-token
     // training sequences. Runs on the distributed two-phase prefix sum —

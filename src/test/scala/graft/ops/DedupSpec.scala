@@ -338,6 +338,31 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"corpus-shuffling join:\n$plan")
   }
 
+  test("stopDf cut ignores boilerplate n-grams but rare overlaps still contaminate") {
+    val bench = Seq(
+      (100L, "all rights reserved under the applicable local law HERE"),
+      (101L, "rare alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    val boiler = "all rights reserved under the applicable local law"
+    val corpus = Seq(
+      (1L, s"doc one $boiler"),      // boilerplate 8-gram, df = 3
+      (2L, s"doc two $boiler"),
+      (3L, s"doc three $boiler"),
+      (4L, "xx rare alpha beta gamma delta epsilon zeta eta theta yy"), // df = 1
+      (5L, "totally unrelated words nine ten eleven twelve thirteen")
+    ).toDF("doc_id", "text")
+    // without the cut: 1-4 all contaminated
+    val plain = Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(plain == Set(5L))
+    // stopDf = 2: the df-3 boilerplate shingle proves nothing; only the
+    // rare (df=1) benchmark overlap still contaminates
+    val cut = Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 8,
+        stopDf = Some(2))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(cut == Set(1L, 2L, 3L, 5L), s"got $cut")
+  }
+
   test("decontaminate broadcast and distributed anti-join paths agree") {
     // round-4 verdict scale-weak #3: the contaminated-id broadcast is now
     // count-gated like the maxDf hot-shingle set. idBroadcastLimit = 0
