@@ -9,7 +9,7 @@ import org.apache.spark.sql.graft.ColumnShim
   * (SURVEY.md §2 B7): the reference forwarded raw SQL fragments to
   * Athena/Presto, so conditions written against it may use Presto
   * function names. Spark covers most (`cardinality` is already a native
-  * alias of size); the missing trio is registered here. `date_diff` is
+  * alias of size); the missing ones are registered here. `date_diff` is
   * deliberately NOT shimmed: Spark 4 ships a 2-arg `date_diff(end,
   * start)` builtin, and shadowing it with Presto's 3-arg form would
   * silently change native queries — callers use `timestampdiff(unit, s,
@@ -26,5 +26,51 @@ object PrestoCompat {
     // approx_distinct(x) -> HLL++ estimate
     ColumnShim.registerFunction(spark, "approx_distinct",
       args => HyperLogLogPlusPlus(args.head).toAggregateExpression())
+    // date_parse(string, mysqlFormat) -> timestamp. Presto's format is
+    // MySQL %-tokens; translate to a Java pattern at plan time (the
+    // format is a literal in every reference-shaped call) and delegate
+    // to Spark's to_timestamp.
+    ColumnShim.registerFunction(spark, "date_parse", args => {
+      require(args(1).foldable, "date_parse format must be a literal")
+      val javaFmt = translateMySqlFormat(String.valueOf(args(1).eval(null)))
+      new org.apache.spark.sql.catalyst.expressions.ParseToTimestamp(
+        args(0), org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(javaFmt),
+          org.apache.spark.sql.types.StringType))
+    })
+  }
+
+  /** MySQL/Presto `date_parse` %-tokens -> Java time pattern. Covers the
+    * tokens the reference's date surface reaches; unknown %-tokens throw
+    * (silent pass-through would mis-parse), plain chars pass through. */
+  private[functions] def translateMySqlFormat(fmt: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        out.append(fmt.charAt(i + 1) match {
+          case 'Y' => "yyyy"
+          case 'y' => "yy"
+          case 'm' => "MM"
+          case 'c' => "M"
+          case 'd' => "dd"
+          case 'e' => "d"
+          case 'H' => "HH"
+          case 'k' => "H"
+          case 'i' => "mm"   // MySQL minutes (NOT %M, which is month name)
+          case 's' | 'S' => "ss"
+          case 'f' => "SSSSSS"
+          case 'p' => "a"
+          case 'j' => "DDD"
+          case 'T' => "HH:mm:ss"
+          case '%' => "%"
+          case other => throw new IllegalArgumentException(
+            s"unsupported date_parse token %$other in '$fmt'")
+        })
+        i += 2
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
   }
 }

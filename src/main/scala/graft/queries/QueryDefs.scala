@@ -92,6 +92,34 @@ object QueryDefs {
               WHERE p_name LIKE '%a%' AND p_size BETWEEN 5 AND 45 AND p_type IS NOT NULL""")
     ),
 
+    // B7 date/time surface: Presto date_parse (MySQL %-format, shimmed
+    // through PrestoCompat at plan time) + native trunc/extract/add/diff.
+    // The oracle uses DuckDB's strptime — same %-tokens for the date part.
+    QueryDef(
+      "b7_datetime_grammar",
+      (s, d) => {
+        graft.functions.PrestoCompat.register(s)
+        t(s, d, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .selectExpr(
+            "o_orderkey",
+            "date_parse(date_format(o_orderdate, 'yyyy-MM-dd'), '%Y-%m-%d') AS reparsed",
+            "year(o_orderdate) AS y",
+            "month(o_orderdate) AS mo",
+            "day(o_orderdate) AS dy",
+            "date_trunc('month', o_orderdate) AS mon_start",
+            "date_add(CAST(o_orderdate AS DATE), 30) AS plus30",
+            "timestampdiff(DAY, date_trunc('month', o_orderdate), o_orderdate) AS day_in_month")
+      },
+      Some("""SELECT o_orderkey,
+                     strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS reparsed,
+                     year(o_orderdate) AS y, month(o_orderdate) AS mo, day(o_orderdate) AS dy,
+                     date_trunc('month', o_orderdate) AS mon_start,
+                     CAST(o_orderdate AS DATE) + 30 AS plus30,
+                     date_diff('day', date_trunc('month', o_orderdate), o_orderdate) AS day_in_month
+              FROM orders WHERE o_orderstatus = 'F'""")
+    ),
+
     // ── Layer C: relational ────────────────────────────────────────────
     QueryDef(
       "c1_join_inner",

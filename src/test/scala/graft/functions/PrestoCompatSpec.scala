@@ -27,6 +27,24 @@ class PrestoCompatSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("date_parse translates MySQL %-formats and parses like Presto") {
+    PrestoCompat.register(spark)
+    val r = spark.sql(
+      """SELECT CAST(date_parse('2013-01-05', '%Y-%m-%d') AS STRING) AS d,
+                CAST(date_parse('05/01/13 14:30:59', '%d/%m/%y %H:%i:%s') AS STRING) AS dt""")
+      .collect().head
+    assert(r.getString(0) == "2013-01-05 00:00:00")
+    assert(r.getString(1) == "2013-01-05 14:30:59")
+    // %i means MINUTES (the MySQL trap); an unknown token fails loudly
+    assert(PrestoCompat.translateMySqlFormat("%H:%i:%s") == "HH:mm:ss")
+    intercept[IllegalArgumentException] { PrestoCompat.translateMySqlFormat("%Q") }
+    // non-literal format is rejected at plan time, not silently mis-parsed
+    val err = intercept[Exception] {
+      spark.sql("SELECT date_parse('x', concat('%Y', rand())) ").collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("the reference's documented condition runs verbatim through the builder") {
     // postman_collection.json:180-199 shape, transposed to testdata columns
     val g = graft.engine.Graft(spark, sf0001,
