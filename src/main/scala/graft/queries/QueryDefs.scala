@@ -908,11 +908,15 @@ object QueryDefs {
             lit(" contact user"), col("doc_id"), lit("@example.com or +1 555-01"),
             col("doc_id"), lit(" 4321 from 10.0."), pmod(col("doc_id"), lit(256)),
             lit(".7")).as("text"))
-        planted.select(col("doc_id"),
-          md5(graft.ops.Text.scrubPii(col("text"))).as("scrub_md5"),
-          (size(split(graft.ops.Text.scrubPii(col("text")), "\\[EMAIL\\]")) - 1).as("n_email"),
-          (size(split(graft.ops.Text.scrubPii(col("text")), "\\[IP\\]")) - 1).as("n_ip"),
-          (size(split(graft.ops.Text.scrubPii(col("text")), "\\[PHONE\\]")) - 1).as("n_phone"))
+        // stage the scrub once: four downstream references would otherwise
+        // re-run the 3-regex chain per output column (CollapseProject keeps
+        // a multiply-referenced alias materialized — PERF.md gotcha)
+        planted.select(col("doc_id"), graft.ops.Text.scrubPii(col("text")).as("__s"))
+          .select(col("doc_id"),
+            md5(col("__s")).as("scrub_md5"),
+            (size(split(col("__s"), "\\[EMAIL\\]")) - 1).as("n_email"),
+            (size(split(col("__s"), "\\[IP\\]")) - 1).as("n_ip"),
+            (size(split(col("__s"), "\\[PHONE\\]")) - 1).as("n_phone"))
       },
       Some("""WITH planted AS (
                 SELECT doc_id,
