@@ -164,6 +164,41 @@ object Text {
           .cast("decimal(18,6)")), 4).cast("double").as("sum_nll"))
   }
 
+  /** Bigram conditional NLL per document: −Σ log P(w₂|w₁) with MLE
+    * P(w₂|w₁) = c(w₁w₂)/c(w₁·) over the corpus (the next-step language-
+    * model signal after [[unigramNll]]; low = predictable/templated).
+    *
+    * Scale shape — deliberately DIFFERENT from unigramNll: a corpus
+    * bigram table is |V|²-ish and cannot broadcast at 100 TB, so the
+    * probe is a SHUFFLE_HASH equi-join of the bigram stream against the
+    * two count frames (both partial-aggregate map-side first). The
+    * bigram stream itself is a codegen projection (arrays_zip of
+    * slices — no per-element lambda re-eval, the shinglesFromTokens
+    * pattern). */
+  def bigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = tokens(col(textCol))
+    val cnt = size(ws) - 1
+    // localCheckpoint: the pair stream feeds both count aggregates AND the
+    // probe side — tokenize once
+    val pairs = docs
+      .select(col(idCol).as("doc"),
+        explode(when(size(ws) >= 2,
+          arrays_zip(slice(ws, lit(1), cnt), slice(ws, lit(2), cnt)))
+          .otherwise(array().cast("array<struct<`0`:string,`1`:string>>"))).as("bg"))
+      .select(col("doc"), col("bg.0").as("w1"), col("bg.1").as("w2"))
+      .localCheckpoint(true)
+    val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+    pairs
+      .join(c2.hint("SHUFFLE_HASH"), Seq("w1", "w2"))
+      .join(c1.hint("SHUFFLE_HASH"), Seq("w1"))
+      .groupBy(col("doc"))
+      .agg(
+        count(lit(1)).as("n_big"),
+        round(sum((-log(col("c12").cast("double") / col("c1")))
+          .cast("decimal(18,6)")), 4).cast("double").as("sum_nll"))
+  }
+
   /** Repetition signals (the Gopher-style repetitious-text filters, Rae et
     * al. 2021 §A1.1): fraction of duplicate word n-grams per document,
     * `1 − distinct_ngrams / total_ngrams` for n ∈ {2, 3}. High values mark

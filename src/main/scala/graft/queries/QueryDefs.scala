@@ -829,6 +829,24 @@ object QueryDefs {
               GROUP BY doc_id""")
     ),
 
+    // Bigram conditional NLL: the next-step LM signal. Unlike unigram's
+    // broadcast-vocab shape, the bigram table is |V|²-ish — probe via
+    // shuffled-hash joins (the 100 TB shape). Decimal-accumulated sums.
+    QueryDef(
+      "c15_bigram_nll",
+      (s, d) => Text.bigramNll(t(s, d, "documents"), "doc_id", "text")
+        .select(col("doc").as("doc_id"), col("n_big"), col("sum_nll")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+                big AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+                        FROM toks, UNNEST(generate_series(1, len(ws) - 1)) t(i)),
+                c2 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+                c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1)
+              SELECT doc_id, count(*) AS n_big,
+                CAST(round(sum(CAST(-ln(c12::DOUBLE / c1) AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_nll
+              FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+              GROUP BY doc_id""")
+    ),
+
     // C15 repetition signals (Gopher-style duplicate-n-gram fractions):
     // distinct n-gram counts via the fused ShingleHashes pass — one
     // codegen projection, no shuffle. Oracle counts distinct string

@@ -108,6 +108,23 @@ class TextSpec extends SparkSpec {
     assert(rev != fps(1L))
   }
 
+  test("bigramNll matches a hand-computed conditional MLE") {
+    // corpus bigrams: "a b" x2 (docs 1, 2), "b a" x1, "a c" x1
+    // c(a·)=3, c(b·)=1; P(b|a)=2/3, P(a|b)=1, P(c|a)=1/3
+    val corpus = Seq(
+      (1L, "a b a c"), // bigrams: (a,b), (b,a), (a,c)
+      (2L, "a b"),     // bigrams: (a,b)
+      (3L, "solo")     // no bigram -> absent from output
+    ).toDF("doc_id", "text")
+    val out = Text.bigramNll(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def r4(d: Double) = math.rint(d * 1e4) / 1e4
+    assert(out(1L)._1 == 3)
+    assert(out(1L)._2 == r4(-math.log(2.0 / 3) - math.log(1.0) - math.log(1.0 / 3)))
+    assert(out(2L) == ((1L, r4(-math.log(2.0 / 3)))))
+    assert(!out.contains(3L))
+  }
+
   test("compression ratio separates degenerate from diverse text") {
     val rnd = new scala.util.Random(11)
     val looping = (1L, Seq.fill(200)("buy now click here").mkString(" "))
