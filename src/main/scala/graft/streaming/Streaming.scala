@@ -96,6 +96,31 @@ object Streaming {
         (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("delay_us"))
   }
 
+  /** Streaming-ingest decontamination: drop documents sharing a word
+    * n-gram with a (small, static) benchmark set AS THEY ARRIVE — the
+    * LLM-ingest shape where curation runs on the stream, not as a later
+    * batch sweep. Stateless per-row filter: the benchmark's shingle-hash
+    * array rides in as ONE broadcast-joined row and the overlap test is
+    * the codegen two-pointer [[graft.functions.VecFunctions
+    * .sortedIntersectCount]] over each doc's sorted signature — no
+    * stream state, no shuffle, works identically in batch (the
+    * stream==batch spec pins it against [[graft.ops.Dedup
+    * .decontaminate]]). */
+  def decontaminateStream(docs: DataFrame, benchmark: DataFrame,
+                          idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val benchSh = benchmark
+      .select(explode(graft.functions.ShingleHashes.sortedShingleHashes(
+        graft.ops.Text.tokens(col(textCol)), n)).as("sh"))
+      .distinct()
+      .agg(sort_array(collect_list(col("sh"))).as("__bench"))
+    docs
+      .join(broadcast(benchSh)) // 1-row cross join: the static benchmark side
+      .filter(graft.functions.VecFunctions.sortedIntersectCount(
+        graft.functions.ShingleHashes.sortedShingleHashes(
+          graft.ops.Text.tokens(col(textCol)), n), col("__bench")) === 0)
+      .drop("__bench")
+  }
+
   /** C21a: exactly-once-per-key dedup with watermark-bounded state (the
     * streaming analog of exact dedup C12). */
   def dedupWithinWatermark(events: DataFrame, keys: Seq[String],

@@ -207,6 +207,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming decontamination drops contaminated docs as they arrive, matching batch") {
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "xx beta gamma delta epsilon zeta eta theta iota yy"), // 8-gram hit
+      (2L, "alpha beta gamma delta epsilon zeta eta CHANGED iota kappa"), // 7-gram only
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "alpha beta gamma") // too short
+    )
+    val mem = MemoryStream[(Long, String)]
+    val name = "sink_decon"
+    val q = Streaming.decontaminateStream(
+        mem.toDF().toDF("doc_id", "text"), bench, "doc_id", "text", n = 8)
+      .writeStream.format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+    try {
+      // two micro-batches: the filter is stateless, arrival order is free
+      mem.addData(docs.take(2)); q.processAllAvailable()
+      mem.addData(docs.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table(name).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val batch = graft.ops.Dedup.decontaminate(
+        docs.toDF("doc_id", "text"), bench, "doc_id", "text", n = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch)
+    assert(streamed == Set(2L, 3L, 4L))
+  }
+
   test("streaming tumbling agg equals the batch run of the same expression") {
     val events = Seq(
       ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:55:00"),
