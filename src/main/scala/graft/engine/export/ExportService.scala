@@ -57,17 +57,25 @@ final class ExportService(
     }
     states.get(key) match {
       case f @ Failed(_, at) =>
-        if (clock() - at >= FailedRetryLockoutMillis) {
-          states.remove(key) // lockout elapsed -> retryable
+        // conditional remove: of N callers racing past the lockout check,
+        // exactly one clears the FAILED entry and re-enqueues; the rest
+        // fall through to the claim below and observe the fresh state
+        if (clock() - at >= FailedRetryLockoutMillis && states.remove(key, f))
           enqueue(key, queryId, format, target)
-        } else f // within lockout: report FAILED, no retry
+        else if (clock() - at < FailedRetryLockoutMillis) f
+        else Option(states.get(key)).getOrElse(enqueue(key, queryId, format, target))
       case null => enqueue(key, queryId, format, target)
       case st => st // QUEUED or PROCESSING: report as-is
     }
   }
 
   private def enqueue(key: String, queryId: String, format: String, target: String): State = {
-    states.put(key, Queued)
+    // claim-then-work: the soak spec caught two callers racing the null
+    // check, BOTH enqueueing, and their workers writing the same target
+    // concurrently (a torn artifact can then fail one of them). Only the
+    // putIfAbsent winner submits a worker — one writer per key lifecycle.
+    val prior = states.putIfAbsent(key, Queued)
+    if (prior != null) return prior
     pool.submit(new Runnable {
       def run(): Unit = {
         states.put(key, Processing)
