@@ -163,6 +163,36 @@ object Multimodal {
     }
   }
 
+  /** REAL image resize: decode, nearest-neighbor downsample by integer
+    * `factor` (sample pixel (fx, fy) — deterministic, unlike area
+    * filters, so the [[synthesizeImages]] gradient keeps a closed-form
+    * oracle after resizing), re-encode PNG. Same mapPartitions batch
+    * shape as [[decodeImages]]; output dims are ⌈w/f⌉ × ⌈h/f⌉. */
+  def resizeImages(ds: Dataset[EncodedImage], factor: Int): Dataset[EncodedImage] = {
+    require(factor >= 1, "factor must be >= 1")
+    val session = ds.sparkSession
+    import session.implicits._
+    ds.mapPartitions { imgs =>
+      imgs.map { e =>
+        val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(e.payload))
+        require(src != null, s"undecodable payload for media_id=${e.media_id}")
+        val (w2, h2) = ((src.getWidth + factor - 1) / factor,
+          (src.getHeight + factor - 1) / factor)
+        val dst = new java.awt.image.BufferedImage(
+          w2, h2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h2) {
+          var x = 0
+          while (x < w2) { dst.setRGB(x, y, src.getRGB(x * factor, y * factor)); x += 1 }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", out)
+        EncodedImage(e.media_id, out.toByteArray, e.mime)
+      }
+    }
+  }
+
   /** STUB frame-sample: take every `stride`-th byte as a stand-in for
     * frame extraction from a video payload; emits (media_id, frame_idx,
     * frame) rows via posexplode — the real op has the same generator

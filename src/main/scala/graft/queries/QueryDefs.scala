@@ -1100,6 +1100,33 @@ object QueryDefs {
               FROM p""")
     ),
 
+    // REAL image resize: synthesize → nearest-neighbor ÷2 → decode. The
+    // sampled gradient keeps a closed form: resized row y' carries red
+    // (id + 2y') mod 256, dims ⌈w/2⌉ × ⌈h/2⌉, at most one mod-wrap
+    // (h ≤ 8), so wrapped-term count = max(0, h2 − (257−a)//2).
+    QueryDef(
+      "c16_image_resize",
+      (s, d) => Multimodal.decodeImages(Multimodal.resizeImages(
+          Multimodal.synthesizeImages(
+            t(s, d, "documents"), "doc_id",
+            lit(1) + col("n_chars") % 16, lit(1) + col("doc_id") % 8),
+          factor = 2))
+        .toDF()
+        .select(col("media_id").as("doc_id"), col("width"), col("height"),
+          col("pixel_sum")),
+      Some("""WITH p AS (SELECT doc_id,
+                                (1 + n_chars % 16 + 1) // 2 AS w2,
+                                (1 + doc_id % 8 + 1) // 2 AS h2,
+                                doc_id % 256 AS a,
+                                (doc_id * 7) % 256 + (doc_id * 13) % 256 AS gb
+                         FROM documents)
+              SELECT doc_id, CAST(w2 AS INTEGER) AS width, CAST(h2 AS INTEGER) AS height,
+                     CAST(w2 * (h2 * a + h2 * (h2 - 1)
+                                - 256 * greatest(0, h2 - (257 - a) // 2))
+                          + w2 * h2 * gb AS BIGINT) AS pixel_sum
+              FROM p""")
+    ),
+
     // Frame-sampling generator shape over binary payloads; md5 per frame so
     // the oracle compares fixed-width strings (DuckDB 1.0 can't substring
     // blobs — text is ASCII, so char-substring md5 matches byte-substring).

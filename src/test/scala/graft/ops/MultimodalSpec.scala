@@ -59,6 +59,24 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resizeImages nearest-neighbor downsample keeps the sampled gradient exactly") {
+    val rows = Seq((9L, 13L), (250L, 40L)).toDF("doc_id", "n_chars")
+    val resized = Multimodal.decodeImages(Multimodal.resizeImages(
+        Multimodal.synthesizeImages(
+          rows, "doc_id", lit(1) + col("n_chars") % 16, lit(1) + col("doc_id") % 8),
+        factor = 2))
+      .collect().map(d => d.media_id -> d).toMap
+    for ((id, nChars) <- Seq((9L, 13L), (250L, 40L))) {
+      val w = (1 + nChars % 16).toInt; val h = (1 + id % 8).toInt
+      val (w2, h2) = ((w + 1) / 2, (h + 1) / 2)
+      val expected = (0 until h2).map(y => w2.toLong * ((id + 2 * y) % 256)).sum +
+        w2.toLong * h2 * ((id * 7) % 256 + (id * 13) % 256)
+      assert(resized(id).width == w2 && resized(id).height == h2)
+      assert(resized(id).pixel_sum == expected,
+        s"id=$id: got ${resized(id).pixel_sum}, want $expected")
+    }
+  }
+
   test("decodeImages reads real JPEG bytes too (dimensions survive lossy roundtrip)") {
     // payload produced by a DIFFERENT encoder path than synthesizeImages:
     // the decoder is format-agnostic ImageIO, not a PNG-only shortcut
