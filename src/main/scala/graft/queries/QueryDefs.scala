@@ -441,6 +441,22 @@ object QueryDefs {
       None
     ),
 
+    // Quantile sketch (GK/approx_percentile): the other mergeable sketch a
+    // 100 TB aggregation needs — exact percentile sorts every group value,
+    // the sketch merges map-side partials. DuckDB's approx_quantile is a
+    // different sketch (t-digest), so no value oracle; SketchSpec bounds
+    // the error against exact percentile instead.
+    QueryDef(
+      "c8_approx_percentile",
+      (s, d) => t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.9), 1000)").as("pct"))
+        .select(col("o_orderstatus"),
+          round(element_at(col("pct"), 1), 2).as("p50_approx"),
+          round(element_at(col("pct"), 2), 2).as("p90_approx")),
+      None
+    ),
+
     QueryDef(
       "c9_window_running",
       (s, d) => {

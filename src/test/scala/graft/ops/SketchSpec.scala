@@ -21,6 +21,24 @@ class SketchSpec extends SparkSpec {
       s"rsd=0.1 estimate ${rows.getLong(2)} vs exact $exact")
   }
 
+  test("approx_percentile lands within the accuracy bound of exact") {
+    // GK sketch guarantee: rank error <= n/accuracy. At accuracy=1000 the
+    // estimate's RANK is within 0.1% of target — compare by rank, not
+    // value (value distance depends on the local density)
+    val orders = graft.engine.Tables.read(spark, sf0001, "orders")
+    val n = orders.count().toDouble
+    for (q <- Seq(0.5, 0.9)) {
+      val row = orders.agg(
+        expr(s"approx_percentile(o_totalprice, $q, 1000)").as("approx"),
+        expr(s"percentile(o_totalprice, $q)").as("exact")).collect().head
+      val approx = row.getDouble(0)
+      // rank of the approximate answer in the real distribution
+      val rank = orders.filter(col("o_totalprice") <= approx).count() / n
+      assert(math.abs(rank - q) <= 0.01 + 1000.0 / n,
+        s"q=$q: approx=$approx sits at rank $rank")
+    }
+  }
+
   test("estimates are deterministic (same input => same sketch)") {
     val li = graft.engine.Tables.read(spark, sf0001, "lineitem")
     def est() = li.agg(approx_count_distinct(col("l_suppkey")).as("e"))
