@@ -108,11 +108,15 @@ object Streaming {
     * .decontaminate]]). */
   def decontaminateStream(docs: DataFrame, benchmark: DataFrame,
                           idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    // localCheckpoint: the static side of a stream-static join is
+    // re-evaluated EVERY micro-batch — materialize the benchmark
+    // signature once instead of re-shingling the benchmark per batch
     val benchSh = benchmark
       .select(explode(graft.functions.ShingleHashes.sortedShingleHashes(
         graft.ops.Text.tokens(col(textCol)), n)).as("sh"))
       .distinct()
       .agg(sort_array(collect_list(col("sh"))).as("__bench"))
+      .localCheckpoint(true)
     docs
       .join(broadcast(benchSh)) // 1-row cross join: the static benchmark side
       .filter(graft.functions.VecFunctions.sortedIntersectCount(
