@@ -670,6 +670,44 @@ object QueryDefs {
               SELECT CAST(node AS BIGINT) AS node, CAST(comp AS BIGINT) AS comp FROM labels""")
     ),
 
+    // Dedup audit metric: the cluster-size histogram (how many dup
+    // clusters of each size — the number a curation run reports before
+    // committing a removal). GROUP BY twice over the component labels;
+    // oracle extends the recursive-CTE component computation.
+    QueryDef(
+      "c13_cluster_sizes",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.connectedComponents(
+          Dedup.jaccardNearDup(docs, "doc_id", "text", n = 3, threshold = 0.6, maxDf = Some(100)))
+          .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz").cast("long").as("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"))
+      },
+      Some("""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+                sh AS (SELECT DISTINCT doc_id AS doc, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+                       FROM toks, UNNEST(generate_series(1, len(ws) - 2)) t(i)),
+                keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+                shk AS (SELECT doc, sh.shingle FROM sh JOIN keep ON sh.shingle = keep.shingle),
+                cnt AS (SELECT doc, count(*) AS n_sh FROM shk GROUP BY doc),
+                pr AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS common
+                       FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc < b.doc
+                       GROUP BY 1, 2),
+                pair AS (SELECT doc_a, doc_b FROM pr
+                         JOIN cnt ca ON ca.doc = doc_a JOIN cnt cb ON cb.doc = doc_b
+                         WHERE common * 1.0 / (ca.n_sh + cb.n_sh - common) >= 0.6),
+                edges AS (SELECT doc_a AS src, doc_b AS dst FROM pair
+                          UNION ALL SELECT doc_b, doc_a FROM pair),
+                reach AS (
+                  SELECT DISTINCT src AS node, src AS comp FROM edges
+                  UNION
+                  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.node),
+                labels AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
+                sizes AS (SELECT comp, count(*) AS sz FROM labels GROUP BY comp)
+              SELECT CAST(sz AS BIGINT) AS cluster_size, count(*) AS n_clusters
+              FROM sizes GROUP BY sz""")
+    ),
+
     // C13 approximate flavor: MinHash + LSH banding (deterministic seeded
     // hashes; estimates aren't SQL-expressible → rows-only + specs).
     QueryDef(
