@@ -17,6 +17,12 @@ object Verify {
       .config("spark.cleaner.periodicGC.interval", "15s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // prefixSum's <=numPartitions-row offsets window is the only
+    // unpartitioned window; silence its scary-but-harmless warning here
+    // like in Bench (a REAL data-sized one is caught by PlanShapeSpec)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       System.err.println(s"[verify] running $name")

@@ -97,6 +97,19 @@ class RelationalSpec extends SparkSpec {
       s"per-partition scan window missing:\n$plan")
   }
 
+  test("datasetMix is invariant to upstream partitioning (unique order column)") {
+    // the two-phase ranged rank must produce the SAME mix no matter how
+    // the input happens to be partitioned — the reproducibility contract
+    val docs = graft.engine.Tables.read(spark, sf0001, "documents")
+    val quotas = Map("src0" -> 17, "src1" -> 9, "src2" -> 23)
+    def mix(parts: Int) = Relational.datasetMix(
+        docs.repartition(parts), "source", "doc_id", quotas)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = mix(3); val b = mix(7); val c = mix(32)
+    assert(a == b && b == c, s"mix depends on partitioning: ${a.size}/${b.size}/${c.size}")
+    assert(a.size == quotas.values.sum)
+  }
+
   test("sequence packing: contiguous offsets, budget respected at chunk starts") {
     val docs = Seq((1L, 300L), (2L, 300L), (3L, 100L), (4L, 500L))
       .toDF("doc_id", "n")

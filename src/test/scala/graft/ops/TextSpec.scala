@@ -159,6 +159,20 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("scrubPii is idempotent (replacement tokens never re-match)") {
+    val rnd = new scala.util.Random(17)
+    val texts = (1L to 30L).map { i =>
+      val junk = Seq.fill(8)(rnd.alphanumeric.take(6).mkString).mkString(" ")
+      (i, s"$junk user$i@ex${i}.com +1 555 010 99$i at 10.$i.0.1 end")
+    }
+    val out = texts.toDF("id", "text")
+      .select($"id", Text.scrubPii($"text").as("s1"))
+      .select($"id", $"s1", Text.scrubPii($"s1").as("s2"))
+      .collect()
+    out.foreach(r => assert(r.getString(1) == r.getString(2),
+      s"not a fixed point: <${r.getString(1)}> -> <${r.getString(2)}>"))
+  }
+
   test("rolling hash matches the HOF xxhash64 chain bit-for-bit") {
     // the codegen RollingTokenHash must reproduce Spark's own
     // aggregate(tokens, 0L, (acc, w) => xxhash64(acc, w)) exactly, so a
