@@ -44,4 +44,39 @@ class NewQueryPlanCheck extends SparkSpec {
     assert(s.contains("doc_id") && s.contains("text") && !s.contains("n_chars"),
       s"compress ratio over-reads: $s")
   }
+
+  test("image resize scans only the id and size columns") {
+    val s = scanSchema("c16_image_resize")
+    assert(s.contains("doc_id") && s.contains("n_chars") && !s.contains("text:"),
+      s"image resize over-reads: $s")
+  }
+
+  test("bigram NLL checkpoints only (doc, w1, w2) and joins shuffled-hash") {
+    val plan = graft.SparkEntry.queries("c15_bigram_nll")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val rdd = "Scan ExistingRDD\\[([^\\]]*)\\]".r.findFirstMatchIn(plan)
+      .map(_.group(1)).getOrElse(s"NO ExistingRDD in:\n$plan")
+    assert(rdd.contains("doc") && rdd.contains("w1") && rdd.contains("w2")
+      && !rdd.contains("text"), s"bigram checkpoint over-materializes: $rdd")
+    assert(plan.contains("ShuffledHashJoin"), s"count probe not shuffled-hash:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"sortful probe join:\n$plan")
+  }
+
+  test("datetime grammar pushes the status filter into the scan") {
+    val plan = graft.SparkEntry.queries("b7_datetime_grammar")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("EqualTo(o_orderstatus,F)"),
+      s"status filter not pushed:\n$plan")
+  }
+
+  test("salted agg plans two hash-aggregate phases with no extra exchange") {
+    val plan = graft.SparkEntry.queries("c6_salted_agg")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // phase 1 keyed (key, salt), phase 2 keyed (key): 2 logical aggs =
+    // 4 HashAggregate nodes (partial+final each), exactly 2 exchanges
+    val aggs = "HashAggregate".r.findAllIn(plan).length
+    assert(aggs == 4, s"expected 4 HashAggregate nodes, got $aggs in:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges in:\n$plan")
+  }
 }
