@@ -95,6 +95,28 @@ class TextSpec extends SparkSpec {
     assert(out(4L) == ((0.0, 0.0)))
   }
 
+  test("every text operator tolerates null and empty text without throwing") {
+    val weird = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "one real doc here"))
+      .toDF("doc_id", "text")
+    // projections: null in -> null out (or defined default), never a crash
+    val proj = weird.select($"doc_id",
+      Text.fingerprint($"text").as("fp"),
+      Text.scrubPii($"text").as("scrub"),
+      size(Text.shingles($"text", 3)).as("n_sh"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(proj(1L).isNullAt(1) && proj(1L).isNullAt(2))
+    assert(!proj(3L).isNullAt(1))
+    // aggregating ops: null/empty docs drop or default, real docs survive
+    assert(Text.compressionRatios(weird, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap.apply(2L) == 1.0)
+    val bn = Text.bigramNll(weird, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(bn == Set(3L)) // only the doc with >= 2 tokens has bigrams
+    val ld = graft.ops.Dedup.lineDedup(weird.filter($"text".isNotNull), "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(ld == Set(2L, 3L)) // empty string is a legal (dedupable) line
+  }
+
   private implicit class R4(d: Double) {
     def round4: Double = math.rint(d * 1e4) / 1e4
   }
