@@ -125,6 +125,30 @@ object Streaming {
       .drop("__bench")
   }
 
+  /** End-to-end ingest-side curation — the streaming analog of the batch
+    * `c24_curation_v2` pipeline: scrub PII → drop low-lexical-diversity
+    * docs → drop benchmark-contaminated docs → exact-dedup by content
+    * fingerprint. Scrub/quality/decontaminate are stateless projections
+    * and broadcast semi-joins; the ONLY state is the fingerprint dedup,
+    * watermark-bounded. Dedup runs on the SCRUBBED text (the RefinedWeb
+    * ordering): two docs differing only in redacted PII collapse to one.
+    * On an in-order feed this converges to the batch first-arrival
+    * survivor (StreamingSpec pins it). */
+  def curateStream(docs: DataFrame, benchmark: DataFrame, idCol: String,
+                   textCol: String, tsCol: String,
+                   minDiversity: Double = 0.5, n: Int = 8,
+                   lateness: String = "10 minutes"): DataFrame = {
+    val scrubbed = docs.withColumn(textCol, graft.ops.Text.scrubPii(col(textCol)))
+    val ws = graft.ops.Text.tokens(col(textCol)) // resolves post-scrub
+    val quality = scrubbed.filter(
+      size(array_distinct(ws)).cast("double") / size(ws) >= minDiversity)
+    decontaminateStream(quality, benchmark, idCol, textCol, n)
+      .withColumn("__fp", graft.ops.Text.fingerprint(col(textCol)))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+  }
+
   /** C21a: exactly-once-per-key dedup with watermark-bounded state (the
     * streaming analog of exact dedup C12). */
   def dedupWithinWatermark(events: DataFrame, keys: Seq[String],

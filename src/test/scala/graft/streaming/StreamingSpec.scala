@@ -236,6 +236,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == Set(2L, 3L, 4L))
   }
 
+  test("curateStream: scrub -> quality -> decontaminate -> fingerprint dedup on ingest") {
+    val bench = Seq((100L, "held out alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    // (1) kept + scrubbed; (4) same content as (1) modulo a DIFFERENT
+    // email — only dedupable AFTER scrubbing; (2) low diversity; (3)
+    // shares an 8-gram with the benchmark
+    val d1 = (1L, ts("2024-01-01 10:00:00"), "good unique words mail me at a@x.com now")
+    val d2 = (2L, ts("2024-01-01 10:01:00"), "spam spam spam spam spam spam spam spam")
+    val d3 = (3L, ts("2024-01-01 10:02:00"), "xx alpha beta gamma delta epsilon zeta eta theta yy")
+    val d4 = (4L, ts("2024-01-01 10:03:00"), "good unique words mail me at b@y.org now")
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val name = "sink_curate"
+    val q = Streaming.curateStream(
+        mem.toDF().toDF("doc_id", "ts", "text"), bench, "doc_id", "text", "ts")
+      .writeStream.format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(Seq(d1, d2)); q.processAllAvailable()
+      mem.addData(Seq(d3, d4)); q.processAllAvailable() // d4's dup arrives later
+    } finally q.stop()
+    val rows = spark.table(name).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.keySet == Set(1L), s"kept ${rows.keySet}")
+    assert(rows(1L) == "good unique words mail me at [EMAIL] now")
+    // batch equivalence: the same ops composed in batch keep the same doc
+    val batchDocs = Seq(d1, d2, d3, d4).toDF("doc_id", "ts", "text")
+    val scrubbed = batchDocs.withColumn("text", graft.ops.Text.scrubPii($"text"))
+    val ws = graft.ops.Text.tokens($"text")
+    val clean = graft.ops.Dedup.decontaminate(
+      scrubbed.filter(size(array_distinct(ws)).cast("double") / size(ws) >= 0.5),
+      bench, "doc_id", "text", n = 8)
+    val batchKept = clean
+      .withColumn("__fp", graft.ops.Text.fingerprint($"text"))
+      .groupBy("__fp").agg(min(struct($"ts", $"doc_id")).as("__first"))
+      .select($"__first.doc_id".as("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(batchKept == rows.keySet)
+  }
+
   test("streaming tumbling agg equals the batch run of the same expression") {
     val events = Seq(
       ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:55:00"),
