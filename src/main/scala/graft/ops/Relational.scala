@@ -165,6 +165,45 @@ object Relational {
       .drop("__pid", "__lrn", "__offset", "__quota")
   }
 
+  /** Interval-overlap join (genomics' bread-and-butter: features × reads,
+    * genes × regulatory regions) over half-open intervals [start, end):
+    * overlap iff aStart < bEnd AND bStart < aEnd.
+    *
+    * The naive formulation is a cross/nested-loop join with a theta
+    * predicate — O(n·m) comparisons, the BNLJ cliff. Here each interval
+    * explodes into the fixed-width BINS it touches and the join is an
+    * equi-join on bin (hash-partitioned, near-linear): only intervals
+    * sharing a bin are ever compared. Duplicate pair emission (a pair can
+    * co-occupy many bins) is eliminated WITHOUT a dropDuplicates shuffle
+    * by the first-bin rule: a pair reports only from the bin containing
+    * `greatest(aStart, bStart)` — exactly one bin per overlapping pair.
+    * `binWidth` tunes bins-per-interval (≈ interval length / binWidth + 1
+    * replicas per row) against candidates-per-bin; SHUFFLE_HASH pinned
+    * (bin counts are Zipf-ish and the exploded sides are expensive to
+    * sort). */
+  def intervalJoin(a: DataFrame, b: DataFrame,
+                   aId: String, aStart: String, aEnd: String,
+                   bId: String, bStart: String, bEnd: String,
+                   binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def binned(df: DataFrame, id: String, s: String, e: String, p: String) =
+      df.select(col(id).as(s"${p}_id"),
+          col(s).cast("long").as(s"${p}_start"), col(e).cast("long").as(s"${p}_end"))
+        .where(col(s"${p}_start") < col(s"${p}_end")) // empty intervals match nothing
+        .select(col(s"${p}_id"), col(s"${p}_start"), col(s"${p}_end"),
+          explode(sequence(floor(col(s"${p}_start") / binWidth),
+            // end is exclusive: an interval ending ON a bin boundary does
+            // not touch that bin
+            floor((col(s"${p}_end") - 1) / binWidth))).as("bin"))
+    binned(a, aId, aStart, aEnd, "a")
+      .join(binned(b, bId, bStart, bEnd, "b").hint("SHUFFLE_HASH"), Seq("bin"))
+      .filter(col("a_start") < col("b_end") && col("b_start") < col("a_end"))
+      .filter(col("bin") === floor(greatest(col("a_start"), col("b_start")) / binWidth))
+      .select(col("a_id"), col("b_id"),
+        (least(col("a_end"), col("b_end")) -
+          greatest(col("a_start"), col("b_start"))).as("overlap_len"))
+  }
+
   /** Skew-resistant two-phase aggregation for decomposable aggregates
     * (sum/count/min/max): phase 1 aggregates (key, salt) — a hot key's
     * rows spread over `saltBuckets` reducers — phase 2 merges the salted

@@ -243,6 +243,29 @@ object QueryDefs {
     // Orders pre-projected to the 3 needed columns: the max_by struct is
     // opaque to Catalyst's column pruning, so without this the full
     // 9-column row would ride through the join and the aggregate.
+    // C4b interval-overlap join (the genomics shape): customer/supplier
+    // keys become half-open coordinate ranges; binned equi-join with
+    // first-bin dedup — never a nested loop. Oracle is the plain theta
+    // join (DuckDB's IEJoin handles sf0.01 fine; ours must scale past it).
+    QueryDef(
+      "c4_interval_join",
+      (s, d) => Relational.intervalJoin(
+          t(s, d, "customer").select(col("c_custkey"),
+            (col("c_custkey") * 100).as("start"), (col("c_custkey") * 100 + 250).as("end")),
+          t(s, d, "supplier").select(col("s_suppkey"),
+            (col("s_suppkey") * 1000).as("start"), (col("s_suppkey") * 1000 + 5000).as("end")),
+          "c_custkey", "start", "end", "s_suppkey", "start", "end",
+          binWidth = 1000)
+        .select(col("a_id").as("c_custkey"), col("b_id").as("s_suppkey"),
+          col("overlap_len")),
+      Some("""SELECT c.c_custkey, s.s_suppkey,
+                     least(c.c_custkey * 100 + 250, s.s_suppkey * 1000 + 5000)
+                       - greatest(c.c_custkey * 100, s.s_suppkey * 1000) AS overlap_len
+              FROM customer c JOIN supplier s
+                ON c.c_custkey * 100 < s.s_suppkey * 1000 + 5000
+               AND s.s_suppkey * 1000 < c.c_custkey * 100 + 250""")
+    ),
+
     QueryDef(
       "c5_asof_join",
       (s, d) => Relational.asOfJoin(

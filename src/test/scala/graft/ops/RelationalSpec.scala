@@ -97,6 +97,40 @@ class RelationalSpec extends SparkSpec {
       s"per-partition scan window missing:\n$plan")
   }
 
+  test("intervalJoin matches brute-force overlap on random intervals (property)") {
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 3) {
+      // lengths straddle the bin width: some intervals span many bins,
+      // some none-boundary cases (end exactly on a boundary, adjacency)
+      val as = (1L to 60L).map(i => (i, rnd.nextInt(2000).toLong,
+        1L + rnd.nextInt(300))).map { case (i, s, len) => (i, s, s + len) }
+      val bs = (1L to 40L).map(i => (i, rnd.nextInt(2000).toLong,
+        1L + rnd.nextInt(150))).map { case (i, s, len) => (i, s, s + len) }
+      val expected = (for {
+        (ai, as1, ae) <- as; (bi, bs1, be) <- bs
+        if as1 < be && bs1 < ae
+      } yield (ai, bi) -> (math.min(ae, be) - math.max(as1, bs1))).toMap
+      val got = Relational.intervalJoin(
+          as.toDF("id", "s", "e"), bs.toDF("id", "s", "e"),
+          "id", "s", "e", "id", "s", "e", binWidth = 100)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == expected,
+        s"trial $trial: ${got.size} vs ${expected.size}; " +
+          s"missing=${(expected.keySet -- got.keySet).take(3)} " +
+          s"extra=${(got.keySet -- expected.keySet).take(3)}")
+    }
+  }
+
+  test("intervalJoin plans a hash join on bins, never a nested loop") {
+    val a = spark.range(100).selectExpr("id", "id * 10 AS s", "id * 10 + 25 AS e")
+    val b = spark.range(50).selectExpr("id", "id * 17 AS s", "id * 17 + 40 AS e")
+    val plan = Relational.intervalJoin(a, b, "id", "s", "e", "id", "s", "e", 100)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval join fell back to a nested loop:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"), s"bin join not shuffled-hash:\n$plan")
+  }
+
   test("datasetMix is invariant to upstream partitioning (unique order column)") {
     // the two-phase ranged rank must produce the SAME mix no matter how
     // the input happens to be partitioned — the reproducibility contract
