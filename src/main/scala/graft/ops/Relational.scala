@@ -204,6 +204,50 @@ object Relational {
           greatest(col("a_start"), col("b_start"))).as("overlap_len"))
   }
 
+  /** Nearest-feature join (bedtools `closest` with a search window): for
+    * each half-open interval in `a`, the nearest interval in `b` within
+    * `maxDist` (distance 0 when overlapping, else the gap), deterministic
+    * tie-break on the lower b id.
+    *
+    * Scale shape: `a` expands by `maxDist` on both sides and goes through
+    * the same binned equi-join as [[intervalJoin]] (first-bin dedup, no
+    * nested loop), then ONE hash aggregate (min_by over a (dist, b_id)
+    * struct — partial aggregation folds candidates map-side) picks the
+    * winner per `a` row, exactly the [[asOfJoin]] reduction. Unbounded
+    * nearest needs iterative widening — a windowed search is what the
+    * genomics tools expose, and it bounds candidates per row. */
+  def nearestIntervalJoin(a: DataFrame, b: DataFrame,
+                          aId: String, aStart: String, aEnd: String,
+                          bId: String, bStart: String, bEnd: String,
+                          maxDist: Long, binWidth: Long): DataFrame = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    // expanded a-intervals overlap b iff dist(a, b) < maxDist... using
+    // [s - maxDist, e + maxDist) makes gap <= maxDist - 1? No: expansion
+    // by maxDist catches every b with gap <= maxDist (half-open math:
+    // gap = b_start - a_end; overlap of expansion iff b_start < a_end +
+    // maxDist, i.e. gap < maxDist... so expand by maxDist + 1 to include
+    // gap == maxDist exactly)
+    val expanded = a.select(col(aId).as("a_id"),
+      col(aStart).cast("long").as("a_start"), col(aEnd).cast("long").as("a_end"))
+    val cand = intervalJoin(
+      expanded.select(col("a_id"), (col("a_start") - maxDist - 1).as("s"),
+        (col("a_end") + maxDist + 1).as("e")),
+      b, "a_id", "s", "e", bId, bStart, bEnd, binWidth)
+      .select(col("a_id"), col("b_id"))
+      .join(expanded, Seq("a_id"))
+      .join(b.select(col(bId).as("b_id"), col(bStart).cast("long").as("b_start"),
+        col(bEnd).cast("long").as("b_end")), Seq("b_id"))
+    val dist = greatest(lit(0L),
+      greatest(col("b_start") - col("a_end"), col("a_start") - col("b_end")))
+    cand
+      .withColumn("__dist", dist)
+      .filter(col("__dist") <= maxDist)
+      .groupBy(col("a_id"))
+      .agg(min_by(struct(col("b_id"), col("__dist")), struct(col("__dist"), col("b_id")))
+        .as("__best"))
+      .select(col("a_id"), col("__best.b_id").as("b_id"), col("__best.__dist").as("dist"))
+  }
+
   /** Skew-resistant two-phase aggregation for decomposable aggregates
     * (sum/count/min/max): phase 1 aggregates (key, salt) — a hot key's
     * rows spread over `saltBuckets` reducers — phase 2 merges the salted

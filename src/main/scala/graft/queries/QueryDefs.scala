@@ -266,6 +266,35 @@ object QueryDefs {
                AND s.s_suppkey * 1000 < c.c_custkey * 100 + 250""")
     ),
 
+    // C4c nearest-feature join (bedtools `closest` within a window):
+    // customer point-features to the nearest supplier range within 2000.
+    // Binned candidate join + one min_by hash aggregate; oracle picks
+    // per-point argmin with a row_number window.
+    QueryDef(
+      "c4_nearest_join",
+      (s, d) => Relational.nearestIntervalJoin(
+          t(s, d, "customer").select(col("c_custkey"),
+            (col("c_custkey") * 137).as("start"), (col("c_custkey") * 137 + 1).as("end")),
+          t(s, d, "supplier").select(col("s_suppkey"),
+            (col("s_suppkey") * 1000).as("start"), (col("s_suppkey") * 1000 + 300).as("end")),
+          "c_custkey", "start", "end", "s_suppkey", "start", "end",
+          maxDist = 2000, binWidth = 1000)
+        .select(col("a_id").as("c_custkey"), col("b_id").as("s_suppkey"), col("dist")),
+      Some("""WITH a AS (SELECT c_custkey AS a_id, c_custkey * 137 AS s1,
+                                c_custkey * 137 + 1 AS e1 FROM customer),
+                b AS (SELECT s_suppkey AS b_id, s_suppkey * 1000 AS s2,
+                             s_suppkey * 1000 + 300 AS e2 FROM supplier),
+                cand AS (SELECT a_id, b_id,
+                                greatest(0, s2 - e1, s1 - e2) AS dist
+                         FROM a JOIN b ON greatest(0, s2 - e1, s1 - e2) <= 2000),
+                r AS (SELECT a_id, b_id, dist,
+                             row_number() OVER (PARTITION BY a_id
+                                                ORDER BY dist, b_id) AS rn
+                      FROM cand)
+              SELECT a_id AS c_custkey, b_id AS s_suppkey, CAST(dist AS BIGINT) AS dist
+              FROM r WHERE rn = 1""")
+    ),
+
     QueryDef(
       "c5_asof_join",
       (s, d) => Relational.asOfJoin(

@@ -121,6 +121,29 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("nearestIntervalJoin matches brute-force closest-within on random intervals (property)") {
+    val rnd = new scala.util.Random(59)
+    for (trial <- 1 to 3) {
+      val as = (1L to 50L).map(i => { val s = rnd.nextInt(3000).toLong; (i, s, s + 1 + rnd.nextInt(50)) })
+      val bs = (1L to 30L).map(i => { val s = rnd.nextInt(3000).toLong; (i, s, s + 1 + rnd.nextInt(200)) })
+      val maxDist = 400L
+      def dist(a: (Long, Long, Long), b: (Long, Long, Long)): Long =
+        math.max(0L, math.max(b._2 - a._3, a._2 - b._3))
+      val expected = as.flatMap { a =>
+        val cands = bs.map(b => (b._1, dist(a, b))).filter(_._2 <= maxDist)
+        if (cands.isEmpty) None
+        else Some(a._1 -> cands.minBy(c => (c._2, c._1)))
+      }.toMap
+      val got = Relational.nearestIntervalJoin(
+          as.toDF("id", "s", "e"), bs.toDF("id", "s", "e"),
+          "id", "s", "e", "id", "s", "e", maxDist, binWidth = 128)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == expected,
+        s"trial $trial: ${got.size} vs ${expected.size}; " +
+          s"diff=${(expected.toSet diff got.toSet).take(3)} | ${(got.toSet diff expected.toSet).take(3)}")
+    }
+  }
+
   test("intervalJoin plans a hash join on bins, never a nested loop") {
     val a = spark.range(100).selectExpr("id", "id * 10 AS s", "id * 10 + 25 AS e")
     val b = spark.range(50).selectExpr("id", "id * 17 AS s", "id * 17 + 40 AS e")
