@@ -463,4 +463,40 @@ object Dedup {
                        threshold: Double, planes: Int = 16): DataFrame =
     Similarity.lshCandidatePairs(emb, idCol, vecCol, planes)
       .filter(col("cosine") >= threshold)
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): KMeans-cluster the embedding space with a
+    * sample-trained coarse quantizer (the same machinery as [[Ivf]]),
+    * generate candidate pairs ONLY within a cluster, and drop every
+    * vector that has a duplicate (cosine >= tau) with a smaller id in its
+    * cluster — min-id survivor, the [[removeNearDups]] policy.
+    *
+    * This is the second scale path for embedding dedup, complementary to
+    * [[embeddingNearDup]] (hyperplane LSH): LSH needs no training but its
+    * random-collision volume must be tuned against corpus size (PERF.md
+    * finding 17); the cluster path bounds pair generation by the cell-size
+    * distribution (pairs ≤ Σ|cell|²/2, expected n²/2k for balanced cells —
+    * size k ≈ n / targetCellSize) and reuses a quantizer the IVF search
+    * index already trains. The cell self-join is an equi-join on the cell
+    * id (never all-pairs); cells are the shuffle key, so each cell's
+    * vectors co-locate exactly like the IVF inverted file. The one
+    * vector-carrying exchange is the index build itself — one vector per
+    * row, linear in the corpus, the same bytes the IVF index shuffles.
+    *
+    * Returns the surviving rows of `emb` (all columns). */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    tau: Double, k: Int, seed: Long = 42L,
+                    sampleFraction: Double = 1.0): DataFrame = {
+    val centroids = Ivf.trainCentroids(emb, vecCol, k, seed, sampleFraction)
+    val idx = Ivf.index(emb, idCol, vecCol, centroids)
+    val a = idx.select(col("cell"), col(idCol).as("doc_a"), col(vecCol).as("__va"))
+    val b = idx.select(col("cell"), col(idCol).as("doc_b"), col(vecCol).as("__vb"))
+    // SHUFFLE_HASH pinned: cells are many and individually small; a
+    // sort-merge join would sort the whole index for no reuse
+    val pairs = a.join(b.hint("SHUFFLE_HASH"), Seq("cell"))
+      .filter(col("doc_a") < col("doc_b") &&
+        Similarity.cosine(col("__va"), col("__vb")) >= tau)
+      .select("doc_a", "doc_b")
+    removeNearDups(emb, idCol, pairs)
+  }
 }

@@ -267,6 +267,44 @@ object Text {
     regexp_replace(ip, "\\+?[0-9][0-9 ()-]{6,}[0-9]", "[PHONE]")
   }
 
+  /** Context-window chunking: cut each document's token stream into
+    * overlapping windows of `window` tokens advancing by `window - overlap`
+    * (the pretraining "split long docs into training windows" op; overlap
+    * preserves cross-boundary context so no bigram is lost to a cut).
+    *
+    * Chunk i covers tokens `[i·stride, i·stride + window)`; the last chunk
+    * is the first whose end reaches the document end (so it may be short,
+    * but every token appears in ≥1 chunk and starts never run past n).
+    * Pure per-row projection — `sequence → explode → slice` — zero
+    * shuffle, embarrassingly parallel at any corpus size. The only lambda
+    * (inside nothing) is avoided entirely: chunk text is built from the
+    * exploded index with row-level `slice`/`concat_ws`, so the token array
+    * is computed once per row, not per chunk (the HOF re-eval trap,
+    * PERF.md finding 1, does not apply to post-explode row-level exprs).
+    */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+                window: Int, overlap: Int): DataFrame = {
+    require(window > 0 && overlap >= 0 && overlap < window,
+      s"need 0 <= overlap < window, got window=$window overlap=$overlap")
+    val stride = window - overlap
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("__ws"))
+      .select(col(idCol), col("__ws"), size(col("__ws")).as("__n"))
+    // ceil((n - window) / stride) + 1 chunks (floor of the shifted divide;
+    // token counts are ints, so the double divide is exact well past any
+    // document length)
+    val nChunks = when(col("__n") <= window, lit(1L))
+      .otherwise(floor((col("__n") - window + (stride - 1)) / lit(stride)) + 1L)
+    base
+      .select(col(idCol), col("__ws"),
+        explode(sequence(lit(0L), nChunks - 1L)).as("chunk_idx"))
+      .select(
+        col(idCol),
+        col("chunk_idx").cast("int").as("chunk_idx"),
+        concat_ws(" ",
+          slice(col("__ws"), (col("chunk_idx") * stride + 1).cast("int"),
+            lit(window))).as("chunk"))
+  }
+
   /** Document fingerprint: order-sensitive 64-bit rolling hash of the token
     * stream (hash chaining: acc' = xxhash64(acc, token), which is
     * position-sensitive and never overflows under ANSI mode, unlike a

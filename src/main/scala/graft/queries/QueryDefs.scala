@@ -797,6 +797,18 @@ object QueryDefs {
       None
     ),
 
+    // C13 semantic flavor (SemDeDup): KMeans-cluster the embeddings, prune
+    // cosine-duplicates within each cluster. Rows-only: KMeans centroids
+    // are seed/float-order dependent; survivor semantics spec-tested with
+    // planted exact+near duplicates (DedupSpec).
+    QueryDef(
+      "c13_semantic_dedup",
+      (s, d) => Dedup.semanticDedup(t(s, d, "embeddings"), "vec_id", "embedding",
+          tau = 0.85, k = 16)
+        .select(col("vec_id"), col("label")),
+      None
+    ),
+
     // C14: exact brute-force cosine top-10 around vec_id=0. Oracle computes
     // the dot product in double via an indexed unnest join (DuckDB's
     // list_inner_product accumulates in float, which would flip the 4 dp
@@ -1070,6 +1082,30 @@ object QueryDefs {
       (s, d) => graft.ops.Text.compressionRatios(
         t(s, d, "documents"), "doc_id", "text"),
       None
+    ),
+
+    // Context-window chunking (64-token windows, 16-token overlap →
+    // stride 48): every token lands in >=1 training window, boundaries
+    // overlap so no cross-cut n-gram is lost. Pure projection + explode —
+    // zero shuffle. md5 per chunk so the oracle proves content AND
+    // placement, not just counts.
+    QueryDef(
+      "c15_chunk_docs",
+      (s, d) => Text.chunkDocs(t(s, d, "documents"), "doc_id", "text",
+          window = 64, overlap = 16)
+        .select(col("doc_id"), col("chunk_idx"),
+          md5(col("chunk")).as("chunk_md5"),
+          size(split(col("chunk"), " ")).as("n_chunk_tokens")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+                c AS (SELECT doc_id, ws,
+                        CASE WHEN len(ws) <= 64 THEN 1
+                             ELSE (len(ws) - 64 + 47) // 48 + 1 END AS nc
+                      FROM toks)
+              SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+                     md5(array_to_string(ws[i*48+1 : i*48+64], ' ')) AS chunk_md5,
+                     CAST(len(string_split(array_to_string(ws[i*48+1 : i*48+64], ' '), ' '))
+                          AS INTEGER) AS n_chunk_tokens
+              FROM c, UNNEST(generate_series(0, nc - 1)) g(i)""")
     ),
 
     // Order-sensitive rolling fingerprint (xxhash64 chain — not DuckDB-

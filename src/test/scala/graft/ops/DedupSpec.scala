@@ -480,4 +480,47 @@ class DedupSpec extends SparkSpec {
       .select(Dedup.hamming($"a", $"b")).as[Long].collect().head
     assert(out == 4)
   }
+
+  // ── semanticDedup (SemDeDup): planted clustered corpus. 8 well-separated
+  //    centers × 12 members with ENOUGH noise that members are NOT mutual
+  //    duplicates at tau=0.995, plus exact copies of a third of the
+  //    corpus. An exact copy shares its original's vector, hence its cell
+  //    (deterministically), so at tau=0.995 survivors must be EXACTLY the
+  //    originals — no clustering-quality assumption needed. ──
+  private def semanticCorpus = {
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(8)(Array.fill(32)(rnd.nextGaussian()))
+    val members = for (c <- 0 until 8; m <- 0 until 12) yield {
+      val v = centers(c).map(x => (x + 0.45 * rnd.nextGaussian()).toFloat)
+      (c.toLong * 12 + m, c, v)
+    }
+    val copies = members.filter(_._1 % 3 == 0)
+      .map { case (id, c, v) => (1000L + id, c, v.clone()) }
+    (members, copies)
+  }
+
+  test("semanticDedup removes exact copies, keeps all originals at high tau") {
+    val (members, copies) = semanticCorpus
+    val df = (members ++ copies).map { case (id, _, v) => (id, v) }
+      .toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedup(df, "vec_id", "embedding",
+      tau = 0.995, k = 8).select("vec_id").as[Long].collect().toSet
+    assert(kept == members.map(_._1).toSet,
+      s"expected exactly the originals; missing=${members.map(_._1).toSet -- kept}, " +
+        s"extra copies=${kept.filter(_ >= 1000L)}")
+  }
+
+  test("semanticDedup at cluster-level tau collapses clusters but keeps >=1 member per center") {
+    val (members, _) = semanticCorpus
+    val df = members.map { case (id, _, v) => (id, v) }.toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedup(df, "vec_id", "embedding",
+      tau = 0.80, k = 8).select("vec_id").as[Long].collect().toSet
+    assert(kept.size < members.size, "nothing was collapsed")
+    // every cell's min id survives by the survivor rule, so every center
+    // retains at least one member no matter how KMeans carved the space
+    val byCenter = members.groupBy(_._2)
+    byCenter.foreach { case (c, ms) =>
+      assert(ms.exists(m => kept.contains(m._1)), s"center $c fully removed")
+    }
+  }
 }

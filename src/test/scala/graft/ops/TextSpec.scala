@@ -207,4 +207,36 @@ class TextSpec extends SparkSpec {
       .collect()
     both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
+
+  test("chunkDocs matches brute-force windows; every token covered exactly") {
+    val rnd = new scala.util.Random(23)
+    val window = 7; val overlap = 3; val stride = window - overlap
+    // lengths straddling the boundary cases: < window, == window, == window+1,
+    // exact multiple of stride, and a long tail
+    val corpus = (1L to 40L).map { i =>
+      val n = Seq(1, 3, 6, 7, 8, 11, 12, 13, 25, 60)(rnd.nextInt(10))
+      (i, (0 until n).map(j => s"w${i}_$j").mkString(" "))
+    }
+    val got = Text.chunkDocs(corpus.toDF("doc_id", "text"), "doc_id", "text",
+        window, overlap)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    val want = corpus.flatMap { case (id, text) =>
+      val ws = text.split(" ")
+      val nc = if (ws.length <= window) 1
+               else (ws.length - window + stride - 1) / stride + 1
+      (0 until nc).map(i =>
+        (id, i) -> ws.slice(i * stride, i * stride + window).mkString(" "))
+    }.toMap
+    assert(got == want)
+    // coverage: reassembling chunk heads (first `stride` tokens of each chunk
+    // plus the tail of the last) gives back the document
+    corpus.foreach { case (id, text) =>
+      val ws = text.split(" ")
+      val chunks = want.collect { case ((d, i), c) if d == id => (i, c) }
+        .toSeq.sortBy(_._1).map(_._2.split(" ").toSeq)
+      val rebuilt = chunks.init.map(_.take(stride)).flatten ++ chunks.last
+      assert(rebuilt == ws.toSeq, s"doc $id not covered")
+    }
+  }
 }
