@@ -42,35 +42,53 @@ object PrestoCompat {
 
   /** MySQL/Presto `date_parse` %-tokens -> Java time pattern. Covers the
     * tokens the reference's date surface reaches; unknown %-tokens throw
-    * (silent pass-through would mis-parse), plain chars pass through. */
+    * (silent pass-through would mis-parse). Non-token characters are
+    * LITERALS in MySQL, but Java reserves every letter — an unquoted 'T'
+    * in '%Y-%m-%dT%H:%i:%s' throws "Unknown pattern letter", and a
+    * literal 'D'/'M' silently reinterprets as day-of-year/month. So
+    * literal runs containing letters (or quotes) are emitted single-
+    * quoted, with embedded quotes doubled per the java.time escape. */
   private[functions] def translateMySqlFormat(fmt: String): String = {
     val out = new StringBuilder
+    val lit = new StringBuilder
+    def flushLiteral(): Unit = if (lit.nonEmpty) {
+      val s = lit.toString
+      if (s.exists(c => Character.isLetter(c) || c == '\''))
+        out.append('\'').append(s.replace("'", "''")).append('\'')
+      else out.append(s)
+      lit.clear()
+    }
     var i = 0
     while (i < fmt.length) {
       val c = fmt.charAt(i)
       if (c == '%' && i + 1 < fmt.length) {
-        out.append(fmt.charAt(i + 1) match {
-          case 'Y' => "yyyy"
-          case 'y' => "yy"
-          case 'm' => "MM"
-          case 'c' => "M"
-          case 'd' => "dd"
-          case 'e' => "d"
-          case 'H' => "HH"
-          case 'k' => "H"
-          case 'i' => "mm"   // MySQL minutes (NOT %M, which is month name)
-          case 's' | 'S' => "ss"
-          case 'f' => "SSSSSS"
-          case 'p' => "a"
-          case 'j' => "DDD"
-          case 'T' => "HH:mm:ss"
-          case '%' => "%"
-          case other => throw new IllegalArgumentException(
-            s"unsupported date_parse token %$other in '$fmt'")
-        })
+        fmt.charAt(i + 1) match {
+          case '%' => lit.append('%') // literal percent, stays in the run
+          case tok =>
+            flushLiteral()
+            out.append(tok match {
+              case 'Y' => "yyyy"
+              case 'y' => "yy"
+              case 'm' => "MM"
+              case 'c' => "M"
+              case 'd' => "dd"
+              case 'e' => "d"
+              case 'H' => "HH"
+              case 'k' => "H"
+              case 'i' => "mm"   // MySQL minutes (NOT %M, which is month name)
+              case 's' | 'S' => "ss"
+              case 'f' => "SSSSSS"
+              case 'p' => "a"
+              case 'j' => "DDD"
+              case 'T' => "HH:mm:ss"
+              case other => throw new IllegalArgumentException(
+                s"unsupported date_parse token %$other in '$fmt'")
+            })
+        }
         i += 2
-      } else { out.append(c); i += 1 }
+      } else { lit.append(c); i += 1 }
     }
+    flushLiteral()
     out.toString
   }
 }

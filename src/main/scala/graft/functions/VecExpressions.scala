@@ -224,8 +224,12 @@ object VecFunctions {
     def asStrArr(e: Expression): Expression =
       Cast(e, org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.StringType))
-    def litInt(e: Expression): Int =
+    def litInt(e: Expression): Int = {
+      // foldable check mirrors date_parse's: a non-literal arg would
+      // otherwise surface as an NPE/ClassCastException at plan time
+      require(e.foldable, "integer argument must be a literal")
       e.eval(null).asInstanceOf[Number].intValue()
+    }
     ColumnShim.registerFunction(spark, "shingle_hashes",
       args => ShingleHashes(asStrArr(args(0)), litInt(args(1))))
     ColumnShim.registerFunction(spark, "rolling_token_hash",

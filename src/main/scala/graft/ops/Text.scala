@@ -86,11 +86,19 @@ object Text {
 
   /** TF-IDF, pure DataFrame ops (no mllib): tf = term count / doc length,
     * idf = ln(N / df) with exact document frequencies. Two aggregates
-    * (term-per-doc counts, df per term) + one broadcast-able join on the
-    * per-term df table; the corpus-size N is a scalar literal computed
-    * once. At 100 TB the df table is vocabulary-sized (≪ corpus), so the
-    * join broadcasts. */
-  def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * (term-per-doc counts, df per term) + one join on the per-term df
+    * table; the corpus-size N is a scalar literal computed once.
+    *
+    * The df table is vocabulary-sized, but "vocabulary ≪ corpus" fails at
+    * 100 TB — a web corpus's unique-token set (typos, ids, URLs) runs
+    * ~10⁹ entries, tens of GB, past any broadcast threshold. So the join
+    * back is count-gated (the [[Dedup.decontaminate]] shape): at or under
+    * `vocabBroadcastLimit` distinct tokens it broadcasts; past it the
+    * probe is a SHUFFLE_HASH equi-join, the same plan [[bigramNll]]
+    * always uses for its never-broadcastable pair table. Both paths are
+    * result-identical (TextSpec pins it). */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String,
+            vocabBroadcastLimit: Long = Dedup.HotShingleBroadcastLimit): DataFrame = {
     // localCheckpoint: both the df aggregate and the probe side read the
     // term-count pipeline; materializing it once avoids the
     // double-computation that made the plain broadcast-join formulation
@@ -104,13 +112,18 @@ object Text {
       .groupBy("doc", "doc_len", "token")
       .agg(count(lit(1)).as("tf_raw"))
       .localCheckpoint(true)
-    // df table is vocabulary-sized (≪ corpus) → broadcast the join back.
+    // localCheckpoint: the df table feeds the count gate AND the join back
     val dfTable = termCounts.groupBy("token").agg(count(lit(1)).as("df"))
+      .localCheckpoint(true)
     // corpus size N folded into the plan as a broadcast 1-row frame
     // instead of a separate docs.count() driver action per call.
     val nRow = broadcast(docs.agg(count(lit(1)).cast("double").as("__n")))
-    termCounts
-      .join(broadcast(dfTable), Seq("token"))
+    val probed =
+      if (dfTable.count() <= vocabBroadcastLimit)
+        termCounts.join(broadcast(dfTable), Seq("token"))
+      else
+        termCounts.join(dfTable.hint("SHUFFLE_HASH"), Seq("token"))
+    probed
       .crossJoin(nRow)
       .select(
         col("doc"), col("token"),
@@ -146,16 +159,28 @@ object Text {
     * so summation order can't move the rounded result.
     *
     * Shape mirrors [[tfidf]]: one token-keyed aggregate builds the
-    * vocabulary (≪ corpus ⇒ the join back broadcasts), corpus total rides
-    * as a broadcast 1-row frame, then one per-doc aggregate. */
-  def unigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * vocabulary, corpus total rides as a broadcast 1-row frame, then one
+    * per-doc aggregate. The vocab join back is count-gated like
+    * [[tfidf]]'s — a 100 TB web corpus's unique-token set is ~10⁹
+    * entries and cannot broadcast; past `vocabBroadcastLimit` the probe
+    * becomes a SHUFFLE_HASH equi-join (the [[bigramNll]] plan). Both
+    * paths are result-identical (TextSpec pins it). */
+  def unigramNll(docs: DataFrame, idCol: String, textCol: String,
+                 vocabBroadcastLimit: Long = Dedup.HotShingleBroadcastLimit): DataFrame = {
     val tok = docs
       .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("token"))
       .localCheckpoint(true) // feeds the vocab aggregate AND the probe side
+    // localCheckpoint: the vocab feeds the count gate, the N total, AND
+    // the join back
     val vocab = tok.groupBy("token").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val nRow = broadcast(vocab.agg(sum(col("c")).cast("double").as("__n")))
-    tok
-      .join(broadcast(vocab), Seq("token"))
+    val probed =
+      if (vocab.count() <= vocabBroadcastLimit)
+        tok.join(broadcast(vocab), Seq("token"))
+      else
+        tok.join(vocab.hint("SHUFFLE_HASH"), Seq("token"))
+    probed
       .crossJoin(nRow)
       .groupBy(col("doc"))
       .agg(
@@ -226,9 +251,12 @@ object Text {
     * pipelines cut on compressed/raw ratio alongside the n-gram
     * repetition fractions). One `Deflater` per PARTITION, reset per row
     * (the expensive-handle `mapPartitions` contract — constructing a
-    * native zlib stream per row would dominate), released on partition
-    * end. Output bytes are counted, never buffered whole. Not
-    * SQL-expressible → rows-only query + ordering property spec. */
+    * native zlib stream per row would dominate), released via a
+    * task-completion listener: tying `end()` to the last `next()` leaks
+    * the native zlib stream on empty partitions, early-stopping consumers
+    * (limit/take), and mid-partition task failures — the listener fires
+    * on ALL task exits. Output bytes are counted, never buffered whole.
+    * Not SQL-expressible → rows-only query + ordering property spec. */
   def compressionRatios(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val session = docs.sparkSession
     import session.implicits._
@@ -236,6 +264,8 @@ object Text {
       .as[(Long, String)]
       .mapPartitions { rows =>
         val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+        org.apache.spark.TaskContext.get()
+          .addTaskCompletionListener[Unit](_ => d.end())
         val buf = new Array[Byte](1 << 16)
         new Iterator[(Long, Double)] {
           def hasNext: Boolean = rows.hasNext
@@ -245,7 +275,6 @@ object Text {
             d.reset(); d.setInput(bytes); d.finish()
             var n = 0L
             while (!d.finished()) n += d.deflate(buf)
-            if (!rows.hasNext) d.end() // release native memory with the partition
             (id, if (bytes.isEmpty) 1.0 else math.rint(n.toDouble / bytes.length * 1e4) / 1e4)
           }
         }

@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Relational, Similarity}
+import graft.ops.{Dedup, Relational, Similarity, Text}
 
 /** Scaling evidence for the hot operator families (round-3 verdict #8,
   * extended per round-4 verdict #6): run jaccard near-dup, connected
@@ -138,11 +138,36 @@ object ScaleBench {
         .localCheckpoint(true)
       withLines.count()
       val (tLine, _) = timeIt(noop(Dedup.lineDedup(withLines, "doc_id", "text")))
+      // semantic dedup pair volume at the SIZED cell count (round-5
+      // verdict weak #3): k = cellsFor(n) holds expected cell size
+      // constant, so the pair count must stay ~linear in n. Timing
+      // includes the KMeans training (k grows with n) — the pair COUNT is
+      // the linearity claim, the wall is the honest total.
+      val kCells = Dedup.cellsFor(nVecs)
+      val (tSem, nSem) = timeIt {
+        val p = Dedup.semanticDupPairs(emb, "vec_id", "embedding",
+          tau = 0.85, k = kCells).localCheckpoint(true)
+        val n = p.count(); noop(p); n
+      }
+      // the two heaviest round-5 queries (round-5 verdict #8): bigram NLL
+      // (the c2 count table grows with distinct bigrams) and the 4-stage
+      // curation composition (decontaminate → scrub → line-dedup → pack)
+      val (tBig, _) = timeIt(noop(Text.bigramNll(docs, "doc_id", "text")))
+      val (tCur, _) = timeIt(noop {
+        val clean = Dedup.decontaminate(
+          docs.filter(col("doc_id") >= 50), bench50, "doc_id", "text", n = 8)
+        val scrubbed = clean.select(col("doc_id"),
+          Text.scrubPii(col("text")).as("text"))
+        val deduped = Dedup.lineDedup(scrubbed, "doc_id", "text")
+        Relational.packSequences(deduped, "doc_id",
+          size(split(col("text"), "[ \n]")), budget = 512)
+      })
 
       println(f"[scale] r$round x$k%-2d docs=$nDocs%7d vecs=$nVecs%6d | " +
         f"jaccard=$tJac%6.2fs pairs=$nPairs%6d cc=$tCc%5.2fs(r=$ccRounds) rm=$tRm%5.2fs | " +
         f"lsh=$tLsh%5.2fs($nLsh%5d) ann=$tAnn%5.2fs($nAnn%6d) | " +
-        f"decon=$tDec%5.2fs dist=$tDecD%5.2fs pack=$tPack%5.2fs line=$tLine%5.2fs")
+        f"decon=$tDec%5.2fs dist=$tDecD%5.2fs pack=$tPack%5.2fs line=$tLine%5.2fs | " +
+        f"sem=$tSem%5.2fs($nSem%6d,k=$kCells) bigram=$tBig%5.2fs cur2=$tCur%5.2fs")
     }
     spark.stop()
   }

@@ -38,6 +38,17 @@ class PrestoCompatSpec extends SparkSpec {
     // %i means MINUTES (the MySQL trap); an unknown token fails loudly
     assert(PrestoCompat.translateMySqlFormat("%H:%i:%s") == "HH:mm:ss")
     intercept[IllegalArgumentException] { PrestoCompat.translateMySqlFormat("%Q") }
+    // literal letters are QUOTED for java.time: MySQL treats non-% chars
+    // as literals, Java reserves all letters — an unquoted 'T' throws
+    // "Unknown pattern letter", a 'D' silently parses day-of-year
+    assert(PrestoCompat.translateMySqlFormat("%Y-%m-%dT%H:%i:%s") ==
+      "yyyy-MM-dd'T'HH:mm:ss")
+    assert(PrestoCompat.translateMySqlFormat("%Y%%D") == "yyyy'%D'")
+    val iso = spark.sql(
+      """SELECT CAST(date_parse('2013-01-05T14:30:59',
+                                '%Y-%m-%dT%H:%i:%s') AS STRING) AS t""")
+      .collect().head.getString(0)
+    assert(iso == "2013-01-05 14:30:59")
     // non-literal format is rejected at plan time, not silently mis-parsed
     val err = intercept[Exception] {
       spark.sql("SELECT date_parse('x', concat('%Y', rand())) ").collect()
