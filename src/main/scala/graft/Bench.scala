@@ -76,6 +76,14 @@ object Bench {
     } catch { case NonFatal(_) => () }
     val (json, failed) = runAll(spark, sfDir, SparkEntry.queries)
     println(json)
+    // also write the line to a file: the driver captures stdout through a
+    // bounded tail window, which truncated the first ~12 per-query entries
+    // of BENCH_r05.json (round-5 verdict, minor) — a durable copy means
+    // the capture window can never lose data
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case NonFatal(e) => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

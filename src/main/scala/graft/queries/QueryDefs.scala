@@ -120,6 +120,36 @@ object QueryDefs {
               FROM orders WHERE o_orderstatus = 'F'""")
     ),
 
+    // B7 Presto string/array/json surface — the remaining name deltas a
+    // reference user's raw `condition`/projection strings reach (SURVEY
+    // §2 B7): strpos (1-based, 0 if absent; shimmed → StringInstr),
+    // json_extract_scalar (shimmed → GetJsonObject), cardinality (a
+    // native Spark alias of size). DuckDB speaks strpos natively; its
+    // json_extract_string/len are the same semantics. date_diff is the
+    // one documented NON-shim (Spark 4's native 2-arg form would be
+    // shadowed) — PrestoCompatSpec pins the timestampdiff equivalent.
+    // Casts to BIGINT match DuckDB's integer width.
+    QueryDef(
+      "b7_presto_strings",
+      (s, d) => {
+        graft.functions.PrestoCompat.register(s)
+        t(s, d, "events")
+          .filter(col("event_type").isin("click", "error"))
+          .selectExpr(
+            "event_id",
+            "CAST(strpos(event_type, 'i') AS BIGINT) AS pos_i",
+            "CAST(strpos(event_type, 'zz') AS BIGINT) AS pos_missing",
+            "CAST(cardinality(split(event_type, 'r')) AS BIGINT) AS n_parts",
+            "json_extract_scalar(props, '$.k') AS k_str")
+      },
+      Some("""SELECT event_id,
+                     strpos(event_type, 'i') AS pos_i,
+                     strpos(event_type, 'zz') AS pos_missing,
+                     len(string_split(event_type, 'r')) AS n_parts,
+                     json_extract_string(props, '$.k') AS k_str
+              FROM events WHERE event_type IN ('click', 'error')""")
+    ),
+
     // ── Layer C: relational ────────────────────────────────────────────
     QueryDef(
       "c1_join_inner",

@@ -118,4 +118,46 @@ class ExportersSpec extends SparkSpec {
       Exporters.write(golden, "pdf", tmp("pdf"))
     }
   }
+
+  test("exporters stream toLocalIterator: bytes hit disk before the last partition is produced") {
+    // round-5 verdict #6: the O(1-row)-driver-memory contract was only a
+    // code comment. Pin it behaviorally: every source partition records
+    // the output file's on-disk size at the moment it STARTS producing
+    // rows (local-mode tasks share the JVM, so a static probe sees them
+    // all). The streaming writer consumes partition k before the job for
+    // partition k+1 runs, so by the later partitions megabytes are
+    // already flushed. A refactor to collect() materializes all
+    // partitions before the first write — every observation becomes
+    // ~0 bytes and the size assertion fails.
+    val n = 300000L
+    val threshold = n / 10 // >> any header/magic bytes, << the flushed MBs
+    for (fmt <- Seq("csv", "json", "xml", "feather")) {
+      val p = tmp(fmt)
+      ExportStreamProbe.reset(p)
+      val ds = spark.range(0, n, 1, 8).mapPartitions { it =>
+        ExportStreamProbe.sizesAtPartitionStart.add(
+          new java.io.File(ExportStreamProbe.path).length())
+        it.map(i => (i, s"row_value_$i"))
+      }.toDF("id", "name")
+      Exporters.write(ds, fmt, p)
+      val sizes = {
+        val b = Seq.newBuilder[Long]
+        ExportStreamProbe.sizesAtPartitionStart.forEach(s => b += s)
+        b.result()
+      }
+      assert(sizes.length == 8, s"$fmt: expected 8 partition starts, got $sizes")
+      assert(sizes.max > threshold,
+        s"$fmt accumulated instead of streaming: sizes at partition start = $sizes")
+      assert(new java.io.File(p).length() > 0)
+    }
+  }
+}
+
+/** Probe for the streaming-export contract: records the export file's
+  * on-disk size when each partition starts producing (shared-JVM static —
+  * valid in local mode only, which is where specs run). */
+object ExportStreamProbe {
+  @volatile var path: String = ""
+  val sizesAtPartitionStart = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+  def reset(p: String): Unit = { path = p; sizesAtPartitionStart.clear() }
 }

@@ -56,6 +56,25 @@ class PrestoCompatSpec extends SparkSpec {
     assert(err.getMessage != null)
   }
 
+  test("date_diff delta documented: native 2-arg form preserved, Presto 3-arg = timestampdiff") {
+    // SURVEY §2 B7: Presto's date_diff(unit, start, end) is deliberately
+    // NOT shimmed — Spark 4 ships a native 2-arg date_diff(end, start)
+    // and shadowing it would silently change native queries. The
+    // documented migration for Presto callers is timestampdiff(unit,
+    // start, end); pin that both forms agree on the same interval.
+    PrestoCompat.register(spark)
+    val r = spark.sql(
+      """SELECT date_diff(DATE'2024-03-01', DATE'2024-02-01') AS native_days,
+                timestampdiff(DAY, DATE'2024-02-01', DATE'2024-03-01') AS presto_equiv""")
+      .collect().head
+    assert(r.getInt(0) == 29)
+    assert(r.getLong(1) == 29L)
+    // and the Presto 3-arg spelling fails loudly instead of mis-binding
+    intercept[Exception] {
+      spark.sql("SELECT date_diff('day', DATE'2024-02-01', DATE'2024-03-01')").collect()
+    }
+  }
+
   test("the reference's documented condition runs verbatim through the builder") {
     // postman_collection.json:180-199 shape, transposed to testdata columns
     val g = graft.engine.Graft(spark, sf0001,

@@ -274,6 +274,59 @@ class StreamingSpec extends SparkSpec {
     assert(batchKept == rows.keySet)
   }
 
+  test("curateStream out-of-order ingest: late rows drop, in-watermark disorder converges") {
+    // round-5 verdict #4: the stream==batch pin ran on an IN-ORDER feed;
+    // real ingest is not in-order. Assert the two watermark contracts:
+    // (a) a row arriving later than the watermark allows is DROPPED even
+    //     when its content is novel — the price of bounded dedup state;
+    // (b) disorder WITHIN the watermark still converges to exactly one
+    //     survivor per distinct fingerprint. Documented divergence from
+    //     the batch survivor: streaming keeps the FIRST-ARRIVED copy,
+    //     batch dedup keeps the min-(ts, id) copy — when a dup with an
+    //     earlier event time arrives later, the surviving doc_id differs
+    //     (the fingerprint SET does not).
+    val bench = Seq((100L, "held out alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val textA = "first unique body carrying many distinct tokens one"
+    val textB = "second unique body carrying many distinct tokens two"
+    val textLate = "novel late body carrying many distinct tokens three"
+    val a1 = (1L, ts("2024-01-01 10:30:00"), textA)
+    val a2 = (2L, ts("2024-01-01 10:25:00"), textA)   // dup, EARLIER ts, arrives LATER
+    val b1 = (3L, ts("2024-01-01 10:29:00"), textB)   // in-watermark disorder (< 10:30)
+    val lateNovel = (4L, ts("2024-01-01 09:00:00"), textLate) // watermark is 10:20 when it arrives
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val name = "sink_curate_ooo"
+    val q = Streaming.curateStream(
+        mem.toDF().toDF("doc_id", "ts", "text"), bench, "doc_id", "text", "ts",
+        lateness = "10 minutes")
+      .writeStream.format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(Seq(a1)); q.processAllAvailable()            // watermark -> 10:20
+      mem.addData(Seq(b1, a2, lateNovel)); q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table(name).select("doc_id").collect().map(_.getLong(0)).toSet
+    // (b): one survivor per fingerprint — a2 deduped against a1's state
+    //      even though it arrived in a later batch, b1 kept despite
+    //      arriving "behind" a1 in event time
+    // (a): lateNovel's content appears nowhere — dropped as late data
+    assert(kept == Set(1L, 3L), s"kept $kept")
+    // the documented divergence: the batch min-(ts, id) survivor for
+    //   textA's fingerprint is doc 2, not the stream's first-arrival doc 1
+    val batchSurvivor = Seq(a1, a2, b1).toDF("doc_id", "ts", "text")
+      .withColumn("__fp", graft.ops.Text.fingerprint($"text"))
+      .groupBy("__fp").agg(min(struct($"ts", $"doc_id")).as("__first"))
+      .select($"__first.doc_id".as("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(batchSurvivor == Set(2L, 3L))
+    // and lateNovel is only lost to the WATERMARK, not to any filter: the
+    //   batch pipeline (no watermark) keeps it
+    val batchAll = graft.ops.Dedup.decontaminate(
+        Seq(a1, a2, b1, lateNovel).toDF("doc_id", "ts", "text"),
+        bench, "doc_id", "text", n = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchAll.contains(4L))
+  }
+
   test("streaming tumbling agg equals the batch run of the same expression") {
     val events = Seq(
       ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:55:00"),
