@@ -516,10 +516,16 @@ object Dedup {
     * EXPECTATION — a dense embedding region still makes one hot cell's
     * |cell|² scan the straggler (the maxDf analog for cells would be a
     * cell-size cut; not yet warranted at measured scales); (b) the
-    * centroid array is driver-held at k·dim doubles, so past ~10⁷ cells
-    * (n ~ 10⁹ at the default target) a single-level quantizer is the
-    * wrong tool regardless of sizing — that regime wants a two-level
-    * IVF/hierarchical quantizer, same as any IVF index. */
+    * sizing moves the quadratic term from pair generation into KMeans
+    * TRAINING — one Lloyd iteration costs points·k distance evals, which
+    * at k ∝ n is quadratic no matter how the training set is sampled
+    * (ScaleBench's `sem` wall includes that term; the pair COUNT is what
+    * the sizing fixes); (c) the centroid array is driver-held at k·dim
+    * doubles. Both (b) and (c) say the same thing: past ~10⁶ cells a
+    * single-level quantizer is the wrong tool — that regime wants a
+    * two-level IMI/residual quantizer (two √k-centroid levels, training
+    * n·√k, cell id = the centroid pair), same as any IVF index at that
+    * scale. Below it, single-level is the cheaper, simpler choice. */
   def cellsFor(corpusSize: Long,
                targetCellSize: Int = SemanticTargetCellSize): Int =
     math.max(2, math.ceil(math.max(corpusSize, 1).toDouble / targetCellSize).toInt)
