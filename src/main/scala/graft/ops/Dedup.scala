@@ -521,26 +521,73 @@ object Dedup {
     * at k ∝ n is quadratic no matter how the training set is sampled
     * (ScaleBench's `sem` wall includes that term; the pair COUNT is what
     * the sizing fixes); (c) the centroid array is driver-held at k·dim
-    * doubles. Both (b) and (c) say the same thing: past ~10⁶ cells a
-    * single-level quantizer is the wrong tool — that regime wants a
-    * two-level IMI/residual quantizer (two √k-centroid levels, training
-    * n·√k, cell id = the centroid pair), same as any IVF index at that
-    * scale. Below it, single-level is the cheaper, simpler choice. */
+    * doubles. Both (b) and (c) say the same thing: at large k a
+    * single-level quantizer is the wrong tool — which is why
+    * [[semanticDedupSized]] switches to the two-level residual
+    * quantizer ([[semanticDedupHierarchical]]: √k centroids per level,
+    * training n·2√k, composite cell id) past
+    * [[HierarchicalCellsThreshold]] cells. Below it, single-level is
+    * the cheaper, simpler choice. */
   def cellsFor(corpusSize: Long,
                targetCellSize: Int = SemanticTargetCellSize): Int =
     math.max(2, math.ceil(math.max(corpusSize, 1).toDouble / targetCellSize).toInt)
 
+  /** Past this many cells [[semanticDedupSized]] switches from the
+    * single-level quantizer to the two-level residual one: training and
+    * the driver-held centroid array are both linear in the LEVEL size,
+    * so √k-per-level keeps them sane while the composite cell count
+    * keeps pair generation linear. 4096 cells ≈ 256k vectors at the
+    * default target — well before single-level training hurts, well
+    * after the toy sizes where two KMeans fits would just add noise. */
+  val HierarchicalCellsThreshold: Int = 4096
+
   /** [[semanticDedup]] with the cell count sized from the actual corpus
     * via [[cellsFor]] (one count() action — the same measure-don't-assume
     * pattern as the broadcast gates). Prefer this entry point: a fixed k
-    * is only right when the caller already knows n. */
+    * is only right when the caller already knows n. Past
+    * [[HierarchicalCellsThreshold]] cells it delegates to
+    * [[semanticDedupHierarchical]] with √k-sized levels. */
   def semanticDedupSized(emb: DataFrame, idCol: String, vecCol: String,
                          tau: Double,
                          targetCellSize: Int = SemanticTargetCellSize,
                          seed: Long = 42L,
-                         sampleFraction: Double = 1.0): DataFrame =
-    semanticDedup(emb, idCol, vecCol, tau,
-      k = cellsFor(emb.count(), targetCellSize), seed, sampleFraction)
+                         sampleFraction: Double = 1.0): DataFrame = {
+    val k = cellsFor(emb.count(), targetCellSize)
+    if (k <= HierarchicalCellsThreshold)
+      semanticDedup(emb, idCol, vecCol, tau, k, seed, sampleFraction)
+    else {
+      val kLevel = math.ceil(math.sqrt(k.toDouble)).toInt
+      semanticDedupHierarchical(emb, idCol, vecCol, tau, kLevel, kLevel,
+        seed, sampleFraction)
+    }
+  }
+
+  /** [[semanticDedup]] on the two-level residual quantizer
+    * ([[Ivf.trainResidualQuantizer]]): k1·k2 effective cells from two
+    * √k-sized training problems — the regime where single-level KMeans
+    * training (points·k per Lloyd iteration) and the driver-held k·dim
+    * centroid array stop scaling (see [[cellsFor]] caveat b). The pair
+    * stage and survivor policy are identical to the single-level path;
+    * only the cell id changes. An exact copy shares its original's
+    * vector, hence its composite cell (both levels are deterministic
+    * functions of the vector), so the min-id survivor argument carries
+    * over unchanged (DedupSpec pins it on the planted corpus). */
+  def semanticDedupHierarchical(emb: DataFrame, idCol: String, vecCol: String,
+                                tau: Double, k1: Int, k2: Int,
+                                seed: Long = 42L,
+                                sampleFraction: Double = 1.0): DataFrame =
+    removeNearDups(emb, idCol,
+      semanticDupPairsHierarchical(emb, idCol, vecCol, tau, k1, k2, seed, sampleFraction))
+
+  /** Candidate stage of [[semanticDedupHierarchical]] (exposed for
+    * ScaleBench, like [[semanticDupPairs]]). */
+  def semanticDupPairsHierarchical(emb: DataFrame, idCol: String, vecCol: String,
+                                   tau: Double, k1: Int, k2: Int,
+                                   seed: Long = 42L,
+                                   sampleFraction: Double = 1.0): DataFrame = {
+    val q = Ivf.trainResidualQuantizer(emb, vecCol, k1, k2, seed, sampleFraction)
+    cellPairs(Ivf.indexResidual(emb, idCol, vecCol, q), idCol, vecCol, tau)
+  }
 
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
                     tau: Double, k: Int, seed: Long = 42L,
@@ -555,7 +602,13 @@ object Dedup {
                        tau: Double, k: Int, seed: Long = 42L,
                        sampleFraction: Double = 1.0): DataFrame = {
     val centroids = Ivf.trainCentroids(emb, vecCol, k, seed, sampleFraction)
-    val idx = Ivf.index(emb, idCol, vecCol, centroids)
+    cellPairs(Ivf.index(emb, idCol, vecCol, centroids), idCol, vecCol, tau)
+  }
+
+  /** Cell-scoped duplicate pairs from a (cell, id, vec) inverted file —
+    * shared by the single-level and two-level quantizer paths. */
+  private def cellPairs(idx: DataFrame, idCol: String, vecCol: String,
+                        tau: Double): DataFrame = {
     val a = idx.select(col("cell"), col(idCol).as("doc_a"), col(vecCol).as("__va"))
     val b = idx.select(col("cell"), col(idCol).as("doc_b"), col(vecCol).as("__vb"))
     // SHUFFLE_HASH pinned: cells are many and individually small; a

@@ -47,6 +47,61 @@ object Ivf {
       col(idCol), col(vecCol))
   }
 
+  /** Two-level residual coarse quantizer (the IMI idea, Babenko &
+    * Lempitsky 2012, "The inverted multi-index" — here in its residual
+    * form): level 1 is a k1-cell KMeans on the vectors; level 2 is a
+    * k2-cell KMeans trained on the RESIDUALS v − c1(v); the composite
+    * cell id is cell1·k2 + cell2, giving k1·k2 effective cells from two
+    * (k1 + k2)-sized training problems.
+    *
+    * This is the scale path past the single-level limits documented at
+    * [[Dedup.cellsFor]]: one Lloyd iteration costs points·k distance
+    * evals and the driver holds k·dim centroid doubles — both linear in
+    * k, so k = k1·k2 effective cells for √k-sized costs. Assignment is
+    * two [[graft.functions.NearestCells]] codegen passes plus one
+    * row-level residual subtraction (a dim-length zip_with — the only
+    * interpreted lambda, O(dim) subtractions per row). */
+  final case class ResidualQuantizer(level1: Array[Array[Double]],
+                                     level2: Array[Array[Double]]) {
+    def cells: Int = level1.length * level2.length
+  }
+
+  /** The residual v − c1(v) as a column (array<double>): level-1 cell via
+    * the codegen quantizer, centroid lookup from a literal nested-array
+    * reference, element-wise subtraction. */
+  private def residual(vec: Column, c1: Array[Array[Double]]): Column = {
+    val (m, cells, dim) = flat(c1)
+    val cell1 = element_at(nearestCells(vec, m, cells, dim, 1), 1)
+    val centroid = element_at(typedLit(c1.map(_.toSeq).toSeq), cell1 + 1)
+    zip_with(vec.cast("array<double>"), centroid, (a, b) => a - b)
+  }
+
+  def trainResidualQuantizer(emb: DataFrame, vecCol: String, k1: Int, k2: Int,
+                             seed: Long = 42L,
+                             sampleFraction: Double = 1.0): ResidualQuantizer = {
+    require(k1 >= 2 && k2 >= 2, s"need k1, k2 >= 2, got $k1, $k2")
+    val c1 = trainCentroids(emb, vecCol, k1, seed, sampleFraction)
+    val resid = emb.select(residual(col(vecCol), c1).as("__r"))
+    val c2 = trainCentroids(resid, "__r", k2, seed + 1, sampleFraction)
+    ResidualQuantizer(c1, c2)
+  }
+
+  /** (cell, id, vec) inverted file under the composite two-level cell. */
+  def indexResidual(emb: DataFrame, idCol: String, vecCol: String,
+                    q: ResidualQuantizer): DataFrame = {
+    val (m1, k1, dim) = flat(q.level1)
+    val (m2, k2, _) = flat(q.level2)
+    emb
+      .withColumn("__c1", element_at(nearestCells(col(vecCol), m1, k1, dim, 1), 1))
+      .withColumn("__r", zip_with(col(vecCol).cast("array<double>"),
+        element_at(typedLit(q.level1.map(_.toSeq).toSeq), col("__c1") + 1),
+        (a, b) => a - b))
+      .select(
+        (col("__c1") * k2 +
+          element_at(nearestCells(col("__r"), m2, k2, dim, 1), 1)).as("cell"),
+        col(idCol), col(vecCol))
+  }
+
   /** Probe-style top-k: score only vectors in the query's `nprobe`
     * nearest cells; exact cosine within the candidate set, then
     * per-partition top-k heaps (TakeOrderedAndProject). */

@@ -155,6 +155,16 @@ object ScaleBench {
           tau = 0.15, k = kCells).localCheckpoint(true)
         val n = p.count(); noop(p); n
       }
+      // the two-level residual path at sqrt(k) levels: same composite
+      // cell count, training cost n·2√k instead of n·k — at the larger
+      // scales the sem wall is training-dominated, so sem2 must undercut
+      // sem there (the measured claim behind HierarchicalCellsThreshold)
+      val kLevel = math.max(2, math.ceil(math.sqrt(kCells.toDouble)).toInt)
+      val (tSem2, nSem2) = timeIt {
+        val p = Dedup.semanticDupPairsHierarchical(emb, "vec_id", "embedding",
+          tau = 0.15, k1 = kLevel, k2 = kLevel).localCheckpoint(true)
+        val n = p.count(); noop(p); n
+      }
       // the two heaviest round-5 queries (round-5 verdict #8): bigram NLL
       // (the c2 count table grows with distinct bigrams) and the 4-stage
       // curation composition (decontaminate → scrub → line-dedup → pack)
@@ -173,7 +183,8 @@ object ScaleBench {
         f"jaccard=$tJac%6.2fs pairs=$nPairs%6d cc=$tCc%5.2fs(r=$ccRounds) rm=$tRm%5.2fs | " +
         f"lsh=$tLsh%5.2fs($nLsh%5d) ann=$tAnn%5.2fs($nAnn%6d) | " +
         f"decon=$tDec%5.2fs dist=$tDecD%5.2fs pack=$tPack%5.2fs line=$tLine%5.2fs | " +
-        f"sem=$tSem%5.2fs($nSem%6d,k=$kCells) bigram=$tBig%5.2fs cur2=$tCur%5.2fs")
+        f"sem=$tSem%5.2fs($nSem%6d,k=$kCells) sem2=$tSem2%5.2fs($nSem2%6d,k=$kLevel²) " +
+        f"bigram=$tBig%5.2fs cur2=$tCur%5.2fs")
     }
     spark.stop()
   }

@@ -69,6 +69,17 @@ class NewQueryPlanCheck extends SparkSpec {
       s"status filter not pushed:\n$plan")
   }
 
+  test("presto strings pushes the isin filter and prunes to three columns") {
+    val plan = graft.SparkEntry.queries("b7_presto_strings")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("In(event_type"),
+      s"isin filter not pushed:\n$plan")
+    val s = scanSchema("b7_presto_strings")
+    assert(s.contains("event_id") && s.contains("event_type") && s.contains("props")
+      && !s.contains("value") && !s.contains("user_id"),
+      s"presto strings over-reads: $s")
+  }
+
   test("salted agg plans two hash-aggregate phases with no extra exchange") {
     val plan = graft.SparkEntry.queries("c6_salted_agg")(spark, sf0001)
       .queryExecution.executedPlan.toString

@@ -540,6 +540,39 @@ class DedupSpec extends SparkSpec {
         s"extra copies=${kept.filter(_ >= 1000L)}")
   }
 
+  test("hierarchical semantic dedup removes exact copies, keeps all originals at high tau") {
+    // the two-level residual quantizer path (the scale regime past
+    // HierarchicalCellsThreshold, forced here by calling it directly):
+    // an exact copy shares its original's vector, hence BOTH level
+    // assignments and the composite cell — so at tau=0.995 survivors
+    // must again be exactly the originals, with no clustering-quality
+    // assumption on either level
+    val (members, copies) = semanticCorpus
+    val df = (members ++ copies).map { case (id, _, v) => (id, v) }
+      .toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedupHierarchical(df, "vec_id", "embedding",
+      tau = 0.995, k1 = 3, k2 = 3).select("vec_id").as[Long].collect().toSet
+    assert(kept == members.map(_._1).toSet,
+      s"expected exactly the originals; missing=${members.map(_._1).toSet -- kept}, " +
+        s"extra copies=${kept.filter(_ >= 1000L)}")
+    // and the composite index actually uses more than one cell per level
+    val q = Ivf.trainResidualQuantizer(df, "embedding", 3, 3)
+    val cells = Ivf.indexResidual(df, "vec_id", "embedding", q)
+      .select("cell").distinct().count()
+    assert(cells > 3, s"composite quantizer degenerated to $cells cells")
+  }
+
+  test("semanticDedupSized switches to the hierarchical path past the cell threshold") {
+    // can't afford a >256k-vector corpus in a spec; pin the ROUTING by
+    // sizing arithmetic instead — the threshold and the √k level split
+    val k = Dedup.cellsFor(1000000L)                   // 15,625 cells > 4096
+    assert(k > Dedup.HierarchicalCellsThreshold)
+    val kLevel = math.ceil(math.sqrt(k.toDouble)).toInt
+    assert(kLevel * kLevel >= k, "level split must not lose cells")
+    assert(kLevel <= 2 * math.sqrt(k.toDouble).toInt + 1,
+      "level sizes must stay ~sqrt(k)")
+  }
+
   test("removeNearDups broadcast and distributed anti-join paths agree") {
     // round-5 verdict weak #1: the doomed-id broadcast assumed "duplicate
     // set ≪ corpus by construction" — false on web corpora (30-50%
