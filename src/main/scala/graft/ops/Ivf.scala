@@ -119,4 +119,34 @@ object Ivf {
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
+
+  /** [[topK]] on the two-level residual index — the search analog of the
+    * hierarchical dedup path: each query probes its `nprobe1` nearest
+    * level-1 cells and, within each, the `nprobe2` nearest level-2 cells
+    * of its residual — nprobe1·nprobe2 composite cells, still a broadcast
+    * probe join against the inverted file. The probe expansion is pure
+    * expressions over the (small) query frame: two codegen NearestCells
+    * passes and one dim-length residual subtraction per (query, cell1). */
+  def topKResidual(emb: DataFrame, idCol: String, vecCol: String,
+                   query: DataFrame, queryVecCol: String, k: Int,
+                   q: ResidualQuantizer,
+                   nprobe1: Int = 4, nprobe2: Int = 4): DataFrame = {
+    val (m1, k1, dim) = flat(q.level1)
+    val (m2, k2, _) = flat(q.level2)
+    val idx = indexResidual(emb, idCol, vecCol, q)
+    val probes = broadcast(
+      query.select(col(queryVecCol).as("__qv"))
+        .select(col("__qv"),
+          explode(nearestCells(col("__qv"), m1, k1, dim, nprobe1)).as("__c1"))
+        .select(col("__qv"), col("__c1"),
+          explode(nearestCells(
+            zip_with(col("__qv").cast("array<double>"),
+              element_at(typedLit(q.level1.map(_.toSeq).toSeq), col("__c1") + 1),
+              (a, b) => a - b), m2, k2, dim, nprobe2)).as("__c2"))
+        .select((col("__c1") * k2 + col("__c2")).as("cell"), col("__qv")))
+    idx.join(probes, Seq("cell"))
+      .select(col(idCol), round(Similarity.cosine(col(vecCol), col("__qv")), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
 }

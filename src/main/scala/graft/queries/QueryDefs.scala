@@ -904,6 +904,24 @@ object QueryDefs {
       None
     ),
 
+    // C14 on the two-level residual quantizer — the search analog of the
+    // hierarchical semantic-dedup path (the regime where a single-level
+    // centroid count stops scaling; see Dedup.cellsFor). Rows-only like
+    // c14_ann_ivf (KMeans centroids are seed/float-order dependent);
+    // recall gated >= 0.8 vs brute force in IvfSpec.
+    QueryDef(
+      "c14_ann_ivf2",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val rq = Ivf.trainResidualQuantizer(emb, "embedding", k1 = 4, k2 = 4,
+          sampleFraction = 0.25)
+        Ivf.topKResidual(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+          emb.filter(col("vec_id") === 0), "embedding", k = 10, rq,
+          nprobe1 = 2, nprobe2 = 2)
+      },
+      None
+    ),
+
     // C14 memory lever: exact top-k over int8-quantized embeddings (4x
     // smaller column; rows-only — quantization rounding isn't portable
     // SQL; recall vs float is spec-pinned).

@@ -52,6 +52,39 @@ class IvfSpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF recall degraded to $recall")
   }
 
+  test("two-level IVF top-k finds the planted duplicate via composite-cell probe") {
+    val emb = graft.engine.Tables.read(spark, sf0001, "embeddings")
+    val rq = Ivf.trainResidualQuantizer(emb, "embedding", k1 = 4, k2 = 4, seed = 42L)
+    val q = emb.filter($"vec_id" === 0)
+    // vec 0 stays in the corpus: its composite cell equals the query's
+    // first probe (same vector, both levels deterministic) -> top-1 at 1.0
+    val top = Ivf.topKResidual(emb, "vec_id", "embedding", q, "embedding",
+      k = 5, rq, nprobe1 = 2, nprobe2 = 2).collect()
+    assert(top.head.getLong(0) == 0L && top.head.getDouble(1) == 1.0)
+    assert(top.length == 5)
+    val sims = top.map(_.getDouble(1))
+    assert(sims.sameElements(sims.sorted.reverse))
+  }
+
+  test("two-level IVF recall >= 0.8 vs brute force on a clustered corpus (gate)") {
+    val rnd = new scala.util.Random(13)
+    val rows = for (c <- 0 until 20; centre = Array.fill(64)(rnd.nextGaussian());
+                    m <- 0 until 10)
+      yield ((c * 10 + m).toLong,
+        centre.map(v => (v + 0.03 * rnd.nextGaussian()).toFloat))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val q = corpus.filter($"vec_id" === 0L)
+    val rest = corpus.filter($"vec_id" =!= 0L)
+    val exact = Similarity.bruteForceTopK(rest, "vec_id", "embedding",
+      q, "embedding", k = 9).collect().map(_.getLong(0)).toSet
+    val rq = Ivf.trainResidualQuantizer(corpus, "embedding", k1 = 3, k2 = 3)
+    val approx = Ivf.topKResidual(rest, "vec_id", "embedding", q, "embedding",
+      k = 9, rq, nprobe1 = 2, nprobe2 = 2).collect().map(_.getLong(0)).toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    info(f"two-level IVF recall = $recall%.2f")
+    assert(recall >= 0.8, s"two-level IVF recall degraded to $recall")
+  }
+
   test("probing more cells can only grow the candidate set") {
     val emb = graft.engine.Tables.read(spark, sf0001, "embeddings")
     val centroids = Ivf.trainCentroids(emb, "embedding", k = 8, maxIter = 5)
