@@ -581,6 +581,54 @@ object QueryDefs {
               WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)""")
     ),
 
+    // C9 composition: ordered funnel (view -> click-after-view ->
+    // purchase-after-that) per user, counted per stage — the classic
+    // event-analytics query over the events table. Three cumulative-max
+    // windows over the SAME (partition, order): one exchange + one sort,
+    // the later Window operators reuse the ordering (no re-shuffle — the
+    // scale shape that makes staged funnels viable on a long event log).
+    // Ties broken by event_id so the cumulative flags are deterministic.
+    QueryDef(
+      "c9_funnel",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        t(s, d, "events")
+          .withColumn("seen_view",
+            max(when(col("event_type") === "view", 1).otherwise(0)).over(w))
+          .withColumn("seen_click",
+            max(when(col("event_type") === "click" && col("seen_view") === 1, 1)
+              .otherwise(0)).over(w))
+          .withColumn("seen_purchase",
+            max(when(col("event_type") === "purchase" && col("seen_click") === 1, 1)
+              .otherwise(0)).over(w))
+          .groupBy("user_id")
+          .agg(max("seen_view").as("sv"), max("seen_click").as("sc"),
+            max("seen_purchase").as("sp"))
+          .agg(sum("sv").cast("long").as("n_view"),
+            sum("sc").cast("long").as("n_view_click"),
+            sum("sp").cast("long").as("n_funnel"))
+      },
+      Some("""WITH s1 AS (SELECT user_id, event_type, ts, event_id,
+                       max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seen_view
+                     FROM events),
+                s2 AS (SELECT *,
+                       max(CASE WHEN event_type = 'click' AND seen_view = 1 THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seen_click
+                     FROM s1),
+                s3 AS (SELECT *,
+                       max(CASE WHEN event_type = 'purchase' AND seen_click = 1 THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seen_purchase
+                     FROM s2),
+                u AS (SELECT user_id, max(seen_view) AS sv, max(seen_click) AS sc,
+                             max(seen_purchase) AS sp
+                      FROM s3 GROUP BY user_id)
+              SELECT CAST(sum(sv) AS BIGINT) AS n_view,
+                     CAST(sum(sc) AS BIGINT) AS n_view_click,
+                     CAST(sum(sp) AS BIGINT) AS n_funnel
+              FROM u""")
+    ),
+
     QueryDef(
       "c10_topk_per_group",
       (s, d) => Relational.topKPerGroup(

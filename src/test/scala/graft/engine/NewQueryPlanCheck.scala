@@ -80,6 +80,19 @@ class NewQueryPlanCheck extends SparkSpec {
       s"presto strings over-reads: $s")
   }
 
+  test("funnel plans one user-keyed exchange reused by all three windows and the agg") {
+    val plan = graft.SparkEntry.queries("c9_funnel")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val windows = "Window ".r.findAllIn(plan).length
+    assert(windows == 3, s"expected 3 Window nodes, got $windows in:\n$plan")
+    // one hash exchange feeds windows AND the per-user aggregate (same
+    // key); only the final 1-row rollup adds a single-partition exchange
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx in:\n$plan")
+    val sorts = "\\bSort \\[".r.findAllIn(plan).length
+    assert(sorts == 1, s"expected the windows to share one sort, got $sorts in:\n$plan")
+  }
+
   test("salted agg plans two hash-aggregate phases with no extra exchange") {
     val plan = graft.SparkEntry.queries("c6_salted_agg")(spark, sf0001)
       .queryExecution.executedPlan.toString
