@@ -205,6 +205,64 @@ object Streaming {
         TimeMode.None(), OutputMode.Update())
   }
 
+  final case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  final case class FunnelState(seenView: Boolean, seenClick: Boolean, seenPurchase: Boolean)
+  final case class FunnelStage(user_id: Long, stage: Int)
+
+  /** Streaming ordered funnel — the ingest-side form of the batch
+    * `c9_funnel` query: per user, stage 1 = saw a view, stage 2 = saw a
+    * click AFTER a view, stage 3 = saw a purchase after that. The flags
+    * are MONOTONE, so state is three booleans per user (evicted
+    * `stateTtlMs` past the user's own latest event, like
+    * [[userRunningTotals]]) — the state-machine shape `groupBy(window)`
+    * can't express but a funnel needs, since stage 2 depends on the
+    * ORDER of past events, not their counts.
+    *
+    * Rows within a micro-batch arrive UNORDERED (the GroupState iterator
+    * has no ordering contract), so each batch's rows are sorted by event
+    * time before folding — in-batch disorder cannot flip a flag
+    * (StreamingSpec pins it). Across batches the watermark contract
+    * applies: late-past-watermark events are dropped, and an out-of-order
+    * view AFTER a click already processed in an earlier batch does not
+    * retroactively grant stage 2 — the documented divergence from the
+    * batch window form, same class as curateStream's first-arrival
+    * survivor. On an in-order feed the final stages equal the batch
+    * query's (spec-pinned). Emits the user's current stage per batch
+    * (update mode). */
+  def funnelStream(events: Dataset[FunnelEvent],
+                   lateness: String = "10 minutes",
+                   stateTtlMs: Long = 7200000): Dataset[FunnelStage] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelStage](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var s = state.getOption.getOrElse(FunnelState(false, false, false))
+            var maxTs = 0L
+            rows.toArray.sortBy(_.ts.getTime).foreach { e =>
+              maxTs = math.max(maxTs, e.ts.getTime)
+              e.event_type match {
+                case "view" => s = s.copy(seenView = true)
+                case "click" if s.seenView => s = s.copy(seenClick = true)
+                case "purchase" if s.seenClick => s = s.copy(seenPurchase = true)
+                case _ => ()
+              }
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(math.max(maxTs, state.getCurrentWatermarkMs()) + stateTtlMs)
+            val stage = (if (s.seenView) 1 else 0) + (if (s.seenClick) 1 else 0) +
+              (if (s.seenPurchase) 1 else 0)
+            Iterator.single(FunnelStage(uid, stage))
+          }
+      }
+  }
+
   /** Per-user running aggregate via flatMapGroupsWithState — the escape
     * hatch for state machines `groupBy(window)` can't express. State is a
     * single fixed-size record per key, evicted `stateTtl` past the

@@ -136,6 +136,59 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming funnel stages equal the batch window query on an in-order feed") {
+    // user 1 completes the funnel; user 2 clicks BEFORE viewing (click
+    // must not count — the order is the point); user 3 only views
+    val evs = Seq(
+      Streaming.FunnelEvent(2L, ts("2024-01-01 09:59:00"), "click"),
+      Streaming.FunnelEvent(1L, ts("2024-01-01 10:00:00"), "view"),
+      Streaming.FunnelEvent(2L, ts("2024-01-01 10:01:00"), "view"),
+      Streaming.FunnelEvent(1L, ts("2024-01-01 10:02:00"), "click"),
+      Streaming.FunnelEvent(3L, ts("2024-01-01 10:03:00"), "view"),
+      Streaming.FunnelEvent(1L, ts("2024-01-01 10:04:00"), "purchase"),
+      Streaming.FunnelEvent(2L, ts("2024-01-01 10:05:00"), "purchase"))
+    val mem = MemoryStream[Streaming.FunnelEvent]
+    val q = Streaming.funnelStream(mem.toDS()).writeStream
+      .format("memory").queryName("funnel").outputMode("update").start()
+    try {
+      // one event per micro-batch: arrival order == event-time order
+      evs.foreach { e => mem.addData(e); q.processAllAvailable() }
+    } finally q.stop()
+    // update mode: latest row per user wins
+    val stages = spark.table("funnel").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .groupBy(_._1).map { case (u, rows) => u -> rows.last._2 }
+    assert(stages == Map(1L -> 3, 2L -> 1, 3L -> 1), s"got $stages")
+    // batch equivalence: the c9_funnel window formulation per user
+    val batch = evs.map(e => (e.user_id, e.ts, e.event_type))
+      .toDF("user_id", "ts", "event_type")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"))
+    val perUser = batch
+      .withColumn("sv", max(when($"event_type" === "view", 1).otherwise(0)).over(w))
+      .withColumn("sc", max(when($"event_type" === "click" && $"sv" === 1, 1).otherwise(0)).over(w))
+      .withColumn("sp", max(when($"event_type" === "purchase" && $"sc" === 1, 1).otherwise(0)).over(w))
+      .groupBy("user_id")
+      .agg((max("sv") + max("sc") + max("sp")).as("stage"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(perUser == stages)
+  }
+
+  test("streaming funnel: in-batch disorder cannot flip the stage flags") {
+    // same events for one user delivered in ONE batch, shuffled: the
+    // per-batch event-time sort must recover view -> click -> purchase
+    val shuffled = Seq(
+      Streaming.FunnelEvent(7L, ts("2024-01-01 10:04:00"), "purchase"),
+      Streaming.FunnelEvent(7L, ts("2024-01-01 10:00:00"), "view"),
+      Streaming.FunnelEvent(7L, ts("2024-01-01 10:02:00"), "click"))
+    val mem = MemoryStream[Streaming.FunnelEvent]
+    val q = Streaming.funnelStream(mem.toDS()).writeStream
+      .format("memory").queryName("funnel_ooo").outputMode("update").start()
+    try { mem.addData(shuffled); q.processAllAvailable() } finally q.stop()
+    val rows = spark.table("funnel_ooo").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(rows.toSeq == Seq((7L, 3)), s"got ${rows.toSeq}")
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals across batches") {
     val mem = MemoryStream[Streaming.UserEvent]
     val q = Streaming.userRunningTotals(mem.toDS()).writeStream
