@@ -78,11 +78,19 @@ object Ivf {
 
   def trainResidualQuantizer(emb: DataFrame, vecCol: String, k1: Int, k2: Int,
                              seed: Long = 42L,
-                             sampleFraction: Double = 1.0): ResidualQuantizer = {
+                             sampleFraction: Double = 1.0,
+                             maxIter: Int = 10): ResidualQuantizer = {
     require(k1 >= 2 && k2 >= 2, s"need k1, k2 >= 2, got $k1, $k2")
-    val c1 = trainCentroids(emb, vecCol, k1, seed, sampleFraction)
-    val resid = emb.select(residual(col(vecCol), c1).as("__r"))
-    val c2 = trainCentroids(resid, "__r", k2, seed + 1, sampleFraction)
+    val c1 = trainCentroids(emb, vecCol, k1, seed, sampleFraction, maxIter)
+    // sample BEFORE the residual projection: at 100 TB, projecting
+    // residuals over the whole corpus only to sample 0.1% of them for
+    // training would be a full wasted pass — both levels train on the
+    // same seeded sample
+    val base =
+      if (sampleFraction < 1.0) emb.sample(withReplacement = false, sampleFraction, seed)
+      else emb
+    val resid = base.select(residual(col(vecCol), c1).as("__r"))
+    val c2 = trainCentroids(resid, "__r", k2, seed + 1, 1.0, maxIter)
     ResidualQuantizer(c1, c2)
   }
 

@@ -484,6 +484,32 @@ object QueryDefs {
               FROM lineitem GROUP BY l_returnflag""")
     ),
 
+    // C6 composition: daily cohort retention — users grouped by first-seen
+    // day, counted per day-offset of later activity (the other standard
+    // event-analytics query next to the funnel). Shape: distinct
+    // (user, day) activity, a user-keyed min aggregate for the cohort,
+    // one user-keyed join, one (cohort, offset) aggregate — every
+    // aggregate folds map-side; nothing is users-sized on the driver.
+    QueryDef(
+      "c6_retention",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val cohort = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+        ev.join(cohort, Seq("user_id"))
+          .groupBy(col("cohort_day"),
+            datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+          .agg(count(lit(1)).as("n_users"))
+      },
+      Some("""WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+                cohort AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
+              SELECT cohort.cohort_day AS cohort_day,
+                     date_diff('day', cohort.cohort_day, ev.day) AS day_offset,
+                     count(*) AS n_users
+              FROM ev JOIN cohort USING (user_id)
+              GROUP BY 1, 2""")
+    ),
+
     QueryDef(
       "c6_percentiles",
       (s, d) => t(s, d, "orders")
@@ -962,7 +988,7 @@ object QueryDefs {
       (s, d) => {
         val emb = t(s, d, "embeddings")
         val rq = Ivf.trainResidualQuantizer(emb, "embedding", k1 = 4, k2 = 4,
-          sampleFraction = 0.25)
+          sampleFraction = 0.25, maxIter = 5)
         Ivf.topKResidual(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
           emb.filter(col("vec_id") === 0), "embedding", k = 10, rq,
           nprobe1 = 2, nprobe2 = 2)
