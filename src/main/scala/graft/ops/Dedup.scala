@@ -172,10 +172,16 @@ object Dedup {
                            estThreshold: Double): DataFrame = {
     val k = bands * rowsPerBand
     val sigArr = minhashSignatures(docs, idCol, textCol, n, k)
+    // 64-bit band hash (xxhash64, not the 32-bit hash()): random band
+    // collisions are C(n,2)·bands/2^bits — at 32 bits and web-scale n
+    // that term goes quadratic (~corpus-sized spurious candidates at
+    // n=10⁹, 100× corpus at 10¹⁰); at 64 bits it is negligible at any
+    // realistic n. Same class as planesFor (PERF.md finding 17): the
+    // collision-bounding parameter must outrun corpus growth.
     val banded = sigArr.select(
       col("doc"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), bnd =>
-        hash(slice(col("sig"), bnd * rowsPerBand + 1, lit(rowsPerBand)))))
+        xxhash64(slice(col("sig"), bnd * rowsPerBand + 1, lit(rowsPerBand)))))
         .as(Seq("band", "band_hash"))
     )
     val l = banded.select(col("band"), col("band_hash"), col("doc").as("doc_a"), col("sig").as("sig_a"))
@@ -551,9 +557,10 @@ object Dedup {
                          tau: Double,
                          targetCellSize: Int = SemanticTargetCellSize,
                          seed: Long = 42L,
-                         sampleFraction: Double = 1.0): DataFrame = {
+                         sampleFraction: Double = 1.0,
+                         hierarchicalThreshold: Int = HierarchicalCellsThreshold): DataFrame = {
     val k = cellsFor(emb.count(), targetCellSize)
-    if (k <= HierarchicalCellsThreshold)
+    if (k <= hierarchicalThreshold)
       semanticDedup(emb, idCol, vecCol, tau, k, seed, sampleFraction)
     else {
       val kLevel = math.ceil(math.sqrt(k.toDouble)).toInt

@@ -563,14 +563,25 @@ class DedupSpec extends SparkSpec {
   }
 
   test("semanticDedupSized switches to the hierarchical path past the cell threshold") {
-    // can't afford a >256k-vector corpus in a spec; pin the ROUTING by
-    // sizing arithmetic instead — the threshold and the √k level split
+    // the sizing arithmetic: the threshold and the √k level split
     val k = Dedup.cellsFor(1000000L)                   // 15,625 cells > 4096
     assert(k > Dedup.HierarchicalCellsThreshold)
     val kLevel = math.ceil(math.sqrt(k.toDouble)).toInt
     assert(kLevel * kLevel >= k, "level split must not lose cells")
     assert(kLevel <= 2 * math.sqrt(k.toDouble).toInt + 1,
       "level sizes must stay ~sqrt(k)")
+    // and the ROUTING end-to-end: a forced-low threshold sends the
+    // planted corpus down the hierarchical branch (k = 8 > 4), which
+    // must still keep exactly the originals — same guarantee, routed
+    val (members, copies) = semanticCorpus
+    val df = (members ++ copies).map { case (id, _, v) => (id, v) }
+      .toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedupSized(df, "vec_id", "embedding",
+      tau = 0.995, targetCellSize = 16, hierarchicalThreshold = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == members.map(_._1).toSet,
+      s"routed hierarchical path lost originals or kept copies: " +
+        s"missing=${members.map(_._1).toSet -- kept}, extra=${kept.filter(_ >= 1000L)}")
   }
 
   test("removeNearDups broadcast and distributed anti-join paths agree") {
