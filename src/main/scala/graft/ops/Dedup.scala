@@ -481,11 +481,17 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup pairs; delegates candidate generation to
-    * the LSH path in [[Similarity]] and filters by cosine threshold. */
+    * the LSH path in [[Similarity]] and filters by cosine threshold.
+    * With `planes = None` (the default) the plane count is sized from
+    * the corpus via [[Similarity.planesFor]] with table compensation —
+    * a fixed count on an unknown-size corpus is the finding-17 quadratic
+    * (callers that know their corpus can still pin it). */
   def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
-                       threshold: Double, planes: Int = 16): DataFrame =
-    Similarity.lshCandidatePairs(emb, idCol, vecCol, planes)
-      .filter(col("cosine") >= threshold)
+                       threshold: Double, planes: Option[Int] = None): DataFrame =
+    (planes match {
+      case Some(p) => Similarity.lshCandidatePairs(emb, idCol, vecCol, p)
+      case None => Similarity.lshCandidatePairsSized(emb, idCol, vecCol)
+    }).filter(col("cosine") >= threshold)
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): KMeans-cluster the embedding space with a

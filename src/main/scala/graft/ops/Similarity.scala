@@ -110,6 +110,22 @@ object Similarity {
         round(cosine(col("vec_a"), col("vec_b")), 4).as("cosine"))
   }
 
+  /** [[lshCandidatePairs]] with the plane count sized from the actual
+    * corpus via [[planesFor]] (one count() action — the same
+    * measure-don't-assume pattern as the broadcast gates and
+    * [[Dedup.semanticDedupSized]]), plus the recall compensation the
+    * finding-17 rule prescribes: one extra table per +2 planes over the
+    * 16-plane base, so collision probability per true pair is restored
+    * while random collisions stay exponentially suppressed. Prefer this
+    * entry point on corpora of unknown size. */
+  def lshCandidatePairsSized(emb: DataFrame, idCol: String, vecCol: String,
+                             baseTables: Int = 4, dim: Int = 64,
+                             seed: Long = 42L): DataFrame = {
+    val planes = planesFor(emb.count())
+    val tables = baseTables + math.max(0, (planes - 16) / 2)
+    lshCandidatePairs(emb, idCol, vecCol, planes, tables, dim, seed)
+  }
+
   /** ANN query: probe the query vector's buckets, brute-force only within
     * the union of candidates (the IVF-style "probe a few cells" pattern,
     * with hyperplane buckets as cells). Falls back to nothing matching ⇒

@@ -942,10 +942,12 @@ object QueryDefs {
     ),
 
     // C14 scale path: hyperplane-LSH bucketed candidate pairs (rows-only;
-    // recall vs brute force is spec-tested).
+    // recall vs brute force is spec-tested). Plane count sized from the
+    // corpus (planesFor + table compensation) — a fixed count on a query
+    // path is the finding-17 quadratic.
     QueryDef(
       "c14_ann_lsh_pairs",
-      (s, d) => Similarity.lshCandidatePairs(t(s, d, "embeddings"), "vec_id", "embedding"),
+      (s, d) => Similarity.lshCandidatePairsSized(t(s, d, "embeddings"), "vec_id", "embedding"),
       None
     ),
 

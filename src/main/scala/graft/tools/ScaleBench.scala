@@ -118,6 +118,13 @@ object ScaleBench {
         val c = Similarity.lshCandidatePairs(emb, "vec_id", "embedding").localCheckpoint(true)
         val n = c.count(); noop(c); n
       }
+      // the SIZED plane count (planesFor + table compensation) — the
+      // fixed-16-plane `ann` column above is the finding-17 quadratic
+      // anti-evidence; this one must stay ~linear
+      val (tAnnS, nAnnS) = timeIt {
+        val c = Similarity.lshCandidatePairsSized(emb, "vec_id", "embedding").localCheckpoint(true)
+        val n = c.count(); noop(c); n
+      }
       // decontaminate: gated default (broadcast at these sizes) AND the
       // forced distributed path — the curve past the gate must also hold
       val (tDec, _) = timeIt(noop(
@@ -181,7 +188,7 @@ object ScaleBench {
 
       println(f"[scale] r$round x$k%-2d docs=$nDocs%7d vecs=$nVecs%6d | " +
         f"jaccard=$tJac%6.2fs pairs=$nPairs%6d cc=$tCc%5.2fs(r=$ccRounds) rm=$tRm%5.2fs | " +
-        f"lsh=$tLsh%5.2fs($nLsh%5d) ann=$tAnn%5.2fs($nAnn%6d) | " +
+        f"lsh=$tLsh%5.2fs($nLsh%5d) ann=$tAnn%5.2fs($nAnn%6d) annS=$tAnnS%5.2fs($nAnnS%6d) | " +
         f"decon=$tDec%5.2fs dist=$tDecD%5.2fs pack=$tPack%5.2fs line=$tLine%5.2fs | " +
         f"sem=$tSem%5.2fs($nSem%6d,k=$kCells) sem2=$tSem2%5.2fs($nSem2%6d,k=$kLevel²) " +
         f"bigram=$tBig%5.2fs cur2=$tCur%5.2fs")

@@ -119,6 +119,22 @@ class SimilaritySpec extends SparkSpec {
     assert(r >= 0.8, s"recall at sized plane count degraded to $r")
   }
 
+  test("lshCandidatePairsSized keeps recall with table compensation at the sized plane count") {
+    // the registered query path (c14_ann_lsh_pairs, c13_embedding_neardup
+    // default) now sizes planes from the corpus; the +1-table-per-+2-planes
+    // compensation must hold the recall gate on the planted clusters
+    val corpus = clusteredCorpus
+    val truePairs = (for (c <- 0 until 20; a <- 0 until 10; b <- a + 1 until 10)
+      yield ((c * 10 + a).toLong, (c * 10 + b).toLong)).toSet
+    val found = Similarity.lshCandidatePairsSized(corpus, "vec_id", "embedding")
+      .filter($"cosine" >= 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r = (found & truePairs).size.toDouble / truePairs.size
+    info(f"sized pair recall = $r%.2f")
+    assert(r >= 0.8, s"sized-path recall degraded to $r")
+    assert((found -- truePairs).isEmpty, s"false pairs: ${found -- truePairs}")
+  }
+
   test("embeddingNearDup surfaces only above-threshold cosine pairs") {
     val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
     val near = base.clone(); near(5) = near(5) * 1.001f
