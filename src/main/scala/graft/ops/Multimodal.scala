@@ -7,11 +7,12 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing (north-star extension): image/audio/video
   * payloads as opaque `binary` columns + typed metadata structs. IMAGE
   * decode is REAL (JDK `javax.imageio`: [[synthesizeImages]] /
-  * [[decodeImages]], oracle-checked); audio/video steps remain
-  * deterministic fakes (no codec libraries in this environment) — for
-  * those the Spark-side contract (schema, batch shape,
-  * partition-parallel execution, spill-free projection) is the tested
-  * part.
+  * [[decodeImages]], oracle-checked) and so is AUDIO (JDK
+  * `javax.sound.sampled` WAV/PCM: [[synthesizeAudio]] /
+  * [[decodeAudio]], closed-form oracle); VIDEO frame extraction remains
+  * a deterministic fake (no video codec in the JDK) — there the
+  * Spark-side contract (schema, batch shape, partition-parallel
+  * execution, spill-free projection) is the tested part.
   *
   * At 100 TB the rules this module encodes: payloads travel as `binary`
   * inside the row (never driver-collected), per-item work is a map-side
@@ -189,6 +190,75 @@ object Multimodal {
         val out = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(dst, "png", out)
         EncodedImage(e.media_id, out.toByteArray, e.mime)
+      }
+    }
+  }
+
+  final case class EncodedAudio(media_id: Long, payload: Array[Byte], mime: String)
+  final case class DecodedAudio(media_id: Long, sample_rate: Int, n_samples: Int,
+                                sample_sum: Long)
+
+  /** Deterministic WAV synthesis (the audio analog of
+    * [[synthesizeImages]]): one REAL RIFF/WAVE file per row — PCM-16
+    * mono 8 kHz little-endian, written by JDK `javax.sound.sampled`
+    * (no external codec needed for WAV). Sample i of media `id` is
+    * `((id·31 + 7·i) mod 65536) − 32768`, so every decoded property
+    * (sample count, Σ samples) has a closed form a SQL oracle can
+    * predict without parsing WAV. Encoded bytes never touch the
+    * driver. */
+  def synthesizeAudio(df: DataFrame, idCol: String, nSamplesCol: Column,
+                      sampleRate: Int = 8000): Dataset[EncodedAudio] = {
+    val session = df.sparkSession
+    import session.implicits._
+    df.select(col(idCol).cast("long"), nSamplesCol.cast("int"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (id, n) = (r.getLong(0), r.getInt(1))
+          val bytes = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val s = (((id * 31 + 7L * i) % 65536) - 32768).toShort
+            bytes(2 * i) = (s & 0xff).toByte          // little-endian lo
+            bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(
+            sampleRate.toFloat, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
+          val out = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+          EncodedAudio(id, out.toByteArray, "audio/wav")
+        }
+      }
+  }
+
+  /** REAL audio decode (JDK `javax.sound.sampled`): WAV bytes → PCM
+    * frames → oracle-checkable scalars (rate, count, Σ signed samples).
+    * Same mapPartitions batch shape as [[decodeImages]]; PCM is
+    * lossless, so the sample sum is exact for the [[synthesizeAudio]]
+    * ramp and the DuckDB oracle predicts it in closed form. */
+  def decodeAudio(ds: Dataset[EncodedAudio]): Dataset[DecodedAudio] = {
+    val session = ds.sparkSession
+    import session.implicits._
+    ds.mapPartitions { auds =>
+      auds.map { e =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(e.payload))
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          !fmt.isBigEndian, s"unexpected format $fmt for media_id=${e.media_id}")
+        val data = in.readAllBytes()
+        in.close()
+        val n = data.length / 2
+        var sum = 0L
+        var i = 0
+        while (i < n) {
+          sum += (((data(2 * i + 1) << 8) | (data(2 * i) & 0xff))).toShort
+          i += 1
+        }
+        DecodedAudio(e.media_id, fmt.getSampleRate.toInt, n, sum)
       }
     }
   }

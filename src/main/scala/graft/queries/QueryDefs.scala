@@ -1368,6 +1368,29 @@ object QueryDefs {
               FROM p""")
     ),
 
+    // C16 audio: REAL WAV synthesis + decode (JDK javax.sound.sampled —
+    // PCM-16 mono needs no external codec). Sample i of doc `id` is
+    // ((31·id + 7i) mod 65536) − 32768, so Σ samples has a closed form:
+    // with a = 31·id mod 65536 and 7·n < 65536 the ramp wraps at most
+    // once, at i = ⌈(65536 − a)/7⌉ — the image-gradient oracle trick on
+    // the time axis.
+    QueryDef(
+      "c16_audio_decode",
+      (s, d) => Multimodal.decodeAudio(Multimodal.synthesizeAudio(
+          t(s, d, "documents"), "doc_id", col("n_chars") % 500 + 100))
+        .toDF()
+        .select(col("media_id"), col("n_samples"), col("sample_sum")),
+      Some("""WITH p AS (SELECT doc_id, (n_chars % 500) + 100 AS n,
+                                (doc_id * 31) % 65536 AS a
+                         FROM documents)
+              SELECT doc_id AS media_id,
+                     CAST(n AS INTEGER) AS n_samples,
+                     CAST(n * a + 7 * n * (n - 1) // 2
+                          - 65536 * greatest(0, n - (65536 - a + 6) // 7)
+                          - 32768 * n AS BIGINT) AS sample_sum
+              FROM p""")
+    ),
+
     // REAL image resize: synthesize → nearest-neighbor ÷2 → decode. The
     // sampled gradient keeps a closed form: resized row y' carries red
     // (id + 2y') mod 256, dims ⌈w/2⌉ × ⌈h/2⌉, at most one mod-wrap

@@ -96,4 +96,23 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L).length == 5 && new String(out(1L), "UTF-8") == "hello")
     assert(out(2L).length == 5 && out(2L).drop(3).forall(_ == 0))
   }
+
+  test("synthesized WAVs are real RIFF files and decode to the analytic sample sum") {
+    // id 2100 is chosen so the 16-bit ramp WRAPS inside the clip (a =
+    // 31·2100 = 65100; wrap at i = ceil(436/7) = 63 < 300) — the wrap
+    // branch of the closed-form oracle is exercised, not just the ramp
+    val cases = Seq((1L, 50), (2L, 200), (3L, 1), (2100L, 300))
+    val enc = Multimodal.synthesizeAudio(cases.toDF("id", "n"), "id", $"n")
+    enc.collect().foreach { e =>
+      assert(new String(e.payload.take(4), "US-ASCII") == "RIFF",
+        s"media ${e.media_id} is not a RIFF/WAVE file")
+    }
+    val dec = Multimodal.decodeAudio(enc).collect().map(a => a.media_id -> a).toMap
+    for ((id, n) <- cases) {
+      val expect = (0 until n).map(i => ((id * 31 + 7L * i) % 65536) - 32768).sum
+      assert(dec(id).sample_rate == 8000)
+      assert(dec(id).n_samples == n, s"id $id: ${dec(id).n_samples} != $n")
+      assert(dec(id).sample_sum == expect, s"id $id sum")
+    }
+  }
 }
