@@ -167,6 +167,13 @@ object Dedup {
     * bucket join: only near-identical docs collide, so pair generation is
     * ~linear in corpus size instead of quadratic.
     */
+  /** Corpus hygiene note (applies to [[simhashNearDup]] too): EXACT
+    * duplicates share every band, so a group of m identical docs emits
+    * C(m,2) pairs — quadratic in group size, and those pairs are TRUE
+    * positives, not noise, so no hashing fix applies. On heavily
+    * duplicated corpora run [[exact]] first and band-join the distinct
+    * survivors; that is how production near-dup pipelines order the two
+    * steps. */
   def minhashLshCandidates(docs: DataFrame, idCol: String, textCol: String,
                            n: Int, bands: Int, rowsPerBand: Int,
                            estThreshold: Double): DataFrame = {

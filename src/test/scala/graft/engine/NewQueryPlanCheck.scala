@@ -69,6 +69,12 @@ class NewQueryPlanCheck extends SparkSpec {
       s"status filter not pushed:\n$plan")
   }
 
+  test("audio decode scans only the id and size columns") {
+    val s = scanSchema("c16_audio_decode")
+    assert(s.contains("doc_id") && s.contains("n_chars") && !s.contains("text:"),
+      s"audio decode over-reads: $s")
+  }
+
   test("presto strings pushes the isin filter and prunes to three columns") {
     val plan = graft.SparkEntry.queries("b7_presto_strings")(spark, sf0001)
       .queryExecution.executedPlan.toString
