@@ -165,6 +165,31 @@ object Relational {
       .drop("__pid", "__lrn", "__offset", "__quota")
   }
 
+  /** Deterministic content-stable train/val split — the reproducible way
+    * to split a training corpus: bucket by a cryptographic hash of the
+    * id, never by position or RNG, so membership survives reorderings,
+    * re-partitioning, and incremental corpus growth (a doc's split never
+    * flips when new docs arrive — the property rand()-with-seed lacks).
+    *
+    * The assignment compares the first 4 hex chars of md5(id) against a
+    * fixed threshold: lexicographic order on fixed-length lowercase hex
+    * IS numeric order, so `trainFrac` maps to ⌊frac·65536⌋ as a 4-digit
+    * hex literal — a pure codegen projection, zero shuffle, and the SAME
+    * expression is portable SQL (the DuckDB oracle runs it verbatim).
+    * 16-bit granularity ⇒ frac is honored to ±1/65536. */
+  def hashSplit(df: DataFrame, idCol: String, trainFrac: Double,
+                splitCol: String = "split"): DataFrame = {
+    require(trainFrac >= 0.0 && trainFrac <= 1.0, s"bad trainFrac $trainFrac")
+    val t = math.round(trainFrac * 65536).toInt
+    // frac = 1.0 rounds to 65536 = "10000" — 5 hex digits, which sorts
+    // BELOW "ffff" lexicographically; short-circuit instead of comparing
+    val assignment =
+      if (t >= 65536) lit("train")
+      else when(substring(md5(col(idCol).cast("string")), 1, 4) < lit(f"$t%04x"),
+        "train").otherwise("val")
+    df.withColumn(splitCol, assignment)
+  }
+
   /** Interval-overlap join (genomics' bread-and-butter: features × reads,
     * genes × regulatory regions) over half-open intervals [start, end):
     * overlap iff aStart < bEnd AND bStart < aEnd.

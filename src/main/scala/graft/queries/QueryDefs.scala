@@ -484,6 +484,22 @@ object QueryDefs {
               FROM lineitem GROUP BY l_returnflag""")
     ),
 
+    // C23: deterministic content-stable train/val split — hash-bucketed
+    // by md5(id) hex prefix (lexicographic on fixed-length hex = numeric),
+    // so membership survives reordering and corpus growth, unlike
+    // position- or RNG-based splits. Pure codegen projection, zero
+    // shuffle; the oracle runs the SAME expression (0.75 = 0xc000/0x10000).
+    QueryDef(
+      "c23_train_val_split",
+      (s, d) => graft.ops.Relational.hashSplit(
+          t(s, d, "documents"), "doc_id", trainFrac = 0.75)
+        .select(col("doc_id"), col("split")),
+      Some("""SELECT doc_id,
+                     CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'c000'
+                          THEN 'train' ELSE 'val' END AS split
+              FROM documents""")
+    ),
+
     // C6 composition: daily cohort retention — users grouped by first-seen
     // day, counted per day-offset of later activity (the other standard
     // event-analytics query next to the funnel). Shape: distinct

@@ -179,4 +179,25 @@ class RelationalSpec extends SparkSpec {
       3L -> (1L, 88L),    // starts at token 600 -> seq 1 offset 88
       4L -> (1L, 188L)))  // starts at token 700 -> seq 1 offset 188
   }
+
+  test("hashSplit: fraction honored, content-stable, edges exact") {
+    val ids = (1L to 4000L).toDF("doc_id")
+    val split = Relational.hashSplit(ids, "doc_id", trainFrac = 0.75)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val frac = split.values.count(_ == "train").toDouble / split.size
+    assert(math.abs(frac - 0.75) < 0.03, s"train fraction $frac")
+    // content-stable: the assignment is a function of the id alone —
+    // shuffled order, different partitioning, and a grown corpus all
+    // reproduce it (the property seeded rand() lacks)
+    val grown = (1L to 8000L).toDF("doc_id").repartition(7)
+    val again = Relational.hashSplit(grown, "doc_id", trainFrac = 0.75)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    split.foreach { case (id, s) => assert(again(id) == s, s"id $id flipped") }
+    // edges: 1.0 -> everything train (the 5-hex-digit threshold corner),
+    // 0.0 -> everything val
+    assert(Relational.hashSplit(ids, "doc_id", 1.0)
+      .filter($"split" =!= "train").count() == 0)
+    assert(Relational.hashSplit(ids, "doc_id", 0.0)
+      .filter($"split" =!= "val").count() == 0)
+  }
 }
