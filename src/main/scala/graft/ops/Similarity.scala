@@ -131,6 +131,22 @@ object Similarity {
     * with hyperplane buckets as cells). Falls back to nothing matching ⇒
     * empty result; callers wanting recall guarantees re-probe with more
     * tables or brute-force. */
+  /** [[lshTopK]] with the plane count sized from the corpus: at fixed p
+    * planes the probe scans ≈ tables·n/2^p of the corpus per query — a
+    * constant FRACTION, which at 100 TB is not a probe. planesFor keeps
+    * the scanned candidate set ~O(tables·n/n) bounded; the extra tables
+    * restore per-bucket recall (finding-17 rule). Probe paths want
+    * denser tables than pair paths (one query must hit, not any of many
+    * pairs), hence the 8-table base. */
+  def lshTopKSized(emb: DataFrame, idCol: String, vecCol: String,
+                   query: DataFrame, queryVecCol: String, k: Int,
+                   baseTables: Int = 8, dim: Int = 64,
+                   seed: Long = 42L): DataFrame = {
+    val planes = planesFor(emb.count())
+    val tables = baseTables + math.max(0, (planes - 16) / 2)
+    lshTopK(emb, idCol, vecCol, query, queryVecCol, k, tables, planes, dim, seed)
+  }
+
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
               query: DataFrame, queryVecCol: String, k: Int,
               tables: Int = 8, planesPerTable: Int = 8,

@@ -972,7 +972,10 @@ object QueryDefs {
       "c14_ann_topk",
       (s, d) => {
         val emb = t(s, d, "embeddings")
-        Similarity.lshTopK(
+        // plane count sized from the corpus: a fixed count makes the
+        // probe scan a constant corpus FRACTION instead of a bounded
+        // candidate set (the finding-17 class, probe flavor)
+        Similarity.lshTopKSized(
           emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
           emb.filter(col("vec_id") === 0), "embedding", k = 10
         )

@@ -135,6 +135,21 @@ class SimilaritySpec extends SparkSpec {
     assert((found -- truePairs).isEmpty, s"false pairs: ${found -- truePairs}")
   }
 
+  test("lshTopKSized keeps probe recall at the sized plane count") {
+    // the registered c14_ann_topk path: sized planes bound the scanned
+    // candidate fraction; the denser 8-table base must hold probe recall
+    val corpus = clusteredCorpus
+    val q = corpus.filter($"vec_id" === 0L)
+    val rest = corpus.filter($"vec_id" =!= 0L)
+    val exact = Similarity.bruteForceTopK(rest, "vec_id", "embedding",
+      q, "embedding", k = 9).collect().map(_.getLong(0)).toSet
+    val approx = Similarity.lshTopKSized(rest, "vec_id", "embedding",
+      q, "embedding", k = 9).collect().map(_.getLong(0)).toSet
+    val r = recall(approx, exact)
+    info(f"sized probe recall = $r%.2f")
+    assert(r >= 0.8, s"sized probe recall degraded to $r")
+  }
+
   test("embeddingNearDup surfaces only above-threshold cosine pairs") {
     val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
     val near = base.clone(); near(5) = near(5) * 1.001f
