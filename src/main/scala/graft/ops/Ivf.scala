@@ -21,6 +21,17 @@ import graft.functions.NearestCells.nearestCells
   */
 object Ivf {
 
+  /** Search-sized cell count (the classic IVF nlist rule): a probe costs
+    * ~k centroid distances plus nprobe·n/k candidate scans, minimized at
+    * k ≈ √(nprobe·n) — a FIXED k turns the probe into a constant corpus
+    * fraction as n grows, the same unsized-hyperparameter class as the
+    * LSH plane count (PERF.md finding 17). Floor 16 = the historical
+    * default; past [[Dedup.HierarchicalCellsThreshold]]-scale counts the
+    * two-level [[trainResidualQuantizer]] takes over training. */
+  def cellsForSearch(corpusSize: Long, nprobe: Int = 4): Int =
+    math.max(16, math.ceil(
+      math.sqrt((math.max(corpusSize, 1) * nprobe).toDouble)).toInt)
+
   /** Train centroids (driver-held, broadcast into expressions). Seeded,
     * deterministic. `sampleFraction < 1` for corpora where even one pass
     * for training is too much. */

@@ -990,8 +990,11 @@ object QueryDefs {
       (s, d) => {
         val emb = t(s, d, "embeddings")
         // sample-trained quantizer — the 100 TB posture (train on ~10⁶
-        // sampled vectors, never the corpus); seeded, so deterministic
-        val centroids = Ivf.trainCentroids(emb, "embedding", k = 16,
+        // sampled vectors, never the corpus); seeded, so deterministic.
+        // Cell count SIZED from the corpus (nlist ≈ √(nprobe·n)): a fixed
+        // k makes the probe a constant corpus fraction at scale.
+        val centroids = Ivf.trainCentroids(emb, "embedding",
+          k = Ivf.cellsForSearch(emb.count()),
           sampleFraction = 0.25, maxIter = 5)
         Ivf.topK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
           emb.filter(col("vec_id") === 0), "embedding", k = 10, centroids, nprobe = 4)
@@ -1008,8 +1011,11 @@ object QueryDefs {
       "c14_ann_ivf2",
       (s, d) => {
         val emb = t(s, d, "embeddings")
-        val rq = Ivf.trainResidualQuantizer(emb, "embedding", k1 = 4, k2 = 4,
-          sampleFraction = 0.25, maxIter = 5)
+        // √-of-the-search-sized-count per level: k1·k2 ≈ cellsForSearch(n)
+        val kLevel = math.max(2, math.ceil(
+          math.sqrt(Ivf.cellsForSearch(emb.count()).toDouble)).toInt)
+        val rq = Ivf.trainResidualQuantizer(emb, "embedding",
+          k1 = kLevel, k2 = kLevel, sampleFraction = 0.25, maxIter = 5)
         Ivf.topKResidual(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
           emb.filter(col("vec_id") === 0), "embedding", k = 10, rq,
           nprobe1 = 2, nprobe2 = 2)

@@ -85,6 +85,32 @@ class IvfSpec extends SparkSpec {
     assert(recall >= 0.8, s"two-level IVF recall degraded to $recall")
   }
 
+  test("cellsForSearch sizes nlist ~ sqrt(nprobe*n) and recall holds at the sized count") {
+    // fixed k = constant corpus fraction per probe; the nlist rule keeps
+    // probe cost ~sqrt: arithmetic first, then the recall gate at the
+    // count the registered c14_ann_ivf query would pick for this corpus
+    assert(Ivf.cellsForSearch(1000000L) == 2000)
+    assert(Ivf.cellsForSearch(64) == 16)   // floor
+    assert(Ivf.cellsForSearch(0) == 16)
+    val rnd = new scala.util.Random(13)
+    val rows = for (c <- 0 until 20; centre = Array.fill(64)(rnd.nextGaussian());
+                    m <- 0 until 10)
+      yield ((c * 10 + m).toLong,
+        centre.map(v => (v + 0.03 * rnd.nextGaussian()).toFloat))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val q = corpus.filter($"vec_id" === 0L)
+    val rest = corpus.filter($"vec_id" =!= 0L)
+    val exact = Similarity.bruteForceTopK(rest, "vec_id", "embedding",
+      q, "embedding", k = 9).collect().map(_.getLong(0)).toSet
+    val k = Ivf.cellsForSearch(200)        // 29 cells for this corpus
+    val centroids = Ivf.trainCentroids(corpus, "embedding", k = k, maxIter = 5)
+    val approx = Ivf.topK(rest, "vec_id", "embedding", q, "embedding",
+      k = 9, centroids, nprobe = 4).collect().map(_.getLong(0)).toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    info(f"sized-nlist IVF recall = $recall%.2f (k=$k)")
+    assert(recall >= 0.8, s"sized-nlist recall degraded to $recall")
+  }
+
   test("probing more cells can only grow the candidate set") {
     val emb = graft.engine.Tables.read(spark, sf0001, "embeddings")
     val centroids = Ivf.trainCentroids(emb, "embedding", k = 8, maxIter = 5)
