@@ -32,4 +32,17 @@ class BenchSpec extends SparkSpec {
     assert(json.contains(""""errors":{}"""), json)
     assert(json.contains(""""metric":"total""""), json)
   }
+
+  test("driver contract: every oracle has a query, names are driver-safe, entry smokes") {
+    // the driver joins oracleSql to queries BY NAME and embeds names in
+    // file paths / JSON keys — an orphaned oracle or an exotic name fails
+    // silently out there, so pin the contract here
+    val qs = SparkEntry.queries
+    val orphans = SparkEntry.oracleSql.keySet -- qs.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+    val badNames = qs.keySet.filterNot(_.matches("[a-z0-9_]+"))
+    assert(badNames.isEmpty, s"non-driver-safe query names: $badNames")
+    assert(qs.size >= 90, s"query surface shrank to ${qs.size}")
+    assert(SparkEntry.entry(spark).limit(1).count() == 1, "flagship entry returned no rows")
+  }
 }
