@@ -1756,6 +1756,39 @@ object QueryDefs {
               FROM sess GROUP BY user_id, sid""")
     ),
 
+    // C19×C9 composition: sessionized conversion — per (user, session),
+    // did a purchase land AFTER the session's first view? The funnel
+    // signal at session granularity, all inside the session aggregate
+    // (conditional min/max — no second window pass). The oracle rebuilds
+    // Spark's session windows with the lag/cumsum sessionization CTE.
+    QueryDef(
+      "c19_session_conversion",
+      (s, d) => t(s, d, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(when(col("event_type") === "view", col("ts"))).as("__fv"),
+          max(when(col("event_type") === "purchase", col("ts"))).as("__lp"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("n_events"),
+          (col("__fv").isNotNull && col("__lp").isNotNull &&
+            col("__lp") > col("__fv")).cast("int").as("converted")),
+      Some("""WITH g AS (SELECT user_id, ts, event_type,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               < INTERVAL '30 minutes' THEN 0 ELSE 1 END AS newsess
+                   FROM events),
+                sess AS (SELECT user_id, ts, event_type,
+                       sum(newsess) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                     FROM g)
+              SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+                     CAST(CASE WHEN min(CASE WHEN event_type = 'view' THEN ts END) IS NOT NULL
+                                AND max(CASE WHEN event_type = 'purchase' THEN ts END)
+                                    > min(CASE WHEN event_type = 'view' THEN ts END)
+                               THEN 1 ELSE 0 END AS INTEGER) AS converted
+              FROM sess GROUP BY user_id, sid""")
+    ),
+
     // C21 batch equivalence for stateful dedup: deterministic first-event
     // survivor per (user_id, event_type) — the semantics
     // dropDuplicatesWithinWatermark converges to on an in-order stream
