@@ -1688,6 +1688,64 @@ object QueryDefs {
               FROM cum""")
     ),
 
+    // Curation pipeline v3 = v2 + the content-stable train/val split on
+    // the curated output: the full corpus → curated → packed →
+    // split-for-training product path. The split is a zero-shuffle
+    // projection appended to the v2 plan, so the composition costs
+    // nothing beyond v2.
+    QueryDef(
+      "c24_curation_v3",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val clean = Dedup.decontaminate(docs.filter(col("doc_id") >= 50),
+          docs.filter(col("doc_id") < 50), "doc_id", "text", n = 8)
+        val scrubbed = clean.select(col("doc_id"),
+          graft.ops.Text.scrubPii(col("text")).as("text"))
+        val deduped = Dedup.lineDedup(scrubbed, "doc_id", "text")
+        val packed = Relational.packSequences(deduped, "doc_id",
+          size(split(col("text"), "[ \n]")), budget = 512)
+        graft.ops.Relational.hashSplit(packed, "doc_id", trainFrac = 0.875)
+      },
+      Some("""WITH toks0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+                sh0 AS (SELECT DISTINCT doc_id AS doc,
+                          ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||
+                          ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7] AS shingle
+                        FROM toks0, UNNEST(generate_series(1, len(ws) - 7)) t(i)),
+                bench AS (SELECT DISTINCT shingle FROM sh0 WHERE doc < 50),
+                bad AS (SELECT DISTINCT doc FROM sh0
+                        WHERE doc >= 50 AND shingle IN (SELECT shingle FROM bench)),
+                clean AS (SELECT doc_id, text FROM documents
+                          WHERE doc_id >= 50 AND doc_id NOT IN (SELECT doc FROM bad)),
+                scrubbed AS (SELECT doc_id, regexp_replace(
+                               regexp_replace(
+                                 regexp_replace(text,
+                                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                                 '[0-9]{1,3}(\.[0-9]{1,3}){3}', '[IP]', 'g'),
+                               '\+?[0-9][0-9 ()-]{6,}[0-9]', '[PHONE]', 'g') AS text
+                             FROM clean),
+                arrs AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM scrubbed),
+                lines AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, arr[i] AS line
+                          FROM arrs, UNNEST(generate_series(1, len(arr))) t(i)),
+                ranked AS (SELECT doc_id, pos, line,
+                                  row_number() OVER (PARTITION BY line
+                                                     ORDER BY doc_id, pos) AS rn
+                           FROM lines),
+                dedup AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+                          FROM ranked WHERE rn = 1 GROUP BY doc_id),
+                tok AS (SELECT doc_id,
+                          CAST(len(string_split_regex(text, '[ \n]')) AS BIGINT) AS n_tokens
+                        FROM dedup),
+                cum AS (SELECT doc_id, n_tokens,
+                          sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS bef
+                        FROM tok)
+              SELECT doc_id, n_tokens,
+                CAST(bef // 512 AS BIGINT) AS seq_id,
+                CAST(bef % 512 AS BIGINT) AS seq_offset,
+                CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e000'
+                     THEN 'train' ELSE 'val' END AS split
+              FROM cum""")
+    ),
+
     // ── C17-C21: event-time windows (batch equivalents of the streaming
     //    plans in graft.streaming; identical groupBy(window) expressions) ─
     QueryDef(
