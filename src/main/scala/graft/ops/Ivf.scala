@@ -128,10 +128,13 @@ object Ivf {
            query: DataFrame, queryVecCol: String, k: Int,
            centroids: Array[Array[Double]], nprobe: Int = 4): DataFrame = {
     val (m, cells, dim) = flat(centroids)
+    // clamp: NearestCells pads with -1 past the centroid count, and a -1
+    // cell would silently probe nothing (no index row carries it)
+    val np = math.min(nprobe, cells)
     val idx = index(emb, idCol, vecCol, centroids)
     val probes = broadcast(
       query.select(
-        explode(nearestCells(col(queryVecCol), m, cells, dim, nprobe)).as("cell"),
+        explode(nearestCells(col(queryVecCol), m, cells, dim, np)).as("cell"),
         col(queryVecCol).as("__qv")))
     idx.join(probes, Seq("cell"))
       .select(col(idCol), round(Similarity.cosine(col(vecCol), col("__qv")), 4).as("sim"))
@@ -152,16 +155,25 @@ object Ivf {
                    nprobe1: Int = 4, nprobe2: Int = 4): DataFrame = {
     val (m1, k1, dim) = flat(q.level1)
     val (m2, k2, _) = flat(q.level2)
+    // clamp both levels: NearestCells pads with -1 past the centroid
+    // count. Unclamped, __c1 = -1 makes the level-1 centroid lookup an
+    // index-0 element_at (throws), and __c2 = -1 ALIASES the composite
+    // cell c1·k2 − 1 onto the valid cell (c1−1)·k2 + (k2−1) — a silent
+    // wrong-cell probe (round-6 advisor finding). Legal small quantizers
+    // (k1 = 2) sit below the public nprobe defaults, so clamping is the
+    // builder's job, not the caller's.
+    val np1 = math.min(nprobe1, k1)
+    val np2 = math.min(nprobe2, k2)
     val idx = indexResidual(emb, idCol, vecCol, q)
     val probes = broadcast(
       query.select(col(queryVecCol).as("__qv"))
         .select(col("__qv"),
-          explode(nearestCells(col("__qv"), m1, k1, dim, nprobe1)).as("__c1"))
+          explode(nearestCells(col("__qv"), m1, k1, dim, np1)).as("__c1"))
         .select(col("__qv"), col("__c1"),
           explode(nearestCells(
             zip_with(col("__qv").cast("array<double>"),
               element_at(typedLit(q.level1.map(_.toSeq).toSeq), col("__c1") + 1),
-              (a, b) => a - b), m2, k2, dim, nprobe2)).as("__c2"))
+              (a, b) => a - b), m2, k2, dim, np2)).as("__c2"))
         .select((col("__c1") * k2 + col("__c2")).as("cell"), col("__qv")))
     idx.join(probes, Seq("cell"))
       .select(col(idCol), round(Similarity.cosine(col(vecCol), col("__qv")), 4).as("sim"))

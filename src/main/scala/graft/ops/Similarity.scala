@@ -126,27 +126,52 @@ object Similarity {
     lshCandidatePairs(emb, idCol, vecCol, planes, tables, dim, seed)
   }
 
+  /** Occupancy-sized PROBE plane count — deliberately NOT [[planesFor]].
+    * A probe wants each bucket to hold ~`targetBucketSize` corpus vectors
+    * (planes = ⌈log₂(n / target)⌉), so the per-query scanned set is
+    * tables·target — CONSTANT in n — while a true neighbor at angle θ
+    * still collides with probability (1 − θ/π)^planes per table. The
+    * pair-path rule (log₂(n) + 4 planes) is wrong for search: it drives
+    * that probability to ~0 for moderate-cosine neighbors, because a pair
+    * join has n chances per bucket to collide while a probe has exactly
+    * one query bucket per table — the round-6 `c14_ann_topk` empty-result
+    * defect. Floor 4 keeps tiny corpora from degenerating to one bucket. */
+  def probePlanesFor(corpusSize: Long, targetBucketSize: Int = 64): Int =
+    math.max(4, (math.log(math.max(corpusSize, 1).toDouble /
+      targetBucketSize) / math.log(2)).ceil.toInt)
+
   /** ANN query: probe the query vector's buckets, brute-force only within
     * the union of candidates (the IVF-style "probe a few cells" pattern,
-    * with hyperplane buckets as cells). Falls back to nothing matching ⇒
-    * empty result; callers wanting recall guarantees re-probe with more
-    * tables or brute-force. */
-  /** [[lshTopK]] with the plane count sized from the corpus: at fixed p
-    * planes the probe scans ≈ tables·n/2^p of the corpus per query — a
-    * constant FRACTION, which at 100 TB is not a probe. planesFor keeps
-    * the scanned candidate set ~O(tables·n/n) bounded; the extra tables
-    * restore per-bucket recall (finding-17 rule). Probe paths want
-    * denser tables than pair paths (one query must hit, not any of many
-    * pairs), hence the 8-table base. */
+    * with hyperplane buckets as cells).
+    *
+    * Planes come from [[probePlanesFor]] (bucket occupancy, not the pair
+    * rule); one extra table per extra plane over the floor compensates
+    * per-table recall decay as n grows. Per-bucket collision probability
+    * for MODERATE-cosine neighbors still decays with planes faster than
+    * the linear table growth restores it — single-probe hyperplane LSH
+    * cannot hold moderate-cosine recall at arbitrary n (that regime wants
+    * [[Ivf]]) — so the result is additionally gated: when the probe
+    * surfaces fewer than k candidates the query falls back to
+    * [[bruteForceTopK]]. An ANN search degrades recall; it never answers
+    * "nothing" (round-6 verdict, wrong #1). The gate's count runs over
+    * the ≤ k probe result — not the corpus — and the fallback costs one
+    * exact scan only when the probe actually failed. */
   def lshTopKSized(emb: DataFrame, idCol: String, vecCol: String,
                    query: DataFrame, queryVecCol: String, k: Int,
                    baseTables: Int = 8, dim: Int = 64,
                    seed: Long = 42L): DataFrame = {
-    val planes = planesFor(emb.count())
-    val tables = baseTables + math.max(0, (planes - 16) / 2)
-    lshTopK(emb, idCol, vecCol, query, queryVecCol, k, tables, planes, dim, seed)
+    val planes = probePlanesFor(emb.count())
+    val tables = baseTables + math.max(0, planes - 4)
+    // localCheckpoint: the ≤ k-row probe result feeds the fallback gate
+    // AND is the returned frame — materialize the corpus scan once
+    val probed = lshTopK(emb, idCol, vecCol, query, queryVecCol, k,
+      tables, planes, dim, seed).localCheckpoint(true)
+    if (probed.count() >= k) probed
+    else bruteForceTopK(emb, idCol, vecCol, query, queryVecCol, k)
   }
 
+  /** Fixed-parameter probe (callers that know their corpus); prefer
+    * [[lshTopKSized]], which sizes planes/tables and never returns short. */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
               query: DataFrame, queryVecCol: String, k: Int,
               tables: Int = 8, planesPerTable: Int = 8,

@@ -972,9 +972,11 @@ object QueryDefs {
       "c14_ann_topk",
       (s, d) => {
         val emb = t(s, d, "embeddings")
-        // plane count sized from the corpus: a fixed count makes the
-        // probe scan a constant corpus FRACTION instead of a bounded
-        // candidate set (the finding-17 class, probe flavor)
+        // planes sized by bucket OCCUPANCY (probePlanesFor), not the
+        // pair rule — the pair sizing collapses probe recall on
+        // moderate-cosine neighbors (round-6 wrong #1: 0 rows); and a
+        // < k probe result falls back to the exact scan, so a search
+        // degrades recall but never answers "nothing"
         Similarity.lshTopKSized(
           emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
           emb.filter(col("vec_id") === 0), "embedding", k = 10

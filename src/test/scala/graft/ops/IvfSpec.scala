@@ -111,6 +111,29 @@ class IvfSpec extends SparkSpec {
     assert(recall >= 0.8, s"sized-nlist recall degraded to $recall")
   }
 
+  test("nprobe above the cell count clamps instead of probing phantom cells") {
+    // round-6 advisor finding: NearestCells pads with -1 past the
+    // centroid count — unclamped, a legal k1=2 quantizer under the
+    // DEFAULT nprobe1=4 threw on the index-0 centroid lookup, and
+    // __c2=-1 silently aliased a VALID composite cell. The defaults must
+    // be safe for every legal quantizer, and the clamped probe (= scan
+    // everything when nprobe >= cells) must equal brute force.
+    val emb = graft.engine.Tables.read(spark, sf0001, "embeddings")
+    val q = emb.filter($"vec_id" === 0)
+    val rest = emb.filter($"vec_id" =!= 0)
+    val rq = Ivf.trainResidualQuantizer(emb, "embedding", k1 = 2, k2 = 2, seed = 42L)
+    val out = Ivf.topKResidual(rest, "vec_id", "embedding", q, "embedding",
+      k = 5, rq).collect() // defaults nprobe1 = nprobe2 = 4 > k1 = k2 = 2
+    val exact = Similarity.bruteForceTopK(rest, "vec_id", "embedding",
+      q, "embedding", k = 5).collect()
+    // probing all 4 composite cells IS an exhaustive scan
+    assert(out.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      exact.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    val single = Ivf.topK(rest, "vec_id", "embedding", q, "embedding", k = 5,
+      Ivf.trainCentroids(emb, "embedding", k = 2, maxIter = 5), nprobe = 4).collect()
+    assert(single.length == 5, "single-level clamp must scan all cells, not drop the probe")
+  }
+
   test("probing more cells can only grow the candidate set") {
     val emb = graft.engine.Tables.read(spark, sf0001, "embeddings")
     val centroids = Ivf.trainCentroids(emb, "embedding", k = 8, maxIter = 5)

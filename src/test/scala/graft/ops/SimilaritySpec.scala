@@ -135,19 +135,74 @@ class SimilaritySpec extends SparkSpec {
     assert((found -- truePairs).isEmpty, s"false pairs: ${found -- truePairs}")
   }
 
-  test("lshTopKSized keeps probe recall at the sized plane count") {
-    // the registered c14_ann_topk path: sized planes bound the scanned
-    // candidate fraction; the denser 8-table base must hold probe recall
-    val corpus = clusteredCorpus
+  /** [[clusteredCorpus]] at 15× the jitter: within-cluster cosine ≈ 0.83
+    * (moderate neighbors — real search targets), across clusters ≈ 0. The
+    * 0.03-jitter corpus collides under ANY sizing and MASKED the round-6
+    * probe-recall collapse (c14_ann_topk: 0 rows on real embeddings);
+    * this one fails the pair-rule sizing and passes the occupancy rule. */
+  private def moderateCorpus = {
+    val rnd = new scala.util.Random(13)
+    val rows = for (c <- 0 until 20; centre = Array.fill(64)(rnd.nextGaussian());
+                    m <- 0 until 10)
+      yield ((c * 10 + m).toLong,
+        centre.map(v => (v + 0.45 * rnd.nextGaussian()).toFloat))
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("probePlanesFor sizes by bucket occupancy, not the pair rule") {
+    // planes = ceil(log2(n/64)), floor 4: the scanned set stays
+    // ~tables·64 per query at any n — a bounded candidate set, never a
+    // corpus fraction, and never the pair rule's recall-killing log2(n)+4
+    assert(Similarity.probePlanesFor(500) == 4)       // floor
+    assert(Similarity.probePlanesFor(2000) == 5)
+    assert(Similarity.probePlanesFor(1000000) == 14)
+    assert(Similarity.probePlanesFor(0) == 4)
+    assert(Similarity.probePlanesFor(500) < Similarity.planesFor(500),
+      "probe sizing must undercut pair sizing — the round-6 defect was using the latter")
+  }
+
+  test("lshTopKSized: recall >= 0.8 and exactly k rows on MODERATE-cosine neighbors") {
+    // the regression gate for round-6 wrong #1: near-identical clusters
+    // can't catch probe-recall collapse, moderate ones can
+    val corpus = moderateCorpus
     val q = corpus.filter($"vec_id" === 0L)
     val rest = corpus.filter($"vec_id" =!= 0L)
     val exact = Similarity.bruteForceTopK(rest, "vec_id", "embedding",
       q, "embedding", k = 9).collect().map(_.getLong(0)).toSet
+    assert(exact == (1L to 9L).toSet, s"brute force must find cluster 0: $exact")
     val approx = Similarity.lshTopKSized(rest, "vec_id", "embedding",
-      q, "embedding", k = 9).collect().map(_.getLong(0)).toSet
-    val r = recall(approx, exact)
-    info(f"sized probe recall = $r%.2f")
+      q, "embedding", k = 9).collect().map(_.getLong(0))
+    assert(approx.length == 9, s"ANN search returned short: ${approx.length} of 9")
+    val r = recall(approx.toSet, exact)
+    info(f"sized probe recall (moderate cosine) = $r%.2f")
     assert(r >= 0.8, s"sized probe recall degraded to $r")
+  }
+
+  test("the occupancy sizing itself holds probe recall without the fallback") {
+    // pin the RULE, not just the end-to-end guarantee: the brute-force
+    // fallback would mask a sizing regression whenever the broken probe
+    // returns < k rows, so exercise lshTopK at exactly the sized params
+    val corpus = moderateCorpus
+    val q = corpus.filter($"vec_id" === 0L)
+    val rest = corpus.filter($"vec_id" =!= 0L)
+    val planes = Similarity.probePlanesFor(199)
+    val tables = 8 + math.max(0, planes - 4)
+    val exact = Similarity.bruteForceTopK(rest, "vec_id", "embedding",
+      q, "embedding", k = 9).collect().map(_.getLong(0)).toSet
+    val ann = Similarity.lshTopK(rest, "vec_id", "embedding",
+      q, "embedding", k = 9, tables, planes).collect().map(_.getLong(0)).toSet
+    val r = recall(ann, exact)
+    info(f"raw probe recall at sized params = $r%.2f")
+    assert(r >= 0.8, s"occupancy-sized probe recall degraded to $r")
+  }
+
+  test("lshTopKSized returns full k on the real embeddings table (driver regression)") {
+    // the exact round-6 failure: sf0.001 embeddings are moderate-cosine
+    // real data; the registered c14_ann_topk shape must yield k rows
+    val emb = graft.engine.Tables.read(spark, sf0001, "embeddings")
+    val out = Similarity.lshTopKSized(emb.filter($"vec_id" =!= 0), "vec_id", "embedding",
+      emb.filter($"vec_id" === 0), "embedding", k = 10).collect()
+    assert(out.length == 10, s"c14_ann_topk shape returned ${out.length} of 10 rows")
   }
 
   test("embeddingNearDup surfaces only above-threshold cosine pairs") {
