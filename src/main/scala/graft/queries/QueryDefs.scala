@@ -1475,8 +1475,13 @@ object QueryDefs {
           .join(quality.filter(col("lexical_diversity") >= 0.5).select("doc_id"), Seq("doc_id"))
           .filter(col("lang").isin("en", "es", "de", "fr"))
           .localCheckpoint(true)
-        val deduped = Dedup.removeNearDups(kept, "doc_id",
-          Dedup.jaccardNearDup(kept, "doc_id", "text", n = 3, threshold = 0.6, maxDf = Some(100)))
+        // exact-first (nearDupPipeline): identical docs collapse to their
+        // min-id rep BEFORE pair generation, so a heavily duplicated
+        // corpus can't emit C(m,2) true-positive pairs per dup group —
+        // the normal web-corpus case, enforced not just documented
+        val deduped = Dedup.nearDupPipeline(kept, "doc_id", "text",
+          reps => Dedup.jaccardNearDup(reps, "doc_id", "text",
+            n = 3, threshold = 0.6, maxDf = Some(100)))
         deduped.groupBy("lang")
           .agg(count(lit(1)).as("n_docs"),
             round(avg("n_chars"), 2).as("avg_chars"))
@@ -1486,7 +1491,8 @@ object QueryDefs {
                                / len(string_split(text, ' ')) >= 0.5),
                 kept AS (SELECT d.* FROM documents d JOIN q USING (doc_id)
                          WHERE lang IN ('en', 'es', 'de', 'fr')),
-                toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM kept),
+                reps AS (SELECT min(doc_id) AS doc_id, text FROM kept GROUP BY text),
+                toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM reps),
                 sh AS (SELECT DISTINCT doc_id AS doc, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
                        FROM toks, UNNEST(generate_series(1, len(ws) - 2)) t(i)),
                 keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
@@ -1499,7 +1505,8 @@ object QueryDefs {
                          JOIN cnt ca ON ca.doc = doc_a JOIN cnt cb ON cb.doc = doc_b
                          WHERE common * 1.0 / (ca.n_sh + cb.n_sh - common) >= 0.6)
               SELECT lang, count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars
-              FROM kept WHERE doc_id NOT IN (SELECT doc_b FROM dups)
+              FROM kept WHERE doc_id IN (SELECT doc_id FROM reps)
+                AND doc_id NOT IN (SELECT doc_b FROM dups)
               GROUP BY lang""")
     ),
 

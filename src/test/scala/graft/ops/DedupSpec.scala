@@ -584,6 +584,94 @@ class DedupSpec extends SparkSpec {
         s"missing=${members.map(_._1).toSet -- kept}, extra=${kept.filter(_ >= 1000L)}")
   }
 
+  test("nearDupPipeline collapses exact dups before the band join (linear pair volume)") {
+    // round-6 verdict #3: m identical docs share every band, so a raw
+    // band join emits C(m,2) TRUE-positive pairs — here C(500,2) =
+    // 124,750. Exact-first collapses them to one rep; pair generation
+    // sees 4 distinct texts and emits exactly the one real near-dup pair.
+    val m = 500
+    val dupText = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = ((0 until m).map(i => (i.toLong, dupText)) ++ Seq(
+      (9000L, "the quick brown fox jumps over the lazy cat again and again"),
+      (9001L, "completely unrelated content words fill this document body here"),
+      (9002L, "another unrelated run of tokens without overlap at all today")))
+      .toDF("doc_id", "text")
+    var pairCount = -1L
+    val kept = Dedup.nearDupPipeline(docs, "doc_id", "text", reps => {
+      val p = Dedup.jaccardNearDup(reps, "doc_id", "text",
+        n = 3, threshold = 0.5).localCheckpoint(true)
+      pairCount = p.count(); p
+    }).select("doc_id").as[Long].collect().toSet
+    assert(pairCount == 1L,
+      s"band join over reps must see 4 texts -> 1 near-dup pair, got $pairCount")
+    // survivors: the dup group's min id, minus 9000 (near-dup of rep 0),
+    // plus the two unrelated docs
+    assert(kept == Set(0L, 9001L, 9002L), s"wrong survivors: $kept")
+  }
+
+  test("nearDupPipeline survivors equal the raw pairs + removeNearDups path") {
+    // the equivalence argument in the scaladoc, pinned (df-agnostic
+    // pairsOf): collapsing exact dups first must not change WHO survives,
+    // only how many pairs were generated to decide it
+    val docs = ((0 until 40).map(i => (i.toLong, "alpha beta gamma delta epsilon zeta eta theta")) ++ Seq(
+      (8000L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (8001L, "totally different tokens compose this small document text")))
+      .toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      Dedup.jaccardNearDup(df, "doc_id", "text", n = 3, threshold = 0.5)
+    val viaPipeline = Dedup.nearDupPipeline(docs, "doc_id", "text", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    val viaRaw = Dedup.removeNearDups(docs, "doc_id", pairs(docs))
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaPipeline == viaRaw, s"$viaPipeline vs $viaRaw")
+    assert(viaPipeline == Set(0L, 8001L))
+  }
+
+  test("hot-cell cut bounds per-cell pair volume to linear (planted point mass)") {
+    // round-6 verdict wrong #2: a dense region concentrates one cell, and
+    // its |cell|² self-join runs in the ONE task owning that shuffle key.
+    // Past hotCellThreshold the cell switches to the anchor pass — each
+    // member vs the min-id member only — so a planted 300-copy point mass
+    // must emit 299 pairs, not C(300,2) = 44,850.
+    val rnd = new scala.util.Random(23)
+    val dense = Array.fill(32)(rnd.nextGaussian())
+    val mass = (0 until 300).map(i => (i.toLong, dense.map(_.toFloat)))
+    val scattered = (0 until 50).map(i =>
+      (1000L + i, Array.fill(32)(rnd.nextGaussian().toFloat)))
+    val df = (mass ++ scattered).toDF("vec_id", "embedding")
+    val pairs = Dedup.semanticDupPairs(df, "vec_id", "embedding",
+      tau = 0.9, k = 4, hotCellThreshold = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val massPairs = pairs.filter(_._2 < 1000L)
+    assert(massPairs.length == 299,
+      s"hot cell must emit |cell|-1 anchor pairs, got ${massPairs.length}")
+    assert(massPairs.forall(_._1 == 0L),
+      "hot-cell pairs must all anchor at the cell's min id")
+    // end-to-end: survivors are the anchor + the scattered singletons
+    val kept = Dedup.semanticDedup(df, "vec_id", "embedding",
+      tau = 0.9, k = 4, hotCellThreshold = 50)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == (Set(0L) ++ scattered.map(_._1)),
+      s"point-mass survivors wrong: ${kept.toSeq.sorted.take(20)}...")
+  }
+
+  test("hot and cold cell paths keep the same survivors on a point mass") {
+    // the documented approximation is pair-level, not survivor-level, for
+    // the regime that actually triggers the cut: members of a dense cell
+    // all match the anchor, so min-id survival is path-independent
+    val rnd = new scala.util.Random(41)
+    val dense = Array.fill(32)(rnd.nextGaussian())
+    val mass = (0 until 120).map(i => (i.toLong, dense.map(_.toFloat)))
+    val scattered = (0 until 30).map(i =>
+      (1000L + i, Array.fill(32)(rnd.nextGaussian().toFloat)))
+    val df = (mass ++ scattered).toDF("vec_id", "embedding")
+    def kept(threshold: Int) = Dedup.semanticDedup(df, "vec_id", "embedding",
+      tau = 0.9, k = 4, hotCellThreshold = threshold)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept(30) == kept(Dedup.HotCellThreshold),
+      "anchor-pass survivors diverge from full-scan survivors on a point mass")
+  }
+
   test("removeNearDups broadcast and distributed anti-join paths agree") {
     // round-5 verdict weak #1: the doomed-id broadcast assumed "duplicate
     // set ≪ corpus by construction" — false on web corpora (30-50%
