@@ -190,6 +190,35 @@ object Relational {
     df.withColumn(splitCol, assignment)
   }
 
+  /** Per-stratum content-stable sampling — [[hashSplit]] generalized to a
+    * fraction PER GROUP (the training-data use: downsample dominant
+    * classes/languages/sources to target fractions). Same mechanism:
+    * keep a row iff the first 4 hex chars of md5(id) sit below the
+    * stratum's ⌊frac·65536⌋ threshold. Deterministic and content-stable
+    * (membership survives reordering, re-partitioning, and corpus
+    * growth — the property seeded `sampleBy` lacks: its kept set is a
+    * function of partition iteration order at execution time, so the
+    * "same" sample differs across layouts). Rows whose stratum has no
+    * entry are dropped, mirroring `sampleBy`.
+    *
+    * Scale shape: a pure codegen filter projection — ZERO shuffle, no
+    * per-stratum state — and the predicate is portable SQL, so an oracle
+    * runs the IDENTICAL expression (the hashSplit pattern that converts
+    * rows-only entries to hash-checked ones). */
+  def stratifiedHashSample(df: DataFrame, stratumCol: String, idCol: String,
+                           fracs: Map[String, Double]): DataFrame = {
+    require(fracs.nonEmpty, "need at least one stratum fraction")
+    require(fracs.values.forall(f => f >= 0.0 && f <= 1.0),
+      s"fractions must be in [0,1]: $fracs")
+    val hx = substring(md5(col(idCol).cast("string")), 1, 4)
+    val cond = fracs.toSeq.sortBy(_._1).map { case (s, f) =>
+      val t = math.round(f * 65536).toInt
+      col(stratumCol) === s &&
+        (if (t >= 65536) lit(true) else hx < lit(f"$t%04x"))
+    }.reduce(_ || _)
+    df.filter(cond)
+  }
+
   /** Interval-overlap join (genomics' bread-and-butter: features × reads,
     * genes × regulatory regions) over half-open intervals [start, end):
     * overlap iff aStart < bEnd AND bStart < aEnd.

@@ -1174,15 +1174,20 @@ object QueryDefs {
               FROM customer WHERE regexp_extract(c_name, '([0-9]+)$', 1) <> ''""")
     ),
 
-    // Stratified sampling (training-data pipelines: per-class fractions).
-    // Seeded & deterministic within Spark but not SQL-portable -> rows-only;
-    // fraction tolerance spec-tested.
+    // Stratified sampling (training-data pipelines: per-class fractions),
+    // via the content-stable md5-threshold form (the hashSplit pattern):
+    // membership is a pure function of doc_id, so the oracle runs the
+    // IDENTICAL expression — hash-checked, where the previous seeded
+    // sampleBy was rows-only AND layout-dependent (its kept set changes
+    // with partitioning — exactly what a reproducible pipeline can't use).
     QueryDef(
       "c23_sample_stratified",
-      (s, d) => t(s, d, "documents")
-        .stat.sampleBy("lang", Map("en" -> 0.5, "es" -> 0.2), 42L)
+      (s, d) => Relational.stratifiedHashSample(
+          t(s, d, "documents"), "lang", "doc_id", Map("en" -> 0.5, "es" -> 0.2))
         .select("doc_id", "lang"),
-      None
+      Some("""SELECT doc_id, lang FROM documents
+              WHERE (lang = 'en' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000')
+                 OR (lang = 'es' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '3333')""")
     ),
 
     // PII scrubbing over text with PLANTED pii (deterministic per doc_id:

@@ -65,19 +65,37 @@ class TextSpec extends SparkSpec {
     assert(out(1L) == "en")
   }
 
-  test("stratified sampling honors per-class fractions within tolerance") {
+  test("stratified hash sampling honors per-class fractions within tolerance") {
+    // the registered c23_sample_stratified path (content-stable
+    // md5-threshold per stratum, not seeded sampleBy — whose kept set is
+    // a function of partition layout, the opposite of reproducible)
     val docs = graft.engine.Tables.read(spark, sf0001, "documents")
     val totals = docs.groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val sampled = docs.stat.sampleBy("lang", Map("en" -> 0.5, "es" -> 0.2), 42L)
+    val fracs = Map("en" -> 0.5, "es" -> 0.2)
+    val sampled = graft.ops.Relational.stratifiedHashSample(docs, "lang", "doc_id", fracs)
       .groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(sampled.keySet.subsetOf(Set("en", "es")), "unlisted classes must be excluded")
     val enFrac = sampled.getOrElse("en", 0L).toDouble / totals("en")
     assert(math.abs(enFrac - 0.5) < 0.15, s"en fraction $enFrac")
-    // determinism under the fixed seed
-    val again = docs.stat.sampleBy("lang", Map("en" -> 0.5, "es" -> 0.2), 42L).count()
-    assert(again == sampled.values.sum)
+  }
+
+  test("stratified hash sampling is content-stable: membership survives re-layout and growth") {
+    // the property that justifies replacing sampleBy: the kept-id set is
+    // a pure function of (id, stratum, frac) — identical after an
+    // arbitrary repartition AND unchanged for old rows when new rows land
+    val docs = graft.engine.Tables.read(spark, sf0001, "documents")
+    val fracs = Map("en" -> 0.5, "es" -> 0.2)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Relational.stratifiedHashSample(df, "lang", "doc_id", fracs)
+        .select("doc_id").as[Long].collect().toSet
+    val base = ids(docs)
+    assert(ids(docs.repartition(7)) == base, "membership changed under re-layout")
+    val shifted = docs.columns.map(c =>
+      if (c == "doc_id") (col("doc_id") + 100000L).as("doc_id") else col(c))
+    val grown = docs.unionAll(docs.select(shifted: _*))
+    assert((ids(grown) & base) == base, "growth flipped existing members")
   }
 
   test("repetition signals: duplicate n-gram fractions match a hand count") {
