@@ -38,7 +38,11 @@ object Bench {
         else { val (t2, e2) = once(spark, sfDir, fn); (math.min(t1, t2), e2) }
       name -> (sec, err)
     }
-    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // ~3 significant figures, always with a decimal point (a parseable
+    // number either way; shorter entries keep the one-line JSON inside
+    // the driver's bounded stdout tail window — round-6 verdict #5)
+    def r3(v: Double): String =
+      BigDecimal(v).setScale(if (v < 10) 2 else 1, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, (v, _)) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, (_, Some(e))) => s"\"$k\":\"$e\"" }
     val total = results.values.map(_._1).sum
@@ -75,16 +79,21 @@ object Bench {
       spark.read.parquet(s"$sfDir/region.parquet").count()
     } catch { case NonFatal(_) => () }
     val (json, failed) = runAll(spark, sfDir, SparkEntry.queries)
-    println(json)
-    // also write the line to a file: the driver captures stdout through a
-    // bounded tail window, which truncated the first ~12 per-query entries
-    // of BENCH_r05.json (round-5 verdict, minor) — a durable copy means
-    // the capture window can never lose data
+    // durable copy first: the driver captures stdout through a bounded
+    // TAIL window, which head-truncated the JSON line in rounds 5 AND 6
+    // — the file can never lose data, and the pointer line says where
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (json + "\n").getBytes("UTF-8"))
-    catch { case NonFatal(e) => System.err.println(s"[bench] file write failed: $e") }
-    spark.stop()
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (json + "\n").getBytes("UTF-8"))
+      println(s"bench: wrote $out")
+    } catch { case NonFatal(e) => System.err.println(s"[bench] file write failed: $e") }
+    // stop BEFORE printing the payload: shutdown chatter must not land
+    // between the JSON and end-of-stream — the line is the FINAL stdout
+    // this main emits, maximizing what survives the tail window
+    try spark.stop() catch { case NonFatal(_) => () }
+    println(json)
+    System.out.flush()
     if (failed > 0) sys.exit(1)
   }
 }

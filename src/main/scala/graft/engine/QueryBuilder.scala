@@ -36,7 +36,7 @@ object QueryBuilder {
   ): DataFrame = {
     val filtered = table.filter(col(partitionColumn) === lit(partitionValue))
     val conditioned = condition.filter(_.trim.nonEmpty) match {
-      case Some(c) => filtered.filter(expr(c))
+      case Some(c) => filtered.filter(expr(rewrite(c)))
       case None    => filtered
     }
     project(conditioned, fields)
@@ -45,16 +45,22 @@ object QueryBuilder {
   /** Generic (no mandatory partition filter) scan→filter→project. */
   def select(table: DataFrame, fields: String, condition: Option[String]): DataFrame = {
     val conditioned = condition.filter(_.trim.nonEmpty) match {
-      case Some(c) => table.filter(expr(c))
+      case Some(c) => table.filter(expr(rewrite(c)))
       case None    => table
     }
     project(conditioned, fields)
   }
 
+  // conditions/fields arrive in the reference's dialect (Presto);
+  // parser-level deltas can't be shimmed through the function registry,
+  // so the raw fragment is rewritten before Catalyst sees it (B7)
+  private def rewrite(sql: String): String =
+    graft.functions.PrestoCompat.rewriteDialect(sql)
+
   private def project(df: DataFrame, fields: String): DataFrame =
     fields.trim match {
       case "" | "*" => df
-      case fs       => df.selectExpr(splitTopLevel(fs): _*)
+      case fs       => df.selectExpr(splitTopLevel(rewrite(fs)): _*)
     }
 
   /** Split the projection list on top-level commas only — `fields` is a

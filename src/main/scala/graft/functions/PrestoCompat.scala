@@ -9,12 +9,29 @@ import org.apache.spark.sql.graft.ColumnShim
   * (SURVEY.md §2 B7): the reference forwarded raw SQL fragments to
   * Athena/Presto, so conditions written against it may use Presto
   * function names. Spark covers most (`cardinality` is already a native
-  * alias of size); the missing ones are registered here. `date_diff` is
-  * deliberately NOT shimmed: Spark 4 ships a 2-arg `date_diff(end,
-  * start)` builtin, and shadowing it with Presto's 3-arg form would
-  * silently change native queries — callers use `timestampdiff(unit, s,
-  * e)`, the documented delta. */
+  * alias of size); the missing ones are registered here. `date_diff`
+  * is a PARSER-level delta, not a registry one — see [[rewriteDialect]]. */
 object PrestoCompat {
+
+  /** Presto spells the 3-arg `date_diff` unit as a STRING (`'day'`);
+    * Spark 4's grammar accepts the same 3-arg form with an UNQUOTED unit
+    * identifier and identical semantics (TimestampDiff — elapsed complete
+    * units, truncated toward zero). The delta is purely lexical, and a
+    * registered function can never see it: the parser owns the 3-arg
+    * `date_diff(` syntax and rejects a quoted unit before function
+    * resolution runs. So the shim is a dialect REWRITE on the raw SQL
+    * fragment: unquote alpha-only unit literals in the first argument
+    * position. The native 2-arg form is untouchable by construction — a
+    * quoted first argument there is a date string (`'2024-03-01'`), which
+    * the digits/dashes keep from matching. */
+  private val DateDiffUnit =
+    "(?i)\\b(date_diff|timestampdiff)\\(\\s*'([a-z]+)'\\s*,".r
+
+  /** Rewrite Presto-spelled fragments to Spark grammar; apply to raw
+    * `condition`/`fields` strings before Catalyst parses them (the
+    * QueryBuilder pass-through does). Idempotent. */
+  def rewriteDialect(sql: String): String =
+    DateDiffUnit.replaceAllIn(sql, m => s"${m.group(1)}(${m.group(2)},")
 
   def register(spark: SparkSession): Unit = {
     // strpos(string, substring) -> 1-based position, 0 if absent

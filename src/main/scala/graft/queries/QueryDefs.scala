@@ -150,6 +150,33 @@ object QueryDefs {
               FROM events WHERE event_type IN ('click', 'error')""")
     ),
 
+    // Presto date_diff through the CONDITION/FIELDS pass-through, spelled
+    // exactly as a Presto caller writes it — quoted unit and all (round-6
+    // verdict #6). The quoted unit is a PARSER delta (Spark 4's grammar
+    // owns 3-arg date_diff and wants an unquoted unit identifier with
+    // identical truncated-elapsed-unit semantics), so the shim is the
+    // rewriteDialect pass QueryBuilder applies to raw fragments, not a
+    // registered function. DuckDB mirror: epoch-microsecond floor
+    // division (diffs are positive — the anchor precedes every event —
+    // so floor == trunc); the native 2-arg form rides along untouched.
+    QueryDef(
+      "b7_presto_datediff",
+      (s, d) => graft.engine.QueryBuilder.select(
+        t(s, d, "events"),
+        fields = "event_id, " +
+          "date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', ts) AS hrs_in, " +
+          "date_diff('minute', TIMESTAMP '2024-01-01 00:00:00', ts) AS mins_in, " +
+          "CAST(date_diff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT) AS native_days",
+        condition = Some("event_type = 'click' AND " +
+          "date_diff('day', TIMESTAMP '2024-01-01 00:00:00', ts) >= 1")),
+      Some("""SELECT event_id,
+                     (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00')) // 3600000000 AS hrs_in,
+                     (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00')) // 60000000 AS mins_in,
+                     date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS native_days
+              FROM events WHERE event_type = 'click'
+                AND (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00')) // 86400000000 >= 1""")
+    ),
+
     // ── Layer C: relational ────────────────────────────────────────────
     QueryDef(
       "c1_join_inner",

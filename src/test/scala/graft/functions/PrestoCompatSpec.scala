@@ -56,23 +56,32 @@ class PrestoCompatSpec extends SparkSpec {
     assert(err.getMessage != null)
   }
 
-  test("date_diff delta documented: native 2-arg form preserved, Presto 3-arg = timestampdiff") {
-    // SURVEY §2 B7: Presto's date_diff(unit, start, end) is deliberately
-    // NOT shimmed — Spark 4 ships a native 2-arg date_diff(end, start)
-    // and shadowing it would silently change native queries. The
-    // documented migration for Presto callers is timestampdiff(unit,
-    // start, end); pin that both forms agree on the same interval.
-    PrestoCompat.register(spark)
-    val r = spark.sql(
+  test("date_diff Presto spelling works through the dialect rewrite; native form untouched") {
+    // SURVEY §2 B7 (round-6 verdict #6 closed): Presto's quoted unit
+    // ('day') is a PARSER delta — Spark 4's grammar owns 3-arg date_diff
+    // with an unquoted unit and the same truncated-elapsed semantics, and
+    // rejects a string literal before the function registry is consulted,
+    // so no registered shim can catch it. rewriteDialect unquotes the
+    // unit lexically; QueryBuilder applies it to every raw fragment.
+    assert(PrestoCompat.rewriteDialect(
+      "date_diff('day', a, b) > 3 AND date_diff('HOUR', c, d) = 0") ==
+      "date_diff(day, a, b) > 3 AND date_diff(HOUR, c, d) = 0")
+    // the native 2-arg form's quoted DATE first arg never matches
+    assert(PrestoCompat.rewriteDialect("date_diff('2024-03-01', d)") ==
+      "date_diff('2024-03-01', d)")
+    // idempotent (already-unquoted stays put)
+    assert(PrestoCompat.rewriteDialect("date_diff(day, a, b)") ==
+      "date_diff(day, a, b)")
+    val r = spark.sql(PrestoCompat.rewriteDialect(
       """SELECT date_diff(DATE'2024-03-01', DATE'2024-02-01') AS native_days,
-                timestampdiff(DAY, DATE'2024-02-01', DATE'2024-03-01') AS presto_equiv""")
+                date_diff('day', DATE'2024-02-01', DATE'2024-03-01') AS presto_days,
+                date_diff('hour', TIMESTAMP'2024-02-01 06:30:00',
+                          TIMESTAMP'2024-02-01 09:15:00') AS presto_hours"""))
       .collect().head
     assert(r.getInt(0) == 29)
     assert(r.getLong(1) == 29L)
-    // and the Presto 3-arg spelling fails loudly instead of mis-binding
-    intercept[Exception] {
-      spark.sql("SELECT date_diff('day', DATE'2024-02-01', DATE'2024-03-01')").collect()
-    }
+    // elapsed COMPLETE hours, truncated — 2h45m -> 2 (Presto semantics)
+    assert(r.getLong(2) == 2L)
   }
 
   test("the reference's documented condition runs verbatim through the builder") {
