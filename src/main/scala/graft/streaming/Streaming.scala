@@ -205,7 +205,8 @@ object Streaming {
         TimeMode.None(), OutputMode.Update())
   }
 
-  final case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  final case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String,
+                               event_id: Long = 0L)
   final case class FunnelState(seenView: Boolean, seenClick: Boolean, seenPurchase: Boolean)
   final case class FunnelStage(user_id: Long, stage: Int)
 
@@ -219,9 +220,11 @@ object Streaming {
     * ORDER of past events, not their counts.
     *
     * Rows within a micro-batch arrive UNORDERED (the GroupState iterator
-    * has no ordering contract), so each batch's rows are sorted by event
-    * time before folding — in-batch disorder cannot flip a flag
-    * (StreamingSpec pins it). Across batches the watermark contract
+    * has no ordering contract), so each batch's rows are sorted by
+    * (event time, event_id) before folding — in-batch disorder cannot
+    * flip a flag, and a same-timestamp view+click pair folds in the
+    * deterministic event_id order the batch c9_funnel query uses, not
+    * whichever order the shuffle delivered (StreamingSpec pins both). Across batches the watermark contract
     * applies: late-past-watermark events are dropped, and an out-of-order
     * view AFTER a click already processed in an earlier batch does not
     * retroactively grant stage 2 — the documented divergence from the
@@ -245,7 +248,7 @@ object Streaming {
           } else {
             var s = state.getOption.getOrElse(FunnelState(false, false, false))
             var maxTs = 0L
-            rows.toArray.sortBy(_.ts.getTime).foreach { e =>
+            rows.toArray.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
               maxTs = math.max(maxTs, e.ts.getTime)
               e.event_type match {
                 case "view" => s = s.copy(seenView = true)

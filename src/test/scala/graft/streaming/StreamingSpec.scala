@@ -189,6 +189,29 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq((7L, 3)), s"got ${rows.toSeq}")
   }
 
+  test("streaming funnel: equal-ts events fold in event_id order (batch tie-break)") {
+    // round-6 advisor finding: a same-timestamp view+click pair folded in
+    // whatever order the shuffle delivered, nondeterministically granting
+    // or denying stage 2. The batch c9_funnel tie-breaks by event_id;
+    // the stream now sorts by (ts, event_id) and must agree both ways.
+    val t0 = ts("2024-01-01 10:00:00")
+    // view has the SMALLER event_id -> folds first -> click counts
+    val grant = Seq(
+      Streaming.FunnelEvent(1L, t0, "click", event_id = 2L),
+      Streaming.FunnelEvent(1L, t0, "view", event_id = 1L))
+    // view has the LARGER event_id -> click folds first -> stage 1 only
+    val deny = Seq(
+      Streaming.FunnelEvent(2L, t0, "click", event_id = 1L),
+      Streaming.FunnelEvent(2L, t0, "view", event_id = 2L))
+    val mem = MemoryStream[Streaming.FunnelEvent]
+    val q = Streaming.funnelStream(mem.toDS()).writeStream
+      .format("memory").queryName("funnel_tie").outputMode("update").start()
+    try { mem.addData(grant ++ deny); q.processAllAvailable() } finally q.stop()
+    val stages = spark.table("funnel_tie").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(stages == Map(1L -> 2, 2L -> 1), s"got $stages")
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals across batches") {
     val mem = MemoryStream[Streaming.UserEvent]
     val q = Streaming.userRunningTotals(mem.toDS()).writeStream
