@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity search (SURVEY.md §2 C14 + north-star ANN):
@@ -124,6 +125,67 @@ object Similarity {
     val planes = planesFor(emb.count())
     val tables = baseTables + math.max(0, (planes - 16) / 2)
     lshCandidatePairs(emb, idCol, vecCol, planes, tables, dim, seed)
+  }
+
+  /** Exact BATCHED top-k: every query in `queries` against the corpus in
+    * one pass — the realistic search shape (a probe batch, not a single
+    * vector). The query set broadcasts (small by contract: it is a probe
+    * batch, not a second corpus); scoring is a map-side broadcast
+    * nested-loop projection — |queries|·n scored rows, the corpus never
+    * shuffles for scoring — and the per-query `rank ≤ k` filter plans as
+    * WindowGroupLimit (partial per-partition group limits run BEFORE the
+    * rank exchange, so each partition forwards at most k rows per query —
+    * the batched analog of TakeOrderedAndProject; plan pinned in
+    * SimilaritySpec). Returns (query_id, idCol, sim, rnk). */
+  def bruteForceTopKBatch(emb: DataFrame, idCol: String, vecCol: String,
+                          queries: DataFrame, qIdCol: String, qVecCol: String,
+                          k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv")))
+    emb.crossJoin(q)
+      .select(col("query_id"), col(idCol),
+        round(cosine(col(vecCol), col("__qv")), 4).as("sim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col(idCol))))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Batched LSH probe at the occupancy sizing ([[probePlanesFor]]), with
+    * a PER-QUERY exact fallback: the corpus is indexed once, every
+    * query's buckets probe it through one broadcast join, and any query
+    * whose candidate set came back short of k is re-answered by
+    * [[bruteForceTopKBatch]] — per query, not per batch, so one
+    * hard-to-hash query doesn't force an exact scan for the rest. The
+    * fallback gate aggregates the ≤ |queries|·k probe result and the
+    * query frame — never the corpus. Same guarantee as [[lshTopKSized]]:
+    * recall degrades, the answer is never empty. */
+  def lshTopKBatchSized(emb: DataFrame, idCol: String, vecCol: String,
+                        queries: DataFrame, qIdCol: String, qVecCol: String,
+                        k: Int, baseTables: Int = 8, dim: Int = 64,
+                        seed: Long = 42L): DataFrame = {
+    val planes = probePlanesFor(emb.count())
+    val tables = baseTables + math.max(0, planes - 4)
+    val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"))
+    val qIdx = broadcast(lshIndex(q, "query_id", "__qv", tables, planes, dim, seed))
+    // localCheckpoint: the ≤ |queries|·k probe result feeds the fallback
+    // gate AND the returned frame — one corpus scan either way
+    val probed = lshIndex(emb, idCol, vecCol, tables, planes, dim, seed)
+      .join(qIdx.select(col("table"), col("bucket"), col("query_id"), col("__qv")),
+        Seq("table", "bucket"))
+      .dropDuplicates("query_id", idCol)
+      .select(col("query_id"), col(idCol),
+        round(cosine(col(vecCol), col("__qv")), 4).as("sim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col(idCol))))
+      .filter(col("rnk") <= k)
+      .localCheckpoint(true)
+    val healthy = probed.groupBy("query_id").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= k).select("query_id")
+    val deficient = q.join(healthy, Seq("query_id"), "left_anti").localCheckpoint(true)
+    if (deficient.count() == 0L) probed
+    else probed
+      .join(broadcast(deficient.select("query_id")), Seq("query_id"), "left_anti")
+      .unionAll(bruteForceTopKBatch(emb, idCol, vecCol,
+        deficient, "query_id", "__qv", k))
   }
 
   /** Occupancy-sized PROBE plane count — deliberately NOT [[planesFor]].

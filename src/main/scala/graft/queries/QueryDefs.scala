@@ -984,6 +984,54 @@ object QueryDefs {
               FROM dots ORDER BY sim DESC, vec_id LIMIT 10""")
     ),
 
+    // C14 batched exact top-k — the realistic search shape (a PROBE BATCH
+    // of 5 queries, one corpus pass): broadcast nested-loop scoring, then
+    // per-query rank <= k planned as WindowGroupLimit (partial group
+    // limits before the rank exchange — the batched TakeOrderedAndProject
+    // analog). Oracle mirrors the double-accumulated indexed-unnest dot
+    // product per (query, vector), ranked on the ROUNDED sim + id.
+    QueryDef(
+      "c14_cosine_topk_batch",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.bruteForceTopKBatch(
+          emb.filter(col("vec_id") >= 5), "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3)
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                                generate_subscripts(embedding, 1) AS i
+                         FROM embeddings WHERE vec_id < 5),
+                e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                             generate_subscripts(embedding, 1) AS i
+                      FROM embeddings WHERE vec_id >= 5),
+                dots AS (SELECT q.query_id, e.vec_id, sum(e.v * q.v) AS dot,
+                                sum(e.v * e.v) AS ne, sum(q.v * q.v) AS nq
+                         FROM e JOIN q ON e.i = q.i GROUP BY q.query_id, e.vec_id),
+                ranked AS (SELECT query_id, vec_id,
+                                  round(dot / (sqrt(ne) * sqrt(nq)), 4) AS sim,
+                                  row_number() OVER (PARTITION BY query_id
+                                    ORDER BY round(dot / (sqrt(ne) * sqrt(nq)), 4) DESC,
+                                             vec_id) AS rnk
+                           FROM dots)
+              SELECT query_id, vec_id, sim, CAST(rnk AS INTEGER) AS rnk
+              FROM ranked WHERE rnk <= 3""")
+    ),
+
+    // C14 batched LSH probe (rows-only: hyperplane buckets aren't DuckDB-
+    // expressible; per-query k-rows + recall gated in SimilaritySpec).
+    // One corpus index pass serves all queries; a query whose probe came
+    // back short of k falls back to the exact scan PER QUERY.
+    QueryDef(
+      "c14_ann_topk_batch",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.lshTopKBatchSized(
+          emb.filter(col("vec_id") >= 5), "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3)
+      },
+      None
+    ),
+
     // C14 scale path: hyperplane-LSH bucketed candidate pairs (rows-only;
     // recall vs brute force is spec-tested). Plane count sized from the
     // corpus (planesFor + table compensation) — a fixed count on a query

@@ -205,6 +205,52 @@ class SimilaritySpec extends SparkSpec {
     assert(out.length == 10, s"c14_ann_topk shape returned ${out.length} of 10 rows")
   }
 
+  test("batched exact top-k equals per-query brute force and plans WindowGroupLimit") {
+    // the batched search shape: one corpus pass for a probe batch; the
+    // per-query rank <= k must run as partial group limits before the
+    // rank exchange (WindowGroupLimit), never a full sort of n·|q| rows
+    val corpus = moderateCorpus
+    val qids = Seq(0L, 10L, 20L)
+    val queries = corpus.filter($"vec_id".isin(qids: _*))
+    val rest = corpus.filter(!$"vec_id".isin(qids: _*))
+    val batch = Similarity.bruteForceTopKBatch(rest, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5)
+    for (qid <- qids) {
+      val single = Similarity.bruteForceTopK(rest, "vec_id", "embedding",
+        corpus.filter($"vec_id" === qid), "embedding", k = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val b = batch.filter($"query_id" === qid).orderBy($"rnk")
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      assert(b == single, s"query $qid diverged from single-query brute force: $b vs $single")
+    }
+    val plan = batch.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-query top-k must plan WindowGroupLimit:\n$plan")
+  }
+
+  test("batched LSH probe answers every query with k rows and recall >= 0.8") {
+    // the batched c14_ann_topk_batch path: one index pass serves all
+    // queries; per-query fallback keeps each answer full-length
+    val corpus = moderateCorpus
+    val qids = Seq(0L, 50L, 110L) // members of clusters 0, 5, 11
+    val queries = corpus.filter($"vec_id".isin(qids: _*))
+    val rest = corpus.filter(!$"vec_id".isin(qids: _*))
+    val batch = Similarity.lshTopKBatchSized(rest, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 9).collect()
+    val byQ = batch.groupBy(_.getLong(0))
+    assert(byQ.keySet == qids.toSet, s"missing queries: ${qids.toSet -- byQ.keySet}")
+    qids.foreach { qid =>
+      val got = byQ(qid).map(_.getLong(1)).toSet
+      assert(got.size == 9, s"query $qid returned ${got.size} of 9 rows")
+      val exact = Similarity.bruteForceTopK(rest, "vec_id", "embedding",
+        corpus.filter($"vec_id" === qid), "embedding", k = 9)
+        .collect().map(_.getLong(0)).toSet
+      val r = recall(got, exact)
+      info(f"batched probe recall for query $qid = $r%.2f")
+      assert(r >= 0.8, s"query $qid recall degraded to $r")
+    }
+  }
+
   test("embeddingNearDup surfaces only above-threshold cosine pairs") {
     val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
     val near = base.clone(); near(5) = near(5) * 1.001f
