@@ -704,18 +704,20 @@ object Dedup {
     * pair's doc_b) keeps exactly the anchor either way — DedupSpec pins
     * point-mass equivalence of both paths.
     *
-    * Plan shape: cell sizes come from one partial-aggregated groupBy on
-    * the cell key; the size join, the cold self-join, and the hot anchor
-    * join all hash-partition on that same key. Hot-cell rows still
-    * co-locate in one task, but its work is now linear in |cell|. */
+    * Plan shape: the per-row cell size is a count window over the cell
+    * key — ONE hash exchange on cell, which every downstream consumer
+    * (the cold self-join's both sides, the hot anchor aggregate and
+    * join) reuses, since they all partition on that same key. No size
+    * join, no materialization of the vector-carrying index (an earlier
+    * join+localCheckpoint form measured ~1.5× on the registered query —
+    * the checkpoint wrote every vector to the block store). The window
+    * buffers one cell per task (spillable), and hot-cell rows still
+    * co-locate — but their work is now linear in |cell|. */
   private def cellPairs(idx: DataFrame, idCol: String, vecCol: String,
                         tau: Double,
                         hotCellThreshold: Int = HotCellThreshold): DataFrame = {
-    // localCheckpoint: the sized index feeds the cold self-join (twice)
-    // and the hot anchor pass — materialize quantizer assignment once
-    val sized = idx.join(
-      idx.groupBy("cell").agg(count(lit(1)).as("__csz")), Seq("cell"))
-      .localCheckpoint(true)
+    val sized = idx.withColumn("__csz",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("cell")))
     val cold = sized.filter(col("__csz") <= hotCellThreshold)
     val a = cold.select(col("cell"), col(idCol).as("doc_a"), col(vecCol).as("__va"))
     val b = cold.select(col("cell"), col(idCol).as("doc_b"), col(vecCol).as("__vb"))
