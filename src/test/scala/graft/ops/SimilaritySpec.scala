@@ -251,6 +251,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("batched LSH probe falls back per query when the probe comes back short") {
+    // force the deficient branch: near-orthogonal random vectors rarely
+    // share buckets, and k = |corpus| means NO probe can be healthy
+    // without finding literally everything — each query must still get a
+    // full-length exact answer (the never-empty guarantee, per query)
+    val rnd = new scala.util.Random(31)
+    val corpus = (0 until 12).map(i =>
+      (100L + i, Array.fill(64)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val queries = (0 until 3).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val out = Similarity.lshTopKBatchSized(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 12).collect()
+    val byQ = out.groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    assert(byQ.keySet == Set(0L, 1L, 2L), s"queries answered: ${byQ.keySet}")
+    val all = (100L until 112L).toSet
+    byQ.foreach { case (q, ids) =>
+      assert(ids == all, s"query $q missing ${all -- ids} despite exact fallback")
+    }
+  }
+
   test("embeddingNearDup surfaces only above-threshold cosine pairs") {
     val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
     val near = base.clone(); near(5) = near(5) * 1.001f
