@@ -530,6 +530,45 @@ object Dedup {
         corpus(idCol) === contaminated("doc"), "left_anti")
   }
 
+  /** SEMANTIC test-set decontamination ids: corpus rows whose embedding
+    * sits within cosine `tau` of ANY benchmark embedding. The embedding
+    * analog of [[contaminatedIds]]: a paraphrased eval item shares no
+    * 8-gram with its source but keeps its embedding neighborhood, so
+    * n-gram decontamination alone under-removes — production pipelines
+    * run both. Scale shape mirrors the n-gram form exactly: the
+    * benchmark BROADCASTS (an eval set, tiny by contract — a benchmark
+    * comparable to the corpus is a near-dup join, use [[embeddingNearDup]]),
+    * scoring is one map-side pass over the corpus (the corpus never
+    * shuffles to score), and only the contaminated-id set — bounded by
+    * the docs actually near the benchmark — reaches the distinct. */
+  def semanticContaminatedIds(corpus: DataFrame, idCol: String, vecCol: String,
+                              benchmark: DataFrame, benchVecCol: String,
+                              tau: Double): DataFrame = {
+    val b = broadcast(benchmark.select(col(benchVecCol).as("__bv")))
+    corpus.select(col(idCol).as("doc"), col(vecCol).as("__cv"))
+      .crossJoin(b)
+      .filter(Similarity.cosine(col("__cv"), col("__bv")) >= tau)
+      .select("doc").distinct()
+  }
+
+  /** Drop semantically contaminated rows; the removal anti-join is
+    * count-gated broadcast ↔ SHUFFLE_HASH like [[decontaminate]] (a lax
+    * tau can contaminate a corpus fraction — never assume small). */
+  def semanticDecontaminate(corpus: DataFrame, idCol: String, vecCol: String,
+                            benchmark: DataFrame, benchVecCol: String,
+                            tau: Double,
+                            idBroadcastLimit: Long = HotShingleBroadcastLimit): DataFrame = {
+    // localCheckpoint: the id set feeds the count gate AND the anti-join
+    val contaminated =
+      semanticContaminatedIds(corpus, idCol, vecCol, benchmark, benchVecCol, tau)
+        .localCheckpoint(true)
+    if (contaminated.count() <= idBroadcastLimit)
+      corpus.join(broadcast(contaminated), corpus(idCol) === contaminated("doc"), "left_anti")
+    else
+      corpus.join(contaminated.hint("SHUFFLE_HASH"),
+        corpus(idCol) === contaminated("doc"), "left_anti")
+  }
+
   /** Embedding-cosine near-dup pairs; delegates candidate generation to
     * the LSH path in [[Similarity]] and filters by cosine threshold.
     * With `planes = None` (the default) the plane count is sized from

@@ -1693,6 +1693,41 @@ object QueryDefs {
               WHERE doc_id >= 50 AND doc_id NOT IN (SELECT doc FROM bad)""")
     ),
 
+    // C24 SEMANTIC decontamination: drop every corpus vector within
+    // cosine 0.95 of a benchmark embedding — the embedding analog of the
+    // n-gram rule (paraphrases share no 8-gram but keep their embedding
+    // neighborhood; production pipelines run both). Benchmark = the
+    // vec_id % 37 == 3 slice reused as an eval set, so contamination is
+    // PLANTED (each benchmark member hits itself at cosine 1.0) and the
+    // drop is exercised, not vacuous — the synthetic corpus is otherwise
+    // near-orthogonal (max cross-cosine < 0.5 at both SFs, measured).
+    // Oracle: exact double-accumulated indexed-unnest cosine per
+    // (corpus, benchmark) pair.
+    QueryDef(
+      "c24_semantic_decontaminate",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Dedup.semanticDecontaminate(
+          emb, "vec_id", "embedding",
+          emb.filter(pmod(col("vec_id"), lit(37)) === 3), "embedding",
+          tau = 0.95)
+          .select(col("vec_id"), col("label"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS b, CAST(unnest(embedding) AS DOUBLE) AS v,
+                                generate_subscripts(embedding, 1) AS i
+                         FROM embeddings WHERE vec_id % 37 = 3),
+                e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                             generate_subscripts(embedding, 1) AS i
+                      FROM embeddings),
+                dots AS (SELECT e.vec_id, q.b, sum(e.v * q.v) AS dot,
+                                sum(e.v * e.v) AS ne, sum(q.v * q.v) AS nq
+                         FROM e JOIN q ON e.i = q.i GROUP BY e.vec_id, q.b),
+                bad AS (SELECT DISTINCT vec_id FROM dots
+                        WHERE dot / (sqrt(ne) * sqrt(nq)) >= 0.95)
+              SELECT vec_id, label FROM embeddings
+              WHERE vec_id NOT IN (SELECT vec_id FROM bad)""")
+    ),
+
     // C24 sequence packing (concat-and-chunk): where each doc lands when
     // the corpus is concatenated in doc_id order and cut into 512-token
     // training sequences. Runs on the distributed two-phase prefix sum —

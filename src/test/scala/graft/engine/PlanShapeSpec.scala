@@ -120,6 +120,27 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("cellPairs exchanges the index on cell once — window, self-join, anchor all reuse it") {
+    // the round-7 window-form claim: the count window's hash exchange on
+    // the cell key is the ONLY real exchange of the index; the cold
+    // self-join's second side and the hot anchor aggregate/join all see
+    // cell-partitioned input and plan ReusedExchange, not a new shuffle
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val emb = Tables.read(spark, sf0001, "embeddings")
+      val plan = graft.ops.Dedup.semanticDupPairs(emb, "vec_id", "embedding",
+        tau = 0.9, k = 8).queryExecution.executedPlan
+      import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+      val cellExchanges = plan.collect {
+        case e: ShuffleExchangeExec if e.child.output.exists(_.name == "cell") => e
+      }
+      assert(cellExchanges.length == 1,
+        s"index exchanged ${cellExchanges.length}x on cell (want 1 + reuses):\n$plan")
+      assert(plan.collect { case r: ReusedExchangeExec => r }.nonEmpty,
+        s"no ReusedExchange — consumers re-shuffled the index:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("datasetMix ranks without a per-source single-task window") {
     // round-4 verdict scale-weak #2: Window.partitionBy(source) sorts each
     // source in ONE task. The two-phase rank must plan (a) no

@@ -584,6 +584,31 @@ class DedupSpec extends SparkSpec {
         s"missing=${members.map(_._1).toSet -- kept}, extra=${kept.filter(_ >= 1000L)}")
   }
 
+  test("semanticDecontaminate drops exactly the benchmark-similar vectors; both gate paths agree") {
+    // planted: vecs 100/101 are exact/near copies of benchmark vectors,
+    // the rest near-orthogonal random — only the copies may drop
+    val rnd = new scala.util.Random(17)
+    val b0 = Array.fill(32)(rnd.nextGaussian().toFloat)
+    val b1 = Array.fill(32)(rnd.nextGaussian().toFloat)
+    val near = b1.clone(); near(0) = near(0) + 0.01f
+    val corpus = (Seq((100L, b0), (101L, near)) ++
+      (0 until 20).map(i => (200L + i, Array.fill(32)(rnd.nextGaussian().toFloat))))
+      .toDF("vec_id", "embedding")
+    val bench = Seq((0L, b0), (1L, b1)).toDF("bench_id", "embedding")
+    def kept(limit: Long) = Dedup.semanticDecontaminate(corpus, "vec_id", "embedding",
+      bench, "embedding", tau = 0.95, idBroadcastLimit = limit)
+      .select("vec_id").as[Long].collect().toSet
+    val viaBroadcast = kept(Dedup.HotShingleBroadcastLimit)
+    assert(viaBroadcast == (200L until 220L).toSet,
+      s"wrong survivors: ${viaBroadcast.toSeq.sorted}")
+    assert(viaBroadcast == kept(0L), "broadcast and shuffled-hash gate paths diverge")
+    // and the benchmark side broadcasts — the corpus never shuffles to score
+    val plan = Dedup.semanticContaminatedIds(corpus, "vec_id", "embedding",
+      bench, "embedding", tau = 0.95).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"benchmark not broadcast:\n$plan")
+  }
+
   test("nearDupPipeline collapses exact dups before the band join (linear pair volume)") {
     // round-6 verdict #3: m identical docs share every band, so a raw
     // band join emits C(m,2) TRUE-positive pairs — here C(500,2) =
