@@ -517,17 +517,29 @@ object Dedup {
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
                     textCol: String, n: Int = 8,
                     idBroadcastLimit: Long = HotShingleBroadcastLimit,
-                    stopDf: Option[Int] = None): DataFrame = {
+                    stopDf: Option[Int] = None): DataFrame =
+    removeIds(corpus, idCol,
+      contaminatedIds(corpus, benchmark, idCol, textCol, n, stopDf),
+      idBroadcastLimit)
+
+  /** Remove every row whose id appears in `doomedIds` (a 1-column `doc`
+    * frame) — the count-gated anti-join every removal path shares: the
+    * distinct doomed-id set at or under `idBroadcastLimit` ships as a
+    * broadcast (the corpus never shuffles); past it the removal is a
+    * distributed shuffled-hash anti-join (the id set never funnels
+    * through the driver). Doom sources COMPOSE by unioning their id
+    * frames before one removal pass — one corpus scan however many
+    * filters contributed (see the curation v4 query). */
+  def removeIds(df: DataFrame, idCol: String, doomedIds: DataFrame,
+                idBroadcastLimit: Long = HotShingleBroadcastLimit): DataFrame = {
     // localCheckpoint: the id set feeds the count gate AND the anti-join
-    val contaminated = contaminatedIds(corpus, benchmark, idCol, textCol, n, stopDf)
-      .localCheckpoint(true)
-    if (contaminated.count() <= idBroadcastLimit)
-      corpus.join(broadcast(contaminated), corpus(idCol) === contaminated("doc"), "left_anti")
+    val doomed = doomedIds.select(col("doc")).distinct().localCheckpoint(true)
+    if (doomed.count() <= idBroadcastLimit)
+      df.join(broadcast(doomed), df(idCol) === doomed("doc"), "left_anti")
     else
       // scale path: the corpus pays one hash-partition shuffle, but the
-      // contaminated set never funnels through the driver
-      corpus.join(contaminated.hint("SHUFFLE_HASH"),
-        corpus(idCol) === contaminated("doc"), "left_anti")
+      // doomed set never funnels through the driver
+      df.join(doomed.hint("SHUFFLE_HASH"), df(idCol) === doomed("doc"), "left_anti")
   }
 
   /** SEMANTIC test-set decontamination ids: corpus rows whose embedding
@@ -557,17 +569,10 @@ object Dedup {
   def semanticDecontaminate(corpus: DataFrame, idCol: String, vecCol: String,
                             benchmark: DataFrame, benchVecCol: String,
                             tau: Double,
-                            idBroadcastLimit: Long = HotShingleBroadcastLimit): DataFrame = {
-    // localCheckpoint: the id set feeds the count gate AND the anti-join
-    val contaminated =
-      semanticContaminatedIds(corpus, idCol, vecCol, benchmark, benchVecCol, tau)
-        .localCheckpoint(true)
-    if (contaminated.count() <= idBroadcastLimit)
-      corpus.join(broadcast(contaminated), corpus(idCol) === contaminated("doc"), "left_anti")
-    else
-      corpus.join(contaminated.hint("SHUFFLE_HASH"),
-        corpus(idCol) === contaminated("doc"), "left_anti")
-  }
+                            idBroadcastLimit: Long = HotShingleBroadcastLimit): DataFrame =
+    removeIds(corpus, idCol,
+      semanticContaminatedIds(corpus, idCol, vecCol, benchmark, benchVecCol, tau),
+      idBroadcastLimit)
 
   /** Embedding-cosine near-dup pairs; delegates candidate generation to
     * the LSH path in [[Similarity]] and filters by cosine threshold.

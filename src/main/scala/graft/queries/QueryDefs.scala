@@ -1728,6 +1728,64 @@ object QueryDefs {
               WHERE vec_id NOT IN (SELECT vec_id FROM bad)""")
     ),
 
+    // C24 curation v4 — CROSS-MODAL decontamination composed: the n-gram
+    // doom set (docs sharing an 8-gram with the held-out docs 0-49) and
+    // the SEMANTIC doom set (vectors within cosine 0.95 of the planted
+    // benchmark slice, vec_id % 37 == 3 — doc_id and vec_id share the id
+    // space) union into ONE doomed-id frame and the corpus pays ONE
+    // count-gated removal pass — however many doom sources contribute,
+    // one scan (Dedup.removeIds). Quality filter + per-lang stats close
+    // the pipeline.
+    QueryDef(
+      "c24_curation_v4",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val emb = t(s, d, "embeddings")
+        val corpus = docs.filter(col("doc_id") >= 50)
+        val doomed = Dedup.contaminatedIds(
+            corpus, docs.filter(col("doc_id") < 50), "doc_id", "text", n = 8)
+          .unionAll(Dedup.semanticContaminatedIds(
+            emb, "vec_id", "embedding",
+            emb.filter(pmod(col("vec_id"), lit(37)) === 3), "embedding", tau = 0.95))
+        val kept = Dedup.removeIds(corpus, "doc_id", doomed)
+        val quality = Text.qualityScore(kept, "doc_id", "text")
+        kept
+          .join(quality.filter(col("lexical_diversity") >= 0.5).select("doc_id"), Seq("doc_id"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg("n_chars"), 2).as("avg_chars"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+                sh AS (SELECT DISTINCT doc_id AS doc,
+                         ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||
+                         ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7] AS shingle
+                       FROM toks, UNNEST(generate_series(1, len(ws) - 7)) t(i)),
+                bench AS (SELECT DISTINCT shingle FROM sh WHERE doc < 50),
+                bad1 AS (SELECT DISTINCT doc FROM sh
+                         WHERE doc >= 50 AND shingle IN (SELECT shingle FROM bench)),
+                bq AS (SELECT vec_id AS b, CAST(unnest(embedding) AS DOUBLE) AS v,
+                              generate_subscripts(embedding, 1) AS i
+                       FROM embeddings WHERE vec_id % 37 = 3),
+                ev AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                              generate_subscripts(embedding, 1) AS i
+                       FROM embeddings),
+                dots AS (SELECT ev.vec_id, bq.b, sum(ev.v * bq.v) AS dot,
+                                sum(ev.v * ev.v) AS ne, sum(bq.v * bq.v) AS nq
+                         FROM ev JOIN bq ON ev.i = bq.i GROUP BY ev.vec_id, bq.b),
+                bad2 AS (SELECT DISTINCT vec_id AS doc FROM dots
+                         WHERE dot / (sqrt(ne) * sqrt(nq)) >= 0.95),
+                q AS (SELECT doc_id FROM documents
+                      WHERE len(list_distinct(string_split(text, ' '))) * 1.0
+                            / len(string_split(text, ' ')) >= 0.5)
+              SELECT lang, count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars
+              FROM documents
+              WHERE doc_id >= 50
+                AND doc_id NOT IN (SELECT doc FROM bad1)
+                AND doc_id NOT IN (SELECT doc FROM bad2)
+                AND doc_id IN (SELECT doc_id FROM q)
+              GROUP BY lang""")
+    ),
+
     // C24 sequence packing (concat-and-chunk): where each doc lands when
     // the corpus is concatenated in doc_id order and cut into 512-token
     // training sequences. Runs on the distributed two-phase prefix sum —
