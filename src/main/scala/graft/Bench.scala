@@ -38,11 +38,14 @@ object Bench {
         else { val (t2, e2) = once(spark, sfDir, fn); (math.min(t1, t2), e2) }
       name -> (sec, err)
     }
-    // ~3 significant figures, always with a decimal point (a parseable
-    // number either way; shorter entries keep the one-line JSON inside
-    // the driver's bounded stdout tail window — round-6 verdict #5)
+    // 3 significant figures, always with a decimal point (parseable, and
+    // shorter entries keep the one-line JSON inside the driver's bounded
+    // stdout tail window — round-6 verdict #5). Sub-second timings keep
+    // 3 decimals: rounding 0.047 to "0.05" would put fast-query A/B
+    // deltas on a 0.01 s grid coarser than the real movement.
     def r3(v: Double): String =
-      BigDecimal(v).setScale(if (v < 10) 2 else 1, BigDecimal.RoundingMode.HALF_UP).toString
+      BigDecimal(v).setScale(if (v < 1) 3 else if (v < 10) 2 else 1,
+        BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, (v, _)) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, (_, Some(e))) => s"\"$k\":\"$e\"" }
     val total = results.values.map(_._1).sum

@@ -25,7 +25,7 @@ object PrestoCompat {
     * quoted first argument there is a date string (`'2024-03-01'`), which
     * the digits/dashes keep from matching. */
   private val DateDiffUnit =
-    "(?i)\\b(date_diff|timestampdiff)\\(\\s*'([a-z]+)'\\s*,".r
+    "(?i)\\b(date_diff|timestampdiff)\\s*\\(\\s*'([a-z]+)'\\s*,".r
 
   /** Rewrite Presto-spelled fragments to Spark grammar; apply to raw
     * `condition`/`fields` strings before Catalyst parses them (the

@@ -317,17 +317,26 @@ object Dedup {
   def nearDupPipeline(docs: DataFrame, idCol: String, textCol: String,
                       pairsOf: DataFrame => DataFrame,
                       idBroadcastLimit: Long = HotShingleBroadcastLimit): DataFrame = {
-    val reps = docs.groupBy(col(textCol))
+    // NULL texts are non-participants, not one dup group: groupBy would
+    // fold every NULL-text row into a single NULL key and keep only the
+    // min id — but the raw path generates no pairs for them (no
+    // shingles), so ALL survive there. Route them around the pipeline to
+    // preserve the survivor equivalence (spec-pinned).
+    val withText = docs.filter(col(textCol).isNotNull)
+    val nullText = docs.filter(col(textCol).isNull)
+    val reps = withText.groupBy(col(textCol))
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol), col(textCol))
     // localCheckpoint: the kept-rep id set feeds the count gate AND the
     // final semi-join; materialize the whole pair pipeline once
     val keptIds = removeNearDups(reps, idCol, pairsOf(reps), idBroadcastLimit)
       .select(col(idCol).as("__keep")).localCheckpoint(true)
-    if (keptIds.count() <= idBroadcastLimit)
-      docs.join(broadcast(keptIds), docs(idCol) === keptIds("__keep"), "left_semi")
-    else
-      docs.join(keptIds.hint("SHUFFLE_HASH"), docs(idCol) === keptIds("__keep"), "left_semi")
+    val kept =
+      if (keptIds.count() <= idBroadcastLimit)
+        withText.join(broadcast(keptIds), withText(idCol) === keptIds("__keep"), "left_semi")
+      else
+        withText.join(keptIds.hint("SHUFFLE_HASH"), withText(idCol) === keptIds("__keep"), "left_semi")
+    kept.unionAll(nullText)
   }
 
   /** Connected components over a duplicate-pair graph: transitive closure
@@ -547,18 +556,31 @@ object Dedup {
     * analog of [[contaminatedIds]]: a paraphrased eval item shares no
     * 8-gram with its source but keeps its embedding neighborhood, so
     * n-gram decontamination alone under-removes — production pipelines
-    * run both. Scale shape mirrors the n-gram form exactly: the
-    * benchmark BROADCASTS (an eval set, tiny by contract — a benchmark
-    * comparable to the corpus is a near-dup join, use [[embeddingNearDup]]),
-    * scoring is one map-side pass over the corpus (the corpus never
-    * shuffles to score), and only the contaminated-id set — bounded by
-    * the docs actually near the benchmark — reaches the distinct. */
+    * run both. Scale shape mirrors the n-gram form exactly: an eval-set
+    * benchmark BROADCASTS and scoring is one map-side pass over the
+    * corpus (the corpus never shuffles to score); only the
+    * contaminated-id set — bounded by the docs actually near the
+    * benchmark — reaches the distinct.
+    *
+    * The broadcast is COUNT-GATED, not assumed (the no-small-by-
+    * construction rule): past `benchBroadcastLimit` rows the score pass
+    * becomes a distributed cartesian join — result-identical, no driver
+    * funnel, but n·m cosine work, which is inherent to EXACT semantic
+    * decontamination against a large benchmark. A benchmark comparable
+    * to the corpus is really a near-dup join — [[embeddingNearDup]]
+    * bounds that regime with LSH candidate generation instead. */
   def semanticContaminatedIds(corpus: DataFrame, idCol: String, vecCol: String,
                               benchmark: DataFrame, benchVecCol: String,
-                              tau: Double): DataFrame = {
-    val b = broadcast(benchmark.select(col(benchVecCol).as("__bv")))
-    corpus.select(col(idCol).as("doc"), col(vecCol).as("__cv"))
-      .crossJoin(b)
+                              tau: Double,
+                              benchBroadcastLimit: Long = HotShingleBroadcastLimit): DataFrame = {
+    // localCheckpoint: the benchmark feeds the count gate AND the join
+    val b = benchmark.select(col(benchVecCol).as("__bv")).localCheckpoint(true)
+    val joined =
+      if (b.count() <= benchBroadcastLimit)
+        corpus.select(col(idCol).as("doc"), col(vecCol).as("__cv")).crossJoin(broadcast(b))
+      else
+        corpus.select(col(idCol).as("doc"), col(vecCol).as("__cv")).crossJoin(b)
+    joined
       .filter(Similarity.cosine(col("__cv"), col("__bv")) >= tau)
       .select("doc").distinct()
   }
@@ -569,9 +591,11 @@ object Dedup {
   def semanticDecontaminate(corpus: DataFrame, idCol: String, vecCol: String,
                             benchmark: DataFrame, benchVecCol: String,
                             tau: Double,
-                            idBroadcastLimit: Long = HotShingleBroadcastLimit): DataFrame =
+                            idBroadcastLimit: Long = HotShingleBroadcastLimit,
+                            benchBroadcastLimit: Long = HotShingleBroadcastLimit): DataFrame =
     removeIds(corpus, idCol,
-      semanticContaminatedIds(corpus, idCol, vecCol, benchmark, benchVecCol, tau),
+      semanticContaminatedIds(corpus, idCol, vecCol, benchmark, benchVecCol, tau,
+        benchBroadcastLimit),
       idBroadcastLimit)
 
   /** Embedding-cosine near-dup pairs; delegates candidate generation to

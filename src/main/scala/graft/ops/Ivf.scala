@@ -123,7 +123,13 @@ object Ivf {
 
   /** Probe-style top-k: score only vectors in the query's `nprobe`
     * nearest cells; exact cosine within the candidate set, then
-    * per-partition top-k heaps (TakeOrderedAndProject). */
+    * per-partition top-k heaps (TakeOrderedAndProject).
+    *
+    * Never returns short: when the probed cells hold fewer than k
+    * vectors (small/imbalanced quantizer, outlier query) the query
+    * falls back to the exact scan — the same ANN contract as
+    * [[Similarity.lshTopKSized]]: recall degrades, the answer is never
+    * empty. The gate counts the ≤ k probe result, not the corpus. */
   def topK(emb: DataFrame, idCol: String, vecCol: String,
            query: DataFrame, queryVecCol: String, k: Int,
            centroids: Array[Array[Double]], nprobe: Int = 4): DataFrame = {
@@ -136,10 +142,13 @@ object Ivf {
       query.select(
         explode(nearestCells(col(queryVecCol), m, cells, dim, np)).as("cell"),
         col(queryVecCol).as("__qv")))
-    idx.join(probes, Seq("cell"))
+    val probed = idx.join(probes, Seq("cell"))
       .select(col(idCol), round(Similarity.cosine(col(vecCol), col("__qv")), 4).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
+      .localCheckpoint(true)
+    if (probed.count() >= k) probed
+    else Similarity.bruteForceTopK(emb, idCol, vecCol, query, queryVecCol, k)
   }
 
   /** [[topK]] on the two-level residual index — the search analog of the
@@ -175,9 +184,13 @@ object Ivf {
               element_at(typedLit(q.level1.map(_.toSeq).toSeq), col("__c1") + 1),
               (a, b) => a - b), m2, k2, dim, np2)).as("__c2"))
         .select((col("__c1") * k2 + col("__c2")).as("cell"), col("__qv")))
-    idx.join(probes, Seq("cell"))
+    // same never-empty contract as [[topK]]: short probe ⇒ exact scan
+    val probed = idx.join(probes, Seq("cell"))
       .select(col(idCol), round(Similarity.cosine(col(vecCol), col("__qv")), 4).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
+      .localCheckpoint(true)
+    if (probed.count() >= k) probed
+    else Similarity.bruteForceTopK(emb, idCol, vecCol, query, queryVecCol, k)
   }
 }

@@ -173,21 +173,27 @@ object Relational {
     *
     * The assignment compares the first 4 hex chars of md5(id) against a
     * fixed threshold: lexicographic order on fixed-length lowercase hex
-    * IS numeric order, so `trainFrac` maps to ⌊frac·65536⌋ as a 4-digit
+    * IS numeric order, so `frac` maps to round(frac·65536) as a 4-digit
     * hex literal — a pure codegen projection, zero shuffle, and the SAME
     * expression is portable SQL (the DuckDB oracle runs it verbatim).
-    * 16-bit granularity ⇒ frac is honored to ±1/65536. */
+    * 16-bit granularity ⇒ frac is honored to ±1/65536 (nearest-bucket
+    * ROUNDING, not floor — reproduce oracle constants accordingly). */
+  /** The shared membership predicate behind [[hashSplit]] and
+    * [[stratifiedHashSample]] — one definition, so the two oracle-checked
+    * surfaces cannot drift apart. frac = 1.0 rounds to 65536 = "10000",
+    * 5 hex digits, which sorts BELOW "ffff" lexicographically — hence
+    * the literal-true short-circuit instead of a string compare. */
+  private def md5Below(idCol: String, frac: Double): Column = {
+    val t = math.round(frac * 65536).toInt
+    if (t >= 65536) lit(true)
+    else substring(md5(col(idCol).cast("string")), 1, 4) < lit(f"$t%04x")
+  }
+
   def hashSplit(df: DataFrame, idCol: String, trainFrac: Double,
                 splitCol: String = "split"): DataFrame = {
     require(trainFrac >= 0.0 && trainFrac <= 1.0, s"bad trainFrac $trainFrac")
-    val t = math.round(trainFrac * 65536).toInt
-    // frac = 1.0 rounds to 65536 = "10000" — 5 hex digits, which sorts
-    // BELOW "ffff" lexicographically; short-circuit instead of comparing
-    val assignment =
-      if (t >= 65536) lit("train")
-      else when(substring(md5(col(idCol).cast("string")), 1, 4) < lit(f"$t%04x"),
-        "train").otherwise("val")
-    df.withColumn(splitCol, assignment)
+    df.withColumn(splitCol,
+      when(md5Below(idCol, trainFrac), "train").otherwise("val"))
   }
 
   /** Per-stratum content-stable sampling — [[hashSplit]] generalized to a
@@ -210,11 +216,8 @@ object Relational {
     require(fracs.nonEmpty, "need at least one stratum fraction")
     require(fracs.values.forall(f => f >= 0.0 && f <= 1.0),
       s"fractions must be in [0,1]: $fracs")
-    val hx = substring(md5(col(idCol).cast("string")), 1, 4)
     val cond = fracs.toSeq.sortBy(_._1).map { case (s, f) =>
-      val t = math.round(f * 65536).toInt
-      col(stratumCol) === s &&
-        (if (t >= 65536) lit(true) else hx < lit(f"$t%04x"))
+      col(stratumCol) === s && md5Below(idCol, f)
     }.reduce(_ || _)
     df.filter(cond)
   }

@@ -1697,25 +1697,27 @@ object QueryDefs {
     // cosine 0.95 of a benchmark embedding — the embedding analog of the
     // n-gram rule (paraphrases share no 8-gram but keep their embedding
     // neighborhood; production pipelines run both). Benchmark = the
-    // vec_id % 37 == 3 slice reused as an eval set, so contamination is
-    // PLANTED (each benchmark member hits itself at cosine 1.0) and the
-    // drop is exercised, not vacuous — the synthetic corpus is otherwise
-    // near-orthogonal (max cross-cosine < 0.5 at both SFs, measured).
-    // Oracle: exact double-accumulated indexed-unnest cosine per
-    // (corpus, benchmark) pair.
+    // FIXED-size vec_id < 50 slice (the doc_id < 50 convention of the
+    // n-gram path — an eval set does not scale with the corpus), reused
+    // as an eval set so contamination is PLANTED (each benchmark member
+    // hits itself at cosine 1.0) and the drop is exercised, not
+    // vacuous — the synthetic corpus is otherwise near-orthogonal (max
+    // cross-cosine < 0.5 at both SFs, measured). Oracle: exact
+    // double-accumulated indexed-unnest cosine per (corpus, benchmark)
+    // pair.
     QueryDef(
       "c24_semantic_decontaminate",
       (s, d) => {
         val emb = t(s, d, "embeddings")
         Dedup.semanticDecontaminate(
           emb, "vec_id", "embedding",
-          emb.filter(pmod(col("vec_id"), lit(37)) === 3), "embedding",
+          emb.filter(col("vec_id") < 50), "embedding",
           tau = 0.95)
           .select(col("vec_id"), col("label"))
       },
       Some("""WITH q AS (SELECT vec_id AS b, CAST(unnest(embedding) AS DOUBLE) AS v,
                                 generate_subscripts(embedding, 1) AS i
-                         FROM embeddings WHERE vec_id % 37 = 3),
+                         FROM embeddings WHERE vec_id < 50),
                 e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
                              generate_subscripts(embedding, 1) AS i
                       FROM embeddings),
@@ -1730,12 +1732,12 @@ object QueryDefs {
 
     // C24 curation v4 — CROSS-MODAL decontamination composed: the n-gram
     // doom set (docs sharing an 8-gram with the held-out docs 0-49) and
-    // the SEMANTIC doom set (vectors within cosine 0.95 of the planted
-    // benchmark slice, vec_id % 37 == 3 — doc_id and vec_id share the id
-    // space) union into ONE doomed-id frame and the corpus pays ONE
-    // count-gated removal pass — however many doom sources contribute,
-    // one scan (Dedup.removeIds). Quality filter + per-lang stats close
-    // the pipeline.
+    // the SEMANTIC doom set (vectors within cosine 0.95 of the held-out
+    // vec_id < 50 slice — doc_id and vec_id share the id space) union
+    // into ONE doomed-id frame and the corpus pays ONE count-gated
+    // removal pass — however many doom sources contribute, one scan
+    // (Dedup.removeIds). Quality filter + per-lang stats close the
+    // pipeline.
     QueryDef(
       "c24_curation_v4",
       (s, d) => {
@@ -1746,7 +1748,7 @@ object QueryDefs {
             corpus, docs.filter(col("doc_id") < 50), "doc_id", "text", n = 8)
           .unionAll(Dedup.semanticContaminatedIds(
             emb, "vec_id", "embedding",
-            emb.filter(pmod(col("vec_id"), lit(37)) === 3), "embedding", tau = 0.95))
+            emb.filter(col("vec_id") < 50), "embedding", tau = 0.95))
         val kept = Dedup.removeIds(corpus, "doc_id", doomed)
         val quality = Text.qualityScore(kept, "doc_id", "text")
         kept
@@ -1765,7 +1767,7 @@ object QueryDefs {
                          WHERE doc >= 50 AND shingle IN (SELECT shingle FROM bench)),
                 bq AS (SELECT vec_id AS b, CAST(unnest(embedding) AS DOUBLE) AS v,
                               generate_subscripts(embedding, 1) AS i
-                       FROM embeddings WHERE vec_id % 37 = 3),
+                       FROM embeddings WHERE vec_id < 50),
                 ev AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
                               generate_subscripts(embedding, 1) AS i
                        FROM embeddings),

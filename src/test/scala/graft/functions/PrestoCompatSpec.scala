@@ -66,6 +66,9 @@ class PrestoCompatSpec extends SparkSpec {
     assert(PrestoCompat.rewriteDialect(
       "date_diff('day', a, b) > 3 AND date_diff('HOUR', c, d) = 0") ==
       "date_diff(day, a, b) > 3 AND date_diff(HOUR, c, d) = 0")
+    // whitespace before the paren is legal Presto — still rewritten
+    assert(PrestoCompat.rewriteDialect("date_diff ('day', a, b)") ==
+      "date_diff(day, a, b)")
     // the native 2-arg form's quoted DATE first arg never matches
     assert(PrestoCompat.rewriteDialect("date_diff('2024-03-01', d)") ==
       "date_diff('2024-03-01', d)")

@@ -602,11 +602,39 @@ class DedupSpec extends SparkSpec {
     assert(viaBroadcast == (200L until 220L).toSet,
       s"wrong survivors: ${viaBroadcast.toSeq.sorted}")
     assert(viaBroadcast == kept(0L), "broadcast and shuffled-hash gate paths diverge")
-    // and the benchmark side broadcasts — the corpus never shuffles to score
+    // the benchmark broadcast is count-gated too (a benchmark that scales
+    // with the corpus must not funnel through the driver): forcing the
+    // distributed cartesian path keeps the same survivors
+    val viaDistBench = Dedup.semanticDecontaminate(corpus, "vec_id", "embedding",
+      bench, "embedding", tau = 0.95, benchBroadcastLimit = 0L)
+      .select("vec_id").as[Long].collect().toSet
+    assert(viaDistBench == viaBroadcast, "gated benchmark paths diverge")
+    // and under the gate the benchmark side broadcasts — the corpus
+    // never shuffles to score
     val plan = Dedup.semanticContaminatedIds(corpus, "vec_id", "embedding",
       bench, "embedding", tau = 0.95).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       s"benchmark not broadcast:\n$plan")
+  }
+
+  test("nearDupPipeline: NULL texts are non-participants, all survive") {
+    // groupBy(text) would fold every NULL-text row into ONE group and
+    // keep only the min id; the raw path generates no pairs for them, so
+    // all survive — the pipeline must match (code-review finding)
+    val docs = Seq[(Long, String)](
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+      .unionAll(Seq(3L, 4L, 5L).toDF("doc_id").withColumn("text", lit(null).cast("string")))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      Dedup.jaccardNearDup(df, "doc_id", "text", n = 3, threshold = 0.5)
+    val viaPipeline = Dedup.nearDupPipeline(docs, "doc_id", "text", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    val viaRaw = Dedup.removeNearDups(docs.filter($"text".isNotNull), "doc_id",
+      pairs(docs.filter($"text".isNotNull)))
+      .select("doc_id").as[Long].collect().toSet ++ Set(3L, 4L, 5L)
+    assert(viaPipeline == Set(1L, 3L, 4L, 5L), s"got $viaPipeline")
+    assert(viaPipeline == viaRaw)
   }
 
   test("nearDupPipeline collapses exact dups before the band join (linear pair volume)") {

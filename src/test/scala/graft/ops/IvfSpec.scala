@@ -134,6 +134,28 @@ class IvfSpec extends SparkSpec {
     assert(single.length == 5, "single-level clamp must scan all cells, not drop the probe")
   }
 
+  test("IVF top-k never returns short: sparse probed cells fall back to the exact scan") {
+    // 4 well-separated clusters x 5 members; nprobe=1 probes only the
+    // query's own cell (~5 vectors) but k=10 — the probe CANNOT fill the
+    // answer, so both IVF paths must fall back to brute force
+    // (the never-empty ANN contract, code-review finding)
+    val rnd = new scala.util.Random(19)
+    val rows = for (c <- 0 until 4; centre = Array.fill(32)(rnd.nextGaussian());
+                    m <- 0 until 5)
+      yield ((c * 5 + m).toLong, centre.map(v => (v + 0.03 * rnd.nextGaussian()).toFloat))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val q = corpus.filter($"vec_id" === 0L)
+    val rest = corpus.filter($"vec_id" =!= 0L)
+    val centroids = Ivf.trainCentroids(corpus, "embedding", k = 4, maxIter = 5)
+    val single = Ivf.topK(rest, "vec_id", "embedding", q, "embedding",
+      k = 10, centroids, nprobe = 1).collect()
+    assert(single.length == 10, s"single-level IVF returned ${single.length} of 10")
+    val rq = Ivf.trainResidualQuantizer(corpus, "embedding", k1 = 2, k2 = 2)
+    val twoLevel = Ivf.topKResidual(rest, "vec_id", "embedding", q, "embedding",
+      k = 10, rq, nprobe1 = 1, nprobe2 = 1).collect()
+    assert(twoLevel.length == 10, s"two-level IVF returned ${twoLevel.length} of 10")
+  }
+
   test("probing more cells can only grow the candidate set") {
     val emb = graft.engine.Tables.read(spark, sf0001, "embeddings")
     val centroids = Ivf.trainCentroids(emb, "embedding", k = 8, maxIter = 5)
