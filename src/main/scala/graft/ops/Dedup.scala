@@ -277,15 +277,8 @@ object Dedup {
     * the scale path too: a doc colliding in j pairs would otherwise ship
     * j build rows into the anti-join hash table. */
   def removeNearDups(docs: DataFrame, idCol: String, pairs: DataFrame,
-                     idBroadcastLimit: Long = HotShingleBroadcastLimit): DataFrame = {
-    // localCheckpoint: the doomed set feeds the count gate AND the
-    // anti-join — materialize the (possibly expensive) pair pipeline once
-    val doomed = pairs.select(col("doc_b")).distinct().localCheckpoint(true)
-    if (doomed.count() <= idBroadcastLimit)
-      docs.join(broadcast(doomed), docs(idCol) === doomed("doc_b"), "left_anti")
-    else
-      docs.join(doomed.hint("SHUFFLE_HASH"), docs(idCol) === doomed("doc_b"), "left_anti")
-  }
+                     idBroadcastLimit: Long = HotShingleBroadcastLimit): DataFrame =
+    removeIds(docs, idCol, pairs.select(col("doc_b").as("doc")), idBroadcastLimit)
 
   /** Exact-dedup-first near-dup removal — the composition the band-join
     * scaladoc ([[minhashLshCandidates]]) prescribes in prose, enforced:
@@ -503,32 +496,45 @@ object Dedup {
     * both map-side. */
   def contaminatedIds(corpus: DataFrame, benchmark: DataFrame, idCol: String,
                       textCol: String, n: Int,
-                      stopDf: Option[Int] = None): DataFrame = {
+                      stopDf: Option[Int] = None,
+                      shingleBroadcastLimit: Long = HotShingleBroadcastLimit): DataFrame = {
     def postingsOf(df: DataFrame) = df
       .select(col(idCol).as("doc"), Text.tokens(col(textCol)).as("__ws"))
       .select(col("doc"),
         explode(graft.functions.ShingleHashes.sortedShingleHashes(col("__ws"), n)).as("sh"))
-    val benchSh = broadcast(postingsOf(benchmark).select("sh").distinct())
+    // the benchmark SHINGLE set is count-gated like every other broadcast
+    // that scales with data (no-small-by-construction): a benchmark's
+    // distinct 8-gram set is ~tokens-sized — much larger than its id
+    // set — and past the gate the semi-joins run shuffled-hash (the
+    // corpus postings pay a hash partition, nothing funnels the driver).
+    // localCheckpoint: the set feeds the count gate AND the semi-join(s).
+    val benchShRaw = postingsOf(benchmark).select("sh").distinct().localCheckpoint(true)
+    val useBroadcast = benchShRaw.count() <= shingleBroadcastLimit
+    def shJoin(df: DataFrame, set: DataFrame): DataFrame =
+      if (useBroadcast) df.join(broadcast(set), Seq("sh"), "left_semi")
+      else df.join(set.hint("SHUFFLE_HASH"), Seq("sh"), "left_semi")
     val effective = stopDf match {
       case Some(m) =>
         // a benchmark shingle absent from the corpus has no bhits row —
-        // and also nothing to contaminate, so dropping it changes nothing
-        val bhits = postingsOf(corpus).join(benchSh, Seq("sh"), "left_semi")
+        // and also nothing to contaminate, so dropping it changes nothing.
+        // |eff| <= |benchSh|, so the same gate decision applies.
+        shJoin(postingsOf(corpus), benchShRaw)
           .groupBy("sh").agg(count(lit(1)).as("__df"))
-        broadcast(bhits.filter(col("__df") <= m).select("sh"))
-      case None => benchSh
+          .filter(col("__df") <= m).select("sh")
+      case None => benchShRaw
     }
-    postingsOf(corpus)
-      .join(effective, Seq("sh"), "left_semi")
+    shJoin(postingsOf(corpus), effective)
       .select(col("doc")).distinct()
   }
 
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
                     textCol: String, n: Int = 8,
                     idBroadcastLimit: Long = HotShingleBroadcastLimit,
-                    stopDf: Option[Int] = None): DataFrame =
+                    stopDf: Option[Int] = None,
+                    shingleBroadcastLimit: Long = HotShingleBroadcastLimit): DataFrame =
     removeIds(corpus, idCol,
-      contaminatedIds(corpus, benchmark, idCol, textCol, n, stopDf),
+      contaminatedIds(corpus, benchmark, idCol, textCol, n, stopDf,
+        shingleBroadcastLimit),
       idBroadcastLimit)
 
   /** Remove every row whose id appears in `doomedIds` (a 1-column `doc`

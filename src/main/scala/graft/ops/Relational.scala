@@ -165,22 +165,13 @@ object Relational {
       .drop("__pid", "__lrn", "__offset", "__quota")
   }
 
-  /** Deterministic content-stable train/val split — the reproducible way
-    * to split a training corpus: bucket by a cryptographic hash of the
-    * id, never by position or RNG, so membership survives reorderings,
-    * re-partitioning, and incremental corpus growth (a doc's split never
-    * flips when new docs arrive — the property rand()-with-seed lacks).
-    *
-    * The assignment compares the first 4 hex chars of md5(id) against a
-    * fixed threshold: lexicographic order on fixed-length lowercase hex
-    * IS numeric order, so `frac` maps to round(frac·65536) as a 4-digit
-    * hex literal — a pure codegen projection, zero shuffle, and the SAME
-    * expression is portable SQL (the DuckDB oracle runs it verbatim).
-    * 16-bit granularity ⇒ frac is honored to ±1/65536 (nearest-bucket
-    * ROUNDING, not floor — reproduce oracle constants accordingly). */
   /** The shared membership predicate behind [[hashSplit]] and
     * [[stratifiedHashSample]] — one definition, so the two oracle-checked
-    * surfaces cannot drift apart. frac = 1.0 rounds to 65536 = "10000",
+    * surfaces cannot drift apart. Lexicographic order on fixed-length
+    * lowercase hex IS numeric order, so `frac` maps to round(frac·65536)
+    * as a 4-digit hex literal — 16-bit granularity ⇒ frac honored to
+    * ±1/65536 (nearest-bucket ROUNDING, not floor — reproduce oracle
+    * constants accordingly). frac = 1.0 rounds to 65536 = "10000",
     * 5 hex digits, which sorts BELOW "ffff" lexicographically — hence
     * the literal-true short-circuit instead of a string compare. */
   private def md5Below(idCol: String, frac: Double): Column = {
@@ -189,6 +180,16 @@ object Relational {
     else substring(md5(col(idCol).cast("string")), 1, 4) < lit(f"$t%04x")
   }
 
+  /** Deterministic content-stable train/val split — the reproducible way
+    * to split a training corpus: bucket by a cryptographic hash of the
+    * id, never by position or RNG, so membership survives reorderings,
+    * re-partitioning, and incremental corpus growth (a doc's split never
+    * flips when new docs arrive — the property rand()-with-seed lacks).
+    *
+    * The assignment compares the first 4 hex chars of md5(id) against a
+    * fixed threshold ([[md5Below]]): a pure codegen projection, zero
+    * shuffle, and the SAME expression is portable SQL (the DuckDB oracle
+    * runs it verbatim). */
   def hashSplit(df: DataFrame, idCol: String, trainFrac: Double,
                 splitCol: String = "split"): DataFrame = {
     require(trainFrac >= 0.0 && trainFrac <= 1.0, s"bad trainFrac $trainFrac")
@@ -198,9 +199,9 @@ object Relational {
 
   /** Per-stratum content-stable sampling — [[hashSplit]] generalized to a
     * fraction PER GROUP (the training-data use: downsample dominant
-    * classes/languages/sources to target fractions). Same mechanism:
-    * keep a row iff the first 4 hex chars of md5(id) sit below the
-    * stratum's ⌊frac·65536⌋ threshold. Deterministic and content-stable
+    * classes/languages/sources to target fractions). Same mechanism
+    * ([[md5Below]]): keep a row iff the first 4 hex chars of md5(id) sit
+    * below the stratum's threshold. Deterministic and content-stable
     * (membership survives reordering, re-partitioning, and corpus
     * growth — the property seeded `sampleBy` lacks: its kept set is a
     * function of partition iteration order at execution time, so the

@@ -1567,8 +1567,8 @@ object QueryDefs {
             round(avg("n_chars"), 2).as("avg_chars"))
       },
       Some("""WITH q AS (SELECT doc_id FROM documents
-                         WHERE len(list_distinct(string_split(text, ' '))) * 1.0
-                               / len(string_split(text, ' ')) >= 0.5),
+                         WHERE round(len(list_distinct(string_split(text, ' '))) * 1.0
+                                     / len(string_split(text, ' ')), 4) >= 0.5),
                 kept AS (SELECT d.* FROM documents d JOIN q USING (doc_id)
                          WHERE lang IN ('en', 'es', 'de', 'fr')),
                 reps AS (SELECT min(doc_id) AS doc_id, text FROM kept GROUP BY text),
@@ -1749,7 +1749,9 @@ object QueryDefs {
           .unionAll(Dedup.semanticContaminatedIds(
             emb, "vec_id", "embedding",
             emb.filter(col("vec_id") < 50), "embedding", tau = 0.95))
-        val kept = Dedup.removeIds(corpus, "doc_id", doomed)
+        // localCheckpoint: `kept` feeds BOTH the quality branch and the
+        // final join — materialize the scan + doomed anti-join once
+        val kept = Dedup.removeIds(corpus, "doc_id", doomed).localCheckpoint(true)
         val quality = Text.qualityScore(kept, "doc_id", "text")
         kept
           .join(quality.filter(col("lexical_diversity") >= 0.5).select("doc_id"), Seq("doc_id"))
@@ -1777,8 +1779,8 @@ object QueryDefs {
                 bad2 AS (SELECT DISTINCT vec_id AS doc FROM dots
                          WHERE dot / (sqrt(ne) * sqrt(nq)) >= 0.95),
                 q AS (SELECT doc_id FROM documents
-                      WHERE len(list_distinct(string_split(text, ' '))) * 1.0
-                            / len(string_split(text, ' ')) >= 0.5)
+                      WHERE round(len(list_distinct(string_split(text, ' '))) * 1.0
+                                  / len(string_split(text, ' ')), 4) >= 0.5)
               SELECT lang, count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars
               FROM documents
               WHERE doc_id >= 50

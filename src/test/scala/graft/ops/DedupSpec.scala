@@ -377,6 +377,20 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(viaBroadcast == viaDistributed)
     assert(viaBroadcast.nonEmpty)
+    // the benchmark SHINGLE set broadcast is gated too (it is
+    // tokens-sized, far larger than the id set): forcing its distributed
+    // path — with and without the stopDf branch — keeps the same result
+    val viaDistShingles = Dedup.decontaminate(corpus, bench, "doc_id", "text",
+        n = 8, shingleBroadcastLimit = 0L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaDistShingles == viaBroadcast, "shingle-gate paths diverge")
+    val stopBroadcast = Dedup.decontaminate(corpus, bench, "doc_id", "text",
+        n = 8, stopDf = Some(1))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val stopDistributed = Dedup.decontaminate(corpus, bench, "doc_id", "text",
+        n = 8, stopDf = Some(1), shingleBroadcastLimit = 0L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(stopBroadcast == stopDistributed, "stopDf shingle-gate paths diverge")
     // and the forced scale path really does plan a shuffled-hash anti-join
     val plan = Dedup.decontaminate(corpus, bench, "doc_id", "text",
         n = 8, idBroadcastLimit = 0L)
