@@ -569,24 +569,64 @@ object Dedup {
     * benchmark — reaches the distinct.
     *
     * The broadcast is COUNT-GATED, not assumed (the no-small-by-
-    * construction rule): past `benchBroadcastLimit` rows the score pass
-    * becomes a distributed cartesian join — result-identical, no driver
-    * funnel, but n·m cosine work, which is inherent to EXACT semantic
-    * decontamination against a large benchmark. A benchmark comparable
-    * to the corpus is really a near-dup join — [[embeddingNearDup]]
-    * bounds that regime with LSH candidate generation instead. */
+    * construction rule). Past `benchBroadcastLimit` rows the pass is NOT
+    * an n·m cartesian (the round-7 watch item): it becomes CELL-SCOPED —
+    * a quantizer trains on the corpus∪benchmark union (sized by
+    * [[cellsFor]], switching to the two-level residual quantizer past
+    * [[HierarchicalCellsThreshold]] exactly like [[semanticDedupSized]]),
+    * the corpus indexes to its nearest cell, each benchmark row probes
+    * its `nprobe` nearest cells, and cosine runs only within a cell — an
+    * equi-join on the cell id, expected |cell| ≈ targetCellSize per
+    * probe. APPROXIMATION, documented stop-shingle-style: past the gate a
+    * corpus doc whose benchmark neighbor quantizes outside the doc's cell
+    * is missed — the standard IVF recall trade; `nprobe` widens it, and
+    * DedupSpec pins both-paths agreement on a clustered planted corpus.
+    * Under the gate the result stays EXACT (broadcast cartesian). A
+    * benchmark comparable to the corpus is really a near-dup join —
+    * [[embeddingNearDup]] bounds that regime with LSH candidate
+    * generation instead. */
   def semanticContaminatedIds(corpus: DataFrame, idCol: String, vecCol: String,
                               benchmark: DataFrame, benchVecCol: String,
                               tau: Double,
-                              benchBroadcastLimit: Long = HotShingleBroadcastLimit): DataFrame = {
+                              benchBroadcastLimit: Long = HotShingleBroadcastLimit,
+                              nprobe: Int = 4,
+                              targetCellSize: Int = SemanticTargetCellSize,
+                              seed: Long = 42L,
+                              sampleFraction: Double = 1.0,
+                              hierarchicalThreshold: Int = HierarchicalCellsThreshold): DataFrame = {
     // localCheckpoint: the benchmark feeds the count gate AND the join
     val b = benchmark.select(col(benchVecCol).as("__bv")).localCheckpoint(true)
-    val joined =
-      if (b.count() <= benchBroadcastLimit)
-        corpus.select(col(idCol).as("doc"), col(vecCol).as("__cv")).crossJoin(broadcast(b))
-      else
-        corpus.select(col(idCol).as("doc"), col(vecCol).as("__cv")).crossJoin(b)
-    joined
+    val nBench = b.count()
+    val c = corpus.select(col(idCol).as("doc"), col(vecCol).as("__cv"))
+    val scored =
+      if (nBench <= benchBroadcastLimit)
+        c.crossJoin(broadcast(b))
+      else {
+        // cell-scoped candidates (round-7 verdict #2): train on the
+        // union so benchmark-only dense regions still get cells — a
+        // quantizer trained on the corpus alone would fold an unseen
+        // benchmark cluster into whatever cell is nearest, and the
+        // corpus docs near it might quantize elsewhere
+        val union = c.select(col("__cv").as("__v"))
+          .unionAll(b.select(col("__bv").as("__v")))
+        val k = cellsFor(corpus.count() + nBench, targetCellSize)
+        // SHUFFLE_HASH on the probe side: cells are many and small; the
+        // benchmark past the gate is too big to broadcast by definition
+        if (k <= hierarchicalThreshold) {
+          val cents = Ivf.trainCentroids(union, "__v", k, seed, sampleFraction)
+          Ivf.index(c, "doc", "__cv", cents)
+            .join(Ivf.probeCells(b, "__bv", cents, nprobe).hint("SHUFFLE_HASH"),
+              Seq("cell"))
+        } else {
+          val kLevel = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+          val rq = Ivf.trainResidualQuantizer(union, "__v", kLevel, kLevel,
+            seed, sampleFraction)
+          Ivf.indexResidual(c, "doc", "__cv", rq)
+            .join(Ivf.probeCellsResidual(b, "__bv", rq, nprobe, nprobe)
+              .hint("SHUFFLE_HASH"), Seq("cell"))
+        }
+      }
+    scored
       .filter(Similarity.cosine(col("__cv"), col("__bv")) >= tau)
       .select("doc").distinct()
   }
@@ -787,9 +827,9 @@ object Dedup {
     * the checkpoint wrote every vector to the block store). The window
     * buffers one cell per task (spillable), and hot-cell rows still
     * co-locate — but their work is now linear in |cell|. */
-  private def cellPairs(idx: DataFrame, idCol: String, vecCol: String,
-                        tau: Double,
-                        hotCellThreshold: Int = HotCellThreshold): DataFrame = {
+  private[graft] def cellPairs(idx: DataFrame, idCol: String, vecCol: String,
+                               tau: Double,
+                               hotCellThreshold: Int = HotCellThreshold): DataFrame = {
     val sized = idx.withColumn("__csz",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("cell")))
     val cold = sized.filter(col("__csz") <= hotCellThreshold)

@@ -121,6 +121,52 @@ object Ivf {
         col(idCol), col(vecCol))
   }
 
+  /** (cell, vecCol) probe frame for a single-level quantizer: each row of
+    * `df` exploded to its `nprobe` nearest cells — the shape every probe
+    * consumer joins against the inverted file ([[topK]] broadcasts it; the
+    * cell-scoped decontamination path shuffles it). `nprobe` is CLAMPED to
+    * the centroid count: [[graft.functions.NearestCells]] pads with -1
+    * past it, and a -1 cell silently probes nothing (no index row carries
+    * it). */
+  private[graft] def probeCells(df: DataFrame, vecCol: String,
+                                centroids: Array[Array[Double]],
+                                nprobe: Int): DataFrame = {
+    val (m, cells, dim) = flat(centroids)
+    val np = math.min(nprobe, cells)
+    df.select(explode(nearestCells(col(vecCol), m, cells, dim, np)).as("cell"),
+      col(vecCol))
+  }
+
+  /** (cell, vecCol) probe frame on the two-level residual quantizer: each
+    * row probes its `nprobe1` nearest level-1 cells and, within each, the
+    * `nprobe2` nearest level-2 cells of its residual — nprobe1·nprobe2
+    * composite cells, pure expressions (two codegen NearestCells passes
+    * plus one dim-length residual subtraction per (row, cell1)).
+    *
+    * Both levels clamp: unclamped, __c1 = -1 makes the level-1 centroid
+    * lookup an index-0 element_at (throws), and __c2 = -1 ALIASES the
+    * composite cell c1·k2 − 1 onto the valid cell (c1−1)·k2 + (k2−1) — a
+    * silent wrong-cell probe (round-6 advisor finding). Legal small
+    * quantizers (k1 = 2) sit below the public nprobe defaults, so
+    * clamping is the builder's job, not the caller's. */
+  private[graft] def probeCellsResidual(df: DataFrame, vecCol: String,
+                                        q: ResidualQuantizer,
+                                        nprobe1: Int, nprobe2: Int): DataFrame = {
+    val (m1, k1, dim) = flat(q.level1)
+    val (m2, k2, _) = flat(q.level2)
+    val np1 = math.min(nprobe1, k1)
+    val np2 = math.min(nprobe2, k2)
+    df.select(col(vecCol))
+      .select(col(vecCol),
+        explode(nearestCells(col(vecCol), m1, k1, dim, np1)).as("__c1"))
+      .select(col(vecCol), col("__c1"),
+        explode(nearestCells(
+          zip_with(col(vecCol).cast("array<double>"),
+            element_at(typedLit(q.level1.map(_.toSeq).toSeq), col("__c1") + 1),
+            (a, b) => a - b), m2, k2, dim, np2)).as("__c2"))
+      .select((col("__c1") * k2 + col("__c2")).as("cell"), col(vecCol))
+  }
+
   /** Probe-style top-k: score only vectors in the query's `nprobe`
     * nearest cells; exact cosine within the candidate set, then
     * per-partition top-k heaps (TakeOrderedAndProject).
@@ -128,27 +174,22 @@ object Ivf {
     * Never returns short: when the probed cells hold fewer than k
     * vectors (small/imbalanced quantizer, outlier query) the query
     * falls back to the exact scan — the same ANN contract as
-    * [[Similarity.lshTopKSized]]: recall degrades, the answer is never
-    * empty. The gate counts the ≤ k probe result, not the corpus. */
+    * [[Similarity.lshTopKSized]], via the shared [[Similarity.neverShort]]
+    * gate (≤ k-row local materialization; the corpus is only counted on
+    * the failing branch, and a corpus that is itself smaller than k
+    * returns the probe instead of paying a second scan that would
+    * re-answer short). */
   def topK(emb: DataFrame, idCol: String, vecCol: String,
            query: DataFrame, queryVecCol: String, k: Int,
            centroids: Array[Array[Double]], nprobe: Int = 4): DataFrame = {
-    val (m, cells, dim) = flat(centroids)
-    // clamp: NearestCells pads with -1 past the centroid count, and a -1
-    // cell would silently probe nothing (no index row carries it)
-    val np = math.min(nprobe, cells)
     val idx = index(emb, idCol, vecCol, centroids)
     val probes = broadcast(
-      query.select(
-        explode(nearestCells(col(queryVecCol), m, cells, dim, np)).as("cell"),
-        col(queryVecCol).as("__qv")))
+      probeCells(query.select(col(queryVecCol).as("__qv")), "__qv", centroids, nprobe))
     val probed = idx.join(probes, Seq("cell"))
       .select(col(idCol), round(Similarity.cosine(col(vecCol), col("__qv")), 4).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
-      .localCheckpoint(true)
-    if (probed.count() >= k) probed
-    else Similarity.bruteForceTopK(emb, idCol, vecCol, query, queryVecCol, k)
+    Similarity.neverShort(probed, emb, idCol, vecCol, query, queryVecCol, k)
   }
 
   /** [[topK]] on the two-level residual index — the search analog of the
@@ -162,35 +203,54 @@ object Ivf {
                    query: DataFrame, queryVecCol: String, k: Int,
                    q: ResidualQuantizer,
                    nprobe1: Int = 4, nprobe2: Int = 4): DataFrame = {
-    val (m1, k1, dim) = flat(q.level1)
-    val (m2, k2, _) = flat(q.level2)
-    // clamp both levels: NearestCells pads with -1 past the centroid
-    // count. Unclamped, __c1 = -1 makes the level-1 centroid lookup an
-    // index-0 element_at (throws), and __c2 = -1 ALIASES the composite
-    // cell c1·k2 − 1 onto the valid cell (c1−1)·k2 + (k2−1) — a silent
-    // wrong-cell probe (round-6 advisor finding). Legal small quantizers
-    // (k1 = 2) sit below the public nprobe defaults, so clamping is the
-    // builder's job, not the caller's.
-    val np1 = math.min(nprobe1, k1)
-    val np2 = math.min(nprobe2, k2)
     val idx = indexResidual(emb, idCol, vecCol, q)
     val probes = broadcast(
-      query.select(col(queryVecCol).as("__qv"))
-        .select(col("__qv"),
-          explode(nearestCells(col("__qv"), m1, k1, dim, np1)).as("__c1"))
-        .select(col("__qv"), col("__c1"),
-          explode(nearestCells(
-            zip_with(col("__qv").cast("array<double>"),
-              element_at(typedLit(q.level1.map(_.toSeq).toSeq), col("__c1") + 1),
-              (a, b) => a - b), m2, k2, dim, np2)).as("__c2"))
-        .select((col("__c1") * k2 + col("__c2")).as("cell"), col("__qv")))
+      probeCellsResidual(query.select(col(queryVecCol).as("__qv")), "__qv",
+        q, nprobe1, nprobe2))
     // same never-empty contract as [[topK]]: short probe ⇒ exact scan
     val probed = idx.join(probes, Seq("cell"))
       .select(col(idCol), round(Similarity.cosine(col(vecCol), col("__qv")), 4).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
-      .localCheckpoint(true)
-    if (probed.count() >= k) probed
-    else Similarity.bruteForceTopK(emb, idCol, vecCol, query, queryVecCol, k)
+    Similarity.neverShort(probed, emb, idCol, vecCol, query, queryVecCol, k)
+  }
+
+  /** Corpus-sized IVF search — the composed entry point (round-7 verdict
+    * #1): the cell count comes from [[cellsForSearch]]; at or below
+    * `hierarchicalThreshold` cells a single-level quantizer trains and
+    * probes ([[trainCentroids]] + [[topK]]), past it the two-level
+    * residual quantizer takes over ([[trainResidualQuantizer]] at √k per
+    * level + [[topKResidual]]) — the same automatic switch
+    * [[Dedup.semanticDedupSized]] makes on the dedup side, for the same
+    * measured reason (PERF.md finding 18: one Lloyd iteration costs
+    * points·k distance evals and the driver holds k·dim centroid doubles;
+    * past ~4M vectors cellsForSearch exceeds 4096 and a single-level fit
+    * is the wrong plan). Callers should not have to know the switch
+    * exists — this is the entry point a search layer calls on a corpus of
+    * unknown size; the fixed-quantizer [[topK]]/[[topKResidual]] remain
+    * for callers that train once and serve many queries.
+    *
+    * `nprobe` carries to BOTH residual levels: nprobe₁·nprobe₂ = nprobe²
+    * composite cells at k1·k2 ≈ k cells scan about the same corpus
+    * fraction as nprobe single-level cells (nprobe²·n/k vs nprobe·n/k —
+    * one extra nprobe factor, deliberate: the two-level assignment must
+    * land a neighbor in the right cell at BOTH levels, so the probe is
+    * widened where recall is weakest; IvfSpec gates ≥ 0.8 on the switched
+    * path specifically). */
+  def topKSized(emb: DataFrame, idCol: String, vecCol: String,
+                query: DataFrame, queryVecCol: String, k: Int,
+                nprobe: Int = 4, seed: Long = 42L,
+                sampleFraction: Double = 1.0, maxIter: Int = 10,
+                hierarchicalThreshold: Int = Dedup.HierarchicalCellsThreshold): DataFrame = {
+    val cells = cellsForSearch(emb.count(), nprobe)
+    if (cells <= hierarchicalThreshold) {
+      val centroids = trainCentroids(emb, vecCol, cells, seed, sampleFraction, maxIter)
+      topK(emb, idCol, vecCol, query, queryVecCol, k, centroids, nprobe)
+    } else {
+      val kLevel = math.max(2, math.ceil(math.sqrt(cells.toDouble)).toInt)
+      val rq = trainResidualQuantizer(emb, vecCol, kLevel, kLevel, seed,
+        sampleFraction, maxIter)
+      topKResidual(emb, idCol, vecCol, query, queryVecCol, k, rq, nprobe, nprobe)
+    }
   }
 }

@@ -1066,15 +1066,16 @@ object QueryDefs {
       "c14_ann_ivf",
       (s, d) => {
         val emb = t(s, d, "embeddings")
-        // sample-trained quantizer — the 100 TB posture (train on ~10⁶
-        // sampled vectors, never the corpus); seeded, so deterministic.
-        // Cell count SIZED from the corpus (nlist ≈ √(nprobe·n)): a fixed
-        // k makes the probe a constant corpus fraction at scale.
-        val centroids = Ivf.trainCentroids(emb, "embedding",
-          k = Ivf.cellsForSearch(emb.count()),
-          sampleFraction = 0.25, maxIter = 5)
-        Ivf.topK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
-          emb.filter(col("vec_id") === 0), "embedding", k = 10, centroids, nprobe = 4)
+        // the COMPOSED sized entry point (round-7 verdict #1): cell count
+        // from cellsForSearch (nlist ≈ √(nprobe·n) — a fixed k makes the
+        // probe a constant corpus fraction at scale), sample-trained
+        // quantizer (the 100 TB posture: train on sampled vectors, never
+        // the corpus), and past HierarchicalCellsThreshold cells (~4M
+        // vectors) topKSized switches to the two-level residual quantizer
+        // automatically — the caller no longer has to know the regime.
+        Ivf.topKSized(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+          emb.filter(col("vec_id") === 0), "embedding", k = 10,
+          nprobe = 4, sampleFraction = 0.25, maxIter = 5)
       },
       None
     ),

@@ -631,6 +631,46 @@ class DedupSpec extends SparkSpec {
       s"benchmark not broadcast:\n$plan")
   }
 
+  test("past-gate semantic decon is cell-scoped, agrees with the exact path on a clustered corpus") {
+    // round-7 verdict #2: past benchBroadcastLimit the pass must NOT be
+    // an n·m cartesian — it routes through cell-scoped candidates. On a
+    // clustered corpus with near-identical benchmark copies, the copy's
+    // nearest cell IS its source's cell, so the cell path must find
+    // exactly what the exact broadcast path finds (the documented
+    // approximation only bites when a neighbor quantizes away — a
+    // non-clustered regime this spec deliberately avoids).
+    val rnd = new scala.util.Random(29)
+    val rows = for (c <- 0 until 20; centre = Array.fill(32)(rnd.nextGaussian());
+                    m <- 0 until 10)
+      yield ((c * 10 + m).toLong,
+        centre.map(v => (v + 0.02 * rnd.nextGaussian()).toFloat))
+    val corpus = rows.toDF("vec_id", "embedding")
+    // benchmark: 30 near-copies of members of clusters 0..2 (too many to
+    // broadcast under a forced 0 gate), each a tiny jitter off its source
+    val bench = rows.filter { case (id, _) => id < 30 }
+      .map { case (id, v) =>
+        (id + 10000L, v.map(x => x + 0.001f * rnd.nextGaussian().toFloat)) }
+      .toDF("bench_id", "embedding")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc").as[Long].collect().toSet
+    val exact = ids(Dedup.semanticContaminatedIds(corpus, "vec_id", "embedding",
+      bench, "embedding", tau = 0.98))
+    assert(exact.nonEmpty, "planted contamination not detected by the exact path")
+    // forced past-gate: single-level cell scoping (cellsFor(230, 8) = 29 cells)
+    val cellScoped = ids(Dedup.semanticContaminatedIds(corpus, "vec_id", "embedding",
+      bench, "embedding", tau = 0.98, benchBroadcastLimit = 0L,
+      targetCellSize = 8))
+    assert(cellScoped == exact,
+      s"cell-scoped decon diverged: missing=${exact -- cellScoped}, extra=${cellScoped -- exact}")
+    // forced past-gate AND past the hierarchical threshold: the residual
+    // quantizer branch must hold the same agreement
+    val hierScoped = ids(Dedup.semanticContaminatedIds(corpus, "vec_id", "embedding",
+      bench, "embedding", tau = 0.98, benchBroadcastLimit = 0L,
+      targetCellSize = 8, hierarchicalThreshold = 8))
+    assert(hierScoped == exact,
+      s"hierarchical cell-scoped decon diverged: missing=${exact -- hierScoped}, extra=${hierScoped -- exact}")
+  }
+
   test("nearDupPipeline: NULL texts are non-participants, all survive") {
     // groupBy(text) would fold every NULL-text row into ONE group and
     // keep only the min id; the raw path generates no pairs for them, so

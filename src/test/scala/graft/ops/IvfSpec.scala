@@ -156,6 +156,70 @@ class IvfSpec extends SparkSpec {
     assert(twoLevel.length == 10, s"two-level IVF returned ${twoLevel.length} of 10")
   }
 
+  test("topKSized routes single-level below the threshold and holds recall (gate)") {
+    // cellsForSearch(200) = 29 <= the default 4096 threshold: the sized
+    // entry point must pick the single-level quantizer and answer with
+    // recall >= 0.8 — the composed path the registered c14_ann_ivf runs
+    val rnd = new scala.util.Random(13)
+    val rows = for (c <- 0 until 20; centre = Array.fill(64)(rnd.nextGaussian());
+                    m <- 0 until 10)
+      yield ((c * 10 + m).toLong,
+        centre.map(v => (v + 0.03 * rnd.nextGaussian()).toFloat))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val q = corpus.filter($"vec_id" === 0L)
+    val rest = corpus.filter($"vec_id" =!= 0L)
+    val exact = Similarity.bruteForceTopK(rest, "vec_id", "embedding",
+      q, "embedding", k = 9).collect().map(_.getLong(0)).toSet
+    val approx = Ivf.topKSized(rest, "vec_id", "embedding", q, "embedding",
+      k = 9, nprobe = 4, maxIter = 5).collect().map(_.getLong(0)).toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    info(f"topKSized single-level recall = $recall%.2f")
+    assert(recall >= 0.8, s"topKSized single-level recall degraded to $recall")
+  }
+
+  test("topKSized switches to the residual quantizer past the threshold and holds recall (gate)") {
+    // round-7 verdict #1: the SWITCHED path specifically — force the
+    // hierarchical exit with a tiny threshold (cellsForSearch(199) = 29
+    // cells > 8), so this corpus routes through trainResidualQuantizer +
+    // topKResidual exactly as a ~4M-vector corpus would at the default
+    val rnd = new scala.util.Random(13)
+    val rows = for (c <- 0 until 20; centre = Array.fill(64)(rnd.nextGaussian());
+                    m <- 0 until 10)
+      yield ((c * 10 + m).toLong,
+        centre.map(v => (v + 0.03 * rnd.nextGaussian()).toFloat))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val q = corpus.filter($"vec_id" === 0L)
+    val rest = corpus.filter($"vec_id" =!= 0L)
+    val exact = Similarity.bruteForceTopK(rest, "vec_id", "embedding",
+      q, "embedding", k = 9).collect().map(_.getLong(0)).toSet
+    val approx = Ivf.topKSized(rest, "vec_id", "embedding", q, "embedding",
+      k = 9, nprobe = 4, maxIter = 5, hierarchicalThreshold = 8)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    info(f"topKSized hierarchical recall = $recall%.2f")
+    assert(recall >= 0.8, s"topKSized switched-path recall degraded to $recall")
+    // and the switched path keeps the never-short contract
+    assert(approx.size == 9)
+  }
+
+  test("a corpus smaller than k answers with the whole corpus, not a second scan (ADVICE r7 #4)") {
+    // 3 vectors, k = 5: the probe scores everything; the old gate then
+    // ALSO ran the brute-force scan only to return the same 3 rows. The
+    // answer must be the full corpus, exactly once, in exact order.
+    val rnd = new scala.util.Random(7)
+    val corpus = (0L until 3L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val q = corpus.filter($"vec_id" === 0L)
+    val centroids = Ivf.trainCentroids(corpus, "embedding", k = 2, maxIter = 5)
+    val out = Ivf.topK(corpus, "vec_id", "embedding", q, "embedding",
+      k = 5, centroids, nprobe = 2).collect()
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      q, "embedding", k = 5).collect()
+    assert(out.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      exact.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    assert(out.length == 3)
+  }
+
   test("probing more cells can only grow the candidate set") {
     val emb = graft.engine.Tables.read(spark, sf0001, "embeddings")
     val centroids = Ivf.trainCentroids(emb, "embedding", k = 8, maxIter = 5)
