@@ -29,9 +29,27 @@ object PrestoCompat {
 
   /** Rewrite Presto-spelled fragments to Spark grammar; apply to raw
     * `condition`/`fields` strings before Catalyst parses them (the
-    * QueryBuilder pass-through does). Idempotent. */
-  def rewriteDialect(sql: String): String =
-    DateDiffUnit.replaceAllIn(sql, m => s"${m.group(1)}(${m.group(2)},")
+    * QueryBuilder pass-through does). Idempotent.
+    *
+    * Quote-aware (round-7 advisor): `date_diff('day',` occurring INSIDE a
+    * single-quoted string literal is content, not syntax — rewriting it
+    * would corrupt the literal before Catalyst ever parses it. A match is
+    * applied only when it STARTS outside every literal span; the scan
+    * treats `''` as the embedded-quote escape (two toggles, net
+    * unchanged). */
+  def rewriteDialect(sql: String): String = {
+    val inLit = new Array[Boolean](sql.length)
+    var q = false
+    var i = 0
+    while (i < sql.length) {
+      if (sql.charAt(i) == '\'') { inLit(i) = true; q = !q }
+      else inLit(i) = q
+      i += 1
+    }
+    DateDiffUnit.replaceAllIn(sql, m =>
+      if (inLit(m.start)) scala.util.matching.Regex.quoteReplacement(m.matched)
+      else s"${m.group(1)}(${m.group(2)},")
+  }
 
   def register(spark: SparkSession): Unit = {
     // strpos(string, substring) -> 1-based position, 0 if absent

@@ -1102,8 +1102,14 @@ object QueryDefs {
     ),
 
     // C14 memory lever: exact top-k over int8-quantized embeddings (4x
-    // smaller column; rows-only — quantization rounding isn't portable
-    // SQL; recall vs float is spec-pinned).
+    // smaller column). ORACLED (round-7 verdict #4): symmetric int8
+    // quantization is deterministic arithmetic, so DuckDB can mirror it
+    // bit-for-bit — the float32 steps are pinned with REAL casts
+    // (qscale is stored float32; a dequantized element is an IEEE float32
+    // product, which equals the exact double product rounded to REAL),
+    // everything else runs in double exactly like the Spark side
+    // (Divide coerces float inputs to double; CosineSim accumulates in
+    // double over array<double> casts).
     QueryDef(
       "c14_quantized_topk",
       (s, d) => {
@@ -1113,7 +1119,24 @@ object QueryDefs {
           emb.filter(col("vec_id") =!= 0), "vec_id", "deq",
           emb.filter(col("vec_id") === 0), "deq", k = 10)
       },
-      None
+      Some("""WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                                generate_subscripts(embedding, 1) AS i
+                         FROM embeddings),
+                s AS (SELECT vec_id, CAST(max(abs(v)) / 127.0 AS REAL) AS qscale
+                      FROM x GROUP BY vec_id),
+                dq AS (SELECT x.vec_id, x.i,
+                              CAST(CAST(CASE WHEN s.qscale = 0 THEN 0.0
+                                   ELSE round(x.v / CAST(s.qscale AS DOUBLE))
+                                        * CAST(s.qscale AS DOUBLE) END AS REAL)
+                                   AS DOUBLE) AS dv
+                       FROM x JOIN s ON x.vec_id = s.vec_id),
+                q AS (SELECT i, dv FROM dq WHERE vec_id = 0),
+                e AS (SELECT vec_id, i, dv FROM dq WHERE vec_id <> 0),
+                dots AS (SELECT e.vec_id, sum(e.dv * q.dv) AS dot,
+                                sum(e.dv * e.dv) AS ne, sum(q.dv * q.dv) AS nq
+                         FROM e JOIN q ON e.i = q.i GROUP BY e.vec_id)
+              SELECT vec_id, round(dot / (sqrt(ne) * sqrt(nq)), 4) AS sim
+              FROM dots ORDER BY sim DESC, vec_id LIMIT 10""")
     ),
 
     // ── C15: text analysis ─────────────────────────────────────────────
@@ -1572,7 +1595,8 @@ object QueryDefs {
                                      / len(string_split(text, ' ')), 4) >= 0.5),
                 kept AS (SELECT d.* FROM documents d JOIN q USING (doc_id)
                          WHERE lang IN ('en', 'es', 'de', 'fr')),
-                reps AS (SELECT min(doc_id) AS doc_id, text FROM kept GROUP BY text),
+                reps AS (SELECT min(doc_id) AS doc_id, text FROM kept
+                         WHERE text IS NOT NULL GROUP BY text),
                 toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM reps),
                 sh AS (SELECT DISTINCT doc_id AS doc, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
                        FROM toks, UNNEST(generate_series(1, len(ws) - 2)) t(i)),
@@ -1586,8 +1610,9 @@ object QueryDefs {
                          JOIN cnt ca ON ca.doc = doc_a JOIN cnt cb ON cb.doc = doc_b
                          WHERE common * 1.0 / (ca.n_sh + cb.n_sh - common) >= 0.6)
               SELECT lang, count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars
-              FROM kept WHERE doc_id IN (SELECT doc_id FROM reps)
-                AND doc_id NOT IN (SELECT doc_b FROM dups)
+              FROM kept WHERE text IS NULL
+                OR (doc_id IN (SELECT doc_id FROM reps)
+                    AND doc_id NOT IN (SELECT doc_b FROM dups))
               GROUP BY lang""")
     ),
 

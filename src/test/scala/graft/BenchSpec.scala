@@ -33,6 +33,29 @@ class BenchSpec extends SparkSpec {
     assert(json.contains(""""metric":"total""""), json)
   }
 
+  test("compact stdout line fits the driver tail window, keeps errors, counts omissions") {
+    // round-7 verdict #3: the driver's ~2000-char stdout tail truncated
+    // the full line three rounds running. The compact line must ALWAYS
+    // fit, stay parseable, keep every error, and make the cut explicit.
+    val results: Map[String, (Double, Option[String])] =
+      (1 to 200).map(i => f"query_with_a_long_name_$i%03d" -> (i / 100.0, None)).toMap +
+        ("exploder" -> (0.01, Some("RuntimeException: boom")))
+    val line = Bench.compactJson(results, "/root/testdata/sf0.1", "/tmp/x.json")
+    assert(line.length <= 1750, s"compact line ${line.length} bytes")
+    assert(line.count(_ == '{') == line.count(_ == '}'), s"unbalanced: $line")
+    assert(line.contains(""""exploder":"RuntimeException: boom""""), line)
+    assert(line.contains(""""failed":1"""), line)
+    assert(line.contains(""""sf":"sf0.1""""), line)
+    // slowest entries survive the cut; the omitted count owns the rest
+    assert(line.contains(""""query_with_a_long_name_200":2.00"""), line)
+    val omitted = """"omitted":(\d+)""".r.findFirstMatchIn(line).map(_.group(1).toInt)
+    assert(omitted.exists(_ > 0), s"no omitted count in $line")
+    // and a small surface is NOT cut at all
+    val small = Bench.compactJson(
+      Map("a" -> (0.5, None), "b" -> (1.5, None)), "/x/sf0.01", "/tmp/x.json")
+    assert(small.contains(""""omitted":0""") && small.contains(""""a":0.500"""), small)
+  }
+
   test("driver contract: every oracle has a query, names are driver-safe, entry smokes") {
     // the driver joins oracleSql to queries BY NAME and embeds names in
     // file paths / JSON keys — an orphaned oracle or an exotic name fails

@@ -75,6 +75,13 @@ class PrestoCompatSpec extends SparkSpec {
     // idempotent (already-unquoted stays put)
     assert(PrestoCompat.rewriteDialect("date_diff(day, a, b)") ==
       "date_diff(day, a, b)")
+    // quote-aware (round-7 advisor): a date_diff SPELLING inside a string
+    // literal is content — only the real call outside the literal rewrites
+    assert(PrestoCompat.rewriteDialect(
+      "note = 'see date_diff(''day'', x) docs' AND date_diff('day', a, b) > 1") ==
+      "note = 'see date_diff(''day'', x) docs' AND date_diff(day, a, b) > 1")
+    assert(PrestoCompat.rewriteDialect("msg LIKE '%date_diff(''hour'', t)%'") ==
+      "msg LIKE '%date_diff(''hour'', t)%'")
     val r = spark.sql(PrestoCompat.rewriteDialect(
       """SELECT date_diff(DATE'2024-03-01', DATE'2024-02-01') AS native_days,
                 date_diff('day', DATE'2024-02-01', DATE'2024-03-01') AS presto_days,
