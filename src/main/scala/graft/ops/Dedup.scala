@@ -302,8 +302,9 @@ object Dedup {
     *
     * `pairsOf` receives the (idCol, textCol) rep frame and must return
     * (doc_a, doc_b) pairs with doc_a < doc_b — any of the band-join
-    * generators partially applied. Scale shape: the rep collapse is one
-    * groupBy(text) with map-side partial aggregation; the final
+    * generators partially applied. Scale shape: the rep collapse is
+    * digest-keyed ([[repCollapse]] — the exchange never carries document
+    * text, only (length, xxhash64) digests and ids); the final
     * membership expansion is the same count-gated anti-join-free
     * semi-join both [[removeNearDups]] paths use (kept-rep ids broadcast
     * under the gate, SHUFFLE_HASH past it). */
@@ -317,9 +318,8 @@ object Dedup {
     // preserve the survivor equivalence (spec-pinned).
     val withText = docs.filter(col(textCol).isNotNull)
     val nullText = docs.filter(col(textCol).isNull)
-    val reps = withText.groupBy(col(textCol))
-      .agg(min(col(idCol)).as(idCol))
-      .select(col(idCol), col(textCol))
+    val reps = repCollapse(withText, idCol, textCol,
+      idBroadcastLimit = idBroadcastLimit)
     // localCheckpoint: the kept-rep id set feeds the count gate AND the
     // final semi-join; materialize the whole pair pipeline once
     val keptIds = removeNearDups(reps, idCol, pairsOf(reps), idBroadcastLimit)
@@ -330,6 +330,68 @@ object Dedup {
       else
         withText.join(keptIds.hint("SHUFFLE_HASH"), withText(idCol) === keptIds("__keep"), "left_semi")
     kept.unionAll(nullText)
+  }
+
+  /** Exact-duplicate representative collapse keyed by DIGESTS, never by
+    * document text (round-7 verdict #7). `groupBy(text)` ships whole
+    * documents as the shuffle KEY: hash-partitioning, aggregate hash
+    * tables, and every merge comparison run over multi-KB strings. Here
+    * the collapse aggregates over (length(text), xxhash64(text)) — the
+    * exchange carries ~24-byte digest rows plus the min id, and the
+    * surviving reps' TEXT is recovered by the same count-gated id
+    * semi-join every removal path uses: under `idBroadcastLimit` the
+    * corpus text never shuffles at all (broadcast id set, map-side
+    * filter); past it the corpus pays one hash partition on the 8-byte
+    * id, still never on the text.
+    *
+    * In-group equality verify: a digest COLLISION (two different texts
+    * in one digest group) would silently merge two dup groups, so each
+    * group also aggregates min/max of an INDEPENDENT second hash — any
+    * disagreement routes the whole group through the exact
+    * `groupBy(text)` collapse (count-gated like everything else). A
+    * collision silent to the verify needs distinct texts agreeing on
+    * length AND two independent 64-bit hashes (~2⁻¹²⁸ per pair, ~10⁻²¹
+    * across a 10⁹-doc corpus) — quantified here, not assumed away;
+    * DedupSpec forces the collided branch with a degenerate digest and
+    * pins equivalence to `groupBy(text)`.
+    *
+    * `digests` is injectable for that spec only; production callers use
+    * the default. Returns (idCol, textCol) rep rows. */
+  private[graft] def repCollapse(withText: DataFrame, idCol: String, textCol: String,
+                                 digests: Seq[Column] = Nil,
+                                 idBroadcastLimit: Long = HotShingleBroadcastLimit): DataFrame = {
+    val dg = if (digests.nonEmpty) digests
+             else Seq(length(col(textCol)), xxhash64(col(textCol)))
+    val dgCols = dg.zipWithIndex.map { case (c, i) => c.as(s"__d$i") }
+    val dgNames = dg.indices.map(i => s"__d$i")
+    val h2 = xxhash64(col(textCol), lit(2L))
+    val keyed = withText.select(col(idCol) +: col(textCol) +: dgCols: _*)
+    // localCheckpoint: digest+id rows only (the text stays columnar in
+    // the source scan); feeds two count gates and both joins below
+    val groups = keyed
+      .groupBy(dgNames.map(col): _*)
+      .agg(min(col(idCol)).as("__rid"),
+        (min(h2) =!= max(h2)).as("__collided"))
+      .localCheckpoint(true)
+    val cleanIds = groups.filter(!col("__collided")).select(col("__rid").as("__keep"))
+    val cleanReps =
+      if (cleanIds.count() <= idBroadcastLimit)
+        withText.join(broadcast(cleanIds), withText(idCol) === cleanIds("__keep"), "left_semi")
+          .select(col(idCol), col(textCol))
+      else
+        withText.join(cleanIds.hint("SHUFFLE_HASH"), withText(idCol) === cleanIds("__keep"), "left_semi")
+          .select(col(idCol), col(textCol))
+    val collidedKeys = groups.filter(col("__collided")).select(dgNames.map(col): _*)
+    if (collidedKeys.count() == 0L) cleanReps
+    else {
+      val members =
+        if (collidedKeys.count() <= idBroadcastLimit)
+          keyed.join(broadcast(collidedKeys), dgNames, "left_semi")
+        else keyed.join(collidedKeys.hint("SHUFFLE_HASH"), dgNames, "left_semi")
+      val exact = members.groupBy(col(textCol)).agg(min(col(idCol)).as(idCol))
+        .select(col(idCol), col(textCol))
+      cleanReps.unionAll(exact)
+    }
   }
 
   /** Connected components over a duplicate-pair graph: transitive closure

@@ -125,6 +125,34 @@ object Streaming {
       .drop("__bench")
   }
 
+  /** Streaming-ingest SEMANTIC decontamination (round-7 verdict #8): the
+    * embedding analog of [[decontaminateStream]], completing ingest-side
+    * parity with the batch curation v4 pair (n-gram + semantic). Drops
+    * stream rows whose embedding sits within cosine `tau` of ANY
+    * benchmark vector AS THEY ARRIVE. Stateless: the (static,
+    * eval-set-sized) benchmark rides in as ONE broadcast-joined row
+    * holding all its vectors; the per-row test is an `exists` over that
+    * array with the codegen [[graft.ops.Similarity.cosine]] — no stream
+    * state, no shuffle, identical in batch (the stream==batch spec pins
+    * it against [[graft.ops.Dedup.semanticDecontaminate]]). A benchmark
+    * too large to ride one broadcast row is the batch path's cell-scoped
+    * regime ([[graft.ops.Dedup.semanticContaminatedIds]]) — ingest-side
+    * decon is against eval sets, which broadcast by construction. */
+  def semanticDecontaminateStream(docs: DataFrame, benchmark: DataFrame,
+                                  idCol: String, vecCol: String,
+                                  benchVecCol: String, tau: Double): DataFrame = {
+    // localCheckpoint: the static side re-evaluates every micro-batch —
+    // materialize the packed benchmark once
+    val bench = benchmark
+      .agg(collect_list(col(benchVecCol).cast("array<double>")).as("__bvs"))
+      .localCheckpoint(true)
+    docs
+      .join(broadcast(bench)) // 1-row cross join: the static benchmark side
+      .filter(!exists(col("__bvs"),
+        bv => graft.ops.Similarity.cosine(col(vecCol), bv) >= tau))
+      .drop("__bvs")
+  }
+
   /** End-to-end ingest-side curation — the streaming analog of the batch
     * `c24_curation_v2` pipeline: scrub PII → drop low-lexical-diversity
     * docs → drop benchmark-contaminated docs → exact-dedup by content

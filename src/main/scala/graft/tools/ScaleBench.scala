@@ -92,6 +92,21 @@ object ScaleBench {
     def noop(df: DataFrame): Long = {
       df.write.format("noop").mode("overwrite").save(); 0L
     }
+    // total shuffle-write bytes across every job `body` runs (listener
+    // bus is async — drain with a beat before reading; good to the
+    // megabyte, which is all the comparison needs)
+    def shuffledBytes(body: => Unit): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong(0L)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) acc.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try body finally { Thread.sleep(1500); spark.sparkContext.removeSparkListener(l) }
+      acc.get()
+    }
 
     // warm codegen/shuffle paths untimed so x1 doesn't absorb JVM startup
     Dedup.jaccardNearDup(base.limit(1000), "doc_id", "text",
@@ -253,6 +268,17 @@ object ScaleBench {
           .join(broadcast(qIdx), Seq("table", "bucket"))
           .select("vec_id").distinct().count()
       }
+      // digest-keyed rep collapse (round-7 verdict #7): shuffle-write
+      // bytes of the old groupBy(full text) collapse vs repCollapse —
+      // the digest form's exchange carries (length, xxhash64, id) rows
+      // and recovers rep text through the gated broadcast semi-join, so
+      // its shuffled bytes must drop to ~digest volume while the text
+      // form ships every distinct document through the exchange
+      val bytesTextKey = shuffledBytes(noop(
+        docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"), col("text"))))
+      val bytesDigestKey = shuffledBytes(noop(
+        Dedup.repCollapse(docs, "doc_id", "text")))
       // search-side finding 18 (round-7 verdict #1): at the SIZED search
       // cell count (cellsForSearch = √(4n)) one Lloyd iteration costs
       // points·k distance evals, so the single-level wall grows ~n^1.5
@@ -322,6 +348,7 @@ object ScaleBench {
         f"decon=$tDec%5.2fs dist=$tDecD%5.2fs sdec=$tSdec%5.2fs pack=$tPack%5.2fs line=$tLine%5.2fs | " +
         f"sem=$tSem%5.2fs($nSem%6d,k=$kCells) sem2=$tSem2%5.2fs($nSem2%6d,k=$kLevel²) " +
         f"bigram=$tBig%5.2fs cur2=$tCur%5.2fs | " +
+        f"repKey=${bytesTextKey / 1048576}%4dMB->${bytesDigestKey / 1048576}%dMB " +
         f"skew=$tSkewTr%5.2fs+$tSkew%5.2fs($nSkewPairs%6d,hot256=$hot256,hotDef=$hotDefault) " +
         f"probe=$tProbe%5.2fs($nProbeCand%5d) " +
         f"ivfTr=$tIvfTr1%5.2fs/$tIvfTr2%5.2fs(k=$kSearch) " +

@@ -691,6 +691,55 @@ class DedupSpec extends SparkSpec {
     assert(viaPipeline == viaRaw)
   }
 
+  test("digest-keyed rep collapse equals groupBy(text), on every branch") {
+    // round-7 verdict #7: the collapse exchange must carry digests, not
+    // document text — same reps as groupBy(text) regardless
+    val rnd = new scala.util.Random(23)
+    val texts = (0 until 30).map(_ =>
+      Seq.fill(8)(("w" + rnd.nextInt(40))).mkString(" "))
+    // each text appears 1-4x with distinct ids
+    val docs = texts.zipWithIndex.flatMap { case (t, i) =>
+      (0 to i % 4).map(r => ((i * 10 + r).toLong, t)) }
+      .toDF("doc_id", "text")
+    val expected = docs.groupBy($"text").agg(min($"doc_id").as("doc_id"))
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    def got(reps: org.apache.spark.sql.DataFrame) =
+      reps.as[(Long, String)].collect().toSet
+    // default digests (clean branch)
+    assert(got(Dedup.repCollapse(docs, "doc_id", "text")) == expected)
+    // past-gate id semi-join (SHUFFLE_HASH)
+    assert(got(Dedup.repCollapse(docs, "doc_id", "text",
+      idBroadcastLimit = 0L)) == expected)
+    // FORCED collision: a degenerate digest folds every text into one
+    // group — the second-hash verify must detect it and route everything
+    // through the exact groupBy(text) fallback
+    assert(got(Dedup.repCollapse(docs, "doc_id", "text",
+      digests = Seq(lit(0L)))) == expected)
+    // forced collision AND past-gate member join
+    assert(got(Dedup.repCollapse(docs, "doc_id", "text",
+      digests = Seq(lit(0L)), idBroadcastLimit = 0L)) == expected)
+    // all-identical corpus: one group, verify stays quiet, min id wins
+    val same = (0L until 5L).map((_, "same text for all rows here")).toDF("doc_id", "text")
+    assert(got(Dedup.repCollapse(same, "doc_id", "text")) ==
+      Set((0L, "same text for all rows here")))
+  }
+
+  test("rep collapse never ships text through a shuffle on the clean gated path") {
+    // the scale claim itself, pinned on the plan: the digest aggregate
+    // exchanges digest+id rows only (it runs inside the checkpoint), and
+    // under the id-broadcast gate the text-carrying side of the returned
+    // frame is a broadcast semi-join — ZERO shuffle exchanges downstream
+    // of the corpus scan
+    val docs = (0L until 50L).map(i => (i, s"document body number ${i % 7}"))
+      .toDF("doc_id", "text")
+    val plan = Dedup.repCollapse(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"rep id set not broadcast under the gate:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"corpus text shuffled on the gated clean path:\n$plan")
+  }
+
   test("nearDupPipeline collapses exact dups before the band join (linear pair volume)") {
     // round-6 verdict #3: m identical docs share every band, so a raw
     // band join emits C(m,2) TRUE-positive pairs — here C(500,2) =

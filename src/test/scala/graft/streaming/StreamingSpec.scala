@@ -312,6 +312,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == Set(2L, 3L, 4L))
   }
 
+  test("streaming semantic decontamination equals the batch path (stateless, per-row)") {
+    // round-7 verdict #8: the embedding analog of decontaminateStream —
+    // the benchmark's vectors ride ONE broadcast row, the per-row test is
+    // an exists over codegen cosine; stream==batch pinned against
+    // Dedup.semanticDecontaminate
+    val rnd = new scala.util.Random(31)
+    val b0 = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val b1 = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val vecs = Seq(
+      (1L, b0.map(x => x + 0.01f)),                       // near b0 -> dropped
+      (2L, Array.fill(16)(rnd.nextGaussian().toFloat)),   // unrelated -> kept
+      (3L, b1.map(x => x - 0.005f)),                      // near b1 -> dropped
+      (4L, Array.fill(16)(rnd.nextGaussian().toFloat)))   // unrelated -> kept
+    val bench = Seq((10L, b0), (11L, b1)).toDF("bench_id", "embedding")
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Streaming.semanticDecontaminateStream(
+        mem.toDF().toDF("vec_id", "embedding"), bench,
+        "vec_id", "embedding", "embedding", tau = 0.95)
+      .writeStream.format("memory").queryName("sink_sdec")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // two micro-batches: stateless filter, arrival order is free
+      mem.addData(vecs.take(2)); q.processAllAvailable()
+      mem.addData(vecs.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sink_sdec").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val batch = graft.ops.Dedup.semanticDecontaminate(
+        vecs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        bench, "embedding", tau = 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(streamed == Set(2L, 4L))
+  }
+
   test("curateStream: scrub -> quality -> decontaminate -> fingerprint dedup on ingest") {
     val bench = Seq((100L, "held out alpha beta gamma delta epsilon zeta eta theta"))
       .toDF("doc_id", "text")
