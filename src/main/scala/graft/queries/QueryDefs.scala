@@ -770,6 +770,20 @@ object QueryDefs {
               FROM documents GROUP BY text""")
     ),
 
+    // C12/C13 bridge, new in round 8: the digest-keyed representative
+    // collapse (repCollapse — the exchange carries (length, xxhash64)
+    // digests and ids, never document text; rep text returns through the
+    // count-gated id semi-join). Same answer as GROUP BY text, which is
+    // exactly what the oracle checks.
+    QueryDef(
+      "c13_rep_collapse",
+      (s, d) => Dedup.repCollapse(
+          t(s, d, "documents").filter(col("text").isNotNull), "doc_id", "text")
+        .select(col("doc_id"), md5(col("text")).as("text_md5")),
+      Some("""SELECT min(doc_id) AS doc_id, md5(text) AS text_md5
+              FROM documents WHERE text IS NOT NULL GROUP BY text""")
+    ),
+
     // C13 exact flavor: 3-gram shingle Jaccard ≥ 0.6 via inverted-index
     // self-join (no cross join). maxDf=100 drops stop-shingles — the
     // quadratic-pair cut that keeps pair-gen near-linear at scale; the
