@@ -70,12 +70,20 @@ object Bench {
     * at the durable copies that hold every entry. */
   def compactJson(results: Map[String, (Double, Option[String])], sfDir: String,
                   fullPath: String, budget: Int = 1750): String = {
-    val errs = errsOf(results)
+    // the error section is capped too (review round 8): a mass-failure
+    // regression (bad sfDir, broken table reader) would otherwise put
+    // ~100 error entries on the one line that must fit the window —
+    // head-truncating it in exactly the run where parsing matters most.
+    // First few errors with clipped messages + an explicit overflow
+    // count; the full line in the durable files keeps every message.
+    val errsAll = results.collect { case (k, (_, Some(e))) => (k, e) }.toSeq.sortBy(_._1)
+    val errs = errsAll.take(8).map { case (k, e) => s"\"$k\":\"${e.take(60)}\"" }
     val total = results.values.map(_._1).sum
     val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{"""
     def suffix(omitted: Int) =
       s"""},"omitted":$omitted,"errors":${errs.mkString("{", ",", "}")},""" +
-        s""""failed":${errs.size},"sf":"${new java.io.File(sfDir).getName}",""" +
+        s""""errors_omitted":${errsAll.size - errs.size},""" +
+        s""""failed":${errsAll.size},"sf":"${new java.io.File(sfDir).getName}",""" +
         s""""full":"$fullPath"}"""
     // slowest first, name tiebreak; greedy fill under the byte budget
     val entries = results.toSeq.sortBy { case (n, (v, _)) => (-v, n) }
@@ -142,7 +150,10 @@ object Bench {
     // complete inside the driver's window.
     try spark.stop() catch { case NonFatal(_) => () }
     println(json)
-    println(compactJson(results, sfDir, out))
+    // the pointer names the DURABLE repo-root copy, not the volatile
+    // /tmp one (review round 8): a reader following it after /tmp is
+    // cleaned must still find every entry
+    println(compactJson(results, sfDir, "/root/repo/BENCH_FULL.json"))
     System.out.flush()
     if (failed > 0) sys.exit(1)
   }

@@ -36,15 +36,23 @@ object PrestoCompat {
     * would corrupt the literal before Catalyst ever parses it. A match is
     * applied only when it STARTS outside every literal span; the scan
     * treats `''` as the embedded-quote escape (two toggles, net
-    * unchanged). */
+    * unchanged) and `\'` inside a literal as Spark's backslash escape
+    * (both chars are content, no toggle — review round 8: mis-tracking
+    * it would flip the parity and suppress rewriting a GENUINE
+    * date_diff later in the fragment). */
   def rewriteDialect(sql: String): String = {
     val inLit = new Array[Boolean](sql.length)
     var q = false
     var i = 0
     while (i < sql.length) {
-      if (sql.charAt(i) == '\'') { inLit(i) = true; q = !q }
-      else inLit(i) = q
-      i += 1
+      val c = sql.charAt(i)
+      if (q && c == '\\' && i + 1 < sql.length) {
+        inLit(i) = true; inLit(i + 1) = true; i += 2
+      } else {
+        if (c == '\'') { inLit(i) = true; q = !q }
+        else inLit(i) = q
+        i += 1
+      }
     }
     DateDiffUnit.replaceAllIn(sql, m =>
       if (inLit(m.start)) scala.util.matching.Regex.quoteReplacement(m.matched)

@@ -382,10 +382,11 @@ object Dedup {
         withText.join(cleanIds.hint("SHUFFLE_HASH"), withText(idCol) === cleanIds("__keep"), "left_semi")
           .select(col(idCol), col(textCol))
     val collidedKeys = groups.filter(col("__collided")).select(dgNames.map(col): _*)
-    if (collidedKeys.count() == 0L) cleanReps
+    val nCollided = collidedKeys.count()
+    if (nCollided == 0L) cleanReps
     else {
       val members =
-        if (collidedKeys.count() <= idBroadcastLimit)
+        if (nCollided <= idBroadcastLimit)
           keyed.join(broadcast(collidedKeys), dgNames, "left_semi")
         else keyed.join(collidedKeys.hint("SHUFFLE_HASH"), dgNames, "left_semi")
       val exact = members.groupBy(col(textCol)).agg(min(col(idCol)).as(idCol))
@@ -700,10 +701,20 @@ object Dedup {
                             benchmark: DataFrame, benchVecCol: String,
                             tau: Double,
                             idBroadcastLimit: Long = HotShingleBroadcastLimit,
-                            benchBroadcastLimit: Long = HotShingleBroadcastLimit): DataFrame =
+                            benchBroadcastLimit: Long = HotShingleBroadcastLimit,
+                            nprobe: Int = 4,
+                            targetCellSize: Int = SemanticTargetCellSize,
+                            seed: Long = 42L,
+                            sampleFraction: Double = 1.0,
+                            hierarchicalThreshold: Int = HierarchicalCellsThreshold): DataFrame =
+    // the cell-scoped knobs plumb through (review round 8): past the
+    // bench gate the wrapper's result is an approximation governed by
+    // nprobe/targetCellSize — public-API callers need the same levers
+    // the inner function exposes, not a forced bypass
     removeIds(corpus, idCol,
       semanticContaminatedIds(corpus, idCol, vecCol, benchmark, benchVecCol, tau,
-        benchBroadcastLimit),
+        benchBroadcastLimit, nprobe, targetCellSize, seed, sampleFraction,
+        hierarchicalThreshold),
       idBroadcastLimit)
 
   /** Embedding-cosine near-dup pairs; delegates candidate generation to

@@ -163,7 +163,7 @@ object Similarity {
                         k: Int, baseTables: Int = 8, dim: Int = 64,
                         seed: Long = 42L): DataFrame = {
     val planes = probePlanesFor(emb.count())
-    val tables = baseTables + math.max(0, planes - 4)
+    val tables = probeTablesFor(planes, baseTables)
     val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"))
     val qIdx = broadcast(lshIndex(q, "query_id", "__qv", tables, planes, dim, seed))
     // localCheckpoint: the ≤ |queries|·k probe result feeds the fallback
@@ -214,6 +214,15 @@ object Similarity {
     else bruteForceTopK(emb, idCol, vecCol, query, queryVecCol, k)
   }
 
+  /** Table compensation for occupancy-sized probes: one extra table per
+    * plane over the floor restores per-table recall decay as planes grow.
+    * Shared by [[lshTopKSized]] / [[lshTopKBatchSized]] and the
+    * ScaleBench probe audits (review round 8: a hand-copied formula in
+    * the audit can silently diverge from the code it claims to
+    * measure). */
+  def probeTablesFor(planes: Int, baseTables: Int = 8): Int =
+    baseTables + math.max(0, planes - 4)
+
   /** Occupancy-sized PROBE plane count — deliberately NOT [[planesFor]].
     * A probe wants each bucket to hold ~`targetBucketSize` corpus vectors
     * (planes = ⌈log₂(n / target)⌉), so the per-query scanned set is
@@ -249,7 +258,7 @@ object Similarity {
                    baseTables: Int = 8, dim: Int = 64,
                    seed: Long = 42L): DataFrame = {
     val planes = probePlanesFor(emb.count())
-    val tables = baseTables + math.max(0, planes - 4)
+    val tables = probeTablesFor(planes, baseTables)
     // [[neverShort]] materializes the ≤ k-row probe as a local relation —
     // the corpus is scanned once, by the probe itself
     neverShort(

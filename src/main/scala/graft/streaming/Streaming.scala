@@ -134,23 +134,35 @@ object Streaming {
     * holding all its vectors; the per-row test is an `exists` over that
     * array with the codegen [[graft.ops.Similarity.cosine]] — no stream
     * state, no shuffle, identical in batch (the stream==batch spec pins
-    * it against [[graft.ops.Dedup.semanticDecontaminate]]). A benchmark
-    * too large to ride one broadcast row is the batch path's cell-scoped
-    * regime ([[graft.ops.Dedup.semanticContaminatedIds]]) — ingest-side
-    * decon is against eval sets, which broadcast by construction. */
+    * it against [[graft.ops.Dedup.semanticDecontaminate]]).
+    *
+    * The packed row is COUNT-GATED, not assumed small (the
+    * no-small-by-construction rule — review round 8): past
+    * `benchBroadcastLimit` rows the filter becomes a stream-static LEFT
+    * ANTI join on the cosine condition — per-micro-batch, distributed,
+    * no single-row funnel (both-paths spec). A benchmark at that scale
+    * is the batch path's cell-scoped regime
+    * ([[graft.ops.Dedup.semanticContaminatedIds]]); the stream form
+    * stays exact and pays the per-batch n·m scoring. */
   def semanticDecontaminateStream(docs: DataFrame, benchmark: DataFrame,
                                   idCol: String, vecCol: String,
-                                  benchVecCol: String, tau: Double): DataFrame = {
+                                  benchVecCol: String, tau: Double,
+                                  benchBroadcastLimit: Long =
+                                    graft.ops.Dedup.HotShingleBroadcastLimit): DataFrame = {
     // localCheckpoint: the static side re-evaluates every micro-batch —
-    // materialize the packed benchmark once
-    val bench = benchmark
-      .agg(collect_list(col(benchVecCol).cast("array<double>")).as("__bvs"))
+    // materialize the benchmark once; it also feeds the count gate
+    val b = benchmark.select(col(benchVecCol).cast("array<double>").as("__bv"))
       .localCheckpoint(true)
-    docs
-      .join(broadcast(bench)) // 1-row cross join: the static benchmark side
-      .filter(!exists(col("__bvs"),
-        bv => graft.ops.Similarity.cosine(col(vecCol), bv) >= tau))
-      .drop("__bvs")
+    if (b.count() <= benchBroadcastLimit) {
+      val bench = b.agg(collect_list(col("__bv")).as("__bvs")).localCheckpoint(true)
+      docs
+        .join(broadcast(bench)) // 1-row cross join: the static benchmark side
+        .filter(!exists(col("__bvs"),
+          bv => graft.ops.Similarity.cosine(col(vecCol), bv) >= tau))
+        .drop("__bvs")
+    } else
+      docs.join(b,
+        graft.ops.Similarity.cosine(col(vecCol), col("__bv")) >= tau, "left_anti")
   }
 
   /** End-to-end ingest-side curation — the streaming analog of the batch

@@ -258,7 +258,7 @@ object ScaleBench {
       // behind probePlanesFor (the pair-path `annS` column can't show it)
       val (tProbe, nProbeCand) = timeIt {
         val planes = Similarity.probePlanesFor(nVecs)
-        val tables = 8 + math.max(0, planes - 4)
+        val tables = Similarity.probeTablesFor(planes)
         val qIdx = Similarity.lshIndex(
           emb.filter(col("vec_id") === 0).select(col("embedding").as("__qv")),
           "__qv", "__qv", tables, planes)
@@ -307,7 +307,7 @@ object ScaleBench {
         corpusB, "vec_id", "embedding", qBatch, "vec_id", "embedding", k = 10)))
       val (nPbCand, nPbFallback) = {
         val planesB = Similarity.probePlanesFor(nVecs - 5)
-        val tablesB = 8 + math.max(0, planesB - 4)
+        val tablesB = Similarity.probeTablesFor(planesB)
         val perQuery = Similarity.lshIndex(corpusB, "vec_id", "embedding",
             tablesB, planesB)
           .join(broadcast(Similarity.lshIndex(

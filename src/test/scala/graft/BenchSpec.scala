@@ -54,6 +54,17 @@ class BenchSpec extends SparkSpec {
     val small = Bench.compactJson(
       Map("a" -> (0.5, None), "b" -> (1.5, None)), "/x/sf0.01", "/tmp/x.json")
     assert(small.contains(""""omitted":0""") && small.contains(""""a":0.500"""), small)
+    // mass failure (review round 8): ~100 long error messages must not
+    // blow the line past the window — errors cap at 8 clipped entries
+    // plus an explicit errors_omitted count
+    val broken: Map[String, (Double, Option[String])] =
+      (1 to 100).map(i => f"failing_query_number_$i%03d" ->
+        (0.1, Some("SparkException: " + "x" * 110))).toMap
+    val blowup = Bench.compactJson(broken, "/x/sf0.1", "/tmp/x.json")
+    assert(blowup.length <= 1750, s"mass-failure line ${blowup.length} bytes")
+    assert(blowup.contains(""""errors_omitted":92"""), blowup)
+    assert(blowup.contains(""""failed":100"""), blowup)
+    assert(blowup.count(_ == '{') == blowup.count(_ == '}'), blowup)
   }
 
   test("driver contract: every oracle has a query, names are driver-safe, entry smokes") {

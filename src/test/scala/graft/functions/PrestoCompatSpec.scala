@@ -82,6 +82,11 @@ class PrestoCompatSpec extends SparkSpec {
       "note = 'see date_diff(''day'', x) docs' AND date_diff(day, a, b) > 1")
     assert(PrestoCompat.rewriteDialect("msg LIKE '%date_diff(''hour'', t)%'") ==
       "msg LIKE '%date_diff(''hour'', t)%'")
+    // Spark's backslash escape must not flip the literal parity: the
+    // genuine call AFTER the \'-carrying literal still rewrites
+    assert(PrestoCompat.rewriteDialect(
+      "note = 'don\\'t' AND date_diff('day', a, b) > 1") ==
+      "note = 'don\\'t' AND date_diff(day, a, b) > 1")
     val r = spark.sql(PrestoCompat.rewriteDialect(
       """SELECT date_diff(DATE'2024-03-01', DATE'2024-02-01') AS native_days,
                 date_diff('day', DATE'2024-02-01', DATE'2024-03-01') AS presto_days,

@@ -345,6 +345,22 @@ class StreamingSpec extends SparkSpec {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(streamed == batch, s"stream $streamed vs batch $batch")
     assert(streamed == Set(2L, 4L))
+    // the packed-row broadcast is count-gated (no-small-by-construction):
+    // past the gate the filter is a stream-static LEFT ANTI on the cosine
+    // condition — same survivors, distributed, no single-row funnel
+    val mem2 = MemoryStream[(Long, Array[Float])]
+    val q2 = Streaming.semanticDecontaminateStream(
+        mem2.toDF().toDF("vec_id", "embedding"), bench,
+        "vec_id", "embedding", "embedding", tau = 0.95,
+        benchBroadcastLimit = 0L)
+      .writeStream.format("memory").queryName("sink_sdec2")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem2.addData(vecs); q2.processAllAvailable()
+    } finally q2.stop()
+    val gated = spark.table("sink_sdec2").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(gated == streamed, s"gated paths diverge: $gated vs $streamed")
   }
 
   test("curateStream: scrub -> quality -> decontaminate -> fingerprint dedup on ingest") {
