@@ -133,8 +133,10 @@ object Ivf {
                                 nprobe: Int): DataFrame = {
     val (m, cells, dim) = flat(centroids)
     val np = math.min(nprobe, cells)
-    df.select(explode(nearestCells(col(vecCol), m, cells, dim, np)).as("cell"),
-      col(vecCol))
+    // every input column rides along (a batched probe needs its query id
+    // next to the cell; the single-query frames just carry the vector)
+    df.select(explode(nearestCells(col(vecCol), m, cells, dim, np)).as("cell") +:
+      df.columns.map(col): _*)
   }
 
   /** (cell, vecCol) probe frame on the two-level residual quantizer: each
@@ -213,6 +215,47 @@ object Ivf {
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
     Similarity.neverShort(probed, emb, idCol, vecCol, query, queryVecCol, k)
+  }
+
+  /** BATCHED probe-style top-k — the IVF analog of
+    * [[Similarity.lshTopKBatchSized]] (the realistic serving shape: a
+    * probe batch, not one vector). Every query probes its `nprobe`
+    * nearest cells through ONE pass over the inverted file (the probe
+    * frame broadcasts — it is |queries|·nprobe rows); a corpus vector
+    * lives in exactly one cell, so no candidate dedup is needed; the
+    * per-query `rank ≤ k` plans as WindowGroupLimit exactly like the
+    * batched exact path.
+    *
+    * Per-query never-short: queries whose probed cells held fewer than k
+    * candidates re-answer through [[Similarity.bruteForceTopKBatch]] —
+    * PER QUERY, so one outlier query doesn't force an exact scan for the
+    * rest. The fallback gate aggregates the ≤ |queries|·k probe result
+    * and the query frame, never the corpus. Returns
+    * (query_id, idCol, sim, rnk). */
+  def topKBatch(emb: DataFrame, idCol: String, vecCol: String,
+                queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
+                centroids: Array[Array[Double]], nprobe: Int = 4): DataFrame = {
+    val idx = index(emb, idCol, vecCol, centroids)
+    val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"))
+    val probes = broadcast(probeCells(q, "__qv", centroids, nprobe))
+    // localCheckpoint: the ≤ |queries|·k probe result feeds the fallback
+    // gate AND the returned frame — one corpus scan either way
+    val probed = idx.join(probes, Seq("cell"))
+      .select(col("query_id"), col(idCol),
+        round(Similarity.cosine(col(vecCol), col("__qv")), 4).as("sim"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("sim").desc, col(idCol))))
+      .filter(col("rnk") <= k)
+      .localCheckpoint(true)
+    val healthy = probed.groupBy("query_id").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= k).select("query_id")
+    val deficient = q.join(healthy, Seq("query_id"), "left_anti").localCheckpoint(true)
+    if (deficient.count() == 0L) probed
+    else probed
+      .join(broadcast(deficient.select("query_id")), Seq("query_id"), "left_anti")
+      .unionAll(Similarity.bruteForceTopKBatch(emb, idCol, vecCol,
+        deficient, "query_id", "__qv", k))
   }
 
   /** Corpus-sized IVF search — the composed entry point (round-7 verdict

@@ -1094,6 +1094,25 @@ object QueryDefs {
       None
     ),
 
+    // C14 batched IVF probe (round 8): the serving shape on the KMeans
+    // index — one inverted-file pass answers the whole probe batch,
+    // per-query WindowGroupLimit rank, per-query exact fallback.
+    // Rows-only like c14_ann_ivf (KMeans centroids seed/float-order
+    // dependent); batch==single + fallback specs in IvfSpec.
+    QueryDef(
+      "c14_ann_ivf_batch",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val corpus = emb.filter(col("vec_id") >= 5)
+        val centroids = Ivf.trainCentroids(corpus, "embedding",
+          k = Ivf.cellsForSearch(corpus.count()),
+          sampleFraction = 0.25, maxIter = 5)
+        Ivf.topKBatch(corpus, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3, centroids)
+      },
+      None
+    ),
+
     // C14 on the two-level residual quantizer — the search analog of the
     // hierarchical semantic-dedup path (the regime where a single-level
     // centroid count stops scaling; see Dedup.cellsFor). Rows-only like

@@ -220,6 +220,54 @@ class IvfSpec extends SparkSpec {
     assert(out.length == 3)
   }
 
+  test("batched IVF probe answers every query with k rows and recall >= 0.8") {
+    // the IVF analog of the batched LSH probe: one inverted-file pass
+    // for the batch, per-query rank, per-query exact fallback
+    val rnd = new scala.util.Random(13)
+    val rows = for (c <- 0 until 20; centre = Array.fill(64)(rnd.nextGaussian());
+                    m <- 0 until 10)
+      yield ((c * 10 + m).toLong,
+        centre.map(v => (v + 0.03 * rnd.nextGaussian()).toFloat))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" % 10 === 0).limit(5)
+    val rest = corpus.filter($"vec_id" % 10 =!= 0)
+    val centroids = Ivf.trainCentroids(corpus, "embedding", k = 8, maxIter = 5)
+    val got = Ivf.topKBatch(rest, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 9, centroids, nprobe = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val exact = Similarity.bruteForceTopKBatch(rest, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    assert(got.keySet == exact.keySet && got.keySet.size == 5)
+    got.foreach { case (q, ids) =>
+      assert(ids.size == 9, s"query $q returned ${ids.size} of 9")
+      val recall = (ids & exact(q)).size.toDouble / exact(q).size
+      assert(recall >= 0.8, s"query $q recall $recall")
+    }
+  }
+
+  test("batched IVF probe falls back per query when probed cells can't fill k") {
+    // 4 well-separated clusters x 5 members, nprobe=1: each query's own
+    // cell holds ~5 vectors but k=10 — every query must re-answer
+    // exactly, per query, with the full 10 rows
+    val rnd = new scala.util.Random(19)
+    val rows = for (c <- 0 until 4; centre = Array.fill(32)(rnd.nextGaussian());
+                    m <- 0 until 5)
+      yield ((c * 5 + m).toLong, centre.map(v => (v + 0.03 * rnd.nextGaussian()).toFloat))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id".isin(0L, 5L))
+    val rest = corpus.filter(!$"vec_id".isin(0L, 5L))
+    val centroids = Ivf.trainCentroids(corpus, "embedding", k = 4, maxIter = 5)
+    val got = Ivf.topKBatch(rest, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10, centroids, nprobe = 1)
+      .collect().groupBy(_.getLong(0))
+    assert(got.keySet == Set(0L, 5L))
+    got.foreach { case (q, rs) =>
+      assert(rs.length == 10, s"query $q returned ${rs.length} of 10") }
+  }
+
   test("probing more cells can only grow the candidate set") {
     val emb = graft.engine.Tables.read(spark, sf0001, "embeddings")
     val centroids = Ivf.trainCentroids(emb, "embedding", k = 8, maxIter = 5)
