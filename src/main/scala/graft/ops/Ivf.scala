@@ -158,15 +158,17 @@ object Ivf {
     val (m2, k2, _) = flat(q.level2)
     val np1 = math.min(nprobe1, k1)
     val np2 = math.min(nprobe2, k2)
-    df.select(col(vecCol))
-      .select(col(vecCol),
-        explode(nearestCells(col(vecCol), m1, k1, dim, np1)).as("__c1"))
-      .select(col(vecCol), col("__c1"),
+    // every input column rides along, like [[probeCells]]
+    val all = df.columns.map(col).toSeq
+    df
+      .select(all :+
+        explode(nearestCells(col(vecCol), m1, k1, dim, np1)).as("__c1"): _*)
+      .select(all ++ Seq(col("__c1"),
         explode(nearestCells(
           zip_with(col(vecCol).cast("array<double>"),
             element_at(typedLit(q.level1.map(_.toSeq).toSeq), col("__c1") + 1),
-            (a, b) => a - b), m2, k2, dim, np2)).as("__c2"))
-      .select((col("__c1") * k2 + col("__c2")).as("cell"), col(vecCol))
+            (a, b) => a - b), m2, k2, dim, np2)).as("__c2")): _*)
+      .select((col("__c1") * k2 + col("__c2")).as("cell") +: all: _*)
   }
 
   /** Probe-style top-k: score only vectors in the query's `nprobe`
@@ -235,9 +237,54 @@ object Ivf {
   def topKBatch(emb: DataFrame, idCol: String, vecCol: String,
                 queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
                 centroids: Array[Array[Double]], nprobe: Int = 4): DataFrame = {
-    val idx = index(emb, idCol, vecCol, centroids)
     val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"))
-    val probes = broadcast(probeCells(q, "__qv", centroids, nprobe))
+    batchedProbeTopK(index(emb, idCol, vecCol, centroids),
+      broadcast(probeCells(q, "__qv", centroids, nprobe)),
+      emb, idCol, vecCol, q, k)
+  }
+
+  /** [[topKBatch]] on the two-level residual index — nprobe1·nprobe2
+    * composite cells per query, same per-query never-short contract. */
+  def topKBatchResidual(emb: DataFrame, idCol: String, vecCol: String,
+                        queries: DataFrame, qIdCol: String, qVecCol: String,
+                        k: Int, q: ResidualQuantizer,
+                        nprobe1: Int = 4, nprobe2: Int = 4): DataFrame = {
+    val qf = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"))
+    batchedProbeTopK(indexResidual(emb, idCol, vecCol, q),
+      broadcast(probeCellsResidual(qf, "__qv", q, nprobe1, nprobe2)),
+      emb, idCol, vecCol, qf, k)
+  }
+
+  /** [[topKSized]] for a query BATCH: cell count from [[cellsForSearch]],
+    * automatic residual-quantizer switch past `hierarchicalThreshold` —
+    * the serving entry point on a corpus of unknown size. */
+  def topKBatchSized(emb: DataFrame, idCol: String, vecCol: String,
+                     queries: DataFrame, qIdCol: String, qVecCol: String,
+                     k: Int, nprobe: Int = 4, seed: Long = 42L,
+                     sampleFraction: Double = 1.0, maxIter: Int = 10,
+                     hierarchicalThreshold: Int = Dedup.HierarchicalCellsThreshold): DataFrame = {
+    val cells = cellsForSearch(emb.count(), nprobe)
+    if (cells <= hierarchicalThreshold)
+      topKBatch(emb, idCol, vecCol, queries, qIdCol, qVecCol, k,
+        trainCentroids(emb, vecCol, cells, seed, sampleFraction, maxIter), nprobe)
+    else {
+      val kLevel = math.max(2, math.ceil(math.sqrt(cells.toDouble)).toInt)
+      topKBatchResidual(emb, idCol, vecCol, queries, qIdCol, qVecCol, k,
+        trainResidualQuantizer(emb, vecCol, kLevel, kLevel, seed,
+          sampleFraction, maxIter), nprobe, nprobe)
+    }
+  }
+
+  /** Shared tail of the batched probe paths: score the probed candidates
+    * (a corpus vector lives in exactly ONE cell — single-level or
+    * composite — so a (query, vector) pair meets at most once and no
+    * candidate dedup is needed), rank per query (WindowGroupLimit), and
+    * re-answer deficient queries exactly, PER QUERY. The gate aggregates
+    * the ≤ |queries|·k probe result and the query frame, never the
+    * corpus. */
+  private def batchedProbeTopK(idx: DataFrame, probes: DataFrame,
+                               emb: DataFrame, idCol: String, vecCol: String,
+                               q: DataFrame, k: Int): DataFrame = {
     // localCheckpoint: the ≤ |queries|·k probe result feeds the fallback
     // gate AND the returned frame — one corpus scan either way
     val probed = idx.join(probes, Seq("cell"))

@@ -1103,12 +1103,11 @@ object QueryDefs {
       "c14_ann_ivf_batch",
       (s, d) => {
         val emb = t(s, d, "embeddings")
-        val corpus = emb.filter(col("vec_id") >= 5)
-        val centroids = Ivf.trainCentroids(corpus, "embedding",
-          k = Ivf.cellsForSearch(corpus.count()),
-          sampleFraction = 0.25, maxIter = 5)
-        Ivf.topKBatch(corpus, "vec_id", "embedding",
-          emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3, centroids)
+        // the composed sized entry point, batch form: cells from
+        // cellsForSearch, automatic residual switch past the threshold
+        Ivf.topKBatchSized(emb.filter(col("vec_id") >= 5), "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3,
+          nprobe = 4, sampleFraction = 0.25, maxIter = 5)
       },
       None
     ),

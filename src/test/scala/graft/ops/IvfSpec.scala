@@ -268,6 +268,39 @@ class IvfSpec extends SparkSpec {
       assert(rs.length == 10, s"query $q returned ${rs.length} of 10") }
   }
 
+  test("batched sized entry point routes both quantizer regimes and holds recall") {
+    // the serving entry (topKBatchSized): below the threshold it trains
+    // single-level; a forced-low threshold sends the SAME batch through
+    // the residual quantizer — both must answer every query full-length
+    // with recall >= 0.8 vs the exact batch
+    val rnd = new scala.util.Random(13)
+    val rows = for (c <- 0 until 20; centre = Array.fill(64)(rnd.nextGaussian());
+                    m <- 0 until 10)
+      yield ((c * 10 + m).toLong,
+        centre.map(v => (v + 0.03 * rnd.nextGaussian()).toFloat))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" % 10 === 0).limit(5)
+    val rest = corpus.filter($"vec_id" % 10 =!= 0)
+    val exact = Similarity.bruteForceTopKBatch(rest, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    for (threshold <- Seq(Dedup.HierarchicalCellsThreshold, 8)) {
+      val got = Ivf.topKBatchSized(rest, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 9, nprobe = 4, maxIter = 5,
+        hierarchicalThreshold = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+      assert(got.keySet == exact.keySet && got.keySet.size == 5,
+        s"threshold=$threshold answered ${got.keySet}")
+      got.foreach { case (q, ids) =>
+        assert(ids.size == 9, s"threshold=$threshold query $q: ${ids.size} of 9")
+        val recall = (ids & exact(q)).size.toDouble / exact(q).size
+        assert(recall >= 0.8, s"threshold=$threshold query $q recall $recall")
+      }
+    }
+  }
+
   test("probing more cells can only grow the candidate set") {
     val emb = graft.engine.Tables.read(spark, sf0001, "embeddings")
     val centroids = Ivf.trainCentroids(emb, "embedding", k = 8, maxIter = 5)
