@@ -99,6 +99,21 @@ class NewQueryPlanCheck extends SparkSpec {
     assert(sorts == 1, s"expected the windows to share one sort, got $sorts in:\n$plan")
   }
 
+  test("rep collapse scans only id + text and never shuffles the corpus under the gate") {
+    // round 8: the digest aggregate runs inside the gate's checkpoint;
+    // the registered query's own plan must be scan → broadcast semi-join
+    // → project, pruned to the two working columns, with ZERO shuffle
+    // exchanges (document text stays columnar in the scan)
+    val s = scanSchema("c13_rep_collapse")
+    assert(s.contains("doc_id") && s.contains("text")
+      && !s.contains("lang") && !s.contains("source"),
+      s"rep collapse over-reads: $s")
+    val plan = graft.SparkEntry.queries("c13_rep_collapse")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"rep collapse shuffled the corpus under the gate:\n$plan")
+  }
+
   test("salted agg plans two hash-aggregate phases with no extra exchange") {
     val plan = graft.SparkEntry.queries("c6_salted_agg")(spark, sf0001)
       .queryExecution.executedPlan.toString
