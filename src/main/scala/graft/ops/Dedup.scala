@@ -644,6 +644,11 @@ object Dedup {
     * corpus doc whose benchmark neighbor quantizes outside the doc's cell
     * is missed — the standard IVF recall trade; `nprobe` widens it, and
     * DedupSpec pins both-paths agreement on a clustered planted corpus.
+    * Skew note: a dense region in BOTH frames concentrates one cell, and
+    * that cell's task pays |corpus cell|·|bench probes| comparisons — no
+    * anchor cut applies here (contamination is per-pair against real
+    * benchmark vectors, not transitive like dedup survivorship); shrink
+    * `targetCellSize` to trade more cells for smaller per-task bounds.
     * Under the gate the result stays EXACT (broadcast cartesian). A
     * benchmark comparable to the corpus is really a near-dup join —
     * [[embeddingNearDup]] bounds that regime with LSH candidate

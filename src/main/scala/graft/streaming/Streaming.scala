@@ -139,11 +139,14 @@ object Streaming {
     * The packed row is COUNT-GATED, not assumed small (the
     * no-small-by-construction rule — review round 8): past
     * `benchBroadcastLimit` rows the filter becomes a stream-static LEFT
-    * ANTI join on the cosine condition — per-micro-batch, distributed,
-    * no single-row funnel (both-paths spec). A benchmark at that scale
-    * is the batch path's cell-scoped regime
-    * ([[graft.ops.Dedup.semanticContaminatedIds]]); the stream form
-    * stays exact and pays the per-batch n·m scoring. */
+    * ANTI join on the cosine condition (both-paths spec). Honest limit:
+    * a non-equi left anti plans BroadcastNestedLoopJoin, so the static
+    * side still broadcasts — as ordinary ROWS, dropping the packed
+    * form's single-row 2 GB / one-array-per-task ceiling, not the
+    * broadcast itself. A benchmark beyond broadcast entirely is the
+    * batch path's cell-scoped regime
+    * ([[graft.ops.Dedup.semanticContaminatedIds]]) — run it there and
+    * stream against the surviving ids instead. */
   def semanticDecontaminateStream(docs: DataFrame, benchmark: DataFrame,
                                   idCol: String, vecCol: String,
                                   benchVecCol: String, tau: Double,
