@@ -518,6 +518,72 @@ object Dedup {
       .select(col("doc").as(idCol), col("text").as(textCol), col("n_lines"))
   }
 
+  /** MOSS winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03
+    * — textbook algorithm, original implementation): hash every k-CHAR
+    * gram of the document, slide a window of `w` consecutive gram hashes,
+    * keep each window's minimum. Guarantee: two documents sharing any
+    * substring of length ≥ w + k − 1 characters share at least one
+    * fingerprint. This is the EXACT-SUBSTRING duplication regime (Lee et
+    * al., ACL'22): shared license blocks, boilerplate headers, long
+    * quotations between documents whose whole-document Jaccard/MinHash
+    * similarity is far below any near-dup threshold — invisible to
+    * [[jaccardNearDup]]/[[minhashLsh]], caught here.
+    *
+    * Scale shape: the fingerprint set is a PURE PROJECTION per document
+    * (gram hashes → window minima → distinct), so the corpus never
+    * shuffles to build signatures; only the ~2/(w+1)-density posting list
+    * (doc, fp) leaves the scan. Hash = first 16 hex chars of md5 (64
+    * bits), chosen over xxhash so the DuckDB oracle mirrors the selection
+    * exactly — the window minimum is an order statistic, so any shared
+    * total order gives the same fingerprints. Docs shorter than w+k−1
+    * chars have no full window and produce no fingerprints (both sides
+    * filter them).
+    *
+    * The selection runs in ONE compiled pass per document
+    * ([[graft.functions.WinnowFingerprints]]: md5 grams + monotone-deque
+    * window minima, O(len)); the HOF spelling (`transform` of md5 grams →
+    * `transform` of `array_min(slice(…))`) measured 75 s for 500 sf0.01
+    * docs — interpreted lambdas, and projection collapse re-evaluates the
+    * gram array under the window lambda, making it O(len²) md5 calls
+    * (PERF.md finding 23). */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 16, w: Int = 8): DataFrame =
+    docs
+      .filter(length(col(textCol)) >= k + w - 1)
+      .select(col(idCol).as("doc"),
+        explode(graft.functions.WinnowFingerprints.winnow(col(textCol), k, w)).as("fp"))
+
+  /** Cross-document shared-substring pairs over winnowed fingerprints:
+    * documents sharing ≥ `minShared` fingerprints — near-certainly
+    * sharing that many distinct ≥ w+k−1-char substrings (modulo 64-bit
+    * collisions). `maxDf` drops fingerprints posted by more than `maxDf`
+    * docs before pairing: a df-m fingerprint alone contributes C(m,2)
+    * pairs, and a fingerprint shared by hundreds of documents is
+    * boilerplate, evidence of nothing — the same stop-shingle economics
+    * as [[jaccardNearDup]]'s maxDf and [[decontaminate]]'s stopDf. With
+    * bounded df the pair join is linear in the posting list; SHUFFLE_HASH
+    * pins both joins off the sort-merge/broadcast flip-flop. */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 16, w: Int = 8, minShared: Int = 2,
+                  maxDf: Int = 50): DataFrame = {
+    // localCheckpoint ×2: the fingerprint projection feeds the df cut AND
+    // the semi-join (materialize the md5/deque pipeline once); the pruned
+    // posting list feeds BOTH pair-join sides (without it the df
+    // aggregate and semi-join each plan twice)
+    val fp = winnowFingerprints(docs, idCol, textCol, k, w).localCheckpoint(true)
+    val keep = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("fp")
+    val posting = fp.join(keep.hint("SHUFFLE_HASH"), Seq("fp"), "left_semi")
+      .localCheckpoint(true)
+    val a = posting.select(col("fp"), col("doc").as("doc_a"))
+    val b = posting.select(col("fp"), col("doc").as("doc_b"))
+    a.join(b.hint("SHUFFLE_HASH"), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Test-set decontamination: drop every corpus document that shares at
     * least one word n-gram with the benchmark set (the n-gram-overlap
     * rule — GPT-3 used 13-grams, Gopher/MassiveText 8-grams — standard in

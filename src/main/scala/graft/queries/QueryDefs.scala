@@ -567,6 +567,34 @@ object QueryDefs {
               FROM orders GROUP BY o_orderstatus""")
     ),
 
+    // C6 composition: group-wise z-score outlier detection — the standard
+    // data-quality pass before training-data ingestion. Two-pass shape:
+    // one map-side-folding stats aggregate per group, stats joined back to
+    // the stream (AQE broadcasts the group-keyed side when it is small,
+    // shuffles when it is not — no smallness assumption), z computed as a
+    // codegen projection. NOT a window over the group: a window ships and
+    // sorts every row by group key and serializes skewed groups through
+    // one task; the agg+join form folds map-side and rejoins hash-to-hash.
+    QueryDef(
+      "c6_zscore_outliers",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val stats = ev.groupBy("event_type").agg(
+          avg("value").as("mu"), stddev_samp(col("value")).as("sigma"))
+        ev.join(stats, Seq("event_type"))
+          .withColumn("z", (col("value") - col("mu")) / col("sigma"))
+          .filter(abs(col("z")) > 2)
+          .select(col("event_id"), col("event_type"), round(col("z"), 2).as("z"))
+      },
+      Some("""WITH stats AS (SELECT event_type, avg(value) AS mu,
+                                    stddev_samp(value) AS sigma
+                             FROM events GROUP BY event_type)
+              SELECT event_id, e.event_type AS event_type,
+                     round((value - mu) / sigma, 2) AS z
+              FROM events e JOIN stats USING (event_type)
+              WHERE abs((value - mu) / sigma) > 2""")
+    ),
+
     // C22 scalar UDF (black-box Scala function; prefer native expressions
     // on hot paths — this pins the registration surface itself).
     QueryDef(
@@ -648,6 +676,27 @@ object QueryDefs {
                 lead(o_orderkey, 1) OVER w AS next_order
               FROM orders
               WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)""")
+    ),
+
+    // C9 distribution windows: percent_rank/cume_dist — exact rational
+    // arithmetic ((rank-1)/(n-1), rank/n) computed identically by both
+    // engines, so 4-dp rounding is hash-safe. Same (partition, order) for
+    // both functions: one exchange + one sort serves the pair.
+    QueryDef(
+      "c9_window_dist",
+      (s, d) => {
+        val w = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice"), col("o_orderkey"))
+        t(s, d, "orders").select(
+          col("o_orderstatus"), col("o_orderkey"),
+          round(percent_rank().over(w), 4).as("pct_rank"),
+          round(cume_dist().over(w), 4).as("cdist")
+        )
+      },
+      Some("""SELECT o_orderstatus, o_orderkey,
+                round(percent_rank() OVER w, 4) AS pct_rank,
+                round(cume_dist() OVER w, 4) AS cdist
+              FROM orders
+              WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)""")
     ),
 
     // C9 composition: ordered funnel (view -> click-after-view ->
@@ -1695,6 +1744,33 @@ object QueryDefs {
               SELECT doc_id, md5(string_agg(line, chr(10) ORDER BY pos)) AS dedup_md5,
                      CAST(count(*) AS INTEGER) AS n_lines
               FROM ranked WHERE rn = 1 GROUP BY doc_id""")
+    ),
+
+    // C13 exact-substring dup detection via MOSS winnowing (k=16-char
+    // grams, w=8 window): doc pairs sharing >= 3 fingerprints, i.e. >= 3
+    // distinct 23+-char substrings — the duplication regime whole-doc
+    // Jaccard misses. Hash = md5 hex prefix so DuckDB mirrors the window
+    // minima exactly; maxDf=50 cuts boilerplate fingerprints before the
+    // pair join.
+    QueryDef(
+      "c13_winnow_pairs",
+      (s, d) => Dedup.winnowPairs(t(s, d, "documents"), "doc_id", "text",
+        k = 16, w = 8, minShared = 3, maxDf = 50),
+      Some("""WITH d AS (SELECT doc_id, text FROM documents WHERE len(text) >= 23),
+                hs AS (SELECT doc_id, i,
+                              substring(md5(substr(text, i, 16)), 1, 16) AS h,
+                              len(text) - 15 AS nh
+                       FROM d, UNNEST(generate_series(1, len(text) - 15)) t(i)),
+                wm AS (SELECT doc_id, i, nh,
+                              min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+                       FROM hs),
+                fps AS (SELECT DISTINCT doc_id, fp FROM wm WHERE i <= nh - 7),
+                keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50),
+                pl AS (SELECT doc_id, f.fp AS fp FROM fps f JOIN keep USING (fp))
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+              FROM pl a JOIN pl b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY 1, 2 HAVING count(*) >= 3""")
     ),
 
     // C24 test-set decontamination: docs 0-49 stand in as the held-out

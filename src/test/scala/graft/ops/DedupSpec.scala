@@ -868,4 +868,79 @@ class DedupSpec extends SparkSpec {
       assert(ms.exists(m => kept.contains(m._1)), s"center $c fully removed")
     }
   }
+
+  // ── winnowing (MOSS exact-substring fingerprints) ─────────────────────
+
+  /** Reference winnowing: md5-prefix hash per k-gram, min per w-window. */
+  private def winnowRef(text: String, k: Int, w: Int): Set[String] = {
+    def h16(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 16)
+    }
+    if (text.length < k + w - 1) Set.empty
+    else {
+      val hs = (0 to text.length - k).map(i => h16(text.substring(i, i + k)))
+      (0 to hs.length - w).map(j => hs.slice(j, j + w).min).toSet
+    }
+  }
+
+  test("winnow fingerprints match the reference selection on random docs (property)") {
+    val rnd = new scala.util.Random(20260813L)
+    val corpus = (1L to 30L).map { id =>
+      val len = 20 + rnd.nextInt(180) // spans the below-min-length edge
+      (id, (0 until len).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+    }
+    val got = Dedup.winnowFingerprints(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", k = 16, w = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    corpus.foreach { case (id, text) =>
+      val expected = winnowRef(text, 16, 8)
+      assert(got.getOrElse(id, Set.empty) == expected,
+        s"doc $id: got ${got.getOrElse(id, Set.empty).size} fps, expected ${expected.size}")
+    }
+  }
+
+  test("winnowing guarantee: a shared >= w+k-1-char substring always shares a fingerprint") {
+    val rnd = new scala.util.Random(7L)
+    def randText(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    // plant the same 23-char run (= w+k-1 at k=16,w=8) inside unrelated docs
+    val shared = randText(23)
+    val corpus = (1L to 10L).map(id => (id, randText(60) + shared + randText(60)))
+    val fps = Dedup.winnowFingerprints(corpus.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val common = corpus.map(c => fps(c._1)).reduce(_ intersect _)
+    assert(common.nonEmpty, "planted shared substring produced no common fingerprint")
+    // and the pair query surfaces every pair at minShared=1
+    val pairs = Dedup.winnowPairs(corpus.toDF("doc_id", "text"), "doc_id", "text",
+      minShared = 1, maxDf = 50).count()
+    assert(pairs == 45, s"expected all C(10,2) pairs, got $pairs")
+  }
+
+  test("winnow negative: disjoint-alphabet docs share nothing") {
+    val a = (1L, "a" * 30 + "b" * 30 + "ab" * 20)
+    val b = (2L, "x" * 30 + "y" * 30 + "xy" * 20)
+    val pairs = Dedup.winnowPairs(Seq(a, b).toDF("doc_id", "text"),
+      "doc_id", "text", minShared = 1, maxDf = 50).count()
+    assert(pairs == 0)
+  }
+
+  test("winnow maxDf cuts boilerplate fingerprints before the pair join") {
+    // 60 identical boilerplate docs (every fingerprint has df exactly 60 —
+    // a prefix+boiler construction would also make partially-shared
+    // junction fingerprints with intermediate df, inherent to winnowing)
+    // plus unrelated randoms
+    val rnd = new scala.util.Random(99L)
+    def randText(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val boiler = randText(140)
+    val corpus = (1L to 60L).map(id => (id, boiler)) ++
+      (61L to 70L).map(id => (id, randText(140)))
+    val cut = Dedup.winnowPairs(corpus.toDF("doc_id", "text"), "doc_id", "text",
+      minShared = 1, maxDf = 50).count()
+    assert(cut == 0, s"df-60 boilerplate fingerprints survived maxDf=50: $cut pairs")
+    val kept = Dedup.winnowPairs(corpus.toDF("doc_id", "text"), "doc_id", "text",
+      minShared = 1, maxDf = 60).count()
+    assert(kept == 60L * 59 / 2, s"expected all boiler pairs at maxDf=60, got $kept")
+  }
 }
