@@ -68,18 +68,29 @@ object WinnowFingerprints {
     new String(out)
   }
 
-  /** One pass per row: gram hashes (char-based substrings, matching SQL
-    * substr semantics), sliding-window minima via a monotone deque, set
-    * dedup. Static so generated code calls it with one JVM invocation per
-    * row. */
+  /** One pass per row: gram hashes over CODEPOINT-based substrings —
+    * matching SQL substr semantics on both engines (Spark `substr` and
+    * DuckDB `substr` count codepoints; Java's String.substring counts
+    * UTF-16 code units, which splits surrogate pairs on non-BMP text and
+    * would silently diverge from the oracle) — then sliding-window minima
+    * via a monotone deque, set dedup. Static so generated code calls it
+    * with one JVM invocation per row. */
   def fingerprints(text: UTF8String, k: Int, w: Int): ArrayData = {
     val s = text.toString
-    val nGrams = s.length - k + 1
+    // char index of each codepoint boundary: gram i (codepoints) spans
+    // chars [cpAt(i), cpAt(i+k)); one linear scan, ASCII pays nothing
+    val nCp = s.codePointCount(0, s.length)
+    val nGrams = nCp - k + 1
     if (nGrams < w) return new GenericArrayData(Array.empty[Any])
+    val cpAt = new Array[Int](nCp + 1)
+    var ci = 0
+    var cp = 0
+    while (cp < nCp) { cpAt(cp) = ci; ci = s.offsetByCodePoints(ci, 1); cp += 1 }
+    cpAt(nCp) = s.length
     val md = digest.get()
     val hs = new Array[String](nGrams)
     var i = 0
-    while (i < nGrams) { hs(i) = h16(md, s.substring(i, i + k)); i += 1 }
+    while (i < nGrams) { hs(i) = h16(md, s.substring(cpAt(i), cpAt(i + k))); i += 1 }
     // monotone deque of candidate-minimum indices, ascending hash order
     val deque = new Array[Int](nGrams)
     var head = 0

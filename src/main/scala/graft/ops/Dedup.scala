@@ -584,6 +584,66 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Exact-substring decontamination ids: corpus docs sharing at least
+    * `minShared` winnowed fingerprints with the benchmark — i.e. verbatim
+    * quotes of ≥ w+k−1 chars. The CHAR-level analog of
+    * [[contaminatedIds]]: a benchmark item quoted verbatim inside a long
+    * document clears no whole-document similarity bar, and word-n-gram
+    * overlap can miss it when tokenization differs (punctuation splits,
+    * casing, joined words) — the winnowing guarantee is tokenizer-free.
+    *
+    * Scale shape mirrors the n-gram form exactly: the benchmark
+    * fingerprint set is COUNT-GATED broadcast (past `fpBroadcastLimit`
+    * both semi-joins run shuffled-hash), the corpus fingerprint stream is
+    * a pure projection ([[winnowFingerprints]]), and only
+    * benchmark-hitting postings — bounded by the docs actually quoting
+    * the benchmark — reach the per-doc count. `stopDf`: a benchmark
+    * fingerprint present in more than `stopDf` corpus docs is boilerplate
+    * (license headers ARE ≥ 23-char shared substrings), evidence of
+    * nothing; df is counted map-side after the semi-join, so the corpus
+    * still never shuffles under the gate. */
+  def substringContaminatedIds(corpus: DataFrame, benchmark: DataFrame,
+                               idCol: String, textCol: String,
+                               k: Int = 16, w: Int = 8, minShared: Int = 1,
+                               stopDf: Option[Int] = None,
+                               fpBroadcastLimit: Long = HotShingleBroadcastLimit): DataFrame = {
+    // localCheckpoint: the benchmark set feeds the count gate AND the
+    // semi-join; the hit list feeds the stopDf df pass AND the doc count
+    val benchFp = winnowFingerprints(benchmark, idCol, textCol, k, w)
+      .select("fp").distinct().localCheckpoint(true)
+    val useBroadcast = benchFp.count() <= fpBroadcastLimit
+    def fpJoin(df: DataFrame, set: DataFrame): DataFrame =
+      if (useBroadcast) df.join(broadcast(set), Seq("fp"), "left_semi")
+      else df.join(set.hint("SHUFFLE_HASH"), Seq("fp"), "left_semi")
+    val hits = fpJoin(winnowFingerprints(corpus, idCol, textCol, k, w), benchFp)
+      .localCheckpoint(true)
+    val filtered = stopDf match {
+      case Some(m) =>
+        val keepFp = hits.groupBy("fp").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= m).select("fp")
+        hits.join(keepFp.hint("SHUFFLE_HASH"), Seq("fp"), "left_semi")
+      case None => hits
+    }
+    // (doc, fp) is distinct by construction, so the count is the number
+    // of distinct shared fingerprints
+    filtered.groupBy("doc").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minShared).select("doc")
+  }
+
+  /** Drop every corpus doc quoting ≥ `minShared` verbatim ≥ w+k−1-char
+    * substrings of the benchmark — [[substringContaminatedIds]] routed
+    * through the shared count-gated removal pass ([[removeIds]]). */
+  def winnowDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+                          idCol: String, textCol: String,
+                          k: Int = 16, w: Int = 8, minShared: Int = 1,
+                          stopDf: Option[Int] = None,
+                          idBroadcastLimit: Long = HotShingleBroadcastLimit,
+                          fpBroadcastLimit: Long = HotShingleBroadcastLimit): DataFrame =
+    removeIds(corpus, idCol,
+      substringContaminatedIds(corpus, benchmark, idCol, textCol, k, w,
+        minShared, stopDf, fpBroadcastLimit),
+      idBroadcastLimit)
+
   /** Test-set decontamination: drop every corpus document that shares at
     * least one word n-gram with the benchmark set (the n-gram-overlap
     * rule — GPT-3 used 13-grams, Gopher/MassiveText 8-grams — standard in

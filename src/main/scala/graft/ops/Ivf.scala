@@ -121,7 +121,9 @@ object Ivf {
         col(idCol), col(vecCol))
   }
 
-  /** (cell, vecCol) probe frame for a single-level quantizer: each row of
+  /** Probe frame for a single-level quantizer — `cell` plus EVERY input
+    * column of `df` riding along (a batched probe needs its query id next
+    * to the cell; single-query frames just carry the vector): each row of
     * `df` exploded to its `nprobe` nearest cells — the shape every probe
     * consumer joins against the inverted file ([[topK]] broadcasts it; the
     * cell-scoped decontamination path shuffles it). `nprobe` is CLAMPED to
@@ -139,7 +141,8 @@ object Ivf {
       df.columns.map(col): _*)
   }
 
-  /** (cell, vecCol) probe frame on the two-level residual quantizer: each
+  /** Probe frame on the two-level residual quantizer — composite `cell`
+    * plus every input column riding along, like [[probeCells]]: each
     * row probes its `nprobe1` nearest level-1 cells and, within each, the
     * `nprobe2` nearest level-2 cells of its residual — nprobe1·nprobe2
     * composite cells, pure expressions (two codegen NearestCells passes
@@ -275,34 +278,18 @@ object Ivf {
     }
   }
 
-  /** Shared tail of the batched probe paths: score the probed candidates
-    * (a corpus vector lives in exactly ONE cell — single-level or
-    * composite — so a (query, vector) pair meets at most once and no
-    * candidate dedup is needed), rank per query (WindowGroupLimit), and
-    * re-answer deficient queries exactly, PER QUERY. The gate aggregates
-    * the ≤ |queries|·k probe result and the query frame, never the
-    * corpus. */
+  /** Score the probed candidates (a corpus vector lives in exactly ONE
+    * cell — single-level or composite — so a (query, vector) pair meets
+    * at most once and no candidate dedup is needed), then rank + gate +
+    * fallback through the tail every batched ANN path shares
+    * ([[Similarity.finishBatchTopK]]). */
   private def batchedProbeTopK(idx: DataFrame, probes: DataFrame,
                                emb: DataFrame, idCol: String, vecCol: String,
                                q: DataFrame, k: Int): DataFrame = {
-    // localCheckpoint: the ≤ |queries|·k probe result feeds the fallback
-    // gate AND the returned frame — one corpus scan either way
-    val probed = idx.join(probes, Seq("cell"))
+    val scored = idx.join(probes, Seq("cell"))
       .select(col("query_id"), col(idCol),
         round(Similarity.cosine(col(vecCol), col("__qv")), 4).as("sim"))
-      .withColumn("rnk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("query_id").orderBy(col("sim").desc, col(idCol))))
-      .filter(col("rnk") <= k)
-      .localCheckpoint(true)
-    val healthy = probed.groupBy("query_id").agg(count(lit(1)).as("__c"))
-      .filter(col("__c") >= k).select("query_id")
-    val deficient = q.join(healthy, Seq("query_id"), "left_anti").localCheckpoint(true)
-    if (deficient.count() == 0L) probed
-    else probed
-      .join(broadcast(deficient.select("query_id")), Seq("query_id"), "left_anti")
-      .unionAll(Similarity.bruteForceTopKBatch(emb, idCol, vecCol,
-        deficient, "query_id", "__qv", k))
+    Similarity.finishBatchTopK(scored, emb, idCol, vecCol, q, k)
   }
 
   /** Corpus-sized IVF search — the composed entry point (round-7 verdict

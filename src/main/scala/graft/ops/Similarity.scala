@@ -166,14 +166,28 @@ object Similarity {
     val tables = probeTablesFor(planes, baseTables)
     val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"))
     val qIdx = broadcast(lshIndex(q, "query_id", "__qv", tables, planes, dim, seed))
-    // localCheckpoint: the ≤ |queries|·k probe result feeds the fallback
-    // gate AND the returned frame — one corpus scan either way
-    val probed = lshIndex(emb, idCol, vecCol, tables, planes, dim, seed)
+    val scored = lshIndex(emb, idCol, vecCol, tables, planes, dim, seed)
       .join(qIdx.select(col("table"), col("bucket"), col("query_id"), col("__qv")),
         Seq("table", "bucket"))
       .dropDuplicates("query_id", idCol)
       .select(col("query_id"), col(idCol),
         round(cosine(col(vecCol), col("__qv")), 4).as("sim"))
+    finishBatchTopK(scored, emb, idCol, vecCol, q, k)
+  }
+
+  /** Shared tail of every batched ANN path (LSH probe above, IVF
+    * [[Ivf.topKBatch]]/[[Ivf.topKBatchResidual]]): rank the scored
+    * candidates per query (WindowGroupLimit), materialize the
+    * ≤ |queries|·k result once (it feeds the fallback gate AND the
+    * returned frame), and re-answer deficient queries exactly — PER
+    * QUERY, so one hard-to-hash query doesn't force an exact scan for
+    * the rest. The gate aggregates the ranked probe result and the query
+    * frame, never the corpus. `scored` must carry (query_id, idCol,
+    * sim); `q` must carry (query_id, __qv). */
+  private[ops] def finishBatchTopK(scored: DataFrame, emb: DataFrame,
+                                   idCol: String, vecCol: String,
+                                   q: DataFrame, k: Int): DataFrame = {
+    val probed = scored
       .withColumn("rnk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("sim").desc, col(idCol))))
       .filter(col("rnk") <= k)

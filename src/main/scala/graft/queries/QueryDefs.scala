@@ -575,24 +575,42 @@ object QueryDefs {
     // codegen projection. NOT a window over the group: a window ships and
     // sorts every row by group key and serializes skewed groups through
     // one task; the agg+join form folds map-side and rejoins hash-to-hash.
+    // The |z| > 2 filter gates ROW MEMBERSHIP on the group stats, so the
+    // stats must be bit-identical on both engines — avg/stddev over
+    // doubles are summation-order-dependent (the CLAUDE.md DECIMAL rule,
+    // here flipping set membership, not a rounded digit). Sums run over
+    // DECIMAL(18,6) (exact, order-free); mean/variance then derive in
+    // double with the SAME expression shape on both sides.
     QueryDef(
       "c6_zscore_outliers",
       (s, d) => {
         val ev = t(s, d, "events")
+          .withColumn("v6", col("value").cast("decimal(18,6)"))
         val stats = ev.groupBy("event_type").agg(
-          avg("value").as("mu"), stddev_samp(col("value")).as("sigma"))
+          sum(col("v6")).as("s1"), sum(col("v6") * col("v6")).as("s2"),
+          count(lit(1)).as("n"))
         ev.join(stats, Seq("event_type"))
-          .withColumn("z", (col("value") - col("mu")) / col("sigma"))
+          .withColumn("mu", col("s1").cast("double") / col("n"))
+          .withColumn("sigma", sqrt(
+            (col("s2").cast("double") - col("n") * col("mu") * col("mu")) /
+              (col("n") - 1)))
+          .withColumn("z", (col("v6").cast("double") - col("mu")) / col("sigma"))
           .filter(abs(col("z")) > 2)
           .select(col("event_id"), col("event_type"), round(col("z"), 2).as("z"))
       },
-      Some("""WITH stats AS (SELECT event_type, avg(value) AS mu,
-                                    stddev_samp(value) AS sigma
-                             FROM events GROUP BY event_type)
-              SELECT event_id, e.event_type AS event_type,
-                     round((value - mu) / sigma, 2) AS z
-              FROM events e JOIN stats USING (event_type)
-              WHERE abs((value - mu) / sigma) > 2""")
+      Some("""WITH e AS (SELECT event_id, event_type,
+                                CAST(value AS DECIMAL(18,6)) AS v6 FROM events),
+                stats AS (SELECT event_type, sum(v6) AS s1, sum(v6 * v6) AS s2,
+                                 count(*) AS n
+                          FROM e GROUP BY event_type),
+                z AS (SELECT event_id, e.event_type AS event_type,
+                             (CAST(v6 AS DOUBLE) - CAST(s1 AS DOUBLE) / n) /
+                             sqrt((CAST(s2 AS DOUBLE)
+                                   - n * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                                  / (n - 1)) AS z
+                      FROM e JOIN stats USING (event_type))
+              SELECT event_id, event_type, round(z, 2) AS z
+              FROM z WHERE abs(z) > 2""")
     ),
 
     // C22 scalar UDF (black-box Scala function; prefer native expressions
@@ -1771,6 +1789,42 @@ object QueryDefs {
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
               FROM pl a JOIN pl b ON a.fp = b.fp AND a.doc_id < b.doc_id
               GROUP BY 1, 2 HAVING count(*) >= 3""")
+    ),
+
+    // C24 exact-substring decontamination: docs 0-49 as the benchmark;
+    // drop every remaining doc quoting >= 2 verbatim >= 23-char benchmark
+    // substrings (winnowed fingerprints, tokenizer-free — catches quotes
+    // word-n-gram overlap misses under tokenization drift). stopDf=50
+    // cuts boilerplate fingerprints the same way decontaminate's stopDf
+    // cuts stock phrases.
+    QueryDef(
+      "c24_substring_decontaminate",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.winnowDecontaminate(
+          docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+          "doc_id", "text", minShared = 2, stopDf = Some(50))
+          .select(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, text FROM documents WHERE len(text) >= 23),
+                hs AS (SELECT doc_id, i,
+                              substring(md5(substr(text, i, 16)), 1, 16) AS h,
+                              len(text) - 15 AS nh
+                       FROM d, UNNEST(generate_series(1, len(text) - 15)) t(i)),
+                wm AS (SELECT doc_id, i, nh,
+                              min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+                       FROM hs),
+                fps AS (SELECT DISTINCT doc_id, fp FROM wm WHERE i <= nh - 7),
+                bfp AS (SELECT DISTINCT fp FROM fps WHERE doc_id < 50),
+                hits AS (SELECT doc_id, f.fp AS fp FROM fps f JOIN bfp USING (fp)
+                         WHERE doc_id >= 50),
+                keep AS (SELECT fp FROM hits GROUP BY fp HAVING count(*) <= 50),
+                contaminated AS (SELECT doc_id FROM hits JOIN keep USING (fp)
+                                 GROUP BY doc_id HAVING count(*) >= 2)
+              SELECT doc_id FROM documents
+              WHERE doc_id >= 50
+                AND doc_id NOT IN (SELECT doc_id FROM contaminated)""")
     ),
 
     // C24 test-set decontamination: docs 0-49 stand in as the held-out

@@ -185,6 +185,16 @@ object ScaleBench {
         .localCheckpoint(true)
       withLines.count()
       val (tLine, _) = timeIt(noop(Dedup.lineDedup(withLines, "doc_id", "text")))
+      // winnowing exact-substring pairs (round-8): fingerprint count per
+      // doc is fixed by the (k, w) density ~2/(w+1), replicas are
+      // disjoint in char-gram space (every token carries the replica
+      // tag), and maxDf bounds any fingerprint's df — so posting volume
+      // grows linearly and pair volume must too
+      val (tWin, nWin) = timeIt {
+        val p = Dedup.winnowPairs(docs, "doc_id", "text",
+          minShared = 3, maxDf = 50).localCheckpoint(true)
+        val n = p.count(); noop(p); n
+      }
       // semantic dedup pair volume at the SIZED cell count (round-5
       // verdict weak #3): k = cellsFor(n) holds expected cell size
       // constant, so the pair count must stay ~linear in n. Timing
@@ -345,7 +355,8 @@ object ScaleBench {
       println(f"[scale] r$round x$k%-2d docs=$nDocs%7d vecs=$nVecs%6d | " +
         f"jaccard=$tJac%6.2fs pairs=$nPairs%6d cc=$tCc%5.2fs(r=$ccRounds) rm=$tRm%5.2fs | " +
         f"lsh=$tLsh%5.2fs($nLsh%5d) ann=$tAnn%5.2fs($nAnn%6d) annS=$tAnnS%5.2fs($nAnnS%6d) | " +
-        f"decon=$tDec%5.2fs dist=$tDecD%5.2fs sdec=$tSdec%5.2fs pack=$tPack%5.2fs line=$tLine%5.2fs | " +
+        f"decon=$tDec%5.2fs dist=$tDecD%5.2fs sdec=$tSdec%5.2fs pack=$tPack%5.2fs line=$tLine%5.2fs " +
+        f"win=$tWin%5.2fs($nWin%6d) | " +
         f"sem=$tSem%5.2fs($nSem%6d,k=$kCells) sem2=$tSem2%5.2fs($nSem2%6d,k=$kLevel²) " +
         f"bigram=$tBig%5.2fs cur2=$tCur%5.2fs | " +
         f"repKey=${bytesTextKey / 1048576}%4dMB->${bytesDigestKey / 1048576}%dMB " +

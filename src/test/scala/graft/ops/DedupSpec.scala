@@ -871,24 +871,32 @@ class DedupSpec extends SparkSpec {
 
   // ── winnowing (MOSS exact-substring fingerprints) ─────────────────────
 
-  /** Reference winnowing: md5-prefix hash per k-gram, min per w-window. */
+  /** Reference winnowing: md5-prefix hash per k-gram, min per w-window.
+    * Grams are CODEPOINT-based like SQL substr on both engines — a
+    * UTF-16 substring reference would split surrogate pairs on non-BMP
+    * text and pin the wrong semantics. */
   private def winnowRef(text: String, k: Int, w: Int): Set[String] = {
     def h16(s: String): String = {
       val d = java.security.MessageDigest.getInstance("MD5")
       d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 16)
     }
-    if (text.length < k + w - 1) Set.empty
+    val cps = text.codePoints().toArray
+    if (cps.length < k + w - 1) Set.empty
     else {
-      val hs = (0 to text.length - k).map(i => h16(text.substring(i, i + k)))
+      val hs = (0 to cps.length - k).map(i => h16(new String(cps, i, k)))
       (0 to hs.length - w).map(j => hs.slice(j, j + w).min).toSet
     }
   }
 
   test("winnow fingerprints match the reference selection on random docs (property)") {
     val rnd = new scala.util.Random(20260813L)
+    // mixed alphabet including a non-BMP codepoint (surrogate pair in
+    // UTF-16): substr semantics must stay codepoint-based end to end
+    val alphabet: IndexedSeq[String] =
+      ('a' to 'z').map(_.toString) :+ new String(Character.toChars(0x1F600))
     val corpus = (1L to 30L).map { id =>
       val len = 20 + rnd.nextInt(180) // spans the below-min-length edge
-      (id, (0 until len).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+      (id, (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString)
     }
     val got = Dedup.winnowFingerprints(corpus.toDF("doc_id", "text"),
         "doc_id", "text", k = 16, w = 8)
@@ -924,6 +932,41 @@ class DedupSpec extends SparkSpec {
     val pairs = Dedup.winnowPairs(Seq(a, b).toDF("doc_id", "text"),
       "doc_id", "text", minShared = 1, maxDf = 50).count()
     assert(pairs == 0)
+  }
+
+  test("winnowDecontaminate drops verbatim quoters, keeps unrelated; gate paths agree") {
+    val rnd = new scala.util.Random(41L)
+    def randText(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val benchText = randText(120)
+    val bench = Seq((1000L, benchText)).toDF("doc_id", "text")
+    val quote = benchText.substring(40, 40 + 30) // 30-char verbatim quote
+    val corpus = Seq(
+      (1L, randText(80) + quote + randText(80)), // quotes the benchmark
+      (2L, randText(190)),                       // unrelated
+      (3L, randText(190))                        // unrelated
+    ).toDF("doc_id", "text")
+    def survivors(fpLimit: Long, idLimit: Long) =
+      Dedup.winnowDecontaminate(corpus, bench, "doc_id", "text",
+        minShared = 1, idBroadcastLimit = idLimit, fpBroadcastLimit = fpLimit)
+        .select("doc_id").as[Long].collect().toSet
+    val viaBroadcast = survivors(Dedup.HotShingleBroadcastLimit, Dedup.HotShingleBroadcastLimit)
+    assert(viaBroadcast == Set(2L, 3L), s"got $viaBroadcast")
+    assert(survivors(0L, 0L) == viaBroadcast, "forced distributed path diverged")
+  }
+
+  test("winnowDecontaminate stopDf ignores boilerplate quotes; rare quotes still contaminate") {
+    val rnd = new scala.util.Random(43L)
+    def randText(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val boiler = randText(40)   // in the benchmark AND most of the corpus
+    val rare = randText(40)     // in the benchmark and ONE corpus doc
+    val bench = Seq((1000L, boiler + randText(40) + rare)).toDF("doc_id", "text")
+    val corpus = ((1L to 10L).map(id => (id, randText(60) + boiler + randText(60))) :+
+      (11L, randText(60) + rare + randText(60))).toDF("doc_id", "text")
+    val kept = Dedup.winnowDecontaminate(corpus, bench, "doc_id", "text",
+      minShared = 1, stopDf = Some(5))
+      .select("doc_id").as[Long].collect().toSet
+    // the df-10 boilerplate proves nothing (stopDf=5); the rare quote dooms 11
+    assert(kept == (1L to 10L).toSet, s"got $kept")
   }
 
   test("winnow maxDf cuts boilerplate fingerprints before the pair join") {
