@@ -654,6 +654,21 @@ object QueryDefs {
       None
     ),
 
+    // C8: Misra-Gries heavy hitters — the frequent-items sketch next to
+    // HLL (distincts) and GK (quantiles): m counters, mergeable, folds
+    // map-side. Estimates are merge-order-dependent (rows-only); the
+    // deterministic guarantees (every > n/(m+1) item present, est within
+    // [true − n/(m+1), true]) are pinned in SketchSpec.
+    QueryDef(
+      "c8_heavy_hitters",
+      (s, d) => t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .agg(graft.functions.Aggregators.heavyHitters(col("word"), 50).as("hh"))
+        .select(explode(expr("arrays_zip(hh.items, hh.counts)")).as("z"))
+        .select(col("z.items").as("item"), col("z.counts").as("est")),
+      None
+    ),
+
     QueryDef(
       "c9_window_running",
       (s, d) => {
@@ -1974,6 +1989,84 @@ object QueryDefs {
               WHERE doc_id >= 50
                 AND doc_id NOT IN (SELECT doc FROM bad1)
                 AND doc_id NOT IN (SELECT doc FROM bad2)
+                AND doc_id IN (SELECT doc_id FROM q)
+              GROUP BY lang""")
+    ),
+
+    // C24 curation v5 — ALL THREE decontamination rules composed: the
+    // n-gram doom set, the semantic doom set, and the exact-substring
+    // (winnow) doom set union into ONE doomed-id frame; the corpus still
+    // pays ONE count-gated removal pass however many rules contribute
+    // (Dedup.removeIds). The three rules catch disjoint leak modes:
+    // shared word 8-grams, paraphrases in embedding space, and verbatim
+    // >= 23-char quotes under tokenization drift.
+    QueryDef(
+      "c24_curation_v5",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val emb = t(s, d, "embeddings")
+        val corpus = docs.filter(col("doc_id") >= 50)
+        val bench = docs.filter(col("doc_id") < 50)
+        val doomed = Dedup.contaminatedIds(corpus, bench, "doc_id", "text", n = 8)
+          .unionAll(Dedup.semanticContaminatedIds(
+            emb, "vec_id", "embedding",
+            emb.filter(col("vec_id") < 50), "embedding", tau = 0.95))
+          .unionAll(Dedup.substringContaminatedIds(corpus, bench, "doc_id", "text",
+            minShared = 2, stopDf = Some(50)))
+        // localCheckpoint: `kept` feeds BOTH the quality branch and the
+        // final join — materialize the scan + doomed anti-join once
+        val kept = Dedup.removeIds(corpus, "doc_id", doomed).localCheckpoint(true)
+        val quality = Text.qualityScore(kept, "doc_id", "text")
+        kept
+          .join(quality.filter(col("lexical_diversity") >= 0.5).select("doc_id"), Seq("doc_id"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg("n_chars"), 2).as("avg_chars"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+                sh AS (SELECT DISTINCT doc_id AS doc,
+                         ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||
+                         ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7] AS shingle
+                       FROM toks, UNNEST(generate_series(1, len(ws) - 7)) t(i)),
+                bench AS (SELECT DISTINCT shingle FROM sh WHERE doc < 50),
+                bad1 AS (SELECT DISTINCT doc FROM sh
+                         WHERE doc >= 50 AND shingle IN (SELECT shingle FROM bench)),
+                bq AS (SELECT vec_id AS b, CAST(unnest(embedding) AS DOUBLE) AS v,
+                              generate_subscripts(embedding, 1) AS i
+                       FROM embeddings WHERE vec_id < 50),
+                ev AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                              generate_subscripts(embedding, 1) AS i
+                       FROM embeddings),
+                dots AS (SELECT ev.vec_id, bq.b, sum(ev.v * bq.v) AS dot,
+                                sum(ev.v * ev.v) AS ne, sum(bq.v * bq.v) AS nq
+                         FROM ev JOIN bq ON ev.i = bq.i GROUP BY ev.vec_id, bq.b),
+                bad2 AS (SELECT DISTINCT vec_id AS doc FROM dots
+                         WHERE dot / (sqrt(ne) * sqrt(nq)) >= 0.95),
+                wd AS (SELECT doc_id, text FROM documents WHERE len(text) >= 23),
+                whs AS (SELECT doc_id, i,
+                               substring(md5(substr(text, i, 16)), 1, 16) AS h,
+                               len(text) - 15 AS nh
+                        FROM wd, UNNEST(generate_series(1, len(text) - 15)) t(i)),
+                wwm AS (SELECT doc_id, i, nh,
+                               min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                            ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+                        FROM whs),
+                wfps AS (SELECT DISTINCT doc_id, fp FROM wwm WHERE i <= nh - 7),
+                wbfp AS (SELECT DISTINCT fp FROM wfps WHERE doc_id < 50),
+                whits AS (SELECT doc_id, f.fp AS fp FROM wfps f JOIN wbfp USING (fp)
+                          WHERE doc_id >= 50),
+                wkeep AS (SELECT fp FROM whits GROUP BY fp HAVING count(*) <= 50),
+                bad3 AS (SELECT doc_id AS doc FROM whits JOIN wkeep USING (fp)
+                         GROUP BY doc_id HAVING count(*) >= 2),
+                q AS (SELECT doc_id FROM documents
+                      WHERE round(len(list_distinct(string_split(text, ' '))) * 1.0
+                                  / len(string_split(text, ' ')), 4) >= 0.5)
+              SELECT lang, count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars
+              FROM documents
+              WHERE doc_id >= 50
+                AND doc_id NOT IN (SELECT doc FROM bad1)
+                AND doc_id NOT IN (SELECT doc FROM bad2)
+                AND doc_id NOT IN (SELECT doc FROM bad3)
                 AND doc_id IN (SELECT doc_id FROM q)
               GROUP BY lang""")
     ),

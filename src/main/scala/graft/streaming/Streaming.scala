@@ -168,6 +168,40 @@ object Streaming {
         graft.ops.Similarity.cosine(col(vecCol), col("__bv")) >= tau, "left_anti")
   }
 
+  /** Streaming-ingest EXACT-SUBSTRING decontamination: the char-level
+    * analog of [[decontaminateStream]] — drops stream rows quoting
+    * ≥ `minShared` verbatim ≥ w+k−1-char substrings of the (small,
+    * static) benchmark AS THEY ARRIVE. Stateless per-row filter: the
+    * benchmark's winnowed fingerprint set rides in as ONE broadcast-
+    * joined row and the per-row test intersects the row's compiled
+    * fingerprint set ([[graft.functions.WinnowFingerprints]], the same
+    * O(len) md5+deque pass the batch side runs) against it — no stream
+    * state, no shuffle, identical in batch (stream==batch spec vs
+    * [[graft.ops.Dedup.winnowDecontaminate]]). Corpus-side `stopDf` is a
+    * batch-only concept (boilerplate df needs the whole corpus); for
+    * boilerplate-aware decon run the batch pass and stream against its
+    * surviving ids instead. */
+  def substringDecontaminateStream(docs: DataFrame, benchmark: DataFrame,
+                                   idCol: String, textCol: String,
+                                   k: Int = 16, w: Int = 8,
+                                   minShared: Int = 1): DataFrame = {
+    // localCheckpoint: the static side of a stream-static join is
+    // re-evaluated EVERY micro-batch — materialize the benchmark
+    // fingerprints once instead of re-winnowing the benchmark per batch
+    val benchFp = benchmark
+      .select(explode(
+        graft.functions.WinnowFingerprints.winnow(col(textCol), k, w)).as("fp"))
+      .distinct()
+      .agg(collect_list(col("fp")).as("__bfp"))
+      .localCheckpoint(true)
+    docs
+      .join(broadcast(benchFp)) // 1-row cross join: the static benchmark side
+      .filter(size(array_intersect(
+        graft.functions.WinnowFingerprints.winnow(col(textCol), k, w),
+        col("__bfp"))) < minShared)
+      .drop("__bfp")
+  }
+
   /** End-to-end ingest-side curation — the streaming analog of the batch
     * `c24_curation_v2` pipeline: scrub PII → drop low-lexical-diversity
     * docs → drop benchmark-contaminated docs → exact-dedup by content

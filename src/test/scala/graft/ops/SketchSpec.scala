@@ -45,4 +45,32 @@ class SketchSpec extends SparkSpec {
       .collect().head.getLong(0)
     assert(est() == est())
   }
+
+  test("misra-gries guarantees hold under distributed merges (skewed stream)") {
+    import spark.implicits._
+    // 3000 "hot" + 1000 "warm" + 6000 distinct singletons: n = 10000,
+    // m = 10 => error bound n/(m+1) = 909, so hot (3000) and warm (1000)
+    // MUST survive any merge order; estimates never exceed the truth and
+    // never undershoot by more than the bound. repartition(7) forces
+    // partial sketches + merges.
+    val items = Seq.fill(3000)("hot") ++ Seq.fill(1000)("warm") ++
+      (1 to 6000).map(i => s"rare_$i")
+    val df = items.toDF("word").repartition(7)
+    val out = df
+      .agg(graft.functions.Aggregators.heavyHitters(col("word"), 10).as("hh"))
+      .select(explode(expr("arrays_zip(hh.items, hh.counts)")).as("z"))
+      .select(col("z.items"), col("z.counts"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bound = 10000L / 11
+    assert(out.size <= 10, s"more than m counters survived: ${out.size}")
+    for ((item, truth) <- Seq("hot" -> 3000L, "warm" -> 1000L)) {
+      assert(out.contains(item), s"$item (freq $truth > $bound) missing: $out")
+      assert(out(item) <= truth, s"$item overestimated: ${out(item)} > $truth")
+      assert(out(item) >= truth - bound,
+        s"$item undershot the MG bound: ${out(item)} < ${truth - bound}")
+    }
+    // no singleton can out-survive the error bound
+    out.keys.foreach(k => assert(k == "hot" || k == "warm" || out(k) <= bound,
+      s"rare item $k kept an estimate above the bound: ${out(k)}"))
+  }
 }

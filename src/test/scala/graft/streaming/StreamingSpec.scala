@@ -363,6 +363,39 @@ class StreamingSpec extends SparkSpec {
     assert(gated == streamed, s"gated paths diverge: $gated vs $streamed")
   }
 
+  test("streaming substring decontamination equals the batch winnow path (stateless, per-row)") {
+    // the char-level analog of decontaminateStream: the benchmark's
+    // winnowed fingerprints ride ONE broadcast row, the per-row test is
+    // an array_intersect over the same compiled winnow pass batch uses
+    val rnd = new scala.util.Random(59L)
+    def randText(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val benchText = randText(120)
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, randText(70) + benchText.substring(30, 60) + randText(70)), // 30-char quote
+      (2L, randText(170)),                                             // unrelated
+      (3L, randText(170)),                                             // unrelated
+      (4L, randText(10))                                               // below w+k-1
+    )
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.substringDecontaminateStream(
+        mem.toDF().toDF("doc_id", "text"), bench, "doc_id", "text")
+      .writeStream.format("memory").queryName("sink_subdec")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // two micro-batches: stateless filter, arrival order is free
+      mem.addData(docs.take(2)); q.processAllAvailable()
+      mem.addData(docs.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sink_subdec").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val batch = graft.ops.Dedup.winnowDecontaminate(
+        docs.toDF("doc_id", "text"), bench, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(streamed == Set(2L, 3L, 4L))
+  }
+
   test("curateStream: scrub -> quality -> decontaminate -> fingerprint dedup on ingest") {
     val bench = Seq((100L, "held out alpha beta gamma delta epsilon zeta eta theta"))
       .toDF("doc_id", "text")
