@@ -114,6 +114,77 @@ class NewQueryPlanCheck extends SparkSpec {
       s"rep collapse shuffled the corpus under the gate:\n$plan")
   }
 
+  test("winnow fingerprint stream is a zero-shuffle projection pruned to id + text") {
+    // the signature build must never shuffle the corpus (the posting
+    // list is the only thing that leaves the scan)
+    val docs = Tables.read(spark, sf0001, "documents")
+    val fp = graft.ops.Dedup.winnowFingerprints(docs, "doc_id", "text")
+    val plan = fp.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"winnow signature build shuffles:\n$plan")
+    val s = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan)
+      .map(_.group(1)).getOrElse("NO SCAN")
+    assert(s.contains("doc_id") && s.contains("text") && !s.contains("lang"),
+      s"winnow over-reads: $s")
+  }
+
+  test("winnow pairs' final plan aggregates the checkpointed (doc, fp) postings only") {
+    val plan = graft.SparkEntry.queries("c13_winnow_pairs")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val rdd = "Scan ExistingRDD\\[([^\\]]*)\\]".r.findFirstMatchIn(plan)
+      .map(_.group(1)).getOrElse(s"NO ExistingRDD in:\n$plan")
+    assert(rdd.contains("doc") && rdd.contains("fp") && !rdd.contains("text"),
+      s"winnow checkpoint over-materializes: $rdd")
+    assert(plan.contains("ShuffledHashJoin"), s"pair join not shuffled-hash:\n$plan")
+  }
+
+  test("substring decontamination scans only doc_id for the removal pass under the gate") {
+    // the doom set is computed behind checkpoints; the registered query's
+    // own plan must be scan -> broadcast anti-join -> project, with the
+    // corpus scan pruned to the id column and never hash-shuffled
+    val plan = graft.SparkEntry.queries("c24_substring_decontaminate")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"removal pass not a broadcast anti-join:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"corpus shuffled under the gate:\n$plan")
+    val s = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan)
+      .map(_.group(1)).getOrElse("NO SCAN")
+    assert(s.contains("doc_id") && !s.contains("text"),
+      s"removal pass over-reads: $s")
+  }
+
+  test("zscore outliers plans agg+join, not a per-group window") {
+    val plan = graft.SparkEntry.queries("c6_zscore_outliers")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"zscore fell back to a window:\n$plan")
+    val s = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan)
+      .map(_.group(1)).getOrElse("NO SCAN")
+    assert(!s.contains("props") && !s.contains("user_id"),
+      s"zscore over-reads: $s")
+  }
+
+  test("window dist shares one exchange + sort between percent_rank and cume_dist") {
+    val plan = graft.SparkEntry.queries("c9_window_dist")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert("Window ".r.findAllIn(plan).length == 1,
+      s"expected one Window node:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"expected one exchange:\n$plan")
+    assert("\\bSort \\[".r.findAllIn(plan).length == 1,
+      s"expected one sort:\n$plan")
+  }
+
+  test("heavy hitters folds partial sketches map-side") {
+    val plan = graft.SparkEntry.queries("c8_heavy_hitters")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // partial ObjectHashAggregate -> single exchange -> final: the
+    // sketch, not the rows, crosses the wire
+    assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2,
+      s"no partial sketch aggregation:\n$plan")
+    assert("Exchange".r.findAllIn(plan).length == 1,
+      s"expected exactly one exchange:\n$plan")
+  }
+
   test("salted agg plans two hash-aggregate phases with no extra exchange") {
     val plan = graft.SparkEntry.queries("c6_salted_agg")(spark, sf0001)
       .queryExecution.executedPlan.toString
