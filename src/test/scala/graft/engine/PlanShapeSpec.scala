@@ -79,6 +79,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(j.collect().map(_.getLong(1)).sum == 1500L)
   }
 
+  test("runtime bloom filter reduces the fact side of a selective shuffle join") {
+    // the 100 TB fact-fact shape: neither side broadcasts, one side
+    // carries a selective filter — Catalyst's runtime bloom filter must
+    // inject a semi-join reduction on the probe side so the shuffle
+    // moves only rows that can match. Thresholds are sized for clusters
+    // (10 GB application-side scan), so the spec lowers them to prove
+    // the ENGINE's config posture permits injection, then restores.
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val li = Tables.read(spark, sf0001, "lineitem")
+      val orders = Tables.read(spark, sf0001, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        s"no runtime bloom reduction injected:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("whole-stage codegen covers the scan->filter->project pipeline") {
     val q = graft.SparkEntry.queries("b1_scan_filter_project")(spark, sf0001)
     val plan = q.queryExecution.executedPlan.toString
