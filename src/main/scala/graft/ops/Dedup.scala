@@ -608,21 +608,24 @@ object Dedup {
                                stopDf: Option[Int] = None,
                                fpBroadcastLimit: Long = HotShingleBroadcastLimit): DataFrame = {
     // localCheckpoint: the benchmark set feeds the count gate AND the
-    // semi-join; the hit list feeds the stopDf df pass AND the doc count
+    // semi-join
     val benchFp = winnowFingerprints(benchmark, idCol, textCol, k, w)
       .select("fp").distinct().localCheckpoint(true)
     val useBroadcast = benchFp.count() <= fpBroadcastLimit
     def fpJoin(df: DataFrame, set: DataFrame): DataFrame =
       if (useBroadcast) df.join(broadcast(set), Seq("fp"), "left_semi")
       else df.join(set.hint("SHUFFLE_HASH"), Seq("fp"), "left_semi")
-    val hits = fpJoin(winnowFingerprints(corpus, idCol, textCol, k, w), benchFp)
-      .localCheckpoint(true)
+    val rawHits = fpJoin(winnowFingerprints(corpus, idCol, textCol, k, w), benchFp)
     val filtered = stopDf match {
       case Some(m) =>
+        // checkpoint only here: the hit list feeds the df pass AND the
+        // per-doc count (with no stopDf it has a single consumer and the
+        // materialization would be pure overhead)
+        val hits = rawHits.localCheckpoint(true)
         val keepFp = hits.groupBy("fp").agg(count(lit(1)).as("__df"))
           .filter(col("__df") <= m).select("fp")
         hits.join(keepFp.hint("SHUFFLE_HASH"), Seq("fp"), "left_semi")
-      case None => hits
+      case None => rawHits
     }
     // (doc, fp) is distinct by construction, so the count is the number
     // of distinct shared fingerprints

@@ -579,8 +579,22 @@ object QueryDefs {
     // stats must be bit-identical on both engines — avg/stddev over
     // doubles are summation-order-dependent (the CLAUDE.md DECIMAL rule,
     // here flipping set membership, not a rounded digit). Sums run over
-    // DECIMAL(18,6) (exact, order-free); mean/variance then derive in
-    // double with the SAME expression shape on both sides.
+    // DECIMAL(19,6) (exact, order-free; 19 not 18 — DuckDB types the
+    // square as DECIMAL(w1+w2 capped at 38, 12), and at (18,6)² the cap
+    // leaves 6 integer digits, overflowing for |value| ≥ 1000); the
+    // variance numerator is clamped at 0 (the E[x²]−E[x]² form can go
+    // fractionally negative on zero-variance groups: DuckDB sqrt throws,
+    // Spark yields NaN and NaN-largest ordering would EMIT those rows);
+    // σ > 0 then excludes zero-variance groups identically on both
+    // sides (0/0 is NaN in Spark but NULL in DuckDB — never compared).
+    // The cast widths DIFFER per engine on purpose: both must keep the
+    // square EXACT at scale 12. DuckDB types (w1,6)·(w2,6) as
+    // (min(w1+w2,38),12) — needs (19,6) so the integer part gets 26
+    // digits; Spark types it (p1+p2+1, s1+s2) and at (19,6)² the
+    // precision 39 > 38 triggers scale REDUCTION to (38,11), silently
+    // rounding the 12th digit — so Spark stays at (18,6), whose (37,12)
+    // product is exact. Same VALUES either way (scale-6 cast + exact
+    // sums); only the type headroom differs.
     QueryDef(
       "c6_zscore_outliers",
       (s, d) => {
@@ -591,26 +605,29 @@ object QueryDefs {
           count(lit(1)).as("n"))
         ev.join(stats, Seq("event_type"))
           .withColumn("mu", col("s1").cast("double") / col("n"))
-          .withColumn("sigma", sqrt(
+          .withColumn("sigma", sqrt(greatest(
             (col("s2").cast("double") - col("n") * col("mu") * col("mu")) /
-              (col("n") - 1)))
+              (col("n") - 1), lit(0.0))))
           .withColumn("z", (col("v6").cast("double") - col("mu")) / col("sigma"))
-          .filter(abs(col("z")) > 2)
+          .filter(col("sigma") > 0 && abs(col("z")) > 2)
           .select(col("event_id"), col("event_type"), round(col("z"), 2).as("z"))
       },
       Some("""WITH e AS (SELECT event_id, event_type,
-                                CAST(value AS DECIMAL(18,6)) AS v6 FROM events),
+                                CAST(value AS DECIMAL(19,6)) AS v6 FROM events),
                 stats AS (SELECT event_type, sum(v6) AS s1, sum(v6 * v6) AS s2,
                                  count(*) AS n
                           FROM e GROUP BY event_type),
                 z AS (SELECT event_id, e.event_type AS event_type,
-                             (CAST(v6 AS DOUBLE) - CAST(s1 AS DOUBLE) / n) /
-                             sqrt((CAST(s2 AS DOUBLE)
+                             sqrt(greatest((CAST(s2 AS DOUBLE)
                                    - n * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
-                                  / (n - 1)) AS z
+                                  / (n - 1), 0)) AS sigma,
+                             (CAST(v6 AS DOUBLE) - CAST(s1 AS DOUBLE) / n) /
+                             sqrt(greatest((CAST(s2 AS DOUBLE)
+                                   - n * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                                  / (n - 1), 0)) AS z
                       FROM e JOIN stats USING (event_type))
               SELECT event_id, event_type, round(z, 2) AS z
-              FROM z WHERE abs(z) > 2""")
+              FROM z WHERE sigma > 0 AND abs(z) > 2""")
     ),
 
     // C22 scalar UDF (black-box Scala function; prefer native expressions

@@ -180,26 +180,60 @@ object Streaming {
     * [[graft.ops.Dedup.winnowDecontaminate]]). Corpus-side `stopDf` is a
     * batch-only concept (boilerplate df needs the whole corpus); for
     * boilerplate-aware decon run the batch pass and stream against its
-    * surviving ids instead. */
+    * surviving ids instead.
+    *
+    * The packed row is COUNT-GATED, not assumed small (the fingerprint
+    * set scales with benchmark CHARS, ~2/(w+1) per codepoint — the
+    * no-small-by-construction rule): past `fpBroadcastLimit` rows the
+    * filter becomes a stream-static LEFT ANTI join of the row's exploded
+    * quote-witness against the fingerprint frame — which implements the
+    * minShared = 1 rule only (counting shared fingerprints per row needs
+    * a stream aggregation, i.e. state); minShared > 1 past the gate is
+    * rejected with a pointer to the batch path. Both-paths spec at
+    * minShared = 1 in StreamingSpec. */
   def substringDecontaminateStream(docs: DataFrame, benchmark: DataFrame,
                                    idCol: String, textCol: String,
                                    k: Int = 16, w: Int = 8,
-                                   minShared: Int = 1): DataFrame = {
+                                   minShared: Int = 1,
+                                   fpBroadcastLimit: Long =
+                                     graft.ops.Dedup.HotShingleBroadcastLimit): DataFrame = {
     // localCheckpoint: the static side of a stream-static join is
     // re-evaluated EVERY micro-batch — materialize the benchmark
-    // fingerprints once instead of re-winnowing the benchmark per batch
-    val benchFp = benchmark
+    // fingerprints once instead of re-winnowing the benchmark per batch;
+    // it also feeds the count gate
+    val benchFpRows = benchmark
       .select(explode(
         graft.functions.WinnowFingerprints.winnow(col(textCol), k, w)).as("fp"))
       .distinct()
-      .agg(collect_list(col("fp")).as("__bfp"))
       .localCheckpoint(true)
-    docs
-      .join(broadcast(benchFp)) // 1-row cross join: the static benchmark side
-      .filter(size(array_intersect(
-        graft.functions.WinnowFingerprints.winnow(col(textCol), k, w),
-        col("__bfp"))) < minShared)
-      .drop("__bfp")
+    if (benchFpRows.count() <= fpBroadcastLimit) {
+      val benchFp = benchFpRows
+        .agg(collect_list(col("fp")).as("__bfp")).localCheckpoint(true)
+      docs
+        .join(broadcast(benchFp)) // 1-row cross join: the static benchmark side
+        .filter(size(array_intersect(
+          graft.functions.WinnowFingerprints.winnow(col(textCol), k, w),
+          col("__bfp"))) < minShared)
+        .drop("__bfp")
+    } else {
+      require(minShared == 1,
+        s"minShared=$minShared needs per-row shared-fingerprint COUNTS, which " +
+          "is a stream aggregation past the broadcast gate; run the batch " +
+          "path (Dedup.winnowDecontaminate) and stream against its " +
+          "surviving ids instead")
+      // left anti on fingerprint membership: a row survives iff NO
+      // benchmark fingerprint appears in its winnowed set — rows, not
+      // the packed array, so no single-row 2 GB / one-array ceiling.
+      // The fingerprint set is PRE-PROJECTED: a nested-loop join
+      // evaluates its condition per (row, fp) pair, and inlining the
+      // winnow pass there would re-run the md5 scan per pair.
+      docs
+        .withColumn("__fps",
+          graft.functions.WinnowFingerprints.winnow(col(textCol), k, w))
+        .join(benchFpRows,
+          array_contains(col("__fps"), benchFpRows("fp")), "left_anti")
+        .drop("__fps")
+    }
   }
 
   /** End-to-end ingest-side curation — the streaming analog of the batch

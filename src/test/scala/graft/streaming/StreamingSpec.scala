@@ -394,6 +394,29 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(streamed == batch, s"stream $streamed vs batch $batch")
     assert(streamed == Set(2L, 3L, 4L))
+    // the packed fingerprint row is count-gated (no-small-by-construction):
+    // past the gate the filter is a stream-static LEFT ANTI on fingerprint
+    // membership — same survivors, row-shaped static side, no packed array
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = Streaming.substringDecontaminateStream(
+        mem2.toDF().toDF("doc_id", "text"), bench, "doc_id", "text",
+        fpBroadcastLimit = 0L)
+      .writeStream.format("memory").queryName("sink_subdec2")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem2.addData(docs); q2.processAllAvailable()
+    } finally q2.stop()
+    val gated = spark.table("sink_subdec2").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(gated == streamed, s"gated paths diverge: $gated vs $streamed")
+    // minShared > 1 past the gate needs a stream aggregation — rejected
+    // with a pointer to the batch path, never silently wrong
+    val err = intercept[IllegalArgumentException] {
+      Streaming.substringDecontaminateStream(
+        mem2.toDF().toDF("doc_id", "text"), bench, "doc_id", "text",
+        minShared = 2, fpBroadcastLimit = 0L)
+    }
+    assert(err.getMessage.contains("winnowDecontaminate"))
   }
 
   test("curateStream: scrub -> quality -> decontaminate -> fingerprint dedup on ingest") {
