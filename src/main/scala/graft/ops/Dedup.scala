@@ -562,7 +562,17 @@ object Dedup {
     * boilerplate, evidence of nothing — the same stop-shingle economics
     * as [[jaccardNearDup]]'s maxDf and [[decontaminate]]'s stopDf. With
     * bounded df the pair join is linear in the posting list; SHUFFLE_HASH
-    * pins both joins off the sort-merge/broadcast flip-flop. */
+    * pins both joins off the sort-merge/broadcast flip-flop.
+    *
+    * The hex fingerprints are re-hashed to 8-BYTE LONGS before anything
+    * shuffles (the finding-22 rule: shuffle keys are a choice) — the
+    * string form exists only for oracle-comparable SELECTION inside the
+    * per-doc projection; pair identity survives any total re-keying, so
+    * the df cut, the semi-join, and the pair join all move 8-byte keys
+    * instead of 16-char strings. A long collision would merge two
+    * fingerprints (needs two distinct md5-64 prefixes agreeing on
+    * xxhash64: ~10⁻¹⁰ at a billion distinct fingerprints) — quantified,
+    * not assumed. */
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
                   k: Int = 16, w: Int = 8, minShared: Int = 2,
                   maxDf: Int = 50): DataFrame = {
@@ -570,7 +580,9 @@ object Dedup {
     // the semi-join (materialize the md5/deque pipeline once); the pruned
     // posting list feeds BOTH pair-join sides (without it the df
     // aggregate and semi-join each plan twice)
-    val fp = winnowFingerprints(docs, idCol, textCol, k, w).localCheckpoint(true)
+    val fp = winnowFingerprints(docs, idCol, textCol, k, w)
+      .select(col("doc"), xxhash64(col("fp")).as("fp"))
+      .localCheckpoint(true)
     val keep = fp.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("fp")
     val posting = fp.join(keep.hint("SHUFFLE_HASH"), Seq("fp"), "left_semi")
@@ -601,21 +613,26 @@ object Dedup {
     * fingerprint present in more than `stopDf` corpus docs is boilerplate
     * (license headers ARE ≥ 23-char shared substrings), evidence of
     * nothing; df is counted map-side after the semi-join, so the corpus
-    * still never shuffles under the gate. */
+    * still never shuffles under the gate. Fingerprints are re-hashed to
+    * 8-byte longs before the semi-join like [[winnowPairs]] — the
+    * broadcast set and every join key move longs, not hex strings. */
   def substringContaminatedIds(corpus: DataFrame, benchmark: DataFrame,
                                idCol: String, textCol: String,
                                k: Int = 16, w: Int = 8, minShared: Int = 1,
                                stopDf: Option[Int] = None,
                                fpBroadcastLimit: Long = HotShingleBroadcastLimit): DataFrame = {
+    def hashedFps(df: DataFrame) =
+      winnowFingerprints(df, idCol, textCol, k, w)
+        .select(col("doc"), xxhash64(col("fp")).as("fp"))
     // localCheckpoint: the benchmark set feeds the count gate AND the
     // semi-join
-    val benchFp = winnowFingerprints(benchmark, idCol, textCol, k, w)
+    val benchFp = hashedFps(benchmark)
       .select("fp").distinct().localCheckpoint(true)
     val useBroadcast = benchFp.count() <= fpBroadcastLimit
     def fpJoin(df: DataFrame, set: DataFrame): DataFrame =
       if (useBroadcast) df.join(broadcast(set), Seq("fp"), "left_semi")
       else df.join(set.hint("SHUFFLE_HASH"), Seq("fp"), "left_semi")
-    val rawHits = fpJoin(winnowFingerprints(corpus, idCol, textCol, k, w), benchFp)
+    val rawHits = fpJoin(hashedFps(corpus), benchFp)
     val filtered = stopDf match {
       case Some(m) =>
         // checkpoint only here: the hit list feeds the df pass AND the

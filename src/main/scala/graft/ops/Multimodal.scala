@@ -263,6 +263,55 @@ object Multimodal {
     }
   }
 
+  final case class AudioFrameFeatures(media_id: Long, frame_idx: Int,
+                                      n: Int, sum_sq: Long, zero_crossings: Int)
+
+  /** REAL audio frame features (the standard VAD/speech front-end pass):
+    * decode WAV → PCM, cut into `frameSize`-sample frames, and emit per
+    * frame the sample count, Σ sample² (integer-exact — RMS derives as
+    * √(sum_sq/n) without any engine-dependent float aggregation), and
+    * the within-frame zero-crossing count (sign flips between adjacent
+    * samples; frame-boundary pairs belong to no frame). Same
+    * mapPartitions batch shape as [[decodeAudio]] — one decoded buffer
+    * per row, frames emitted as rows, bytes never on the driver. For the
+    * [[synthesizeAudio]] ramp every output is closed-form, so the DuckDB
+    * oracle regenerates the PCM arithmetically and hash-checks all four
+    * columns. */
+  def audioFrameFeatures(ds: Dataset[EncodedAudio],
+                         frameSize: Int = 160): Dataset[AudioFrameFeatures] = {
+    val session = ds.sparkSession
+    import session.implicits._
+    ds.mapPartitions { auds =>
+      auds.flatMap { e =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(e.payload))
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          !fmt.isBigEndian, s"unexpected format $fmt for media_id=${e.media_id}")
+        val data = in.readAllBytes()
+        in.close()
+        val n = data.length / 2
+        def sample(i: Int): Int =
+          (((data(2 * i + 1) << 8) | (data(2 * i) & 0xff))).toShort.toInt
+        val nFrames = (n + frameSize - 1) / frameSize
+        (0 until nFrames).map { f =>
+          val start = f * frameSize
+          val end = math.min(n, start + frameSize)
+          var sumSq = 0L
+          var zc = 0
+          var i = start
+          while (i < end) {
+            val v = sample(i)
+            sumSq += v.toLong * v
+            if (i > start && ((v >= 0) != (sample(i - 1) >= 0))) zc += 1
+            i += 1
+          }
+          AudioFrameFeatures(e.media_id, f, end - start, sumSq, zc)
+        }
+      }
+    }
+  }
+
   /** STUB frame-sample: take every `stride`-th byte as a stand-in for
     * frame extraction from a video payload; emits (media_id, frame_idx,
     * frame) rows via posexplode — the real op has the same generator

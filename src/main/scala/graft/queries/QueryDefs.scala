@@ -1653,6 +1653,39 @@ object QueryDefs {
               FROM p""")
     ),
 
+    // C16 audio frame features (VAD/speech front-end): decode → 160-
+    // sample (20 ms @ 8 kHz) frames → per-frame Σ sample² (integer-
+    // exact; RMS derives as √(sum_sq/n), identical IEEE ops both sides)
+    // + within-frame zero crossings. The oracle regenerates the ramp PCM
+    // arithmetically — all four integer columns hash-exact.
+    QueryDef(
+      "c16_audio_features",
+      (s, d) => Multimodal.audioFrameFeatures(Multimodal.synthesizeAudio(
+          t(s, d, "documents"), "doc_id", col("n_chars") % 500 + 100))
+        .toDF()
+        .select(col("media_id"), col("frame_idx"), col("n"), col("sum_sq"),
+          col("zero_crossings"),
+          round(sqrt(col("sum_sq").cast("double") / col("n")), 2).as("rms")),
+      Some("""WITH base AS (SELECT doc_id AS media_id, (n_chars % 500) + 100 AS ns
+                            FROM documents),
+                s AS (SELECT media_id, i,
+                             ((media_id * 31 + 7 * i) % 65536) - 32768 AS v,
+                             CAST(i // 160 AS INTEGER) AS frame_idx,
+                             i % 160 AS pos
+                      FROM base, UNNEST(generate_series(0, ns - 1)) t(i)),
+                sp AS (SELECT *, ((media_id * 31 + 7 * (i - 1)) % 65536) - 32768 AS vprev
+                       FROM s),
+                f AS (SELECT media_id, frame_idx,
+                             CAST(count(*) AS INTEGER) AS n,
+                             CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS sum_sq,
+                             CAST(sum(CASE WHEN pos > 0 AND ((v >= 0) != (vprev >= 0))
+                                           THEN 1 ELSE 0 END) AS INTEGER) AS zero_crossings
+                      FROM sp GROUP BY 1, 2)
+              SELECT media_id, frame_idx, n, sum_sq, zero_crossings,
+                     round(sqrt(CAST(sum_sq AS DOUBLE) / n), 2) AS rms
+              FROM f""")
+    ),
+
     // REAL image resize: synthesize → nearest-neighbor ÷2 → decode. The
     // sampled gradient keeps a closed form: resized row y' carries red
     // (id + 2y') mod 256, dims ⌈w/2⌉ × ⌈h/2⌉, at most one mod-wrap

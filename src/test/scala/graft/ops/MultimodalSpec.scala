@@ -115,4 +115,30 @@ class MultimodalSpec extends SparkSpec {
       assert(dec(id).sample_sum == expect, s"id $id sum")
     }
   }
+
+  test("audio frame features match the analytic ramp per frame (sum_sq, zero crossings, short tail)") {
+    // n=350 spans two full 160-sample frames + a 30-sample tail;
+    // id=1054 starts at (1054·31 mod 65536) = 32674, 94 below the sign
+    // boundary, so frame 0 contains the negative→positive flip at i=14
+    val cases = Seq((1L, 350), (1054L, 400), (42L, 100))
+    val enc = Multimodal.synthesizeAudio(cases.toDF("id", "n"), "id", $"n")
+    val got = Multimodal.audioFrameFeatures(enc, frameSize = 160).collect()
+      .map(f => (f.media_id, f.frame_idx) -> f).toMap
+    var sawCrossing = false
+    for ((id, n) <- cases) {
+      def v(i: Int): Long = ((id * 31 + 7L * i) % 65536) - 32768
+      val nFrames = (n + 159) / 160
+      for (f <- 0 until nFrames) {
+        val idx = (f * 160) until math.min(n, f * 160 + 160)
+        val expSq = idx.map(i => v(i) * v(i)).sum
+        val expZc = idx.drop(1).count(i => (v(i) >= 0) != (v(i - 1) >= 0))
+        val a = got((id, f))
+        assert(a.n == idx.size, s"($id,$f) n")
+        assert(a.sum_sq == expSq, s"($id,$f) sum_sq ${a.sum_sq} != $expSq")
+        assert(a.zero_crossings == expZc, s"($id,$f) zc ${a.zero_crossings} != $expZc")
+        if (expZc > 0) sawCrossing = true
+      }
+    }
+    assert(sawCrossing, "no frame exercised the zero-crossing branch")
+  }
 }
