@@ -238,5 +238,9 @@ object VecFunctions {
       args => SimhashBits(asStrArr(args(0))))
     ColumnShim.registerFunction(spark, "minhash_from_hashes",
       args => MinhashFromHashes(args(0), litInt(args(1))))
+    ColumnShim.registerFunction(spark, "winnow_fingerprints",
+      args => WinnowFingerprints(
+        Cast(args(0), org.apache.spark.sql.types.StringType),
+        litInt(args(1)), litInt(args(2))))
   }
 }

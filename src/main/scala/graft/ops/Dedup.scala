@@ -569,10 +569,12 @@ object Dedup {
     * string form exists only for oracle-comparable SELECTION inside the
     * per-doc projection; pair identity survives any total re-keying, so
     * the df cut, the semi-join, and the pair join all move 8-byte keys
-    * instead of 16-char strings. A long collision would merge two
-    * fingerprints (needs two distinct md5-64 prefixes agreeing on
-    * xxhash64: ~10⁻¹⁰ at a billion distinct fingerprints) — quantified,
-    * not assumed. */
+    * instead of 16-char strings. A long collision merges two
+    * fingerprints — birthday bound C(n,2)/2⁶⁴ ≈ 0.03 expected colliding
+    * PAIRS at 10⁹ distinct fingerprints (quadratic in n; ~10⁻¹⁰ only at
+    * ~10⁵) — and its worst effect is summing two fingerprints' df and
+    * overcounting one pair's n_shared by 1: bounded noise in an
+    * already-approximate boilerplate cut, never a dropped pair. */
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
                   k: Int = 16, w: Int = 8, minShared: Int = 2,
                   maxDf: Int = 50): DataFrame = {

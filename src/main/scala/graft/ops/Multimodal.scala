@@ -239,26 +239,39 @@ object Multimodal {
     * Same mapPartitions batch shape as [[decodeImages]]; PCM is
     * lossless, so the sample sum is exact for the [[synthesizeAudio]]
     * ramp and the DuckDB oracle predicts it in closed form. */
+  /** Shared WAV-decode preamble: one place owns the format contract
+    * (PCM-16 mono little-endian) and returns (sampleRate, raw PCM
+    * bytes) — [[decodeAudio]] and [[audioFrameFeatures]] both read
+    * through it, so a format change can't silently diverge. */
+  private def readPcm16(e: EncodedAudio): (Int, Array[Byte]) = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(e.payload))
+    val fmt = in.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+      !fmt.isBigEndian, s"unexpected format $fmt for media_id=${e.media_id}")
+    val data = in.readAllBytes()
+    in.close()
+    (fmt.getSampleRate.toInt, data)
+  }
+
+  /** Sample i of a little-endian PCM-16 buffer, sign-extended. */
+  private def pcm16Sample(data: Array[Byte], i: Int): Int =
+    (((data(2 * i + 1) << 8) | (data(2 * i) & 0xff))).toShort.toInt
+
   def decodeAudio(ds: Dataset[EncodedAudio]): Dataset[DecodedAudio] = {
     val session = ds.sparkSession
     import session.implicits._
     ds.mapPartitions { auds =>
       auds.map { e =>
-        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(e.payload))
-        val fmt = in.getFormat
-        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
-          !fmt.isBigEndian, s"unexpected format $fmt for media_id=${e.media_id}")
-        val data = in.readAllBytes()
-        in.close()
+        val (rate, data) = readPcm16(e)
         val n = data.length / 2
         var sum = 0L
         var i = 0
         while (i < n) {
-          sum += (((data(2 * i + 1) << 8) | (data(2 * i) & 0xff))).toShort
+          sum += pcm16Sample(data, i)
           i += 1
         }
-        DecodedAudio(e.media_id, fmt.getSampleRate.toInt, n, sum)
+        DecodedAudio(e.media_id, rate, n, sum)
       }
     }
   }
@@ -283,27 +296,21 @@ object Multimodal {
     import session.implicits._
     ds.mapPartitions { auds =>
       auds.flatMap { e =>
-        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(e.payload))
-        val fmt = in.getFormat
-        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
-          !fmt.isBigEndian, s"unexpected format $fmt for media_id=${e.media_id}")
-        val data = in.readAllBytes()
-        in.close()
+        val (_, data) = readPcm16(e)
         val n = data.length / 2
-        def sample(i: Int): Int =
-          (((data(2 * i + 1) << 8) | (data(2 * i) & 0xff))).toShort.toInt
         val nFrames = (n + frameSize - 1) / frameSize
         (0 until nFrames).map { f =>
           val start = f * frameSize
           val end = math.min(n, start + frameSize)
           var sumSq = 0L
           var zc = 0
+          var prev = 0 // rolling previous sample — no per-iteration re-decode
           var i = start
           while (i < end) {
-            val v = sample(i)
+            val v = pcm16Sample(data, i)
             sumSq += v.toLong * v
-            if (i > start && ((v >= 0) != (sample(i - 1) >= 0))) zc += 1
+            if (i > start && ((v >= 0) != (prev >= 0))) zc += 1
+            prev = v
             i += 1
           }
           AudioFrameFeatures(e.media_id, f, end - start, sumSq, zc)

@@ -63,6 +63,18 @@ class GraftSpec extends SparkSpec {
       assert(row.getLong(0) == viaCols.getLong(0), "SQL fingerprint != Column fingerprint")
       assert(row.getInt(1) == viaCols.getInt(1))
       assert(row.getInt(3) == 8)
+
+      // winnowing callable from SQL text, matching the Column API
+      val winRow = g.sql(
+        """SELECT size(winnow_fingerprints(text, 16, 8)) AS n_fp
+           FROM documents ORDER BY doc_id LIMIT 1""").collect().head
+      val winCol = g.sql("SELECT text FROM documents ORDER BY doc_id LIMIT 1")
+        .select(org.apache.spark.sql.functions.size(
+          graft.functions.WinnowFingerprints.winnow(
+            org.apache.spark.sql.functions.col("text"), 16, 8)).as("n_fp"))
+        .collect().head
+      assert(winRow.getInt(0) == winCol.getInt(0) && winRow.getInt(0) > 0,
+        "SQL winnow != Column winnow")
     } finally g.close()
   }
 }
