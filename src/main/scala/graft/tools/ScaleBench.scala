@@ -195,6 +195,12 @@ object ScaleBench {
           minShared = 3, maxDf = 50).localCheckpoint(true)
         val n = p.count(); noop(p); n
       }
+      // substring decontamination against the 50-doc benchmark: the
+      // registered c24 path — benchmark fp broadcast, corpus fingerprint
+      // projection, per-doc count, gated removal; wall must track the
+      // corpus linearly (the benchmark side is fixed)
+      val (tWdec, _) = timeIt(noop(Dedup.winnowDecontaminate(
+        docs, bench50, "doc_id", "text", minShared = 2, stopDf = Some(50))))
       // semantic dedup pair volume at the SIZED cell count (round-5
       // verdict weak #3): k = cellsFor(n) holds expected cell size
       // constant, so the pair count must stay ~linear in n. Timing
@@ -356,7 +362,7 @@ object ScaleBench {
         f"jaccard=$tJac%6.2fs pairs=$nPairs%6d cc=$tCc%5.2fs(r=$ccRounds) rm=$tRm%5.2fs | " +
         f"lsh=$tLsh%5.2fs($nLsh%5d) ann=$tAnn%5.2fs($nAnn%6d) annS=$tAnnS%5.2fs($nAnnS%6d) | " +
         f"decon=$tDec%5.2fs dist=$tDecD%5.2fs sdec=$tSdec%5.2fs pack=$tPack%5.2fs line=$tLine%5.2fs " +
-        f"win=$tWin%5.2fs($nWin%6d) | " +
+        f"win=$tWin%5.2fs($nWin%6d) wdec=$tWdec%5.2fs | " +
         f"sem=$tSem%5.2fs($nSem%6d,k=$kCells) sem2=$tSem2%5.2fs($nSem2%6d,k=$kLevel²) " +
         f"bigram=$tBig%5.2fs cur2=$tCur%5.2fs | " +
         f"repKey=${bytesTextKey / 1048576}%4dMB->${bytesDigestKey / 1048576}%dMB " +
