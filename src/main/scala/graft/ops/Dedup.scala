@@ -1079,4 +1079,105 @@ object Dedup {
       .select(col("doc_a"), col(idCol).as("doc_b"))
     coldPairs.unionAll(hotPairs)
   }
+
+  /** Rows of `existing` per snapshot the Bloom prefilter will index; past
+    * this the filter degrades (the aggregate CLAMPS items/bits at Spark's
+    * `RUNTIME_BLOOM_FILTER_MAX_*` confs — 4M items / 64M bits by default)
+    * so the operator switches to the distributed key join instead.
+    * Aligned with the conf cap, NOT with broadcast byte budgets: at 4M
+    * items the serialized filter is ~5 MB (10 bits/item, fpp ≈ 1%). */
+  val BloomItemLimit: Long = 4000000L
+
+  /** Cross-snapshot (incremental-ingest) exact dedup: drop every `batch`
+    * row whose `textCol` already appears in `existing`, keeping the rest —
+    * the daily-ingest shape of a training-data pipeline, where the
+    * accumulated corpus is orders of magnitude larger than the increment
+    * and re-shuffling it per batch is the scale killer.
+    *
+    * Scale shape (the reason this is not just an anti-join):
+    *  1. Content keys are 8-byte `xxhash64(text)` digests — documents
+    *     never become join/shuffle keys (finding 22).
+    *  2. `existing` is COUNT-GATED: at or under `bloomItemLimit` rows, one
+    *     aggregate pass builds a Bloom filter over its keys (Spark's
+    *     `bloom_filter_agg`, ~10 bits/row) which rides into a codegen
+    *     `might_contain` prefilter on the batch — `existing` is scanned
+    *     once and NEVER shuffled, and the (typically tiny) surviving
+    *     candidate set is all that flows downstream. Past the gate the
+    *     candidates come from a distributed SHUFFLE_HASH semi-join of the
+    *     batch against the distinct existing keys — existing pays one
+    *     16-byte-wide shuffle, never a text shuffle, and nothing funnels
+    *     through the driver.
+    *  3. The result is EXACT on both paths despite the approximate
+    *     prefilter: Bloom filters have no false negatives (a non-candidate
+    *     is definitely new), and candidates are verified by fetching the
+    *     existing TEXTS for candidate keys only (a semi-join bounded by
+    *     |candidates| ≈ dups + fpp·|batch|) and comparing full text — a
+    *     64-bit key collision therefore cannot drop a novel document.
+    *  4. Removal routes through the shared count-gated [[removeIds]].
+    *
+    * NULL-text batch rows are always kept (NULL equals nothing, matching
+    * the near-dup pipeline's NULL routing); batch-INTERNAL duplicates are
+    * out of scope by contract — compose with [[exact]]/[[repCollapse]]
+    * for within-batch dedup, this operator only answers "which increment
+    * rows are already in the corpus". */
+  /** Candidate dup rows of `batch` (id, text, `__k` digest) — the
+    * gate-switched prefilter of [[incrementalDedup]], split out so specs
+    * can pin the bloom-path plan (a codegen `might_contain` filter with
+    * no shuffle of either side) before the checkpoint erases it. */
+  private[graft] def incrementalCandidates(existing: DataFrame, batch: DataFrame,
+                                           idCol: String, textCol: String,
+                                           bloomItemLimit: Long): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnShim
+    val key = xxhash64(col(textCol))
+    val nExisting = existing.count()
+    val batchKeyed = batch.select(col(idCol), col(textCol), key.as("__k"))
+    if (nExisting == 0L) batchKeyed.limit(0)
+    else if (nExisting <= bloomItemLimit) {
+      // one pass over existing; ~10 bits/key keeps fpp ≈ 1% and the
+      // explicit numBits stays under the conf clamp at the gate limit
+      val bloomAgg = ColumnShim.column(new BloomFilterAggregate(
+        ColumnShim.expression(key), nExisting).toAggregateExpression())
+      val bloomBytes = existing.select(bloomAgg.as("bf"))
+        .head().getAs[Array[Byte]]("bf")
+      val mightContain = ColumnShim.column(BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          bloomBytes, org.apache.spark.sql.types.BinaryType),
+        ColumnShim.expression(col("__k"))))
+      batchKeyed.filter(mightContain)
+    } else {
+      val exKeys = existing.select(key.as("__k")).distinct()
+      batchKeyed.join(exKeys.hint("SHUFFLE_HASH"), Seq("__k"), "left_semi")
+    }
+  }
+
+  def incrementalDedup(existing: DataFrame, batch: DataFrame, idCol: String,
+                       textCol: String,
+                       bloomItemLimit: Long = BloomItemLimit,
+                       idBroadcastLimit: Long = HotShingleBroadcastLimit): DataFrame = {
+    val key = xxhash64(col(textCol))
+    val candidates = incrementalCandidates(existing, batch, idCol, textCol, bloomItemLimit)
+    // verify exactly: existing texts for CANDIDATE keys only — bounded by
+    // |dups| + fpp·|batch|, so the key frame is gate-checked for broadcast
+    val cand = candidates.localCheckpoint(true)
+    val nCand = cand.count()
+    if (nCand == 0L) batch
+    else {
+      val candKeys = cand.select("__k").distinct()
+      val hits0 = existing.select(key.as("__k"), col(textCol).as("__etext"))
+      val hits =
+        if (nCand <= idBroadcastLimit)
+          hits0.join(broadcast(candKeys), Seq("__k"), "left_semi")
+        else hits0.join(candKeys.hint("SHUFFLE_HASH"), Seq("__k"), "left_semi")
+      val hitTexts = hits.distinct().localCheckpoint(true)
+      val doomed =
+        (if (hitTexts.count() <= idBroadcastLimit)
+           cand.join(broadcast(hitTexts), Seq("__k"))
+         else cand.join(hitTexts.hint("SHUFFLE_HASH"), Seq("__k")))
+          .filter(col(textCol) === col("__etext"))
+          .select(col(idCol).as("doc"))
+      removeIds(batch, idCol, doomed, idBroadcastLimit)
+    }
+  }
 }

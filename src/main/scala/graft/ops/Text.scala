@@ -343,4 +343,79 @@ object Text {
     * chain but interprets its lambda per token (PERF.md finding 16). */
   def fingerprint(text: Column): Column =
     graft.functions.RollingTokenHash.rollingTokenHash(tokens(text))
+
+  /** Fixed hashed-feature bucket count for [[dsirScores]]: 256 buckets
+    * keyed by the first 2 hex chars of md5(bigram) — lexical string keys,
+    * the [[Relational.hashSplit]] trick that makes the hash portable SQL
+    * so a DuckDB oracle mirrors the bucketing exactly (no xxhash on the
+    * oracle side). A CONSTANT, not a data-sized structure, so the weight
+    * table genuinely is broadcast-safe by construction — the one shape
+    * the no-small-by-construction rule exempts. */
+  val DsirBuckets: Int = 256
+
+  /** DSIR data selection scores (Xie et al., NeurIPS 2023,
+    * arXiv:2302.03169): per-document importance weight
+    * `log p_target(doc) − log p_raw(doc)` under hashed-bigram unigram-
+    * of-features models with add-1 smoothing — the distribution-matching
+    * selection step real pipelines run between quality filtering and
+    * dedup (pick raw-corpus docs that look like the high-quality target).
+    * Docs scoring high are target-like; selection = top-k by score.
+    *
+    * Scale shape: both distributions are ONE map-side-foldable aggregate
+    * over the hashed gram streams (256 groups); the weight table is a
+    * 256-row broadcast; scoring is one per-(doc, bucket) aggregate over
+    * the corpus gram stream followed by a broadcast join + per-doc sum.
+    * The corpus never shuffles except by (doc, bucket) — grams never
+    * leave their scan task unaggregated. Weights are rounded to 6 dp and
+    * DECIMAL-accumulated so summation order cannot move a score (and the
+    * oracle's float arithmetic agrees bit-for-bit after the round).
+    *
+    * Returns (idCol, dsir_score DECIMAL) for corpus docs with ≥ 1 bigram
+    * (shorter docs carry no feature evidence and drop, matching the
+    * inner-join oracle shape). */
+  def dsirScores(corpus: DataFrame, target: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    val b = DsirBuckets
+    val ws = tokens(col(textCol))
+    val cnt = size(ws) - 1
+    def gramBuckets(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("doc"),
+        explode(when(size(ws) >= 2,
+          arrays_zip(slice(ws, lit(1), cnt), slice(ws, lit(2), cnt)))
+          .otherwise(array().cast("array<struct<`0`:string,`1`:string>>"))).as("bg"))
+      .select(col("doc"),
+        substring(md5(concat_ws(" ", col("bg.`0`"), col("bg.`1`"))), 1, 2).as("b"))
+    // localCheckpoint: the corpus gram stream feeds the raw distribution
+    // AND the per-doc feature counts — tokenize/hash once
+    val corpusGrams = gramBuckets(corpus).localCheckpoint(true)
+    // the two distributions are ≤256-row aggregates: collect them (the
+    // tiny-frame pattern, PERF.md finding 21) instead of checkpointing,
+    // so the target gram stream is scanned exactly once
+    def dist(grams: DataFrame): Map[String, Long] = grams
+      .groupBy("b").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rawCounts = dist(corpusGrams)
+    val tgtCounts = dist(gramBuckets(target))
+    val nr = rawCounts.valuesIterator.sum
+    val nt = tgtCounts.valuesIterator.sum
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // weight table from the collected counts, but log/round evaluated
+    // IN-PLAN so the rounding semantics are Spark's own (matching every
+    // other oracled float round in this repo)
+    val weights = broadcast(
+      (0 until b).map { i =>
+        val k = f"$i%02x"
+        (k, tgtCounts.getOrElse(k, 0L), rawCounts.getOrElse(k, 0L))
+      }.toDF("b", "ct", "cr")
+        .select(col("b"),
+          round(log(col("ct") + lit(1.0)) - log(lit(nt.toDouble + b))
+              - log(col("cr") + lit(1.0)) + log(lit(nr.toDouble + b)), 6)
+            .cast("decimal(18,6)").as("wb")))
+    corpusGrams.groupBy("doc", "b").agg(count(lit(1)).as("n"))
+      .join(broadcast(weights), Seq("b"))
+      .groupBy("doc")
+      .agg(sum(col("n").cast("decimal(18,0)") * col("wb")).as("dsir_score"))
+      .select(col("doc").as(idCol), col("dsir_score"))
+  }
 }

@@ -869,6 +869,34 @@ object QueryDefs {
               FROM documents GROUP BY text""")
     ),
 
+    // C12 cross-snapshot flavor (round 8): incremental-ingest dedup — a
+    // new batch dedupes AGAINST the accumulated corpus via a count-gated
+    // Bloom prefilter + exact text verify; the existing corpus is scanned
+    // but never shuffled under the gate. The batch plants re-ingested
+    // copies (doc_id%6==1 re-idded) that must drop, alongside genuinely
+    // new rows (doc_id%3==0) that must survive. Oracle is the exact
+    // anti-join semantics (NOT EXISTS keeps NULL-text rows, matching the
+    // operator's NULL routing).
+    QueryDef(
+      "c12_incremental_dedup",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val existing = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+        val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+          .unionAll(docs.filter(pmod(col("doc_id"), lit(6)) === 1)
+            .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+        Dedup.incrementalDedup(existing, batch, "doc_id", "text")
+          .select("doc_id", "lang", "n_chars")
+      },
+      Some("""WITH existing AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+                batch AS (SELECT doc_id, text, lang, n_chars FROM documents WHERE doc_id % 3 = 0
+                          UNION ALL
+                          SELECT doc_id + 1000000, text, lang, n_chars
+                          FROM documents WHERE doc_id % 6 = 1)
+              SELECT b.doc_id, b.lang, b.n_chars FROM batch b
+              WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.text = b.text)""")
+    ),
+
     // C12/C13 bridge, new in round 8: the digest-keyed representative
     // collapse (repCollapse — the exchange carries (length, xxhash64)
     // digests and ids, never document text; rep text returns through the
@@ -1981,6 +2009,49 @@ object QueryDefs {
                         WHERE dot / (sqrt(ne) * sqrt(nq)) >= 0.95)
               SELECT vec_id, label FROM embeddings
               WHERE vec_id NOT IN (SELECT vec_id FROM bad)""")
+    ),
+
+    // C24 DSIR data selection (Xie et al., NeurIPS 2023): rank the corpus
+    // by hashed-bigram importance weights against an 'en'/src0-src1
+    // target slice and keep the top 50 — the distribution-matching
+    // selection step between quality filtering and dedup. Buckets are
+    // 2-hex-char md5 prefixes (lexical string keys, the hashSplit trick)
+    // so the oracle mirrors the feature hashing verbatim; weights are
+    // 6-dp-rounded DECIMALs so both engines' sums are exact and the
+    // top-50 cut orders on exact decimals (never a float boundary).
+    QueryDef(
+      "c24_dsir_select",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val target = docs.filter(col("lang") === "en" && col("source").isin("src0", "src1"))
+        Text.dsirScores(docs, target, "doc_id", "text")
+          .join(docs.select("doc_id", "lang", "source"), Seq("doc_id"))
+          .orderBy(col("dsir_score").desc, col("doc_id"))
+          .limit(50)
+          .select(col("doc_id"), col("lang"), col("source"),
+            round(col("dsir_score"), 4).cast("double").as("dsir_score"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+                g AS (SELECT doc_id, substr(md5(ws[i] || ' ' || ws[i+1]), 1, 2) AS b
+                      FROM toks, UNNEST(generate_series(1, len(ws) - 1)) t(i)),
+                tgt AS (SELECT b, count(*) AS ct FROM g JOIN documents d USING (doc_id)
+                        WHERE d.lang = 'en' AND d.source IN ('src0', 'src1') GROUP BY b),
+                raw AS (SELECT b, count(*) AS cr FROM g GROUP BY b),
+                tot AS (SELECT (SELECT count(*) FROM g JOIN documents d USING (doc_id)
+                                WHERE d.lang = 'en' AND d.source IN ('src0', 'src1')) AS nt,
+                               (SELECT count(*) FROM g) AS nr),
+                dom AS (SELECT printf('%02x', i) AS b FROM generate_series(0, 255) s(i)),
+                w AS (SELECT dom.b,
+                        CAST(round(ln(coalesce(tgt.ct, 0) + 1.0) - ln(nt + 256.0)
+                                 - ln(coalesce(raw.cr, 0) + 1.0) + ln(nr + 256.0), 6)
+                             AS DECIMAL(18,6)) AS wb
+                      FROM dom LEFT JOIN tgt USING (b) LEFT JOIN raw USING (b), tot),
+                db AS (SELECT doc_id, b, count(*) AS n FROM g GROUP BY doc_id, b),
+                sc AS (SELECT doc_id, sum(n * wb) AS s FROM db JOIN w USING (b) GROUP BY doc_id)
+              SELECT d.doc_id, d.lang, d.source, CAST(round(sc.s, 4) AS DOUBLE) AS dsir_score
+              FROM sc JOIN documents d USING (doc_id)
+              ORDER BY sc.s DESC, d.doc_id
+              LIMIT 50""")
     ),
 
     // C24 curation v4 — CROSS-MODAL decontamination composed: the n-gram

@@ -236,6 +236,73 @@ object Streaming {
     }
   }
 
+  /** Streaming incremental-ingest dedup — the ingest-side analog of
+    * [[graft.ops.Dedup.incrementalDedup]]: keep every arriving doc whose
+    * text is NOT already in the static accumulated corpus. Stateless
+    * (the corpus snapshot is fixed for the query's lifetime; restart the
+    * query to pick up a new snapshot — state would be wrong here, the
+    * corpus is not part of the stream).
+    *
+    * Under the count gate, a Bloom filter over the corpus' xxhash64 text
+    * keys is built ONCE at query construction and rides the plan as a
+    * constant: rows it rejects are definitely new (no false negatives)
+    * and bypass the join entirely; only bloom-positive candidates flow
+    * into a broadcast stream-static LEFT ANTI on (key, text) — exact,
+    * and per micro-batch the anti join probes only the candidate
+    * trickle. Past the gate every row takes a stream-static anti join
+    * against the corpus' (xxhash64, xxhash64·seed-2) key pairs — 16
+    * bytes/row static side, documents never join keys; a false drop
+    * needs a simultaneous 128-bit collision (the [[graft.ops.Dedup.repCollapse]]
+    * hazard, which batch resolves with an exact fallback; streaming
+    * documents the 2⁻¹²⁸ residual instead — there is no second pass in a
+    * micro-batch). NULL-text rows are always kept, matching batch. */
+  def incrementalDedupStream(docs: DataFrame, existing: DataFrame,
+                             idCol: String, textCol: String,
+                             bloomItemLimit: Long = graft.ops.Dedup.BloomItemLimit): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnShim
+    val key = xxhash64(col(textCol))
+    val nExisting = existing.count()
+    // xxhash64 NEVER returns NULL (a NULL input hashes to the seed), so a
+    // NULL-text arrival would key-match a NULL-text corpus row; route
+    // NULLs around the machinery explicitly (kept, matching batch) and
+    // keep NULL corpus rows out of the key/bloom structures
+    val nullRows = docs.filter(col(textCol).isNull)
+    val nn = docs.filter(col(textCol).isNotNull)
+    val exNn = existing.filter(col(textCol).isNotNull)
+    val deduped =
+      if (nExisting == 0L) nn
+      else if (nExisting <= bloomItemLimit) {
+        val bloomAgg = ColumnShim.column(new BloomFilterAggregate(
+          ColumnShim.expression(key), nExisting).toAggregateExpression())
+        val bloomBytes = exNn.select(bloomAgg.as("bf"))
+          .head().getAs[Array[Byte]]("bf")
+        val mightContain = ColumnShim.column(BloomFilterMightContain(
+          org.apache.spark.sql.catalyst.expressions.Literal.create(
+            bloomBytes, org.apache.spark.sql.types.BinaryType),
+          ColumnShim.expression(key)))
+        // localCheckpoint: the static side re-evaluates per micro-batch
+        val exKT = exNn.select(key.as("__ek"), col(textCol).as("__et"))
+          .localCheckpoint(true)
+        val newRows = nn.filter(!mightContain)
+        val verified = nn.filter(mightContain)
+          .join(broadcast(exKT),
+            key === col("__ek") && col(textCol) === col("__et"), "left_anti")
+        newRows.unionAll(verified)
+      } else {
+        // localCheckpoint: one distinct over 16-byte key pairs at query
+        // construction; re-read (not re-shuffled) per micro-batch
+        val exKeys = exNn
+          .select(key.as("__ek"), xxhash64(col(textCol), lit(2)).as("__eh2"))
+          .distinct().localCheckpoint(true)
+        nn.join(exKeys.hint("SHUFFLE_HASH"),
+          key === col("__ek") && xxhash64(col(textCol), lit(2)) === col("__eh2"),
+          "left_anti")
+      }
+    deduped.unionAll(nullRows)
+  }
+
   /** End-to-end ingest-side curation — the streaming analog of the batch
     * `c24_curation_v2` pipeline: scrub PII → drop low-lexical-diversity
     * docs → drop benchmark-contaminated docs → exact-dedup by content

@@ -986,4 +986,82 @@ class DedupSpec extends SparkSpec {
       minShared = 1, maxDf = 60).count()
     assert(kept == 60L * 59 / 2, s"expected all boiler pairs at maxDf=60, got $kept")
   }
+
+  // ── incremental (cross-snapshot) dedup ──────────────────────────────
+
+  private def snapshotFrames = {
+    val existing = Seq(
+      (1L, "alpha bravo charlie delta echo"),
+      (2L, "foxtrot golf hotel india juliet"),
+      (3L, "kilo lima mike november oscar"),
+      (4L, "kilo lima mike november oscar")  // existing-internal dup
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha bravo charlie delta echo"),   // re-ingested copy: drop
+      (11L, "kilo lima mike november oscar"),    // copy of a dup group: drop
+      (12L, "papa quebec romeo sierra tango"),   // new: keep
+      (13L, "uniform victor whiskey xray yankee") // new: keep
+    ).toDF("doc_id", "text")
+    (existing, batch)
+  }
+
+  test("incrementalDedup drops re-ingested copies, keeps new docs; gate paths agree") {
+    val (existing, batch) = snapshotFrames
+    val naive = batch.join(existing.select("text"), Seq("text"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(naive == Set(12L, 13L))
+    // bloom path (existing under the gate) and distributed key-join path
+    // (gate forced to 0) must both equal the naive anti-join
+    for (limit <- Seq(Dedup.BloomItemLimit, 0L)) {
+      val kept = Dedup.incrementalDedup(existing, batch, "doc_id", "text",
+        bloomItemLimit = limit)
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == naive, s"bloomItemLimit=$limit: got $kept")
+    }
+  }
+
+  test("incrementalDedup keeps NULL-text batch rows on both paths") {
+    val (existing, _) = snapshotFrames
+    val exWithNull = existing.unionAll(
+      Seq((5L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val batch = Seq(
+      (20L, null.asInstanceOf[String]),          // NULL equals nothing: keep
+      (21L, "alpha bravo charlie delta echo")    // dup: drop
+    ).toDF("doc_id", "text")
+    for (limit <- Seq(Dedup.BloomItemLimit, 0L)) {
+      val kept = Dedup.incrementalDedup(exWithNull, batch, "doc_id", "text",
+        bloomItemLimit = limit)
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(20L), s"bloomItemLimit=$limit: got $kept")
+    }
+  }
+
+  test("incrementalDedup trivial snapshots: empty existing keeps all, empty batch stays empty") {
+    val (existing, batch) = snapshotFrames
+    val empty = existing.limit(0)
+    assert(Dedup.incrementalDedup(empty, batch, "doc_id", "text").count() == 4)
+    assert(Dedup.incrementalDedup(existing, empty, "doc_id", "text").count() == 0)
+  }
+
+  test("incrementalDedup bloom path: existing never shuffles, probe is a might_contain filter") {
+    // parquet-backed frames: over a LocalRelation the optimizer folds the
+    // whole probe away at plan time (ConvertToLocalRelation), hiding the
+    // shape this test pins
+    val docs = graft.engine.Tables.read(spark, sf0001, "documents")
+    val existing = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val cand = Dedup.incrementalCandidates(existing, batch, "doc_id", "text",
+      bloomItemLimit = Dedup.BloomItemLimit)
+    val candPlan = cand.queryExecution.executedPlan.toString
+    // the candidate prefilter must be the codegen bloom probe — a pure
+    // filter over the batch, no join and no shuffle of either snapshot
+    assert(candPlan.contains("might_contain"), s"no bloom probe in plan:\n$candPlan")
+    assert(!candPlan.contains("Exchange"), s"bloom probe should not shuffle:\n$candPlan")
+    // end to end on the planted frames, the only join left is the tiny
+    // doomed-id removal, broadcast under the gate
+    val (ex2, b2) = snapshotFrames
+    val outPlan = Dedup.incrementalDedup(ex2, b2, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(outPlan.contains("BroadcastHashJoin"), s"doomed-id removal not broadcast:\n$outPlan")
+  }
 }

@@ -289,4 +289,43 @@ class TextSpec extends SparkSpec {
     assert(plan.contains("ShuffledHashJoin"),
       s"forced scale path still broadcasts the vocab:\n$plan")
   }
+
+  test("dsirScores ranks target-like docs above off-target docs") {
+    // two disjoint vocabularies: 'sci' (the target style) and 'web' junk
+    val sci = "quantum electron proton neutron boson lepton quark photon"
+    val web = "click here buy now free offer deal win prize cash"
+    val target = (1L to 5L).map(id => (id, sci)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, sci),                                             // pure target-like
+      (11L, s"$sci $web"),                                    // mixed
+      (12L, web),                                             // pure off-target
+      (13L, "singleton")                                      // <2 tokens: drops
+    ).toDF("doc_id", "text")
+    val scores = Text.dsirScores(corpus, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> BigDecimal(r.getDecimal(1))).toMap
+    assert(scores.keySet == Set(10L, 11L, 12L), s"got ${scores.keySet}")
+    assert(scores(10L) > scores(11L) && scores(11L) > scores(12L),
+      s"ordering broken: $scores")
+    // target-like text scores positive (more likely under target than
+    // raw), pure junk negative
+    assert(scores(10L) > 0 && scores(12L) < 0, s"signs broken: $scores")
+  }
+
+  test("dsirScores weights by occurrence count: repeated text amplifies the evidence") {
+    // score = Σ n_b·w_b, so repeating a doc's text grows |score| with the
+    // gram count (on a corpus this small add-1 smoothing over 256 buckets
+    // dominates the ratios and every weight is negative — the sign is
+    // irrelevant to the count-weighting property pinned here)
+    val target = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta"),
+      (11L, "alpha beta gamma delta alpha beta gamma delta")
+    ).toDF("doc_id", "text")
+    val s = Text.dsirScores(corpus, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> BigDecimal(r.getDecimal(1))).toMap
+    assert(s(11L).abs > s(10L).abs, s"repetition did not amplify: $s")
+    // and the amplification is count-proportional-ish: 7 bigrams vs 3,
+    // sharing the same buckets except the junction gram
+    assert(s(11L).abs > s(10L).abs * 2, s"got $s")
+  }
 }

@@ -363,6 +363,41 @@ class StreamingSpec extends SparkSpec {
     assert(gated == streamed, s"gated paths diverge: $gated vs $streamed")
   }
 
+  test("streaming incremental dedup equals the batch path on both gate paths") {
+    val existing = Seq(
+      (1L, "alpha bravo charlie delta echo"),
+      (2L, "foxtrot golf hotel india juliet"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val arriving = Seq(
+      (10L, "alpha bravo charlie delta echo"),    // re-ingest: drop
+      (11L, "papa quebec romeo sierra tango"),    // new: keep
+      (12L, null.asInstanceOf[String]),           // NULL: keep (matches batch)
+      (13L, "foxtrot golf hotel india juliet")    // re-ingest: drop
+    )
+    val batch = graft.ops.Dedup.incrementalDedup(
+        existing, arriving.toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batch == Set(11L, 12L))
+    for ((limit, sink) <- Seq((graft.ops.Dedup.BloomItemLimit, "sink_incdedup"),
+                              (0L, "sink_incdedup2"))) {
+      val mem = MemoryStream[(Long, String)]
+      val q = Streaming.incrementalDedupStream(
+          mem.toDF().toDF("doc_id", "text"), existing, "doc_id", "text",
+          bloomItemLimit = limit)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        // two micro-batches: stateless filter/join, arrival order is free
+        mem.addData(arriving.take(2)); q.processAllAvailable()
+        mem.addData(arriving.drop(2)); q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.table(sink).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(streamed == batch, s"bloomItemLimit=$limit: $streamed vs $batch")
+    }
+  }
+
   test("streaming substring decontamination equals the batch winnow path (stateless, per-row)") {
     // the char-level analog of decontaminateStream: the benchmark's
     // winnowed fingerprints ride ONE broadcast row, the per-row test is
