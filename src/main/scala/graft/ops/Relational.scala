@@ -223,6 +223,52 @@ object Relational {
     df.filter(cond)
   }
 
+  /** Temperature-scaled stratum sampling at α = 0.5 — the multilingual
+    * rebalancing rule (Conneau et al. XLM-R, arXiv:1911.02116 §3.1:
+    * sample language l with q_l ∝ p_l^α): dominant strata are
+    * downsampled, rare strata kept, so expected kept counts go as
+    * √(c_l) instead of c_l. Rates are anchored to the LARGEST stratum
+    * (it keeps exactly `baseFrac`): rate_l = min(1, baseFrac·√(c_max/c_l)),
+    * which is q ∝ p^0.5 re-expressed without the cross-stratum
+    * normalization sum — deliberately, because every surviving operation
+    * (integer counts, correctly-rounded IEEE ÷ and √, ×2⁻¹, ×2¹⁶) is
+    * bit-reproducible in ANY engine, so a DuckDB oracle recomputes the
+    * exact same per-stratum thresholds from the data. A Σ p_l^α
+    * normalizer would hang determinism on summation order; α ≠ 0.5
+    * would hang it on `pow`, which IEEE does NOT require correctly
+    * rounded — √ it does. Membership itself is the [[md5Below]] rule
+    * evaluated against the per-stratum threshold (content-stable: a
+    * doc's fate never flips under re-layout; it CAN flip under corpus
+    * growth since rates are corpus-derived — pin rates for perfect
+    * incremental stability, which is [[stratifiedHashSample]]).
+    *
+    * Scale shape: one partial+final count aggregate over the stratum
+    * column (map-side-folding, |strata| rows), then the rate frame joins
+    * back — count-gated broadcast with a SHUFFLE_HASH fallback past
+    * `rateBroadcastLimit` (strata are languages/sources in practice, but
+    * nothing here assumes the column is low-cardinality). The filter is
+    * codegen; the corpus never shuffles on the broadcast path. */
+  def temperatureSample(df: DataFrame, stratumCol: String, idCol: String,
+                        baseFrac: Double = 0.5,
+                        rateBroadcastLimit: Long = Dedup.HotShingleBroadcastLimit): DataFrame = {
+    require(baseFrac > 0.0 && baseFrac <= 1.0, s"bad baseFrac $baseFrac")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true) // feeds the gate count, the max, and the join
+    val cmax = broadcast(counts.agg(max(col("__c")).as("__cmax")))
+    val thr = counts.crossJoin(cmax)
+      .select(col(stratumCol),
+        round(least(lit(1.0),
+          lit(baseFrac) * sqrt(col("__cmax").cast("double") / col("__c"))) * 65536, 0)
+          .cast("long").as("__thr"))
+    val joined =
+      if (counts.count() <= rateBroadcastLimit) df.join(broadcast(thr), Seq(stratumCol))
+      else df.join(thr.hint("SHUFFLE_HASH"), Seq(stratumCol))
+    joined
+      .filter(col("__thr") >= 65536 ||
+        substring(md5(col(idCol).cast("string")), 1, 4) < format_string("%04x", col("__thr")))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** Interval-overlap join (genomics' bread-and-butter: features × reads,
     * genes × regulatory regions) over half-open intervals [start, end):
     * overlap iff aStart < bEnd AND bStart < aEnd.

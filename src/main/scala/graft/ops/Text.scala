@@ -224,6 +224,36 @@ object Text {
           .cast("decimal(18,6)")), 4).cast("double").as("sum_nll"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3: score
+    * documents with a language model, split the corpus into head /
+    * middle / tail terciles; downstream trainers keep head+middle). The
+    * LM here is the corpus [[unigramNll]]; per-doc ppl-proxy =
+    * sum_nll / n_tok, terciles by exact rank under the (ppl, doc) total
+    * order — integer bucket edges (3·r ≤ n, 3·r ≤ 2n), so an oracle
+    * reproduces the split bit-for-bit.
+    *
+    * Scale shape: the NLL is [[unigramNll]]'s (count-gated vocab probe);
+    * the tercile rank is ONE global exchange+sort over (ppl, doc) — the
+    * c9_window_dist posture: exact distribution statistics are
+    * inherently a total order. Production CCNet avoids even that by
+    * bucketing against FIXED thresholds trained once on a held-out
+    * sample; with thresholds in hand this collapses to a zero-shuffle
+    * codegen filter (`when(ppl <= t1, ...)`), so the sort here is the
+    * price of deriving thresholds in-query, not of applying them. */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ppl = unigramNll(docs, idCol, textCol)
+      .select(col("doc"), round(col("sum_nll") / col("n_tok"), 6).as("ppl"))
+    val n = broadcast(ppl.agg(count(lit(1)).as("__n")))
+    ppl
+      .withColumn("__r", row_number().over(Window.orderBy(col("ppl"), col("doc"))))
+      .crossJoin(n)
+      .select(col("doc"), col("ppl"),
+        when(col("__r") * 3 <= col("__n"), "head")
+          .when(col("__r") * 3 <= col("__n") * 2, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** Repetition signals (the Gopher-style repetitious-text filters, Rae et
     * al. 2021 §A1.1): fraction of duplicate word n-grams per document,
     * `1 − distinct_ngrams / total_ngrams` for n ∈ {2, 3}. High values mark

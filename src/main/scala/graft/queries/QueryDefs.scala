@@ -1358,6 +1358,34 @@ object QueryDefs {
               GROUP BY doc_id""")
     ),
 
+    // CCNet perplexity bucketing: head/middle/tail terciles of the
+    // unigram ppl-proxy by EXACT rank — integer bucket edges, one shared
+    // global sort (the c9_window_dist posture; production applies fixed
+    // held-out thresholds as a zero-shuffle filter instead).
+    QueryDef(
+      "c15_ppl_buckets",
+      (s, d) => Text.perplexityBuckets(t(s, d, "documents"), "doc_id", "text")
+        .select(col("doc").as("doc_id"), col("ppl"), col("bucket")),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                           FROM documents),
+                vocab AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+                tot AS (SELECT sum(c)::DOUBLE AS n FROM vocab),
+                nll AS (SELECT doc_id, count(*) AS n_tok,
+                          CAST(round(sum(CAST(-ln(c / n) AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_nll
+                        FROM tok JOIN vocab USING (token) CROSS JOIN tot
+                        GROUP BY doc_id),
+                p AS (SELECT doc_id, round(sum_nll / n_tok, 6) AS ppl FROM nll),
+                r AS (SELECT doc_id, ppl,
+                        row_number() OVER (ORDER BY ppl, doc_id) AS r,
+                        count(*) OVER () AS n
+                      FROM p)
+              SELECT doc_id, ppl,
+                CASE WHEN 3 * r <= n THEN 'head'
+                     WHEN 3 * r <= 2 * n THEN 'middle'
+                     ELSE 'tail' END AS bucket
+              FROM r""")
+    ),
+
     // Bigram conditional NLL: the next-step LM signal. Unlike unigram's
     // broadcast-vocab shape, the bigram table is |V|²-ish — probe via
     // shuffled-hash joins (the 100 TB shape). Decimal-accumulated sums.
@@ -1446,6 +1474,27 @@ object QueryDefs {
       Some("""SELECT doc_id, lang FROM documents
               WHERE (lang = 'en' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000')
                  OR (lang = 'es' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '3333')""")
+    ),
+
+    // C23 temperature sampling (XLM-R α=0.5 rebalancing): rates are
+    // COMPUTED FROM THE DATA — count per lang, rate = min(1,
+    // 0.5·√(cmax/c)) — yet the query is hash-checked because every step
+    // is bit-reproducible IEEE arithmetic (÷ and √ correctly rounded,
+    // ×0.5 and ×65536 exact): the oracle recomputes identical thresholds.
+    QueryDef(
+      "c23_temperature_sample",
+      (s, d) => Relational.temperatureSample(
+          t(s, d, "documents"), "lang", "doc_id", baseFrac = 0.5)
+        .select("doc_id", "lang"),
+      Some("""WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+                m AS (SELECT max(c) AS cmax FROM c),
+                t AS (SELECT lang,
+                        CAST(round(least(1.0, 0.5 * sqrt(cmax::DOUBLE / c)) * 65536)
+                          AS BIGINT) AS thr
+                      FROM c CROSS JOIN m)
+              SELECT d.doc_id, d.lang FROM documents d JOIN t USING (lang)
+              WHERE thr >= 65536
+                 OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < printf('%04x', thr)""")
     ),
 
     // PII scrubbing over text with PLANTED pii (deterministic per doc_id:

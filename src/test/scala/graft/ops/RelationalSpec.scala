@@ -200,4 +200,32 @@ class RelationalSpec extends SparkSpec {
     assert(Relational.hashSplit(ids, "doc_id", 0.0)
       .filter($"split" =!= "val").count() == 0)
   }
+
+  test("temperatureSample: α=0.5 rates per stratum, cap branch, gate paths equal") {
+    // skewed strata: a dominates, b is mid, c is rare enough that its
+    // rate caps at 1.0 (the thr >= 65536 literal-true branch)
+    val rows = (1L to 8000L).map(i => (i, "a")) ++
+      (8001L to 11000L).map(i => (i, "b")) ++
+      (11001L to 11050L).map(i => (i, "c"))
+    val df = rows.toDF("doc_id", "stratum")
+    val kept = Relational.temperatureSample(df, "stratum", "doc_id", baseFrac = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val byS = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    // expected rates: a = 0.5 (anchor), b = 0.5*sqrt(8000/3000) ≈ 0.8165,
+    // c = min(1, 0.5*sqrt(160)) = 1.0 — every c row survives
+    assert(math.abs(byS("a").toDouble / 8000 - 0.5) < 0.03, s"a kept ${byS("a")}")
+    assert(math.abs(byS("b").toDouble / 3000 - 0.8165) < 0.03, s"b kept ${byS("b")}")
+    assert(byS("c") == 50, s"capped stratum lost rows: ${byS("c")}")
+    // the rare stratum is RELATIVELY upweighted — that's the point of
+    // temperature sampling: kept share ∝ √count, not count
+    assert(byS("c").toDouble / 50 > byS("a").toDouble / 8000)
+    // both gate paths produce the identical kept set
+    val shuffled = Relational.temperatureSample(df, "stratum", "doc_id",
+        baseFrac = 0.5, rateBroadcastLimit = 0L)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(shuffled == kept.map(_._1).toSet, "broadcast vs SHUFFLE_HASH paths differ")
+    // column order is preserved through the rate join-back
+    assert(Relational.temperatureSample(df, "stratum", "doc_id")
+      .columns.toSeq == Seq("doc_id", "stratum"))
+  }
 }

@@ -290,6 +290,23 @@ class TextSpec extends SparkSpec {
       s"forced scale path still broadcasts the vocab:\n$plan")
   }
 
+  test("perplexityBuckets: exact tercile sizes, predictable text lands in head") {
+    // 9 docs: three highly templated (every token from one repeated word —
+    // maximal corpus probability, lowest NLL), three mixed, three of
+    // unique rare tokens (each token count 1 — highest NLL)
+    val low = (1L to 3L).map(i => (i, Seq.fill(8)("the").mkString(" ")))
+    val mid = (4L to 6L).map(i => (i, s"the of doc$i word$i the of common$i x$i"))
+    val high = (7L to 9L).map(i =>
+      (i, (1 to 8).map(j => s"rare${i}_$j").mkString(" ")))
+    val corpus = (low ++ mid ++ high).toDF("doc_id", "text")
+    val out = Text.perplexityBuckets(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out.values.groupBy(identity).view.mapValues(_.size).toMap ==
+      Map("head" -> 3, "middle" -> 3, "tail" -> 3), s"tercile sizes: $out")
+    assert((1L to 3L).forall(out(_) == "head"), s"templated docs not head: $out")
+    assert((7L to 9L).forall(out(_) == "tail"), s"rare-token docs not tail: $out")
+  }
+
   test("dsirScores ranks target-like docs above off-target docs") {
     // two disjoint vocabularies: 'sci' (the target style) and 'web' junk
     val sci = "quantum electron proton neutron boson lepton quark photon"
