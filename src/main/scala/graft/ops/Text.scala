@@ -254,6 +254,71 @@ object Text {
           .otherwise("tail").as("bucket"))
   }
 
+  /** BPE merge-rule training (Sennrich et al. 2016, arXiv:1508.07909
+    * §3.2): iteratively merge the most frequent adjacent symbol pair,
+    * weighted by word frequency, starting from characters plus an
+    * end-of-word marker. Returns the learned merge table
+    * (rank, left, right, merged, pair_count) — the artifact a tokenizer
+    * ships. Ties break lexicographically on (left, right), so the table
+    * is deterministic for a given corpus.
+    *
+    * Scale shape: training state is the WORD VOCABULARY (distinct words ×
+    * symbol arrays), not the corpus — one explode+count builds it, and
+    * every iteration after that touches only vocab rows. Per iteration:
+    * one map-side-folding pair-count aggregate, ONE single-row collect
+    * (the argmax — bounded by numMerges, never by data; the iterative-CC
+    * driver-loop posture), and a fold-merge projection with lineage
+    * truncated per round. The fold is an `aggregate` HOF (interpreted
+    * per element) — acceptable off the hot path because it runs over
+    * vocab entries whose symbol arrays shrink as merges land; the
+    * corpus-sized pass happens exactly once, at vocab build. */
+  def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    require(numMerges > 0, s"numMerges must be positive: $numMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val EndOfWord = "</w>"
+    var vocab = docs
+      .select(explode(tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+      .select(concat(split(col("word"), ""), array(lit(EndOfWord))).as("sym"),
+        col("wc"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      val n = size(col("sym"))
+      val best = vocab
+        .select(col("wc"), explode(
+          arrays_zip(slice(col("sym"), lit(1), n - 1),
+                     slice(col("sym"), lit(2), n - 1))).as("p"))
+        .groupBy(col("p.0").as("l"), col("p.1").as("r"))
+        .agg(sum(col("wc")).as("cnt"))
+        .orderBy(desc("cnt"), asc("l"), asc("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        rank += 1
+        merges += ((rank, l, r, l + r, cnt))
+        // greedy left-to-right fold: replace each non-overlapping (l, r)
+        // adjacency with the merged symbol — [a,a,a,a] + (a,a) → [aa,aa]
+        val mergedSym = aggregate(
+          col("sym"),
+          array().cast("array<string>"),
+          (acc, x) => when(
+            size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(concat(acc, array(x))))
+        vocab = vocab.select(mergedSym.as("sym"), col("wc"))
+          .localCheckpoint(true) // truncate the per-round lineage
+      }
+    }
+    merges.result().toDF("rank", "left", "right", "merged", "pair_count")
+  }
+
   /** Repetition signals (the Gopher-style repetitious-text filters, Rae et
     * al. 2021 §A1.1): fraction of duplicate word n-grams per document,
     * `1 − distinct_ngrams / total_ngrams` for n ∈ {2, 3}. High values mark

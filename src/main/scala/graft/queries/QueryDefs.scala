@@ -1582,6 +1582,31 @@ object QueryDefs {
       None
     ),
 
+    // Model-based quality filtering (GPT-3 §2.2): logistic regression
+    // trained to separate a trusted reference slice (three curated
+    // sources here, WebText there) from the rest, then every doc scored
+    // P(reference|features). Rows-only: L-BFGS scores depend on float
+    // reduction order; separation quality is pinned by QualityModelSpec
+    // (planted-gradient AUC > 0.95, generalization ordering).
+    QueryDef(
+      "c15_quality_classifier",
+      (s, d) => graft.ops.QualityModel.trainScore(
+        t(s, d, "documents"), "doc_id", "text",
+        col("source").isin("src0", "src1", "src2")),
+      None
+    ),
+
+    // BPE merge-rule TRAINING (Sennrich 2016): the learned merge table
+    // over the corpus word vocabulary. Deterministic (lexicographic
+    // tie-breaks) but iterative — not SQL-expressible, so rows-only;
+    // the merge sequence itself is pinned by TextSpec's hand-computed
+    // tables (classic worked example + overlapping-run fold).
+    QueryDef(
+      "c15_bpe_train",
+      (s, d) => Text.bpeTrain(t(s, d, "documents"), "text", numMerges = 12),
+      None
+    ),
+
     // BPE-ish token counting: pre-tokenizer span counts (letter/digit/
     // punct runs) — the whitespace-independent token accounting a
     // training-data pipeline budgets with.

@@ -307,6 +307,43 @@ class TextSpec extends SparkSpec {
     assert((7L to 9L).forall(out(_) == "tail"), s"rare-token docs not tail: $out")
   }
 
+  test("bpeTrain learns the classic merge sequence with deterministic tie-breaks") {
+    // Sennrich et al. 2016's worked example, word counts via repetition:
+    // low×5, lower×2, newest×6, widest×3. Hand-computed merge table:
+    // (e,s)=9, (es,t)=9, (est,</w>)=9 — three ties at 9, broken
+    // lexicographically on (left, right) — then (l,o)=7, (lo,w)=7.
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = Seq(words.mkString(" ")).toDF("text")
+    val got = Text.bpeTrain(docs, "text", numMerges = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1, "e", "s", "es", 9L),
+      (2, "es", "t", "est", 9L),
+      (3, "est", "</w>", "est</w>", 9L),
+      (4, "l", "o", "lo", 7L),
+      (5, "lo", "w", "low", 7L)), s"merge table: $got")
+  }
+
+  test("bpeTrain: overlapping runs merge left-to-right; exhaustion stops early") {
+    // aaaa + (a,a) must yield [aa, aa] (two pairs), not three overlapping
+    // ones — so the learned count for (a,a) is 3 per word occurrence
+    // (4 chars → 3 adjacencies) and after one merge the pair (aa,aa)
+    // exists once per word
+    val docs = Seq(Seq.fill(4)("aaaa").mkString(" ")).toDF("text")
+    val got = Text.bpeTrain(docs, "text", numMerges = 50)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    // merge 1: (a,a)=3 adjacencies × 4 words = 12 → [aa,aa,</w>]
+    // merge 2: tie at 4 between (aa,aa) and (aa,</w>) — '<' sorts below
+    //          'a', so (aa,</w>) wins → [aa, aa</w>]
+    // merge 3: (aa, aa</w>)=4 → [aaaa</w>], no pairs left → loop stops
+    assert(got == Seq(
+      ("a", "a", 12L),
+      ("aa", "</w>", 4L),
+      ("aa", "aa</w>", 4L)), s"merge table: $got")
+  }
+
   test("dsirScores ranks target-like docs above off-target docs") {
     // two disjoint vocabularies: 'sci' (the target style) and 'web' junk
     val sci = "quantum electron proton neutron boson lepton quark photon"
