@@ -57,8 +57,8 @@ object QualityModel {
     * thresholds or importance-samples on (GPT-3 kept documents by a
     * score-biased Pareto draw). Fixed hyperparameters keep the fit
     * reproducible for a given corpus up to float-reduction order. */
-  def trainScore(docs: DataFrame, idCol: String, textCol: String,
-                 labelCol: Column): DataFrame = {
+  private def fitOn(docs: DataFrame, idCol: String, textCol: String,
+                    labelCol: Column) = {
     val labeled = docs.select(col(idCol), col(textCol),
       labelCol.cast("double").as("__label"))
     val feats = features(labeled, idCol, textCol, passthrough = Seq("__label"))
@@ -68,18 +68,48 @@ object QualityModel {
       .setHandleInvalid("keep")
       .transform(feats)
       // the LR iterations each rescan their input: cache-equivalent
-      // truncation, and the scoring pass below reuses the same frame
+      // truncation, and the scoring pass reuses the same frame
       .localCheckpoint(true)
     val model = new LogisticRegression()
       .setFeaturesCol("__features").setLabelCol("__label")
       .setMaxIter(50).setRegParam(0.01).setStandardization(true)
       .fit(assembled)
+    (model, assembled)
+  }
+
+  def trainScore(docs: DataFrame, idCol: String, textCol: String,
+                 labelCol: Column): DataFrame = {
+    val (model, assembled) = fitOn(docs, idCol, textCol, labelCol)
     val scored = model.transform(assembled)
     // probability is a vector column (P(0), P(1)) — project the scalar
     // before returning: array/vector columns never leave a query surface
     scored.select(col(idCol), col("__label").as("label"),
       round(element_at(vector_to_array(col(model.getProbabilityCol)), 2), 4)
         .as("quality_score"))
+  }
+
+  /** Train only, returning the fitted coefficient vector and intercept —
+    * the fixed-size artifact a serving/ingest layer ships. Same fit as
+    * [[trainScore]]. */
+  def train(docs: DataFrame, idCol: String, textCol: String,
+            labelCol: Column): (Seq[Double], Double) = {
+    val (model, _) = fitOn(docs, idCol, textCol, labelCol)
+    (model.coefficients.toArray.toSeq, model.intercept)
+  }
+
+  /** σ(w·x + b) over the [[features]] columns as a pure codegen
+    * expression — no mllib at apply time, so the same column scores a
+    * STREAMING frame statelessly (coefficients ride the plan as
+    * literals, the size of the feature list). The left-fold sum matches
+    * BLAS ddot's index order, so batch `trainScore` and this expression
+    * round to the same 4-dp probability. */
+  def scoreColumn(coefficients: Seq[Double], intercept: Double): Column = {
+    require(coefficients.length == FeatureCols.length,
+      s"expected ${FeatureCols.length} coefficients, got ${coefficients.length}")
+    val margin = FeatureCols.zip(coefficients)
+      .map { case (f, w) => col(f) * lit(w) }
+      .reduce(_ + _) + lit(intercept)
+    round(lit(1.0) / (lit(1.0) + exp(-margin)), 4)
   }
 
   private def vector_to_array(c: Column): Column =

@@ -319,6 +319,59 @@ object Text {
     merges.result().toDF("rank", "left", "right", "merged", "pair_count")
   }
 
+  /** Apply a learned BPE merge table ([[bpeTrain]]'s output) and count
+    * tokens per document — the budgeting number a training pipeline
+    * actually plans with (docs-per-sequence, packing, cost estimates are
+    * all in TOKENIZER tokens, not whitespace words).
+    *
+    * Scale shape: each DISTINCT word is encoded exactly once — the word
+    * vocabulary (one explode+count aggregate) runs through a
+    * `mapPartitions` encoder with the merge list on the closure (merge
+    * tables are KB-sized by construction: numMerges entries), then
+    * per-doc word counts join the word→token-length table and fold in
+    * one aggregate. The imperative merge loop runs over vocab entries,
+    * never corpus occurrences — a Zipf corpus re-encodes "the" once, not
+    * 10¹¹ times. The join back is count-gated ([[tfidf]]'s shape):
+    * broadcast under `vocabBroadcastLimit` distinct words, SHUFFLE_HASH
+    * past it. */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)],
+                vocabBroadcastLimit: Long = Dedup.HotShingleBroadcastLimit): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wordCounts = docs
+      .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("doc", "word").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // feeds the vocab distinct AND the probe
+    val mergeList = merges.toArray // closure-shipped, numMerges entries
+    val wordLens = wordCounts.select("word").distinct()
+      .mapPartitions { it =>
+        it.map { row =>
+          val w = row.getString(0)
+          var sym: Array[String] =
+            (w.map(_.toString) :+ "</w>").toArray
+          mergeList.foreach { case (l, r) =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            sym.foreach { s =>
+              if (out.nonEmpty && out.last == l && s == r)
+                out(out.length - 1) = l + r
+              else out += s
+            }
+            sym = out.toArray
+          }
+          (w, sym.length.toLong)
+        }
+      }.toDF("word", "tok_len")
+      .localCheckpoint(true) // encode once: feeds the gate count AND the join
+    val probed =
+      if (wordLens.count() <= vocabBroadcastLimit)
+        wordCounts.join(broadcast(wordLens), Seq("word"))
+      else wordCounts.join(wordLens.hint("SHUFFLE_HASH"), Seq("word"))
+    probed.groupBy("doc")
+      .agg(sum(col("n") * col("tok_len")).as("n_bpe_tokens"))
+  }
+
   /** Repetition signals (the Gopher-style repetitious-text filters, Rae et
     * al. 2021 §A1.1): fraction of duplicate word n-grams per document,
     * `1 − distinct_ngrams / total_ngrams` for n ∈ {2, 3}. High values mark

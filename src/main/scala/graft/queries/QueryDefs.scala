@@ -1607,6 +1607,24 @@ object QueryDefs {
       None
     ),
 
+    // BPE ENCODE under the learned table: train on the corpus, then
+    // count per-doc tokens under that tokenizer — the budgeting number
+    // pipelines plan with. Distinct words encode exactly once
+    // (mapPartitions over the vocab); docs fold word-count × token-len.
+    // Deterministic but train+apply is iterative — rows-only; TextSpec
+    // pins hand-applied encodes and the no-merge degenerate case.
+    QueryDef(
+      "c15_bpe_encode",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val table = Text.bpeTrain(docs, "text", numMerges = 12)
+          .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+        Text.bpeEncode(docs, "doc_id", "text", table)
+          .select(col("doc").as("doc_id"), col("n_bpe_tokens"))
+      },
+      None
+    ),
+
     // BPE-ish token counting: pre-tokenizer span counts (letter/digit/
     // punct runs) — the whitespace-independent token accounting a
     // training-data pipeline budgets with.

@@ -125,6 +125,28 @@ object Streaming {
       .drop("__bench")
   }
 
+  /** Streaming-ingest quality SCORING: apply a batch-trained
+    * [[graft.ops.QualityModel]] logistic regression to documents AS THEY
+    * ARRIVE — the ingest half of model-based quality filtering (train
+    * offline on a labeled snapshot, score the firehose online).
+    * Stateless by construction: the model is a fixed-size coefficient
+    * vector riding the plan as LITERALS ([[graft.ops.QualityModel
+    * .scoreColumn]] — σ(w·x+b) over the same codegen feature
+    * projection), so there is no stream state, no shuffle, and no mllib
+    * on the hot path; the same column scores a batch frame identically
+    * (stream==batch spec). Rows below `minScore` drop. */
+  def qualityScoreStream(docs: DataFrame, idCol: String, textCol: String,
+                         coefficients: Seq[Double], intercept: Double,
+                         minScore: Double): DataFrame = {
+    val feats = graft.ops.QualityModel.features(
+      docs, idCol, textCol, passthrough = Seq(textCol))
+    feats
+      .withColumn("quality_score",
+        graft.ops.QualityModel.scoreColumn(coefficients, intercept))
+      .filter(col("quality_score") >= minScore)
+      .select(col(idCol), col(textCol), col("quality_score"))
+  }
+
   /** Streaming-ingest SEMANTIC decontamination (round-7 verdict #8): the
     * embedding analog of [[decontaminateStream]], completing ingest-side
     * parity with the batch curation v4 pair (n-gram + semantic). Drops

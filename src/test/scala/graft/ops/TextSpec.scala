@@ -344,6 +344,34 @@ class TextSpec extends SparkSpec {
       ("aa", "aa</w>", 4L)), s"merge table: $got")
   }
 
+  test("bpeEncode: learned merges compress token counts; hand-checked encodes") {
+    // train on the classic corpus, encode new text with the table
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val trainDocs = Seq(words.mkString(" ")).toDF("text")
+    val table = Text.bpeTrain(trainDocs, "text", numMerges = 5)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    // hand-applied merges (es, est, est</w>, lo, low):
+    //   "low"    → l o w </w>    → [low, </w>]        = 2
+    //   "lowest" → l o w e s t </w> → [low, est</w>]  = 2
+    //   "newest" → n e w e s t </w> → [n, e, w, est</w>] = 4
+    val docs = Seq((1L, "low lowest newest"), (2L, "low low"))
+      .toDF("doc_id", "text")
+    val got = Text.bpeEncode(docs, "doc_id", "text", table)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 8L, 2L -> 4L), s"token counts: $got")
+    // gate paths agree (broadcast vs SHUFFLE_HASH word-length join)
+    val shuffled = Text.bpeEncode(docs, "doc_id", "text", table,
+        vocabBroadcastLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shuffled == got, "vocab gate paths diverge")
+    // an empty merge table degrades to chars+marker counting
+    val raw = Text.bpeEncode(docs, "doc_id", "text", Nil)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(raw(2L) == 8L, s"no-merge encode: $raw") // 2×(3 chars + </w>)
+    assert(raw(1L) > got(1L), "merges did not compress the token count")
+  }
+
   test("dsirScores ranks target-like docs above off-target docs") {
     // two disjoint vocabularies: 'sci' (the target style) and 'web' junk
     val sci = "quantum electron proton neutron boson lepton quark photon"

@@ -560,4 +560,56 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
     assert(streamed == batch)
   }
+
+  test("streaming quality scoring equals the batch classifier (stateless, no mllib)") {
+    // train offline on a planted gradient; the stream scores with the
+    // coefficient literals only — scoreColumn's left-fold matches BLAS
+    // ddot index order, so 4-dp probabilities agree exactly
+    val clean = (1L to 30L).map { i =>
+      (i, s"the quick report $i describes a method to measure the outcome " +
+        s"of the trial and the panel agreed that the result is sound", 1.0)
+    }
+    val junk = (31L to 60L).map { i =>
+      (i, Seq.fill(10)(s"buy$i now$i").mkString(" ") + " 111 2222 333", 0.0)
+    }
+    val corpus = (clean ++ junk).toDF("doc_id", "text", "label")
+    val (coefs, intercept) = graft.ops.QualityModel.train(
+      corpus, "doc_id", "text", $"label")
+    val batchScores = graft.ops.QualityModel.trainScore(
+        corpus, "doc_id", "text", $"label")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.qualityScoreStream(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        coefs, intercept, minScore = 0.0)
+      .writeStream.format("memory").queryName("sink_qscore")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // two micro-batches: stateless scoring, arrival order is free
+      val feed = (clean ++ junk).map { case (id, t, _) => (id, t) }
+      mem.addData(feed.take(25)); q.processAllAvailable()
+      mem.addData(feed.drop(25)); q.processAllAvailable()
+    } finally q.stop()
+    val streamScores = spark.table("sink_qscore")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(streamScores.keySet == batchScores.keySet)
+    streamScores.foreach { case (id, s) =>
+      assert(s == batchScores(id), s"doc $id: stream $s vs batch ${batchScores(id)}")
+    }
+    // a real threshold actually filters: junk falls below what clean clears
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = Streaming.qualityScoreStream(
+        mem2.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        coefs, intercept, minScore = 0.5)
+      .writeStream.format("memory").queryName("sink_qscore2")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem2.addData((clean ++ junk).map { case (id, t, _) => (id, t) })
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val keptIds = spark.table("sink_qscore2")
+      .collect().map(_.getLong(0)).toSet
+    assert(keptIds.forall(_ <= 30L), s"junk survived the score gate: $keptIds")
+    assert(keptIds.size >= 25, s"score gate dropped most clean docs: ${keptIds.size}")
+  }
 }
