@@ -224,6 +224,41 @@ object Text {
           .cast("decimal(18,6)")), 4).cast("double").as("sum_nll"))
   }
 
+  /** The Gopher document-quality rule set applied as a FILTER (Rae et
+    * al. 2021 §A1.1, the subset computable from text alone): token count
+    * in [30, 50k], mean word length in [3, 10], ≥ 2% stopwords, ≥ 70% of
+    * tokens containing a letter, duplicate-bigram fraction ≤ 0.3.
+    * Returns every doc with its failed-rule count and the kept verdict —
+    * pipelines either filter on `kept` or route `n_fail` into triage.
+    * (The stopword rule is English-centric by design — Gopher was an
+    * English model; run it per-language or after language routing.)
+    *
+    * Scale shape: ONE codegen projection over the scan — every signal is
+    * a column expression (the [[repetitionSignals]] fused-shingle pass
+    * for dup2), no shuffle, no state. All ratios round to 4 dp before
+    * threshold comparison so an oracle reproduces each verdict exactly. */
+  def gopherFilter(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = tokens(col(textCol))
+    val nTok = size(ws)
+    def r4(c: Column): Column = round(c, 4)
+    val avgLen = r4((length(col(textCol)) - nTok + 1).cast("double") / nTok)
+    val stopR = r4(size(filter(ws, w =>
+      w.isin("a", "the", "of", "and", "to", "in", "is"))).cast("double") / nTok)
+    val alphaR = r4(size(filter(ws, w => w.rlike("[a-zA-Z]"))).cast("double") / nTok)
+    val dup2 = when(nTok >= 2,
+      r4(lit(1.0) - size(graft.functions.ShingleHashes.sortedShingleHashes(ws, 2))
+        .cast("double") / (nTok - 1)))
+      .otherwise(lit(0.0))
+    val rules = Seq(
+      nTok.between(30, 50000),
+      avgLen.between(3.0, 10.0),
+      stopR >= 0.02,
+      alphaR >= 0.7,
+      dup2 <= 0.3)
+    val nFail = rules.map(r => when(r, 0).otherwise(1)).reduce(_ + _)
+    docs.select(col(idCol), nFail.as("n_fail"), (nFail === 0).as("kept"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3: score
     * documents with a language model, split the corpus into head /
     * middle / tail terciles; downstream trainers keep head+middle). The

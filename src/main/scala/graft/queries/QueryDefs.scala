@@ -1358,6 +1358,42 @@ object QueryDefs {
               GROUP BY doc_id""")
     ),
 
+    // The Gopher rule set as a filter: every doc with its failed-rule
+    // count and verdict — one codegen projection, every ratio rounded
+    // 4 dp before comparison so the oracle reproduces each verdict.
+    // Non-vacuous on this corpus: the token-count and stopword rules
+    // both fire (docs run 10-99 tokens; non-English docs have zero
+    // English stopwords).
+    QueryDef(
+      "c15_gopher_filter",
+      (s, d) => Text.gopherFilter(t(s, d, "documents"), "doc_id", "text"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws,
+                           len(string_split(text, ' ')) AS n_tok,
+                           len(text) AS nc
+                         FROM documents),
+                s AS (SELECT doc_id, n_tok,
+                        round((nc - n_tok + 1)::DOUBLE / n_tok, 4) AS avg_len,
+                        round(len(list_filter(ws, w ->
+                          w IN ('a','the','of','and','to','in','is')))::DOUBLE
+                          / n_tok, 4) AS stop_r,
+                        round(len(list_filter(ws, w ->
+                          regexp_matches(w, '[a-zA-Z]')))::DOUBLE
+                          / n_tok, 4) AS alpha_r,
+                        CASE WHEN n_tok >= 2 THEN round(1.0 -
+                          len(list_distinct([ws[i] || ' ' || ws[i+1]
+                                             for i in generate_series(1, n_tok - 1)]))::DOUBLE
+                          / (n_tok - 1), 4) ELSE 0.0 END AS dup2
+                      FROM t),
+                f AS (SELECT doc_id,
+                        (CASE WHEN n_tok BETWEEN 30 AND 50000 THEN 0 ELSE 1 END) +
+                        (CASE WHEN avg_len BETWEEN 3.0 AND 10.0 THEN 0 ELSE 1 END) +
+                        (CASE WHEN stop_r >= 0.02 THEN 0 ELSE 1 END) +
+                        (CASE WHEN alpha_r >= 0.7 THEN 0 ELSE 1 END) +
+                        (CASE WHEN dup2 <= 0.3 THEN 0 ELSE 1 END) AS n_fail
+                      FROM s)
+              SELECT doc_id, n_fail, n_fail = 0 AS kept FROM f""")
+    ),
+
     // CCNet perplexity bucketing: head/middle/tail terciles of the
     // unigram ppl-proxy by EXACT rank — integer bucket edges, one shared
     // global sort (the c9_window_dist posture; production applies fixed

@@ -372,6 +372,28 @@ class TextSpec extends SparkSpec {
     assert(raw(1L) > got(1L), "merges did not compress the token count")
   }
 
+  test("gopherFilter: each rule fires on its planted violation, clean text passes") {
+    val cleanBody = ("the quick brown fox jumps over the lazy dog and then " +
+      "walks to the nearby market in search of fresh bread with calm " +
+      "purpose while the morning sun rises over quiet rooftops again")
+    val docs = Seq(
+      (1L, cleanBody),                                   // passes everything
+      (2L, "too short to keep"),                         // fails token count
+      (3L, cleanBody.split(" ").map(w => w.take(1)).mkString(" ") +
+        " " + Seq.fill(28)("a b").mkString(" ")),        // fails mean word length (short tokens)
+      (4L, Seq.fill(35)("reunion sans mots anglais frequents corpus").mkString(" ")
+        .split(" ").take(35).mkString(" ")),             // fails stopword minimum
+      (5L, (1 to 35).map(i => s"$i${i * 7}").mkString(" ")), // fails alpha ratio (digits)
+      (6L, Seq.fill(20)("spam loop").mkString(" "))      // fails dup-bigram (and stopwords)
+    ).toDF("doc_id", "text")
+    val out = Text.gopherFilter(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    assert(out(1L) == ((0, true)), s"clean doc flagged: ${out(1L)}")
+    (2L to 6L).foreach { id =>
+      assert(out(id)._1 >= 1 && !out(id)._2, s"planted violation $id passed: $out")
+    }
+  }
+
   test("dsirScores ranks target-like docs above off-target docs") {
     // two disjoint vocabularies: 'sci' (the target style) and 'web' junk
     val sci = "quantum electron proton neutron boson lepton quark photon"
