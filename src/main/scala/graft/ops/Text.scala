@@ -132,6 +132,54 @@ object Text {
       )
   }
 
+  /** BM25 ranked retrieval (Robertson & Zaragoza 2009, the Okapi
+    * formulation with the +1 idf floor Lucene uses): score every
+    * document against a keyword query,
+    *   Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·len/avgLen)),
+    *   idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+    * The lexical complement to embedding search ([[graft.ops
+    * .Similarity]]): hybrid RAG retrieval runs both and fuses.
+    *
+    * Scale shape — deliberately NOT the [[tfidf]] whole-vocab shape: the
+    * token stream filters to QUERY TERMS FIRST, so every aggregate
+    * (per-doc tf, per-term df) is |query|-bounded per doc and the
+    * corpus-wide structures are two broadcast 1-row frames (N, avgLen).
+    * No vocabulary table exists at all; the scan is the only
+    * corpus-sized pass, and scoring folds map-side. Per-term scores
+    * accumulate through DECIMAL(18,6) so summation order cannot flip a
+    * rounded result (the float-sum oracle hazard), and top-k plans as
+    * TakeOrderedAndProject under the (score desc, id) total order. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+           topK: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "empty BM25 query")
+    val ws = tokens(col(textCol))
+    val lens = docs.select(col(idCol).as("doc"), size(ws).as("doc_len"),
+      ws.as("__ws"))
+    val stats = broadcast(lens.agg(
+      count(lit(1)).cast("double").as("__n"),
+      avg(col("doc_len")).as("__avglen")))
+    val hits = lens
+      .select(col("doc"), col("doc_len"), explode(col("__ws")).as("token"))
+      .filter(col("token").isin(queryTerms: _*)) // query-bounded from here on
+      .groupBy("doc", "doc_len", "token")
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .localCheckpoint(true) // feeds the df aggregate AND the score join
+    val dfT = hits.groupBy("token").agg(count(lit(1)).cast("double").as("df"))
+    hits
+      .join(broadcast(dfT), Seq("token")) // |query| rows, always broadcastable
+      .crossJoin(stats)
+      .select(col("doc"),
+        ((log(lit(1.0) + (col("__n") - col("df") + 0.5) / (col("df") + 0.5))) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("doc_len") / col("__avglen"))))
+          .cast("decimal(18,6)").as("__s"))
+      .groupBy("doc")
+      .agg(round(sum(col("__s")), 4).cast("double").as("bm25"))
+      .orderBy(col("bm25").desc, col("doc"))
+      .limit(topK)
+  }
+
   /** Language-ID heuristic: score a document against per-language marker
     * token sets and pick the argmax. On real corpora the markers would be
     * character n-gram profiles; the synthetic corpus carries a `lang`

@@ -1358,6 +1358,38 @@ object QueryDefs {
               GROUP BY doc_id""")
     ),
 
+    // BM25 ranked retrieval: the lexical complement to embedding search.
+    // The token stream filters to QUERY TERMS before any aggregate, so
+    // nothing vocabulary-sized ever exists; per-term scores accumulate
+    // through DECIMAL so the oracle's summation order cannot flip the
+    // 4-dp round; top-20 under the (score, doc) total order.
+    QueryDef(
+      "c15_bm25",
+      (s, d) => Text.bm25(t(s, d, "documents"), "doc_id", "text",
+          Seq("hash", "join", "customer"))
+        .select(col("doc").as("doc_id"), col("bm25")),
+      Some("""WITH lens AS (SELECT doc_id, len(string_split(text, ' ')) AS doc_len
+                            FROM documents),
+                st AS (SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avglen FROM lens),
+                tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                        FROM documents),
+                hits AS (SELECT l.doc_id, l.doc_len, t.token,
+                           count(*)::DOUBLE AS tf
+                         FROM tok t JOIN lens l USING (doc_id)
+                         WHERE t.token IN ('hash', 'join', 'customer')
+                         GROUP BY l.doc_id, l.doc_len, t.token),
+                dft AS (SELECT token, count(*)::DOUBLE AS df FROM hits GROUP BY token)
+              SELECT doc_id,
+                CAST(round(sum(CAST(
+                  ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * 2.2) /
+                  (tf + 1.2 * (1 - 0.75 + 0.75 * doc_len / avglen))
+                  AS DECIMAL(18,6))), 4) AS DOUBLE) AS bm25
+              FROM hits JOIN dft USING (token) CROSS JOIN st
+              GROUP BY doc_id
+              ORDER BY bm25 DESC, doc_id
+              LIMIT 20""")
+    ),
+
     // The Gopher rule set as a filter: every doc with its failed-rule
     // count and verdict — one codegen projection, every ratio rounded
     // 4 dp before comparison so the oracle reproduces each verdict.

@@ -358,6 +358,29 @@ object ScaleBench {
           size(split(col("text"), "[ \n]")), budget = 512)
       })
 
+      // BPE train/encode (round-8 continuation): training state is the
+      // WORD VOCABULARY — replica-tagged tokens grow the vocab k×, so
+      // each of the 12 pair-count aggregates processes k× vocab rows and
+      // the wall must track n with no superlinear term (the per-round
+      // argmax collect is 1 row regardless of scale). Encode reuses the
+      // distinct-word shape: each word encodes once, docs fold counts.
+      var bpeTable: Seq[(String, String)] = Nil
+      val (tBpeTr, _) = timeIt {
+        bpeTable = Text.bpeTrain(docs, "text", numMerges = 12)
+          .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+        0L
+      }
+      val (tBpeEnc, _) = timeIt(noop(
+        Text.bpeEncode(docs, "doc_id", "text", bpeTable)))
+      // perplexity bucketing: NLL is the unigram shape (linear); the
+      // tercile rank is the one global exchange+sort — n log n with a
+      // 32-partition merge, measured here so the cliff would be visible
+      val (tPpl, _) = timeIt(noop(Text.perplexityBuckets(docs, "doc_id", "text")))
+      // temperature sampling: one stratum count aggregate + codegen
+      // filter — must be scan-bound flat
+      val (tTemp, _) = timeIt(noop(
+        Relational.temperatureSample(docs, "lang", "doc_id")))
+
       println(f"[scale] r$round x$k%-2d docs=$nDocs%7d vecs=$nVecs%6d | " +
         f"jaccard=$tJac%6.2fs pairs=$nPairs%6d cc=$tCc%5.2fs(r=$ccRounds) rm=$tRm%5.2fs | " +
         f"lsh=$tLsh%5.2fs($nLsh%5d) ann=$tAnn%5.2fs($nAnn%6d) annS=$tAnnS%5.2fs($nAnnS%6d) | " +
@@ -370,7 +393,8 @@ object ScaleBench {
         f"probe=$tProbe%5.2fs($nProbeCand%5d) " +
         f"ivfTr=$tIvfTr1%5.2fs/$tIvfTr2%5.2fs(k=$kSearch) " +
         f"pbatch=$tPbatch%5.2fs(cand=$nPbCand%6d,fb=$nPbFallback/5) " +
-        f"sess=$tSess%5.2fs ret=$tRet%5.2fs")
+        f"sess=$tSess%5.2fs ret=$tRet%5.2fs | " +
+        f"bpe=$tBpeTr%5.2fs/$tBpeEnc%5.2fs ppl=$tPpl%5.2fs temp=$tTemp%5.2fs")
     }
     spark.stop()
   }
