@@ -43,6 +43,97 @@ object Similarity {
       .limit(k)
   }
 
+  /** Reciprocal rank fusion (Cormack, Clarke & Buettcher, SIGIR'09):
+    * fuse N ranked candidate lists into one ranking by
+    * score(d) = Σ_lists 1/(rrfK + rank_list(d)) — the standard hybrid
+    * retrieval combiner (e.g. BM25 lexical + dense ANN), robust to
+    * incomparable score scales because only RANKS enter the sum.
+    *
+    * Each input is (frame, idCol, scoreCol); ranks are assigned here
+    * over the (score desc, id) total order so fusion is deterministic
+    * even under score ties. Each contribution is rounded to 12 dp and
+    * summed through DECIMAL(18,12), so the fused score is independent
+    * of both list order and float summation order — N lists, not just
+    * the commutative-pair case.
+    *
+    * Scale shape: every input list is top-k-bounded by its producer
+    * (the expensive corpus scans live — and are measured — there), so
+    * fusion is O(Σk) rows: the rank window's single-partition exchange
+    * and the groupBy both run on ≤ N·k rows regardless of corpus size. */
+  def rrfFuse(lists: Seq[(DataFrame, String, String)], rrfK: Int = 60,
+              topK: Int = 10): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    lists.map { case (df, idCol, scoreCol) =>
+      df.select(col(idCol).cast("long").as("id"),
+          row_number().over(
+            Window.orderBy(col(scoreCol).desc, col(idCol))).as("__rnk"))
+        .select(col("id"),
+          round(lit(1.0) / (lit(rrfK) + col("__rnk")), 12)
+            .cast("decimal(18,12)").as("__c"))
+    }.reduce(_ unionAll _)
+      .groupBy("id")
+      .agg(round(sum(col("__c")), 6).cast("double").as("rrf"))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(topK)
+  }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR'98): greedily select k results maximizing
+    * λ·rel(d) − (1−λ)·max_{s∈selected} cos(d, s) — relevance traded
+    * against redundancy with what's already picked, the standard
+    * diversification pass over a retrieval candidate list (near-dup
+    * answers crowd out coverage otherwise).
+    *
+    * MMR is inherently sequential (step i needs the step-i−1 selection),
+    * so this runs on the DRIVER over the collected candidate list — the
+    * [[neverShort]] local-relation posture, legitimate because the input
+    * is top-c-bounded by its producer (the corpus-sized scan lives
+    * there, measured separately). `maxCandidates` enforces that contract
+    * instead of assuming it: a caller feeding a corpus-sized frame gets
+    * an error, not a driver OOM. Selection is deterministic: scores in
+    * scala Double with (marginal desc, id asc) tie-break.
+    *
+    * Returns (id, rank 1..k, mmr = the marginal score at selection,
+    * rounded 6 dp) as a local relation ordered by rank. */
+  def mmrRerank(candidates: DataFrame, idCol: String, relCol: String,
+                vecCol: String, lambda: Double = 0.7, k: Int = 10,
+                maxCandidates: Int = 10000): DataFrame = {
+    require(lambda >= 0 && lambda <= 1, s"lambda $lambda outside [0,1]")
+    val rows = candidates.select(col(idCol).cast("long"),
+      col(relCol).cast("double"), col(vecCol)).collect()
+    require(rows.length <= maxCandidates,
+      s"MMR got ${rows.length} candidates (> $maxCandidates): feed a " +
+        "top-k-bounded list, not a corpus-sized frame")
+    case class Cand(id: Long, rel: Double, vec: Array[Double], norm: Double)
+    val pool = scala.collection.mutable.ArrayBuffer(rows.map { r =>
+      val v = r.getSeq[Float](2).map(_.toDouble).toArray
+      Cand(r.getLong(0), r.getDouble(1), v,
+        math.sqrt(v.map(x => x * x).sum))
+    }: _*)
+    def cos(a: Cand, b: Cand): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.vec.length) { s += a.vec(i) * b.vec(i); i += 1 }
+      if (a.norm == 0 || b.norm == 0) 0.0 else s / (a.norm * b.norm)
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Cand, Double)]
+    while (selected.length < math.min(k, rows.length)) {
+      val best = pool.map { c =>
+        val redundancy =
+          if (selected.isEmpty) 0.0
+          else selected.map { case (s, _) => cos(c, s) }.max
+        (c, lambda * c.rel - (1 - lambda) * redundancy)
+      }.minBy { case (c, m) => (-m, c.id) }
+      selected += best
+      pool -= best._1
+    }
+    val out = selected.zipWithIndex.map { case ((c, m), i) =>
+      (c.id, i + 1, BigDecimal(m).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq
+    val s = candidates.sparkSession
+    import s.implicits._
+    out.toDF(idCol, "rank", "mmr")
+  }
+
   /** Corpus-sized hyperplane count (PERF.md finding 17): random bucket
     * collisions ≈ tables · C(n,2) / 2^planes, so planes must track
     * log₂(n) to keep the noise term LINEAR in corpus size — at a fixed

@@ -1125,6 +1125,84 @@ object QueryDefs {
               FROM dots ORDER BY sim DESC, vec_id LIMIT 10""")
     ),
 
+    // Hybrid retrieval: BM25 lexical top-20 + exact cosine dense top-20
+    // fused by reciprocal rank fusion (1/(60+rank)). Both input lists are
+    // rank-deterministic (each orders by its ROUNDED score with an id
+    // tie-break), contributions round 12 dp and sum through DECIMAL, so
+    // the fused ranking hashes identically. Fusion itself is O(k) rows —
+    // the corpus-sized work lives in the two producers.
+    QueryDef(
+      "c14_hybrid_rrf",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val dense = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+          emb.filter(col("vec_id") === 0), "embedding", k = 20)
+        val lex = Text.bm25(t(s, d, "documents"), "doc_id", "text",
+          Seq("hash", "join", "customer"))
+        Similarity.rrfFuse(Seq((dense, "vec_id", "sim"), (lex, "doc", "bm25")))
+          .select(col("id").as("doc_id"), col("rrf"))
+      },
+      Some("""WITH q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS v,
+                                generate_subscripts(embedding, 1) AS i
+                         FROM embeddings WHERE vec_id = 0),
+                e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                             generate_subscripts(embedding, 1) AS i
+                      FROM embeddings WHERE vec_id <> 0),
+                dots AS (SELECT e.vec_id, sum(e.v * q.v) AS dot,
+                                sum(e.v * e.v) AS ne, sum(q.v * q.v) AS nq
+                         FROM e JOIN q ON e.i = q.i GROUP BY e.vec_id),
+                dense AS (SELECT vec_id AS id,
+                            round(dot / (sqrt(ne) * sqrt(nq)), 4) AS s
+                          FROM dots ORDER BY s DESC, vec_id LIMIT 20),
+                lens AS (SELECT doc_id, len(string_split(text, ' ')) AS doc_len
+                         FROM documents),
+                st AS (SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avglen FROM lens),
+                tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                        FROM documents),
+                hits AS (SELECT l.doc_id, l.doc_len, t.token,
+                           count(*)::DOUBLE AS tf
+                         FROM tok t JOIN lens l USING (doc_id)
+                         WHERE t.token IN ('hash', 'join', 'customer')
+                         GROUP BY l.doc_id, l.doc_len, t.token),
+                dft AS (SELECT token, count(*)::DOUBLE AS df FROM hits GROUP BY token),
+                lex AS (SELECT doc_id AS id,
+                          CAST(round(sum(CAST(
+                            ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * 2.2) /
+                            (tf + 1.2 * (1 - 0.75 + 0.75 * doc_len / avglen))
+                            AS DECIMAL(18,6))), 4) AS DOUBLE) AS s
+                        FROM hits JOIN dft USING (token) CROSS JOIN st
+                        GROUP BY doc_id ORDER BY s DESC, doc_id LIMIT 20),
+                u AS (SELECT id, CAST(round(1.0 /
+                        (60 + row_number() OVER (ORDER BY s DESC, id)), 12)
+                        AS DECIMAL(18,12)) AS c FROM dense
+                      UNION ALL
+                      SELECT id, CAST(round(1.0 /
+                        (60 + row_number() OVER (ORDER BY s DESC, id)), 12)
+                        AS DECIMAL(18,12)) AS c FROM lex)
+              SELECT id AS doc_id, CAST(round(sum(c), 6) AS DOUBLE) AS rrf
+              FROM u GROUP BY id ORDER BY rrf DESC, doc_id LIMIT 10""")
+    ),
+
+    // MMR diversification over a top-50 exact-cosine candidate list:
+    // greedy λ·rel − (1−λ)·max-sim-to-selected, driver-side over the
+    // k-bounded list (the corpus scan lives in the producer). Rows-only:
+    // the greedy recurrence isn't SQL-expressible; SimilaritySpec pins a
+    // planted redundant-candidate demotion and determinism.
+    QueryDef(
+      "c14_mmr_rerank",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val cand = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+          emb.filter(col("vec_id") === 0), "embedding", k = 50)
+          .join(emb, Seq("vec_id")) // ≤50-row side broadcasts
+        Similarity.mmrRerank(cand, "vec_id", "sim", "embedding",
+          lambda = 0.7, k = 10)
+      },
+      None
+    ),
+
     // C14 batched exact top-k — the realistic search shape (a PROBE BATCH
     // of 5 queries, one corpus pass): broadcast nested-loop scoring, then
     // per-query rank <= k planned as WindowGroupLimit (partial group

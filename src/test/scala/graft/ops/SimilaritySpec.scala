@@ -280,4 +280,58 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSeq == Seq((1L, 2L)))
   }
+
+  test("mmrRerank demotes a redundant near-duplicate below a diverse candidate") {
+    // A and A' point the same way (near-dups, both highly relevant);
+    // B is diverse with moderate relevance. Pure relevance ranks A, A', B;
+    // MMR at lambda=0.4 must rank A, B, A'.
+    val a  = Array(1.0f, 0.10f, 0f, 0f)
+    val a2 = Array(1.0f, 0.12f, 0f, 0f)
+    val bv = Array(0.5f, 0f, 1f, 0f)
+    def rel(v: Array[Float]) = v(0) / math.sqrt(v.map(x => x.toDouble * x).sum)
+    val cand = Seq((1L, rel(a), a), (2L, rel(a2), a2), (3L, rel(bv), bv))
+      .toDF("vec_id", "sim", "embedding")
+    val out = Similarity.mmrRerank(cand, "vec_id", "sim", "embedding",
+      lambda = 0.4, k = 3).collect().map(r => (r.getInt(1), r.getLong(0)))
+    assert(out.toSeq == Seq((1, 1L), (2, 3L), (3, 2L)),
+      s"expected A, B, A' but got ${out.toSeq}")
+    // lambda = 1 degenerates to pure relevance order
+    val relOnly = Similarity.mmrRerank(cand, "vec_id", "sim", "embedding",
+      lambda = 1.0, k = 3).collect().map(_.getLong(0))
+    assert(relOnly.toSeq == Seq(1L, 2L, 3L))
+    // k beyond the pool returns every candidate, ranked
+    val all = Similarity.mmrRerank(cand, "vec_id", "sim", "embedding",
+      lambda = 0.4, k = 99).collect()
+    assert(all.length == 3 && all.map(_.getInt(1)).toSeq == Seq(1, 2, 3))
+  }
+
+  test("rrfFuse matches the hand-computed fusion of two ranked lists") {
+    // listA ranks 1,2,3 -> ids 1,2,3; listB ranks 1,2,3 -> ids 2,4,1
+    val a = Seq((1L, 0.9), (2L, 0.8), (3L, 0.7)).toDF("id_a", "s_a")
+    val b = Seq((2L, 5.0), (4L, 4.0), (1L, 3.0)).toDF("id_b", "s_b")
+    val out = Similarity.rrfFuse(Seq((a, "id_a", "s_a"), (b, "id_b", "s_b")))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // 1/(60+rank) contributions, rounded 12 dp, summed, rounded 6 dp
+    def c(r: Int) = BigDecimal(1.0 / (60 + r)).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def s(rs: Int*) = rs.map(c).sum.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq == Seq(
+      (2L, s(2, 1)), (1L, s(1, 3)), (4L, s(2)), (3L, s(3))))
+  }
+
+  test("rrfFuse is invariant to list order and breaks score ties by id") {
+    val a = Seq((1L, 0.9), (2L, 0.9), (3L, 0.7)).toDF("id", "s") // tie 1 vs 2
+    val b = Seq((3L, 1.0), (2L, 0.5)).toDF("id", "s")
+    val ab = Similarity.rrfFuse(Seq((a, "id", "s"), (b, "id", "s")))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ba = Similarity.rrfFuse(Seq((b, "id", "s"), (a, "id", "s")))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ab == ba, "fusion must not depend on list order")
+    // the 0.9 tie must rank id 1 before id 2 (id tie-break), so id 1's
+    // contribution from list a strictly exceeds id 2's a-contribution
+    val score = ab.toMap
+    assert(score(2L) > score(1L), "b-list rank 2 must outweigh the a-tie loss")
+    val aOnly = Similarity.rrfFuse(Seq((a, "id", "s")))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(aOnly.map(_._1) == Seq(1L, 2L, 3L), "equal scores rank by id")
+  }
 }
