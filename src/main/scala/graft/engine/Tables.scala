@@ -6,19 +6,28 @@ import org.apache.spark.sql.types.LongType
 
 /** Shared parquet table loader for the testdata star schema.
   *
-  * The `events` table stores `ts` as parquet INT64 TIMESTAMP(NANOS), which
-  * Spark's vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]).
-  * We read nanos as a plain long (`spark.sql.legacy.parquet.nanosAsLong`)
-  * and truncate to microseconds — exactly what DuckDB does when it casts
-  * timestamp_ns to its native microsecond timestamp, so oracle comparisons
-  * agree. The conversion is a pure projection (no shuffle, codegen'd) and
-  * the scan itself stays vectorized with pushdown intact for all other
-  * columns.
+  * Some driver generations store `events.ts` as parquet INT64
+  * TIMESTAMP(NANOS), which Spark's vectorized reader rejects outright
+  * ([PARQUET_TYPE_ILLEGAL]). We read nanos as a plain long
+  * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to
+  * microseconds — exactly what DuckDB does when it casts timestamp_ns to
+  * its native microsecond timestamp, so oracle comparisons agree. The
+  * conversion is a pure projection (no shuffle, codegen'd) and the scan
+  * itself stays vectorized with pushdown intact for all other columns.
+  *
+  * Other generations store `ts` as TIMESTAMP(MICROS, isAdjustedToUTC =
+  * false), which Spark ≥3.4 infers as TIMESTAMP_NTZ — a type `unix_micros`
+  * and the streaming watermark paths reject. NTZ inference is disabled so
+  * the column reads as the session type (LTZ) carrying the RAW stored
+  * micros — bit-identical to the nanos-truncation path above and to
+  * DuckDB's `epoch_us`, with no session-timezone reinterpretation (an
+  * NTZ→LTZ `cast` would shift the epoch by the session offset instead).
   */
 object Tables {
 
   def read(s: SparkSession, dir: String, name: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = s.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
       case Some(_) =>

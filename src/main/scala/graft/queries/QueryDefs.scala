@@ -1505,9 +1505,10 @@ object QueryDefs {
     ),
 
     // CCNet perplexity bucketing: head/middle/tail terciles of the
-    // unigram ppl-proxy by EXACT rank — integer bucket edges, one shared
-    // global sort (the c9_window_dist posture; production applies fixed
-    // held-out thresholds as a zero-shuffle filter instead).
+    // unigram ppl-proxy by EXACT rank — integer bucket edges, ranked via
+    // the two-phase range-partitioned Relational.globalRank (no
+    // single-partition window; production applies fixed held-out
+    // thresholds as a zero-shuffle filter instead).
     QueryDef(
       "c15_ppl_buckets",
       (s, d) => Text.perplexityBuckets(t(s, d, "documents"), "doc_id", "text")

@@ -216,6 +216,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(got.size == 40)
   }
 
+  test("perplexity terciles rank without a corpus-sized single-partition window") {
+    // round-8 verdict scale-weak #1: the naive row_number().over(
+    // Window.orderBy(ppl, doc)) planned Exchange SinglePartition over the
+    // whole scored corpus. The two-phase globalRank form may keep ONE
+    // single-partition exchange — the ≤numPartitions-row (__pid, count)
+    // offsets frame — so the assertion is on what the exchange CARRIES:
+    // no single-partition exchange may ship corpus rows (doc/ppl columns).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+      for (q <- Seq("c15_ppl_buckets", "c24_curation_v6")) {
+        val plan = graft.SparkEntry.queries(q)(spark, sf0001)
+          .queryExecution.executedPlan
+        plan.collect {
+          case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+        }.foreach { e =>
+          val names = e.child.output.map(_.name)
+          assert(!names.exists(n => n == "doc" || n == "doc_id" || n == "ppl"),
+            s"$q: single-partition exchange carries corpus rows ($names) in:\n$plan")
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("minhash signature is a zero-shuffle projection") {
     val plan = graft.ops.Dedup.minhashSignatures(
       Tables.read(spark, sf0001, "documents"), "doc_id", "text", n = 3, k = 32)

@@ -97,6 +97,30 @@ class RelationalSpec extends SparkSpec {
       s"per-partition scan window missing:\n$plan")
   }
 
+  test("distributed global rank equals the naive global-window row_number") {
+    // ties in the leading key across range boundaries: n_chars has heavy
+    // collisions, so the doc_id tie-break is load-bearing
+    val docs = graft.engine.Tables.read(spark, sf0001, "documents")
+      .select($"doc_id", $"n_chars")
+    val naive = docs.withColumn("r",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy($"n_chars", $"doc_id")))
+      .collect().map(r => r.getLong(0) -> r.getInt(2).toLong).toMap
+    val dist = Relational.globalRank(docs, Seq($"n_chars", $"doc_id"), "r",
+      numPartitions = 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(dist == naive)
+  }
+
+  test("global rank windows on partition ids, never a full-data single partition") {
+    val docs = graft.engine.Tables.read(spark, sf0001, "documents")
+      .select($"doc_id", $"n_chars")
+    val plan = Relational.globalRank(docs, Seq($"n_chars", $"doc_id"), "r")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(__pid"),
+      s"per-partition rank window missing:\n$plan")
+  }
+
   test("intervalJoin matches brute-force overlap on random intervals (property)") {
     val rnd = new scala.util.Random(41)
     for (trial <- 1 to 3) {
