@@ -26,7 +26,11 @@ object QualityModel {
 
   /** Per-document numeric feature vector source columns: the quality
     * heuristics a curation pipeline already computes, assembled for the
-    * classifier. One codegen projection. */
+    * classifier. One codegen projection. The stopword / token-length /
+    * duplicate-bigram signals are [[Text]]'s shared column helpers — the
+    * SAME definitions [[Text.gopherFilter]] thresholds, so the learned
+    * decision surface and the rule filter read identical signals by
+    * construction (round-8 ADVICE #5). */
   def features(docs: DataFrame, idCol: String, textCol: String,
                passthrough: Seq[String] = Nil): DataFrame = {
     val ws = Text.tokens(col(textCol))
@@ -35,17 +39,11 @@ object QualityModel {
     docs.select(
       (col(idCol) +: passthrough.map(col)) ++ Seq(
       frac(size(array_distinct(ws))).as("lexical_diversity"),
-      round((length(col(textCol)) - size(ws) + 1).cast("double") / nTok, 6)
-        .as("avg_token_len"),
-      frac(size(filter(ws, w =>
-        w.isin("a", "the", "of", "and", "to", "in", "is")))).as("stopword_ratio"),
+      round(Text.avgTokenLen(col(textCol), ws), 6).as("avg_token_len"),
+      round(Text.stopwordFrac(ws), 6).as("stopword_ratio"),
       round(log1p(nTok), 6).as("log_n_tok"),
       frac(size(filter(ws, w => w.rlike("^[0-9]+$")))).as("digit_token_ratio"),
-      when(size(ws) >= 2,
-        round(lit(1.0) -
-          size(graft.functions.ShingleHashes.sortedShingleHashes(ws, 2))
-            .cast("double") / (size(ws) - 1), 6))
-        .otherwise(lit(0.0)).as("dup2_frac")): _*)
+      round(Text.dupBigramFrac(ws), 6).as("dup2_frac")): _*)
   }
 
   private val FeatureCols = Seq("lexical_diversity", "avg_token_len",

@@ -56,17 +56,20 @@ object Similarity {
     * of both list order and float summation order — N lists, not just
     * the commutative-pair case.
     *
-    * Scale shape: every input list is top-k-bounded by its producer
-    * (the expensive corpus scans live — and are measured — there), so
-    * fusion is O(Σk) rows: the rank window's single-partition exchange
-    * and the groupBy both run on ≤ N·k rows regardless of corpus size. */
+    * Scale shape: input lists are EXPECTED top-k-bounded by their
+    * producers (the expensive corpus scans live — and are measured —
+    * there), but the contract is not assumed (round-8 ADVICE #2): ranks
+    * come from [[Relational.globalRank]]'s two-phase range-partitioned
+    * form, so an unbounded input costs a distributed range sort — never
+    * a corpus-sized single-partition window. On the expected ≤ N·k rows
+    * the extra exchange is noise. */
   def rrfFuse(lists: Seq[(DataFrame, String, String)], rrfK: Int = 60,
               topK: Int = 10): DataFrame = {
     require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
     lists.map { case (df, idCol, scoreCol) =>
-      df.select(col(idCol).cast("long").as("id"),
-          row_number().over(
-            Window.orderBy(col(scoreCol).desc, col(idCol))).as("__rnk"))
+      Relational.globalRank(
+          df.select(col(idCol).cast("long").as("id"), col(scoreCol).as("__s")),
+          Seq(col("__s").desc, col("id")), "__rnk")
         .select(col("id"),
           round(lit(1.0) / (lit(rrfK) + col("__rnk")), 12)
             .cast("decimal(18,12)").as("__c"))
@@ -99,14 +102,18 @@ object Similarity {
                 vecCol: String, lambda: Double = 0.7, k: Int = 10,
                 maxCandidates: Int = 10000): DataFrame = {
     require(lambda >= 0 && lambda <= 1, s"lambda $lambda outside [0,1]")
+    // cast the vector column: candidate frames arrive as array<float>
+    // (raw embeddings) or array<double> (derived vectors) — a fixed
+    // getSeq[Float] would ClassCastException on the latter (round-8
+    // ADVICE #1)
     val rows = candidates.select(col(idCol).cast("long"),
-      col(relCol).cast("double"), col(vecCol)).collect()
+      col(relCol).cast("double"), col(vecCol).cast("array<double>")).collect()
     require(rows.length <= maxCandidates,
       s"MMR got ${rows.length} candidates (> $maxCandidates): feed a " +
         "top-k-bounded list, not a corpus-sized frame")
     case class Cand(id: Long, rel: Double, vec: Array[Double], norm: Double)
     val pool = scala.collection.mutable.ArrayBuffer(rows.map { r =>
-      val v = r.getSeq[Float](2).map(_.toDouble).toArray
+      val v = r.getSeq[Double](2).toArray
       Cand(r.getLong(0), r.getDouble(1), v,
         math.sqrt(v.map(x => x * x).sum))
     }: _*)

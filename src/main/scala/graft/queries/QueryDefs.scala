@@ -27,6 +27,69 @@ object QueryDefs {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.engine.Tables.read(s, dir, name)
 
+  /** DuckDB replay of [[Text.bpeTrain]]'s merge loop as `n` UNROLLED SQL
+    * stages (BPE training is a bounded iteration, so a non-recursive
+    * unroll is exact — and DuckDB's recursive CTEs can't aggregate in the
+    * recursive term anyway). Stage k: pair-count the stage-(k−1) symbol
+    * table, argmax with the (cnt desc, l, r) tie-break, then apply the
+    * merge with the GREEDY left-to-right overlap rule — candidate
+    * positions form runs of consecutive indices (overlap is only possible
+    * when l = r), and greedy-from-left keeps exactly the odd-numbered
+    * positions within each run. CTEs are MATERIALIZED: DuckDB inlines
+    * plain CTEs per reference, and each stage is referenced twice, so the
+    * naive form re-plans the whole prefix 2^n times. */
+  private def bpeReplayStage(k: Int): String = {
+    val p = k - 1
+    s"""
+  pc$k AS MATERIALIZED (SELECT sym[i] AS l, sym[i+1] AS r, sum(wc) AS cnt
+          FROM s$p, UNNEST(generate_series(1, len(sym)-1)) t(i)
+          GROUP BY 1, 2),
+  b$k AS MATERIALIZED (SELECT l, r, cnt FROM pc$k ORDER BY cnt DESC, l, r LIMIT 1),
+  p$k AS MATERIALIZED (SELECT word, wc, sym, i,
+           (sym[i] = (SELECT l FROM b$k) AND sym[i+1] = (SELECT r FROM b$k)) AS cand
+         FROM s$p, UNNEST(generate_series(1, len(sym))) t(i)),
+  c$k AS (SELECT word, i, i - row_number() OVER (PARTITION BY word ORDER BY i) AS g
+         FROM p$k WHERE cand),
+  m$k AS MATERIALIZED (SELECT word, i FROM (
+           SELECT word, i, row_number() OVER (PARTITION BY word, g ORDER BY i) AS rr
+           FROM c$k) WHERE rr % 2 = 1),
+  s$k AS MATERIALIZED (SELECT p.word, p.wc,
+           list(CASE WHEN m.i IS NOT NULL
+                THEN (SELECT l FROM b$k) || (SELECT r FROM b$k)
+                ELSE p.sym[p.i] END ORDER BY p.i) AS sym
+         FROM p$k p LEFT JOIN m$k m ON m.word = p.word AND m.i = p.i
+                   LEFT JOIN m$k m2 ON m2.word = p.word AND m2.i = p.i - 1
+         WHERE m2.i IS NULL
+         GROUP BY p.word, p.wc)"""
+  }
+
+  private def bpeReplayPrefix(n: Int): String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+  v AS (SELECT word, count(*) AS wc FROM tok WHERE len(word) > 0 GROUP BY word),
+  s0 AS MATERIALIZED (SELECT word, wc, list_append(string_split(word, ''), '</w>') AS sym FROM v),""" +
+      (1 to n).map(bpeReplayStage).mkString(",")
+
+  /** Learned merge table: the b_k argmax rows, one per rank. A rank whose
+    * pair table was empty (vocab exhausted) contributes zero rows — the
+    * same early stop as the Spark loop. `cnt` casts to BIGINT because
+    * DuckDB's sum returns HUGEINT, which pandas reads as float. */
+  private def bpeTrainOracleSql(n: Int): String =
+    bpeReplayPrefix(n) + "\n" + (1 to n).map(k =>
+      s"""SELECT $k AS rank, l AS "left", r AS "right", l || r AS merged,
+         CAST(cnt AS BIGINT) AS pair_count FROM b$k""")
+      .mkString("\nUNION ALL ") + "\nORDER BY rank"
+
+  /** Per-doc token counts under the learned tokenizer: the stage-n symbol
+    * table IS each word's encoding (training state = progressively merged
+    * vocab), so encode = len(sym) joined back to per-doc word counts. */
+  private def bpeEncodeOracleSql(n: Int): String =
+    bpeReplayPrefix(n) + s""",
+  wl AS (SELECT word, len(sym) AS tok_len FROM s$n),
+  dwc AS (SELECT doc_id, word, count(*) AS n FROM tok
+          WHERE len(word) > 0 GROUP BY doc_id, word)
+SELECT doc_id, CAST(sum(n * tok_len) AS BIGINT) AS n_bpe_tokens
+FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
+
   val all: Seq[QueryDef] = Seq(
 
     // ── Layer B: the reference's query surface ─────────────────────────
@@ -1131,6 +1194,13 @@ object QueryDefs {
     // tie-break), contributions round 12 dp and sum through DECIMAL, so
     // the fused ranking hashes identically. Fusion itself is O(k) rows —
     // the corpus-sized work lives in the two producers.
+    // Id namespaces: the synthetic corpus generates embeddings 1:1 with
+    // documents (vec_id ≡ doc_id — embeddings.parquet row i embeds
+    // documents.parquet row i), so fusing vec_id against doc_id is the
+    // aligned-id case, mirrored by the oracle. A corpus without that
+    // alignment must join embeddings to its doc-id mapping first, or
+    // unrelated entities with colliding numeric ids would merge their
+    // RRF contributions (round-8 ADVICE #4).
     QueryDef(
       "c14_hybrid_rrf",
       (s, d) => {
@@ -1744,22 +1814,25 @@ object QueryDefs {
     ),
 
     // BPE merge-rule TRAINING (Sennrich 2016): the learned merge table
-    // over the corpus word vocabulary. Deterministic (lexicographic
-    // tie-breaks) but iterative — not SQL-expressible, so rows-only;
-    // the merge sequence itself is pinned by TextSpec's hand-computed
-    // tables (classic worked example + overlapping-run fold).
+    // over the corpus word vocabulary — count-gated collect + the
+    // driver-local incremental merge loop (distributed per-merge
+    // aggregates past the gate). Deterministic (lexicographic
+    // tie-breaks); the merge sequence is pinned by TextSpec's
+    // hand-computed tables and the oracle replays the same 12 merges
+    // as unrolled SQL stages.
     QueryDef(
       "c15_bpe_train",
       (s, d) => Text.bpeTrain(t(s, d, "documents"), "text", numMerges = 12),
-      None
+      Some(bpeTrainOracleSql(12))
     ),
 
     // BPE ENCODE under the learned table: train on the corpus, then
     // count per-doc tokens under that tokenizer — the budgeting number
     // pipelines plan with. Distinct words encode exactly once
     // (mapPartitions over the vocab); docs fold word-count × token-len.
-    // Deterministic but train+apply is iterative — rows-only; TextSpec
-    // pins hand-applied encodes and the no-merge degenerate case.
+    // The oracle replays the same 12 merges as unrolled SQL stages and
+    // reads each word's token count off the final symbol table; TextSpec
+    // additionally pins hand-applied encodes and the no-merge case.
     QueryDef(
       "c15_bpe_encode",
       (s, d) => {
@@ -1769,7 +1842,7 @@ object QueryDefs {
         Text.bpeEncode(docs, "doc_id", "text", table)
           .select(col("doc").as("doc_id"), col("n_bpe_tokens"))
       },
-      None
+      Some(bpeEncodeOracleSql(12))
     ),
 
     // BPE-ish token counting: pre-tokenizer span counts (letter/digit/

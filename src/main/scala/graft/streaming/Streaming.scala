@@ -326,23 +326,33 @@ object Streaming {
   }
 
   /** End-to-end ingest-side curation — the streaming analog of the batch
-    * `c24_curation_v2` pipeline: scrub PII → drop low-lexical-diversity
-    * docs → drop benchmark-contaminated docs → exact-dedup by content
-    * fingerprint. Scrub/quality/decontaminate are stateless projections
-    * and broadcast semi-joins; the ONLY state is the fingerprint dedup,
-    * watermark-bounded. Dedup runs on the SCRUBBED text (the RefinedWeb
-    * ordering): two docs differing only in redacted PII collapse to one.
-    * On an in-order feed this converges to the batch first-arrival
-    * survivor (StreamingSpec pins it). */
+    * `c24_curation_v2` pipeline plus v5's rule-based quality gate: scrub
+    * PII → drop low-lexical-diversity docs → drop Gopher-rule failures →
+    * drop benchmark-contaminated docs → exact-dedup by content
+    * fingerprint. Scrub/quality/gopher/decontaminate are stateless
+    * projections and broadcast semi-joins; the ONLY state is the
+    * fingerprint dedup, watermark-bounded. Dedup runs on the SCRUBBED
+    * text (the RefinedWeb ordering): two docs differing only in redacted
+    * PII collapse to one. On an in-order feed this converges to the
+    * batch first-arrival survivor (StreamingSpec pins it).
+    *
+    * `gopher = false` switches the Gopher gate off — for feeds of short
+    * fragments (the ≥30-token rule drops anything tweet-sized) or
+    * non-English streams (the stopword rule is English-centric; route by
+    * language first, like the batch side). */
   def curateStream(docs: DataFrame, benchmark: DataFrame, idCol: String,
                    textCol: String, tsCol: String,
                    minDiversity: Double = 0.5, n: Int = 8,
-                   lateness: String = "10 minutes"): DataFrame = {
+                   lateness: String = "10 minutes",
+                   gopher: Boolean = true): DataFrame = {
     val scrubbed = docs.withColumn(textCol, graft.ops.Text.scrubPii(col(textCol)))
     val ws = graft.ops.Text.tokens(col(textCol)) // resolves post-scrub
     val quality = scrubbed.filter(
       size(array_distinct(ws)).cast("double") / size(ws) >= minDiversity)
-    decontaminateStream(quality, benchmark, idCol, textCol, n)
+    val ruled =
+      if (gopher) quality.filter(graft.ops.Text.gopherKept(col(textCol)))
+      else quality
+    decontaminateStream(ruled, benchmark, idCol, textCol, n)
       .withColumn("__fp", graft.ops.Text.fingerprint(col(textCol)))
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark("__fp")

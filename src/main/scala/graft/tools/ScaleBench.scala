@@ -359,11 +359,13 @@ object ScaleBench {
       })
 
       // BPE train/encode (round-8 continuation): training state is the
-      // WORD VOCABULARY — replica-tagged tokens grow the vocab k×, so
-      // each of the 12 pair-count aggregates processes k× vocab rows and
-      // the wall must track n with no superlinear term (the per-round
-      // argmax collect is 1 row regardless of scale). Encode reuses the
-      // distinct-word shape: each word encodes once, docs fold counts.
+      // WORD VOCABULARY — replica-tagged tokens grow the vocab k×. The
+      // registered path is now GATE-COLLECTED (round-8 verdict #2): one
+      // explode+count vocab aggregate, one vocab collect, then the
+      // driver-local incremental merge loop — so the wall is vocab-build
+      // + collect, linear in n and independent of numMerges-many Spark
+      // jobs. Encode reuses the distinct-word shape: each word encodes
+      // once, docs fold counts.
       var bpeTable: Seq[(String, String)] = Nil
       val (tBpeTr, _) = timeIt {
         bpeTable = Text.bpeTrain(docs, "text", numMerges = 12)
@@ -372,6 +374,13 @@ object ScaleBench {
       }
       val (tBpeEnc, _) = timeIt(noop(
         Text.bpeEncode(docs, "doc_id", "text", bpeTable)))
+      // tokenizer-REALISTIC merge count (a real BPE trains ~30k rules;
+      // 2000 here keeps the sweep short): the incremental driver loop's
+      // extra wall over the 12-rule run must be seconds, not 166× — the
+      // pre-gate form paid one full Spark aggregate PER RULE
+      val (tBpe2k, nBpe2k) = timeIt {
+        Text.bpeTrain(docs, "text", numMerges = 2000).count()
+      }
       // perplexity bucketing: NLL is the unigram shape (linear); the
       // tercile rank is the one global exchange+sort — n log n with a
       // 32-partition merge, measured here so the cliff would be visible
@@ -394,7 +403,8 @@ object ScaleBench {
         f"ivfTr=$tIvfTr1%5.2fs/$tIvfTr2%5.2fs(k=$kSearch) " +
         f"pbatch=$tPbatch%5.2fs(cand=$nPbCand%6d,fb=$nPbFallback/5) " +
         f"sess=$tSess%5.2fs ret=$tRet%5.2fs | " +
-        f"bpe=$tBpeTr%5.2fs/$tBpeEnc%5.2fs ppl=$tPpl%5.2fs temp=$tTemp%5.2fs")
+        f"bpe=$tBpeTr%5.2fs/$tBpeEnc%5.2fs bpe2k=$tBpe2k%6.2fs($nBpe2k) " +
+        f"ppl=$tPpl%5.2fs temp=$tTemp%5.2fs")
     }
     spark.stop()
   }

@@ -344,6 +344,27 @@ class TextSpec extends SparkSpec {
       ("aa", "aa</w>", 4L)), s"merge table: $got")
   }
 
+  test("bpeTrain gate paths agree: driver-local incremental == distributed iterative") {
+    // a real corpus slice (not the worked examples): tie-breaks, stale
+    // heap entries, and the greedy fold all get exercised, and the
+    // distributed path is forced via vocabBroadcastLimit = 0
+    val docs = graft.engine.Tables.read(spark, sf0001, "documents")
+      .filter($"doc_id" < 60)
+    def table(limit: Long) =
+      Text.bpeTrain(docs, "text", numMerges = 12, vocabBroadcastLimit = limit)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
+    val local = table(Long.MaxValue)
+    val dist = table(0L)
+    assert(local == dist, s"gate paths diverge:\nlocal $local\ndist  $dist")
+    assert(local.map(_._1) == (1 to 12), s"ranks not 1..12: $local")
+    // merging can only shrink pair counts, so the argmax sequence is
+    // non-increasing — a cheap invariant over the incremental recounts
+    val cnts = local.map(_._5)
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b },
+      s"pair counts increased across merges: $cnts")
+  }
+
   test("bpeEncode: learned merges compress token counts; hand-checked encodes") {
     // train on the classic corpus, encode new text with the table
     val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++

@@ -466,8 +466,11 @@ class StreamingSpec extends SparkSpec {
     val d4 = (4L, ts("2024-01-01 10:03:00"), "good unique words mail me at b@y.org now")
     val mem = MemoryStream[(Long, Timestamp, String)]
     val name = "sink_curate"
+    // gopher = false: these fixtures isolate scrub/diversity/decon/dedup
+    // with tweet-sized docs the ≥30-token Gopher rule would drop wholesale
     val q = Streaming.curateStream(
-        mem.toDF().toDF("doc_id", "ts", "text"), bench, "doc_id", "text", "ts")
+        mem.toDF().toDF("doc_id", "ts", "text"), bench, "doc_id", "text", "ts",
+        gopher = false)
       .writeStream.format("memory").queryName(name).outputMode(OutputMode.Append()).start()
     try {
       mem.addData(Seq(d1, d2)); q.processAllAvailable()
@@ -490,6 +493,48 @@ class StreamingSpec extends SparkSpec {
       .select($"__first.doc_id".as("doc_id"))
       .collect().map(_.getLong(0)).toSet
     assert(batchKept == rows.keySet)
+  }
+
+  test("curateStream gopher gate: rule failures drop on ingest, stream == batch") {
+    // round-8 verdict #6: the Gopher rules are a stateless codegen
+    // projection, so the ingest pipeline applies them by default —
+    // completing rule-based-quality parity with batch curation v5/v6.
+    // Fixtures pass the diversity gate (all-distinct tokens) so only the
+    // gopher verdict separates them: g1 passes every rule, g2 is 32
+    // digit tokens (alpha ratio 0 < 0.7), g3 is 10 tokens (< 30).
+    val bench = Seq((100L, "held out alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val g1 = (1L, ts("2024-01-01 10:00:00"),
+      "the quick brown fox jumps over a lazy dog while many other animals " +
+        "watch from near trees and of course some birds sing loud songs " +
+        "during this bright morning hour today")
+    val g2 = (2L, ts("2024-01-01 10:01:00"), (100 to 131).mkString(" "))
+    val g3 = (3L, ts("2024-01-01 10:02:00"),
+      "short doc with only ten distinct tokens right here now")
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val name = "sink_curate_gopher"
+    val q = Streaming.curateStream(
+        mem.toDF().toDF("doc_id", "ts", "text"), bench, "doc_id", "text", "ts")
+      .writeStream.format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(Seq(g1, g2, g3)); q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table(name).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L), s"kept $kept")
+    // batch parity: the same composition (scrub -> diversity ->
+    // gopherFilter -> decontaminate) keeps the same doc
+    val batchDocs = Seq(g1, g2, g3).toDF("doc_id", "ts", "text")
+      .withColumn("text", graft.ops.Text.scrubPii($"text"))
+    val ws = graft.ops.Text.tokens($"text")
+    val diverse = batchDocs.filter(
+      size(array_distinct(ws)).cast("double") / size(ws) >= 0.5)
+    val ruled = diverse.join(
+      graft.ops.Text.gopherFilter(diverse, "doc_id", "text")
+        .filter($"kept").select("doc_id"),
+      Seq("doc_id"))
+    val batchKept = graft.ops.Dedup.decontaminate(ruled, bench, "doc_id", "text", n = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchKept == kept, s"batch $batchKept != stream $kept")
   }
 
   test("curateStream out-of-order ingest: late rows drop, in-watermark disorder converges") {
@@ -516,7 +561,7 @@ class StreamingSpec extends SparkSpec {
     val name = "sink_curate_ooo"
     val q = Streaming.curateStream(
         mem.toDF().toDF("doc_id", "ts", "text"), bench, "doc_id", "text", "ts",
-        lateness = "10 minutes")
+        lateness = "10 minutes", gopher = false)
       .writeStream.format("memory").queryName(name).outputMode(OutputMode.Append()).start()
     try {
       mem.addData(Seq(a1)); q.processAllAvailable()            // watermark -> 10:20
