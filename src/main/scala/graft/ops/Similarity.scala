@@ -56,28 +56,44 @@ object Similarity {
     * of both list order and float summation order — N lists, not just
     * the commutative-pair case.
     *
-    * Scale shape: input lists are EXPECTED top-k-bounded by their
-    * producers (the expensive corpus scans live — and are measured —
-    * there), but the contract is not assumed (round-8 ADVICE #2): ranks
-    * come from [[Relational.globalRank]]'s two-phase range-partitioned
-    * form, so an unbounded input costs a distributed range sort — never
-    * a corpus-sized single-partition window. On the expected ≤ N·k rows
-    * the extra exchange is noise. */
+    * Scale shape: input lists are top-k-bounded by their producers (the
+    * expensive corpus scans live — and are measured — there), and that
+    * contract is ENFORCED, not assumed (round-8 ADVICE #2): each list
+    * collects to the driver under a `maxListSize` require — the
+    * [[mmrRerank]] / neverShort local-relation posture (finding 21) —
+    * and fusion is O(Σk log k) driver arithmetic. A caller feeding a
+    * corpus-sized frame gets an error, never a corpus-sized
+    * single-partition window. Contributions compute as double division
+    * rounded HALF_UP to 12 dp and sum through exact decimals — the same
+    * arithmetic the previous in-plan DECIMAL(18,12) form ran, so the
+    * fused score is independent of list order and summation order. */
   def rrfFuse(lists: Seq[(DataFrame, String, String)], rrfK: Int = 60,
-              topK: Int = 10): DataFrame = {
+              topK: Int = 10, maxListSize: Int = 10000): DataFrame = {
     require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
-    lists.map { case (df, idCol, scoreCol) =>
-      Relational.globalRank(
-          df.select(col(idCol).cast("long").as("id"), col(scoreCol).as("__s")),
-          Seq(col("__s").desc, col("id")), "__rnk")
-        .select(col("id"),
-          round(lit(1.0) / (lit(rrfK) + col("__rnk")), 12)
-            .cast("decimal(18,12)").as("__c"))
-    }.reduce(_ unionAll _)
-      .groupBy("id")
-      .agg(round(sum(col("__c")), 6).cast("double").as("rrf"))
-      .orderBy(col("rrf").desc, col("id"))
-      .limit(topK)
+    import java.math.{BigDecimal => JBig, RoundingMode}
+    val contrib = scala.collection.mutable.HashMap.empty[Long, JBig]
+    lists.foreach { case (df, idCol, scoreCol) =>
+      val rows = df.select(col(idCol).cast("long"), col(scoreCol).cast("double"))
+        .collect()
+      require(rows.length <= maxListSize,
+        s"rrfFuse got a ${rows.length}-row list (> $maxListSize): feed " +
+          "top-k-bounded lists, not corpus-sized frames")
+      rows.map(r => (r.getLong(0), r.getDouble(1)))
+        .sortBy { case (id, s) => (-s, id) }
+        .zipWithIndex.foreach { case ((id, _), i) =>
+          val c = JBig.valueOf(1.0 / (rrfK + i + 1))
+            .setScale(12, RoundingMode.HALF_UP)
+          contrib(id) = contrib.getOrElse(id, JBig.ZERO).add(c)
+        }
+    }
+    val out = contrib.toSeq
+      .map { case (id, c) =>
+        (id, c.setScale(6, RoundingMode.HALF_UP).doubleValue) }
+      .sortBy { case (id, s) => (-s, id) }
+      .take(topK)
+    val spark = lists.head._1.sparkSession
+    import spark.implicits._
+    out.toDF("id", "rrf")
   }
 
   /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,

@@ -389,6 +389,29 @@ object ScaleBench {
       // filter — must be scan-bound flat
       val (tTemp, _) = timeIt(noop(
         Relational.temperatureSample(docs, "lang", "doc_id")))
+      // the composed curation v6 product path (round-8 verdict #7):
+      // decontaminate → ppl terciles (drop tail) → temperature rebalance.
+      // After the globalRank fix every stage is scale-shaped; checkpoint
+      // boundaries attribute the wall per stage (a = decon, b = NLL +
+      // two-phase rank + tercile join, c = gated rebalance)
+      var v6Clean: DataFrame = null
+      var v6Kept: DataFrame = null
+      val (tV6a, _) = timeIt {
+        v6Clean = Dedup.decontaminate(docs.filter(col("doc_id") >= 50),
+          bench50, "doc_id", "text", n = 8).localCheckpoint(true)
+        0L
+      }
+      val (tV6b, _) = timeIt {
+        val buckets = Text.perplexityBuckets(v6Clean, "doc_id", "text")
+          .filter(col("bucket") =!= "tail")
+        v6Kept = v6Clean.select("doc_id", "lang")
+          .join(buckets.select(col("doc").as("doc_id"), col("bucket")),
+            Seq("doc_id"))
+          .localCheckpoint(true)
+        0L
+      }
+      val (tV6c, _) = timeIt(noop(
+        Relational.temperatureSample(v6Kept, "lang", "doc_id", baseFrac = 0.5)))
 
       println(f"[scale] r$round x$k%-2d docs=$nDocs%7d vecs=$nVecs%6d | " +
         f"jaccard=$tJac%6.2fs pairs=$nPairs%6d cc=$tCc%5.2fs(r=$ccRounds) rm=$tRm%5.2fs | " +
@@ -404,7 +427,7 @@ object ScaleBench {
         f"pbatch=$tPbatch%5.2fs(cand=$nPbCand%6d,fb=$nPbFallback/5) " +
         f"sess=$tSess%5.2fs ret=$tRet%5.2fs | " +
         f"bpe=$tBpeTr%5.2fs/$tBpeEnc%5.2fs bpe2k=$tBpe2k%6.2fs($nBpe2k) " +
-        f"ppl=$tPpl%5.2fs temp=$tTemp%5.2fs")
+        f"ppl=$tPpl%5.2fs temp=$tTemp%5.2fs v6=$tV6a%5.2f/$tV6b%5.2f/$tV6c%5.2fs")
     }
     spark.stop()
   }
