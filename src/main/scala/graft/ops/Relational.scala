@@ -138,6 +138,44 @@ object Relational {
       .drop("__pid", "__lrn", "__offset")
   }
 
+  /** Distributed PER-GROUP `row_number` — [[globalRank]] generalized to a
+    * rank within each `groupCols` value, without the
+    * `Window.partitionBy(group)` single-task-per-group funnel (a 50 TB
+    * dominant group would sort on one executor). Same two-phase shape:
+    *  1. range-partition by (group, order) — each group spans a run of
+    *     ordered partitions, skew bounded by the range partitioner, not
+    *     by the largest group — and `row_number` within
+    *     (partition, group): fully parallel;
+    *  2. per-(partition, group) counts (≤ partitions × groups rows) get
+    *     per-group starting offsets via a tiny window partitioned by
+    *     group, broadcast-joined back; rank = offset + local rank.
+    * (order must be total within a group — include a unique id.) This is
+    * [[datasetMix]]'s rank phase, extracted: mix = groupedRank by source
+    * filtered to the quota. */
+  def groupedRank(df: DataFrame, groupCols: Seq[String], orderCols: Seq[Column],
+                  alias: String, numPartitions: Int = 0): DataFrame = {
+    val parts = if (numPartitions > 0) numPartitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // localCheckpoint: the ranged frame feeds the local rank AND the count
+    // aggregate, and spark_partition_id must be stable across both reads
+    val ranged = df.repartitionByRange(parts, groupCols.map(col) ++ orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val keys = col("__pid") +: groupCols.map(col)
+    val local = ranged.withColumn("__lrn",
+      row_number().over(Window.partitionBy(keys: _*).orderBy(orderCols: _*)))
+    val counts = ranged.groupBy(keys: _*).agg(count(lit(1)).as("__c"))
+    val off = counts.withColumn("__offset",
+      coalesce(sum(col("__c")).over(
+        Window.partitionBy(groupCols.map(col): _*).orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(keys :+ col("__offset"): _*)
+    local.join(broadcast(off), "__pid" +: groupCols)
+      .withColumn(alias, col("__offset") + col("__lrn"))
+      .drop("__pid", "__lrn", "__offset")
+  }
+
   /** Sequence packing for LLM training (concat-and-chunk): concatenate
     * documents in `idCol` order and cut the stream into fixed
     * `budget`-token sequences. Each doc gets the sequence id and offset
@@ -168,8 +206,8 @@ object Relational {
     * funnels EACH source through one task — a 50 TB dominant source sorts
     * on a single executor (round-4 verdict scale-weak #2), and because the
     * quota is a *column*, Spark 4's WindowGroupLimit (literal limits only)
-    * can't rescue it. Instead, the [[prefixSum]] two-phase rank applied
-    * per source:
+    * can't rescue it. Instead, [[groupedRank]] — the [[prefixSum]]
+    * two-phase rank applied per source:
     *  1. range-partition by (source, order) — each source spans a run of
     *     ordered partitions — and `row_number` within (partition, source):
     *     fully parallel, skew bounded by the range partitioner, not by the
@@ -182,27 +220,12 @@ object Relational {
                  quotas: Map[String, Int]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val qdf = broadcast(quotas.toSeq.toDF(sourceCol, "__quota"))
     // quota join first: sources outside the mix never enter the shuffle
-    // localCheckpoint: the ranged frame feeds the local rank AND the count
-    // aggregate, and spark_partition_id must be stable across both reads
-    val ranged = docs.join(qdf, Seq(sourceCol))
-      .repartitionByRange(parts, col(sourceCol), col(orderCol))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
-    val local = ranged.withColumn("__lrn",
-      row_number().over(Window.partitionBy("__pid", sourceCol).orderBy(orderCol)))
-    val counts = ranged.groupBy("__pid", sourceCol).agg(count(lit(1)).as("__c"))
-    val off = counts.withColumn("__offset",
-      coalesce(sum(col("__c")).over(
-        Window.partitionBy(sourceCol).orderBy("__pid")
-          .rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select(col("__pid"), col(sourceCol), col("__offset"))
-    local.join(broadcast(off), Seq("__pid", sourceCol))
-      .filter(col("__offset") + col("__lrn") <= col("__quota"))
-      .drop("__pid", "__lrn", "__offset", "__quota")
+    groupedRank(docs.join(qdf, Seq(sourceCol)),
+        Seq(sourceCol), Seq(col(orderCol)), "__grn")
+      .filter(col("__grn") <= col("__quota"))
+      .drop("__grn", "__quota")
   }
 
   /** The shared membership predicate behind [[hashSplit]] and

@@ -374,6 +374,65 @@ object Text {
           .otherwise("tail").as("bucket"))
   }
 
+  /** Per-language CCNet perplexity bucketing — the form Wenzek et al.
+    * 2020 actually ship (§4.3 trains ONE LM PER LANGUAGE and splits each
+    * language's corpus into its own terciles; a single global split would
+    * let an easy language's docs crowd a hard language out of "head").
+    * The LM is the per-language unigram MLE: P(w | lang) =
+    * c(lang, w) / c(lang, ·); per-doc ppl-proxy and integer tercile
+    * edges as in [[perplexityBuckets]], ranked within language.
+    *
+    * Scale shape: the vocab aggregate keys on (lang, token) — same
+    * map-side-folding shape as [[unigramNll]]'s, count-gated broadcast ↔
+    * SHUFFLE_HASH probe; per-language totals ride inside the vocab rows
+    * (a window-free second aggregate joined on lang through the same
+    * gate). The within-language rank is [[Relational.groupedRank]] — a
+    * dominant language never funnels through one task, the exact hazard
+    * `Window.partitionBy(lang)` would plan ([[Relational.datasetMix]]'s
+    * round-4 lesson). Per-language doc counts join through the
+    * [[Relational.temperatureSample]] gate posture (languages are
+    * low-cardinality in practice, but nothing here assumes it). */
+  def perplexityBucketsByLang(docs: DataFrame, idCol: String, textCol: String,
+                              langCol: String,
+                              vocabBroadcastLimit: Long = Dedup.HotShingleBroadcastLimit): DataFrame = {
+    val tok = docs
+      .select(col(idCol).as("doc"), col(langCol).as("lang"),
+        explode(tokens(col(textCol))).as("token"))
+      .localCheckpoint(true) // feeds the vocab aggregate AND the probe side
+    // localCheckpoint: the vocab feeds the gate count, the totals, AND the
+    // join back
+    val vocab = tok.groupBy("lang", "token").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val totals = vocab.groupBy("lang").agg(sum(col("c")).cast("double").as("__n"))
+    val vocabGated = vocab.count() <= vocabBroadcastLimit
+    val probed =
+      if (vocabGated)
+        tok.join(broadcast(vocab), Seq("lang", "token"))
+          .join(broadcast(totals), Seq("lang"))
+      else
+        tok.join(vocab.hint("SHUFFLE_HASH"), Seq("lang", "token"))
+          .join(totals.hint("SHUFFLE_HASH"), Seq("lang"))
+    val ppl = probed
+      .groupBy(col("doc"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_tok"),
+        round(sum((-log(col("c").cast("double") / col("__n")))
+          .cast("decimal(18,6)")), 4).cast("double").as("sum_nll"))
+      .select(col("doc"), col("lang"),
+        round(col("sum_nll") / col("n_tok"), 6).as("ppl"))
+      .localCheckpoint(true) // feeds the per-lang counts AND the rank
+    val n = ppl.groupBy("lang").agg(count(lit(1)).as("__n"))
+    val ranked = Relational.groupedRank(ppl, Seq("lang"),
+      Seq(col("ppl"), col("doc")), "__r")
+    val withN =
+      if (vocabGated) ranked.join(broadcast(n), Seq("lang"))
+      else ranked.join(n.hint("SHUFFLE_HASH"), Seq("lang"))
+    withN.select(col("doc"), col("lang"), col("ppl"),
+      when(col("__r") * 3 <= col("__n"), "head")
+        .when(col("__r") * 3 <= col("__n") * 2, "middle")
+        .otherwise("tail").as("bucket"))
+  }
+
   /** BPE merge-rule training (Sennrich et al. 2016, arXiv:1508.07909
     * §3.2): iteratively merge the most frequent adjacent symbol pair,
     * weighted by word frequency, starting from characters plus an

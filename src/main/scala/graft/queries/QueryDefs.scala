@@ -795,6 +795,14 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
     // arithmetic ((rank-1)/(n-1), rank/n) computed identically by both
     // engines, so 4-dp rounding is hash-safe. Same (partition, order) for
     // both functions: one exchange + one sort serves the pair.
+    // Skew note (round-8 verdict #8): o_orderstatus has 3 distinct
+    // values, so each window partition holds ~n/3 of the FACT table —
+    // per-partition volume scales with the data, and at 100 TB each
+    // status sorts inside one task. That is inherent to exact per-group
+    // distribution statistics (the ranks ARE a per-group total order);
+    // when the consumer only needs a normalized score, the agg+join
+    // z-score form (c6_zscore_outliers: one hash aggregate + broadcast
+    // join, no per-group sort) is the skew-safe alternative.
     QueryDef(
       "c9_window_dist",
       (s, d) => {
@@ -1597,6 +1605,35 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
                         count(*) OVER () AS n
                       FROM p)
               SELECT doc_id, ppl,
+                CASE WHEN 3 * r <= n THEN 'head'
+                     WHEN 3 * r <= 2 * n THEN 'middle'
+                     ELSE 'tail' END AS bucket
+              FROM r""")
+    ),
+
+    // Per-language CCNet bucketing (Wenzek 2020 §4.3 as shipped: one LM
+    // and one tercile split PER LANGUAGE): per-lang unigram MLE, exact
+    // within-language rank via the two-phase groupedRank — no
+    // single-task-per-language window — and per-lang integer edges.
+    QueryDef(
+      "c15_ppl_buckets_lang",
+      (s, d) => Text.perplexityBucketsByLang(t(s, d, "documents"),
+        "doc_id", "text", "lang")
+        .select(col("doc").as("doc_id"), col("lang"), col("ppl"), col("bucket")),
+      Some("""WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+                           FROM documents),
+                vocab AS (SELECT lang, token, count(*) AS c FROM tok GROUP BY lang, token),
+                tot AS (SELECT lang, sum(c)::DOUBLE AS n FROM vocab GROUP BY lang),
+                nll AS (SELECT doc_id, t.lang, count(*) AS n_tok,
+                          CAST(round(sum(CAST(-ln(c / n) AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_nll
+                        FROM tok t JOIN vocab USING (lang, token) JOIN tot USING (lang)
+                        GROUP BY doc_id, t.lang),
+                p AS (SELECT doc_id, lang, round(sum_nll / n_tok, 6) AS ppl FROM nll),
+                r AS (SELECT doc_id, lang, ppl,
+                        row_number() OVER (PARTITION BY lang ORDER BY ppl, doc_id) AS r,
+                        count(*) OVER (PARTITION BY lang) AS n
+                      FROM p)
+              SELECT doc_id, lang, ppl,
                 CASE WHEN 3 * r <= n THEN 'head'
                      WHEN 3 * r <= 2 * n THEN 'middle'
                      ELSE 'tail' END AS bucket

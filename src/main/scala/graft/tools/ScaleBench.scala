@@ -71,6 +71,7 @@ object ScaleBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val ks = sys.env.getOrElse("SPARK_GRAFT_KS", "1,2,5,10,25")
       .split(",").map(_.trim.toInt).toSeq
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_ROUNDS", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -112,7 +113,7 @@ object ScaleBench {
     Dedup.jaccardNearDup(base.limit(1000), "doc_id", "text",
       n = 3, threshold = 0.6, maxDf = Some(100)).count()
 
-    for (round <- 1 to 2; k <- ks) {
+    for (round <- 1 to rounds; k <- ks) {
       val dir = s"/tmp/graft_scale_x$k"
       if (!new java.io.File(s"$dir/documents.parquet").exists())
         scaled(base, k).write.mode("overwrite").parquet(s"$dir/documents.parquet")

@@ -227,14 +227,15 @@ class PlanShapeSpec extends SparkSpec {
     try {
       import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
       import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
-      for (q <- Seq("c15_ppl_buckets", "c24_curation_v6")) {
+      for (q <- Seq("c15_ppl_buckets", "c15_ppl_buckets_lang", "c24_curation_v6")) {
         val plan = graft.SparkEntry.queries(q)(spark, sf0001)
           .queryExecution.executedPlan
         plan.collect {
           case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
         }.foreach { e =>
           val names = e.child.output.map(_.name)
-          assert(!names.exists(n => n == "doc" || n == "doc_id" || n == "ppl"),
+          assert(!names.exists(n =>
+            n == "doc" || n == "doc_id" || n == "ppl" || n == "token"),
             s"$q: single-partition exchange carries corpus rows ($names) in:\n$plan")
         }
       }

@@ -121,6 +121,19 @@ class RelationalSpec extends SparkSpec {
       s"per-partition rank window missing:\n$plan")
   }
 
+  test("grouped rank equals the naive per-group window row_number") {
+    val docs = graft.engine.Tables.read(spark, sf0001, "documents")
+      .select($"doc_id", $"lang", $"n_chars")
+    val naive = docs.withColumn("r",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy($"n_chars", $"doc_id")))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("r").toLong).toMap
+    val dist = Relational.groupedRank(docs, Seq("lang"),
+      Seq($"n_chars", $"doc_id"), "r", numPartitions = 7)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("r")).toMap
+    assert(dist == naive)
+  }
+
   test("intervalJoin matches brute-force overlap on random intervals (property)") {
     val rnd = new scala.util.Random(41)
     for (trial <- 1 to 3) {

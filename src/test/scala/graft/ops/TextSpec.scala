@@ -307,6 +307,33 @@ class TextSpec extends SparkSpec {
     assert((7L to 9L).forall(out(_) == "tail"), s"rare-token docs not tail: $out")
   }
 
+  test("perplexityBucketsByLang: per-language terciles from language-local models") {
+    // lang a: 6 docs (terciles 2/2/2), lang b: 3 docs (1/1/1) — a global
+    // split would give 3/3/3 over the 9 docs, so exact per-lang sizes
+    // prove the rank is within-language
+    val docs = (
+      (1L to 6L).map(i => (i, "a",
+        s"common tokens shared across and rare$i unique$i extra$i")) ++
+      (7L to 9L).map(i => (i, "b", s"other tongue words rare$i unique$i"))
+    ).toDF("doc_id", "lang", "text")
+    val out = Text.perplexityBucketsByLang(docs, "doc_id", "text", "lang")
+      .collect().map(r => (r.getString(1), r.getString(3))).toSeq
+    val sizes = out.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes == Map(
+      ("a", "head") -> 2, ("a", "middle") -> 2, ("a", "tail") -> 2,
+      ("b", "head") -> 1, ("b", "middle") -> 1, ("b", "tail") -> 1),
+      s"per-lang tercile sizes: $sizes")
+    // bucket order tracks ppl within each language
+    val byLang = Text.perplexityBucketsByLang(docs, "doc_id", "text", "lang")
+      .collect().map(r => (r.getString(1), r.getDouble(2), r.getString(3)))
+    for (lang <- Seq("a", "b")) {
+      val ps = byLang.filter(_._1 == lang).sortBy(_._2)
+      val order = ps.map(_._3).distinct.toSeq
+      assert(order == Seq("head", "middle", "tail").take(order.length),
+        s"$lang bucket order: ${ps.toSeq}")
+    }
+  }
+
   test("bpeTrain learns the classic merge sequence with deterministic tie-breaks") {
     // Sennrich et al. 2016's worked example, word counts via repetition:
     // low×5, lower×2, newest×6, widest×3. Hand-computed merge table:
