@@ -748,6 +748,49 @@ object Dedup {
         shingleBroadcastLimit),
       idBroadcastLimit)
 
+  /** Per-benchmark-item contamination AUDIT — which benchmark docs leak
+    * into the corpus, and how widely: for every benchmark doc, the number
+    * of distinct corpus docs sharing ≥1 n-gram with it and the number of
+    * distinct shared n-grams. The report a leakage review reads BEFORE
+    * choosing removal policy ([[contaminatedIds]] answers "which corpus
+    * docs to drop"; this answers "which eval items are compromised and
+    * how badly" — the per-benchmark overlap statistic GPT-3's
+    * contamination appendix tabulates). Benchmark docs with zero overlap
+    * appear with zeros, so the output is exactly |benchmark| rows.
+    *
+    * Scale shape: both sides shingle map-side (the fused
+    * [[graft.functions.ShingleHashes]] pass, distinct within doc); the
+    * benchmark (doc, shingle) posting set is count-gated broadcast ↔
+    * SHUFFLE_HASH (the [[contaminatedIds]] gate); the join emits only
+    * benchmark-hitting rows and aggregates per benchmark id — the corpus
+    * never shuffles on the broadcast path and the result is
+    * |benchmark|-bounded. */
+  def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
+                          idCol: String, textCol: String, n: Int = 8,
+                          shingleBroadcastLimit: Long = HotShingleBroadcastLimit): DataFrame = {
+    def postingsOf(df: DataFrame) = df
+      .select(col(idCol).as("doc"), Text.tokens(col(textCol)).as("__ws"))
+      .select(col("doc"),
+        explode(graft.functions.ShingleHashes.sortedShingleHashes(col("__ws"), n)).as("sh"))
+    // localCheckpoint: the posting set feeds the count gate AND the join
+    val benchP = postingsOf(benchmark)
+      .select(col("doc").as("bench_doc"), col("sh")).distinct()
+      .localCheckpoint(true)
+    val joined =
+      if (benchP.count() <= shingleBroadcastLimit)
+        postingsOf(corpus).join(broadcast(benchP), Seq("sh"))
+      else postingsOf(corpus).join(benchP.hint("SHUFFLE_HASH"), Seq("sh"))
+    val hits = joined
+      .groupBy("bench_doc")
+      .agg(countDistinct(col("doc")).as("n_docs"),
+        countDistinct(col("sh")).as("n_shingles"))
+    benchmark.select(col(idCol).as("bench_doc")).distinct()
+      .join(hits, Seq("bench_doc"), "left")
+      .select(col("bench_doc"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"))
+  }
+
   /** Remove every row whose id appears in `doomedIds` (a 1-column `doc`
     * frame) — the count-gated anti-join every removal path shares: the
     * distinct doomed-id set at or under `idBroadcastLimit` ships as a

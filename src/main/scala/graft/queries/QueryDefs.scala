@@ -2294,6 +2294,38 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
               WHERE doc_id >= 50 AND doc_id NOT IN (SELECT doc FROM bad)""")
     ),
 
+    // C24 contamination AUDIT: per-benchmark-item leak report — distinct
+    // corpus docs and distinct shared 8-grams per benchmark doc, zeros
+    // included (the GPT-3-appendix overlap statistic a leakage review
+    // reads before choosing removal policy). |benchmark|-bounded output;
+    // the count-gated posting join is c24_decontaminate's shape.
+    QueryDef(
+      "c24_decon_report",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.contaminationReport(
+          docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+          "doc_id", "text", n = 8)
+          .select(col("bench_doc").as("bench_id"), col("n_docs"), col("n_shingles"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+                sh AS (SELECT DISTINCT doc_id AS doc,
+                         ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||
+                         ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7] AS shingle
+                       FROM toks, UNNEST(generate_series(1, len(ws) - 7)) t(i)),
+                hits AS (SELECT b.doc AS bench_id, c.doc, b.shingle
+                         FROM sh b JOIN sh c USING (shingle)
+                         WHERE b.doc < 50 AND c.doc >= 50),
+                agg AS (SELECT bench_id, count(DISTINCT doc) AS n_docs,
+                               count(DISTINCT shingle) AS n_shingles
+                        FROM hits GROUP BY bench_id)
+              SELECT d.doc_id AS bench_id,
+                COALESCE(a.n_docs, 0) AS n_docs,
+                COALESCE(a.n_shingles, 0) AS n_shingles
+              FROM (SELECT doc_id FROM documents WHERE doc_id < 50) d
+              LEFT JOIN agg a ON a.bench_id = d.doc_id""")
+    ),
+
     // Decontamination with the benchmark-side stop-shingle cut: an 8-gram
     // occurring in more than stopDf corpus docs is boilerplate, evidence
     // of nothing — matching on it would nuke a corpus fraction. stopDf=1

@@ -298,6 +298,34 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(2L, 3L, 4L), s"kept $kept")
   }
 
+  test("contaminationReport counts leaked docs and shingles per benchmark item, zeros included") {
+    val bench = Seq(
+      // leaks into corpus docs 1 and 2 through two different 8-grams
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // clean: nothing shares its grams
+      (101L, "uno dos tres cuatro cinco seis siete ocho nueve"),
+      // too short to shingle — still reported, with zeros
+      (102L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      // shares "alpha..theta" AND "beta..iota" with bench 100
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota yy"),
+      // shares only "beta..iota" with bench 100
+      (2L, "xx beta gamma delta epsilon zeta eta theta iota zz"),
+      (3L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    def report(limit: Long) = Dedup.contaminationReport(corpus, bench,
+        "doc_id", "text", n = 8, shingleBroadcastLimit = limit)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = report(Dedup.HotShingleBroadcastLimit)
+    // bench 100: corpus docs {1, 2}; shared distinct shingles
+    // {"alpha..theta" (doc 1), "beta..iota" (docs 1 and 2), "gamma..kappa"? no}
+    assert(got == Map(
+      100L -> ((2L, 2L)), 101L -> ((0L, 0L)), 102L -> ((0L, 0L))), s"report $got")
+    // gate paths agree (broadcast vs SHUFFLE_HASH posting join)
+    assert(report(0L) == got, "shingle gate paths diverge")
+  }
+
   test("decontaminate matches brute-force n-gram overlap on random corpora (property)") {
     val rnd = new scala.util.Random(23)
     val vocab = Vector("aa", "bb", "cc", "dd")
