@@ -764,9 +764,18 @@ object Dedup {
     * SHUFFLE_HASH (the [[contaminatedIds]] gate); the join emits only
     * benchmark-hitting rows and aggregates per benchmark id — the corpus
     * never shuffles on the broadcast path and the result is
-    * |benchmark|-bounded. */
+    * |benchmark|-bounded. The report join fans out |bench docs with sh| ×
+    * |corpus docs with sh| rows PER SHINGLE — a boilerplate 8-gram
+    * (license header, nav text) shared by many docs on both sides is the
+    * skewed-posting-list quadratic the conventions bound at source, so
+    * `stopDf` cuts benchmark shingles whose CORPUS df exceeds it
+    * (counted map-side after the semi-join, [[contaminatedIds]]'
+    * mechanism) before the fan-out join. Boilerplate proves nothing
+    * about leakage, so the audit defaults the cut ON where removal
+    * ([[contaminatedIds]]) defaults it off for exactness. */
   def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
                           idCol: String, textCol: String, n: Int = 8,
+                          stopDf: Option[Int] = Some(10000),
                           shingleBroadcastLimit: Long = HotShingleBroadcastLimit): DataFrame = {
     def postingsOf(df: DataFrame) = df
       .select(col(idCol).as("doc"), Text.tokens(col(textCol)).as("__ws"))
@@ -776,10 +785,23 @@ object Dedup {
     val benchP = postingsOf(benchmark)
       .select(col("doc").as("bench_doc"), col("sh")).distinct()
       .localCheckpoint(true)
+    val useBroadcast = benchP.count() <= shingleBroadcastLimit
+    def semi(df: DataFrame, set: DataFrame): DataFrame =
+      if (useBroadcast) df.join(broadcast(set), Seq("sh"), "left_semi")
+      else df.join(set.hint("SHUFFLE_HASH"), Seq("sh"), "left_semi")
+    // |effective| <= |benchP|, so the same gate decision applies
+    val benchEff = stopDf match {
+      case Some(m) =>
+        val eff = semi(postingsOf(corpus), benchP.select("sh").distinct())
+          .groupBy("sh").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= m).select("sh")
+        semi(benchP, eff)
+      case None => benchP
+    }
     val joined =
-      if (benchP.count() <= shingleBroadcastLimit)
-        postingsOf(corpus).join(broadcast(benchP), Seq("sh"))
-      else postingsOf(corpus).join(benchP.hint("SHUFFLE_HASH"), Seq("sh"))
+      if (useBroadcast)
+        postingsOf(corpus).join(broadcast(benchEff), Seq("sh"))
+      else postingsOf(corpus).join(benchEff.hint("SHUFFLE_HASH"), Seq("sh"))
     val hits = joined
       .groupBy("bench_doc")
       .agg(countDistinct(col("doc")).as("n_docs"),

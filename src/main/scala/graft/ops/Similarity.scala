@@ -71,15 +71,36 @@ object Similarity {
               topK: Int = 10, maxListSize: Int = 10000): DataFrame = {
     require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
     import java.math.{BigDecimal => JBig, RoundingMode}
+    // Rank rows exactly as the previous in-plan `orderBy(score desc, id)`
+    // (= SQL semantics, matching the oracle): NaN is the LARGEST double
+    // (first under desc), nulls sort last, and -0.0 ties 0.0 (Scala's
+    // total Double order disagrees on all three — round-10 review
+    // finding). Boxed scores keep null observable instead of NPEing.
+    def before(a: (Long, java.lang.Double), b: (Long, java.lang.Double)): Boolean =
+      (a._2, b._2) match {
+        case (null, null) => a._1 < b._1
+        case (null, _)    => false // nulls last
+        case (_, null)    => true
+        case (x, y) =>
+          val xv = x.doubleValue; val yv = y.doubleValue
+          if (xv.isNaN && yv.isNaN) a._1 < b._1
+          else if (xv.isNaN) true  // NaN = largest, first under desc
+          else if (yv.isNaN) false
+          else if (xv == yv) a._1 < b._1 // primitive ==: -0.0 ties 0.0
+          else xv > yv
+      }
     val contrib = scala.collection.mutable.HashMap.empty[Long, JBig]
     lists.foreach { case (df, idCol, scoreCol) =>
+      // take(max + 1), never collect(): the guard must fire BEFORE a
+      // contract-breaking corpus-sized frame materializes on the driver
       val rows = df.select(col(idCol).cast("long"), col(scoreCol).cast("double"))
-        .collect()
+        .take(maxListSize + 1)
       require(rows.length <= maxListSize,
-        s"rrfFuse got a ${rows.length}-row list (> $maxListSize): feed " +
+        s"rrfFuse got a list over $maxListSize rows: feed " +
           "top-k-bounded lists, not corpus-sized frames")
-      rows.map(r => (r.getLong(0), r.getDouble(1)))
-        .sortBy { case (id, s) => (-s, id) }
+      rows.map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1))))
+        .sortWith(before)
         .zipWithIndex.foreach { case ((id, _), i) =>
           val c = JBig.valueOf(1.0 / (rrfK + i + 1))
             .setScale(12, RoundingMode.HALF_UP)

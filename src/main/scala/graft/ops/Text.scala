@@ -444,30 +444,41 @@ object Text {
     * Scale shape: training state is the WORD VOCABULARY (distinct words ×
     * symbol arrays), not the corpus — one explode+count builds it, and
     * every step after that touches only vocab rows. The vocabulary is
-    * COUNT-GATED (the repo's standard gate template): at or under
-    * `vocabBroadcastLimit` distinct words it collects to the driver and
-    * the merge loop runs in memory with incrementally-maintained pair
-    * counts (the HF-tokenizers shape — a real tokenizer's ~30k merges
-    * cost seconds, not 30k Spark jobs; the round-8 verdict's scale-weak
-    * #2). Past the gate, [[bpeTrainIterative]] runs one distributed
-    * pair-count aggregate + 1-row argmax collect per merge — correct at
-    * any vocab size but numMerges-paced; both paths are result-identical
-    * (TextSpec pins it). The corpus-sized pass happens exactly once, at
-    * vocab build. */
+    * GATED (the repo's standard gate template) on BOTH row count
+    * (`vocabBroadcastLimit`) and total characters (`localCharBudget`):
+    * the local path's driver structures — per-symbol strings, pair maps,
+    * one heap entry per adjacency — scale with Σ|word|, not rows, so a
+    * row-count gate alone would admit a near-limit vocab of long words
+    * straight into a driver OOM (round-10 review finding; ~150 B per
+    * char ⇒ the 8M default budgets ~1.2 GB worst-case). Under the gate
+    * it collects and the merge loop runs in memory with incrementally-
+    * maintained pair counts (the HF-tokenizers shape — a real
+    * tokenizer's ~30k merges cost seconds, not 30k Spark jobs; the
+    * round-8 verdict's scale-weak #2). Past it, [[bpeTrainIterative]]
+    * runs one distributed pair-count aggregate + 1-row argmax collect
+    * per merge — correct at any vocab size but numMerges-paced; both
+    * paths are result-identical (TextSpec pins it). The corpus-sized
+    * pass happens exactly once, at vocab build. */
+  val BpeLocalCharBudget: Long = 8000000L
+
   def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int,
-               vocabBroadcastLimit: Long = Dedup.HotShingleBroadcastLimit): DataFrame = {
+               vocabBroadcastLimit: Long = Dedup.HotShingleBroadcastLimit,
+               localCharBudget: Long = BpeLocalCharBudget): DataFrame = {
     require(numMerges > 0, s"numMerges must be positive: $numMerges")
     val spark = docs.sparkSession
     import spark.implicits._
-    // localCheckpoint: the vocab feeds the gate count AND (either path's)
+    // localCheckpoint: the vocab feeds the gate stats AND (either path's)
     // training input — one corpus pass
     val vocab = docs
       .select(explode(tokens(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("wc"))
       .localCheckpoint(true)
+    val stats = vocab.agg(count(lit(1)).as("__n"),
+      coalesce(sum(length(col("word"))), lit(0L)).as("__chars")).head()
     val merges =
-      if (vocab.count() <= vocabBroadcastLimit)
+      if (stats.getLong(0) <= vocabBroadcastLimit &&
+          stats.getLong(1) <= localCharBudget)
         bpeTrainLocal(vocab.collect().map(r => (r.getString(0), r.getLong(1))),
           numMerges)
       else bpeTrainIterative(vocab, numMerges)
@@ -482,21 +493,48 @@ object Text {
     * pop — the current maximum always has a fresh entry, stale ones
     * discard). Total work ∝ vocab symbols + Σ touched-word sizes, so ~30k
     * merges run in seconds where a per-merge full recount would be
-    * O(numMerges · vocab). Tie-breaks ((cnt desc, l, r) lexicographic)
-    * and the greedy left-to-right fold match [[bpeTrainIterative]]
-    * exactly. */
+    * O(numMerges · vocab). Tie-breaks ((cnt desc, l, r) in CODE-POINT
+    * order — Java's UTF-16 `compareTo` sorts [U+E000, U+FFFF] above
+    * supplementary chars, diverging from Spark's binary UTF8String order
+    * the iterative path ties on, round-10 review finding), code-point
+    * symbol splitting, and the greedy left-to-right fold match
+    * [[bpeTrainIterative]] exactly. */
+  private[ops] def codePointCompare(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** Split into code-point symbols (surrogate pairs stay whole) — the
+    * unit DuckDB's `string_split(w, '')` and Spark's binary sort share;
+    * Scala's per-Char map would shear supplementary chars into lone
+    * surrogates. */
+  private[ops] def codePointSymbols(w: String): Array[String] =
+    w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+
   private[ops] def bpeTrainLocal(vocab: Array[(String, Long)],
                                  numMerges: Int): Seq[(Int, String, String, String, Long)] = {
     import scala.collection.mutable
     val syms: Array[Array[String]] =
-      vocab.map { case (w, _) => (w.map(_.toString) :+ "</w>").toArray }
+      vocab.map { case (w, _) => codePointSymbols(w) :+ "</w>" }
     val wcs: Array[Long] = vocab.map(_._2)
     val counts = mutable.HashMap.empty[(String, String), Long]
     val members = mutable.HashMap.empty[(String, String), mutable.BitSet]
-    val heap = new java.util.PriorityQueue[((String, String), Long)](
-      11, Ordering.by[((String, String), Long), (Long, String, String)] {
-        case ((l, r), c) => (-c, l, r)
-      })
+    val pairOrd = new java.util.Comparator[((String, String), Long)] {
+      def compare(x: ((String, String), Long), y: ((String, String), Long)): Int = {
+        val c = java.lang.Long.compare(y._2, x._2) // count desc
+        if (c != 0) c
+        else {
+          val l = codePointCompare(x._1._1, y._1._1)
+          if (l != 0) l else codePointCompare(x._1._2, y._1._2)
+        }
+      }
+    }
+    val heap = new java.util.PriorityQueue[((String, String), Long)](11, pairOrd)
     def bump(p: (String, String), delta: Long): Unit = {
       val c = counts.getOrElse(p, 0L) + delta
       if (c <= 0L) counts.remove(p)
@@ -567,8 +605,13 @@ object Text {
   private[ops] def bpeTrainIterative(vocab0: DataFrame,
                                      numMerges: Int): Seq[(Int, String, String, String, Long)] = {
     val EndOfWord = "</w>"
+    // regexp '(?s).' splits by CODE POINT (Java regex matches code
+    // points), where split(w, "") yields UTF-16 units — lone surrogates
+    // on supplementary chars, diverging from the local path and the
+    // DuckDB oracle (round-10 review finding)
     var vocab = vocab0
-      .select(concat(split(col("word"), ""), array(lit(EndOfWord))).as("sym"),
+      .select(concat(regexp_extract_all(col("word"), lit("(?s)."), lit(0)),
+          array(lit(EndOfWord))).as("sym"),
         col("wc"))
       .localCheckpoint(true)
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
@@ -636,8 +679,7 @@ object Text {
       .mapPartitions { it =>
         it.map { row =>
           val w = row.getString(0)
-          var sym: Array[String] =
-            (w.map(_.toString) :+ "</w>").toArray
+          var sym: Array[String] = codePointSymbols(w) :+ "</w>"
           mergeList.foreach { case (l, r) =>
             val out = scala.collection.mutable.ArrayBuffer.empty[String]
             sym.foreach { s =>

@@ -2298,7 +2298,10 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
     // corpus docs and distinct shared 8-grams per benchmark doc, zeros
     // included (the GPT-3-appendix overlap statistic a leakage review
     // reads before choosing removal policy). |benchmark|-bounded output;
-    // the count-gated posting join is c24_decontaminate's shape.
+    // the count-gated posting join is c24_decontaminate's shape. The
+    // default stopDf=10000 boilerplate cut cannot trigger below 10k
+    // corpus docs, so the oracle (which models the uncut join) matches
+    // at both test SFs; DedupSpec exercises the cut explicitly.
     QueryDef(
       "c24_decon_report",
       (s, d) => {

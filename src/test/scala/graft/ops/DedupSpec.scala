@@ -324,6 +324,13 @@ class DedupSpec extends SparkSpec {
       100L -> ((2L, 2L)), 101L -> ((0L, 0L)), 102L -> ((0L, 0L))), s"report $got")
     // gate paths agree (broadcast vs SHUFFLE_HASH posting join)
     assert(report(0L) == got, "shingle gate paths diverge")
+    // the boilerplate cut: stopDf=1 drops "beta..iota" (corpus df 2) from
+    // the evidence, so bench 100 keeps only the df-1 "alpha..theta" hit
+    val cut = Dedup.contaminationReport(corpus, bench, "doc_id", "text",
+        n = 8, stopDf = Some(1))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(cut == Map(
+      100L -> ((1L, 1L)), 101L -> ((0L, 0L)), 102L -> ((0L, 0L))), s"cut $cut")
   }
 
   test("decontaminate matches brute-force n-gram overlap on random corpora (property)") {

@@ -392,6 +392,28 @@ class TextSpec extends SparkSpec {
       s"pair counts increased across merges: $cnts")
   }
 
+  test("bpeTrain symbols are code points: supplementary chars stay whole on all paths") {
+    // a per-Char split would shear U+1F600 into two lone surrogates and
+    // shift every pair count; code-point splitting keeps it one symbol
+    // on the local path, the distributed path, AND matches DuckDB's
+    // string_split(w, '') for the oracle
+    val emoji = new String(Character.toChars(0x1F600))
+    val docs = Seq(Seq.fill(3)(emoji + "ab").mkString(" ")).toDF("text")
+    def table(vocabLimit: Long, charLimit: Long) =
+      Text.bpeTrain(docs, "text", numMerges = 3,
+        vocabBroadcastLimit = vocabLimit, localCharBudget = charLimit)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
+    val local = table(Long.MaxValue, Long.MaxValue)
+    // code-point tie-break: 'a' < 'b' < U+1F600, so (a,b) merges first
+    assert(local == Seq(
+      (1, "a", "b", "ab", 3L),
+      (2, "ab", "</w>", "ab</w>", 3L),
+      (3, emoji, "ab</w>", emoji + "ab</w>", 3L)), s"table $local")
+    assert(table(0L, Long.MaxValue) == local, "row gate path diverges")
+    assert(table(Long.MaxValue, 0L) == local, "char-budget gate path diverges")
+  }
+
   test("bpeEncode: learned merges compress token counts; hand-checked encodes") {
     // train on the classic corpus, encode new text with the table
     val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
