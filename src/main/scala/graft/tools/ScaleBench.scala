@@ -390,6 +390,16 @@ object ScaleBench {
       // filter — must be scan-bound flat
       val (tTemp, _) = timeIt(noop(
         Relational.temperatureSample(docs, "lang", "doc_id")))
+      // per-language ppl terciles (round 10): the (lang, token) vocab
+      // probe + groupedRank — must track the global-ppl column's curve
+      // (same shapes, one extra key column in the vocab aggregate)
+      val (tPplL, _) = timeIt(noop(
+        Text.perplexityBucketsByLang(docs, "doc_id", "text", "lang")))
+      // contamination audit (round 10): |benchmark|-bounded output; the
+      // corpus pays two posting scans (df cut + report join) — wall must
+      // track the corpus linearly, benchmark side fixed
+      val (tRep, _) = timeIt(noop(
+        Dedup.contaminationReport(docs, bench50, "doc_id", "text", n = 8)))
       // the composed curation v6 product path (round-8 verdict #7):
       // decontaminate → ppl terciles (drop tail) → temperature rebalance.
       // After the globalRank fix every stage is scale-shaped; checkpoint
@@ -428,7 +438,8 @@ object ScaleBench {
         f"pbatch=$tPbatch%5.2fs(cand=$nPbCand%6d,fb=$nPbFallback/5) " +
         f"sess=$tSess%5.2fs ret=$tRet%5.2fs | " +
         f"bpe=$tBpeTr%5.2fs/$tBpeEnc%5.2fs bpe2k=$tBpe2k%6.2fs($nBpe2k) " +
-        f"ppl=$tPpl%5.2fs temp=$tTemp%5.2fs v6=$tV6a%5.2f/$tV6b%5.2f/$tV6c%5.2fs")
+        f"ppl=$tPpl%5.2fs pplL=$tPplL%5.2fs rep=$tRep%5.2fs temp=$tTemp%5.2fs " +
+        f"v6=$tV6a%5.2f/$tV6b%5.2f/$tV6c%5.2fs")
     }
     spark.stop()
   }
