@@ -2644,6 +2644,71 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
                  OR substring(md5(CAST(k.doc_id AS VARCHAR)), 1, 4) < printf('%04x', thr)""")
     ),
 
+    // C24 curation v7 — v6 with the per-LANGUAGE tercile split CCNet
+    // actually ships (Wenzek 2020 §4.3: one LM and one head/middle/tail
+    // split per language — a global split lets an easy language's docs
+    // crowd a hard language out of "head"; v6 keeps the global form for
+    // monolingual corpora). decontaminate → per-lang unigram LM trained
+    // on the decontaminated corpus → drop each language's own tail →
+    // XLM-R α=0.5 temperature rebalance. Deterministic end-to-end, so
+    // the whole path hash-checks: the oracle recomputes per-lang NLL,
+    // per-lang tercile edges, and the rebalance thresholds from scratch.
+    QueryDef(
+      "c24_curation_v7",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        // localCheckpoint: clean feeds the per-lang NLL vocab build AND
+        // the survivor join — one decontamination pass, not two
+        val clean = Dedup.decontaminate(docs.filter(col("doc_id") >= 50),
+          docs.filter(col("doc_id") < 50), "doc_id", "text", n = 8)
+          .localCheckpoint(true)
+        val buckets = Text.perplexityBucketsByLang(clean, "doc_id", "text", "lang")
+          .filter(col("bucket") =!= "tail")
+        val kept = clean.select("doc_id", "lang")
+          .join(buckets.select(col("doc").as("doc_id"), col("bucket")), Seq("doc_id"))
+        Relational.temperatureSample(kept, "lang", "doc_id", baseFrac = 0.5)
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+                sh AS (SELECT DISTINCT doc_id AS doc,
+                         ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||
+                         ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7] AS shingle
+                       FROM toks, UNNEST(generate_series(1, len(ws) - 7)) t(i)),
+                bench AS (SELECT DISTINCT shingle FROM sh WHERE doc < 50),
+                bad AS (SELECT DISTINCT doc FROM sh
+                        WHERE doc >= 50 AND shingle IN (SELECT shingle FROM bench)),
+                clean AS (SELECT doc_id, lang FROM documents
+                          WHERE doc_id >= 50
+                            AND doc_id NOT IN (SELECT doc FROM bad)),
+                tok AS (SELECT t.doc_id, c.lang, unnest(t.ws) AS token
+                        FROM toks t JOIN clean c USING (doc_id)),
+                vocab AS (SELECT lang, token, count(*) AS c FROM tok GROUP BY lang, token),
+                tot AS (SELECT lang, sum(c)::DOUBLE AS n FROM vocab GROUP BY lang),
+                nll AS (SELECT doc_id, lang, count(*) AS n_tok,
+                          CAST(round(sum(CAST(-ln(c / n) AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_nll
+                        FROM tok JOIN vocab USING (lang, token) JOIN tot USING (lang)
+                        GROUP BY doc_id, lang),
+                p AS (SELECT doc_id, lang, round(sum_nll / n_tok, 6) AS ppl FROM nll),
+                r AS (SELECT doc_id, lang, ppl,
+                        row_number() OVER (PARTITION BY lang ORDER BY ppl, doc_id) AS r,
+                        count(*) OVER (PARTITION BY lang) AS n
+                      FROM p),
+                kept AS (SELECT doc_id, lang,
+                           CASE WHEN 3 * r <= n THEN 'head'
+                                WHEN 3 * r <= 2 * n THEN 'middle'
+                                ELSE 'tail' END AS bucket
+                         FROM r
+                         WHERE NOT (3 * r > 2 * n)),
+                cnt AS (SELECT lang, count(*) AS c FROM kept GROUP BY lang),
+                m AS (SELECT max(c) AS cmax FROM cnt),
+                thr AS (SELECT lang,
+                          CAST(round(least(1.0, 0.5 * sqrt(cmax::DOUBLE / c)) * 65536)
+                            AS BIGINT) AS thr
+                        FROM cnt CROSS JOIN m)
+              SELECT k.doc_id, k.lang, k.bucket FROM kept k JOIN thr USING (lang)
+              WHERE thr >= 65536
+                 OR substring(md5(CAST(k.doc_id AS VARCHAR)), 1, 4) < printf('%04x', thr)""")
+    ),
+
     // C24 sequence packing (concat-and-chunk): where each doc lands when
     // the corpus is concatenated in doc_id order and cut into 512-token
     // training sequences. Runs on the distributed two-phase prefix sum —

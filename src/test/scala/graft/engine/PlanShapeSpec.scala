@@ -227,7 +227,8 @@ class PlanShapeSpec extends SparkSpec {
     try {
       import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
       import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
-      for (q <- Seq("c15_ppl_buckets", "c15_ppl_buckets_lang", "c24_curation_v6")) {
+      for (q <- Seq("c15_ppl_buckets", "c15_ppl_buckets_lang",
+                    "c24_curation_v6", "c24_curation_v7")) {
         val plan = graft.SparkEntry.queries(q)(spark, sf0001)
           .queryExecution.executedPlan
         plan.collect {
