@@ -332,6 +332,12 @@ class TextSpec extends SparkSpec {
       assert(order == Seq("head", "middle", "tail").take(order.length),
         s"$lang bucket order: ${ps.toSeq}")
     }
+    // vocab gate paths agree (broadcast vs SHUFFLE_HASH (lang, token) probe)
+    def gated(limit: Long) =
+      Text.perplexityBucketsByLang(docs, "doc_id", "text", "lang",
+          vocabBroadcastLimit = limit)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(3))).toSet
+    assert(gated(0L) == gated(Long.MaxValue), "vocab gate paths diverge")
   }
 
   test("bpeTrain learns the classic merge sequence with deterministic tie-breaks") {
