@@ -395,6 +395,61 @@ object Dedup {
     }
   }
 
+  /** [[repCollapse]] with a SURVIVORSHIP POLICY: keep, per exact-dup
+    * group, the member with the highest `score` (min id on ties) instead
+    * of the min id — the RefinedWeb-style "keep the best copy" rule.
+    * Within an exact-dup group the TEXT is identical, so a meaningful
+    * score comes from metadata: source priority, recency (the id
+    * itself), a quality/classifier column. `score` must be non-null and
+    * non-NaN (negation drives the lexicographic struct-min below).
+    *
+    * Same scale shape as [[repCollapse]]: the exchange carries (length,
+    * xxhash64) digests plus (score, id), never text; the independent
+    * second hash verifies in-group equality, routing digest collisions
+    * through the exact `groupBy(text)` collapse; rep rows return via the
+    * count-gated id semi-join. Returns (idCol, textCol) rep rows. */
+  private[graft] def repCollapseBest(withText: DataFrame, idCol: String,
+                                     textCol: String, score: Column,
+                                     idBroadcastLimit: Long = HotShingleBroadcastLimit): DataFrame = {
+    val dg = Seq(length(col(textCol)), xxhash64(col(textCol)))
+    val dgCols = dg.zipWithIndex.map { case (c, i) => c.as(s"__d$i") }
+    val dgNames = dg.indices.map(i => s"__d$i")
+    val h2 = xxhash64(col(textCol), lit(2L))
+    // min(struct(-score, id)) = (max score, then min id) — one
+    // deterministic aggregate, no max_by tie ambiguity
+    val keyed = withText.select(
+      col(idCol) +: col(textCol) +: score.cast("double").as("__sc") +: dgCols: _*)
+    // localCheckpoint: digest+score+id rows only; feeds both gates/joins
+    val groups = keyed
+      .groupBy(dgNames.map(col): _*)
+      .agg(min(struct((-col("__sc")).as("s"), col(idCol).as("i")))
+          .getField("i").as("__rid"),
+        (min(h2) =!= max(h2)).as("__collided"))
+      .localCheckpoint(true)
+    val cleanIds = groups.filter(!col("__collided")).select(col("__rid").as("__keep"))
+    val cleanReps =
+      if (cleanIds.count() <= idBroadcastLimit)
+        withText.join(broadcast(cleanIds), withText(idCol) === cleanIds("__keep"), "left_semi")
+          .select(col(idCol), col(textCol))
+      else
+        withText.join(cleanIds.hint("SHUFFLE_HASH"), withText(idCol) === cleanIds("__keep"), "left_semi")
+          .select(col(idCol), col(textCol))
+    val collidedKeys = groups.filter(col("__collided")).select(dgNames.map(col): _*)
+    val nCollided = collidedKeys.count()
+    if (nCollided == 0L) cleanReps
+    else {
+      val members =
+        if (nCollided <= idBroadcastLimit)
+          keyed.join(broadcast(collidedKeys), dgNames, "left_semi")
+        else keyed.join(collidedKeys.hint("SHUFFLE_HASH"), dgNames, "left_semi")
+      val exact = members.groupBy(col(textCol))
+        .agg(min(struct((-col("__sc")).as("s"), col(idCol).as("i")))
+          .getField("i").as(idCol))
+        .select(col(idCol), col(textCol))
+      cleanReps.unionAll(exact)
+    }
+  }
+
   /** Connected components over a duplicate-pair graph: transitive closure
     * of near-duplicate clusters (A~B, B~C ⇒ {A,B,C} one component, even
     * when A~C was never emitted as a pair). Iterative min-label

@@ -982,6 +982,21 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
               FROM documents WHERE text IS NOT NULL GROUP BY text""")
     ),
 
+    // Survivorship POLICY variant (round 10): keep the "best" copy per
+    // exact-dup group instead of the min id — the RefinedWeb rule. Text
+    // is identical within a group, so the score is metadata; here
+    // recency (the id itself: keep the NEWEST copy). Same digest-keyed
+    // exchange, oracled as GROUP BY text with max(doc_id).
+    QueryDef(
+      "c12_dedup_keep_newest",
+      (s, d) => Dedup.repCollapseBest(
+          t(s, d, "documents").filter(col("text").isNotNull), "doc_id", "text",
+          score = col("doc_id").cast("double"))
+        .select(col("doc_id"), md5(col("text")).as("text_md5")),
+      Some("""SELECT max(doc_id) AS doc_id, md5(text) AS text_md5
+              FROM documents WHERE text IS NOT NULL GROUP BY text""")
+    ),
+
     // C13 exact flavor: 3-gram shingle Jaccard ≥ 0.6 via inverted-index
     // self-join (no cross join). maxDf=100 drops stop-shingles — the
     // quadratic-pair cut that keeps pair-gen near-linear at scale; the

@@ -333,6 +333,23 @@ class DedupSpec extends SparkSpec {
       100L -> ((1L, 1L)), 101L -> ((0L, 0L)), 102L -> ((0L, 0L))), s"cut $cut")
   }
 
+  test("repCollapseBest keeps the max-score copy per dup group, min id on ties") {
+    val docs = Seq(
+      (1L, "same body of text here", 1.0),
+      (2L, "same body of text here", 5.0), // max score, min id among ties
+      (3L, "same body of text here", 5.0),
+      (4L, "a different body entirely", 0.5),
+      (5L, "third distinct body", 2.0)
+    ).toDF("doc_id", "text", "quality")
+    def reps(limit: Long) = Dedup.repCollapseBest(docs, "doc_id", "text",
+        score = $"quality", idBroadcastLimit = limit)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = reps(Dedup.HotShingleBroadcastLimit)
+    assert(got == Set(2L, 4L, 5L), s"survivors $got")
+    // gate paths agree (broadcast vs SHUFFLE_HASH id semi-join)
+    assert(reps(0L) == got, "id gate paths diverge")
+  }
+
   test("decontaminate matches brute-force n-gram overlap on random corpora (property)") {
     val rnd = new scala.util.Random(23)
     val vocab = Vector("aa", "bb", "cc", "dd")
