@@ -359,18 +359,31 @@ object Dedup {
     * the default. Returns (idCol, textCol) rep rows. */
   private[graft] def repCollapse(withText: DataFrame, idCol: String, textCol: String,
                                  digests: Seq[Column] = Nil,
-                                 idBroadcastLimit: Long = HotShingleBroadcastLimit): DataFrame = {
+                                 idBroadcastLimit: Long = HotShingleBroadcastLimit): DataFrame =
+    collapseReps(withText, idCol, textCol, digests, idBroadcastLimit,
+      carry = Nil, survivorAgg = min(col(idCol)))
+
+  /** Shared digest-keyed collapse core behind [[repCollapse]] (min-id
+    * survivor) and [[repCollapseBest]] (max-score survivor) — one copy of
+    * the digest exchange, the two count gates, the collision verify, and
+    * the exact fallback, so the survivorship policies cannot drift.
+    * `carry` rides extra columns (e.g. the score) through the digest
+    * rows; `survivorAgg` picks the surviving id per group and must be
+    * deterministic (aggregate over id and carry columns only). */
+  private def collapseReps(withText: DataFrame, idCol: String, textCol: String,
+                           digests: Seq[Column], idBroadcastLimit: Long,
+                           carry: Seq[Column], survivorAgg: Column): DataFrame = {
     val dg = if (digests.nonEmpty) digests
              else Seq(length(col(textCol)), xxhash64(col(textCol)))
     val dgCols = dg.zipWithIndex.map { case (c, i) => c.as(s"__d$i") }
     val dgNames = dg.indices.map(i => s"__d$i")
     val h2 = xxhash64(col(textCol), lit(2L))
-    val keyed = withText.select(col(idCol) +: col(textCol) +: dgCols: _*)
-    // localCheckpoint: digest+id rows only (the text stays columnar in
-    // the source scan); feeds two count gates and both joins below
+    val keyed = withText.select(col(idCol) +: col(textCol) +: (carry ++ dgCols): _*)
+    // localCheckpoint: digest+id(+carry) rows only (the text stays
+    // columnar in the source scan); feeds two count gates and both joins
     val groups = keyed
       .groupBy(dgNames.map(col): _*)
-      .agg(min(col(idCol)).as("__rid"),
+      .agg(survivorAgg.as("__rid"),
         (min(h2) =!= max(h2)).as("__collided"))
       .localCheckpoint(true)
     val cleanIds = groups.filter(!col("__collided")).select(col("__rid").as("__keep"))
@@ -389,7 +402,7 @@ object Dedup {
         if (nCollided <= idBroadcastLimit)
           keyed.join(broadcast(collidedKeys), dgNames, "left_semi")
         else keyed.join(collidedKeys.hint("SHUFFLE_HASH"), dgNames, "left_semi")
-      val exact = members.groupBy(col(textCol)).agg(min(col(idCol)).as(idCol))
+      val exact = members.groupBy(col(textCol)).agg(survivorAgg.as(idCol))
         .select(col(idCol), col(textCol))
       cleanReps.unionAll(exact)
     }
@@ -410,45 +423,13 @@ object Dedup {
     * count-gated id semi-join. Returns (idCol, textCol) rep rows. */
   private[graft] def repCollapseBest(withText: DataFrame, idCol: String,
                                      textCol: String, score: Column,
-                                     idBroadcastLimit: Long = HotShingleBroadcastLimit): DataFrame = {
-    val dg = Seq(length(col(textCol)), xxhash64(col(textCol)))
-    val dgCols = dg.zipWithIndex.map { case (c, i) => c.as(s"__d$i") }
-    val dgNames = dg.indices.map(i => s"__d$i")
-    val h2 = xxhash64(col(textCol), lit(2L))
-    // min(struct(-score, id)) = (max score, then min id) — one
-    // deterministic aggregate, no max_by tie ambiguity
-    val keyed = withText.select(
-      col(idCol) +: col(textCol) +: score.cast("double").as("__sc") +: dgCols: _*)
-    // localCheckpoint: digest+score+id rows only; feeds both gates/joins
-    val groups = keyed
-      .groupBy(dgNames.map(col): _*)
-      .agg(min(struct((-col("__sc")).as("s"), col(idCol).as("i")))
-          .getField("i").as("__rid"),
-        (min(h2) =!= max(h2)).as("__collided"))
-      .localCheckpoint(true)
-    val cleanIds = groups.filter(!col("__collided")).select(col("__rid").as("__keep"))
-    val cleanReps =
-      if (cleanIds.count() <= idBroadcastLimit)
-        withText.join(broadcast(cleanIds), withText(idCol) === cleanIds("__keep"), "left_semi")
-          .select(col(idCol), col(textCol))
-      else
-        withText.join(cleanIds.hint("SHUFFLE_HASH"), withText(idCol) === cleanIds("__keep"), "left_semi")
-          .select(col(idCol), col(textCol))
-    val collidedKeys = groups.filter(col("__collided")).select(dgNames.map(col): _*)
-    val nCollided = collidedKeys.count()
-    if (nCollided == 0L) cleanReps
-    else {
-      val members =
-        if (nCollided <= idBroadcastLimit)
-          keyed.join(broadcast(collidedKeys), dgNames, "left_semi")
-        else keyed.join(collidedKeys.hint("SHUFFLE_HASH"), dgNames, "left_semi")
-      val exact = members.groupBy(col(textCol))
-        .agg(min(struct((-col("__sc")).as("s"), col(idCol).as("i")))
-          .getField("i").as(idCol))
-        .select(col(idCol), col(textCol))
-      cleanReps.unionAll(exact)
-    }
-  }
+                                     idBroadcastLimit: Long = HotShingleBroadcastLimit): DataFrame =
+    collapseReps(withText, idCol, textCol, digests = Nil, idBroadcastLimit,
+      carry = Seq(score.cast("double").as("__sc")),
+      // min(struct(-score, id)) = (max score, then min id) — one
+      // deterministic aggregate, no max_by tie ambiguity
+      survivorAgg = min(struct((-col("__sc")).as("s"), col(idCol).as("i")))
+        .getField("i"))
 
   /** Connected components over a duplicate-pair graph: transitive closure
     * of near-duplicate clusters (A~B, B~C ⇒ {A,B,C} one component, even

@@ -316,16 +316,14 @@ class TextSpec extends SparkSpec {
         s"common tokens shared across and rare$i unique$i extra$i")) ++
       (7L to 9L).map(i => (i, "b", s"other tongue words rare$i unique$i"))
     ).toDF("doc_id", "lang", "text")
-    val out = Text.perplexityBucketsByLang(docs, "doc_id", "text", "lang")
-      .collect().map(r => (r.getString(1), r.getString(3))).toSeq
-    val sizes = out.groupBy(identity).view.mapValues(_.size).toMap
+    val byLang = Text.perplexityBucketsByLang(docs, "doc_id", "text", "lang")
+      .collect().map(r => (r.getString(1), r.getDouble(2), r.getString(3)))
+    val sizes = byLang.map(r => (r._1, r._3)).groupBy(identity).view.mapValues(_.size).toMap
     assert(sizes == Map(
       ("a", "head") -> 2, ("a", "middle") -> 2, ("a", "tail") -> 2,
       ("b", "head") -> 1, ("b", "middle") -> 1, ("b", "tail") -> 1),
       s"per-lang tercile sizes: $sizes")
     // bucket order tracks ppl within each language
-    val byLang = Text.perplexityBucketsByLang(docs, "doc_id", "text", "lang")
-      .collect().map(r => (r.getString(1), r.getDouble(2), r.getString(3)))
     for (lang <- Seq("a", "b")) {
       val ps = byLang.filter(_._1 == lang).sortBy(_._2)
       val order = ps.map(_._3).distinct.toSeq
