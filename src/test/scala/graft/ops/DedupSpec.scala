@@ -784,12 +784,17 @@ class DedupSpec extends SparkSpec {
     // of the corpus scan
     val docs = (0L until 50L).map(i => (i, s"document body number ${i % 7}"))
       .toDF("doc_id", "text")
-    val plan = Dedup.repCollapse(docs, "doc_id", "text")
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
-      s"rep id set not broadcast under the gate:\n$plan")
-    assert(!plan.contains("Exchange hashpartitioning"),
-      s"corpus text shuffled on the gated clean path:\n$plan")
+    // both survivorship policies ride the shared collapseReps core — pin
+    // the claim on each
+    for (reps <- Seq(
+        Dedup.repCollapse(docs, "doc_id", "text"),
+        Dedup.repCollapseBest(docs, "doc_id", "text", score = $"doc_id".cast("double")))) {
+      val plan = reps.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+        s"rep id set not broadcast under the gate:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"corpus text shuffled on the gated clean path:\n$plan")
+    }
   }
 
   test("nearDupPipeline collapses exact dups before the band join (linear pair volume)") {
