@@ -2724,6 +2724,52 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
                  OR substring(md5(CAST(k.doc_id AS VARCHAR)), 1, 4) < printf('%04x', thr)""")
     ),
 
+    // C24 token budget (round 10): the per-(lang, source) planning table
+    // a training run reads — docs, tokens, and corpus fraction AFTER
+    // decontamination (epoch math, mixture weights, and cost estimates
+    // all start from this frame). Two map-side-foldable aggregates over
+    // one checkpointed decon pass; the total rides as a broadcast 1-row
+    // frame.
+    QueryDef(
+      "c24_token_budget",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        // localCheckpoint: clean feeds the per-stratum aggregate AND the
+        // corpus total — one decontamination pass
+        val clean = Dedup.decontaminate(docs.filter(col("doc_id") >= 50),
+          docs.filter(col("doc_id") < 50), "doc_id", "text", n = 8)
+          .localCheckpoint(true)
+        val base = clean.select(col("lang"), col("source"),
+          size(Text.tokens(col("text"))).cast("long").as("__n"))
+        val agg = base.groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_tokens"))
+        val total = broadcast(base.agg(sum(col("__n")).cast("double").as("__t")))
+        agg.crossJoin(total)
+          .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+            round(col("n_tokens") / col("__t"), 6).as("frac"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+                sh AS (SELECT DISTINCT doc_id AS doc,
+                         ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||
+                         ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7] AS shingle
+                       FROM toks, UNNEST(generate_series(1, len(ws) - 7)) t(i)),
+                bench AS (SELECT DISTINCT shingle FROM sh WHERE doc < 50),
+                bad AS (SELECT DISTINCT doc FROM sh
+                        WHERE doc >= 50 AND shingle IN (SELECT shingle FROM bench)),
+                clean AS (SELECT d.lang, d.source,
+                            len(string_split(d.text, ' ')) AS n
+                          FROM documents d
+                          WHERE d.doc_id >= 50
+                            AND d.doc_id NOT IN (SELECT doc FROM bad)),
+                agg AS (SELECT lang, source, count(*) AS n_docs,
+                          CAST(sum(n) AS BIGINT) AS n_tokens
+                        FROM clean GROUP BY lang, source),
+                tot AS (SELECT sum(n_tokens)::DOUBLE AS t FROM agg)
+              SELECT lang, source, n_docs, n_tokens,
+                round(n_tokens / t, 6) AS frac
+              FROM agg CROSS JOIN tot""")
+    ),
+
     // C24 sequence packing (concat-and-chunk): where each doc lands when
     // the corpus is concatenated in doc_id order and cut into 512-token
     // training sequences. Runs on the distributed two-phase prefix sum —
