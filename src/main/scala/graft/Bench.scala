@@ -22,21 +22,59 @@ object Bench {
     }
   }
 
-  /** Run every query best-of-2. */
+  /** Both timings of a best-of-2 query: `best` is what gets reported;
+    * `spread` (slow/fast ratio) is the per-query noise witness. */
+  final case class Timing(t1: Double, t2: Option[Double], err: Option[String]) {
+    def best: Double = t2.fold(t1)(math.min(t1, _))
+    def spread: Option[Double] =
+      t2.map(x => math.max(t1, x) / math.max(1e-9, math.min(t1, x)))
+  }
+
+  /** Run every query best-of-2 as two SEPARATED full passes.
+    *
+    * best-of-2 per query: single-shot timings on this box swing 2-3x
+    * from background noise; the min measures the plan, not the noise.
+    * The second timing comes from a second pass over the WHOLE query
+    * list, not an immediate re-run: a multi-second host-noise burst
+    * covers both halves of a back-to-back pair (which is how a
+    * best-of-2 bench still inflated 1.33x uniformly in round 10), but
+    * rarely the same query a full pass (~minutes) apart.
+    * noop sink, not count(): count() lets Catalyst prune projections the
+    * count never reads (PERF.md finding 9); noop materializes every column. */
+  def measureDetailed(spark: SparkSession, sfDir: String,
+                      queries: Map[String, (SparkSession, String) => DataFrame])
+      : Map[String, Timing] = {
+    val names = queries.keys.toSeq.sorted
+    val pass1 = names.map(n => n -> once(spark, sfDir, queries(n))).toMap
+    names.map { n =>
+      val (t1, e1) = pass1(n)
+      if (e1.isDefined) n -> Timing(t1, None, e1) // broken: don't re-run, report
+      else {
+        val (t2, e2) = once(spark, sfDir, queries(n))
+        n -> Timing(t1, Some(t2), e2)
+      }
+    }.toMap
+  }
+
   def measure(spark: SparkSession, sfDir: String,
               queries: Map[String, (SparkSession, String) => DataFrame])
       : Map[String, (Double, Option[String])] =
-    // best-of-2 per query: single-shot timings on this box swing 2-3x
-    // from background noise; the min measures the plan, not the noise.
-    // noop sink, not count(): count() lets Catalyst prune projections the
-    // count never reads (PERF.md finding 9); noop materializes every column.
-    queries.map { case (name, fn) =>
-      val (t1, e1) = once(spark, sfDir, fn)
-      val (sec, err) =
-        if (e1.isDefined) (t1, e1) // broken: don't re-run, report
-        else { val (t2, e2) = once(spark, sfDir, fn); (math.min(t1, t2), e2) }
-      name -> (sec, err)
+    measureDetailed(spark, sfDir, queries)
+      .map { case (n, t) => n -> (t.best, t.err) }
+
+  /** Session noise witness: p50/p90 of the per-query slow/fast ratio
+    * across the two passes. ~1.0 = quiet host, the totals are
+    * attributable; >1.3 at p50 = the session itself was noisy and a
+    * total-vs-total comparison is not evidence of a code change. */
+  def noiseStats(detailed: Map[String, Timing]): (Double, Double) = {
+    val spreads = detailed.values.flatMap(_.spread).toSeq.sorted
+    if (spreads.isEmpty) (1.0, 1.0)
+    else {
+      def pct(p: Double) =
+        spreads(math.min(spreads.size - 1, (p * spreads.size).toInt))
+      (pct(0.50), pct(0.90))
     }
+  }
 
   // 3 significant figures, always with a decimal point (parseable).
   // Sub-second timings keep 3 decimals: rounding 0.047 to "0.05" would
@@ -51,12 +89,24 @@ object Bench {
 
   /** The COMPLETE one-line JSON — every query entry; goes to the durable
     * files, where bytes are free. */
-  def fullJson(results: Map[String, (Double, Option[String])], sfDir: String): String = {
+  def fullJson(results: Map[String, (Double, Option[String])], sfDir: String,
+               detailed: Option[Map[String, Timing]] = None): String = {
     val qs = results.map { case (k, (v, _)) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
     val errs = errsOf(results)
     val total = results.values.map(_._1).sum
+    // noise section (durable file only): p50/p90 slow/fast ratio across
+    // the two passes plus both raw timings per query — the witness that
+    // lets a reader tell "the host was noisy" from "the code regressed"
+    // without a re-run.
+    val noise = detailed.map { d =>
+      val (p50, p90) = noiseStats(d)
+      val raw = d.toSeq.sortBy(_._1).map { case (k, t) =>
+        s"""\"$k\":[${r3(t.t1)}${t.t2.fold("")(x => "," + r3(x))}]"""
+      }.mkString("{", ",", "}")
+      s""","noise_p50":${r3(p50)},"noise_p90":${r3(p90)},"passes":$raw"""
+    }.getOrElse("")
     s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
-      s""""errors":${errs.mkString("{", ",", "}")},"failed":${errs.size},"sf":"$sfDir"}"""
+      s""""errors":${errs.mkString("{", ",", "}")},"failed":${errs.size},"sf":"$sfDir"$noise}"""
   }
 
   /** The stdout line (round-7 verdict #3): the driver captures a bounded
@@ -129,8 +179,9 @@ object Bench {
       spark.range(1000000L).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/region.parquet").count()
     } catch { case NonFatal(_) => () }
-    val results = measure(spark, sfDir, SparkEntry.queries)
-    val json = fullJson(results, sfDir)
+    val detailed = measureDetailed(spark, sfDir, SparkEntry.queries)
+    val results = detailed.map { case (n, t) => n -> (t.best, t.err) }
+    val json = fullJson(results, sfDir, Some(detailed))
     val failed = errsOf(results).size
     // durable copies FIRST — they can never lose data: /tmp for local
     // A/Bs, and a repo-root copy the judge can read after the driver's

@@ -153,7 +153,8 @@ object Relational {
     * [[datasetMix]]'s rank phase, extracted: mix = groupedRank by source
     * filtered to the quota. */
   def groupedRank(df: DataFrame, groupCols: Seq[String], orderCols: Seq[Column],
-                  alias: String, numPartitions: Int = 0): DataFrame = {
+                  alias: String, numPartitions: Int = 0,
+                  offsetBroadcastLimit: Long = Dedup.HotShingleBroadcastLimit): DataFrame = {
     val parts = if (numPartitions > 0) numPartitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     // localCheckpoint: the ranged frame feeds the local rank AND the count
@@ -165,13 +166,22 @@ object Relational {
     val local = ranged.withColumn("__lrn",
       row_number().over(Window.partitionBy(keys: _*).orderBy(orderCols: _*)))
     val counts = ranged.groupBy(keys: _*).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true) // feeds the gate count AND the offsets join
     val off = counts.withColumn("__offset",
       coalesce(sum(col("__c")).over(
         Window.partitionBy(groupCols.map(col): _*).orderBy("__pid")
           .rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
       .select(keys :+ col("__offset"): _*)
-    local.join(broadcast(off), "__pid" +: groupCols)
+    // The offsets frame scales with partitions × |groups| — low-cardinality
+    // for language/source callers, but nothing here assumes that: a
+    // high-cardinality group column falls back to a distributed join on
+    // the same (pid, group) keys instead of an unbounded broadcast.
+    val joined =
+      if (counts.count() <= offsetBroadcastLimit)
+        local.join(broadcast(off), "__pid" +: groupCols)
+      else local.join(off.hint("SHUFFLE_HASH"), "__pid" +: groupCols)
+    joined
       .withColumn(alias, col("__offset") + col("__lrn"))
       .drop("__pid", "__lrn", "__offset")
   }

@@ -98,6 +98,13 @@ object Similarity {
       require(rows.length <= maxListSize,
         s"rrfFuse got a list over $maxListSize rows: feed " +
           "top-k-bounded lists, not corpus-sized frames")
+      // A null id (e.g. a non-numeric string id that casts to null) has no
+      // identity to fuse on — reject it loudly instead of NPEing on
+      // getLong. Note the tie-break runs over the CASTED long, so string
+      // ids tie-break numerically, not lexically.
+      require(rows.forall(r => !r.isNullAt(0)),
+        s"rrfFuse: null id in list (idCol=$idCol) — ids must cast to " +
+          "non-null long")
       rows.map(r => (r.getLong(0),
           if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1))))
         .sortWith(before)
@@ -143,10 +150,14 @@ object Similarity {
     // (raw embeddings) or array<double> (derived vectors) — a fixed
     // getSeq[Float] would ClassCastException on the latter (round-8
     // ADVICE #1)
+    // take(maxCandidates + 1), never collect(): the guard must fire
+    // BEFORE a contract-breaking corpus-sized frame materializes on the
+    // driver (finding 21 posture, same as rrfFuse's gate).
     val rows = candidates.select(col(idCol).cast("long"),
-      col(relCol).cast("double"), col(vecCol).cast("array<double>")).collect()
+      col(relCol).cast("double"), col(vecCol).cast("array<double>"))
+      .take(maxCandidates + 1)
     require(rows.length <= maxCandidates,
-      s"MMR got ${rows.length} candidates (> $maxCandidates): feed a " +
+      s"MMR got over $maxCandidates candidates: feed a " +
         "top-k-bounded list, not a corpus-sized frame")
     case class Cand(id: Long, rel: Double, vec: Array[Double], norm: Double)
     val pool = scala.collection.mutable.ArrayBuffer(rows.map { r =>

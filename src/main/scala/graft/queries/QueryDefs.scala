@@ -2313,17 +2313,18 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
     // corpus docs and distinct shared 8-grams per benchmark doc, zeros
     // included (the GPT-3-appendix overlap statistic a leakage review
     // reads before choosing removal policy). |benchmark|-bounded output;
-    // the count-gated posting join is c24_decontaminate's shape. The
-    // default stopDf=10000 boilerplate cut cannot trigger below 10k
-    // corpus docs, so the oracle (which models the uncut join) matches
-    // at both test SFs; DedupSpec exercises the cut explicitly.
+    // the count-gated posting join is c24_decontaminate's shape.
+    // stopDf = None EXPLICITLY: the oracle models the uncut join, and the
+    // default df cut would silently diverge from it if the driver ever
+    // regenerated testdata with >10k-df boilerplate 8-grams (DedupSpec
+    // exercises the cut itself).
     QueryDef(
       "c24_decon_report",
       (s, d) => {
         val docs = t(s, d, "documents")
         Dedup.contaminationReport(
           docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
-          "doc_id", "text", n = 8)
+          "doc_id", "text", n = 8, stopDf = None)
           .select(col("bench_doc").as("bench_id"), col("n_docs"), col("n_shingles"))
       },
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

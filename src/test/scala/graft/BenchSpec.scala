@@ -67,6 +67,32 @@ class BenchSpec extends SparkSpec {
     assert(blowup.count(_ == '{') == blowup.count(_ == '}'), blowup)
   }
 
+  test("two-pass best-of-2: healthy queries time twice, noise witness lands in full JSON") {
+    var runs = Map.empty[String, Int].withDefaultValue(0)
+    val qs: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "ok" -> ((s, _) => { runs = runs.updated("ok", runs("ok") + 1); s.range(10).toDF("v") }),
+      "broken" -> ((_, _) => {
+        runs = runs.updated("broken", runs("broken") + 1)
+        sys.error("boom")
+      })
+    )
+    val detailed = Bench.measureDetailed(spark, "unused", qs)
+    // a healthy query runs once per pass; a broken one fails fast in
+    // pass 1 and is never re-run (its error is the result)
+    assert(runs("ok") == 2, s"ok ran ${runs("ok")} times")
+    assert(runs("broken") == 1, s"broken ran ${runs("broken")} times")
+    assert(detailed("ok").t2.isDefined && detailed("ok").err.isEmpty)
+    assert(detailed("broken").t2.isEmpty && detailed("broken").err.isDefined)
+    assert(detailed("ok").best <= detailed("ok").t1)
+    val (p50, p90) = Bench.noiseStats(detailed)
+    assert(p50 >= 1.0 && p90 >= p50, s"noise stats out of order: $p50 $p90")
+    val results = detailed.map { case (n, t) => n -> (t.best, t.err) }
+    val json = Bench.fullJson(results, "unused", Some(detailed))
+    assert(json.contains("\"noise_p50\":"), json)
+    assert(json.contains("\"passes\":"), json)
+    assert(json.count(_ == '{') == json.count(_ == '}'), s"unbalanced: $json")
+  }
+
   test("driver contract: every oracle has a query, names are driver-safe, entry smokes") {
     // the driver joins oracleSql to queries BY NAME and embeds names in
     // file paths / JSON keys — an orphaned oracle or an exotic name fails
