@@ -114,4 +114,80 @@ object WinnowFingerprints {
   /** Column wrapper: distinct winnowed fingerprints of a text column. */
   def winnow(text: Column, k: Int, w: Int): Column =
     ColumnShim.column(WinnowFingerprints(ColumnShim.expression(text.cast("string")), k, w))
+
+  /** Selected fingerprint OCCURRENCES: the same deque walk as
+    * [[fingerprints]], but keeping the distinct selected gram INDICES
+    * (1-based codepoint start positions) instead of the distinct hash
+    * set — the input span-level dedup needs (a fingerprint's extent is
+    * the k codepoints starting at its position). The deque pops equal
+    * hashes on arrival, so the selected index of a window is the
+    * RIGHTMOST minimal gram — mirrored in SQL as max(i) over the grams
+    * attaining the window min. */
+  def positionedFingerprints(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val s = text.toString
+    val nCp = s.codePointCount(0, s.length)
+    val nGrams = nCp - k + 1
+    if (nGrams < w) return new GenericArrayData(Array.empty[Any])
+    val cpAt = new Array[Int](nCp + 1)
+    var ci = 0
+    var cp = 0
+    while (cp < nCp) { cpAt(cp) = ci; ci = s.offsetByCodePoints(ci, 1); cp += 1 }
+    cpAt(nCp) = s.length
+    val md = digest.get()
+    val hs = new Array[String](nGrams)
+    var i = 0
+    while (i < nGrams) { hs(i) = h16(md, s.substring(cpAt(i), cpAt(i + k))); i += 1 }
+    val deque = new Array[Int](nGrams)
+    var head = 0
+    var tail = 0
+    val selected = new java.util.LinkedHashSet[Integer]()
+    i = 0
+    while (i < nGrams) {
+      while (tail > head && hs(deque(tail - 1)).compareTo(hs(i)) >= 0) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) selected.add(deque(head))
+      i += 1
+    }
+    val out = new Array[Any](selected.size)
+    val it = selected.iterator()
+    i = 0
+    while (it.hasNext) {
+      val idx = it.next().intValue()
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(hs(idx)), idx + 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Column wrapper: selected (fp, pos) occurrences of a text column. */
+  def winnowPos(text: Column, k: Int, w: Int): Column =
+    ColumnShim.column(WinnowPositions(ColumnShim.expression(text.cast("string")), k, w))
+}
+
+/** [[WinnowFingerprints]] with positions: array<struct<fp:string,pos:int>>
+  * of the distinct selected window-minimum gram occurrences (pos = the
+  * 1-based codepoint start of the k-gram, so its extent is
+  * [pos, pos + k)). Same compiled single pass. */
+case class WinnowPositions(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("fp", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "winnow_positions"
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowFingerprints.positionedFingerprints(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str =>
+      s"${ev.value} = graft.functions.WinnowFingerprints.positionedFingerprints($str, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowPositions =
+    copy(child = newChild)
 }

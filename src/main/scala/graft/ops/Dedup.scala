@@ -702,6 +702,119 @@ object Dedup {
         minShared, stopDf, fpBroadcastLimit),
       idBroadcastLimit)
 
+  /** SPAN-level exact-substring dedup — ExactSubstr's second half (Lee et
+    * al., ACL'22 §4.1): instead of dropping a whole document that shares a
+    * long verbatim run with another ([[winnowPairs]]' regime), remove just
+    * the duplicated SPANS and keep the rest of the document. Duplication
+    * is witnessed by winnowed fingerprints ([[winnowFingerprints]]): a
+    * selected k-gram occurrence appearing ≥ 2 times corpus-wide (across
+    * docs OR repeated inside one doc) is duplicated; survivorship is
+    * keep-first — the globally smallest (doc, pos) occurrence survives,
+    * every other occurrence's extent [pos, pos+k) is cut ([[lineDedup]]'s
+    * first-occurrence policy at codepoint-span granularity). Inside a
+    * shared run, consecutive selected starts differ by ≤ w grams, so with
+    * w < k the cut extents overlap and merge into one contiguous span
+    * covering the run interior; up to w+k−2 edge chars survive (their
+    * windows straddle run boundaries and pick unshared grams) — the
+    * winnowing approximation of the paper's exact suffix-array spans.
+    *
+    * Scale shape: the posting list (doc, fp, pos) is a pure projection
+    * (one compiled pass per doc, [[graft.functions.WinnowPositions]]);
+    * fingerprints re-hash to 8-byte longs before anything shuffles
+    * (finding 22 — a long collision merges two fingerprints and at worst
+    * cuts one non-duplicated span, bounded noise, never a crash); the
+    * keeper aggregate and cut join are linear in the posting list — NO
+    * pair join exists in the span regime, so no maxDf cut is needed (a
+    * df-m fingerprint contributes m−1 cuts, not C(m,2) pairs — boilerplate
+    * is exactly what span-cutting is FOR). Per-doc cut arrays are bounded
+    * by fingerprint density (~2/(w+1) per char), smaller than the text
+    * already in the row; reassembly is the O(len) compiled pass
+    * [[graft.functions.CutSpans]].
+    *
+    * Returns every input row (null texts and short docs pass through
+    * uncut) with `textCol` rewritten and `n_cut` = codepoints removed. */
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String,
+                k: Int = 16, w: Int = 8): DataFrame = {
+    val base = docs.select(col(idCol).as("doc"), col(textCol).cast("string").as("__text"))
+    // localCheckpoint: the posting projection feeds the keeper aggregate
+    // AND the cut join
+    val posting = spanPosting(base, k, w).localCheckpoint(true)
+    val keepers = posting.groupBy("fp")
+      .agg(count(lit(1)).as("__n"), min(struct(col("doc"), col("pos"))).as("__keep"))
+      .filter(col("__n") >= 2)
+      .select(col("fp"), col("__keep"))
+    // every occurrence of a duplicated fingerprint except the global first
+    val cuts = posting.join(keepers.hint("SHUFFLE_HASH"), Seq("fp"))
+      .filter(!(col("doc") === col("__keep.doc") && col("pos") === col("__keep.pos")))
+      .select(col("doc"), col("pos"))
+    cutAndReassemble(base, cuts, idCol, textCol, k)
+  }
+
+  /** Selected winnow-fingerprint occurrences of a (doc, __text) frame:
+    * (doc, fp as 8-byte long, pos) — one compiled projection pass, no
+    * shuffle (finding 22: the hex fp exists only inside the selection;
+    * everything that shuffles moves longs). */
+  private def spanPosting(base: DataFrame, k: Int, w: Int): DataFrame =
+    base
+      .filter(col("__text").isNotNull && length(col("__text")) >= k + w - 1)
+      .select(col("doc"),
+        explode(graft.functions.WinnowFingerprints.winnowPos(col("__text"), k, w)).as("o"))
+      .select(col("doc"), xxhash64(col("o.fp")).as("fp"), col("o.pos").as("pos"))
+
+  /** Shared reassembly half of the span operators: merge each doc's cut
+    * starts (sorted; constant width k merges via the cursor inside
+    * [[graft.functions.CutSpans]]) and rewrite the text. The per-doc cut
+    * array is bounded by fingerprint density (~2/(w+1) per char) —
+    * smaller than the text already in the row, never corpus-scaled. */
+  private def cutAndReassemble(base: DataFrame, cuts: DataFrame,
+                               idCol: String, textCol: String, k: Int): DataFrame = {
+    val cutList = cuts.groupBy("doc")
+      .agg(sort_array(collect_list(col("pos"))).as("__starts"))
+    base.join(cutList.hint("SHUFFLE_HASH"), Seq("doc"), "left")
+      .select(col("doc"), col("__text"),
+        when(col("__starts").isNull, col("__text"))
+          .otherwise(graft.functions.CutSpans.cutSpans(col("__text"), col("__starts"), k))
+          .as("__cut"))
+      .select(col("doc").as(idCol), col("__cut").as(textCol),
+        (coalesce(length(col("__text")), lit(0)) -
+          coalesce(length(col("__cut")), lit(0))).cast("long").as("n_cut"))
+  }
+
+  /** SPAN-level decontamination — [[winnowDecontaminate]]'s surgical
+    * sibling: instead of dropping every corpus doc that quotes the
+    * benchmark verbatim, cut just the quoted spans (every corpus
+    * occurrence of a benchmark winnow fingerprint loses its extent
+    * [pos, pos+k)) and keep the rest of the document. No stopDf cut
+    * exists here ON PURPOSE: df cuts protect whole-doc rules from nuking
+    * docs on boilerplate evidence, but span-cut only removes the
+    * matching bytes — cutting boilerplate that happens to also be in the
+    * benchmark is a feature, and there is no pair join for a hot
+    * fingerprint to blow up (m occurrences cost m cuts, not C(m,2)).
+    *
+    * Scale shape mirrors [[substringContaminatedIds]]: benchmark fp set
+    * count-gated broadcast (SHUFFLE_HASH past `fpBroadcastLimit`),
+    * corpus posting is a pure projection, the cut join is a semi-join on
+    * 8-byte keys, reassembly is the shared O(len) pass.
+    *
+    * Returns every corpus row (uncut docs pass through) as
+    * (idCol, textCol rewritten, n_cut). */
+  def spanDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+                        idCol: String, textCol: String,
+                        k: Int = 16, w: Int = 8,
+                        fpBroadcastLimit: Long = HotShingleBroadcastLimit): DataFrame = {
+    val base = corpus.select(col(idCol).as("doc"), col(textCol).cast("string").as("__text"))
+    // localCheckpoint: the benchmark set feeds the count gate AND the join
+    val benchFp = winnowFingerprints(benchmark, idCol, textCol, k, w)
+      .select(xxhash64(col("fp")).as("fp")).distinct().localCheckpoint(true)
+    val posting = spanPosting(base, k, w)
+    val cuts =
+      (if (benchFp.count() <= fpBroadcastLimit)
+         posting.join(broadcast(benchFp), Seq("fp"), "left_semi")
+       else posting.join(benchFp.hint("SHUFFLE_HASH"), Seq("fp"), "left_semi"))
+        .select(col("doc"), col("pos"))
+    cutAndReassemble(base, cuts, idCol, textCol, k)
+  }
+
   /** Test-set decontamination: drop every corpus document that shares at
     * least one word n-gram with the benchmark set (the n-gram-overlap
     * rule — GPT-3 used 13-grams, Gopher/MassiveText 8-grams — standard in

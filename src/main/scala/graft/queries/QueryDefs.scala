@@ -2248,6 +2248,60 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
               GROUP BY 1, 2 HAVING count(*) >= 3""")
     ),
 
+    // C13 SPAN-level exact-substring dedup (ExactSubstr's second half,
+    // Lee et al. ACL'22 §4.1): duplicated >= 2-occurrence winnow
+    // fingerprints mark spans; the globally-first (doc, pos) occurrence
+    // survives, every other extent [pos, pos+16) is cut and the doc
+    // reassembled — whole docs never drop, only the duplicated bytes.
+    // The oracle replays the selection (rightmost argmin per window =
+    // max(i) over grams attaining the window min), the keep-first rank,
+    // and a per-char coverage cut; md5 proves byte-exact reassembly.
+    QueryDef(
+      "c13_span_dedup",
+      (s, d) => Dedup.spanDedup(t(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), md5(col("text")).as("span_md5"), col("n_cut")),
+      Some("""WITH d AS (SELECT doc_id, text FROM documents
+                         WHERE text IS NOT NULL AND len(text) >= 23),
+                hs AS (SELECT doc_id, i,
+                              substring(md5(substr(text, i, 16)), 1, 16) AS h,
+                              len(text) - 15 AS nh
+                       FROM d, UNNEST(generate_series(1, len(text) - 15)) t(i)),
+                wm AS (SELECT doc_id, i AS ws, nh,
+                              min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m
+                       FROM hs),
+                sel AS (SELECT w.doc_id, w.m AS fp, max(h2.i) AS pos
+                        FROM wm w JOIN hs h2
+                          ON h2.doc_id = w.doc_id AND h2.h = w.m
+                             AND h2.i BETWEEN w.ws AND w.ws + 7
+                        WHERE w.ws <= w.nh - 7
+                        GROUP BY w.doc_id, w.ws, w.m),
+                occ AS (SELECT DISTINCT doc_id, fp, pos FROM sel),
+                ranked AS (SELECT doc_id, fp, pos,
+                                  row_number() OVER (PARTITION BY fp
+                                                     ORDER BY doc_id, pos) AS rn,
+                                  count(*) OVER (PARTITION BY fp) AS n
+                           FROM occ),
+                cuts AS (SELECT doc_id, pos FROM ranked WHERE n >= 2 AND rn > 1),
+                chars AS (SELECT doc_id, i, substr(text, i, 1) AS ch
+                          FROM (SELECT doc_id, text FROM documents
+                                WHERE text IS NOT NULL) dd,
+                               UNNEST(generate_series(1, len(text))) t(i)),
+                kept AS (SELECT c.doc_id, string_agg(ch, '' ORDER BY i) AS newtext
+                         FROM chars c
+                         WHERE NOT EXISTS (SELECT 1 FROM cuts k
+                                           WHERE k.doc_id = c.doc_id
+                                             AND c.i >= k.pos AND c.i < k.pos + 16)
+                         GROUP BY c.doc_id)
+              SELECT doc.doc_id,
+                     md5(CASE WHEN doc.text IS NULL THEN NULL
+                              ELSE coalesce(k.newtext, '') END) AS span_md5,
+                     CAST(CASE WHEN doc.text IS NULL THEN 0
+                               ELSE len(doc.text) - len(coalesce(k.newtext, '')) END
+                          AS BIGINT) AS n_cut
+              FROM documents doc LEFT JOIN kept k USING (doc_id)""")
+    ),
+
     // C24 exact-substring decontamination: docs 0-49 as the benchmark;
     // drop every remaining doc quoting >= 2 verbatim >= 23-char benchmark
     // substrings (winnowed fingerprints, tokenizer-free — catches quotes
@@ -2723,6 +2777,120 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
               SELECT k.doc_id, k.lang, k.bucket FROM kept k JOIN thr USING (lang)
               WHERE thr >= 65536
                  OR substring(md5(CAST(k.doc_id AS VARCHAR)), 1, 4) < printf('%04x', thr)""")
+    ),
+
+    // C24 curation v8 — SPAN-surgical decontamination: v5's whole-doc
+    // substring drop replaced by spanDecontaminate — a corpus doc that
+    // quotes the benchmark verbatim loses just the quoted spans and
+    // STAYS in the mix (the data-efficient policy at 100 TB: a 50k-char
+    // doc with one leaked quiz question keeps its other 49k chars).
+    // n-gram and semantic doom stay whole-doc (those rules model
+    // documents ABOUT the benchmark, not quotes inside otherwise-good
+    // docs). Quality gating runs on the CUT text — the honest order:
+    // remove the leak first, judge what remains. The aggregate reads
+    // kept-char averages and total cut bytes, so the span surgery is
+    // hash-witnessed end to end.
+    QueryDef(
+      "c24_curation_v8",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val emb = t(s, d, "embeddings")
+        val corpus = docs.filter(col("doc_id") >= 50)
+        val bench = docs.filter(col("doc_id") < 50)
+        val doomed = Dedup.contaminatedIds(corpus, bench, "doc_id", "text", n = 8)
+          .unionAll(Dedup.semanticContaminatedIds(
+            emb, "vec_id", "embedding",
+            emb.filter(col("vec_id") < 50), "embedding", tau = 0.95))
+        // localCheckpoint: kept feeds the span posting AND the lang join
+        val kept = Dedup.removeIds(corpus, "doc_id", doomed).localCheckpoint(true)
+        val spanned = Dedup.spanDecontaminate(kept, bench, "doc_id", "text")
+          .localCheckpoint(true) // feeds the quality branch AND the agg
+        val quality = Text.qualityScore(spanned, "doc_id", "text")
+        spanned
+          .join(kept.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .join(quality.filter(col("lexical_diversity") >= 0.5).select("doc_id"),
+            Seq("doc_id"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg(length(col("text"))), 2).as("avg_kept_chars"),
+            sum(col("n_cut")).as("chars_cut"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+                sh AS (SELECT DISTINCT doc_id AS doc,
+                         ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||
+                         ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7] AS shingle
+                       FROM toks, UNNEST(generate_series(1, len(ws) - 7)) t(i)),
+                bench AS (SELECT DISTINCT shingle FROM sh WHERE doc < 50),
+                bad1 AS (SELECT DISTINCT doc FROM sh
+                         WHERE doc >= 50 AND shingle IN (SELECT shingle FROM bench)),
+                bq AS (SELECT vec_id AS b, CAST(unnest(embedding) AS DOUBLE) AS v,
+                              generate_subscripts(embedding, 1) AS i
+                       FROM embeddings WHERE vec_id < 50),
+                ev AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                              generate_subscripts(embedding, 1) AS i
+                       FROM embeddings),
+                dots AS (SELECT ev.vec_id, bq.b, sum(ev.v * bq.v) AS dot,
+                                sum(ev.v * ev.v) AS ne, sum(bq.v * bq.v) AS nq
+                         FROM ev JOIN bq ON ev.i = bq.i GROUP BY ev.vec_id, bq.b),
+                bad2 AS (SELECT DISTINCT vec_id AS doc FROM dots
+                         WHERE dot / (sqrt(ne) * sqrt(nq)) >= 0.95),
+                keptdocs AS (SELECT doc_id, lang, text FROM documents
+                             WHERE doc_id >= 50
+                               AND doc_id NOT IN (SELECT doc FROM bad1)
+                               AND doc_id NOT IN (SELECT doc FROM bad2)),
+                wd AS (SELECT doc_id, text FROM documents
+                       WHERE doc_id < 50 AND text IS NOT NULL AND len(text) >= 23),
+                whs AS (SELECT doc_id, i,
+                               substring(md5(substr(text, i, 16)), 1, 16) AS h,
+                               len(text) - 15 AS nh
+                        FROM wd, UNNEST(generate_series(1, len(text) - 15)) t(i)),
+                wwm AS (SELECT doc_id, i, nh,
+                               min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                            ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+                        FROM whs),
+                bfp AS (SELECT DISTINCT fp FROM wwm WHERE i <= nh - 7),
+                cd AS (SELECT doc_id, text FROM keptdocs
+                       WHERE text IS NOT NULL AND len(text) >= 23),
+                chs AS (SELECT doc_id, i,
+                               substring(md5(substr(text, i, 16)), 1, 16) AS h,
+                               len(text) - 15 AS nh
+                        FROM cd, UNNEST(generate_series(1, len(text) - 15)) t(i)),
+                cwm AS (SELECT doc_id, i AS ws, nh,
+                               min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                            ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m
+                        FROM chs),
+                sel AS (SELECT c.doc_id, c.m AS fp, max(h2.i) AS pos
+                        FROM cwm c JOIN chs h2
+                          ON h2.doc_id = c.doc_id AND h2.h = c.m
+                             AND h2.i BETWEEN c.ws AND c.ws + 7
+                        WHERE c.ws <= c.nh - 7
+                        GROUP BY c.doc_id, c.ws, c.m),
+                cuts AS (SELECT DISTINCT doc_id, pos FROM sel
+                         WHERE fp IN (SELECT fp FROM bfp)),
+                chars AS (SELECT doc_id, i, substr(text, i, 1) AS ch
+                          FROM (SELECT doc_id, text FROM keptdocs
+                                WHERE text IS NOT NULL) x,
+                               UNNEST(generate_series(1, len(text))) t(i)),
+                kept AS (SELECT c.doc_id, string_agg(ch, '' ORDER BY i) AS newtext
+                         FROM chars c
+                         WHERE NOT EXISTS (SELECT 1 FROM cuts k
+                                           WHERE k.doc_id = c.doc_id
+                                             AND c.i >= k.pos AND c.i < k.pos + 16)
+                         GROUP BY c.doc_id),
+                final AS (SELECT kd.doc_id, kd.lang,
+                                 CASE WHEN kd.text IS NULL THEN NULL
+                                      ELSE coalesce(k.newtext, '') END AS newtext,
+                                 CASE WHEN kd.text IS NULL THEN 0
+                                      ELSE len(kd.text) - len(coalesce(k.newtext, '')) END AS ncut
+                          FROM keptdocs kd LEFT JOIN kept k USING (doc_id)),
+                q AS (SELECT doc_id FROM final
+                      WHERE round(len(list_distinct(string_split(newtext, ' '))) * 1.0
+                                  / len(string_split(newtext, ' ')), 4) >= 0.5)
+              SELECT lang, count(*) AS n_docs,
+                     round(avg(len(newtext)), 2) AS avg_kept_chars,
+                     CAST(sum(ncut) AS BIGINT) AS chars_cut
+              FROM final WHERE doc_id IN (SELECT doc_id FROM q)
+              GROUP BY lang""")
     ),
 
     // C24 token budget (round 10): the per-(lang, source) planning table

@@ -1121,4 +1121,133 @@ class DedupSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(outPlan.contains("BroadcastHashJoin"), s"doomed-id removal not broadcast:\n$outPlan")
   }
+
+  // ---- span-level exact-substring dedup (ExactSubstr second half) ----
+
+  /** Brute-force reference of the whole span-dedup chain: winnow
+    * selection (rightmost argmin per window), keep-first survivorship
+    * over (doc, pos), constant-width extent cut. */
+  private def spanDedupRef(docs: Seq[(Long, String)], k: Int, w: Int): Map[Long, String] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h16(s: String): String = {
+      md.reset()
+      md.digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    }
+    // selected (doc, pos 1-based, fp) occurrences per doc
+    val posting = docs.flatMap { case (id, text) =>
+      if (text == null || text.codePointCount(0, text.length) < k + w - 1) Seq.empty
+      else {
+        val cps = text.codePoints().toArray
+        val nGrams = cps.length - k + 1
+        val hs = (0 until nGrams).map(i => h16(new String(cps, i, k)))
+        val sel = scala.collection.mutable.LinkedHashSet[Int]()
+        for (ws <- 0 to nGrams - w) {
+          val win = (ws until ws + w)
+          val m = win.map(hs).min
+          sel += win.filter(i => hs(i) == m).max // rightmost minimal gram
+        }
+        sel.toSeq.map(i => (id, i + 1, hs(i)))
+      }
+    }
+    val byFp = posting.groupBy(_._3)
+    val cuts = byFp.values.flatMap { occ =>
+      if (occ.size < 2) Seq.empty
+      else {
+        val sorted = occ.sortBy(o => (o._1, o._2))
+        sorted.tail.map(o => (o._1, o._2)) // all but the global first
+      }
+    }.toSeq.groupBy(_._1).map { case (d, ps) => d -> ps.map(_._2).sorted }
+    docs.map { case (id, text) =>
+      id -> (cuts.get(id) match {
+        case None => text
+        case Some(starts) =>
+          val cps = if (text == null) Array.empty[Int] else text.codePoints().toArray
+          val keep = Array.fill(cps.length)(true)
+          for (p <- starts; i <- (p - 1) until math.min(p - 1 + k, cps.length))
+            keep(i) = false
+          val keptCps = cps.zip(keep).collect { case (c, true) => c }
+          new String(keptCps, 0, keptCps.length)
+      })
+    }.toMap
+  }
+
+  test("spanDedup cuts duplicated spans keep-first, preserves unique text") {
+    val shared = "THIS EXACT BOILERPLATE LICENSE BLOCK IS SHARED VERBATIM" // 55 chars
+    val docs = Seq(
+      (1L, s"unique alpha prose here. $shared and unique tail one"),
+      (2L, s"different beta intro text. $shared plus other tail"),
+      (3L, "entirely unique document with no duplication at all present"),
+      (4L, "tiny"), // below k+w-1: passes through uncut
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (Option(r.getString(1)), r.getLong(2))).toMap
+    // doc 1 is the first occurrence: fully intact
+    assert(out(1L)._1.get == s"unique alpha prose here. $shared and unique tail one")
+    assert(out(1L)._2 == 0L)
+    // doc 2 loses the shared run's interior but keeps its unique prose
+    // (up to w+k-2 chars at the run edges may survive — the winnowing
+    // approximation of the exact span; interior must be gone)
+    val d2 = out(2L)._1.get
+    assert(d2.startsWith("different beta intro text."), d2)
+    assert(d2.endsWith("tail"), d2)
+    assert(!d2.contains("BOILERPLATE LICENSE"), s"shared interior survived: $d2")
+    assert(out(2L)._2 > 0L)
+    // untouched docs pass through byte-identical
+    assert(out(3L)._1.get == "entirely unique document with no duplication at all present")
+    assert(out(4L)._1.get == "tiny" && out(4L)._2 == 0L)
+    assert(out(5L)._1.isEmpty && out(5L)._2 == 0L)
+  }
+
+  test("spanDedup cuts intra-doc repeats (second copy inside one doc)") {
+    val block = "REPEATED INTERNAL PARAGRAPH OF MEANINGFUL LENGTH HERE"
+    val docs = Seq(
+      (7L, s"$block middle words between copies $block trailing")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val t = out(7L)
+    assert(t.startsWith(block), t) // first copy survives
+    assert(t.contains("middle words between copies"), t)
+    // the second copy's interior is gone
+    assert(t.indexOf("REPEATED INTERNAL", block.length) < 0, t)
+  }
+
+  test("spanDecontaminate cuts quoted benchmark spans, keeps the rest of the doc") {
+    val quote = "THE BENCHMARK QUESTION TEXT THAT MUST NOT LEAK INTO TRAINING"
+    val bench = Seq((100L, s"preamble. $quote followup.")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"long original document body. $quote and more original prose here"),
+      (2L, "a fully original document with zero benchmark overlap present here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDecontaminate(corpus, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // doc 1 keeps its original prose but the quote interior is gone —
+    // ALL corpus occurrences cut (no keep-first: the benchmark is the
+    // keeper by definition)
+    assert(!out(1L)._1.contains("BENCHMARK QUESTION"), out(1L)._1)
+    assert(out(1L)._1.startsWith("long original document body."), out(1L)._1)
+    assert(out(1L)._2 > 0L)
+    // doc 2 untouched, byte-identical
+    assert(out(2L) == (("a fully original document with zero benchmark overlap present here", 0L)))
+  }
+
+  test("spanDedup matches the brute-force reference on a planted corpus (property)") {
+    val rnd = new scala.util.Random(47)
+    val blocks = Vector(
+      "shared license header block number one with enough length",
+      "another shared boilerplate footer paragraph also long enough")
+    for (trial <- 1 to 2) {
+      val docs = (1L to 6L).map { id =>
+        val parts = Seq.fill(3)(
+          if (rnd.nextBoolean()) blocks(rnd.nextInt(blocks.length))
+          else s"unique${id}x${rnd.nextInt(1000)} " + ("filler word " * (3 + rnd.nextInt(4))).trim)
+        id -> parts.mkString(" | ")
+      }
+      val expected = spanDedupRef(docs, 16, 8)
+      val got = Dedup.spanDedup(docs.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == expected, s"trial $trial:\n got=$got\n exp=$expected")
+    }
+  }
 }
