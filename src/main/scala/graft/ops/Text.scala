@@ -272,6 +272,61 @@ object Text {
           .cast("decimal(18,6)")), 4).cast("double").as("sum_nll"))
   }
 
+  /** Interpolated bigram NLL — Jelinek–Mercer smoothing, the
+    * CCNet-fidelity step up from the unigram proxy: a real LM never
+    * trusts sparse bigram MLE alone, it backs off to the lower order.
+    * Per-doc score = −Σ ln(λ·P(w₂|w₁) + (1−λ)·P(w₂)) over the doc's
+    * bigrams, with P(w₂|w₁) = c(w₁w₂)/c(w₁·) and P(w₂) = c(w₂)/N, both
+    * corpus-MLE. λ is evaluated as IEEE double on BOTH engines (the
+    * oracle writes CAST(0.7 AS DOUBLE) — a bare 0.7 literal would bind
+    * as DECIMAL and round differently), the mixture evaluates
+    * left-associative, and the sum accumulates through DECIMAL(18,6)
+    * with a 4-dp round — the oracle recomputes every doc bit-for-bit.
+    *
+    * Scale shape: the bigram table is |V|²-ish and never broadcasts —
+    * SHUFFLE_HASH probes ([[bigramNll]]'s plan); the unigram vocab probe
+    * count-gates broadcast ↔ SHUFFLE_HASH like [[unigramNll]]'s. Docs
+    * with fewer than two tokens carry no bigram and drop out (the
+    * order-2 model has nothing to score). */
+  def bigramInterpNll(docs: DataFrame, idCol: String, textCol: String,
+                      lambda: Double = 0.7,
+                      vocabBroadcastLimit: Long = Dedup.HotShingleBroadcastLimit): DataFrame = {
+    require(lambda > 0.0 && lambda < 1.0, s"lambda $lambda outside (0,1)")
+    val ws = tokens(col(textCol))
+    val cnt = size(ws) - 1
+    val tok = docs
+      .select(col(idCol).as("doc"), explode(ws).as("token"))
+      .localCheckpoint(true) // feeds the unigram vocab AND its total
+    val uni = tok.groupBy("token").agg(count(lit(1)).as("cu"))
+      .localCheckpoint(true) // feeds the gate count, the total, AND the probe
+    val nRow = broadcast(uni.agg(sum(col("cu")).cast("double").as("__n")))
+    val pairs = docs
+      .select(col(idCol).as("doc"),
+        explode(when(size(ws) >= 2,
+          arrays_zip(slice(ws, lit(1), cnt), slice(ws, lit(2), cnt)))
+          .otherwise(array().cast("array<struct<`0`:string,`1`:string>>"))).as("bg"))
+      .select(col("doc"), col("bg.0").as("w1"), col("bg.1").as("w2"))
+      .localCheckpoint(true) // feeds both count aggregates AND the probe side
+    val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val uniAsW2 = uni.withColumnRenamed("token", "w2")
+    val probed = pairs
+      .join(c2.hint("SHUFFLE_HASH"), Seq("w1", "w2"))
+      .join(c1.hint("SHUFFLE_HASH"), Seq("w1"))
+    val withUni =
+      if (uni.count() <= vocabBroadcastLimit) probed.join(broadcast(uniAsW2), Seq("w2"))
+      else probed.join(uniAsW2.hint("SHUFFLE_HASH"), Seq("w2"))
+    withUni
+      .crossJoin(nRow)
+      .groupBy(col("doc"))
+      .agg(
+        count(lit(1)).as("n_big"),
+        round(sum((-log(
+          lit(lambda) * col("c12").cast("double") / col("c1") +
+            lit(1.0 - lambda) * col("cu").cast("double") / col("__n")))
+          .cast("decimal(18,6)")), 4).cast("double").as("sum_nll"))
+  }
+
   /** Shared quality-signal columns — [[gopherFilter]] and
     * [[QualityModel.features]] both compose THESE definitions, so the
     * rule filter and the learned classifier read the same signals (the
@@ -359,12 +414,19 @@ object Text {
     * zero-shuffle codegen filter (`when(ppl <= t1, ...)`), so the sort
     * here is the price of deriving thresholds in-query, not of applying
     * them. */
-  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        lmOrder: Int = 1): DataFrame = {
+    require(lmOrder == 1 || lmOrder == 2, s"lmOrder $lmOrder not in {1, 2}")
     // localCheckpoint: the scored frame feeds the corpus count AND the
     // rank phases — one NLL computation, not two
-    val ppl = unigramNll(docs, idCol, textCol)
-      .select(col("doc"), round(col("sum_nll") / col("n_tok"), 6).as("ppl"))
-      .localCheckpoint(true)
+    val scored =
+      if (lmOrder == 1)
+        unigramNll(docs, idCol, textCol)
+          .select(col("doc"), round(col("sum_nll") / col("n_tok"), 6).as("ppl"))
+      else // interpolated bigram LM; <2-token docs drop (nothing to score)
+        bigramInterpNll(docs, idCol, textCol)
+          .select(col("doc"), round(col("sum_nll") / col("n_big"), 6).as("ppl"))
+    val ppl = scored.localCheckpoint(true)
     val n = broadcast(ppl.agg(count(lit(1)).as("__n")))
     Relational.globalRank(ppl, Seq(col("ppl"), col("doc")), "__r")
       .crossJoin(n)
@@ -394,7 +456,9 @@ object Text {
     * low-cardinality in practice, but nothing here assumes it). */
   def perplexityBucketsByLang(docs: DataFrame, idCol: String, textCol: String,
                               langCol: String,
-                              vocabBroadcastLimit: Long = Dedup.HotShingleBroadcastLimit): DataFrame = {
+                              vocabBroadcastLimit: Long = Dedup.HotShingleBroadcastLimit,
+                              lmOrder: Int = 1): DataFrame = {
+    require(lmOrder == 1 || lmOrder == 2, s"lmOrder $lmOrder not in {1, 2}")
     val tok = docs
       .select(col(idCol).as("doc"), col(langCol).as("lang"),
         explode(tokens(col(textCol))).as("token"))
@@ -405,21 +469,63 @@ object Text {
       .localCheckpoint(true)
     val totals = vocab.groupBy("lang").agg(sum(col("c")).cast("double").as("__n"))
     val vocabGated = vocab.count() <= vocabBroadcastLimit
-    val probed =
-      if (vocabGated)
-        tok.join(broadcast(vocab), Seq("lang", "token"))
-          .join(broadcast(totals), Seq("lang"))
-      else
-        tok.join(vocab.hint("SHUFFLE_HASH"), Seq("lang", "token"))
-          .join(totals.hint("SHUFFLE_HASH"), Seq("lang"))
-    val ppl = probed
-      .groupBy(col("doc"), col("lang"))
-      .agg(
-        count(lit(1)).as("n_tok"),
-        round(sum((-log(col("c").cast("double") / col("__n")))
-          .cast("decimal(18,6)")), 4).cast("double").as("sum_nll"))
-      .select(col("doc"), col("lang"),
-        round(col("sum_nll") / col("n_tok"), 6).as("ppl"))
+    val scored =
+      if (lmOrder == 1) {
+        val probed =
+          if (vocabGated)
+            tok.join(broadcast(vocab), Seq("lang", "token"))
+              .join(broadcast(totals), Seq("lang"))
+          else
+            tok.join(vocab.hint("SHUFFLE_HASH"), Seq("lang", "token"))
+              .join(totals.hint("SHUFFLE_HASH"), Seq("lang"))
+        probed
+          .groupBy(col("doc"), col("lang"))
+          .agg(
+            count(lit(1)).as("n_tok"),
+            round(sum((-log(col("c").cast("double") / col("__n")))
+              .cast("decimal(18,6)")), 4).cast("double").as("sum_nll"))
+          .select(col("doc"), col("lang"),
+            round(col("sum_nll") / col("n_tok"), 6).as("ppl"))
+      } else {
+        // per-language interpolated bigram LM ([[bigramInterpNll]] with
+        // every count conditioned on lang): the (lang, w1, w2) table is
+        // |V|²-ish per language and never broadcasts — SHUFFLE_HASH
+        // probes; the (lang, token) unigram probe rides the vocab gate.
+        val lambda = 0.7
+        val ws = tokens(col(textCol))
+        val cnt = size(ws) - 1
+        val pairs = docs
+          .select(col(idCol).as("doc"), col(langCol).as("lang"),
+            explode(when(size(ws) >= 2,
+              arrays_zip(slice(ws, lit(1), cnt), slice(ws, lit(2), cnt)))
+              .otherwise(array().cast("array<struct<`0`:string,`1`:string>>"))).as("bg"))
+          .select(col("doc"), col("lang"), col("bg.0").as("w1"), col("bg.1").as("w2"))
+          .localCheckpoint(true) // feeds both count aggregates AND the probe
+        val c2 = pairs.groupBy("lang", "w1", "w2").agg(count(lit(1)).as("c12"))
+        val c1 = pairs.groupBy("lang", "w1").agg(count(lit(1)).as("c1"))
+        val uniAsW2 = vocab.select(col("lang"), col("token").as("w2"), col("c").as("cu"))
+        val probed = pairs
+          .join(c2.hint("SHUFFLE_HASH"), Seq("lang", "w1", "w2"))
+          .join(c1.hint("SHUFFLE_HASH"), Seq("lang", "w1"))
+        val withUni =
+          if (vocabGated)
+            probed.join(broadcast(uniAsW2), Seq("lang", "w2"))
+              .join(broadcast(totals), Seq("lang"))
+          else
+            probed.join(uniAsW2.hint("SHUFFLE_HASH"), Seq("lang", "w2"))
+              .join(totals.hint("SHUFFLE_HASH"), Seq("lang"))
+        withUni
+          .groupBy(col("doc"), col("lang"))
+          .agg(
+            count(lit(1)).as("n_big"),
+            round(sum((-log(
+              lit(lambda) * col("c12").cast("double") / col("c1") +
+                lit(1.0 - lambda) * col("cu").cast("double") / col("__n")))
+              .cast("decimal(18,6)")), 4).cast("double").as("sum_nll"))
+          .select(col("doc"), col("lang"),
+            round(col("sum_nll") / col("n_big"), 6).as("ppl"))
+      }
+    val ppl = scored
       .localCheckpoint(true) // feeds the per-lang counts AND the rank
     val n = ppl.groupBy("lang").agg(count(lit(1)).as("__n"))
     val ranked = Relational.groupedRank(ppl, Seq("lang"),

@@ -1655,6 +1655,84 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
               FROM r""")
     ),
 
+    // CCNet bucketing under the INTERPOLATED BIGRAM LM (lmOrder=2):
+    // −Σ ln(0.7·c12/c1 + 0.3·cu/N) per doc — the smoothing a real LM
+    // applies instead of trusting sparse bigram MLE. λ is forced to
+    // IEEE double on both engines (a bare 0.7 in DuckDB binds DECIMAL
+    // and rounds differently); docs with <2 tokens drop (the order-2
+    // model has nothing to score), so the tercile population differs
+    // from c15_ppl_buckets by exactly those docs.
+    QueryDef(
+      "c15_ppl_bigram",
+      (s, d) => Text.perplexityBuckets(t(s, d, "documents"), "doc_id", "text",
+        lmOrder = 2)
+        .select(col("doc").as("doc_id"), col("ppl"), col("bucket")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+                tok AS (SELECT doc_id, unnest(ws) AS token FROM toks),
+                uni AS (SELECT token, count(*) AS cu FROM tok GROUP BY token),
+                tot AS (SELECT sum(cu)::DOUBLE AS n FROM uni),
+                big AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+                        FROM toks, UNNEST(generate_series(1, len(ws) - 1)) t(i)),
+                c2 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+                c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+                nll AS (SELECT doc_id, count(*) AS n_big,
+                          CAST(round(sum(CAST(-ln(
+                            CAST(0.7 AS DOUBLE) * c12 / c1 +
+                            (1 - CAST(0.7 AS DOUBLE)) * cu / n)
+                            AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_nll
+                        FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+                             JOIN uni ON uni.token = big.w2 CROSS JOIN tot
+                        GROUP BY doc_id),
+                p AS (SELECT doc_id, round(sum_nll / n_big, 6) AS ppl FROM nll),
+                r AS (SELECT doc_id, ppl,
+                        row_number() OVER (ORDER BY ppl, doc_id) AS r,
+                        count(*) OVER () AS n
+                      FROM p)
+              SELECT doc_id, ppl,
+                CASE WHEN 3 * r <= n THEN 'head'
+                     WHEN 3 * r <= 2 * n THEN 'middle'
+                     ELSE 'tail' END AS bucket
+              FROM r""")
+    ),
+
+    // Per-language bucketing under the interpolated bigram LM: every
+    // count conditioned on lang (one LM per language, Wenzek 2020 §4.3),
+    // terciles within language via groupedRank.
+    QueryDef(
+      "c15_ppl_bigram_lang",
+      (s, d) => Text.perplexityBucketsByLang(t(s, d, "documents"),
+        "doc_id", "text", "lang", lmOrder = 2)
+        .select(col("doc").as("doc_id"), col("lang"), col("ppl"), col("bucket")),
+      Some("""WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+                tok AS (SELECT doc_id, lang, unnest(ws) AS token FROM toks),
+                uni AS (SELECT lang, token, count(*) AS cu FROM tok GROUP BY lang, token),
+                tot AS (SELECT lang, sum(cu)::DOUBLE AS n FROM uni GROUP BY lang),
+                big AS (SELECT doc_id, lang, ws[i] AS w1, ws[i+1] AS w2
+                        FROM toks, UNNEST(generate_series(1, len(ws) - 1)) t(i)),
+                c2 AS (SELECT lang, w1, w2, count(*) AS c12 FROM big GROUP BY lang, w1, w2),
+                c1 AS (SELECT lang, w1, count(*) AS c1 FROM big GROUP BY lang, w1),
+                nll AS (SELECT doc_id, b.lang, count(*) AS n_big,
+                          CAST(round(sum(CAST(-ln(
+                            CAST(0.7 AS DOUBLE) * c12 / c1 +
+                            (1 - CAST(0.7 AS DOUBLE)) * cu / n)
+                            AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_nll
+                        FROM big b JOIN c2 USING (lang, w1, w2)
+                             JOIN c1 USING (lang, w1)
+                             JOIN uni ON uni.lang = b.lang AND uni.token = b.w2
+                             JOIN tot ON tot.lang = b.lang
+                        GROUP BY doc_id, b.lang),
+                p AS (SELECT doc_id, lang, round(sum_nll / n_big, 6) AS ppl FROM nll),
+                r AS (SELECT doc_id, lang, ppl,
+                        row_number() OVER (PARTITION BY lang ORDER BY ppl, doc_id) AS r,
+                        count(*) OVER (PARTITION BY lang) AS n
+                      FROM p)
+              SELECT doc_id, lang, ppl,
+                CASE WHEN 3 * r <= n THEN 'head'
+                     WHEN 3 * r <= 2 * n THEN 'middle'
+                     ELSE 'tail' END AS bucket
+              FROM r""")
+    ),
+
     // Bigram conditional NLL: the next-step LM signal. Unlike unigram's
     // broadcast-vocab shape, the bigram table is |V|²-ish — probe via
     // shuffled-hash joins (the 100 TB shape). Decimal-accumulated sums.

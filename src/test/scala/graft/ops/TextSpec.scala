@@ -338,6 +338,62 @@ class TextSpec extends SparkSpec {
     assert(gated(0L) == gated(Long.MaxValue), "vocab gate paths diverge")
   }
 
+  test("bigramInterpNll matches a hand-computed interpolated mixture, gate paths agree") {
+    // corpus bigrams: (a,b)x2, (b,a)x1, (a,c)x1; unigram counts over ALL
+    // tokens: a=3, b=2, c=1, solo=1, N=7.
+    // P(b|a) = 0.7*2/3 + 0.3*2/7, P(a|b) = 0.7*1 + 0.3*3/7,
+    // P(c|a) = 0.7*1/3 + 0.3*1/7 (λ arithmetic in IEEE double: 1.0-0.7)
+    val corpus = Seq(
+      (1L, "a b a c"),
+      (2L, "a b"),
+      (3L, "solo") // no bigram -> absent from output
+    ).toDF("doc_id", "text")
+    val out = Text.bigramInterpNll(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def r4(d: Double) = math.rint(d * 1e4) / 1e4
+    val lam = 0.7
+    val om = 1.0 - lam
+    def p(c12: Double, c1: Double, cu: Double) = lam * c12 / c1 + om * cu / 7.0
+    assert(out(1L)._1 == 3)
+    assert(out(1L)._2 == r4(-math.log(p(2, 3, 2)) - math.log(p(1, 1, 3)) - math.log(p(1, 3, 1))))
+    assert(out(2L) == ((1L, r4(-math.log(p(2, 3, 2))))))
+    assert(!out.contains(3L))
+    // smoothing pulls sparse bigrams toward the unigram floor: every
+    // interpolated P < MLE P when MLE = 1, so NLL(interp) > NLL(mle) there
+    val mle = Text.bigramNll(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1L)._2 > mle(1L))
+    // unigram-vocab gate: broadcast and shuffled-hash probes agree
+    def gated(limit: Long) =
+      Text.bigramInterpNll(corpus, "doc_id", "text", vocabBroadcastLimit = limit)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(gated(0L) == gated(Long.MaxValue), "unigram gate paths diverge")
+  }
+
+  test("lmOrder=2 buckets: terciles over the bigram score, short docs drop") {
+    // Under a CONDITIONAL bigram LM the ranking differs from unigram:
+    // a chain of corpus-unique words is maximally predictable
+    // (c(w1·)=1 ⇒ P_MLE(w2|w1)=1, NLL ≈ −ln(0.7·1 + ε)) — so the
+    // "rare" docs land in HEAD; "the the…" repeats score well but share
+    // c(the·) with the mixed docs' (the, of) bigrams (MLE 21/27), and
+    // the mixed docs' one-off continuations of common words (P(of|the)
+    // small) push them to TAIL.
+    val low = (1L to 3L).map(i => (i, Seq.fill(8)("the").mkString(" ")))
+    val mid = (4L to 6L).map(i => (i, s"the of doc$i word$i the of common$i x$i"))
+    val high = (7L to 9L).map(i =>
+      (i, (1 to 8).map(j => s"rare${i}_$j").mkString(" ")))
+    val short = Seq((10L, "solo")) // no bigram -> excluded from the split
+    val corpus = (low ++ mid ++ high ++ short).toDF("doc_id", "text")
+    val out = Text.perplexityBuckets(corpus, "doc_id", "text", lmOrder = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(!out.contains(10L), "bigram-less doc must drop from the order-2 split")
+    assert(out.values.groupBy(identity).view.mapValues(_.size).toMap ==
+      Map("head" -> 3, "middle" -> 3, "tail" -> 3), s"tercile sizes: $out")
+    assert((7L to 9L).forall(out(_) == "head"), s"unique-chain docs not head: $out")
+    assert((1L to 3L).forall(out(_) == "middle"), s"templated docs not middle: $out")
+    assert((4L to 6L).forall(out(_) == "tail"), s"mixed docs not tail: $out")
+  }
+
   test("bpeTrain learns the classic merge sequence with deterministic tie-breaks") {
     // Sennrich et al. 2016's worked example, word counts via repetition:
     // low×5, lower×2, newest×6, widest×3. Hand-computed merge table:
