@@ -393,6 +393,62 @@ object Text {
     * rounding, so stream and batch agree doc-for-doc. */
   def gopherKept(text: Column): Column = gopherRules(text).reduce(_ && _)
 
+  /** C4/FineWeb LINE-level quality signals (Raffel et al. 2020 §2.2's
+    * line heuristics; Penedo et al. 2024's formatting filters): the
+    * rules that look at a page's LINE STRUCTURE, which the token-level
+    * [[gopherRules]] can't see — a nav-menu page and an article can share
+    * token statistics while their lines look nothing alike. Ratios round
+    * to 4 dp so an oracle reproduces each verdict exactly. */
+  private def lineRuleSignals(text: Column): Seq[(String, Column)] = {
+    val lines = split(text, "\n")
+    val nl = size(lines)
+    def r4(c: Column): Column = round(c, 4)
+    Seq(
+      // fraction of lines ending in terminal punctuation (C4 keeps such lines)
+      "term_punct_ratio" -> r4(size(filter(lines, l =>
+        l.endsWith(".") || l.endsWith("!") || l.endsWith("?") || l.endsWith("\"")))
+        .cast("double") / nl),
+      // bullet-formatted line fraction (FineWeb: listicle/nav boilerplate)
+      "bullet_frac" -> r4(size(filter(lines, l =>
+        l.startsWith("- ") || l.startsWith("* ") || l.startsWith("• ")))
+        .cast("double") / nl),
+      // fraction of lines under 3 words (C4 drops sub-3-word lines)
+      "short_line_frac" -> r4(size(filter(lines, l =>
+        size(split(l, " ")) < 3)).cast("double") / nl),
+      // placeholder/code artifacts: any hit dooms the page (C4 §2.2)
+      "has_lorem" -> lower(text).contains("lorem ipsum"),
+      "has_js" -> lower(text).contains("javascript"),
+      "has_curly" -> text.contains("{"))
+  }
+
+  /** The line-rule verdicts, TRUE = rule passed, aligned with
+    * [[lineRuleSignals]]. */
+  private def lineRuleChecks(sig: Map[String, Column]): Seq[Column] = Seq(
+    sig("term_punct_ratio") >= 0.2,
+    sig("bullet_frac") <= 0.5,
+    sig("short_line_frac") <= 0.5,
+    !sig("has_lorem"),
+    !sig("has_js"),
+    !sig("has_curly"))
+
+  /** Line-level rule table per document: every signal, the failed-rule
+    * count, and the kept verdict — [[gopherFilter]]'s shape at line
+    * granularity. ONE projection over the scan (the line split and each
+    * per-line predicate are column expressions), no shuffle, no state. */
+  def lineRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sig = lineRuleSignals(col(textCol))
+    val checks = lineRuleChecks(sig.toMap)
+    val nFail = checks.map(r => when(r, 0).otherwise(1)).reduce(_ + _)
+    docs.select(col(idCol) +: sig.map { case (n, c) => c.as(n) } :+
+      nFail.as("n_fail") :+ (nFail === 0).as("kept"): _*)
+  }
+
+  /** [[lineRules]]' keep verdict as ONE boolean column for stateless
+    * stream composition — same signals, same rounding, so stream and
+    * batch agree doc-for-doc. */
+  def lineRulesKept(text: Column): Column =
+    lineRuleChecks(lineRuleSignals(text).toMap).reduce(_ && _)
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3: score
     * documents with a language model, split the corpus into head /
     * middle / tail terciles; downstream trainers keep head+middle). The

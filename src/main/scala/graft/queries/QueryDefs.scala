@@ -1597,6 +1597,64 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
               SELECT doc_id, n_fail, n_fail = 0 AS kept FROM f""")
     ),
 
+    // C4/FineWeb LINE-level rules: the formatting heuristics the
+    // token-level Gopher set can't see. The corpus is single-line, so
+    // the query PLANTS three line-suffix variants by doc_id % 3 (a
+    // closing sentence / bullet lines / lorem-ipsum + short line) —
+    // every rule fires on some docs and passes on others at both SFs.
+    // One codegen projection; ratios round 4 dp before comparison.
+    QueryDef(
+      "c15_line_rules",
+      (s, d) => {
+        val planted = t(s, d, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(3)) === 0,
+              lit("\nA proper closing sentence appears right here."))
+              .when(pmod(col("doc_id"), lit(3)) === 1,
+                lit("\n- bullet point alpha\n- bullet point beta"))
+              .otherwise(lit("\nlorem ipsum dolor sit amet\nno end"))).as("text"))
+        Text.lineRules(planted, "doc_id", "text")
+      },
+      Some("""WITH planted AS (
+                SELECT doc_id,
+                       concat(text, CASE CAST(doc_id % 3 AS INTEGER)
+                         WHEN 0 THEN chr(10) ||
+                           'A proper closing sentence appears right here.'
+                         WHEN 1 THEN chr(10) || '- bullet point alpha' ||
+                           chr(10) || '- bullet point beta'
+                         ELSE chr(10) || 'lorem ipsum dolor sit amet' ||
+                           chr(10) || 'no end' END) AS text
+                FROM documents),
+              ls AS (SELECT doc_id, text,
+                            string_split(text, chr(10)) AS lines,
+                            len(string_split(text, chr(10))) AS nl
+                     FROM planted),
+              sig AS (SELECT doc_id,
+                        round(len([l for l in lines if l LIKE '%.' OR l LIKE '%!'
+                                   OR l LIKE '%?' OR l LIKE '%"'])::DOUBLE / nl, 4)
+                          AS term_punct_ratio,
+                        round(len([l for l in lines if l LIKE '- %' OR l LIKE '* %'
+                                   OR l LIKE '• %'])::DOUBLE / nl, 4) AS bullet_frac,
+                        round(len([l for l in lines
+                                   if len(string_split(l, ' ')) < 3])::DOUBLE / nl, 4)
+                          AS short_line_frac,
+                        contains(lower(text), 'lorem ipsum') AS has_lorem,
+                        contains(lower(text), 'javascript') AS has_js,
+                        contains(text, '{') AS has_curly
+                      FROM ls),
+              f AS (SELECT *,
+                      (CASE WHEN term_punct_ratio >= 0.2 THEN 0 ELSE 1 END) +
+                      (CASE WHEN bullet_frac <= 0.5 THEN 0 ELSE 1 END) +
+                      (CASE WHEN short_line_frac <= 0.5 THEN 0 ELSE 1 END) +
+                      (CASE WHEN NOT has_lorem THEN 0 ELSE 1 END) +
+                      (CASE WHEN NOT has_js THEN 0 ELSE 1 END) +
+                      (CASE WHEN NOT has_curly THEN 0 ELSE 1 END) AS n_fail
+                    FROM sig)
+              SELECT doc_id, term_punct_ratio, bullet_frac, short_line_frac,
+                     has_lorem, has_js, has_curly, n_fail, n_fail = 0 AS kept
+              FROM f""")
+    ),
+
     // CCNet perplexity bucketing: head/middle/tail terciles of the
     // unigram ppl-proxy by EXACT rank — integer bucket edges, ranked via
     // the two-phase range-partitioned Relational.globalRank (no

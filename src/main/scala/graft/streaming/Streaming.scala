@@ -344,14 +344,20 @@ object Streaming {
                    textCol: String, tsCol: String,
                    minDiversity: Double = 0.5, n: Int = 8,
                    lateness: String = "10 minutes",
-                   gopher: Boolean = true): DataFrame = {
+                   gopher: Boolean = true,
+                   lineRules: Boolean = false): DataFrame = {
     val scrubbed = docs.withColumn(textCol, graft.ops.Text.scrubPii(col(textCol)))
     val ws = graft.ops.Text.tokens(col(textCol)) // resolves post-scrub
     val quality = scrubbed.filter(
       size(array_distinct(ws)).cast("double") / size(ws) >= minDiversity)
-    val ruled =
+    val gophered =
       if (gopher) quality.filter(graft.ops.Text.gopherKept(col(textCol)))
       else quality
+    // line-structure gate (C4/FineWeb): stateless like the Gopher gate,
+    // so the stream==batch parity argument is unchanged
+    val ruled =
+      if (lineRules) gophered.filter(graft.ops.Text.lineRulesKept(col(textCol)))
+      else gophered
     decontaminateStream(ruled, benchmark, idCol, textCol, n)
       .withColumn("__fp", graft.ops.Text.fingerprint(col(textCol)))
       .withWatermark(tsCol, lateness)

@@ -338,6 +338,38 @@ class TextSpec extends SparkSpec {
     assert(gated(0L) == gated(Long.MaxValue), "vocab gate paths diverge")
   }
 
+  test("lineRules: one planted violation per rule, clean doc passes all") {
+    val good = "A first proper sentence sits here.\nAnother full sentence follows it.\n" +
+      "And one more line closes the page."
+    val docs = Seq(
+      (1L, good),                                                    // passes all 6
+      (2L, "no punctuation here at all\nnor on this line either\nnor here"), // term punct 0
+      (3L, "- item alpha beta\n- item gamma delta\nOne real sentence."),     // bullets 2/3
+      (4L, "ok\nhm\nA single proper sentence line survives here."),          // short 2/3
+      (5L, good + "\nLorem Ipsum dolor sit amet sentence."),                 // lorem flag
+      (6L, good + "\nPlease enable JavaScript to continue reading."),        // js flag
+      (7L, good + "\nfunction f() { return 1; }")                            // curly flag
+    ).toDF("doc_id", "text")
+    val out = Text.lineRules(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3),
+          r.getBoolean(4), r.getBoolean(5), r.getBoolean(6),
+          r.getInt(7), r.getBoolean(8)))).toMap
+    assert(out(1L)._8, s"clean doc failed: ${out(1L)}")
+    assert(out(1L)._7 == 0)
+    // each planted doc fails EXACTLY its one rule
+    assert(out(2L)._1 == 0.0 && out(2L)._7 == 1 && !out(2L)._8, s"${out(2L)}")
+    assert(out(3L)._2 > 0.5 && out(3L)._7 == 1, s"${out(3L)}")
+    assert(out(4L)._3 > 0.5 && out(4L)._7 == 1, s"${out(4L)}")
+    assert(out(5L)._4 && out(5L)._7 == 1, s"${out(5L)}")
+    assert(out(6L)._5 && out(6L)._7 == 1, s"${out(6L)}")
+    assert(out(7L)._6 && out(7L)._7 == 1, s"${out(7L)}")
+    // the one-column verdict agrees with the table row-for-row
+    val viaKept = docs.select($"doc_id", Text.lineRulesKept($"text").as("k"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(viaKept == out.map { case (k, v) => k -> v._8 })
+  }
+
   test("bigramInterpNll matches a hand-computed interpolated mixture, gate paths agree") {
     // corpus bigrams: (a,b)x2, (b,a)x1, (a,c)x1; unigram counts over ALL
     // tokens: a=3, b=2, c=1, solo=1, N=7.

@@ -537,6 +537,51 @@ class StreamingSpec extends SparkSpec {
     assert(batchKept == kept, s"batch $batchKept != stream $kept")
   }
 
+  test("curateStream lineRules gate: formatting failures drop on ingest, stream == batch") {
+    // the line-structure gate is stateless like the Gopher gate, so it
+    // composes into ingest with the same stream==batch parity argument.
+    // Fixtures pass diversity and Gopher (30+ alpha tokens, sane word
+    // lengths, stopwords): l1 is clean prose, l2 is the same prose with
+    // a bullet-heavy tail (bullet_frac > 0.5 fails), l3 carries a
+    // lorem-ipsum line.
+    val bench = Seq((100L, "held out alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val prose =
+      "The quick brown fox jumps over a lazy dog while many other animals " +
+        "watch from near trees and of course some birds sing loud songs " +
+        "during this bright morning hour today."
+    val l1 = (1L, ts("2024-01-01 10:00:00"), prose)
+    val l2 = (2L, ts("2024-01-01 10:01:00"),
+      prose + "\n- the first bullet item\n- the second bullet item\n- a third one")
+    val l3 = (3L, ts("2024-01-01 10:02:00"),
+      prose + "\nAnd lorem ipsum filler text was pasted right here.")
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val name = "sink_curate_linerules"
+    val q = Streaming.curateStream(
+        mem.toDF().toDF("doc_id", "ts", "text"), bench, "doc_id", "text", "ts",
+        lineRules = true)
+      .writeStream.format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(Seq(l1, l2, l3)); q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table(name).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L), s"kept $kept")
+    // batch parity: the same composition keeps the same doc
+    val batchDocs = Seq(l1, l2, l3).toDF("doc_id", "ts", "text")
+      .withColumn("text", graft.ops.Text.scrubPii($"text"))
+    val ws = graft.ops.Text.tokens($"text")
+    val diverse = batchDocs.filter(
+      size(array_distinct(ws)).cast("double") / size(ws) >= 0.5)
+      .filter(graft.ops.Text.gopherKept($"text"))
+    val ruled = diverse.join(
+      graft.ops.Text.lineRules(diverse, "doc_id", "text")
+        .filter($"kept").select("doc_id"),
+      Seq("doc_id"))
+    val batchKept = graft.ops.Dedup.decontaminate(ruled, bench, "doc_id", "text", n = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchKept == kept, s"batch $batchKept != stream $kept")
+  }
+
   test("curateStream out-of-order ingest: late rows drop, in-watermark disorder converges") {
     // round-5 verdict #4: the stream==batch pin ran on an IN-ORDER feed;
     // real ingest is not in-order. Assert the two watermark contracts:
