@@ -6,8 +6,7 @@ object Bench {
 
   /** One timed run through the noop sink. Returns (seconds, error). A
     * failure is REPORTED, never swallowed: a query that starts throwing
-    * must not bench as a ~0.1 s "speedup" (round-3 verdict, harness
-    * honesty). */
+    * must not bench as a ~0.1 s "speedup" (harness honesty). */
   def once(spark: SparkSession, sfDir: String,
            fn: (SparkSession, String) => DataFrame): (Double, Option[String]) = {
     val t0 = System.nanoTime()
@@ -36,8 +35,9 @@ object Bench {
     * from background noise; the min measures the plan, not the noise.
     * The second timing comes from a second pass over the WHOLE query
     * list, not an immediate re-run: a multi-second host-noise burst
-    * covers both halves of a back-to-back pair (which is how a
-    * best-of-2 bench still inflated 1.33x uniformly in round 10), but
+    * covers both halves of a back-to-back pair (measured: a
+    * back-to-back best-of-2 bench still inflated 1.33x uniformly under
+    * host contention, PERF.md finding 25), but
     * rarely the same query a full pass (~minutes) apart.
     * noop sink, not count(): count() lets Catalyst prune projections the
     * count never reads (PERF.md finding 9); noop materializes every column. */
@@ -109,8 +109,8 @@ object Bench {
       s""""errors":${errs.mkString("{", ",", "}")},"failed":${errs.size},"sf":"$sfDir"$noise}"""
   }
 
-  /** The stdout line (round-7 verdict #3): the driver captures a bounded
-    * ~2000-char stdout TAIL, and the full line outgrew it in rounds 5–7
+  /** The stdout line: the driver captures a bounded
+    * ~2000-char stdout TAIL, which the full line outgrows
     * (head-truncated ⇒ `parsed: null`). 100+ query NAMES alone exceed the
     * window, so no formatting trick makes the complete map fit; instead
     * stdout gets a COMPLETE, PARSEABLE line that always fits the window:
@@ -120,7 +120,7 @@ object Bench {
     * at the durable copies that hold every entry. */
   def compactJson(results: Map[String, (Double, Option[String])], sfDir: String,
                   fullPath: String, budget: Int = 1750): String = {
-    // the error section is capped too (review round 8): a mass-failure
+    // the error section is capped too: a mass-failure
     // regression (bad sfDir, broken table reader) would otherwise put
     // ~100 error entries on the one line that must fit the window —
     // head-truncating it in exactly the run where parsing matters most.

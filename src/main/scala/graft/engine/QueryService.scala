@@ -311,7 +311,7 @@ final class QueryService(
     pool.shutdown()
     // let in-flight queries finish (bounded) before snapshotting: a query
     // that completes during shutdown must be recorded SUCCEEDED, not
-    // frozen as interrupted (round-3 advisor finding)
+    // frozen as interrupted
     if (!pool.awaitTermination(30, TimeUnit.SECONDS)) pool.shutdownNow()
     persistRegistry()
   }

@@ -31,7 +31,7 @@ object PrestoCompat {
     * `condition`/`fields` strings before Catalyst parses them (the
     * QueryBuilder pass-through does). Idempotent.
     *
-    * Quote-aware (round-7 advisor): `date_diff('day',` occurring INSIDE a
+    * Quote-aware: `date_diff('day',` occurring INSIDE a
     * single-quoted string literal is content, not syntax — rewriting it
     * would corrupt the literal before Catalyst ever parses it. A match is
     * applied only when it STARTS outside every literal span; the scan

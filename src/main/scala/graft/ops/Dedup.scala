@@ -86,8 +86,8 @@ object Dedup {
         // they are applied adapts to their measured size. The previous
         // shape — collect_list into ONE array row, broadcast it — funnels
         // postings/m elements through a single task and past array/
-        // broadcast limits at 100 TB (round-3 advisor finding), so the
-        // single-row form is now gated on an actual count.
+        // broadcast limits at 100 TB, so the
+        // single-row form is gated on an actual count.
         val hot = base.select(explode(col("sig")).as("sh"))
           .groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") > m)
           .select("sh").localCheckpoint(true) // count + reuse: one pass
@@ -333,7 +333,7 @@ object Dedup {
   }
 
   /** Exact-duplicate representative collapse keyed by DIGESTS, never by
-    * document text (round-7 verdict #7). `groupBy(text)` ships whole
+    * document text (finding 22: shuffle keys are a choice). `groupBy(text)` ships whole
     * documents as the shuffle KEY: hash-partitioning, aggregate hash
     * tables, and every merge comparison run over multi-KB strings. Here
     * the collapse aggregates over (length(text), xxhash64(text)) — the
@@ -408,6 +408,68 @@ object Dedup {
     }
   }
 
+  /** Per-source exact-duplication report — the table a data team reads
+    * BEFORE mixing sources ("which crawl snapshot is 40% dup"): for each
+    * source, total docs, docs belonging to a corpus-wide exact-dup group
+    * (`n_dup` — duplication counts across sources, the point of the
+    * report), docs a min-id survivorship pass would remove
+    * (`n_removable`), and the 4-dp dup rate.
+    *
+    * Scale shape is [[repCollapse]]'s digest discipline (finding 22):
+    * the exchange carries (length, xxhash64) digests + id + source —
+    * never text — and the same independent-second-hash verify routes
+    * digest-collision groups through an exact text-keyed regroup
+    * (collided members only, count-gated by construction ~0 rows), so
+    * the counts are exact, never "modulo collisions". NULL texts carry
+    * no content to duplicate and are excluded. `digests` is injectable
+    * for the collision spec only. */
+  def dupRateBySource(docs: DataFrame, idCol: String, textCol: String,
+                      sourceCol: String,
+                      digests: Seq[Column] = Nil): DataFrame = {
+    val dg = if (digests.nonEmpty) digests
+             else Seq(length(col(textCol)), xxhash64(col(textCol)))
+    val dgCols = dg.zipWithIndex.map { case (c, i) => c.as(s"__d$i") }
+    val dgNames = dg.indices.map(i => s"__d$i")
+    val h2 = xxhash64(col(textCol), lit(2L))
+    val base = docs.filter(col(textCol).isNotNull)
+    // localCheckpoint: digest+id+source rows feed the group aggregate AND
+    // the member join — the text never leaves the scan
+    val keyed = base
+      .select(col(idCol) +: col(sourceCol) +: h2.as("__h2") +: dgCols: _*)
+      .localCheckpoint(true)
+    val groups = keyed.groupBy(dgNames.map(col): _*)
+      .agg(count(lit(1)).as("__n"), min(col(idCol)).as("__rid"),
+        (min(col("__h2")) =!= max(col("__h2"))).as("__collided"))
+      .localCheckpoint(true) // feeds the member join AND the collision gate
+    val cleanStats = keyed
+      .join(groups.filter(!col("__collided")).hint("SHUFFLE_HASH"), dgNames)
+      .select(col(idCol), col(sourceCol), col("__n"), col("__rid"))
+    val collidedKeys = groups.filter(col("__collided")).select(dgNames.map(col): _*)
+    val memberStats =
+      if (collidedKeys.count() == 0L) cleanStats
+      else {
+        // exact regroup BY TEXT for the collided members only — tiny by
+        // the ~2^-128-per-pair collision bound, verified not assumed
+        val members = base
+          .select(col(idCol) +: col(sourceCol) +: col(textCol) +: dgCols: _*)
+          .join(collidedKeys.hint("SHUFFLE_HASH"), dgNames, "left_semi")
+          .localCheckpoint(true)
+        val tg = members.groupBy(col(textCol))
+          .agg(count(lit(1)).as("__n"), min(col(idCol)).as("__rid"))
+        cleanStats.unionAll(
+          members.join(tg.hint("SHUFFLE_HASH"), Seq(textCol))
+            .select(col(idCol), col(sourceCol), col("__n"), col("__rid")))
+      }
+    memberStats.groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__n") >= 2, 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("__n") >= 2 && col(idCol) =!= col("__rid"), 1L)
+          .otherwise(0L)).as("n_removable"))
+      .select(col(sourceCol), col("n_docs"), col("n_dup"), col("n_removable"),
+        round(col("n_dup").cast("double") / col("n_docs"), 4).as("dup_rate"))
+  }
+
   /** [[repCollapse]] with a SURVIVORSHIP POLICY: keep, per exact-dup
     * group, the member with the highest `score` (min id on ties) instead
     * of the min id — the RefinedWeb-style "keep the best copy" rule.
@@ -453,7 +515,7 @@ object Dedup {
     * Pointer jumping (comp := comp of comp) turns a diameter-d chain from
     * O(d) rounds into O(log d), but each jump is an extra labels self-join
     * + checkpoint per round — measured SLOWER on the shallow component
-    * graphs real dedup corpora produce (PERF.md round-4 A/B: every round
+    * graphs real dedup corpora produce (PERF.md CcAb A/B: every round
     * paid the self-join, none saved a round). So jumping is GATED: plain
     * min-propagation for the first `jumpFromRound - 1` rounds — enough for
     * the common diameter ≤ 3 clusters to converge without ever paying it —
@@ -461,8 +523,7 @@ object Dedup {
     *
     * Throws [[IllegalStateException]] when `maxIter` is exhausted before
     * convergence: partial labels are WRONG clusters, and at scale a silent
-    * partial result would poison a dedup pass with no signal (round-3
-    * verdict, wrong #3).
+    * partial result would poison a dedup pass with no signal.
     */
   def connectedComponentsWithRounds(pairs: DataFrame, maxIter: Int = 20,
                                     jumpFromRound: Int = 3): (DataFrame, Int) = {
@@ -995,7 +1056,7 @@ object Dedup {
     *
     * The broadcast is COUNT-GATED, not assumed (the no-small-by-
     * construction rule). Past `benchBroadcastLimit` rows the pass is NOT
-    * an n·m cartesian (the round-7 watch item): it becomes CELL-SCOPED —
+    * an n·m cartesian: it becomes CELL-SCOPED —
     * a quantizer trains on the corpus∪benchmark union (sized by
     * [[cellsFor]], switching to the two-level residual quantizer past
     * [[HierarchicalCellsThreshold]] exactly like [[semanticDedupSized]]),
@@ -1032,7 +1093,7 @@ object Dedup {
       if (nBench <= benchBroadcastLimit)
         c.crossJoin(broadcast(b))
       else {
-        // cell-scoped candidates (round-7 verdict #2): train on the
+        // cell-scoped candidates: train on the
         // union so benchmark-only dense regions still get cells — a
         // quantizer trained on the corpus alone would fold an unseen
         // benchmark cluster into whatever cell is nearest, and the
@@ -1123,8 +1184,8 @@ object Dedup {
   val SemanticTargetCellSize: Int = 64
 
   /** Corpus-sized cell count for [[semanticDedup]] — the
-    * [[Similarity.planesFor]] analog for the cluster path (round-5
-    * verdict weak #3): with balanced cells, candidate pairs ≈ Σ|cell|²/2
+    * [[Similarity.planesFor]] analog for the cluster path (fixed
+    * hyperparameters go quadratic): with balanced cells, candidate pairs ≈ Σ|cell|²/2
     * = n²/2k, QUADRATIC at any fixed k. Sizing k = ⌈n/targetCellSize⌉
     * holds expected cell size constant, so expected pairs ≈
     * n·targetCellSize/2 — linear in n (ScaleBench's `sem` column measures
@@ -1244,7 +1305,7 @@ object Dedup {
   /** Cell-scoped duplicate pairs from a (cell, id, vec) inverted file —
     * shared by the single-level and two-level quantizer paths.
     *
-    * Hot-cell cut (round-6 verdict wrong #2, the maxDf analog for cells):
+    * Hot-cell cut (the maxDf analog for cells):
     * a cell above `hotCellThreshold` does NOT run the |cell|² self-join —
     * that is quadratic work in the single task owning the cell's shuffle
     * key, the straggler that kills a skewed corpus at scale. Instead each

@@ -151,7 +151,7 @@ object Ivf {
     * Both levels clamp: unclamped, __c1 = -1 makes the level-1 centroid
     * lookup an index-0 element_at (throws), and __c2 = -1 ALIASES the
     * composite cell c1·k2 − 1 onto the valid cell (c1−1)·k2 + (k2−1) — a
-    * silent wrong-cell probe (round-6 advisor finding). Legal small
+    * silent wrong-cell probe. Legal small
     * quantizers (k1 = 2) sit below the public nprobe defaults, so
     * clamping is the builder's job, not the caller's. */
   private[graft] def probeCellsResidual(df: DataFrame, vecCol: String,
@@ -292,8 +292,8 @@ object Ivf {
     Similarity.finishBatchTopK(scored, emb, idCol, vecCol, q, k)
   }
 
-  /** Corpus-sized IVF search — the composed entry point (round-7 verdict
-    * #1): the cell count comes from [[cellsForSearch]]; at or below
+  /** Corpus-sized IVF search — the composed entry point:
+    * the cell count comes from [[cellsForSearch]]; at or below
     * `hierarchicalThreshold` cells a single-level quantizer trains and
     * probes ([[trainCentroids]] + [[topK]]), past it the two-level
     * residual quantizer takes over ([[trainResidualQuantizer]] at √k per

@@ -30,7 +30,7 @@ object QualityModel {
     * duplicate-bigram signals are [[Text]]'s shared column helpers — the
     * SAME definitions [[Text.gopherFilter]] thresholds, so the learned
     * decision surface and the rule filter read identical signals by
-    * construction (round-8 ADVICE #5). */
+    * construction. */
   def features(docs: DataFrame, idCol: String, textCol: String,
                passthrough: Seq[String] = Nil): DataFrame = {
     val ws = Text.tokens(col(textCol))

@@ -109,8 +109,8 @@ object Relational {
     *
     * The naive `row_number().over(Window.orderBy(...))` plans an
     * `Exchange SinglePartition` that funnels the WHOLE dataset through one
-    * task (the round-8 verdict's scale-weak #1 on the perplexity-tercile
-    * rank). `orderCols` must be a total order (include a unique id as the
+    * task (the perplexity-tercile rank's original hazard).
+    * `orderCols` must be a total order (include a unique id as the
     * last key) — then the rank is deterministic and identical to the
     * naive form for ANY range-boundary placement, because ranges are
     * ordered and each row's rank = rows in earlier ranges + its local
@@ -214,7 +214,7 @@ object Relational {
     *
     * The obvious `row_number().over(Window.partitionBy(source))` form
     * funnels EACH source through one task — a 50 TB dominant source sorts
-    * on a single executor (round-4 verdict scale-weak #2), and because the
+    * on a single executor — and because the
     * quota is a *column*, Spark 4's WindowGroupLimit (literal limits only)
     * can't rescue it. Instead, [[groupedRank]] — the [[prefixSum]]
     * two-phase rank applied per source:

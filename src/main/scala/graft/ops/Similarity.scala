@@ -58,7 +58,7 @@ object Similarity {
     *
     * Scale shape: input lists are top-k-bounded by their producers (the
     * expensive corpus scans live — and are measured — there), and that
-    * contract is ENFORCED, not assumed (round-8 ADVICE #2): each list
+    * contract is ENFORCED, not assumed: each list
     * collects to the driver under a `maxListSize` require — the
     * [[mmrRerank]] / neverShort local-relation posture (finding 21) —
     * and fusion is O(Σk log k) driver arithmetic. A caller feeding a
@@ -74,8 +74,8 @@ object Similarity {
     // Rank rows exactly as the previous in-plan `orderBy(score desc, id)`
     // (= SQL semantics, matching the oracle): NaN is the LARGEST double
     // (first under desc), nulls sort last, and -0.0 ties 0.0 (Scala's
-    // total Double order disagrees on all three — round-10 review
-    // finding). Boxed scores keep null observable instead of NPEing.
+    // total Double order disagrees on all three). Boxed scores keep null
+    // observable instead of NPEing.
     def before(a: (Long, java.lang.Double), b: (Long, java.lang.Double)): Boolean =
       (a._2, b._2) match {
         case (null, null) => a._1 < b._1
@@ -148,8 +148,7 @@ object Similarity {
     require(lambda >= 0 && lambda <= 1, s"lambda $lambda outside [0,1]")
     // cast the vector column: candidate frames arrive as array<float>
     // (raw embeddings) or array<double> (derived vectors) — a fixed
-    // getSeq[Float] would ClassCastException on the latter (round-8
-    // ADVICE #1)
+    // getSeq[Float] would ClassCastException on the latter
     // take(maxCandidates + 1), never collect(): the guard must fire
     // BEFORE a contract-breaking corpus-sized frame materializes on the
     // driver (finding 21 posture, same as rrfFuse's gate).
@@ -240,8 +239,8 @@ object Similarity {
     // surviving pair (mirrors the jaccard join-back shape,
     // Dedup.jaccardNearDup): a 64-float vector is ~512 bytes vs an 8-byte
     // id, so carrying vec_a/vec_b through the (table,bucket) self-join AND
-    // the dropDuplicates exchange multiplied pair-shuffle volume ~30× —
-    // the round-3 verdict's scale-weak finding on this path.
+    // the dropDuplicates exchange multiplied pair-shuffle volume ~30×
+    // on this path (measured in a full-session A/B).
     val idx = lshIndex(emb, idCol, vecCol, tables, planesPerTable, dim, seed)
       .select(col("table"), col("bucket"), col(idCol))
     val l = idx.select(col("table"), col("bucket"), col(idCol).as("id_a"))
@@ -352,16 +351,16 @@ object Similarity {
     * topKResidual / lshTopKSized): the probe result is ≤ k rows BY
     * CONSTRUCTION (it ends in `limit(k)`), so materialize it as a LOCAL
     * relation — one collect job of ≤ k rows, strictly cheaper than the
-    * earlier eager localCheckpoint + count pair (round-7 verdict #6: the
+    * earlier eager localCheckpoint + count pair (finding 21: that
     * gate cost ~0.5 s per registered IVF query at toy scale; a k-row
     * collect is the same class of driver traffic as the preview path,
     * bounded by k, never by data). Gate decision:
     *   - probe holds k rows → it IS the answer;
     *   - probe short but it already scored every corpus vector (corpus
-    *     smaller than k — the round-7 ADVICE #4 double-scan) → the exact
+    *     smaller than k would be scanned twice otherwise) → the exact
     *     scan would re-answer identically, return the probe;
     *   - otherwise → exact scan. Recall degrades; the answer is never
-    *     empty (round-6 wrong #1). The corpus count() is paid ONLY on the
+    *     empty (the never-short contract). The corpus count() is paid ONLY on the
     *     already-failing branch. */
   private[ops] def neverShort(probe: DataFrame, emb: DataFrame,
                               idCol: String, vecCol: String,
@@ -391,8 +390,9 @@ object Similarity {
     * pair-path rule (log₂(n) + 4 planes) is wrong for search: it drives
     * that probability to ~0 for moderate-cosine neighbors, because a pair
     * join has n chances per bucket to collide while a probe has exactly
-    * one query bucket per table — the round-6 `c14_ann_topk` empty-result
-    * defect. Floor 4 keeps tiny corpora from degenerating to one bucket. */
+    * one query bucket per table — pair-rule sizing starved probe buckets
+    * into empty answers (PERF.md finding 19). Floor 4 keeps tiny corpora
+    * from degenerating to one bucket. */
   def probePlanesFor(corpusSize: Long, targetBucketSize: Int = 64): Int =
     math.max(4, (math.log(math.max(corpusSize, 1).toDouble /
       targetBucketSize) / math.log(2)).ceil.toInt)
@@ -410,7 +410,7 @@ object Similarity {
     * [[Ivf]]) — so the result is additionally gated: when the probe
     * surfaces fewer than k candidates the query falls back to
     * [[bruteForceTopK]]. An ANN search degrades recall; it never answers
-    * "nothing" (round-6 verdict, wrong #1). The gate's count runs over
+    * "nothing" — that is the contract every search path holds. The gate's count runs over
     * the ≤ k probe result — not the corpus — and the fallback costs one
     * exact scan only when the probe actually failed. */
   def lshTopKSized(emb: DataFrame, idCol: String, vecCol: String,

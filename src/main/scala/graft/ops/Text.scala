@@ -331,8 +331,8 @@ object Text {
     * [[QualityModel.features]] both compose THESE definitions, so the
     * rule filter and the learned classifier read the same signals (the
     * GPT-3 §2.2 "classifier learns the decision surface over the same
-    * signals" relationship) and cannot silently drift apart (round-8
-    * ADVICE #5). Unrounded — each call site applies its own precision. */
+    * signals" relationship) and cannot silently drift apart.
+    * Unrounded — each call site applies its own precision. */
   val QualityStopwords: Seq[String] =
     Seq("a", "the", "of", "and", "to", "in", "is")
 
@@ -462,7 +462,7 @@ object Text {
     * range-partitioned form — a parallel range sort plus one ≤32-row
     * offset window, never the naive `Window.orderBy(ppl, doc)` whose
     * `Exchange SinglePartition` funnels the whole corpus through one
-    * task (the round-8 verdict's scale-weak #1). (ppl, doc) is a total
+    * task. (ppl, doc) is a total
     * order (doc is unique), so the rank — and both oracles — are
     * unchanged from the naive form. Production CCNet avoids even the
     * range sort by bucketing against FIXED thresholds trained once on a
@@ -506,8 +506,8 @@ object Text {
     * (a window-free second aggregate joined on lang through the same
     * gate). The within-language rank is [[Relational.groupedRank]] — a
     * dominant language never funnels through one task, the exact hazard
-    * `Window.partitionBy(lang)` would plan ([[Relational.datasetMix]]'s
-    * round-4 lesson). Per-language doc counts join through the
+    * `Window.partitionBy(lang)` would plan (the [[Relational.datasetMix]]
+    * hazard). Per-language doc counts join through the
     * [[Relational.temperatureSample]] gate posture (languages are
     * low-cardinality in practice, but nothing here assumes it). */
   def perplexityBucketsByLang(docs: DataFrame, idCol: String, textCol: String,
@@ -611,12 +611,12 @@ object Text {
     * the local path's driver structures — per-symbol strings, pair maps,
     * one heap entry per adjacency — scale with Σ|word|, not rows, so a
     * row-count gate alone would admit a near-limit vocab of long words
-    * straight into a driver OOM (round-10 review finding; ~150 B per
+    * straight into a driver OOM (~150 B per
     * char ⇒ the 8M default budgets ~1.2 GB worst-case). Under the gate
     * it collects and the merge loop runs in memory with incrementally-
     * maintained pair counts (the HF-tokenizers shape — a real
-    * tokenizer's ~30k merges cost seconds, not 30k Spark jobs; the
-    * round-8 verdict's scale-weak #2). Past it, [[bpeTrainIterative]]
+    * tokenizer's ~30k merges cost seconds, not 30k Spark jobs).
+    * Past it, [[bpeTrainIterative]]
     * runs one distributed pair-count aggregate + 1-row argmax collect
     * per merge — correct at any vocab size but numMerges-paced; both
     * paths are result-identical (TextSpec pins it). The corpus-sized
@@ -658,7 +658,7 @@ object Text {
     * O(numMerges · vocab). Tie-breaks ((cnt desc, l, r) in CODE-POINT
     * order — Java's UTF-16 `compareTo` sorts [U+E000, U+FFFF] above
     * supplementary chars, diverging from Spark's binary UTF8String order
-    * the iterative path ties on, round-10 review finding), code-point
+    * the iterative path ties on), code-point
     * symbol splitting, and the greedy left-to-right fold match
     * [[bpeTrainIterative]] exactly. */
   private[ops] def codePointCompare(a: String, b: String): Int = {
@@ -770,7 +770,7 @@ object Text {
     // regexp '(?s).' splits by CODE POINT (Java regex matches code
     // points), where split(w, "") yields UTF-16 units — lone surrogates
     // on supplementary chars, diverging from the local path and the
-    // DuckDB oracle (round-10 review finding)
+    // DuckDB oracle
     var vocab = vocab0
       .select(concat(regexp_extract_all(col("word"), lit("(?s)."), lit(0)),
           array(lit(EndOfWord))).as("sym"),

@@ -214,8 +214,8 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
     ),
 
     // Presto date_diff through the CONDITION/FIELDS pass-through, spelled
-    // exactly as a Presto caller writes it — quoted unit and all (round-6
-    // verdict #6). The quoted unit is a PARSER delta (Spark 4's grammar
+    // exactly as a Presto caller writes it — quoted unit and all.
+    // The quoted unit is a PARSER delta (Spark 4's grammar
     // owns 3-arg date_diff and wants an unquoted unit identifier with
     // identical truncated-elapsed-unit semantics), so the shim is the
     // rewriteDialect pass QueryBuilder applies to raw fragments, not a
@@ -640,8 +640,9 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
     // one task; the agg+join form folds map-side and rejoins hash-to-hash.
     // The |z| > 2 filter gates ROW MEMBERSHIP on the group stats, so the
     // stats must be bit-identical on both engines — avg/stddev over
-    // doubles are summation-order-dependent (the CLAUDE.md DECIMAL rule,
-    // here flipping set membership, not a rounded digit). Sums run over
+    // doubles are summation-order-dependent (the DECIMAL-accumulation
+    // invariant, here flipping set membership, not a rounded digit).
+    // Sums run over
     // DECIMAL(19,6) (exact, order-free; 19 not 18 — DuckDB types the
     // square as DECIMAL(w1+w2 capped at 38, 12), and at (18,6)² the cap
     // leaves 6 integer digits, overflowing for |value| ≥ 1000); the
@@ -795,7 +796,7 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
     // arithmetic ((rank-1)/(n-1), rank/n) computed identically by both
     // engines, so 4-dp rounding is hash-safe. Same (partition, order) for
     // both functions: one exchange + one sort serves the pair.
-    // Skew note (round-8 verdict #8): o_orderstatus has 3 distinct
+    // Skew note: o_orderstatus has 3 distinct
     // values, so each window partition holds ~n/3 of the FACT table —
     // per-partition volume scales with the data, and at 100 TB each
     // status sorts inside one task. That is inherent to exact per-group
@@ -940,7 +941,7 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
               FROM documents GROUP BY text""")
     ),
 
-    // C12 cross-snapshot flavor (round 8): incremental-ingest dedup — a
+    // C12 cross-snapshot flavor: incremental-ingest dedup — a
     // new batch dedupes AGAINST the accumulated corpus via a count-gated
     // Bloom prefilter + exact text verify; the existing corpus is scanned
     // but never shuffled under the gate. The batch plants re-ingested
@@ -968,7 +969,7 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
               WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.text = b.text)""")
     ),
 
-    // C12/C13 bridge, new in round 8: the digest-keyed representative
+    // C12/C13 bridge: the digest-keyed representative
     // collapse (repCollapse — the exchange carries (length, xxhash64)
     // digests and ids, never document text; rep text returns through the
     // count-gated id semi-join). Same answer as GROUP BY text, which is
@@ -982,7 +983,7 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
               FROM documents WHERE text IS NOT NULL GROUP BY text""")
     ),
 
-    // Survivorship POLICY variant (round 10): keep the "best" copy per
+    // Survivorship POLICY variant: keep the "best" copy per
     // exact-dup group instead of the min id — the RefinedWeb rule. Text
     // is identical within a group, so the score is metadata; here
     // recency (the id itself: keep the NEWEST copy). Same digest-keyed
@@ -995,6 +996,29 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
         .select(col("doc_id"), md5(col("text")).as("text_md5")),
       Some("""SELECT max(doc_id) AS doc_id, md5(text) AS text_md5
               FROM documents WHERE text IS NOT NULL GROUP BY text""")
+    ),
+
+    // C12 per-source duplication report: the pre-mixing table a data
+    // team reads (which source is 40% dup). Docs in corpus-wide exact-dup
+    // groups and min-id-removable copies per source, digest-keyed with
+    // the collision-verified exact fallback — counts are exact, and the
+    // oracle computes them from plain GROUP BY text.
+    QueryDef(
+      "c12_dup_rate_by_source",
+      (s, d) => Dedup.dupRateBySource(t(s, d, "documents"),
+        "doc_id", "text", "source"),
+      Some("""WITH g AS (SELECT text, count(*) AS n, min(doc_id) AS rid
+                         FROM documents WHERE text IS NOT NULL GROUP BY text),
+                m AS (SELECT d.doc_id, d.source, g.n, g.rid
+                      FROM documents d JOIN g USING (text)
+                      WHERE d.text IS NOT NULL)
+              SELECT source, count(*) AS n_docs,
+                     CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+                     CAST(sum(CASE WHEN n >= 2 AND doc_id <> rid THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_removable,
+                     round(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                           / count(*), 4) AS dup_rate
+              FROM m GROUP BY source""")
     ),
 
     // C13 exact flavor: 3-gram shingle Jaccard ≥ 0.6 via inverted-index
@@ -1175,8 +1199,8 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
     // cosine-duplicates within each cluster. Rows-only: KMeans centroids
     // are seed/float-order dependent; survivor semantics spec-tested with
     // planted exact+near duplicates (DedupSpec). Cell count sized from
-    // the corpus (cellsFor — k ∝ n keeps pair generation linear; a fixed
-    // k was round-5 verdict weak #3).
+    // the corpus (cellsFor — k ∝ n keeps pair generation linear; a
+    // fixed k makes candidate pairs quadratic).
     QueryDef(
       "c13_semantic_dedup",
       (s, d) => Dedup.semanticDedupSized(t(s, d, "embeddings"), "vec_id", "embedding",
@@ -1223,7 +1247,7 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
     // aligned-id case, mirrored by the oracle. A corpus without that
     // alignment must join embeddings to its doc-id mapping first, or
     // unrelated entities with colliding numeric ids would merge their
-    // RRF contributions (round-8 ADVICE #4).
+    // RRF contributions.
     QueryDef(
       "c14_hybrid_rrf",
       (s, d) => {
@@ -1361,7 +1385,7 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
         val emb = t(s, d, "embeddings")
         // planes sized by bucket OCCUPANCY (probePlanesFor), not the
         // pair rule — the pair sizing collapses probe recall on
-        // moderate-cosine neighbors (round-6 wrong #1: 0 rows); and a
+        // moderate-cosine neighbors (measured: 0 rows); and a
         // < k probe result falls back to the exact scan, so a search
         // degrades recall but never answers "nothing"
         Similarity.lshTopKSized(
@@ -1378,7 +1402,7 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
       "c14_ann_ivf",
       (s, d) => {
         val emb = t(s, d, "embeddings")
-        // the COMPOSED sized entry point (round-7 verdict #1): cell count
+        // the COMPOSED sized entry point: cell count
         // from cellsForSearch (nlist ≈ √(nprobe·n) — a fixed k makes the
         // probe a constant corpus fraction at scale), sample-trained
         // quantizer (the 100 TB posture: train on sampled vectors, never
@@ -1392,7 +1416,7 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
       None
     ),
 
-    // C14 batched IVF probe (round 8): the serving shape on the KMeans
+    // C14 batched IVF probe: the serving shape on the KMeans
     // index — one inverted-file pass answers the whole probe batch,
     // per-query WindowGroupLimit rank, per-query exact fallback.
     // Rows-only like c14_ann_ivf (KMeans centroids seed/float-order
@@ -1432,7 +1456,7 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
     ),
 
     // C14 memory lever: exact top-k over int8-quantized embeddings (4x
-    // smaller column). ORACLED (round-7 verdict #4): symmetric int8
+    // smaller column). ORACLED: symmetric int8
     // quantization is deterministic arithmetic, so DuckDB can mirror it
     // bit-for-bit — the float32 steps are pinned with REAL casts
     // (qscale is stored float32; a dequantized element is an IEEE float32
@@ -3029,7 +3053,7 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
               GROUP BY lang""")
     ),
 
-    // C24 token budget (round 10): the per-(lang, source) planning table
+    // C24 token budget: the per-(lang, source) planning table
     // a training run reads — docs, tokens, and corpus fraction AFTER
     // decontamination (epoch math, mixture weights, and cost estimates
     // all start from this frame). Two map-side-foldable aggregates over
@@ -3095,7 +3119,7 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
               FROM c""")
     ),
 
-    // Curation pipeline v2 — the round-5 ops composed end-to-end:
+    // Curation pipeline v2 — the C12-C15 ops composed end-to-end:
     // decontaminate (docs 0-49 held out) → plant per-doc PII boilerplate →
     // scrub → line-level dedup → pack into 512-token sequences. The
     // ordering is the point: the planted contact line carries a UNIQUE

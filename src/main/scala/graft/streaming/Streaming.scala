@@ -147,7 +147,7 @@ object Streaming {
       .select(col(idCol), col(textCol), col("quality_score"))
   }
 
-  /** Streaming-ingest SEMANTIC decontamination (round-7 verdict #8): the
+  /** Streaming-ingest SEMANTIC decontamination: the
     * embedding analog of [[decontaminateStream]], completing ingest-side
     * parity with the batch curation v4 pair (n-gram + semantic). Drops
     * stream rows whose embedding sits within cosine `tau` of ANY

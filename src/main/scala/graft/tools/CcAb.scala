@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.ops.Dedup
 
 /** A/B harness for the connected-components pointer-jumping gate
-  * (round-3 verdict #1: c13_dedup_components regressed 6.6→9.6 s in the
+  * (c13_dedup_components once regressed 6.6→9.6 s in the
   * driver bench while the operator gained pointer jumping — measure
   * whether the per-round self-join pays for itself at realistic shallow
   * component diameters, and where the crossover sits on deep chains).

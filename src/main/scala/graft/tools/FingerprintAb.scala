@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.ops.Text
 
-/** A/B harness for the fingerprint rolling hash (round-4 verdict #1:
+/** A/B harness for the fingerprint rolling hash (measured:
   * c15_fingerprint regressed 0.20 → 0.98 s when the HOF
   * `aggregate(tokens, 0L, (acc, w) => xxhash64(acc, w))` form landed —
   * measure the interpreted-lambda chain against the fused codegen

@@ -4,8 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.{Dedup, Ivf, Relational, Similarity, Text}
 
-/** Scaling evidence for the hot operator families (round-3 verdict #8,
-  * extended per round-4 verdict #6): run jaccard near-dup, connected
+/** Scaling evidence for the hot operator families: run jaccard near-dup, connected
   * components, near-dup removal, MinHash LSH, embedding-LSH ANN,
   * decontamination (BOTH gate paths), and sequence packing on
   * 1×/2×/5×/10×/25× the sf0.1 corpus and verify no superlinear term —
@@ -163,7 +162,7 @@ object ScaleBench {
         Dedup.decontaminate(docs, bench50, "doc_id", "text", n = 8)))
       val (tDecD, _) = timeIt(noop(
         Dedup.decontaminate(docs, bench50, "doc_id", "text", n = 8, idBroadcastLimit = 0L)))
-      // past-gate SEMANTIC decon (round-7 verdict #2): a corpus-scaled
+      // past-gate SEMANTIC decon: a corpus-scaled
       // benchmark (5% slice of the embeddings) forced past the broadcast
       // gate routes through cell-scoped candidates — the wall must stay
       // ~linear in n (the pre-r8 fallback was an n·m cartesian,
@@ -186,7 +185,7 @@ object ScaleBench {
         .localCheckpoint(true)
       withLines.count()
       val (tLine, _) = timeIt(noop(Dedup.lineDedup(withLines, "doc_id", "text")))
-      // winnowing exact-substring pairs (round-8): fingerprint count per
+      // winnowing exact-substring pairs: fingerprint count per
       // doc is fixed by the (k, w) density ~2/(w+1), replicas are
       // disjoint in char-gram space (every token carries the replica
       // tag), and maxDf bounds any fingerprint's df — so posting volume
@@ -202,8 +201,8 @@ object ScaleBench {
       // corpus linearly (the benchmark side is fixed)
       val (tWdec, _) = timeIt(noop(Dedup.winnowDecontaminate(
         docs, bench50, "doc_id", "text", minShared = 2, stopDf = Some(50))))
-      // semantic dedup pair volume at the SIZED cell count (round-5
-      // verdict weak #3): k = cellsFor(n) holds expected cell size
+      // semantic dedup pair volume at the SIZED cell count (a fixed k
+      // is quadratic): k = cellsFor(n) holds expected cell size
       // constant, so the pair count must stay ~linear in n. Timing
       // includes the KMeans training (k grows with n) — the pair COUNT is
       // the linearity claim, the wall is the honest total.
@@ -229,7 +228,7 @@ object ScaleBench {
           tau = 0.15, k1 = kLevel, k2 = kLevel).localCheckpoint(true)
         val n = p.count(); noop(p); n
       }
-      // skewed corpus (round-6 wrong #2): 20% of the vectors are EXACT
+      // skewed corpus: 20% of the vectors are EXACT
       // copies of vector 0 — a dense region that concentrates into ONE
       // cell no matter how the quantizer carves the space. With the
       // hot-cell anchor cut the mass emits m−1 pairs (linear in n); the
@@ -260,7 +259,7 @@ object ScaleBench {
           tau = 0.9, hotCellThreshold = 256).localCheckpoint(true)
         val n = p.count(); noop(p); n
       }
-      // hot-cell occupancy audit (round-7 ADVICE #3): how many cells sit
+      // hot-cell occupancy audit: how many cells sit
       // above the sweep threshold AND above the DEFAULT threshold — a
       // non-point-mass hot-cell regime (broad dense region, coarse
       // quantizer) must be VISIBLE in the log, not silently approximated
@@ -269,7 +268,7 @@ object ScaleBench {
         .filter(col("c") > 256).select(col("c")).collect().map(_.getLong(0))
       val hot256 = hotCells.length
       val hotDefault = hotCells.count(_ > Dedup.HotCellThreshold)
-      // the sized ANN PROBE (round-6 verdict #7): candidates-per-query at
+      // the sized ANN PROBE: candidates-per-query at
       // occupancy-sized planes must stay ~tables·targetBucketSize — a
       // bounded set, not a corpus fraction; this is the measured claim
       // behind probePlanesFor (the pair-path `annS` column can't show it)
@@ -285,7 +284,7 @@ object ScaleBench {
           .join(broadcast(qIdx), Seq("table", "bucket"))
           .select("vec_id").distinct().count()
       }
-      // digest-keyed rep collapse (round-7 verdict #7): shuffle-write
+      // digest-keyed rep collapse (finding 22): shuffle-write
       // bytes of the old groupBy(full text) collapse vs repCollapse —
       // the digest form's exchange carries (length, xxhash64, id) rows
       // and recovers rep text through the gated broadcast semi-join, so
@@ -296,7 +295,7 @@ object ScaleBench {
           .select(col("doc_id"), col("text"))))
       val bytesDigestKey = shuffledBytes(noop(
         Dedup.repCollapse(docs, "doc_id", "text")))
-      // search-side finding 18 (round-7 verdict #1): at the SIZED search
+      // search-side finding 18: at the SIZED search
       // cell count (cellsForSearch = √(4n)) one Lloyd iteration costs
       // points·k distance evals, so the single-level wall grows ~n^1.5
       // while the two-level residual fit pays two √k-sized problems —
@@ -313,7 +312,7 @@ object ScaleBench {
         Ivf.trainResidualQuantizer(emb, "embedding", k1 = kSL, k2 = kSL,
           sampleFraction = 0.25, maxIter = 5); 0L
       }
-      // batched LSH probe (round-7 verdict #5): the serving-layer path —
+      // batched LSH probe: the serving-layer path —
       // wall for the full batch call, then candidate volume and the
       // per-query exact-fallback RATE (queries whose probe came back
       // short of k re-answer exactly; bounded candidates with a stable
@@ -337,7 +336,7 @@ object ScaleBench {
           .collect()
         (perQuery.map(_.getLong(1)).sum, 5 - perQuery.count(_.getLong(1) >= 10))
       }
-      // groupBy(user_id) hot-key audit (round-6 verdict #8): replicas add
+      // groupBy(user_id) hot-key audit: replicas add
       // USERS, so per-key group size is constant and the wall must track
       // n, not any one key — the registered session/retention queries run
       // unmodified against the scaled events table
@@ -345,7 +344,7 @@ object ScaleBench {
         graft.SparkEntry.queries("c19_session_conversion")(spark, dir)))
       val (tRet, _) = timeIt(noop(
         graft.SparkEntry.queries("c6_retention")(spark, dir)))
-      // the two heaviest round-5 queries (round-5 verdict #8): bigram NLL
+      // the two heaviest LM queries: bigram NLL
       // (the c2 count table grows with distinct bigrams) and the 4-stage
       // curation composition (decontaminate → scrub → line-dedup → pack)
       val (tBig, _) = timeIt(noop(Text.bigramNll(docs, "doc_id", "text")))
@@ -359,9 +358,9 @@ object ScaleBench {
           size(split(col("text"), "[ \n]")), budget = 512)
       })
 
-      // BPE train/encode (round-8 continuation): training state is the
+      // BPE train/encode: training state is the
       // WORD VOCABULARY — replica-tagged tokens grow the vocab k×. The
-      // registered path is now GATE-COLLECTED (round-8 verdict #2): one
+      // registered path is GATE-COLLECTED: one
       // explode+count vocab aggregate, one vocab collect, then the
       // driver-local incremental merge loop — so the wall is vocab-build
       // + collect, linear in n and independent of numMerges-many Spark
@@ -390,17 +389,17 @@ object ScaleBench {
       // filter — must be scan-bound flat
       val (tTemp, _) = timeIt(noop(
         Relational.temperatureSample(docs, "lang", "doc_id")))
-      // per-language ppl terciles (round 10): the (lang, token) vocab
+      // per-language ppl terciles: the (lang, token) vocab
       // probe + groupedRank — must track the global-ppl column's curve
       // (same shapes, one extra key column in the vocab aggregate)
       val (tPplL, _) = timeIt(noop(
         Text.perplexityBucketsByLang(docs, "doc_id", "text", "lang")))
-      // contamination audit (round 10): |benchmark|-bounded output; the
+      // contamination audit: |benchmark|-bounded output; the
       // corpus pays two posting scans (df cut + report join) — wall must
       // track the corpus linearly, benchmark side fixed
       val (tRep, _) = timeIt(noop(
         Dedup.contaminationReport(docs, bench50, "doc_id", "text", n = 8)))
-      // the composed curation v6 product path (round-8 verdict #7):
+      // the composed curation v6 product path:
       // decontaminate → ppl terciles (drop tail) → temperature rebalance.
       // After the globalRank fix every stage is scale-shaped; checkpoint
       // boundaries attribute the wall per stage (a = decon, b = NLL +
@@ -423,6 +422,34 @@ object ScaleBench {
       }
       val (tV6c, _) = timeIt(noop(
         Relational.temperatureSample(v6Kept, "lang", "doc_id", baseFrac = 0.5)))
+      // the composed curation v7 product path: decontaminate → PER-LANG
+      // ppl terciles (per-lang LM + groupedRank) → temperature rebalance.
+      // Stage walls attributed the v6 way (a = decon, b = per-lang NLL +
+      // grouped rank + tercile join, c = gated rebalance); watch b's
+      // (lang, token) vocab growth against the count gate
+      var v7Clean: DataFrame = null
+      var v7Kept: DataFrame = null
+      val (tV7a, _) = timeIt {
+        v7Clean = Dedup.decontaminate(docs.filter(col("doc_id") >= 50),
+          bench50, "doc_id", "text", n = 8).localCheckpoint(true)
+        0L
+      }
+      val (tV7b, _) = timeIt {
+        val buckets = Text.perplexityBucketsByLang(v7Clean, "doc_id", "text", "lang")
+          .filter(col("bucket") =!= "tail")
+        v7Kept = v7Clean.select("doc_id", "lang")
+          .join(buckets.select(col("doc").as("doc_id"), col("bucket")),
+            Seq("doc_id"))
+          .localCheckpoint(true)
+        0L
+      }
+      val (tV7c, _) = timeIt(noop(
+        Relational.temperatureSample(v7Kept, "lang", "doc_id", baseFrac = 0.5)))
+      // span-level exact-substring dedup: posting projection + linear
+      // keeper aggregate + cut join + O(len) reassembly — no pair join
+      // exists, so the wall must track the corpus linearly
+      val (tSpan, _) = timeIt(noop(
+        Dedup.spanDedup(docs, "doc_id", "text")))
 
       println(f"[scale] r$round x$k%-2d docs=$nDocs%7d vecs=$nVecs%6d | " +
         f"jaccard=$tJac%6.2fs pairs=$nPairs%6d cc=$tCc%5.2fs(r=$ccRounds) rm=$tRm%5.2fs | " +
@@ -439,7 +466,8 @@ object ScaleBench {
         f"sess=$tSess%5.2fs ret=$tRet%5.2fs | " +
         f"bpe=$tBpeTr%5.2fs/$tBpeEnc%5.2fs bpe2k=$tBpe2k%6.2fs($nBpe2k) " +
         f"ppl=$tPpl%5.2fs pplL=$tPplL%5.2fs rep=$tRep%5.2fs temp=$tTemp%5.2fs " +
-        f"v6=$tV6a%5.2f/$tV6b%5.2f/$tV6c%5.2fs")
+        f"v6=$tV6a%5.2f/$tV6b%5.2f/$tV6c%5.2fs " +
+        f"v7=$tV7a%5.2f/$tV7b%5.2f/$tV7c%5.2fs span=$tSpan%5.2fs")
     }
     spark.stop()
   }

@@ -776,6 +776,38 @@ class DedupSpec extends SparkSpec {
       Set((0L, "same text for all rows here")))
   }
 
+  test("dupRateBySource equals brute-force per-source rates, on both branches") {
+    val docs = Seq(
+      // srcA: 4 docs — one pair duplicated WITHIN the source
+      (1L, "srcA", "shared boilerplate copy one"),
+      (2L, "srcA", "shared boilerplate copy one"),
+      (3L, "srcA", "unique alpha text"),
+      (4L, "srcA", "cross source duplicated body"),
+      // srcB: 3 docs — one copy of srcA's text (cross-source dup), rest unique
+      (5L, "srcB", "cross source duplicated body"),
+      (6L, "srcB", "unique beta text"),
+      (7L, "srcB", "unique gamma text"),
+      // srcC: all unique (+ a null text that must not count anywhere)
+      (8L, "srcC", "unique delta text"),
+      (9L, "srcC", null.asInstanceOf[String])
+    ).toDF("doc_id", "source", "text")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val expected = Map(
+      // srcA: docs 1,2 in-source dup pair; doc 4 in a cross-source group
+      // (rep, not removable); 3 dup docs of 4, removable = doc 2 only
+      "srcA" -> ((4L, 3L, 1L, 0.75)),
+      // srcB: doc 5 dups srcA's doc 4 and loses min-id survivorship
+      "srcB" -> ((3L, 1L, 1L, 0.3333)),
+      "srcC" -> ((1L, 0L, 0L, 0.0)))
+    assert(collect(Dedup.dupRateBySource(docs, "doc_id", "text", "source")) == expected)
+    // forced digest collision: every text folds into one group — the
+    // verify must route members through the exact text regroup
+    assert(collect(Dedup.dupRateBySource(docs, "doc_id", "text", "source",
+      digests = Seq(lit(0L)))) == expected)
+  }
+
   test("rep collapse never ships text through a shuffle on the clean gated path") {
     // the scale claim itself, pinned on the plan: the digest aggregate
     // exchanges digest+id rows only (it runs inside the checkpoint), and
