@@ -897,8 +897,13 @@ object Dedup {
     * id broadcast is GATED on an actual count, mirroring the maxDf
     * hot-shingle gate in [[jaccardNearDup]]: past `idBroadcastLimit` the
     * removal becomes a distributed shuffled-hash anti-join instead of a
-    * driver-funneled broadcast. Both paths are result-identical
-    * (DedupSpec pins it). Decontaminating against a benchmark comparable
+    * driver-funneled broadcast. The benchmark SHINGLE set is gated the
+    * same way, with a Bloom middle path: past `shingleBroadcastLimit`
+    * but under `bloomItemLimit`, a ~10-bit/key filter over the benchmark
+    * shingles broadcasts where the exact set cannot, the corpus postings
+    * prefilter map-side, and only prefilter survivors reach the shuffled
+    * exact semi-join. All paths are result-identical
+    * (DedupSpec pins them). Decontaminating against a benchmark comparable
     * in size to the corpus is a near-dup join, not decontamination: use
     * [[jaccardNearDup]] there instead. */
   /** The contaminated-id frame: corpus docs sharing ≥1 word n-gram with
@@ -918,7 +923,8 @@ object Dedup {
   def contaminatedIds(corpus: DataFrame, benchmark: DataFrame, idCol: String,
                       textCol: String, n: Int,
                       stopDf: Option[Int] = None,
-                      shingleBroadcastLimit: Long = HotShingleBroadcastLimit): DataFrame = {
+                      shingleBroadcastLimit: Long = HotShingleBroadcastLimit,
+                      bloomItemLimit: Long = BloomItemLimit): DataFrame = {
     def postingsOf(df: DataFrame) = df
       .select(col(idCol).as("doc"), Text.tokens(col(textCol)).as("__ws"))
       .select(col("doc"),
@@ -930,10 +936,36 @@ object Dedup {
     // corpus postings pay a hash partition, nothing funnels the driver).
     // localCheckpoint: the set feeds the count gate AND the semi-join(s).
     val benchShRaw = postingsOf(benchmark).select("sh").distinct().localCheckpoint(true)
-    val useBroadcast = benchShRaw.count() <= shingleBroadcastLimit
+    val nBenchSh = benchShRaw.count()
+    val useBroadcast = nBenchSh <= shingleBroadcastLimit
+    // MIDDLE path (the [[incrementalCandidates]] posture): past the
+    // exact-set broadcast gate but under the Bloom cap, a ~10-bit/key
+    // Bloom filter over the benchmark shingles still broadcasts where the
+    // exact set cannot (~5 MB at 4M keys vs ~32 MB+ of raw longs plus
+    // hash-relation overhead), so the corpus postings PREFILTER map-side
+    // and only true hits + ~1% false positives reach the shuffled exact
+    // semi-join — the join that was corpus-postings-sized becomes
+    // contamination-sized. No false negatives, and survivors are verified
+    // by the exact join, so the result is identical on every path
+    // (DedupSpec pins all three).
+    val bloomPre: Option[Column] =
+      if (!useBroadcast && nBenchSh > 0 && nBenchSh <= bloomItemLimit) {
+        import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        import org.apache.spark.sql.graft.ColumnShim
+        val bloomAgg = ColumnShim.column(new BloomFilterAggregate(
+          ColumnShim.expression(col("sh")), nBenchSh).toAggregateExpression())
+        val bloomBytes = benchShRaw.select(bloomAgg.as("bf"))
+          .head().getAs[Array[Byte]]("bf")
+        Some(ColumnShim.column(BloomFilterMightContain(
+          org.apache.spark.sql.catalyst.expressions.Literal.create(bloomBytes,
+            org.apache.spark.sql.types.BinaryType),
+          ColumnShim.expression(col("sh")))))
+      } else None
     def shJoin(df: DataFrame, set: DataFrame): DataFrame =
       if (useBroadcast) df.join(broadcast(set), Seq("sh"), "left_semi")
-      else df.join(set.hint("SHUFFLE_HASH"), Seq("sh"), "left_semi")
+      else bloomPre.fold(df)(df.filter(_))
+        .join(set.hint("SHUFFLE_HASH"), Seq("sh"), "left_semi")
     val effective = stopDf match {
       case Some(m) =>
         // a benchmark shingle absent from the corpus has no bhits row —
@@ -952,10 +984,11 @@ object Dedup {
                     textCol: String, n: Int = 8,
                     idBroadcastLimit: Long = HotShingleBroadcastLimit,
                     stopDf: Option[Int] = None,
-                    shingleBroadcastLimit: Long = HotShingleBroadcastLimit): DataFrame =
+                    shingleBroadcastLimit: Long = HotShingleBroadcastLimit,
+                    bloomItemLimit: Long = BloomItemLimit): DataFrame =
     removeIds(corpus, idCol,
       contaminatedIds(corpus, benchmark, idCol, textCol, n, stopDf,
-        shingleBroadcastLimit),
+        shingleBroadcastLimit, bloomItemLimit),
       idBroadcastLimit)
 
   /** Per-benchmark-item contamination AUDIT — which benchmark docs leak

@@ -426,6 +426,99 @@ object Similarity {
       emb, idCol, vecCol, query, queryVecCol, k)
   }
 
+  /** Prototypicality scores (Sorscher et al., "Beyond neural scaling
+    * laws", NeurIPS'22 §3): cosine of every embedding to its GROUP's
+    * centroid (the class prototype). Embedding-space data pruning ranks
+    * examples by this score — least-prototypical first to drop noise and
+    * outliers on small corpora, most-prototypical first to drop easy
+    * redundant examples on large ones — so the output is the full
+    * (id, group, sim) frame for downstream thresholding, not a verdict.
+    *
+    * Determinism (so a SQL oracle replays every score bit-for-bit): the
+    * centroid is the per-position mean of 6-dp-rounded values accumulated
+    * through DECIMAL(18,6) — order-independent — itself rounded 6 dp;
+    * every dot/norm term is a double product cast to DECIMAL(18,6) before
+    * summing (the float-product summation rule); sim rounds 4 dp. The
+    * decimal folds are the price of cross-engine reproducibility — a
+    * pipeline that only needs a stable ORDERING can swap [[cosine]]
+    * (the codegen double path) into the scoring step.
+    *
+    * Scale shape: the centroid aggregate is ONE map-side-folding
+    * groupBy(group, pos) over the exploded corpus — partial aggregation
+    * means the shuffle carries |groups|·dim combiner rows per task, not
+    * corpus·dim. Scoring is count-gated on the |groups|·dim centroid
+    * frame: at or under `centroidBroadcastLimit` rows the per-group
+    * centroid ARRAYS broadcast-join on the group column and every row
+    * scores in one projection — the corpus itself never shuffles. Past
+    * the gate (a group column with corpus-scale cardinality) the exploded
+    * corpus joins the centroid frame SHUFFLE_HASH on (group, pos) and
+    * re-aggregates per id — the corpus pays one positional shuffle but
+    * nothing funnels through the driver. Decimal accumulation makes both
+    * paths bit-identical (SimilaritySpec pins equality). */
+  def prototypeScores(emb: DataFrame, idCol: String, vecCol: String,
+                      groupCol: String,
+                      centroidBroadcastLimit: Long =
+                        Dedup.HotShingleBroadcastLimit): DataFrame = {
+    val exploded = emb
+      .select(col(idCol).as("__pid"), col(groupCol).as("__grp"),
+        posexplode(col(vecCol)))
+      .select(col("__pid"), col("__grp"), col("pos").as("__i"),
+        col("col").cast("double").as("__v"))
+    // round BEFORE the decimal cast: round() agrees across engines on
+    // doubles, double→DECIMAL cast tie behavior is not something to
+    // hang a hash match on
+    val cen = exploded
+      .groupBy(col("__grp"), col("__i"))
+      .agg(sum(round(col("__v"), 6).cast("decimal(18,6)")).as("__s"),
+        count(lit(1)).as("__n"))
+      .select(col("__grp"), col("__i"),
+        round(col("__s").cast("double") / col("__n"), 6).as("__c"))
+      .localCheckpoint(true) // feeds the gate count, the norm agg, the join
+    // per-group centroid self-norm term: Σ c², decimal-accumulated
+    val nc = cen.groupBy(col("__grp"))
+      .agg(sum((col("__c") * col("__c")).cast("decimal(18,6)"))
+        .cast("double").as("__nc"))
+    val scored =
+      if (cen.count() <= centroidBroadcastLimit) {
+        // fast path: centroids ride a broadcast as per-group ARRAYS; each
+        // row scores in one projection, the corpus never shuffles
+        val cenArr = cen.groupBy(col("__grp"))
+          .agg(transform(sort_array(collect_list(struct(col("__i"), col("__c")))),
+            x => x.getField("__c")).as("__cen"))
+          .join(nc, Seq("__grp"))
+        emb.join(broadcast(cenArr), emb(groupCol) === cenArr("__grp"))
+          .select(col(idCol), col(groupCol),
+            aggregate(
+              zip_with(col(vecCol), col("__cen"),
+                (x, y) => (x.cast("double") * y).cast("decimal(18,6)")),
+              lit(BigDecimal(0)).cast("decimal(28,6)"),
+              (acc, z) => (acc + z).cast("decimal(28,6)"))
+              .cast("double").as("__dot"),
+            aggregate(
+              transform(col(vecCol),
+                x => (x.cast("double") * x.cast("double")).cast("decimal(18,6)")),
+              lit(BigDecimal(0)).cast("decimal(28,6)"),
+              (acc, z) => (acc + z).cast("decimal(28,6)"))
+              .cast("double").as("__ne"),
+            col("__nc"))
+      } else {
+        // scale path: positional equi-join, corpus pays ONE shuffle keyed
+        // by (group, pos) + one by id — never a driver funnel
+        val terms = exploded
+          .join(cen.hint("SHUFFLE_HASH"), Seq("__grp", "__i"))
+          .groupBy(col("__pid"), col("__grp"))
+          .agg(sum((col("__v") * col("__c")).cast("decimal(18,6)"))
+            .cast("double").as("__dot"),
+            sum((col("__v") * col("__v")).cast("decimal(18,6)"))
+              .cast("double").as("__ne"))
+        terms.join(nc.hint("SHUFFLE_HASH"), Seq("__grp"))
+          .select(col("__pid").as(idCol), col("__grp").as(groupCol),
+            col("__dot"), col("__ne"), col("__nc"))
+      }
+    scored.select(col(idCol), col(groupCol),
+      round(col("__dot") / (sqrt(col("__ne")) * sqrt(col("__nc"))), 4).as("sim"))
+  }
+
   /** Fixed-parameter probe (callers that know their corpus); prefer
     * [[lshTopKSized]], which sizes planes/tables and never returns short. */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,

@@ -1320,6 +1320,42 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
       None
     ),
 
+    // Embedding-space prototypicality pruning (Sorscher et al. NeurIPS'22):
+    // cosine of every vector to its label's centroid, least-prototypical
+    // 10 reported — the outlier slice a pruning pass would drop first.
+    // Centroid means and every product sum accumulate through
+    // DECIMAL(18,6) (order-independent) so the oracle replays each score
+    // bit-for-bit; the centroid frame is |labels|·dim rows and broadcasts
+    // under the count gate, so the corpus never shuffles on this path.
+    QueryDef(
+      "c14_embedding_outliers",
+      (s, d) => {
+        val scored = Similarity.prototypeScores(
+          t(s, d, "embeddings"), "vec_id", "embedding", "label")
+        scored.orderBy(col("sim").asc, col("vec_id")).limit(10)
+      },
+      Some("""WITH e AS (SELECT vec_id, label,
+                                CAST(unnest(embedding) AS DOUBLE) AS v,
+                                generate_subscripts(embedding, 1) AS i
+                         FROM embeddings),
+                cen AS (SELECT label, i,
+                          round(CAST(sum(CAST(round(v, 6) AS DECIMAL(18,6)))
+                                     AS DOUBLE) / count(*), 6) AS c
+                        FROM e GROUP BY label, i),
+                nc AS (SELECT label,
+                         CAST(sum(CAST(c * c AS DECIMAL(18,6))) AS DOUBLE) AS nc
+                       FROM cen GROUP BY label),
+                d AS (SELECT e.vec_id, e.label,
+                        CAST(sum(CAST(e.v * cen.c AS DECIMAL(18,6))) AS DOUBLE) AS dot,
+                        CAST(sum(CAST(e.v * e.v AS DECIMAL(18,6))) AS DOUBLE) AS ne
+                      FROM e JOIN cen ON e.label = cen.label AND e.i = cen.i
+                      GROUP BY e.vec_id, e.label)
+              SELECT d.vec_id, d.label,
+                     round(d.dot / (sqrt(d.ne) * sqrt(nc.nc)), 4) AS sim
+              FROM d JOIN nc ON d.label = nc.label
+              ORDER BY sim ASC, d.vec_id LIMIT 10""")
+    ),
+
     // C14 batched exact top-k — the realistic search shape (a PROBE BATCH
     // of 5 queries, one corpus pass): broadcast nested-loop scoring, then
     // per-query rank <= k planned as WindowGroupLimit (partial group

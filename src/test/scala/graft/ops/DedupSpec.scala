@@ -432,15 +432,17 @@ class DedupSpec extends SparkSpec {
     // the benchmark SHINGLE set broadcast is gated too (it is
     // tokens-sized, far larger than the id set): forcing its distributed
     // path — with and without the stopDf branch — keeps the same result
+    // (bloomItemLimit = 0 skips the Bloom middle path so this stays the
+    // PURE shuffled-hash posting join; the middle path has its own test)
     val viaDistShingles = Dedup.decontaminate(corpus, bench, "doc_id", "text",
-        n = 8, shingleBroadcastLimit = 0L)
+        n = 8, shingleBroadcastLimit = 0L, bloomItemLimit = 0L)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(viaDistShingles == viaBroadcast, "shingle-gate paths diverge")
     val stopBroadcast = Dedup.decontaminate(corpus, bench, "doc_id", "text",
         n = 8, stopDf = Some(1))
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val stopDistributed = Dedup.decontaminate(corpus, bench, "doc_id", "text",
-        n = 8, stopDf = Some(1), shingleBroadcastLimit = 0L)
+        n = 8, stopDf = Some(1), shingleBroadcastLimit = 0L, bloomItemLimit = 0L)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(stopBroadcast == stopDistributed, "stopDf shingle-gate paths diverge")
     // and the forced scale path really does plan a shuffled-hash anti-join
@@ -449,6 +451,42 @@ class DedupSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("ShuffledHashJoin") && plan.contains("LeftAnti"),
       s"forced distributed path still broadcasts:\n$plan")
+  }
+
+  test("contaminatedIds Bloom middle path: identical result, map-side probe in the plan") {
+    // past the exact-set broadcast gate but under the Bloom cap, the
+    // corpus postings prefilter through a broadcast might_contain before
+    // the shuffled exact semi-join — the join input shrinks from
+    // corpus-postings-sized to contamination-sized with zero result change
+    // (no false negatives; survivors verified by the exact join)
+    val docs = graft.engine.Tables.read(spark, sf0001, "documents")
+    val corpus = docs.filter($"doc_id" >= 50)
+    val bench = docs.filter($"doc_id" < 50)
+    def ids(shingleLimit: Long, bloomLimit: Long) =
+      Dedup.contaminatedIds(corpus, bench, "doc_id", "text", n = 8,
+          shingleBroadcastLimit = shingleLimit, bloomItemLimit = bloomLimit)
+        .collect().map(_.getLong(0)).toSet
+    val viaBroadcast = ids(Dedup.HotShingleBroadcastLimit, Dedup.BloomItemLimit)
+    val viaBloom = ids(0L, Dedup.BloomItemLimit)
+    val viaShuffle = ids(0L, 0L)
+    assert(viaBloom == viaBroadcast, "bloom middle path diverges from broadcast")
+    assert(viaShuffle == viaBroadcast, "pure shuffle path diverges from broadcast")
+    assert(viaBroadcast.nonEmpty)
+    // the middle path's plan carries the codegen bloom probe AND the
+    // shuffled exact verify join
+    val plan = Dedup.contaminatedIds(corpus, bench, "doc_id", "text", n = 8,
+        shingleBroadcastLimit = 0L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"no bloom probe in plan:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"), s"no exact verify join:\n$plan")
+    // the stopDf branch rides the same prefilter: results stay equal
+    val stopBloom = Dedup.decontaminate(corpus, bench, "doc_id", "text",
+        n = 8, stopDf = Some(1), shingleBroadcastLimit = 0L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val stopBroadcast = Dedup.decontaminate(corpus, bench, "doc_id", "text",
+        n = 8, stopDf = Some(1))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(stopBloom == stopBroadcast, "stopDf bloom path diverges")
   }
 
   // ── accuracy gates (round-4 verdict #5): the band parameters are free

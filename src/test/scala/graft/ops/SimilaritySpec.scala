@@ -334,4 +334,43 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(aOnly.map(_._1) == Seq(1L, 2L, 3L), "equal scores rank by id")
   }
+
+  test("prototypeScores ranks a planted outlier last within its label") {
+    // label 0: three clustered vectors + one pointing the opposite way;
+    // label 1: its own cluster (must not perturb label 0's prototype)
+    def jitter(seed: Int) = Array.tabulate(8)(i =>
+      (math.sin(i + 1) + 0.01 * seed).toFloat)
+    val outlier = Array.tabulate(8)(i => (-math.sin(i + 1)).toFloat)
+    val other = Array.tabulate(8)(i => math.cos(2 * i + 1).toFloat)
+    val df = Seq(
+      (1L, 0, jitter(1)), (2L, 0, jitter(2)), (3L, 0, jitter(3)),
+      (4L, 0, outlier),
+      (5L, 1, other), (6L, 1, other)
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.prototypeScores(df, "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.size == 6)
+    assert(got(4L) < 0, s"outlier should oppose the prototype: $got")
+    Seq(1L, 2L, 3L).foreach(id =>
+      assert(got(id) > 0.99, s"cluster member $id not prototypical: $got"))
+    assert(got(5L) > 0.99 && got(6L) > 0.99,
+      s"label-1 members define their own prototype: $got")
+  }
+
+  test("prototypeScores gate paths are bit-identical; fast path broadcasts the centroids") {
+    val emb = graft.engine.Tables.read(spark, sf0001, "embeddings")
+    def scores(limit: Long) =
+      Similarity.prototypeScores(emb, "vec_id", "embedding", "label",
+          centroidBroadcastLimit = limit)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    val fast = scores(Dedup.HotShingleBroadcastLimit)
+    val dist = scores(0L)
+    // decimal accumulation on both paths -> EXACT equality, not tolerance
+    assert(fast == dist, "centroid gate paths diverge")
+    assert(fast.nonEmpty)
+    val fastPlan = Similarity.prototypeScores(emb, "vec_id", "embedding", "label")
+      .queryExecution.executedPlan.toString
+    assert(fastPlan.contains("BroadcastHashJoin"),
+      s"fast path should broadcast the centroid arrays:\n$fastPlan")
+  }
 }
