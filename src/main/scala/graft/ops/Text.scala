@@ -327,6 +327,73 @@ object Text {
           .cast("decimal(18,6)")), 4).cast("double").as("sum_nll"))
   }
 
+  /** Interpolated Kneser–Ney bigram NLL (Kneser & Ney 1995; the
+    * interpolated form and d=0.75 default per Chen & Goodman 1998 §2.7)
+    * — the smoothing real LM toolkits (KenLM, hence CCNet's filter
+    * models) actually ship. Where Jelinek–Mercer
+    * ([[bigramInterpNll]]) backs off to the unigram FREQUENCY, KN backs
+    * off to the unigram's CONTINUATION probability — how many distinct
+    * contexts a word follows — which stops high-count but
+    * context-locked words ("Francisco": frequent, yet only ever after
+    * "San") from soaking up backoff mass:
+    *
+    *   P(w₂|w₁) = max(c(w₁w₂) − d, 0)/c(w₁·)
+    *              + d·N₁₊(w₁·)/c(w₁·) · N₁₊(·w₂)/N₁₊(··)
+    *
+    * with N₁₊ the distinct-bigram-type counts. Scoring the training
+    * corpus itself, every probed bigram has c ≥ 1 > d, so the max clamp
+    * never binds — it is kept anyway so the formula is the textbook one.
+    * All counts are integers; the discount is evaluated as IEEE double
+    * on BOTH engines (the oracle writes CAST(0.75 AS DOUBLE) — a bare
+    * literal would bind DECIMAL), the mixture evaluates
+    * left-associative, and the sum accumulates through DECIMAL(18,6)
+    * with a 4-dp round — the oracle recomputes every doc bit-for-bit.
+    *
+    * Scale shape: [[bigramInterpNll]]'s — the bigram table and the
+    * w₁-keyed stats (c(w₁·) joined with N₁₊(w₁·), ONE probe) are
+    * |V|-to-|V|²-sized and probe SHUFFLE_HASH; the w₂-keyed
+    * continuation counts ride the count gate (broadcast ↔ SHUFFLE_HASH);
+    * N₁₊(··) is a broadcast 1-row frame. Docs with fewer than two
+    * tokens carry no bigram and drop out. */
+  def bigramKnNll(docs: DataFrame, idCol: String, textCol: String,
+                  discount: Double = 0.75,
+                  vocabBroadcastLimit: Long = Dedup.HotShingleBroadcastLimit): DataFrame = {
+    require(discount > 0.0 && discount < 1.0, s"discount $discount outside (0,1)")
+    val ws = tokens(col(textCol))
+    val cnt = size(ws) - 1
+    val pairs = docs
+      .select(col(idCol).as("doc"),
+        explode(when(size(ws) >= 2,
+          arrays_zip(slice(ws, lit(1), cnt), slice(ws, lit(2), cnt)))
+          .otherwise(array().cast("array<struct<`0`:string,`1`:string>>"))).as("bg"))
+      .select(col("doc"), col("bg.0").as("w1"), col("bg.1").as("w2"))
+      .localCheckpoint(true) // feeds the count aggregates AND the probe side
+    val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true) // feeds the probe, both type counts, AND the total
+    val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val n1f = c2.groupBy("w1").agg(count(lit(1)).as("n1f"))
+    val n1b = c2.groupBy("w2").agg(count(lit(1)).as("n1b"))
+      .localCheckpoint(true) // feeds the gate count AND the probe
+    val tRow = broadcast(c2.agg(count(lit(1)).cast("double").as("__t")))
+    val w1Stats = c1.join(n1f, Seq("w1")) // both |V|-sized, keyed alike
+    val probed = pairs
+      .join(c2.hint("SHUFFLE_HASH"), Seq("w1", "w2"))
+      .join(w1Stats.hint("SHUFFLE_HASH"), Seq("w1"))
+    val withCont =
+      if (n1b.count() <= vocabBroadcastLimit) probed.join(broadcast(n1b), Seq("w2"))
+      else probed.join(n1b.hint("SHUFFLE_HASH"), Seq("w2"))
+    withCont
+      .crossJoin(tRow)
+      .groupBy(col("doc"))
+      .agg(
+        count(lit(1)).as("n_big"),
+        round(sum((-log(
+          greatest(col("c12").cast("double") - lit(discount), lit(0.0)) / col("c1") +
+            lit(discount) * col("n1f") / col("c1") *
+              (col("n1b").cast("double") / col("__t"))))
+          .cast("decimal(18,6)")), 4).cast("double").as("sum_nll"))
+  }
+
   /** Shared quality-signal columns — [[gopherFilter]] and
     * [[QualityModel.features]] both compose THESE definitions, so the
     * rule filter and the learned classifier read the same signals (the

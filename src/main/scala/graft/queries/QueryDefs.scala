@@ -1869,6 +1869,33 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
               GROUP BY doc_id""")
     ),
 
+    // Interpolated Kneser-Ney bigram NLL (Kneser & Ney 1995; Chen &
+    // Goodman 1998 d=0.75) — backoff to CONTINUATION counts (distinct
+    // bigram types), not unigram frequency: the smoothing KenLM ships,
+    // hence what CCNet's filter models actually compute. Integer counts
+    // + IEEE-double mixture + DECIMAL accumulation, replayed exactly.
+    QueryDef(
+      "c15_ppl_kn",
+      (s, d) => Text.bigramKnNll(t(s, d, "documents"), "doc_id", "text")
+        .select(col("doc").as("doc_id"), col("n_big"), col("sum_nll")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+                big AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+                        FROM toks, UNNEST(generate_series(1, len(ws) - 1)) t(i)),
+                c2 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+                c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+                n1f AS (SELECT w1, count(*) AS n1f FROM c2 GROUP BY w1),
+                n1b AS (SELECT w2, count(*) AS n1b FROM c2 GROUP BY w2),
+                tt AS (SELECT count(*)::DOUBLE AS t FROM c2)
+              SELECT doc_id, count(*) AS n_big,
+                CAST(round(sum(CAST(-ln(
+                  greatest(c12 - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE)) / c1 +
+                  CAST(0.75 AS DOUBLE) * n1f / c1 * (n1b / t))
+                  AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_nll
+              FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+                   JOIN n1f USING (w1) JOIN n1b USING (w2) CROSS JOIN tt
+              GROUP BY doc_id""")
+    ),
+
     // C15 repetition signals (Gopher-style duplicate-n-gram fractions):
     // distinct n-gram counts via the fused ShingleHashes pass — one
     // codegen projection, no shuffle. Oracle counts distinct string

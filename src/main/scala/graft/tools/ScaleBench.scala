@@ -156,12 +156,25 @@ object ScaleBench {
         val c = Similarity.lshCandidatePairsSized(emb, "vec_id", "embedding").localCheckpoint(true)
         val n = c.count(); noop(c); n
       }
+      // prototypicality scoring: the centroid frame is |labels|·dim rows
+      // (fixed — replicas keep their label), so the wall is the linear
+      // explode + map-side partial agg + broadcast-join scoring pass
+      val (tProto, _) = timeIt(noop(
+        Similarity.prototypeScores(emb, "vec_id", "embedding", "label")))
       // decontaminate: gated default (broadcast at these sizes) AND the
       // forced distributed path — the curve past the gate must also hold
       val (tDec, _) = timeIt(noop(
         Dedup.decontaminate(docs, bench50, "doc_id", "text", n = 8)))
       val (tDecD, _) = timeIt(noop(
         Dedup.decontaminate(docs, bench50, "doc_id", "text", n = 8, idBroadcastLimit = 0L)))
+      // the Bloom MIDDLE path, forced past the exact-set shingle gate:
+      // corpus postings prefilter through the broadcast might_contain, so
+      // the shuffled exact semi-join sees only prefilter survivors — the
+      // wall must track the scan like `decon`, not the shuffle like a
+      // full posting join
+      val (tDecB, _) = timeIt(noop(
+        Dedup.decontaminate(docs, bench50, "doc_id", "text", n = 8,
+          shingleBroadcastLimit = 0L)))
       // past-gate SEMANTIC decon: a corpus-scaled
       // benchmark (5% slice of the embeddings) forced past the broadcast
       // gate routes through cell-scoped candidates — the wall must stay
@@ -453,8 +466,9 @@ object ScaleBench {
 
       println(f"[scale] r$round x$k%-2d docs=$nDocs%7d vecs=$nVecs%6d | " +
         f"jaccard=$tJac%6.2fs pairs=$nPairs%6d cc=$tCc%5.2fs(r=$ccRounds) rm=$tRm%5.2fs | " +
-        f"lsh=$tLsh%5.2fs($nLsh%5d) ann=$tAnn%5.2fs($nAnn%6d) annS=$tAnnS%5.2fs($nAnnS%6d) | " +
-        f"decon=$tDec%5.2fs dist=$tDecD%5.2fs sdec=$tSdec%5.2fs pack=$tPack%5.2fs line=$tLine%5.2fs " +
+        f"lsh=$tLsh%5.2fs($nLsh%5d) ann=$tAnn%5.2fs($nAnn%6d) annS=$tAnnS%5.2fs($nAnnS%6d) " +
+        f"proto=$tProto%5.2fs | " +
+        f"decon=$tDec%5.2fs dist=$tDecD%5.2fs bloom=$tDecB%5.2fs sdec=$tSdec%5.2fs pack=$tPack%5.2fs line=$tLine%5.2fs " +
         f"win=$tWin%5.2fs($nWin%6d) wdec=$tWdec%5.2fs | " +
         f"sem=$tSem%5.2fs($nSem%6d,k=$kCells) sem2=$tSem2%5.2fs($nSem2%6d,k=$kLevel²) " +
         f"bigram=$tBig%5.2fs cur2=$tCur%5.2fs | " +

@@ -402,6 +402,51 @@ class TextSpec extends SparkSpec {
     assert(gated(0L) == gated(Long.MaxValue), "unigram gate paths diverge")
   }
 
+  test("bigramKnNll matches the hand-computed Kneser-Ney mixture, gate paths agree") {
+    // corpus bigrams: (a,b)x2, (b,a)x1, (a,c)x1 -> 3 distinct TYPES;
+    // c1: a.=3, b.=1; N1+(a.)=2, N1+(b.)=1; N1+(.b)=1, N1+(.a)=1, N1+(.c)=1
+    val corpus = Seq(
+      (1L, "a b a c"),
+      (2L, "a b"),
+      (3L, "solo") // no bigram -> absent from output
+    ).toDF("doc_id", "text")
+    val out = Text.bigramKnNll(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def r4(d: Double) = math.rint(d * 1e4) / 1e4
+    val d = 0.75
+    // the operator's left-associative evaluation order, replayed exactly
+    def p(c12: Double, c1: Double, n1f: Double, n1b: Double) =
+      math.max(c12 - d, 0.0) / c1 + d * n1f / c1 * (n1b / 3.0)
+    assert(out(1L)._1 == 3)
+    assert(out(1L)._2 == r4(-math.log(p(2, 3, 2, 1)) - math.log(p(1, 1, 1, 1))
+      - math.log(p(1, 3, 2, 1))))
+    assert(out(2L) == ((1L, r4(-math.log(p(2, 3, 2, 1))))))
+    assert(!out.contains(3L))
+    // continuation-vocab gate: broadcast and shuffled-hash probes agree
+    def gated(limit: Long) =
+      Text.bigramKnNll(corpus, "doc_id", "text", vocabBroadcastLimit = limit)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(gated(0L) == gated(Long.MaxValue), "continuation gate paths diverge")
+  }
+
+  test("KN backs off to continuation diversity where JM backs off to frequency") {
+    // hub follows 3 DISTINCT contexts; spoke is MORE frequent (4 vs 3
+    // occurrences) but context-locked (2 distinct predecessors). The
+    // probe bigrams (a1,hub) and (b1,spoke) share c12=1, c1=1, N1+(w1.)=1,
+    // so only the backoff term separates them: KN (continuation) must
+    // score the hub doc better, JM (frequency) the spoke doc.
+    val corpus = Seq(
+      (1L, "a1 hub"), (2L, "a2 hub"), (3L, "a3 hub"),
+      (4L, "b1 spoke"), (5L, "s spoke s spoke s spoke")
+    ).toDF("doc_id", "text")
+    val kn = Text.bigramKnNll(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val jm = Text.bigramInterpNll(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(kn(1L) < kn(4L), s"KN must prefer the diverse-context word: $kn")
+    assert(jm(4L) < jm(1L), s"JM must prefer the frequent word: $jm")
+  }
+
   test("lmOrder=2 buckets: terciles over the bigram score, short docs drop") {
     // Under a CONDITIONAL bigram LM the ranking differs from unigram:
     // a chain of corpus-unique words is maximally predictable
