@@ -3116,6 +3116,87 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
               GROUP BY lang""")
     ),
 
+    // Curation v9: EMBEDDING-SPACE pruning in the product path (the
+    // Sorscher et al. NeurIPS'22 stage) — decontaminate -> prototype
+    // scores per LANGUAGE with centroids from the DECONTAMINATED corpus
+    // (benchmark vectors must not shape the prototypes, v6's principle)
+    // -> drop each language's least-prototypical tercile via groupedRank
+    // (never a per-lang single-task window) -> alpha=0.5 temperature
+    // rebalance. vec_id ≡ doc_id (the aligned-id convention, see
+    // c14_hybrid_rrf); deterministic end-to-end, so the oracle recomputes
+    // decon, centroids, scores, tercile edges, and rebalance thresholds
+    // from scratch.
+    QueryDef(
+      "c24_curation_v9",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val emb = t(s, d, "embeddings")
+        val clean = Dedup.decontaminate(docs.filter(col("doc_id") >= 50),
+          docs.filter(col("doc_id") < 50), "doc_id", "text", n = 8)
+        val withVec = clean.select(col("doc_id"), col("lang"))
+          .join(emb.select(col("vec_id").as("doc_id"), col("embedding")),
+            Seq("doc_id"))
+        // localCheckpoint: scored feeds the per-lang counts AND the rank
+        val scored = Similarity.prototypeScores(
+          withVec, "doc_id", "embedding", "lang").localCheckpoint(true)
+        val n = scored.groupBy("lang").agg(count(lit(1)).as("__n"))
+          .localCheckpoint(true) // feeds the gate count AND the join
+        val ranked = Relational.groupedRank(scored, Seq("lang"),
+          Seq(col("sim"), col("doc_id")), "__r")
+        val withN =
+          if (n.count() <= Dedup.HotShingleBroadcastLimit)
+            ranked.join(broadcast(n), Seq("lang"))
+          else ranked.join(n.hint("SHUFFLE_HASH"), Seq("lang"))
+        val kept = withN.filter(col("__r") * 3 > col("__n"))
+          .select(col("doc_id"), col("lang"), col("sim"))
+        Relational.temperatureSample(kept, "lang", "doc_id", baseFrac = 0.5)
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+                sh AS (SELECT DISTINCT doc_id AS doc,
+                         ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||
+                         ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7] AS shingle
+                       FROM toks, UNNEST(generate_series(1, len(ws) - 7)) t(i)),
+                bench AS (SELECT DISTINCT shingle FROM sh WHERE doc < 50),
+                bad AS (SELECT DISTINCT doc FROM sh
+                        WHERE doc >= 50 AND shingle IN (SELECT shingle FROM bench)),
+                clean AS (SELECT doc_id, lang FROM documents
+                          WHERE doc_id >= 50
+                            AND doc_id NOT IN (SELECT doc FROM bad)),
+                e AS (SELECT c.doc_id, c.lang,
+                             CAST(unnest(em.embedding) AS DOUBLE) AS v,
+                             generate_subscripts(em.embedding, 1) AS i
+                      FROM clean c JOIN embeddings em ON em.vec_id = c.doc_id),
+                cen AS (SELECT lang, i,
+                          round(CAST(sum(CAST(round(v, 6) AS DECIMAL(18,6)))
+                                     AS DOUBLE) / count(*), 6) AS c
+                        FROM e GROUP BY lang, i),
+                nc AS (SELECT lang,
+                         CAST(sum(CAST(c * c AS DECIMAL(18,6))) AS DOUBLE) AS nc
+                       FROM cen GROUP BY lang),
+                dts AS (SELECT e.doc_id, e.lang,
+                          CAST(sum(CAST(e.v * cen.c AS DECIMAL(18,6))) AS DOUBLE) AS dot,
+                          CAST(sum(CAST(e.v * e.v AS DECIMAL(18,6))) AS DOUBLE) AS ne
+                        FROM e JOIN cen ON e.lang = cen.lang AND e.i = cen.i
+                        GROUP BY e.doc_id, e.lang),
+                scored AS (SELECT d.doc_id, d.lang,
+                             round(d.dot / (sqrt(d.ne) * sqrt(nc.nc)), 4) AS sim
+                           FROM dts d JOIN nc USING (lang)),
+                r AS (SELECT doc_id, lang, sim,
+                        row_number() OVER (PARTITION BY lang ORDER BY sim, doc_id) AS r,
+                        count(*) OVER (PARTITION BY lang) AS n
+                      FROM scored),
+                kept AS (SELECT doc_id, lang, sim FROM r WHERE 3 * r > n),
+                cnt AS (SELECT lang, count(*) AS c FROM kept GROUP BY lang),
+                m AS (SELECT max(c) AS cmax FROM cnt),
+                thr AS (SELECT lang,
+                          CAST(round(least(1.0, 0.5 * sqrt(cmax::DOUBLE / c)) * 65536)
+                            AS BIGINT) AS thr
+                        FROM cnt CROSS JOIN m)
+              SELECT k.doc_id, k.lang, k.sim FROM kept k JOIN thr USING (lang)
+              WHERE thr >= 65536
+                 OR substring(md5(CAST(k.doc_id AS VARCHAR)), 1, 4) < printf('%04x', thr)""")
+    ),
+
     // C24 token budget: the per-(lang, source) planning table
     // a training run reads — docs, tokens, and corpus fraction AFTER
     // decontamination (epoch math, mixture weights, and cost estimates
