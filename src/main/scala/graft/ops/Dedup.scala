@@ -920,6 +920,30 @@ object Dedup {
     * only benchmark-hitting postings aggregate — the corpus itself still
     * never shuffles, it is scanned twice (df pass + contamination pass),
     * both map-side. */
+  /** Broadcastable `might_contain` prefilter over `keys`' long `keyCol`
+    * (~10 bits/key, fpp ≈ 1%) — the Bloom middle-path builder shared by
+    * [[contaminatedIds]] and [[contaminationReport]]. None when the key
+    * set is empty (nothing can match) or over `bloomItemLimit` (the
+    * aggregate would clamp and the filter degrade — callers fall back to
+    * the plain distributed join). The filter has no false negatives and
+    * every caller verifies survivors with an exact join, so prefiltered
+    * plans are result-identical to unfiltered ones. */
+  private def bloomPrefilter(keys: DataFrame, keyCol: String, nKeys: Long,
+                             bloomItemLimit: Long): Option[Column] =
+    if (nKeys > 0 && nKeys <= bloomItemLimit) {
+      import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      import org.apache.spark.sql.graft.ColumnShim
+      val bloomAgg = ColumnShim.column(new BloomFilterAggregate(
+        ColumnShim.expression(col(keyCol)), nKeys).toAggregateExpression())
+      val bloomBytes = keys.select(bloomAgg.as("bf"))
+        .head().getAs[Array[Byte]]("bf")
+      Some(ColumnShim.column(BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(bloomBytes,
+          org.apache.spark.sql.types.BinaryType),
+        ColumnShim.expression(col(keyCol)))))
+    } else None
+
   def contaminatedIds(corpus: DataFrame, benchmark: DataFrame, idCol: String,
                       textCol: String, n: Int,
                       stopDf: Option[Int] = None,
@@ -949,19 +973,8 @@ object Dedup {
     // by the exact join, so the result is identical on every path
     // (DedupSpec pins all three).
     val bloomPre: Option[Column] =
-      if (!useBroadcast && nBenchSh > 0 && nBenchSh <= bloomItemLimit) {
-        import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
-        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-        import org.apache.spark.sql.graft.ColumnShim
-        val bloomAgg = ColumnShim.column(new BloomFilterAggregate(
-          ColumnShim.expression(col("sh")), nBenchSh).toAggregateExpression())
-        val bloomBytes = benchShRaw.select(bloomAgg.as("bf"))
-          .head().getAs[Array[Byte]]("bf")
-        Some(ColumnShim.column(BloomFilterMightContain(
-          org.apache.spark.sql.catalyst.expressions.Literal.create(bloomBytes,
-            org.apache.spark.sql.types.BinaryType),
-          ColumnShim.expression(col("sh")))))
-      } else None
+      if (useBroadcast) None
+      else bloomPrefilter(benchShRaw, "sh", nBenchSh, bloomItemLimit)
     def shJoin(df: DataFrame, set: DataFrame): DataFrame =
       if (useBroadcast) df.join(broadcast(set), Seq("sh"), "left_semi")
       else bloomPre.fold(df)(df.filter(_))
@@ -1019,7 +1032,8 @@ object Dedup {
   def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
                           idCol: String, textCol: String, n: Int = 8,
                           stopDf: Option[Int] = Some(10000),
-                          shingleBroadcastLimit: Long = HotShingleBroadcastLimit): DataFrame = {
+                          shingleBroadcastLimit: Long = HotShingleBroadcastLimit,
+                          bloomItemLimit: Long = BloomItemLimit): DataFrame = {
     def postingsOf(df: DataFrame) = df
       .select(col(idCol).as("doc"), Text.tokens(col(textCol)).as("__ws"))
       .select(col("doc"),
@@ -1029,9 +1043,20 @@ object Dedup {
       .select(col("doc").as("bench_doc"), col("sh")).distinct()
       .localCheckpoint(true)
     val useBroadcast = benchP.count() <= shingleBroadcastLimit
+    // the [[contaminatedIds]] Bloom middle path, over the DISTINCT
+    // benchmark shingles (benchP repeats a shingle per bench doc): every
+    // corpus-side probe below prefilters map-side before its shuffled
+    // exact join, so the shuffle carries benchmark-hitting postings only
+    val bloomPre: Option[Column] =
+      if (useBroadcast) None
+      else {
+        val benchSh = benchP.select("sh").distinct().localCheckpoint(true)
+        bloomPrefilter(benchSh, "sh", benchSh.count(), bloomItemLimit)
+      }
+    def pre(df: DataFrame): DataFrame = bloomPre.fold(df)(df.filter(_))
     def semi(df: DataFrame, set: DataFrame): DataFrame =
       if (useBroadcast) df.join(broadcast(set), Seq("sh"), "left_semi")
-      else df.join(set.hint("SHUFFLE_HASH"), Seq("sh"), "left_semi")
+      else pre(df).join(set.hint("SHUFFLE_HASH"), Seq("sh"), "left_semi")
     // |effective| <= |benchP|, so the same gate decision applies
     val benchEff = stopDf match {
       case Some(m) =>
@@ -1044,7 +1069,7 @@ object Dedup {
     val joined =
       if (useBroadcast)
         postingsOf(corpus).join(broadcast(benchEff), Seq("sh"))
-      else postingsOf(corpus).join(benchEff.hint("SHUFFLE_HASH"), Seq("sh"))
+      else pre(postingsOf(corpus)).join(benchEff.hint("SHUFFLE_HASH"), Seq("sh"))
     val hits = joined
       .groupBy("bench_doc")
       .agg(countDistinct(col("doc")).as("n_docs"),

@@ -455,14 +455,40 @@ object Similarity {
     * re-aggregates per id — the corpus pays one positional shuffle but
     * nothing funnels through the driver. Decimal accumulation makes both
     * paths bit-identical (SimilaritySpec pins equality). */
-  def prototypeScores(emb: DataFrame, idCol: String, vecCol: String,
-                      groupCol: String,
-                      centroidBroadcastLimit: Long =
-                        Dedup.HotShingleBroadcastLimit): DataFrame = {
+  /** Decimal-accumulated Σ aᵢ·bᵢ (order-independent: each double product
+    * rounds to 6 dp before an exact decimal fold) — the deterministic
+    * scoring core [[prototypeScores]] and
+    * [[graft.streaming.Streaming.prototypeFilterStream]] share. */
+  private[graft] def dotDec(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") * y).cast("decimal(18,6)")),
+      lit(BigDecimal(0)).cast("decimal(28,6)"),
+      (acc, z) => (acc + z).cast("decimal(28,6)"))
+      .cast("double")
+
+  /** Decimal-accumulated Σ aᵢ² (same discipline as [[dotDec]]). */
+  private[graft] def normDec(a: Column): Column =
+    aggregate(
+      transform(a, x => (x.cast("double") * x.cast("double")).cast("decimal(18,6)")),
+      lit(BigDecimal(0)).cast("decimal(28,6)"),
+      (acc, z) => (acc + z).cast("decimal(28,6)"))
+      .cast("double")
+
+  /** Cosine of `vec` to a prototype row carrying the centroid array
+    * `cen` and its precomputed self-norm Σc² `nc`, rounded 4 dp —
+    * deterministic wherever the decimal folds are. */
+  private[graft] def protoSim(vec: Column, cen: Column, nc: Column): Column =
+    round(dotDec(vec, cen) / (sqrt(normDec(vec)) * sqrt(nc)), 4)
+
+  /** The positional centroid frames shared by [[prototypeScores]] and
+    * [[prototypes]]: cen = (__grp, __i, __c) — per-position 6-dp means,
+    * checkpointed (it feeds the gate count, the norm aggregate, and a
+    * join) — and nc = (__grp, __nc) — the Σc² self-norm. */
+  private def centroidFrames(emb: DataFrame, vecCol: String,
+                             groupCol: String): (DataFrame, DataFrame) = {
     val exploded = emb
-      .select(col(idCol).as("__pid"), col(groupCol).as("__grp"),
-        posexplode(col(vecCol)))
-      .select(col("__pid"), col("__grp"), col("pos").as("__i"),
+      .select(col(groupCol).as("__grp"), posexplode(col(vecCol)))
+      .select(col("__grp"), col("pos").as("__i"),
         col("col").cast("double").as("__v"))
     // round BEFORE the decimal cast: round() agrees across engines on
     // doubles, double→DECIMAL cast tie behavior is not something to
@@ -473,37 +499,54 @@ object Similarity {
         count(lit(1)).as("__n"))
       .select(col("__grp"), col("__i"),
         round(col("__s").cast("double") / col("__n"), 6).as("__c"))
-      .localCheckpoint(true) // feeds the gate count, the norm agg, the join
-    // per-group centroid self-norm term: Σ c², decimal-accumulated
+      .localCheckpoint(true)
     val nc = cen.groupBy(col("__grp"))
       .agg(sum((col("__c") * col("__c")).cast("decimal(18,6)"))
         .cast("double").as("__nc"))
+    (cen, nc)
+  }
+
+  /** The trained prototype table — (`groupCol`, `__cen` centroid array,
+    * `__nc` self-norm), one row per group: the offline artifact an
+    * ingest pipeline broadcasts to score arrivals
+    * ([[graft.streaming.Streaming.prototypeFilterStream]]) without
+    * recomputing centroids per micro-batch. Same arithmetic as
+    * [[prototypeScores]]' fast path, so stream and batch scores agree
+    * bit-for-bit. */
+  def prototypes(emb: DataFrame, vecCol: String, groupCol: String): DataFrame = {
+    val (cen, nc) = centroidFrames(emb, vecCol, groupCol)
+    packCentroids(cen, nc).withColumnRenamed("__grp", groupCol)
+  }
+
+  private def packCentroids(cen: DataFrame, nc: DataFrame): DataFrame =
+    cen.groupBy(col("__grp"))
+      .agg(transform(sort_array(collect_list(struct(col("__i"), col("__c")))),
+        x => x.getField("__c")).as("__cen"))
+      .join(nc, Seq("__grp"))
+
+  def prototypeScores(emb: DataFrame, idCol: String, vecCol: String,
+                      groupCol: String,
+                      centroidBroadcastLimit: Long =
+                        Dedup.HotShingleBroadcastLimit): DataFrame = {
+    val (cen, nc) = centroidFrames(emb, vecCol, groupCol)
     val scored =
       if (cen.count() <= centroidBroadcastLimit) {
         // fast path: centroids ride a broadcast as per-group ARRAYS; each
         // row scores in one projection, the corpus never shuffles
-        val cenArr = cen.groupBy(col("__grp"))
-          .agg(transform(sort_array(collect_list(struct(col("__i"), col("__c")))),
-            x => x.getField("__c")).as("__cen"))
-          .join(nc, Seq("__grp"))
+        val cenArr = packCentroids(cen, nc)
         emb.join(broadcast(cenArr), emb(groupCol) === cenArr("__grp"))
           .select(col(idCol), col(groupCol),
-            aggregate(
-              zip_with(col(vecCol), col("__cen"),
-                (x, y) => (x.cast("double") * y).cast("decimal(18,6)")),
-              lit(BigDecimal(0)).cast("decimal(28,6)"),
-              (acc, z) => (acc + z).cast("decimal(28,6)"))
-              .cast("double").as("__dot"),
-            aggregate(
-              transform(col(vecCol),
-                x => (x.cast("double") * x.cast("double")).cast("decimal(18,6)")),
-              lit(BigDecimal(0)).cast("decimal(28,6)"),
-              (acc, z) => (acc + z).cast("decimal(28,6)"))
-              .cast("double").as("__ne"),
+            dotDec(col(vecCol), col("__cen")).as("__dot"),
+            normDec(col(vecCol)).as("__ne"),
             col("__nc"))
       } else {
         // scale path: positional equi-join, corpus pays ONE shuffle keyed
         // by (group, pos) + one by id — never a driver funnel
+        val exploded = emb
+          .select(col(idCol).as("__pid"), col(groupCol).as("__grp"),
+            posexplode(col(vecCol)))
+          .select(col("__pid"), col("__grp"), col("pos").as("__i"),
+            col("col").cast("double").as("__v"))
         val terms = exploded
           .join(cen.hint("SHUFFLE_HASH"), Seq("__grp", "__i"))
           .groupBy(col("__pid"), col("__grp"))

@@ -147,6 +147,44 @@ object Streaming {
       .select(col(idCol), col(textCol), col("quality_score"))
   }
 
+  /** Streaming-ingest PROTOTYPICALITY filtering: score arrivals against
+    * batch-trained per-group centroids ([[graft.ops.Similarity
+    * .prototypes]] — the Sorscher et al. NeurIPS'22 pruning signal) and
+    * drop rows whose cosine to their own group's prototype falls below
+    * `minSim` — outliers in embedding space rejected AT INGEST, the
+    * train-offline / score-online split [[qualityScoreStream]] applies
+    * to the lexical quality model. Stateless: the prototype table is one
+    * row per group (centroid array + precomputed self-norm) riding a
+    * stream-static equi-join on the group column; scoring is the same
+    * decimal fold batch uses, so stream and batch scores agree
+    * bit-for-bit (stream==batch spec vs [[graft.ops.Similarity
+    * .prototypeScores]]).
+    *
+    * The prototype frame scales with |groups|·dim, so the broadcast is
+    * COUNT-GATED (no-small-by-construction): past
+    * `protoBroadcastLimit` rows the stream-static join runs shuffled-hash
+    * instead — the stream pays a per-batch hash partition, nothing
+    * funnels the driver (both-paths spec). */
+  def prototypeFilterStream(docs: DataFrame, idCol: String, vecCol: String,
+                            groupCol: String, prototypes: DataFrame,
+                            minSim: Double,
+                            protoBroadcastLimit: Long =
+                              graft.ops.Dedup.HotShingleBroadcastLimit): DataFrame = {
+    // localCheckpoint: the static side of a stream-static join is
+    // re-evaluated EVERY micro-batch — materialize the trained table
+    // once; it also feeds the count gate
+    val protos = prototypes.localCheckpoint(true)
+    val joined =
+      if (protos.count() <= protoBroadcastLimit)
+        docs.join(broadcast(protos), Seq(groupCol))
+      else docs.join(protos.hint("SHUFFLE_HASH"), Seq(groupCol))
+    joined
+      .withColumn("proto_sim",
+        graft.ops.Similarity.protoSim(col(vecCol), col("__cen"), col("__nc")))
+      .filter(col("proto_sim") >= minSim)
+      .select(col(idCol), col(groupCol), col(vecCol), col("proto_sim"))
+  }
+
   /** Streaming-ingest SEMANTIC decontamination: the
     * embedding analog of [[decontaminateStream]], completing ingest-side
     * parity with the batch curation v4 pair (n-gram + semantic). Drops

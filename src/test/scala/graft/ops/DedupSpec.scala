@@ -322,8 +322,19 @@ class DedupSpec extends SparkSpec {
     // {"alpha..theta" (doc 1), "beta..iota" (docs 1 and 2), "gamma..kappa"? no}
     assert(got == Map(
       100L -> ((2L, 2L)), 101L -> ((0L, 0L)), 102L -> ((0L, 0L))), s"report $got")
-    // gate paths agree (broadcast vs SHUFFLE_HASH posting join)
-    assert(report(0L) == got, "shingle gate paths diverge")
+    // gate paths agree — report(0L) rides the BLOOM middle path (default
+    // bloomItemLimit admits the set); bloomItemLimit = 0 forces the pure
+    // shuffled posting join; all three identical
+    assert(report(0L) == got, "bloom middle path diverges")
+    val pureShuffle = Dedup.contaminationReport(corpus, bench,
+        "doc_id", "text", n = 8, shingleBroadcastLimit = 0L, bloomItemLimit = 0L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(pureShuffle == got, "shingle gate paths diverge")
+    // and the middle path really does plan the codegen bloom probe
+    val plan = Dedup.contaminationReport(corpus, bench, "doc_id", "text",
+        n = 8, shingleBroadcastLimit = 0L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"no bloom probe in report plan:\n$plan")
     // the boilerplate cut: stopDf=1 drops "beta..iota" (corpus df 2) from
     // the evidence, so bench 100 keeps only the df-1 "alpha..theta" hit
     val cut = Dedup.contaminationReport(corpus, bench, "doc_id", "text",

