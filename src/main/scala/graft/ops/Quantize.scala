@@ -29,4 +29,93 @@ object Quantize {
   /** Reconstruct an approximate float vector from (qvec, qscale). */
   def dequantize(qvec: Column, qscale: Column): Column =
     transform(qvec, q => (q.cast("float") * qscale))
+
+  /** Product-quantization codebooks (Jégou, Douze & Schmid, "Product
+    * quantization for nearest neighbor search", TPAMI 2011): the vector
+    * splits into `m` contiguous `dsub`-dim subvectors, each quantized to
+    * one of `k` per-subspace centroids — a vector becomes `m` small
+    * codes (m bytes at k ≤ 256) instead of 4·dim float bytes, the
+    * memory lever that keeps a billion-vector index in RAM.
+    * `books(j)(c)` is subspace j's centroid c; driver-held and tiny
+    * (m·k·dsub doubles — ~8 KB at the defaults), riding into
+    * expressions as literals like the IVF centroid matrix. */
+  final case class PqCodebooks(m: Int, k: Int, dsub: Int,
+                               books: Array[Array[Array[Double]]])
+
+  /** Train PQ codebooks: one seeded KMeans per SUBSPACE over the
+    * corpus' subvectors (sampled via `sampleFraction` when even one
+    * training pass is too much — the [[Ivf.trainCentroids]] posture).
+    * m jobs over dsub-wide slices, never a dim-wide distance matrix. */
+  def trainPq(emb: DataFrame, vecCol: String, m: Int = 8, k: Int = 16,
+              seed: Long = 42L, sampleFraction: Double = 1.0): PqCodebooks = {
+    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    require(m > 0 && dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    require(k > 1 && k <= 256, s"k $k outside (1, 256] — codes are bytes")
+    val dsub = dim / m
+    val books = (0 until m).map { j =>
+      Ivf.trainCentroids(
+        emb.select(slice(col(vecCol), j * dsub + 1, dsub).as("__sub")),
+        "__sub", k, seed + j, sampleFraction)
+    }.toArray
+    PqCodebooks(m, k, dsub, books)
+  }
+
+  /** PQ code column: array<int> of `m` per-subspace nearest-centroid
+    * ids — one [[graft.functions.NearestCells]] compiled pass per
+    * subspace over the sliced vector, no shuffle. */
+  def pqCode(vec: Column, cb: PqCodebooks): Column =
+    array((0 until cb.m).map { j =>
+      element_at(graft.functions.NearestCells.nearestCells(
+        slice(vec, j * cb.dsub + 1, cb.dsub),
+        cb.books(j).flatten, cb.k, cb.dsub, 1), 1)
+    }: _*)
+
+  /** Asymmetric-distance (ADC) inner-product approximation for one
+    * query: dot(q, x) ≈ Σⱼ dot(qⱼ, books(j)(codeⱼ)). The per-subspace
+    * lookup tables are m·k doubles computed driver-side and inlined as
+    * array literals, so the scan cost per row is m element_at's + m−1
+    * adds — pure column arithmetic inside codegen, no HOF lambda. */
+  def pqAdcScore(codeCol: Column, cb: PqCodebooks,
+                 query: Array[Double]): Column = {
+    require(query.length == cb.m * cb.dsub,
+      s"query dim ${query.length} != ${cb.m}·${cb.dsub}")
+    (0 until cb.m).map { j =>
+      val table = cb.books(j).map { c =>
+        var d = 0.0; var i = 0
+        while (i < cb.dsub) { d += query(j * cb.dsub + i) * c(i); i += 1 }
+        d
+      }
+      element_at(typedLit(table.toSeq), element_at(codeCol, j + 1) + 1)
+    }.reduce(_ + _)
+  }
+
+  /** Two-stage PQ top-k — the production memory-bounded search shape
+    * (FAISS's IVFADC without the coarse quantizer; compose with [[Ivf]]
+    * for that): (1) every row scores by the ADC approximation over its
+    * m-byte code — a map-side projection planned as
+    * `TakeOrderedAndProject` down to the `rerank` shortlist; (2) the
+    * shortlist (≤ rerank rows, never corpus-sized BY CONSTRUCTION — the
+    * limit is in the plan, not an assumption) re-ranks by EXACT cosine
+    * against the broadcast query, so PQ distortion costs recall only
+    * when a true neighbor falls outside the shortlist, not precision
+    * inside it. Returns (idCol, sim) like [[Similarity.bruteForceTopK]];
+    * KMeans float-reduction order makes codebooks hash-unstable →
+    * rows-only query, recall + planted-duplicate specs in QuantizeSpec. */
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
+             query: DataFrame, queryVecCol: String, k: Int,
+             m: Int = 8, codebookSize: Int = 16, rerank: Int = 100,
+             seed: Long = 42L, sampleFraction: Double = 1.0): DataFrame = {
+    require(rerank >= k, s"rerank $rerank < k $k")
+    val cb = trainPq(emb, vecCol, m, codebookSize, seed, sampleFraction)
+    // the single query vector is a 1-row collect (the ADC tables need it
+    // driver-side); the query frame's contract is one probe row
+    val q = query.select(col(queryVecCol).cast("array<double>").as("__q"))
+      .head().getSeq[Double](0).toArray
+    val shortlist = emb
+      .select(col(idCol), col(vecCol),
+        pqAdcScore(pqCode(col(vecCol), cb), cb, q).as("__adc"))
+      .orderBy(col("__adc").desc, col(idCol))
+      .limit(rerank)
+    Similarity.bruteForceTopK(shortlist, idCol, vecCol, query, queryVecCol, k)
+  }
 }

@@ -1529,6 +1529,23 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
               FROM dots ORDER BY sim DESC, vec_id LIMIT 10""")
     ),
 
+    // Product-quantized two-stage search (Jegou et al. TPAMI 2011; the
+    // FAISS ADC shape): m-byte codes instead of 4*dim float bytes, ADC
+    // shortlist via TakeOrderedAndProject, exact cosine re-rank on the
+    // <= rerank rows. Rows-only: KMeans codebooks are float-reduction-
+    // order unstable; QuantizeSpec pins recall >= 0.7 vs brute force,
+    // planted-duplicate retrieval, and seed determinism.
+    QueryDef(
+      "c14_pq_topk",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Quantize.pqTopK(
+          emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+          emb.filter(col("vec_id") === 0), "embedding", k = 10)
+      },
+      None
+    ),
+
     // ── C15: text analysis ─────────────────────────────────────────────
     QueryDef(
       "c15_lang_stats",

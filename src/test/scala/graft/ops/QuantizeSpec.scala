@@ -37,4 +37,49 @@ class QuantizeSpec extends SparkSpec {
     val row = Quantize.toInt8(df, "embedding").select("qvec", "qscale").collect().head
     assert(row.getSeq[Byte](0).forall(_ == 0) && row.getFloat(1) == 0f)
   }
+
+  test("PQ codes are m small ints; codebooks train deterministically under a seed") {
+    val emb = graft.engine.Tables.read(spark, sf0001, "embeddings")
+    val cb = Quantize.trainPq(emb, "embedding", m = 8, k = 16, seed = 7L)
+    assert(cb.m == 8 && cb.dsub == 8 && cb.books.forall(_.length == 16))
+    val cb2 = Quantize.trainPq(emb, "embedding", m = 8, k = 16, seed = 7L)
+    assert(cb.books.flatten.flatten.toSeq == cb2.books.flatten.flatten.toSeq,
+      "same-seed codebooks must be identical")
+    val codes = emb.select(Quantize.pqCode(col("embedding"), cb).as("c"))
+      .collect().map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+  }
+
+  test("PQ two-stage top-k: planted duplicate always found, recall >= 0.7 vs brute force") {
+    val emb = graft.engine.Tables.read(spark, sf0001, "embeddings")
+    val corpus = emb.filter($"vec_id" =!= 0)
+    val query = emb.filter($"vec_id" === 0)
+    // plant an exact duplicate of the query in the corpus: identical
+    // subvectors take identical codes, so its ADC score ties the maximum
+    // and the exact re-rank puts it first
+    val qvec = query.select("embedding").head().getSeq[Float](0).toArray
+    val planted = corpus.select("vec_id", "embedding").unionAll(
+      Seq((999999L, qvec)).toDF("vec_id", "embedding"))
+    val got = Quantize.pqTopK(planted, "vec_id", "embedding",
+      query, "embedding", k = 10).collect()
+    assert(got.head.getLong(0) == 999999L && got.head.getDouble(1) == 1.0,
+      s"planted duplicate not first: ${got.toSeq}")
+    // recall vs the exact scan on the UNplanted corpus: the rerank=100
+    // shortlist must hold most of the true top-10
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      query, "embedding", k = 10).collect().map(_.getLong(0)).toSet
+    val approx = Quantize.pqTopK(corpus, "vec_id", "embedding",
+      query, "embedding", k = 10).collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect approx).size / 10.0
+    assert(recall >= 0.7, s"PQ recall $recall: $exact vs $approx")
+    // precision inside the shortlist is exact: every returned sim equals
+    // the brute-force cosine for that id (4-dp projection of the same
+    // expression) — PQ distortion can only cost membership, not scores
+    val exactSims = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      query, "embedding", k = 200).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    Quantize.pqTopK(corpus, "vec_id", "embedding", query, "embedding", k = 10)
+      .collect().foreach(r =>
+        assert(exactSims(r.getLong(0)) == r.getDouble(1), s"sim drifted for ${r.getLong(0)}"))
+  }
 }
