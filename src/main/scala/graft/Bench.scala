@@ -22,11 +22,14 @@ object Bench {
   }
 
   /** Both timings of a best-of-2 query: `best` is what gets reported;
-    * `spread` (slow/fast ratio) is the per-query noise witness. */
+    * `spread` (slow/fast ratio) is the per-query noise witness. A pass-2
+    * ERROR disqualifies t2 from both — a fast failure is not a timing
+    * (the ~0.1 s "speedup" rule below) and its ratio is not host noise. */
   final case class Timing(t1: Double, t2: Option[Double], err: Option[String]) {
-    def best: Double = t2.fold(t1)(math.min(t1, _))
+    private def t2Valid: Option[Double] = if (err.isDefined) None else t2
+    def best: Double = t2Valid.fold(t1)(math.min(t1, _))
     def spread: Option[Double] =
-      t2.map(x => math.max(t1, x) / math.max(1e-9, math.min(t1, x)))
+      t2Valid.map(x => math.max(t1, x) / math.max(1e-9, math.min(t1, x)))
   }
 
   /** Run every query best-of-2 as two SEPARATED full passes.

@@ -65,9 +65,13 @@ object Quantize {
     * subspace over the sliced vector, no shuffle. */
   def pqCode(vec: Column, cb: PqCodebooks): Column =
     array((0 until cb.m).map { j =>
+      // cells = the ACTUAL trained count, not the requested k: KMeans
+      // returns fewer centers when a subspace has fewer distinct points
+      // (constant/zero-padded dims), and NearestCells reads
+      // centroids(c*dim+i) for c < cells
       element_at(graft.functions.NearestCells.nearestCells(
         slice(vec, j * cb.dsub + 1, cb.dsub),
-        cb.books(j).flatten, cb.k, cb.dsub, 1), 1)
+        cb.books(j).flatten, cb.books(j).length, cb.dsub, 1), 1)
     }: _*)
 
   /** Asymmetric-distance (ADC) inner-product approximation for one

@@ -290,35 +290,64 @@ object Text {
     * order-2 model has nothing to score). */
   def bigramInterpNll(docs: DataFrame, idCol: String, textCol: String,
                       lambda: Double = 0.7,
-                      vocabBroadcastLimit: Long = Dedup.HotShingleBroadcastLimit): DataFrame = {
+                      vocabBroadcastLimit: Long = Dedup.HotShingleBroadcastLimit): DataFrame =
+    interpNllCore(docs, idCol, textCol, keyCols = Seq.empty, lambda,
+      vocabBroadcastLimit)
+      .select(col("doc"), col("n_big"), col("sum_nll"))
+
+  /** The interpolated-bigram scoring pipeline shared by
+    * [[bigramInterpNll]] (one global LM — empty `keyCols`) and
+    * [[perplexityBucketsByLang]]'s lmOrder=2 branch (one LM per
+    * language — `keyCols = Seq(langCol)`): every count conditions on the
+    * key columns, the mixture formula exists in exactly ONE place so the
+    * global and per-key paths cannot drift. Returns
+    * (doc, keyCols…, n_big, sum_nll). Gate posture: the (key, w1, w2)
+    * bigram table and the w1 counts probe SHUFFLE_HASH (|V|²-ish, never
+    * broadcastable); the unigram probe and keyed totals ride the
+    * `vocabBroadcastLimit` count gate; a global total is a broadcast
+    * 1-row frame. */
+  private def interpNllCore(docs: DataFrame, idCol: String, textCol: String,
+                            keyCols: Seq[String], lambda: Double,
+                            vocabBroadcastLimit: Long): DataFrame = {
     require(lambda > 0.0 && lambda < 1.0, s"lambda $lambda outside (0,1)")
     val ws = tokens(col(textCol))
     val cnt = size(ws) - 1
+    val keys = keyCols.map(col)
+    // tok has ONE consumer (uni — totals derive from uni, not tok), so it
+    // is NOT checkpointed: eagerly materializing the corpus-token-sized
+    // frame for zero reuse would be the query's largest write
     val tok = docs
-      .select(col(idCol).as("doc"), explode(ws).as("token"))
-      .localCheckpoint(true) // feeds the unigram vocab AND its total
-    val uni = tok.groupBy("token").agg(count(lit(1)).as("cu"))
-      .localCheckpoint(true) // feeds the gate count, the total, AND the probe
-    val nRow = broadcast(uni.agg(sum(col("cu")).cast("double").as("__n")))
+      .select(col(idCol).as("doc") +: keys :+ explode(ws).as("token"): _*)
+    val uni = tok.groupBy(keyCols.map(col) :+ col("token"): _*)
+      .agg(count(lit(1)).as("cu"))
+      .localCheckpoint(true) // feeds the gate count, the totals, AND the probe
+    val vocabGated = uni.count() <= vocabBroadcastLimit
+    val totals = uni.groupBy(keyCols.map(col): _*)
+      .agg(sum(col("cu")).cast("double").as("__n"))
     val pairs = docs
-      .select(col(idCol).as("doc"),
+      .select(col(idCol).as("doc") +: keys :+
         explode(when(size(ws) >= 2,
           arrays_zip(slice(ws, lit(1), cnt), slice(ws, lit(2), cnt)))
-          .otherwise(array().cast("array<struct<`0`:string,`1`:string>>"))).as("bg"))
-      .select(col("doc"), col("bg.0").as("w1"), col("bg.1").as("w2"))
+          .otherwise(array().cast("array<struct<`0`:string,`1`:string>>"))).as("bg"): _*)
+      .select(col("doc") +: keys :+ col("bg.0").as("w1") :+ col("bg.1").as("w2"): _*)
       .localCheckpoint(true) // feeds both count aggregates AND the probe side
-    val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val c2 = pairs.groupBy(keyCols.map(col) :+ col("w1") :+ col("w2"): _*)
+      .agg(count(lit(1)).as("c12"))
+    val c1 = pairs.groupBy(keyCols.map(col) :+ col("w1"): _*)
+      .agg(count(lit(1)).as("c1"))
     val uniAsW2 = uni.withColumnRenamed("token", "w2")
     val probed = pairs
-      .join(c2.hint("SHUFFLE_HASH"), Seq("w1", "w2"))
-      .join(c1.hint("SHUFFLE_HASH"), Seq("w1"))
+      .join(c2.hint("SHUFFLE_HASH"), keyCols :+ "w1" :+ "w2")
+      .join(c1.hint("SHUFFLE_HASH"), keyCols :+ "w1")
     val withUni =
-      if (uni.count() <= vocabBroadcastLimit) probed.join(broadcast(uniAsW2), Seq("w2"))
-      else probed.join(uniAsW2.hint("SHUFFLE_HASH"), Seq("w2"))
-    withUni
-      .crossJoin(nRow)
-      .groupBy(col("doc"))
+      if (vocabGated) probed.join(broadcast(uniAsW2), keyCols :+ "w2")
+      else probed.join(uniAsW2.hint("SHUFFLE_HASH"), keyCols :+ "w2")
+    val withTotal =
+      if (keyCols.isEmpty) withUni.crossJoin(broadcast(totals))
+      else if (vocabGated) withUni.join(broadcast(totals), keyCols)
+      else withUni.join(totals.hint("SHUFFLE_HASH"), keyCols)
+    withTotal
+      .groupBy(col("doc") +: keys: _*)
       .agg(
         count(lit(1)).as("n_big"),
         round(sum((-log(
@@ -580,22 +609,22 @@ object Text {
   def perplexityBucketsByLang(docs: DataFrame, idCol: String, textCol: String,
                               langCol: String,
                               vocabBroadcastLimit: Long = Dedup.HotShingleBroadcastLimit,
-                              lmOrder: Int = 1): DataFrame = {
+                              lmOrder: Int = 1,
+                              lambda: Double = 0.7): DataFrame = {
     require(lmOrder == 1 || lmOrder == 2, s"lmOrder $lmOrder not in {1, 2}")
-    val tok = docs
-      .select(col(idCol).as("doc"), col(langCol).as("lang"),
-        explode(tokens(col(textCol))).as("token"))
-      .localCheckpoint(true) // feeds the vocab aggregate AND the probe side
-    // localCheckpoint: the vocab feeds the gate count, the totals, AND the
-    // join back
-    val vocab = tok.groupBy("lang", "token").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
-    val totals = vocab.groupBy("lang").agg(sum(col("c")).cast("double").as("__n"))
-    val vocabGated = vocab.count() <= vocabBroadcastLimit
     val scored =
       if (lmOrder == 1) {
+        val tok = docs
+          .select(col(idCol).as("doc"), col(langCol).as("lang"),
+            explode(tokens(col(textCol))).as("token"))
+          .localCheckpoint(true) // feeds the vocab aggregate AND the probe side
+        // localCheckpoint: the vocab feeds the gate count, the totals,
+        // AND the join back
+        val vocab = tok.groupBy("lang", "token").agg(count(lit(1)).as("c"))
+          .localCheckpoint(true)
+        val totals = vocab.groupBy("lang").agg(sum(col("c")).cast("double").as("__n"))
         val probed =
-          if (vocabGated)
+          if (vocab.count() <= vocabBroadcastLimit)
             tok.join(broadcast(vocab), Seq("lang", "token"))
               .join(broadcast(totals), Seq("lang"))
           else
@@ -609,52 +638,26 @@ object Text {
               .cast("decimal(18,6)")), 4).cast("double").as("sum_nll"))
           .select(col("doc"), col("lang"),
             round(col("sum_nll") / col("n_tok"), 6).as("ppl"))
-      } else {
-        // per-language interpolated bigram LM ([[bigramInterpNll]] with
-        // every count conditioned on lang): the (lang, w1, w2) table is
-        // |V|²-ish per language and never broadcasts — SHUFFLE_HASH
-        // probes; the (lang, token) unigram probe rides the vocab gate.
-        val lambda = 0.7
-        val ws = tokens(col(textCol))
-        val cnt = size(ws) - 1
-        val pairs = docs
-          .select(col(idCol).as("doc"), col(langCol).as("lang"),
-            explode(when(size(ws) >= 2,
-              arrays_zip(slice(ws, lit(1), cnt), slice(ws, lit(2), cnt)))
-              .otherwise(array().cast("array<struct<`0`:string,`1`:string>>"))).as("bg"))
-          .select(col("doc"), col("lang"), col("bg.0").as("w1"), col("bg.1").as("w2"))
-          .localCheckpoint(true) // feeds both count aggregates AND the probe
-        val c2 = pairs.groupBy("lang", "w1", "w2").agg(count(lit(1)).as("c12"))
-        val c1 = pairs.groupBy("lang", "w1").agg(count(lit(1)).as("c1"))
-        val uniAsW2 = vocab.select(col("lang"), col("token").as("w2"), col("c").as("cu"))
-        val probed = pairs
-          .join(c2.hint("SHUFFLE_HASH"), Seq("lang", "w1", "w2"))
-          .join(c1.hint("SHUFFLE_HASH"), Seq("lang", "w1"))
-        val withUni =
-          if (vocabGated)
-            probed.join(broadcast(uniAsW2), Seq("lang", "w2"))
-              .join(broadcast(totals), Seq("lang"))
-          else
-            probed.join(uniAsW2.hint("SHUFFLE_HASH"), Seq("lang", "w2"))
-              .join(totals.hint("SHUFFLE_HASH"), Seq("lang"))
-        withUni
-          .groupBy(col("doc"), col("lang"))
-          .agg(
-            count(lit(1)).as("n_big"),
-            round(sum((-log(
-              lit(lambda) * col("c12").cast("double") / col("c1") +
-                lit(1.0 - lambda) * col("cu").cast("double") / col("__n")))
-              .cast("decimal(18,6)")), 4).cast("double").as("sum_nll"))
+      } else
+        // per-language interpolated bigram LM: every count conditioned on
+        // lang through the SHARED [[interpNllCore]] pipeline — the
+        // mixture formula, decimal accumulation, and gate posture exist
+        // in one place, so the global and per-lang paths cannot drift
+        interpNllCore(
+          docs.select(col(idCol), col(langCol).as("lang"), col(textCol)),
+          idCol, textCol, keyCols = Seq("lang"), lambda, vocabBroadcastLimit)
           .select(col("doc"), col("lang"),
             round(col("sum_nll") / col("n_big"), 6).as("ppl"))
-      }
     val ppl = scored
       .localCheckpoint(true) // feeds the per-lang counts AND the rank
     val n = ppl.groupBy("lang").agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true) // feeds the gate count AND the join
     val ranked = Relational.groupedRank(ppl, Seq("lang"),
       Seq(col("ppl"), col("doc")), "__r")
+    // n is |langs|-sized — gate the BROADCAST on its own count (it, not
+    // the vocab, is what ships)
     val withN =
-      if (vocabGated) ranked.join(broadcast(n), Seq("lang"))
+      if (n.count() <= vocabBroadcastLimit) ranked.join(broadcast(n), Seq("lang"))
       else ranked.join(n.hint("SHUFFLE_HASH"), Seq("lang"))
     withN.select(col("doc"), col("lang"), col("ppl"),
       when(col("__r") * 3 <= col("__n"), "head")

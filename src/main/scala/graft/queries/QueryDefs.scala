@@ -1694,7 +1694,11 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
       },
       Some("""WITH planted AS (
                 SELECT doc_id,
-                       concat(text, CASE CAST(doc_id % 3 AS INTEGER)
+                       -- text || suffix, NOT concat(): DuckDB's concat()
+                       -- SKIPS null arguments where Spark's concat
+                       -- null-propagates — a NULL text row would diverge
+                       -- on every output column under concat()
+                       text || (CASE CAST(doc_id % 3 AS INTEGER)
                          WHEN 0 THEN chr(10) ||
                            'A proper closing sentence appears right here.'
                          WHEN 1 THEN chr(10) || '- bullet point alpha' ||

@@ -91,6 +91,11 @@ class BenchSpec extends SparkSpec {
     assert(json.contains("\"noise_p50\":"), json)
     assert(json.contains("\"passes\":"), json)
     assert(json.count(_ == '{') == json.count(_ == '}'), s"unbalanced: $json")
+    // a pass-2 ERROR disqualifies t2 from best AND spread: a fast
+    // failure is not a timing and its ratio is not host noise
+    val failedSecond = Bench.Timing(30.0, Some(0.1), Some("boom"))
+    assert(failedSecond.best == 30.0, "errored pass 2 leaked into best")
+    assert(failedSecond.spread.isEmpty, "errored pass 2 leaked into the noise witness")
   }
 
   test("driver contract: every oracle has a query, names are driver-safe, entry smokes") {
