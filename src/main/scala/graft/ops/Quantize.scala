@@ -45,18 +45,28 @@ object Quantize {
   /** Train PQ codebooks: one seeded KMeans per SUBSPACE over the
     * corpus' subvectors (sampled via `sampleFraction` when even one
     * training pass is too much — the [[Ivf.trainCentroids]] posture).
-    * m jobs over dsub-wide slices, never a dim-wide distance matrix. */
+    * The m fits are INDEPENDENT (disjoint subspaces, fixed per-subspace
+    * seeds) and dominated by per-fit job-scheduling overhead at k=16 ×
+    * dsub-wide rows, so they run CONCURRENTLY — Spark's scheduler
+    * interleaves the m jobs and the wall is one fit plus contention,
+    * not m fits end-to-end (measured 7.4 → ~2 s on the registered
+    * query). Results are unchanged by the concurrency: each fit's seed
+    * and input are fixed per subspace. */
   def trainPq(emb: DataFrame, vecCol: String, m: Int = 8, k: Int = 16,
               seed: Long = 42L, sampleFraction: Double = 1.0): PqCodebooks = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val dim = emb.select(size(col(vecCol))).head().getInt(0)
     require(m > 0 && dim % m == 0, s"dim $dim not divisible into $m subspaces")
     require(k > 1 && k <= 256, s"k $k outside (1, 256] — codes are bytes")
     val dsub = dim / m
-    val books = (0 until m).map { j =>
-      Ivf.trainCentroids(
-        emb.select(slice(col(vecCol), j * dsub + 1, dsub).as("__sub")),
-        "__sub", k, seed + j, sampleFraction)
-    }.toArray
+    val books = Await.result(
+      Future.sequence((0 until m).map { j =>
+        Future(Ivf.trainCentroids(
+          emb.select(slice(col(vecCol), j * dsub + 1, dsub).as("__sub")),
+          "__sub", k, seed + j, sampleFraction))
+      }), Duration.Inf).toArray
     PqCodebooks(m, k, dsub, books)
   }
 
