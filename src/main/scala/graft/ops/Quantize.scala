@@ -118,9 +118,18 @@ object Quantize {
   def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
              query: DataFrame, queryVecCol: String, k: Int,
              m: Int = 8, codebookSize: Int = 16, rerank: Int = 100,
-             seed: Long = 42L, sampleFraction: Double = 1.0): DataFrame = {
+             seed: Long = 42L, trainSampleRows: Long = 16384L): DataFrame = {
     require(rerank >= k, s"rerank $rerank < k $k")
-    val cb = trainPq(emb, vecCol, m, codebookSize, seed, sampleFraction)
+    require(trainSampleRows > 0, s"trainSampleRows $trainSampleRows")
+    // codebook training is SAMPLE-BOUNDED (the corpus-sized-hyperparameter
+    // rule): k=16 centroids per subspace need ~hundreds of points each
+    // (FAISS's ~39·k guideline), so maxIter passes over the whole corpus
+    // buy nothing past that — without the cap the training term grows
+    // linearly with the corpus while the useful signal saturates. The
+    // ENCODE pass still covers every row; only training samples.
+    val n = emb.count()
+    val frac = if (n <= trainSampleRows) 1.0 else trainSampleRows.toDouble / n
+    val cb = trainPq(emb, vecCol, m, codebookSize, seed, frac)
     // the single query vector is a 1-row collect (the ADC tables need it
     // driver-side); the query frame's contract is one probe row
     val q = query.select(col(queryVecCol).cast("array<double>").as("__q"))

@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Ivf, Relational, Similarity, Text}
+import graft.ops.{Dedup, Ivf, Quantize, Relational, Similarity, Text}
 
 /** Scaling evidence for the hot operator families: run jaccard near-dup, connected
   * components, near-dup removal, MinHash LSH, embedding-LSH ANN,
@@ -161,6 +161,13 @@ object ScaleBench {
       // explode + map-side partial agg + broadcast-join scoring pass
       val (tProto, _) = timeIt(noop(
         Similarity.prototypeScores(emb, "vec_id", "embedding", "label")))
+      // PQ two-stage search: m concurrent subspace KMeans fits (sample-
+      // bounded training cost), then an ADC projection + shortlist +
+      // bounded exact re-rank — the scan term is the only corpus-sized
+      // work, so the wall must track the scan
+      val (tPq, _) = timeIt(noop(
+        Quantize.pqTopK(emb, "vec_id", "embedding",
+          emb.limit(1), "embedding", k = 10)))
       // decontaminate: gated default (broadcast at these sizes) AND the
       // forced distributed path — the curve past the gate must also hold
       val (tDec, _) = timeIt(noop(
@@ -467,7 +474,7 @@ object ScaleBench {
       println(f"[scale] r$round x$k%-2d docs=$nDocs%7d vecs=$nVecs%6d | " +
         f"jaccard=$tJac%6.2fs pairs=$nPairs%6d cc=$tCc%5.2fs(r=$ccRounds) rm=$tRm%5.2fs | " +
         f"lsh=$tLsh%5.2fs($nLsh%5d) ann=$tAnn%5.2fs($nAnn%6d) annS=$tAnnS%5.2fs($nAnnS%6d) " +
-        f"proto=$tProto%5.2fs | " +
+        f"proto=$tProto%5.2fs pq=$tPq%5.2fs | " +
         f"decon=$tDec%5.2fs dist=$tDecD%5.2fs bloom=$tDecB%5.2fs sdec=$tSdec%5.2fs pack=$tPack%5.2fs line=$tLine%5.2fs " +
         f"win=$tWin%5.2fs($nWin%6d) wdec=$tWdec%5.2fs | " +
         f"sem=$tSem%5.2fs($nSem%6d,k=$kCells) sem2=$tSem2%5.2fs($nSem2%6d,k=$kLevel²) " +
