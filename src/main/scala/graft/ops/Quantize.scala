@@ -63,9 +63,15 @@ object Quantize {
     val dsub = dim / m
     val books = Await.result(
       Future.sequence((0 until m).map { j =>
-        Future(Ivf.trainCentroids(
+        // blocking: each future runs a Spark action; mark it so the
+        // shared pool spawns compensation threads instead of starving
+        // other users of the global EC. A failed fit fails the whole
+        // train (Future.sequence fails fast; sibling fits run to
+        // completion — train on a bounded frame, see pqTopK, so an
+        // orphaned sibling is a small job, not a corpus scan).
+        Future(scala.concurrent.blocking(Ivf.trainCentroids(
           emb.select(slice(col(vecCol), j * dsub + 1, dsub).as("__sub")),
-          "__sub", k, seed + j, sampleFraction))
+          "__sub", k, seed + j, sampleFraction)))
       }), Duration.Inf).toArray
     PqCodebooks(m, k, dsub, books)
   }
@@ -123,13 +129,17 @@ object Quantize {
     require(trainSampleRows > 0, s"trainSampleRows $trainSampleRows")
     // codebook training is SAMPLE-BOUNDED (the corpus-sized-hyperparameter
     // rule): k=16 centroids per subspace need ~hundreds of points each
-    // (FAISS's ~39·k guideline), so maxIter passes over the whole corpus
-    // buy nothing past that — without the cap the training term grows
-    // linearly with the corpus while the useful signal saturates. The
-    // ENCODE pass still covers every row; only training samples.
+    // (FAISS's ~39·k guideline), so passes over the whole corpus buy
+    // nothing past that. The sample is drawn ONCE and checkpointed —
+    // every subspace trains on the SAME ~trainSampleRows rows (the
+    // standard PQ setup) and the corpus pays ONE sampling scan, not one
+    // per fit. The ENCODE pass still covers every row.
     val n = emb.count()
-    val frac = if (n <= trainSampleRows) 1.0 else trainSampleRows.toDouble / n
-    val cb = trainPq(emb, vecCol, m, codebookSize, seed, frac)
+    val trainBase =
+      if (n <= trainSampleRows) emb
+      else emb.sample(withReplacement = false,
+        trainSampleRows.toDouble / n, seed).localCheckpoint(true)
+    val cb = trainPq(trainBase, vecCol, m, codebookSize, seed)
     // the single query vector is a 1-row collect (the ADC tables need it
     // driver-side); the query frame's contract is one probe row
     val q = query.select(col(queryVecCol).cast("array<double>").as("__q"))

@@ -165,9 +165,12 @@ object ScaleBench {
       // bounded training cost), then an ADC projection + shortlist +
       // bounded exact re-rank — the scan term is the only corpus-sized
       // work, so the wall must track the scan
+      // query picked by ID, not limit(1): pqTopK evaluates the query
+      // frame twice (driver head() for the ADC tables, broadcast in the
+      // exact re-rank) and an unordered limit carries no row identity
       val (tPq, _) = timeIt(noop(
         Quantize.pqTopK(emb, "vec_id", "embedding",
-          emb.limit(1), "embedding", k = 10)))
+          emb.filter(col("vec_id") === 0), "embedding", k = 10)))
       // decontaminate: gated default (broadcast at these sizes) AND the
       // forced distributed path — the curve past the gate must also hold
       val (tDec, _) = timeIt(noop(

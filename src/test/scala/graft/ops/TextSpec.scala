@@ -429,6 +429,29 @@ class TextSpec extends SparkSpec {
     assert(gated(0L) == gated(Long.MaxValue), "continuation gate paths diverge")
   }
 
+  test("per-language JM LM on a single-language corpus equals the global LM") {
+    // perplexityBucketsByLang(lmOrder=2) and bigramInterpNll now share
+    // interpNllCore; a one-language corpus makes them the same model, so
+    // the per-doc scores must agree EXACTLY (and the keyed pipeline
+    // cannot drift from the global one)
+    val corpus = Seq(
+      (1L, "en", "a b a c a b"),
+      (2L, "en", "a b x y"),
+      (3L, "en", "c a b a")
+    ).toDF("doc_id", "lang", "text")
+    val global = Text.bigramInterpNll(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val perLang = Text.perplexityBucketsByLang(corpus, "doc_id", "text", "lang",
+        lmOrder = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(global.keySet == perLang.keySet)
+    global.foreach { case (doc, (nBig, sumNll)) =>
+      val expectedPpl = math.rint(sumNll / nBig * 1e6) / 1e6
+      assert(perLang(doc) == expectedPpl,
+        s"doc $doc: per-lang ${perLang(doc)} vs global-derived $expectedPpl")
+    }
+  }
+
   test("KN backs off to continuation diversity where JM backs off to frequency") {
     // hub follows 3 DISTINCT contexts; spoke is MORE frequent (4 vs 3
     // occurrences) but context-locked (2 distinct predecessors). The
