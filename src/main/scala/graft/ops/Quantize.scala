@@ -127,6 +127,12 @@ object Quantize {
              seed: Long = 42L, trainSampleRows: Long = 16384L): DataFrame = {
     require(rerank >= k, s"rerank $rerank < k $k")
     require(trainSampleRows > 0, s"trainSampleRows $trainSampleRows")
+    val nAll = emb.count()
+    // a corpus at or under the shortlist size IS its own shortlist: the
+    // exact scan answers directly (and KMeans with k centroids needs at
+    // least k points — tiny inputs must not crash the approximate path)
+    if (nAll <= rerank)
+      return Similarity.bruteForceTopK(emb, idCol, vecCol, query, queryVecCol, k)
     // codebook training is SAMPLE-BOUNDED (the corpus-sized-hyperparameter
     // rule): k=16 centroids per subspace need ~hundreds of points each
     // (FAISS's ~39·k guideline), so passes over the whole corpus buy
@@ -134,7 +140,7 @@ object Quantize {
     // every subspace trains on the SAME ~trainSampleRows rows (the
     // standard PQ setup) and the corpus pays ONE sampling scan, not one
     // per fit. The ENCODE pass still covers every row.
-    val n = emb.count()
+    val n = nAll
     val trainBase =
       if (n <= trainSampleRows) emb
       else emb.sample(withReplacement = false,
@@ -150,5 +156,91 @@ object Quantize {
       .orderBy(col("__adc").desc, col(idCol))
       .limit(rerank)
     Similarity.bruteForceTopK(shortlist, idCol, vecCol, query, queryVecCol, k)
+  }
+
+  /** IVFADC — the full FAISS index architecture (Jégou et al. TPAMI
+    * 2011 §IV): an IVF coarse quantizer partitions the corpus into
+    * cells, vectors encode as PQ codes of their RESIDUAL from the cell
+    * centroid (residuals are smaller and more isotropic than raw
+    * vectors, so the same code budget quantizes them better), and a
+    * query probes only `nprobe` cells, scoring each candidate as
+    *
+    *   dot(q, x) = dot(q, cen_cell) + dot(q, residual)
+    *             ≈ [per-cell scalar]  + [shared ADC lookup]
+    *
+    * — exact decomposition, both terms cheap: the per-cell scalar is a
+    * |cells|-sized array literal and the ADC tables do not depend on
+    * the cell for inner product. The ADC shortlist re-ranks by exact
+    * cosine ([[pqTopK]]'s two-stage discipline) and the probe falls
+    * back to the exact scan below k results — an ANN answer is never
+    * empty (the contract every search path holds).
+    *
+    * Scale shape: cell count is CORPUS-SIZED ([[Ivf.cellsForSearch]]);
+    * coarse + PQ training each run on bounded samples; the probe scans
+    * only ~nprobe/cells of the corpus and encodes only probed rows in
+    * this in-query form (a serving deployment materializes the code
+    * table once). The centroid matrix is driver-held and rides into the
+    * plan as a literal — [[Ivf]]'s scaling caveat applies; past the
+    * single-level limit compose with the residual quantizer there.
+    * KMeans reduction order → rows-only; recall + fallback specs. */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+                query: DataFrame, queryVecCol: String, k: Int,
+                nprobe: Int = 4, m: Int = 8, codebookSize: Int = 16,
+                rerank: Int = 100, seed: Long = 42L,
+                trainSampleRows: Long = 16384L): DataFrame = {
+    require(rerank >= k, s"rerank $rerank < k $k")
+    val n = emb.count()
+    // same tiny-corpus short-circuit as [[pqTopK]]: at or under the
+    // shortlist size the exact scan IS the answer, and neither KMeans
+    // stage has enough points to train
+    if (n <= rerank)
+      return Similarity.bruteForceTopK(emb, idCol, vecCol, query, queryVecCol, k)
+    val cells = Ivf.cellsForSearch(n, nprobe)
+    val centroids = Ivf.trainCentroids(emb, vecCol, cells, seed,
+      sampleFraction =
+        if (n <= trainSampleRows) 1.0 else trainSampleRows.toDouble / n)
+    val indexed = Ivf.index(emb, idCol, vecCol, centroids)
+    val cen2d = typedLit(centroids.map(_.toSeq).toSeq)
+    def residual = zip_with(col(vecCol),
+      element_at(cen2d, col("cell") + 1),
+      (x, y) => x.cast("double") - y)
+    // PQ trains on a bounded ONE-SCAN sample of residuals from the
+    // whole corpus (not just probed cells — training must not bias to
+    // the query's neighborhood)
+    val trainBase =
+      (if (n <= trainSampleRows) indexed
+       else indexed.sample(withReplacement = false,
+         trainSampleRows.toDouble / n, seed))
+        .select(residual.as("__res")).localCheckpoint(true)
+    val cb = trainPq(trainBase, "__res", m, codebookSize, seed)
+    val q = query.select(col(queryVecCol).cast("array<double>").as("__q"))
+      .head().getSeq[Double](0).toArray
+    // probe cells and per-cell dot(q, cen) driver-side: the centroid
+    // matrix is already driver-held
+    def dotq(c: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < math.min(c.length, q.length)) { d += q(i) * c(i); i += 1 }
+      d
+    }
+    val probedCells = centroids.zipWithIndex
+      .map { case (c, i) =>
+        var d2 = 0.0; var j = 0
+        while (j < math.min(c.length, q.length)) {
+          val diff = q(j) - c(j); d2 += diff * diff; j += 1
+        }
+        (d2, i)
+      }
+      .sortBy(_._1).take(nprobe).map(_._2)
+    val qcDots = typedLit(centroids.map(dotq).toSeq)
+    val shortlist = indexed
+      .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+      .select(col(idCol), col(vecCol),
+        (element_at(qcDots, col("cell") + 1) +
+          pqAdcScore(pqCode(residual, cb), cb, q)).as("__adc"))
+      .orderBy(col("__adc").desc, col(idCol))
+      .limit(rerank)
+    Similarity.neverShort(
+      Similarity.bruteForceTopK(shortlist, idCol, vecCol, query, queryVecCol, k),
+      emb, idCol, vecCol, query, queryVecCol, k)
   }
 }

@@ -1546,6 +1546,23 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
       None
     ),
 
+    // IVFADC (Jegou et al. TPAMI 2011 SIV; the FAISS index architecture):
+    // corpus-sized coarse cells, PQ codes of the cell RESIDUALS,
+    // dot(q,x) decomposed exactly into a per-cell scalar + a shared ADC
+    // lookup, probe scans ~nprobe/cells of the corpus, exact re-rank,
+    // exact-scan fallback below k. Rows-only (two KMeans stages);
+    // QuantizeSpec pins recall, planted-duplicate-first, and fallback.
+    QueryDef(
+      "c14_ann_ivfpq",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Quantize.ivfPqTopK(
+          emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+          emb.filter(col("vec_id") === 0), "embedding", k = 10)
+      },
+      None
+    ),
+
     // ── C15: text analysis ─────────────────────────────────────────────
     QueryDef(
       "c15_lang_stats",

@@ -82,4 +82,37 @@ class QuantizeSpec extends SparkSpec {
       .collect().foreach(r =>
         assert(exactSims(r.getLong(0)) == r.getDouble(1), s"sim drifted for ${r.getLong(0)}"))
   }
+
+  test("IVFADC: planted duplicate first, reasonable recall, exact-scan fallback below k") {
+    val emb = graft.engine.Tables.read(spark, sf0001, "embeddings")
+    val corpus = emb.filter($"vec_id" =!= 0).select("vec_id", "embedding")
+    val query = emb.filter($"vec_id" === 0)
+    // a planted exact duplicate lands in the query's own nearest cell —
+    // the FIRST probed one — with a zero residual, so it tops the ADC
+    // shortlist and the exact re-rank returns it first at sim 1.0
+    val qvec = query.select("embedding").head().getSeq[Float](0).toArray
+    val planted = corpus.unionAll(Seq((999999L, qvec)).toDF("vec_id", "embedding"))
+    val got = Quantize.ivfPqTopK(planted, "vec_id", "embedding",
+      query, "embedding", k = 10).collect()
+    assert(got.head.getLong(0) == 999999L && got.head.getDouble(1) == 1.0,
+      s"planted duplicate not first: ${got.toSeq}")
+    // recall vs brute force: the probe covers nprobe of the corpus-sized
+    // cell count, then re-ranks exactly — random near-orthogonal vectors
+    // are ANN's worst case, so the bar is the mechanism, not precision
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      query, "embedding", k = 10).collect().map(_.getLong(0)).toSet
+    val approx = Quantize.ivfPqTopK(corpus, "vec_id", "embedding",
+      query, "embedding", k = 10).collect().map(_.getLong(0)).toSet
+    assert(approx.size == 10, s"IVFADC returned ${approx.size} rows")
+    val recall = (exact intersect approx).size / 10.0
+    assert(recall >= 0.3, s"IVFADC recall $recall: $exact vs $approx")
+    // tiny corpora short-circuit to the exact scan (at or under the
+    // shortlist size there is nothing to approximate, and KMeans lacks
+    // training points): the answer still carries k rows — the
+    // never-empty search contract
+    val tiny = corpus.limit(12).localCheckpoint(true)
+    val tinyGot = Quantize.ivfPqTopK(tiny, "vec_id", "embedding",
+      query, "embedding", k = 10).collect()
+    assert(tinyGot.length == 10, s"fallback returned ${tinyGot.length} rows")
+  }
 }
