@@ -921,7 +921,9 @@ object Dedup {
     * never shuffles, it is scanned twice (df pass + contamination pass),
     * both map-side. */
   /** Broadcastable `might_contain` prefilter over `keys`' long `keyCol`
-    * (~10 bits/key, fpp ≈ 1%) — the Bloom middle-path builder shared by
+    * (explicit 10 bits/key → fpp ≈ 1%; Spark's 2-arg constructor would
+    * size at 8 bits/key ≈ 2%, ADVICE r11) — the Bloom middle-path
+    * builder shared by
     * [[contaminatedIds]] and [[contaminationReport]]. None when the key
     * set is empty (nothing can match) or over `bloomItemLimit` (the
     * aggregate would clamp and the filter degrade — callers fall back to
@@ -935,7 +937,10 @@ object Dedup {
       import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
       import org.apache.spark.sql.graft.ColumnShim
       val bloomAgg = ColumnShim.column(new BloomFilterAggregate(
-        ColumnShim.expression(col(keyCol)), nKeys).toAggregateExpression())
+        ColumnShim.expression(col(keyCol)),
+        org.apache.spark.sql.catalyst.expressions.Literal(nKeys),
+        org.apache.spark.sql.catalyst.expressions.Literal(nKeys * 10L))
+        .toAggregateExpression())
       val bloomBytes = keys.select(bloomAgg.as("bf"))
         .head().getAs[Array[Byte]]("bf")
       Some(ColumnShim.column(BloomFilterMightContain(

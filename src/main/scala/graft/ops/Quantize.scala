@@ -179,16 +179,50 @@ object Quantize {
     * coarse + PQ training each run on bounded samples; the probe scans
     * only ~nprobe/cells of the corpus and encodes only probed rows in
     * this in-query form (a serving deployment materializes the code
-    * table once). The centroid matrix is driver-held and rides into the
-    * plan as a literal — [[Ivf]]'s scaling caveat applies; past the
-    * single-level limit compose with the residual quantizer there.
+    * table once). Delegates to [[ivfPqSized]] — past the single-level
+    * cell limit the two-level residual coarse quantizer takes over.
     * KMeans reduction order → rows-only; recall + fallback specs. */
   def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
                 query: DataFrame, queryVecCol: String, k: Int,
                 nprobe: Int = 4, m: Int = 8, codebookSize: Int = 16,
                 rerank: Int = 100, seed: Long = 42L,
-                trainSampleRows: Long = 16384L): DataFrame = {
+                trainSampleRows: Long = 16384L): DataFrame =
+    ivfPqSized(emb, idCol, vecCol, query, queryVecCol, k, nprobe, m,
+      codebookSize, rerank, seed, trainSampleRows)
+
+  /** IVFADC on a corpus of unknown size — the composed entry point,
+    * completing the sized-family contract every other ANN/dedup path
+    * already holds ([[Ivf.topKSized]], [[Ivf.topKBatchSized]],
+    * [[Dedup.semanticDedupSized]]): the cell count comes from
+    * [[Ivf.cellsForSearch]]; at or below `hierarchicalThreshold` cells a
+    * single-level coarse quantizer trains and probes; PAST it the
+    * two-level residual quantizer ([[Ivf.trainResidualQuantizer]]) takes
+    * over as the coarse stage — √cells centroids per level, so neither
+    * the driver-held centroid literal nor a Lloyd iteration's points·k
+    * distance evals grow past the documented single-level limit (PERF.md
+    * finding 18). PQ then encodes the SECOND-level residual
+    * v − c1 − c2 (no larger than the single-level residual, so the same
+    * code budget quantizes it at least as well) and the inner product
+    * still decomposes exactly:
+    *
+    *   dot(q, x) = dot(q, c1) + dot(q, c2) + dot(q, r2)
+    *             ≈ [k1 table]  + [k2 table] + [shared ADC lookup]
+    *
+    * — the per-cell scalar splits into two √cells-sized literals instead
+    * of one cells-sized one. The probe widens to nprobe² composite cells,
+    * the same deliberate widening as [[Ivf.topKSized]] (a neighbor must
+    * land right at BOTH levels). Coarse-training support scales with the
+    * centroid count (max(trainSampleRows, 39·k) — the ~39 points/centroid
+    * guideline the PQ literature cites), so recall does not silently
+    * degrade as cellsForSearch outgrows a fixed sample. */
+  def ivfPqSized(emb: DataFrame, idCol: String, vecCol: String,
+                 query: DataFrame, queryVecCol: String, k: Int,
+                 nprobe: Int = 4, m: Int = 8, codebookSize: Int = 16,
+                 rerank: Int = 100, seed: Long = 42L,
+                 trainSampleRows: Long = 16384L,
+                 hierarchicalThreshold: Int = Dedup.HierarchicalCellsThreshold): DataFrame = {
     require(rerank >= k, s"rerank $rerank < k $k")
+    require(trainSampleRows > 0, s"trainSampleRows $trainSampleRows")
     val n = emb.count()
     // same tiny-corpus short-circuit as [[pqTopK]]: at or under the
     // shortlist size the exact scan IS the answer, and neither KMeans
@@ -196,9 +230,28 @@ object Quantize {
     if (n <= rerank)
       return Similarity.bruteForceTopK(emb, idCol, vecCol, query, queryVecCol, k)
     val cells = Ivf.cellsForSearch(n, nprobe)
+    if (cells <= hierarchicalThreshold)
+      ivfPqFlatCoarse(emb, idCol, vecCol, query, queryVecCol, k, nprobe, m,
+        codebookSize, rerank, seed, trainSampleRows, n, cells)
+    else
+      ivfPqResidualCoarse(emb, idCol, vecCol, query, queryVecCol, k, nprobe,
+        m, codebookSize, rerank, seed, trainSampleRows, n, cells)
+  }
+
+  /** Single-level-coarse IVFADC body ([[ivfPqSized]] below the
+    * hierarchical threshold); `n`/`cells` precomputed by the caller. */
+  private def ivfPqFlatCoarse(emb: DataFrame, idCol: String, vecCol: String,
+                              query: DataFrame, queryVecCol: String, k: Int,
+                              nprobe: Int, m: Int, codebookSize: Int,
+                              rerank: Int, seed: Long, trainSampleRows: Long,
+                              n: Long, cells: Int): DataFrame = {
+    // coarse support scales with the centroid count, never below the
+    // caller's floor: a fixed sample shrinks per-cell support as
+    // cellsForSearch grows with the corpus (ADVICE r11)
+    val coarseRows = math.max(trainSampleRows, 39L * cells)
     val centroids = Ivf.trainCentroids(emb, vecCol, cells, seed,
       sampleFraction =
-        if (n <= trainSampleRows) 1.0 else trainSampleRows.toDouble / n)
+        if (n <= coarseRows) 1.0 else coarseRows.toDouble / n)
     val indexed = Ivf.index(emb, idCol, vecCol, centroids)
     val cen2d = typedLit(centroids.map(_.toSeq).toSeq)
     def residual = zip_with(col(vecCol),
@@ -237,6 +290,87 @@ object Quantize {
       .select(col(idCol), col(vecCol),
         (element_at(qcDots, col("cell") + 1) +
           pqAdcScore(pqCode(residual, cb), cb, q)).as("__adc"))
+      .orderBy(col("__adc").desc, col(idCol))
+      .limit(rerank)
+    Similarity.neverShort(
+      Similarity.bruteForceTopK(shortlist, idCol, vecCol, query, queryVecCol, k),
+      emb, idCol, vecCol, query, queryVecCol, k)
+  }
+
+  /** Two-level-coarse IVFADC body ([[ivfPqSized]] past the hierarchical
+    * threshold): composite cell c1·k2 + c2 from [[Ivf.indexResidual]],
+    * PQ codes of the second-level residual, per-cell scalar split into
+    * two √cells-sized query-dot tables, driver-side nprobe² probe over
+    * the two SMALL centroid arrays. */
+  private def ivfPqResidualCoarse(emb: DataFrame, idCol: String, vecCol: String,
+                                  query: DataFrame, queryVecCol: String, k: Int,
+                                  nprobe: Int, m: Int, codebookSize: Int,
+                                  rerank: Int, seed: Long, trainSampleRows: Long,
+                                  n: Long, cells: Int): DataFrame = {
+    // √cells per level — k1·k2 effective cells from two small fits, the
+    // same split as [[Ivf.topKSized]]; per-level support scales with the
+    // PER-LEVEL centroid count (each KMeans trains kLevel centers)
+    val kLevel = math.max(2, math.ceil(math.sqrt(cells.toDouble)).toInt)
+    val coarseRows = math.max(trainSampleRows, 39L * kLevel)
+    val rq = Ivf.trainResidualQuantizer(emb, vecCol, kLevel, kLevel, seed,
+      sampleFraction = if (n <= coarseRows) 1.0 else coarseRows.toDouble / n)
+    val k2 = rq.level2.length
+    val indexed = Ivf.indexResidual(emb, idCol, vecCol, rq)
+    val c1Lit = typedLit(rq.level1.map(_.toSeq).toSeq)
+    val c2Lit = typedLit(rq.level2.map(_.toSeq).toSeq)
+    // cell ids are non-negative, so the double-divide truncation IS the
+    // floor: c1 = cell div k2, c2 = cell mod k2
+    def cell1 = (col("cell") / lit(k2)).cast("int")
+    def cell2 = pmod(col("cell"), lit(k2))
+    def residual2 = zip_with(
+      zip_with(col(vecCol).cast("array<double>"),
+        element_at(c1Lit, cell1 + 1), (x, y) => x - y),
+      element_at(c2Lit, cell2 + 1), (x, y) => x - y)
+    // PQ trains on a bounded ONE-SCAN sample of second-level residuals
+    // from the whole corpus (never just probed cells — training must not
+    // bias to the query's neighborhood)
+    val trainBase =
+      (if (n <= trainSampleRows) indexed
+       else indexed.sample(withReplacement = false,
+         trainSampleRows.toDouble / n, seed))
+        .select(residual2.as("__res")).localCheckpoint(true)
+    val cb = trainPq(trainBase, "__res", m, codebookSize, seed)
+    val q = query.select(col(queryVecCol).cast("array<double>").as("__q"))
+      .head().getSeq[Double](0).toArray
+    def dotq(c: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < math.min(c.length, q.length)) { d += q(i) * c(i); i += 1 }
+      d
+    }
+    def sqDist(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        val diff = a(i) - b(i); d += diff * diff; i += 1
+      }
+      d
+    }
+    // driver-side probe over the two small centroid arrays: nprobe
+    // nearest level-1 cells, then nprobe nearest level-2 cells of the
+    // query's residual within each — nprobe² composite cells (clamped to
+    // the ACTUAL trained counts, like [[Ivf.probeCellsResidual]])
+    val np1 = math.min(nprobe, rq.level1.length)
+    val np2 = math.min(nprobe, k2)
+    val probedCells: Seq[Int] = rq.level1.zipWithIndex
+      .map { case (c, i) => (sqDist(q, c), i) }
+      .sortBy(_._1).take(np1).toSeq
+      .flatMap { case (_, c1) =>
+        val qres = Array.tabulate(q.length)(i =>
+          q(i) - (if (i < rq.level1(c1).length) rq.level1(c1)(i) else 0.0))
+        rq.level2.zipWithIndex.map { case (c, j) => (sqDist(qres, c), j) }
+          .sortBy(_._1).take(np2).map { case (_, c2) => c1 * k2 + c2 }.toSeq
+      }
+    val qc1Dots = typedLit(rq.level1.map(dotq).toSeq)
+    val qc2Dots = typedLit(rq.level2.map(dotq).toSeq)
+    val shortlist = indexed
+      .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+      .select(col(idCol), col(vecCol),
+        (element_at(qc1Dots, cell1 + 1) + element_at(qc2Dots, cell2 + 1) +
+          pqAdcScore(pqCode(residual2, cb), cb, q)).as("__adc"))
       .orderBy(col("__adc").desc, col(idCol))
       .limit(rerank)
     Similarity.neverShort(

@@ -524,17 +524,28 @@ object Similarity {
         x => x.getField("__c")).as("__cen"))
       .join(nc, Seq("__grp"))
 
+  /** Per-row cosine to the row's group centroid — (idCol, groupCol,
+    * sim). DEGENERATE vectors (null vector, empty array, any null
+    * element) carry no cosine and emit NO row, enforced by one codegen
+    * pre-filter: without it the two gate paths diverge on membership
+    * (the broadcast projection null-propagates to a null-sim row where
+    * the posexplode path drops the row or scores surviving positions —
+    * ADVICE r11). Degenerate rows still shape the centroid exactly as
+    * before (centroidFrames' explode drops null positions), so the
+    * scores themselves are unchanged. */
   def prototypeScores(emb: DataFrame, idCol: String, vecCol: String,
                       groupCol: String,
                       centroidBroadcastLimit: Long =
                         Dedup.HotShingleBroadcastLimit): DataFrame = {
     val (cen, nc) = centroidFrames(emb, vecCol, groupCol)
+    val scorable = emb.filter(col(vecCol).isNotNull &&
+      size(col(vecCol)) > 0 && !exists(col(vecCol), x => x.isNull))
     val scored =
       if (cen.count() <= centroidBroadcastLimit) {
         // fast path: centroids ride a broadcast as per-group ARRAYS; each
         // row scores in one projection, the corpus never shuffles
         val cenArr = packCentroids(cen, nc)
-        emb.join(broadcast(cenArr), emb(groupCol) === cenArr("__grp"))
+        scorable.join(broadcast(cenArr), scorable(groupCol) === cenArr("__grp"))
           .select(col(idCol), col(groupCol),
             dotDec(col(vecCol), col("__cen")).as("__dot"),
             normDec(col(vecCol)).as("__ne"),
@@ -542,7 +553,7 @@ object Similarity {
       } else {
         // scale path: positional equi-join, corpus pays ONE shuffle keyed
         // by (group, pos) + one by id — never a driver funnel
-        val exploded = emb
+        val exploded = scorable
           .select(col(idCol).as("__pid"), col(groupCol).as("__grp"),
             posexplode(col(vecCol)))
           .select(col("__pid"), col("__grp"), col("pos").as("__i"),

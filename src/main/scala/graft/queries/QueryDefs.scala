@@ -1550,13 +1550,17 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
     // corpus-sized coarse cells, PQ codes of the cell RESIDUALS,
     // dot(q,x) decomposed exactly into a per-cell scalar + a shared ADC
     // lookup, probe scans ~nprobe/cells of the corpus, exact re-rank,
-    // exact-scan fallback below k. Rows-only (two KMeans stages);
-    // QuantizeSpec pins recall, planted-duplicate-first, and fallback.
+    // exact-scan fallback below k. The SIZED entry: past the
+    // single-level cell limit the coarse stage auto-switches to the
+    // two-level residual quantizer (PQ then codes the second-level
+    // residual), like every other sized ANN/dedup path. Rows-only (two
+    // KMeans stages); QuantizeSpec pins recall on BOTH coarse regimes,
+    // planted-duplicate-first, and fallback.
     QueryDef(
       "c14_ann_ivfpq",
       (s, d) => {
         val emb = t(s, d, "embeddings")
-        Quantize.ivfPqTopK(
+        Quantize.ivfPqSized(
           emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
           emb.filter(col("vec_id") === 0), "embedding", k = 10)
       },

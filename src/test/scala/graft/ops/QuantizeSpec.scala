@@ -115,4 +115,41 @@ class QuantizeSpec extends SparkSpec {
       query, "embedding", k = 10).collect()
     assert(tinyGot.length == 10, s"fallback returned ${tinyGot.length} rows")
   }
+
+  test("ivfPqSized switches to the residual coarse quantizer past the threshold and holds recall (gate)") {
+    // round-11 verdict #1: the SWITCHED path specifically — force the
+    // hierarchical exit with a tiny threshold (cellsForSearch(219) = 30
+    // cells > 8), so this corpus routes through trainResidualQuantizer +
+    // the composite-cell ADC probe exactly as a ~4M-vector corpus would
+    // at the default threshold. Clustered corpus (the IvfSpec recall
+    // template): 22 clusters x 10 tight members.
+    val rnd = new scala.util.Random(13)
+    val rows = for (c <- 0 until 22; centre = Array.fill(64)(rnd.nextGaussian());
+                    mm <- 0 until 10)
+      yield ((c * 10 + mm).toLong,
+        centre.map(v => (v + 0.03 * rnd.nextGaussian()).toFloat))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val q = corpus.filter($"vec_id" === 0L)
+    val rest = corpus.filter($"vec_id" =!= 0L)
+    val exact = Similarity.bruteForceTopK(rest, "vec_id", "embedding",
+      q, "embedding", k = 9).collect().map(_.getLong(0)).toSet
+    val approx = Quantize.ivfPqSized(rest, "vec_id", "embedding",
+      q, "embedding", k = 9, hierarchicalThreshold = 8)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    info(f"ivfPqSized switched-path recall = $recall%.2f")
+    assert(recall >= 0.7, s"ivfPqSized switched-path recall degraded to $recall")
+    // the switched path keeps the never-short contract
+    assert(approx.size == 9)
+    // and the planted-duplicate guarantee survives the switch: an exact
+    // duplicate shares the query's composite cell with a zero residual,
+    // tops the ADC shortlist, and re-ranks first at sim 1.0
+    val qvec = q.select("embedding").head().getSeq[Float](0).toArray
+    val planted = rest.select("vec_id", "embedding").unionAll(
+      Seq((999999L, qvec)).toDF("vec_id", "embedding"))
+    val got = Quantize.ivfPqSized(planted, "vec_id", "embedding",
+      q, "embedding", k = 9, hierarchicalThreshold = 8).collect()
+    assert(got.head.getLong(0) == 999999L && got.head.getDouble(1) == 1.0,
+      s"planted duplicate not first on the switched path: ${got.toSeq}")
+  }
 }

@@ -373,4 +373,34 @@ class SimilaritySpec extends SparkSpec {
     assert(fastPlan.contains("BroadcastHashJoin"),
       s"fast path should broadcast the centroid arrays:\n$fastPlan")
   }
+
+  test("prototypeScores gate paths agree on DEGENERATE vectors: no row either way (ADVICE r11)") {
+    // null vector, empty array, and null-element rows used to yield a
+    // null-sim row on the broadcast path but be dropped (or scored over
+    // surviving positions) on the posexplode path — membership itself
+    // diverged across the gate. Contract now: degenerate rows emit NO
+    // row on EITHER path; clean rows still score bit-identically.
+    val clean = Seq(
+      (1L, 0, Array(1.0f, 2.0f, 3.0f)),
+      (2L, 0, Array(2.0f, 1.0f, 0.5f)),
+      (3L, 1, Array(0.5f, 0.5f, 4.0f)))
+    val df = clean.toDF("vec_id", "label", "embedding")
+      .unionAll(Seq((10L, 0)).toDF("vec_id", "label")
+        .select(col("vec_id"), col("label"),
+          lit(null).cast("array<float>").as("embedding")))
+      .unionAll(Seq((11L, 0, Array.empty[Float])).toDF("vec_id", "label", "embedding"))
+      .unionAll(Seq((12L, 1)).toDF("vec_id", "label")
+        .select(col("vec_id"), col("label"),
+          array(lit(1.0f), lit(null).cast("float"), lit(2.0f)).as("embedding")))
+    def scores(limit: Long) =
+      Similarity.prototypeScores(df, "vec_id", "embedding", "label",
+          centroidBroadcastLimit = limit)
+        .collect().map(r => (r.getLong(0), r.getInt(1),
+          if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toSet
+    val fast = scores(Dedup.HotShingleBroadcastLimit)
+    val dist = scores(0L)
+    assert(fast == dist, s"degenerate-vector membership diverges: $fast vs $dist")
+    assert(fast.map(_._1) == Set(1L, 2L, 3L),
+      s"degenerate rows must emit no row: ${fast.map(_._1)}")
+  }
 }
