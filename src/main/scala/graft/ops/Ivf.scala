@@ -87,6 +87,112 @@ object Ivf {
     zip_with(vec.cast("array<double>"), centroid, (a, b) => a - b)
   }
 
+  /** Driver-held coarse-quantizer model — the single abstraction the
+    * IVFADC paths and the build-once/serve-many index share. `level2`
+    * empty ⇒ single-level ([[trainCentroids]]); non-empty ⇒ two-level
+    * residual ([[trainResidualQuantizer]]) with composite cell
+    * c1·|level2| + c2. All member expressions are literal-lookup column
+    * arithmetic (the model is small BY CONSTRUCTION: past
+    * [[Dedup.HierarchicalCellsThreshold]] effective cells the residual
+    * regime holds each LEVEL at √cells). */
+  final case class IndexModel(level1: Array[Array[Double]],
+                              level2: Array[Array[Double]]) {
+    def isResidual: Boolean = level2.nonEmpty
+    def cells: Int =
+      if (isResidual) level1.length * level2.length else level1.length
+
+    /** (cell, id, vec): the inverted file under this model. */
+    private[ops] def indexOf(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+      if (isResidual)
+        indexResidual(emb, idCol, vecCol, ResidualQuantizer(level1, level2))
+      else index(emb, idCol, vecCol, level1)
+
+    // cell ids are non-negative, so the double-divide truncation IS the
+    // floor: c1 = cell div k2, c2 = cell mod k2
+    private def cell1 = (col("cell") / lit(level2.length)).cast("int")
+    private def cell2 = pmod(col("cell"), lit(level2.length))
+
+    /** Residual of `vec` from its cell's effective centroid (flat: v − c;
+      * residual: v − c1 − c2), reading the `cell` column. */
+    private[ops] def residualOf(vec: Column): Column =
+      if (isResidual)
+        zip_with(
+          zip_with(vec.cast("array<double>"),
+            element_at(typedLit(level1.map(_.toSeq).toSeq), cell1 + 1),
+            (x, y) => x - y),
+          element_at(typedLit(level2.map(_.toSeq).toSeq), cell2 + 1),
+          (x, y) => x - y)
+      else
+        zip_with(vec.cast("array<double>"),
+          element_at(typedLit(level1.map(_.toSeq).toSeq), col("cell") + 1),
+          (x, y) => x - y)
+
+    private def dotq(q: Array[Double])(c: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < math.min(c.length, q.length)) { d += q(i) * c(i); i += 1 }
+      d
+    }
+    private def sqDist(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        val diff = a(i) - b(i); d += diff * diff; i += 1
+      }
+      d
+    }
+
+    /** dot(q, effective centroid of `cell`) as a literal-lookup column:
+      * one |level1|-sized table flat, two √cells-sized tables residual
+      * (the decomposition dot(q,c1) + dot(q,c2)). */
+    private[ops] def cellDot(q: Array[Double]): Column =
+      if (isResidual)
+        element_at(typedLit(level1.map(dotq(q)).toSeq), cell1 + 1) +
+          element_at(typedLit(level2.map(dotq(q)).toSeq), cell2 + 1)
+      else
+        element_at(typedLit(level1.map(dotq(q)).toSeq), col("cell") + 1)
+
+    /** The query's probed cell ids, DRIVER-side (the model is already
+      * driver-held): flat = `nprobe` nearest cells; residual = nprobe²
+      * composite cells (nprobe nearest level-1 cells × the nprobe nearest
+      * level-2 cells of the query's residual within each — the same
+      * deliberate widening as [[topKSized]]). Clamped to the ACTUAL
+      * trained counts like [[probeCellsResidual]]. */
+    private[ops] def probedCells(q: Array[Double], nprobe: Int): Seq[Int] =
+      if (isResidual) {
+        val k2 = level2.length
+        val np1 = math.min(nprobe, level1.length)
+        val np2 = math.min(nprobe, k2)
+        level1.zipWithIndex
+          .map { case (c, i) => (sqDist(q, c), i) }
+          .sortBy(_._1).take(np1).toSeq
+          .flatMap { case (_, c1) =>
+            val qres = Array.tabulate(q.length)(i =>
+              q(i) - (if (i < level1(c1).length) level1(c1)(i) else 0.0))
+            level2.zipWithIndex.map { case (c, j) => (sqDist(qres, c), j) }
+              .sortBy(_._1).take(np2).map { case (_, c2) => c1 * k2 + c2 }.toSeq
+          }
+      } else
+        level1.zipWithIndex
+          .map { case (c, i) => (sqDist(q, c), i) }
+          .sortBy(_._1).take(math.min(nprobe, level1.length)).map(_._2).toSeq
+  }
+
+  /** Train the sized coarse model: single-level at or below
+    * `hierarchicalThreshold` effective cells, the two-level residual
+    * quantizer (√cells per level) past it — the switch every sized
+    * entry point makes, now as a reusable artifact. */
+  def trainModel(emb: DataFrame, vecCol: String, cells: Int, seed: Long = 42L,
+                 sampleFraction: Double = 1.0, maxIter: Int = 10,
+                 hierarchicalThreshold: Int = Dedup.HierarchicalCellsThreshold): IndexModel =
+    if (cells <= hierarchicalThreshold)
+      IndexModel(trainCentroids(emb, vecCol, cells, seed, sampleFraction, maxIter),
+        Array.empty)
+    else {
+      val kLevel = math.max(2, math.ceil(math.sqrt(cells.toDouble)).toInt)
+      val rq = trainResidualQuantizer(emb, vecCol, kLevel, kLevel, seed,
+        sampleFraction, maxIter)
+      IndexModel(rq.level1, rq.level2)
+    }
+
   def trainResidualQuantizer(emb: DataFrame, vecCol: String, k1: Int, k2: Int,
                              seed: Long = 42L,
                              sampleFraction: Double = 1.0,
@@ -329,5 +435,85 @@ object Ivf {
         sampleFraction, maxIter)
       topKResidual(emb, idCol, vecCol, query, queryVecCol, k, rq, nprobe, nprobe)
     }
+  }
+
+  // ── build-once / serve-many ─────────────────────────────────────────
+  // Every in-query ANN path above retrains per call (the honest-training
+  // rule: a query owns its whole cost). A 100 TB deployment instead
+  // MATERIALIZES the index once and serves many probes from it — these
+  // entry points are that serving shape: centroids to a tiny parquet,
+  // the inverted file PARTITIONED BY CELL (a probe reads only its
+  // nprobe — or nprobe² — partition directories: static partition
+  // pruning, the I/O analog of "scan ~nprobe/cells of the corpus").
+
+  private[ops] def writeModel(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, model: IndexModel): Unit = {
+    import spark.implicits._
+    val rows =
+      model.level1.zipWithIndex.map { case (c, i) => (1, i, c.toSeq) } ++
+        model.level2.zipWithIndex.map { case (c, i) => (2, i, c.toSeq) }
+    rows.toSeq.toDF("level", "cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+  }
+
+  /** Load the coarse model back from `dir` (driver-held, small by the
+    * residual-regime construction). */
+  def loadIndexModel(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): IndexModel = {
+    val rows = spark.read.parquet(s"$dir/centroids.parquet")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    def level(l: Int) = rows.filter(_._1 == l).sortBy(_._2).map(_._3)
+    val model = IndexModel(level(1), level(2))
+    require(model.level1.nonEmpty, s"no centroids found under $dir")
+    model
+  }
+
+  /** Build the IVF-flat index at `dir`: sized coarse model (single-level
+    * or residual past the threshold) + the cell-partitioned inverted
+    * file. Returns the driver-held model (also persisted). */
+  def buildIndex(emb: DataFrame, idCol: String, vecCol: String, dir: String,
+                 nprobe: Int = 4, seed: Long = 42L,
+                 sampleFraction: Double = 1.0, maxIter: Int = 10,
+                 hierarchicalThreshold: Int = Dedup.HierarchicalCellsThreshold): IndexModel = {
+    val cells = cellsForSearch(emb.count(), nprobe)
+    val model = trainModel(emb, vecCol, cells, seed, sampleFraction, maxIter,
+      hierarchicalThreshold)
+    writeModel(emb.sparkSession, dir, model)
+    model.indexOf(emb, idCol, vecCol)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/invfile.parquet")
+    model
+  }
+
+  /** Probe a built index: load the model, filter the inverted file to
+    * the query's probed cells (driver-computed ids ⇒ STATIC partition
+    * pruning on the cell directories), exact cosine within, top-k, and
+    * the never-short exact-scan fallback over the inverted file (which
+    * IS the corpus). Training cost: zero — that is the point. */
+  def probeIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 idCol: String, vecCol: String,
+                 query: DataFrame, queryVecCol: String, k: Int,
+                 nprobe: Int = 4): DataFrame =
+    probeIndexFrame(spark.read.parquet(s"$dir/invfile.parquet"),
+      loadIndexModel(spark, dir), idCol, vecCol, query, queryVecCol, k, nprobe)
+
+  /** The probe core over an already-loaded (inv, model) pair — shared by
+    * [[probeIndex]] and the round-trip-equivalence spec (which feeds the
+    * in-memory inverted file to prove parquet changes nothing). */
+  private[ops] def probeIndexFrame(inv: DataFrame, model: IndexModel,
+                                   idCol: String, vecCol: String,
+                                   query: DataFrame, queryVecCol: String,
+                                   k: Int, nprobe: Int): DataFrame = {
+    val q = query.select(col(queryVecCol).cast("array<double>").as("__q"))
+      .head().getSeq[Double](0).toArray
+    val probes = broadcast(query.select(col(queryVecCol).as("__qv")))
+    val probed = inv
+      .filter(col("cell").isin(model.probedCells(q, nprobe).map(Integer.valueOf): _*))
+      .crossJoin(probes)
+      .select(col(idCol), round(Similarity.cosine(col(vecCol), col("__qv")), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+    Similarity.neverShort(probed, inv, idCol, vecCol, query, queryVecCol, k)
   }
 }

@@ -229,34 +229,43 @@ object Quantize {
     // stage has enough points to train
     if (n <= rerank)
       return Similarity.bruteForceTopK(emb, idCol, vecCol, query, queryVecCol, k)
-    val cells = Ivf.cellsForSearch(n, nprobe)
-    if (cells <= hierarchicalThreshold)
-      ivfPqFlatCoarse(emb, idCol, vecCol, query, queryVecCol, k, nprobe, m,
-        codebookSize, rerank, seed, trainSampleRows, n, cells)
-    else
-      ivfPqResidualCoarse(emb, idCol, vecCol, query, queryVecCol, k, nprobe,
-        m, codebookSize, rerank, seed, trainSampleRows, n, cells)
+    val model = trainCoarse(emb, vecCol, nprobe, seed, trainSampleRows, n,
+      hierarchicalThreshold)
+    ivfPqWithModel(emb, idCol, vecCol, query, queryVecCol, k, nprobe, m,
+      codebookSize, rerank, seed, trainSampleRows, n, model)
   }
 
-  /** Single-level-coarse IVFADC body ([[ivfPqSized]] below the
-    * hierarchical threshold); `n`/`cells` precomputed by the caller. */
-  private def ivfPqFlatCoarse(emb: DataFrame, idCol: String, vecCol: String,
-                              query: DataFrame, queryVecCol: String, k: Int,
-                              nprobe: Int, m: Int, codebookSize: Int,
-                              rerank: Int, seed: Long, trainSampleRows: Long,
-                              n: Long, cells: Int): DataFrame = {
-    // coarse support scales with the centroid count, never below the
-    // caller's floor: a fixed sample shrinks per-cell support as
-    // cellsForSearch grows with the corpus (ADVICE r11)
-    val coarseRows = math.max(trainSampleRows, 39L * cells)
-    val centroids = Ivf.trainCentroids(emb, vecCol, cells, seed,
-      sampleFraction =
-        if (n <= coarseRows) 1.0 else coarseRows.toDouble / n)
-    val indexed = Ivf.index(emb, idCol, vecCol, centroids)
-    val cen2d = typedLit(centroids.map(_.toSeq).toSeq)
-    def residual = zip_with(col(vecCol),
-      element_at(cen2d, col("cell") + 1),
-      (x, y) => x.cast("double") - y)
+  /** The sized coarse model for IVFADC: cell count from
+    * [[Ivf.cellsForSearch]], regime from the hierarchical threshold, and
+    * coarse-training support scaled with the PER-FIT centroid count
+    * (max(trainSampleRows, 39·k) — a fixed sample otherwise shrinks
+    * per-cell support as cellsForSearch grows, ADVICE r11; the residual
+    * regime's fits are each √cells-sized, so its floor scales with
+    * kLevel, not the composite count). */
+  private def trainCoarse(emb: DataFrame, vecCol: String, nprobe: Int,
+                          seed: Long, trainSampleRows: Long, n: Long,
+                          hierarchicalThreshold: Int): Ivf.IndexModel = {
+    val cells = Ivf.cellsForSearch(n, nprobe)
+    val perFit =
+      if (cells <= hierarchicalThreshold) cells
+      else math.max(2, math.ceil(math.sqrt(cells.toDouble)).toInt)
+    val coarseRows = math.max(trainSampleRows, 39L * perFit)
+    Ivf.trainModel(emb, vecCol, cells, seed,
+      sampleFraction = if (n <= coarseRows) 1.0 else coarseRows.toDouble / n,
+      hierarchicalThreshold = hierarchicalThreshold)
+  }
+
+  /** The IVFADC body over a trained coarse [[Ivf.IndexModel]] (either
+    * regime — the flat/residual difference lives entirely in the model's
+    * residualOf/cellDot/probedCells members): index, train PQ on a
+    * bounded one-scan residual sample, ADC-score the probed cells,
+    * exact re-rank, never-short fallback. */
+  private def ivfPqWithModel(emb: DataFrame, idCol: String, vecCol: String,
+                             query: DataFrame, queryVecCol: String, k: Int,
+                             nprobe: Int, m: Int, codebookSize: Int,
+                             rerank: Int, seed: Long, trainSampleRows: Long,
+                             n: Long, model: Ivf.IndexModel): DataFrame = {
+    val indexed = model.indexOf(emb, idCol, vecCol)
     // PQ trains on a bounded ONE-SCAN sample of residuals from the
     // whole corpus (not just probed cells — training must not bias to
     // the query's neighborhood)
@@ -264,32 +273,15 @@ object Quantize {
       (if (n <= trainSampleRows) indexed
        else indexed.sample(withReplacement = false,
          trainSampleRows.toDouble / n, seed))
-        .select(residual.as("__res")).localCheckpoint(true)
+        .select(model.residualOf(col(vecCol)).as("__res")).localCheckpoint(true)
     val cb = trainPq(trainBase, "__res", m, codebookSize, seed)
     val q = query.select(col(queryVecCol).cast("array<double>").as("__q"))
       .head().getSeq[Double](0).toArray
-    // probe cells and per-cell dot(q, cen) driver-side: the centroid
-    // matrix is already driver-held
-    def dotq(c: Array[Double]): Double = {
-      var d = 0.0; var i = 0
-      while (i < math.min(c.length, q.length)) { d += q(i) * c(i); i += 1 }
-      d
-    }
-    val probedCells = centroids.zipWithIndex
-      .map { case (c, i) =>
-        var d2 = 0.0; var j = 0
-        while (j < math.min(c.length, q.length)) {
-          val diff = q(j) - c(j); d2 += diff * diff; j += 1
-        }
-        (d2, i)
-      }
-      .sortBy(_._1).take(nprobe).map(_._2)
-    val qcDots = typedLit(centroids.map(dotq).toSeq)
     val shortlist = indexed
-      .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+      .filter(col("cell").isin(model.probedCells(q, nprobe).map(Integer.valueOf): _*))
       .select(col(idCol), col(vecCol),
-        (element_at(qcDots, col("cell") + 1) +
-          pqAdcScore(pqCode(residual, cb), cb, q)).as("__adc"))
+        (model.cellDot(q) +
+          pqAdcScore(pqCode(model.residualOf(col(vecCol)), cb), cb, q)).as("__adc"))
       .orderBy(col("__adc").desc, col(idCol))
       .limit(rerank)
     Similarity.neverShort(
@@ -297,84 +289,96 @@ object Quantize {
       emb, idCol, vecCol, query, queryVecCol, k)
   }
 
-  /** Two-level-coarse IVFADC body ([[ivfPqSized]] past the hierarchical
-    * threshold): composite cell c1·k2 + c2 from [[Ivf.indexResidual]],
-    * PQ codes of the second-level residual, per-cell scalar split into
-    * two √cells-sized query-dot tables, driver-side nprobe² probe over
-    * the two SMALL centroid arrays. */
-  private def ivfPqResidualCoarse(emb: DataFrame, idCol: String, vecCol: String,
-                                  query: DataFrame, queryVecCol: String, k: Int,
-                                  nprobe: Int, m: Int, codebookSize: Int,
-                                  rerank: Int, seed: Long, trainSampleRows: Long,
-                                  n: Long, cells: Int): DataFrame = {
-    // √cells per level — k1·k2 effective cells from two small fits, the
-    // same split as [[Ivf.topKSized]]; per-level support scales with the
-    // PER-LEVEL centroid count (each KMeans trains kLevel centers)
-    val kLevel = math.max(2, math.ceil(math.sqrt(cells.toDouble)).toInt)
-    val coarseRows = math.max(trainSampleRows, 39L * kLevel)
-    val rq = Ivf.trainResidualQuantizer(emb, vecCol, kLevel, kLevel, seed,
-      sampleFraction = if (n <= coarseRows) 1.0 else coarseRows.toDouble / n)
-    val k2 = rq.level2.length
-    val indexed = Ivf.indexResidual(emb, idCol, vecCol, rq)
-    val c1Lit = typedLit(rq.level1.map(_.toSeq).toSeq)
-    val c2Lit = typedLit(rq.level2.map(_.toSeq).toSeq)
-    // cell ids are non-negative, so the double-divide truncation IS the
-    // floor: c1 = cell div k2, c2 = cell mod k2
-    def cell1 = (col("cell") / lit(k2)).cast("int")
-    def cell2 = pmod(col("cell"), lit(k2))
-    def residual2 = zip_with(
-      zip_with(col(vecCol).cast("array<double>"),
-        element_at(c1Lit, cell1 + 1), (x, y) => x - y),
-      element_at(c2Lit, cell2 + 1), (x, y) => x - y)
-    // PQ trains on a bounded ONE-SCAN sample of second-level residuals
-    // from the whole corpus (never just probed cells — training must not
-    // bias to the query's neighborhood)
+  // ── build-once / serve-many (IVFADC) ────────────────────────────────
+
+  /** The persisted-IVFADC model: coarse quantizer + PQ codebooks. */
+  final case class PqIndexModel(coarse: Ivf.IndexModel, cb: PqCodebooks)
+
+  /** Build the IVFADC index at `dir`: the sized coarse model, PQ
+    * codebooks of the residuals, and the CODE TABLE — (id, vec, code)
+    * partitioned by cell, so a probe's ADC scan reads only its probed
+    * cell directories (static partition pruning). Storing `vec` beside
+    * the code keeps the exact re-rank inside the same pruned scan
+    * instead of a second corpus join; on Spark the raw vectors live in
+    * parquet either way — the index is a cell-clustered REWRITE of the
+    * corpus plus m-int codes, not an extra RAM-resident copy, so the
+    * FAISS memory argument doesn't bind on keeping them. Training cost
+    * is paid HERE, once; [[probePqIndex]] pays none. */
+  def buildPqIndex(emb: DataFrame, idCol: String, vecCol: String, dir: String,
+                   nprobe: Int = 4, m: Int = 8, codebookSize: Int = 16,
+                   seed: Long = 42L, trainSampleRows: Long = 16384L,
+                   hierarchicalThreshold: Int = Dedup.HierarchicalCellsThreshold): PqIndexModel = {
+    val spark = emb.sparkSession
+    val n = emb.count()
+    val coarse = trainCoarse(emb, vecCol, nprobe, seed, trainSampleRows, n,
+      hierarchicalThreshold)
+    val indexed = coarse.indexOf(emb, idCol, vecCol)
     val trainBase =
       (if (n <= trainSampleRows) indexed
        else indexed.sample(withReplacement = false,
          trainSampleRows.toDouble / n, seed))
-        .select(residual2.as("__res")).localCheckpoint(true)
+        .select(coarse.residualOf(col(vecCol)).as("__res")).localCheckpoint(true)
     val cb = trainPq(trainBase, "__res", m, codebookSize, seed)
+    Ivf.writeModel(spark, dir, coarse)
+    import spark.implicits._
+    cb.books.zipWithIndex
+      .flatMap { case (book, j) =>
+        book.zipWithIndex.map { case (cen, c) => (j, c, cen.toSeq) } }
+      .toSeq.toDF("j", "c", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/books.parquet")
+    indexed
+      .withColumn("code", pqCode(coarse.residualOf(col(vecCol)), cb))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes.parquet")
+    PqIndexModel(coarse, cb)
+  }
+
+  /** Load a built IVFADC index's driver-held model back from `dir`. */
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession,
+                  dir: String): PqIndexModel = {
+    val coarse = Ivf.loadIndexModel(spark, dir)
+    val rows = spark.read.parquet(s"$dir/books.parquet")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    require(rows.nonEmpty, s"no PQ codebooks found under $dir")
+    val m = rows.map(_._1).max + 1
+    val books = Array.tabulate(m)(j =>
+      rows.filter(_._1 == j).sortBy(_._2).map(_._3))
+    val dsub = books.head.head.length
+    PqIndexModel(coarse, PqCodebooks(m, books.map(_.length).max, dsub, books))
+  }
+
+  /** Probe a built IVFADC index: NO training, NO encode pass — the ADC
+    * stage reads precomputed codes from the probed cell directories
+    * only, re-ranks the `rerank` shortlist by exact cosine, and falls
+    * back to the exact scan below k (never-short, like every search
+    * path). This is the serving wall the in-query `c14_ann_ivfpq`
+    * number buries under two KMeans stages. */
+  def probePqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   idCol: String, vecCol: String,
+                   query: DataFrame, queryVecCol: String, k: Int,
+                   nprobe: Int = 4, rerank: Int = 100): DataFrame =
+    pqProbeCore(spark.read.parquet(s"$dir/codes.parquet"),
+      loadPqIndex(spark, dir), idCol, vecCol, query, queryVecCol, k, nprobe, rerank)
+
+  /** The probe core over an already-loaded (codes, model) pair — shared
+    * by [[probePqIndex]] and the round-trip-equivalence spec (which
+    * feeds the in-memory code table to prove parquet changes nothing). */
+  private[ops] def pqProbeCore(codes: DataFrame, model: PqIndexModel,
+                               idCol: String, vecCol: String,
+                               query: DataFrame, queryVecCol: String,
+                               k: Int, nprobe: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank $rerank < k $k")
     val q = query.select(col(queryVecCol).cast("array<double>").as("__q"))
       .head().getSeq[Double](0).toArray
-    def dotq(c: Array[Double]): Double = {
-      var d = 0.0; var i = 0
-      while (i < math.min(c.length, q.length)) { d += q(i) * c(i); i += 1 }
-      d
-    }
-    def sqDist(a: Array[Double], b: Array[Double]): Double = {
-      var d = 0.0; var i = 0
-      while (i < math.min(a.length, b.length)) {
-        val diff = a(i) - b(i); d += diff * diff; i += 1
-      }
-      d
-    }
-    // driver-side probe over the two small centroid arrays: nprobe
-    // nearest level-1 cells, then nprobe nearest level-2 cells of the
-    // query's residual within each — nprobe² composite cells (clamped to
-    // the ACTUAL trained counts, like [[Ivf.probeCellsResidual]])
-    val np1 = math.min(nprobe, rq.level1.length)
-    val np2 = math.min(nprobe, k2)
-    val probedCells: Seq[Int] = rq.level1.zipWithIndex
-      .map { case (c, i) => (sqDist(q, c), i) }
-      .sortBy(_._1).take(np1).toSeq
-      .flatMap { case (_, c1) =>
-        val qres = Array.tabulate(q.length)(i =>
-          q(i) - (if (i < rq.level1(c1).length) rq.level1(c1)(i) else 0.0))
-        rq.level2.zipWithIndex.map { case (c, j) => (sqDist(qres, c), j) }
-          .sortBy(_._1).take(np2).map { case (_, c2) => c1 * k2 + c2 }.toSeq
-      }
-    val qc1Dots = typedLit(rq.level1.map(dotq).toSeq)
-    val qc2Dots = typedLit(rq.level2.map(dotq).toSeq)
-    val shortlist = indexed
-      .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+    val shortlist = codes
+      .filter(col("cell").isin(
+        model.coarse.probedCells(q, nprobe).map(Integer.valueOf): _*))
       .select(col(idCol), col(vecCol),
-        (element_at(qc1Dots, cell1 + 1) + element_at(qc2Dots, cell2 + 1) +
-          pqAdcScore(pqCode(residual2, cb), cb, q)).as("__adc"))
+        (model.coarse.cellDot(q) +
+          pqAdcScore(col("code"), model.cb, q)).as("__adc"))
       .orderBy(col("__adc").desc, col(idCol))
       .limit(rerank)
     Similarity.neverShort(
       Similarity.bruteForceTopK(shortlist, idCol, vecCol, query, queryVecCol, k),
-      emb, idCol, vecCol, query, queryVecCol, k)
+      codes, idCol, vecCol, query, queryVecCol, k)
   }
 }

@@ -147,6 +147,49 @@ object Streaming {
       .select(col(idCol), col(textCol), col("quality_score"))
   }
 
+  /** Streaming ANN probe against a MATERIALIZED index
+    * ([[graft.ops.Ivf.buildIndex]] / [[graft.ops.Quantize.buildPqIndex]]
+    * — both write the same cell-keyed inverted file): each arriving
+    * vector probes its `nprobe` nearest cells (nprobe² composite cells
+    * under the residual regime) and emits every corpus neighbor within
+    * cosine ≥ `tau` as (query_id, idCol, sim) — semantic-duplicate /
+    * contamination tagging AT INGEST, with the index trained and
+    * materialized OFFLINE (the build-once/serve-many split
+    * [[prototypeFilterStream]] applies to per-label centroids, here at
+    * full corpus-index granularity). Stateless: cell assignment is the
+    * same codegen [[graft.functions.NearestCells]] expression the batch
+    * probes use, riding a stream-static equi-join on `cell`; no stream
+    * state, identical in batch (the stream==batch spec feeds the same
+    * frame both ways).
+    *
+    * Per-arrival top-k needs a per-query rank (an aggregation — blocked
+    * in append mode); the ≥ tau contract is the stateless ingest shape,
+    * and a caller wanting top-k ranks the tagged rows downstream. The
+    * static side is corpus-sized, so it NEVER broadcasts: the join is
+    * hinted shuffled-hash — each micro-batch pays a hash partition of
+    * the probe rows, the index side builds per-cell hash tables, nothing
+    * funnels the driver. The driver-held coarse model is loaded once at
+    * plan time (small by the residual-regime construction). */
+  def annProbeStream(docs: DataFrame, idCol: String, vecCol: String,
+                     indexDir: String, tau: Double,
+                     nprobe: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    val model = graft.ops.Ivf.loadIndexModel(spark, indexDir)
+    val inv = spark.read.parquet(s"$indexDir/invfile.parquet")
+    val q = docs.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val probes =
+      if (model.isResidual)
+        graft.ops.Ivf.probeCellsResidual(q, "__qv",
+          graft.ops.Ivf.ResidualQuantizer(model.level1, model.level2),
+          nprobe, nprobe)
+      else graft.ops.Ivf.probeCells(q, "__qv", model.level1, nprobe)
+    probes
+      .join(inv.hint("SHUFFLE_HASH"), Seq("cell"))
+      .select(col("query_id"), col(idCol),
+        round(graft.ops.Similarity.cosine(col(vecCol), col("__qv")), 4).as("sim"))
+      .filter(col("sim") >= tau)
+  }
+
   /** Streaming-ingest PROTOTYPICALITY filtering: score arrivals against
     * batch-trained per-group centroids ([[graft.ops.Similarity
     * .prototypes]] — the Sorscher et al. NeurIPS'22 pruning signal) and
