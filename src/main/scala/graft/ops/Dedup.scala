@@ -579,6 +579,118 @@ object Dedup {
     (labels, i)
   }
 
+  /** [[connectedComponentsStarWithRounds]] labels only. */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    connectedComponentsStarWithRounds(pairs, maxIter)._1
+
+  /** Large-star/small-star connected components (Kiveris, Lattanzi,
+    * Mirrokni, Rastogi, Vassilvitskii, "Connected Components in MapReduce
+    * and Beyond", SoCC 2014): the alternating edge-rewriting algorithm —
+    * large-star points every strictly-larger neighbor of a node at the
+    * minimum of its closed neighborhood; small-star points the
+    * smaller-or-equal neighbors (and the node) there. Both preserve
+    * connectivity, keep edges oriented large→small, and converge to the
+    * star fixpoint where every edge is (node → component-min) in
+    * O(log² n) rounds worst-case — unlike plain min-propagation the
+    * iterate is the (shrinking) EDGE set, never an edges⋈labels join, so
+    * deep components cost log rounds without [[connectedComponentsWithRounds]]'s
+    * per-round labels self-join. A/B'd against the propagation core in
+    * `tools/CcAb` (PERF.md round-13) before routing production traffic.
+    *
+    * Loop witness: Σ labels derived from the current edge set (one
+    * aggregate), stable-sum ⇒ candidate fixpoint. Because star-round
+    * monotonicity of that sum is subtler than propagation's, a candidate
+    * fixpoint is then CERTIFIED exactly against the ORIGINAL graph: one
+    * min-propagation round over the input edges must not decrease any
+    * label (labels constant across every input edge ⇒ constant per
+    * component; the component min always self-labels under the large→small
+    * orientation ⇒ that constant is the min). A failed certificate keeps
+    * looping instead of returning wrong clusters.
+    *
+    * Same output contract as [[connectedComponents]]: (node, comp) with
+    * comp = min node id, every input endpoint present (self-pair-only
+    * nodes re-attached as singletons). Throws [[IllegalStateException]]
+    * on `maxIter` exhaustion — partial labels are wrong clusters. */
+  def connectedComponentsStarWithRounds(pairs: DataFrame, maxIter: Int = 20): (DataFrame, Int) = {
+    val nodes = pairs.select(col("doc_a").as("node"))
+      .union(pairs.select(col("doc_b").as("node")))
+      .distinct().localCheckpoint(true)
+    val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .filter(col("src") =!= col("dst")).localCheckpoint(true)
+    var edges = sym
+      .select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      .distinct().localCheckpoint(true)
+
+    // large-star over the symmetric view: m(u) = min(Γ(u) ∪ {u}); emit
+    // (v, m(u)) for v ∈ Γ(u), v > u. v > u ≥ m ⇒ output stays oriented
+    // large→small with no self-edges by construction.
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = s.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      s.join(m, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    // small-star over the large→small orientation: m(u) = min of u's
+    // smaller neighbors (< u by orientation); emit (w, m(u)) for each
+    // smaller neighbor w plus (u, m(u)), dropping the w = m self-edge.
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy("u").agg(min(col("v")).as("mv"))
+      e.join(m, "u")
+        .select(col("v").as("u"), col("mv").as("v"))
+        .union(m.select(col("u"), col("mv").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    def labelsOf(e: DataFrame): DataFrame =
+      e.select(col("u").as("node"), col("v").as("comp"))
+        .union(e.select(col("v").as("node"), col("v").as("comp")))
+        .groupBy("node").agg(min("comp").as("comp"))
+
+    // the exact fixpoint certificate on the input graph: no label
+    // decreases under one neighbor-min propagation round
+    def certified(labels: DataFrame): Boolean =
+      sym.join(labels.select(col("node"), col("comp").as("__dc")),
+          sym("dst") === col("node"))
+        .groupBy(col("src")).agg(min(col("__dc")).as("__nc"))
+        .join(labels, col("src") === labels("node"))
+        .filter(col("__nc") < col("comp"))
+        .isEmpty
+
+    // coalesce: an all-self-pair input yields an EMPTY edge set whose
+    // sum is NULL — the singleton re-attach below still labels its nodes
+    def labelSum(l: DataFrame): Long =
+      l.agg(coalesce(sum(col("comp")), lit(0L))).collect().head.getLong(0)
+
+    var i = 0
+    var done = false
+    var labels: DataFrame = null
+    var prevSum = Long.MinValue
+    while (!done && i < maxIter) {
+      edges = smallStar(largeStar(edges)).localCheckpoint(true)
+      labels = labelsOf(edges).localCheckpoint(true)
+      val s = labelSum(labels)
+      done = s == prevSum && certified(labels)
+      prevSum = s
+      i += 1
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"star connected components did not converge within $maxIter rounds — " +
+          "partial labels would be wrong clusters; raise maxIter")
+    // re-attach endpoints the u≠v filters dropped (self-pair-only nodes)
+    val full = nodes.join(labels, Seq("node"), "left")
+      .select(col("node"), coalesce(col("comp"), col("node")).as("comp"))
+    (full, i)
+  }
+
   /** Line-level exact dedup (the C4 / RefinedWeb curation step: repeated
     * lines — boilerplate, navigation, legal footers — are removed
     * corpus-wide, keeping only the FIRST occurrence in (doc, position)

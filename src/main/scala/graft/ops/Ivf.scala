@@ -476,7 +476,11 @@ object Ivf {
                  nprobe: Int = 4, seed: Long = 42L,
                  sampleFraction: Double = 1.0, maxIter: Int = 10,
                  hierarchicalThreshold: Int = Dedup.HierarchicalCellsThreshold): IndexModel = {
-    val cells = cellsForSearch(emb.count(), nprobe)
+    val n = emb.count()
+    // unlike the in-query paths (which short-circuit tiny corpora to the
+    // exact scan and never train), a BUILD must produce an index — clamp
+    // the cell count to the corpus size so KMeans never sees k > points
+    val cells = math.min(cellsForSearch(n, nprobe).toLong, math.max(1L, n)).toInt
     val model = trainModel(emb, vecCol, cells, seed, sampleFraction, maxIter,
       hierarchicalThreshold)
     writeModel(emb.sparkSession, dir, model)
@@ -499,14 +503,25 @@ object Ivf {
       loadIndexModel(spark, dir), idCol, vecCol, query, queryVecCol, k, nprobe)
 
   /** The probe core over an already-loaded (inv, model) pair — shared by
-    * [[probeIndex]] and the round-trip-equivalence spec (which feeds the
-    * in-memory inverted file to prove parquet changes nothing). */
+    * [[probeIndex]] and IvfSpec's round-trip-equivalence spec (which feeds
+    * the in-memory inverted file to prove parquet changes nothing).
+    *
+    * SINGLE-query contract, like [[topK]]/[[Quantize.ivfPqTopK]]: probed
+    * cells are driver-computed from the one query vector (that is what
+    * makes the scan statically pruned). Enforced — a multi-row frame would
+    * otherwise silently score every row against row 1's cells. Batches go
+    * through [[Similarity.topKBatchSized]]. */
   private[ops] def probeIndexFrame(inv: DataFrame, model: IndexModel,
                                    idCol: String, vecCol: String,
                                    query: DataFrame, queryVecCol: String,
                                    k: Int, nprobe: Int): DataFrame = {
-    val q = query.select(col(queryVecCol).cast("array<double>").as("__q"))
-      .head().getSeq[Double](0).toArray
+    val qRows = query.select(col(queryVecCol).cast("array<double>").as("__q"))
+      .take(2)
+    require(qRows.length == 1,
+      s"probeIndex is single-query (got ${if (qRows.isEmpty) 0 else "≥2"} rows); " +
+        "probed cells are driver-computed from one vector — batch callers " +
+        "use Similarity.topKBatchSized")
+    val q = qRows.head.getSeq[Double](0).toArray
     val probes = broadcast(query.select(col(queryVecCol).as("__qv")))
     val probed = inv
       .filter(col("cell").isin(model.probedCells(q, nprobe).map(Integer.valueOf): _*))

@@ -245,7 +245,10 @@ object Quantize {
   private def trainCoarse(emb: DataFrame, vecCol: String, nprobe: Int,
                           seed: Long, trainSampleRows: Long, n: Long,
                           hierarchicalThreshold: Int): Ivf.IndexModel = {
-    val cells = Ivf.cellsForSearch(n, nprobe)
+    // clamped to the corpus size: the in-query callers short-circuit tiny
+    // corpora before training, but buildPqIndex must always produce an
+    // index — KMeans must never see k > points
+    val cells = math.min(Ivf.cellsForSearch(n, nprobe).toLong, math.max(1L, n)).toInt
     val perFit =
       if (cells <= hierarchicalThreshold) cells
       else math.max(2, math.ceil(math.sqrt(cells.toDouble)).toInt)
@@ -318,7 +321,9 @@ object Quantize {
        else indexed.sample(withReplacement = false,
          trainSampleRows.toDouble / n, seed))
         .select(coarse.residualOf(col(vecCol)).as("__res")).localCheckpoint(true)
-    val cb = trainPq(trainBase, "__res", m, codebookSize, seed)
+    // same clamp as the coarse stage: tiny corpora train one code per point
+    val cb = trainPq(trainBase, "__res", m,
+      math.min(codebookSize.toLong, math.max(1L, n)).toInt, seed)
     Ivf.writeModel(spark, dir, coarse)
     import spark.implicits._
     cb.books.zipWithIndex
@@ -360,15 +365,23 @@ object Quantize {
       loadPqIndex(spark, dir), idCol, vecCol, query, queryVecCol, k, nprobe, rerank)
 
   /** The probe core over an already-loaded (codes, model) pair — shared
-    * by [[probePqIndex]] and the round-trip-equivalence spec (which
-    * feeds the in-memory code table to prove parquet changes nothing). */
+    * by [[probePqIndex]] and QuantizeSpec's round-trip-equivalence spec
+    * (which feeds the in-memory code table to prove parquet changes
+    * nothing). SINGLE-query contract like [[ivfPqTopK]], enforced — the
+    * probed cells are driver-computed from the one query vector; batch
+    * callers use [[Similarity.topKBatchSized]]. */
   private[ops] def pqProbeCore(codes: DataFrame, model: PqIndexModel,
                                idCol: String, vecCol: String,
                                query: DataFrame, queryVecCol: String,
                                k: Int, nprobe: Int, rerank: Int): DataFrame = {
     require(rerank >= k, s"rerank $rerank < k $k")
-    val q = query.select(col(queryVecCol).cast("array<double>").as("__q"))
-      .head().getSeq[Double](0).toArray
+    val qRows = query.select(col(queryVecCol).cast("array<double>").as("__q"))
+      .take(2)
+    require(qRows.length == 1,
+      s"probePqIndex is single-query (got ${if (qRows.isEmpty) 0 else "≥2"} rows); " +
+        "probed cells are driver-computed from one vector — batch callers " +
+        "use Similarity.topKBatchSized")
+    val q = qRows.head.getSeq[Double](0).toArray
     val shortlist = codes
       .filter(col("cell").isin(
         model.coarse.probedCells(q, nprobe).map(Integer.valueOf): _*))

@@ -27,6 +27,29 @@ object QueryDefs {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.engine.Tables.read(s, dir, name)
 
+  /** Build-once/serve-many ANN: materialize the `kind` index for the
+    * corpus at `d` under /tmp ONCE (marker-gated), so the serve queries
+    * measure the PROBE wall with training paid offline — exactly the
+    * split a 100 TB deployment runs ([[Ivf.buildIndex]] /
+    * [[Quantize.buildPqIndex]] Scaladoc). Keyed by the data dir, so
+    * sf0.01 and sf0.1 never share an index; the marker is written only
+    * after a completed build, so a crashed build rebuilds. */
+  private def ensureServeIndex(s: SparkSession, d: String, kind: String): String = {
+    val dir = s"/tmp/graft_ann_serve_${Integer.toHexString(d.hashCode)}/$kind"
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_GRAFT_INDEX_OK")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      val corpus = t(s, d, "embeddings").filter(col("vec_id") =!= 0)
+        .select("vec_id", "embedding")
+      kind match {
+        case "ivf" => Ivf.buildIndex(corpus, "vec_id", "embedding", dir)
+        case "pq"  => Quantize.buildPqIndex(corpus, "vec_id", "embedding", dir)
+      }
+      fs.create(marker, true).close()
+    }
+    dir
+  }
+
   /** DuckDB replay of [[Text.bpeTrain]]'s merge loop as `n` UNROLLED SQL
     * stages (BPE training is a bounded iteration, so a non-recursive
     * unroll is exact — and DuckDB's recursive CTEs can't aggregate in the
@@ -1563,6 +1586,36 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
         Quantize.ivfPqSized(
           emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
           emb.filter(col("vec_id") === 0), "embedding", k = 10)
+      },
+      None
+    ),
+
+    // ── build-once / serve-many ANN ────────────────────────────────────
+    // The in-query ANN numbers above bury the probe under per-call KMeans
+    // (the honest-training rule). These two measure the SERVING shape: the
+    // index is materialized ONCE offline (marker-gated under /tmp), the
+    // query pays zero training — driver-computed probed cells ⇒ static
+    // partition pruning on the cell directories, exact cosine (IVF-flat)
+    // or ADC + exact re-rank (IVFADC) within, never-short fallback.
+    // Rows-only like every ANN query (KMeans is seed/float-order
+    // dependent); IvfSpec/QuantizeSpec pin parquet round-trip equality
+    // with the in-memory probe, planted-duplicate-first, and fallback.
+    QueryDef(
+      "c14_ann_serve",
+      (s, d) => {
+        val dir = ensureServeIndex(s, d, "ivf")
+        Ivf.probeIndex(s, dir, "vec_id", "embedding",
+          t(s, d, "embeddings").filter(col("vec_id") === 0), "embedding", k = 10)
+      },
+      None
+    ),
+
+    QueryDef(
+      "c14_ann_serve_pq",
+      (s, d) => {
+        val dir = ensureServeIndex(s, d, "pq")
+        Quantize.probePqIndex(s, dir, "vec_id", "embedding",
+          t(s, d, "embeddings").filter(col("vec_id") === 0), "embedding", k = 10)
       },
       None
     ),

@@ -148,8 +148,10 @@ object Streaming {
   }
 
   /** Streaming ANN probe against a MATERIALIZED index
-    * ([[graft.ops.Ivf.buildIndex]] / [[graft.ops.Quantize.buildPqIndex]]
-    * — both write the same cell-keyed inverted file): each arriving
+    * ([[graft.ops.Ivf.buildIndex]] `invfile.parquet`, or
+    * [[graft.ops.Quantize.buildPqIndex]] `codes.parquet` — the code
+    * table carries the same (cell, id, vec) columns plus the PQ codes,
+    * which this exact-cosine probe simply prunes away): each arriving
     * vector probes its `nprobe` nearest cells (nprobe² composite cells
     * under the residual regime) and emits every corpus neighbor within
     * cosine ≥ `tau` as (query_id, idCol, sim) — semantic-duplicate /
@@ -175,7 +177,15 @@ object Streaming {
                      nprobe: Int = 4): DataFrame = {
     val spark = docs.sparkSession
     val model = graft.ops.Ivf.loadIndexModel(spark, indexDir)
-    val inv = spark.read.parquet(s"$indexDir/invfile.parquet")
+    // serve either index layout: Ivf.buildIndex writes invfile.parquet,
+    // Quantize.buildPqIndex writes codes.parquet (same cell/id/vec columns
+    // + a `code` column the projection below prunes) — resolved once at
+    // plan time, driver-side
+    val invPath = new org.apache.hadoop.fs.Path(s"$indexDir/invfile.parquet")
+    val fs = invPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = if (fs.exists(invPath)) invPath.toString
+              else s"$indexDir/codes.parquet"
+    val inv = spark.read.parquet(src).select(col(idCol), col(vecCol), col("cell"))
     val q = docs.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
     val probes =
       if (model.isResidual)

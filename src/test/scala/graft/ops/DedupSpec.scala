@@ -232,6 +232,49 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("large-star/small-star components equal the propagation core (chains, cycles, self-pairs, real pairs)") {
+    // the Kiveris et al. core must be label-identical to
+    // connectedComponentsWithRounds on every graph shape the pair
+    // generators emit — including a self-pair-only node, which the star
+    // core re-attaches as a singleton after its u≠v edge filters
+    def labelsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val shapes = Seq(
+      "mixed" -> Seq((1L, 2L), (2L, 3L), (5L, 6L), (10L, 11L), (11L, 12L),
+        (12L, 13L), (10L, 13L), (20L, 20L)).toDF("doc_a", "doc_b"),
+      "chain" -> (1L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b"),
+      // high-degree hub + reversed-order edges: the shapes that stress the
+      // two cores differently
+      "hub" -> ((2L to 30L).map(i => (i, 1L)) ++ Seq((31L, 30L), (32L, 31L)))
+        .toDF("doc_a", "doc_b"))
+    for ((name, pairs) <- shapes) {
+      val star = labelsOf(Dedup.connectedComponentsStar(pairs, maxIter = 30))
+      val prop = labelsOf(Dedup.connectedComponents(pairs, maxIter = 50))
+      assert(star == prop, s"$name: star $star vs propagation $prop")
+    }
+    // and on the REAL near-dup pair graph at sf0.001
+    val docs = graft.engine.Tables.read(spark, sf0001, "documents")
+    val real = Dedup.jaccardNearDup(docs, "doc_id", "text",
+      n = 3, threshold = 0.6, maxDf = Some(100)).localCheckpoint(true)
+    val star = labelsOf(Dedup.connectedComponentsStar(real))
+    val prop = labelsOf(Dedup.connectedComponents(real))
+    assert(star == prop, "star core diverged from propagation on the real pair graph")
+    assert(star.nonEmpty)
+  }
+
+  test("star components converge in few rounds on a deep chain and throw on exhaustion") {
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.connectedComponentsStarWithRounds(chain, maxIter = 15)
+    val comp = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 200 && comp.values.toSet == Set(1L))
+    info(s"diameter-199 chain converged in $rounds star rounds")
+    assert(rounds <= 10, s"expected O(log d) star rounds, got $rounds")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponentsStarWithRounds(chain, maxIter = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("pointer jumping is gated: plain rounds first, doubling only when deep") {
     // a single-edge graph converges before the jump gate opens — same
     // labels as a run with jumping forced from round 1

@@ -316,4 +316,57 @@ class IvfSpec extends SparkSpec {
     assert(cand(1) <= cand(4))
     assert(cand(4) <= cand(8))
   }
+
+  test("buildIndex/probeIndex: parquet round-trip equals the in-memory probe on both coarse regimes") {
+    // the round-trip-equivalence spec probeIndexFrame's doc promises:
+    // build to parquet, then probe (a) through the persisted invfile +
+    // reloaded model and (b) through the in-memory inverted file + the
+    // model the build returned — identical top-k proves parquet (double
+    // centroid arrays, cell partition-column typing) changes nothing
+    val emb = graft.engine.Tables.read(spark, sf0001, "embeddings")
+    val corpus = emb.select("vec_id", "embedding").localCheckpoint(true)
+    val query = emb.filter($"vec_id" === 0)
+    for ((thresh, label) <- Seq((graft.ops.Dedup.HierarchicalCellsThreshold, "single-level"),
+                                (1, "residual"))) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivfserve").toString
+      val model = Ivf.buildIndex(corpus, "vec_id", "embedding", dir,
+        maxIter = 5, hierarchicalThreshold = thresh)
+      assert(model.isResidual == (thresh == 1), s"$label coarse regime not engaged")
+      val loaded = Ivf.loadIndexModel(spark, dir)
+      assert(loaded.level1.map(_.toSeq).toSeq == model.level1.map(_.toSeq).toSeq &&
+             loaded.level2.map(_.toSeq).toSeq == model.level2.map(_.toSeq).toSeq,
+        s"$label centroids drifted through parquet")
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val inMem = pairs(Ivf.probeIndexFrame(
+        model.indexOf(corpus, "vec_id", "embedding"), model,
+        "vec_id", "embedding", query, "embedding", k = 10, nprobe = 4))
+      val fromDisk = pairs(Ivf.probeIndex(spark, dir,
+        "vec_id", "embedding", query, "embedding", k = 10))
+      assert(inMem == fromDisk, s"$label parquet round-trip changed the probe")
+      assert(fromDisk.length == 10, s"$label returned ${fromDisk.length} rows")
+      // vec 0 is IN the index: the probe's first cell holds it, so the
+      // exact-cosine scan must return it first at sim 1.0
+      assert(fromDisk.head == (0L, 1.0), s"$label planted self not first: ${fromDisk.head}")
+    }
+  }
+
+  test("probeIndex: never-short fallback below k; single-query contract enforced") {
+    val emb = graft.engine.Tables.read(spark, sf0001, "embeddings")
+    val query = emb.filter($"vec_id" === 0)
+    val tiny = emb.filter($"vec_id" =!= 0).limit(12)
+      .select("vec_id", "embedding").localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfserve_tiny").toString
+    Ivf.buildIndex(tiny, "vec_id", "embedding", dir, maxIter = 5)
+    val got = Ivf.probeIndex(spark, dir, "vec_id", "embedding",
+      query, "embedding", k = 10).collect()
+    assert(got.length == 10, s"fallback returned ${got.length} rows")
+    // a multi-row query frame must FAIL, not silently score every row
+    // against row 1's probed cells (advisor r12)
+    val err = intercept[IllegalArgumentException] {
+      Ivf.probeIndex(spark, dir, "vec_id", "embedding",
+        emb.filter($"vec_id".isin(0L, 1L)), "embedding", k = 10)
+    }
+    assert(err.getMessage.contains("single-query"))
+  }
 }

@@ -152,4 +152,61 @@ class QuantizeSpec extends SparkSpec {
     assert(got.head.getLong(0) == 999999L && got.head.getDouble(1) == 1.0,
       s"planted duplicate not first on the switched path: ${got.toSeq}")
   }
+
+  test("buildPqIndex/probePqIndex: parquet round-trip equals the in-memory probe on both coarse regimes") {
+    // the round-trip-equivalence spec pqProbeCore's doc promises: probe
+    // (a) through the persisted codes.parquet + loadPqIndex and (b)
+    // through an in-memory code table + the model the build returned —
+    // identical top-k proves parquet (codebook reconstruction, cell
+    // partition typing, int code arrays) changes nothing
+    val emb = graft.engine.Tables.read(spark, sf0001, "embeddings")
+    val corpus = emb.select("vec_id", "embedding").localCheckpoint(true)
+    val query = emb.filter($"vec_id" === 0)
+    for ((thresh, label) <- Seq((graft.ops.Dedup.HierarchicalCellsThreshold, "single-level"),
+                                (1, "residual"))) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_pqserve").toString
+      val model = Quantize.buildPqIndex(corpus, "vec_id", "embedding", dir,
+        hierarchicalThreshold = thresh)
+      assert(model.coarse.isResidual == (thresh == 1), s"$label coarse regime not engaged")
+      val loaded = Quantize.loadPqIndex(spark, dir)
+      assert(loaded.coarse.level1.map(_.toSeq).toSeq == model.coarse.level1.map(_.toSeq).toSeq &&
+             loaded.coarse.level2.map(_.toSeq).toSeq == model.coarse.level2.map(_.toSeq).toSeq,
+        s"$label coarse centroids drifted through parquet")
+      assert(loaded.cb.m == model.cb.m && loaded.cb.dsub == model.cb.dsub &&
+             loaded.cb.books.map(_.map(_.toSeq).toSeq).toSeq ==
+               model.cb.books.map(_.map(_.toSeq).toSeq).toSeq,
+        s"$label PQ codebooks drifted through parquet")
+      val codesMem = model.coarse.indexOf(corpus, "vec_id", "embedding")
+        .withColumn("code",
+          Quantize.pqCode(model.coarse.residualOf(col("embedding")), model.cb))
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val inMem = pairs(Quantize.pqProbeCore(codesMem, model,
+        "vec_id", "embedding", query, "embedding", k = 10, nprobe = 4, rerank = 100))
+      val fromDisk = pairs(Quantize.probePqIndex(spark, dir,
+        "vec_id", "embedding", query, "embedding", k = 10))
+      assert(inMem == fromDisk, s"$label parquet round-trip changed the probe")
+      assert(fromDisk.length == 10, s"$label returned ${fromDisk.length} rows")
+      // vec 0 is IN the index: zero residual ⇒ tops the ADC shortlist in
+      // its own (first-probed) cell, exact re-rank returns it at 1.0
+      assert(fromDisk.head == (0L, 1.0), s"$label planted self not first: ${fromDisk.head}")
+    }
+  }
+
+  test("probePqIndex: never-short fallback below k; single-query contract enforced") {
+    val emb = graft.engine.Tables.read(spark, sf0001, "embeddings")
+    val query = emb.filter($"vec_id" === 0)
+    val tiny = emb.filter($"vec_id" =!= 0).limit(12)
+      .select("vec_id", "embedding").localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqserve_tiny").toString
+    Quantize.buildPqIndex(tiny, "vec_id", "embedding", dir)
+    val got = Quantize.probePqIndex(spark, dir, "vec_id", "embedding",
+      query, "embedding", k = 10).collect()
+    assert(got.length == 10, s"fallback returned ${got.length} rows")
+    val err = intercept[IllegalArgumentException] {
+      Quantize.probePqIndex(spark, dir, "vec_id", "embedding",
+        emb.filter($"vec_id".isin(0L, 1L)), "embedding", k = 10)
+    }
+    assert(err.getMessage.contains("single-query"))
+  }
 }

@@ -768,4 +768,52 @@ class StreamingSpec extends SparkSpec {
     assert(keptIds.forall(_ <= 30L), s"junk survived the score gate: $keptIds")
     assert(keptIds.size >= 25, s"score gate dropped most clean docs: ${keptIds.size}")
   }
+
+  test("streaming ANN probe equals the batch probe, on both index layouts") {
+    // round-12 verdict #2 + advisor: the stream==batch pin annProbeStream's
+    // doc promises, plus the PQ-layout dir (codes.parquet carries the same
+    // cell/id/vec columns — must serve, not throw path-not-found)
+    val rnd = new scala.util.Random(59)
+    def near(base: Array[Float], eps: Float) = base.map(_ + eps)
+    val base0 = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val base1 = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val corpus = ((1L to 10L).map(i => (i, near(base0, 0.01f * i))) ++
+                  (11L to 20L).map(i => (i, near(base1, 0.01f * (i - 10)))))
+      .toDF("vec_id", "embedding").localCheckpoint(true)
+    val dirIvf = java.nio.file.Files.createTempDirectory("graft_annps_ivf").toString
+    val dirPq = java.nio.file.Files.createTempDirectory("graft_annps_pq").toString
+    graft.ops.Ivf.buildIndex(corpus, "vec_id", "embedding", dirIvf, maxIter = 5)
+    graft.ops.Quantize.buildPqIndex(corpus, "vec_id", "embedding", dirPq, m = 4)
+    val queries = Seq(
+      (100L, near(base0, -0.02f)),                      // tags cluster 0
+      (101L, near(base1, 0.03f)),                       // tags cluster 1
+      (102L, Array.fill(16)(rnd.nextGaussian().toFloat))) // tags nothing (likely)
+    def tagged(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // batch through the SAME code path (stateless plan — works on a batch
+    // frame), against both layouts
+    val batchIvf = tagged(Streaming.annProbeStream(
+      queries.toDF("vec_id", "embedding"), "vec_id", "embedding", dirIvf, tau = 0.9, nprobe = 16))
+    val batchPq = tagged(Streaming.annProbeStream(
+      queries.toDF("vec_id", "embedding"), "vec_id", "embedding", dirPq, tau = 0.9, nprobe = 16))
+    // nprobe=16 == the cell count ⇒ every cell probed on both layouts:
+    // the ≥ tau set is exactly the brute-force cosine set either way
+    assert(batchIvf == batchPq, s"layouts diverge: $batchIvf vs $batchPq")
+    assert(batchIvf.exists(_._1 == 100L) && batchIvf.exists(_._1 == 101L),
+      s"cluster queries tagged nothing: $batchIvf")
+    assert(batchIvf.filter(_._1 == 100L).forall(t => t._2 <= 10L && t._3 >= 0.9))
+    assert(batchIvf.filter(_._1 == 101L).forall(t => t._2 > 10L && t._3 >= 0.9))
+    // streamed in two micro-batches: stateless filter, arrival order free
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Streaming.annProbeStream(
+        mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", dirIvf, tau = 0.9, nprobe = 16)
+      .writeStream.format("memory").queryName("sink_annprobe")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(queries.take(1)); q.processAllAvailable()
+      mem.addData(queries.drop(1)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = tagged(spark.table("sink_annprobe"))
+    assert(streamed == batchIvf, s"stream $streamed vs batch $batchIvf")
+  }
 }
