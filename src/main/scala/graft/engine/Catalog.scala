@@ -20,21 +20,31 @@ final class Catalog(spark: SparkSession, rootDir: String) {
   private val schemaCache = TrieMap.empty[String, Seq[(String, String)]]
   private val distinctCache = TrieMap.empty[(String, String), Seq[String]]
 
-  def path(name: String): String = s"$rootDir/$name.parquet"
+  /** Storage format per table: parquet (the native layout) or ORC — both
+    * columnar V2 sources with vectorized scan + pushdown/pruning intact;
+    * resolved by suffix under the root, parquet winning when both exist. */
+  private def fmt(name: String): String =
+    if (new java.io.File(s"$rootDir/$name.orc").exists() &&
+        !new java.io.File(s"$rootDir/$name.parquet").exists()) "orc"
+    else "parquet"
+
+  def path(name: String): String = s"$rootDir/$name.${fmt(name)}"
 
   /** Lazy DataFrame over the named table. No caching of data: the scan must
     * stay a fresh logical leaf so Catalyst can push filters per-query.
-    * Goes through [[Tables.read]] so TIMESTAMP(NANOS) columns (events.ts)
-    * load everywhere the catalog is used. */
-  def table(name: String): DataFrame = Tables.read(spark, rootDir, name)
+    * Parquet goes through [[Tables.read]] so TIMESTAMP(NANOS) columns
+    * (events.ts) load everywhere the catalog is used. */
+  def table(name: String): DataFrame =
+    if (fmt(name) == "orc") spark.read.orc(path(name))
+    else Tables.read(spark, rootDir, name)
 
-  /** A9: enumerate queryable data types (parquet files/dirs under root). */
+  /** A9: enumerate queryable data types (parquet/orc files/dirs under root). */
   def listTables(): Seq[String] = {
     val dir = new java.io.File(rootDir)
     Option(dir.listFiles()).getOrElse(Array.empty).toSeq
-      .filter(f => f.getName.endsWith(".parquet"))
-      .map(_.getName.stripSuffix(".parquet"))
-      .sorted
+      .filter(f => f.getName.endsWith(".parquet") || f.getName.endsWith(".orc"))
+      .map(_.getName.stripSuffix(".parquet").stripSuffix(".orc"))
+      .distinct.sorted
   }
 
   /** A10: column names + SQL types, shaped like the reference's
@@ -54,5 +64,7 @@ final class Catalog(spark: SparkSession, rootDir: String) {
       table(name).select(column).distinct().collect().map(r => String.valueOf(r.get(0))).toSeq.sorted
     )
 
-  def exists(name: String): Boolean = new java.io.File(path(name)).exists()
+  def exists(name: String): Boolean =
+    new java.io.File(s"$rootDir/$name.parquet").exists() ||
+      new java.io.File(s"$rootDir/$name.orc").exists()
 }

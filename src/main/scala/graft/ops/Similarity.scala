@@ -172,9 +172,15 @@ object Similarity {
     val selected = scala.collection.mutable.ArrayBuffer.empty[(Cand, Double)]
     while (selected.length < math.min(k, rows.length)) {
       val best = pool.map { c =>
+        // redundancy quantized to 4 dp (HALF_UP, after the max — round is
+        // monotone, so max∘round == round∘max): with 4-dp rel and 4-dp
+        // redundancy the marginal is a three-op IEEE expression, so the
+        // unrolled SQL oracle replays the greedy BIT-identically; the
+        // discarded precision is far below any diversification signal
         val redundancy =
           if (selected.isEmpty) 0.0
-          else selected.map { case (s, _) => cos(c, s) }.max
+          else BigDecimal(selected.map { case (s, _) => cos(c, s) }.max)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).doubleValue
         (c, lambda * c.rel - (1 - lambda) * redundancy)
       }.minBy { case (c, m) => (-m, c.id) }
       selected += best

@@ -748,6 +748,79 @@ object Text {
   private[ops] def codePointSymbols(w: String): Array[String] =
     w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
 
+  /** GPT-2's bytes-to-unicode table (Radford et al. 2019, `encoder.py`
+    * `bytes_to_unicode`): every byte 0–255 maps to a VISIBLE unicode
+    * character — printable bytes (`!`–`~`, `¡`–`¬`, `®`–`ÿ`) to
+    * themselves, the rest to U+0100.. in byte order — so byte-level BPE
+    * can reuse string symbol machinery with no unprintable/whitespace
+    * symbols. One code point per byte by construction (all targets <
+    * U+0143), so [[codePointSymbols]] of a mapped word IS its byte
+    * symbol sequence. */
+  private[ops] val ByteUnicode: Array[String] = {
+    val printable = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    var n = 0
+    Array.tabulate(256) { b =>
+      if (printable(b)) new String(Character.toChars(b))
+      else { val s = new String(Character.toChars(256 + n)); n += 1; s }
+    }
+  }
+
+  /** Driver-side word → byte-symbol string (UTF-8 bytes through
+    * [[ByteUnicode]]) — the under-gate path's splitter input. */
+  private[ops] def byteMapString(w: String): String = {
+    val bs = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bs.length)
+    bs.foreach(b => sb.append(ByteUnicode(b & 0xff)))
+    sb.toString
+  }
+
+  /** In-plan word → byte-symbol string, all builtins (encode to UTF-8
+    * binary, per-byte hex→int→table lookup) — vocab-sized work only
+    * (applied to DISTINCT words, never corpus occurrences), so the
+    * interpreted transform lambda is off the hot path. */
+  private[ops] def byteMapColumn(c: Column): Column = {
+    val b = encode(c, "UTF-8")
+    concat_ws("", transform(sequence(lit(1), octet_length(b)),
+      i => element_at(typedLit(ByteUnicode.toSeq),
+        conv(hex(b.substr(i, lit(1))), 16, 10).cast("int") + 1)))
+  }
+
+  /** BYTE-level BPE training (the GPT-2 tokenizer alphabet): identical
+    * merge semantics to [[bpeTrain]], but the initial symbols are the
+    * word's UTF-8 BYTES through [[ByteUnicode]] instead of its code
+    * points — char-level tables undercount non-ASCII token budgets
+    * (one symbol for a 3-byte CJK char), and real byte-level
+    * tokenizers never see an OOV symbol. Because every mapped byte is
+    * one code point, byte-level training IS char-level training over
+    * the byte-mapped vocabulary — both gate paths reuse the exact
+    * [[bpeTrainLocal]]/[[bpeTrainIterative]] loops (their equivalence
+    * spec carries over), with the word map applied driver-side under
+    * the gate and in-plan (vocab-sized) past it. The char budget gates
+    * Σ UTF-8 bytes — the quantity the local path's per-symbol
+    * structures actually scale with here. */
+  def bpeTrainBytes(docs: DataFrame, textCol: String, numMerges: Int,
+                    vocabBroadcastLimit: Long = Dedup.HotShingleBroadcastLimit,
+                    localCharBudget: Long = BpeLocalCharBudget): DataFrame = {
+    require(numMerges > 0, s"numMerges must be positive: $numMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = docs
+      .select(explode(tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+      .localCheckpoint(true)
+    val stats = vocab.agg(count(lit(1)).as("__n"),
+      coalesce(sum(octet_length(col("word"))), lit(0L)).as("__bytes")).head()
+    val merges =
+      if (stats.getLong(0) <= vocabBroadcastLimit &&
+          stats.getLong(1) <= localCharBudget)
+        bpeTrainLocal(vocab.collect().map(r =>
+          (byteMapString(r.getString(0)), r.getLong(1))), numMerges)
+      else bpeTrainIterative(
+        vocab.select(byteMapColumn(col("word")).as("word"), col("wc")), numMerges)
+    merges.toDF("rank", "left", "right", "merged", "pair_count")
+  }
+
   private[ops] def bpeTrainLocal(vocab: Array[(String, Long)],
                                  numMerges: Int): Seq[(Int, String, String, String, Long)] = {
     import scala.collection.mutable

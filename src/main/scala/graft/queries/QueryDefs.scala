@@ -35,7 +35,9 @@ object QueryDefs {
     * sf0.01 and sf0.1 never share an index; the marker is written only
     * after a completed build, so a crashed build rebuilds. */
   private def ensureServeIndex(s: SparkSession, d: String, kind: String): String = {
-    val dir = s"/tmp/graft_ann_serve_${Integer.toHexString(d.hashCode)}/$kind"
+    // v1 = index layout version: bump when the persisted schema changes,
+    // so a stale /tmp dir from an older build can never be misread
+    val dir = s"/tmp/graft_ann_serve_v1_${Integer.toHexString(d.hashCode)}/$kind"
     val marker = new org.apache.hadoop.fs.Path(s"$dir/_GRAFT_INDEX_OK")
     val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) {
@@ -98,6 +100,97 @@ object QueryDefs {
     * DuckDB's sum returns HUGEINT, which pandas reads as float. */
   private def bpeTrainOracleSql(n: Int): String =
     bpeReplayPrefix(n) + "\n" + (1 to n).map(k =>
+      s"""SELECT $k AS rank, l AS "left", r AS "right", l || r AS merged,
+         CAST(cnt AS BIGINT) AS pair_count FROM b$k""")
+      .mkString("\nUNION ALL ") + "\nORDER BY rank"
+
+  /** [[bpeReplayPrefix]] over the GPT-2 BYTE alphabet: s0 symbols are
+    * each word's UTF-8 bytes through bytes-to-unicode, built entirely in
+    * SQL — the mapping table from `range(256)` (printable bytes to
+    * themselves, the rest to 256+k in byte order, via a running
+    * non-printable count), per-code-point UTF-8 byte arithmetic
+    * (1/2/3/4-byte CASE), bytes ordered by (char index, byte index).
+    * The merge stages are [[bpeReplayStage]] unchanged — byte-level BPE
+    * is char-level BPE over the mapped alphabet. */
+  private def bpeBytesReplayPrefix(n: Int): String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+  v AS (SELECT word, count(*) AS wc FROM tok WHERE len(word) > 0 GROUP BY word),
+  bmap AS (SELECT b, CASE WHEN pr THEN chr(b) ELSE chr(256 + CAST(coalesce(
+             sum(CASE WHEN pr THEN 0 ELSE 1 END) OVER (ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT)) END AS s
+           FROM (SELECT CAST(t.range AS INTEGER) AS b,
+                   ((t.range BETWEEN 33 AND 126) OR (t.range BETWEEN 161 AND 172)
+                     OR (t.range BETWEEN 174 AND 255)) AS pr
+                 FROM range(256) t)),
+  wch AS (SELECT word, ci, unicode(ch) AS cp FROM (
+            SELECT word, unnest(string_split(word, '')) AS ch,
+                   generate_subscripts(string_split(word, ''), 1) AS ci FROM v)),
+  wby AS (SELECT word, ci, generate_subscripts(bl, 1) AS bi, unnest(bl) AS byt FROM (
+            SELECT word, ci,
+              CASE WHEN cp < 128 THEN [cp]
+                   WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64]
+                   WHEN cp < 65536 THEN [224 + cp // 4096, 128 + (cp // 64) % 64, 128 + cp % 64]
+                   ELSE [240 + cp // 262144, 128 + (cp // 4096) % 64, 128 + (cp // 64) % 64, 128 + cp % 64]
+              END AS bl FROM wch) t2),
+  wsym AS (SELECT word, list(s ORDER BY ci, bi) AS bsym
+           FROM wby JOIN bmap ON bmap.b = wby.byt GROUP BY word),
+  s0 AS MATERIALIZED (SELECT v.word, v.wc, list_append(w.bsym, '</w>') AS sym
+                      FROM v JOIN wsym w ON w.word = v.word),""" +
+      (1 to n).map(bpeReplayStage).mkString(",")
+
+  /** Unrolled replay of [[graft.ops.Similarity.mmrRerank]]'s greedy
+    * selection (MMR is a bounded k-step recurrence, so — like the BPE
+    * replay — a non-recursive unroll is exact, and DuckDB's recursive
+    * CTEs couldn't aggregate in the recursive term anyway): top-`c`
+    * candidates by 4-dp cosine, all pairwise 4-dp candidate cosines,
+    * then stage i picks the (marginal desc, id) argmax of
+    * λ·rel − (1−λ)·max(cos to selected). With 4-dp rel and redundancy
+    * the marginal is a three-op IEEE double expression, bit-identical
+    * between the Spark driver loop and DuckDB — with λ and (1 − λ)
+    * forced to IEEE double on both sides (a bare 0.7 binds DECIMAL in
+    * DuckDB, whose exact 1 − 0.7 = 0.3 is ONE ULP off the JVM's double
+    * subtraction — the JM-LM oracle's lesson applied). */
+  private def mmrOracleSql(k: Int, c: Int, lambda: String): String = {
+    val stages = (2 to k).map { i =>
+      s"""
+  m$i AS MATERIALIZED (SELECT c.vec_id AS vec_id, $i AS rank,
+          CAST($lambda AS DOUBLE) * c.rel
+            - (CAST(1 AS DOUBLE) - CAST($lambda AS DOUBLE)) * max(p.cs) AS sc
+        FROM cand c JOIN pc p ON p.a = c.vec_id
+          AND p.b IN (SELECT vec_id FROM t${i - 1})
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM t${i - 1})
+        GROUP BY c.vec_id, c.rel
+        ORDER BY sc DESC, c.vec_id LIMIT 1),
+  t$i AS MATERIALIZED (SELECT vec_id, rank, sc FROM t${i - 1}
+        UNION ALL SELECT vec_id, rank, sc FROM m$i)"""
+    }.mkString(",")
+    s"""WITH q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS v,
+           generate_subscripts(embedding, 1) AS i
+         FROM embeddings WHERE vec_id = 0),
+  e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+          generate_subscripts(embedding, 1) AS i
+        FROM embeddings WHERE vec_id <> 0),
+  rel AS (SELECT e.vec_id,
+            round(sum(e.v * q.v) / (sqrt(sum(e.v * e.v)) * sqrt(sum(q.v * q.v))), 4) AS rel
+          FROM e JOIN q ON e.i = q.i GROUP BY e.vec_id),
+  cand AS MATERIALIZED (SELECT vec_id, rel FROM rel ORDER BY rel DESC, vec_id LIMIT $c),
+  ce AS (SELECT e.vec_id, e.v, e.i FROM e
+         WHERE e.vec_id IN (SELECT vec_id FROM cand)),
+  nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM ce GROUP BY vec_id),
+  pc AS MATERIALIZED (SELECT x.vec_id AS a, y.vec_id AS b,
+          round(sum(x.v * y.v) / (nx.n * ny.n), 4) AS cs
+        FROM ce x JOIN ce y ON x.i = y.i AND x.vec_id <> y.vec_id
+        JOIN nrm nx ON nx.vec_id = x.vec_id
+        JOIN nrm ny ON ny.vec_id = y.vec_id
+        GROUP BY x.vec_id, y.vec_id, nx.n, ny.n),
+  m1 AS MATERIALIZED (SELECT vec_id, 1 AS rank, CAST($lambda AS DOUBLE) * rel AS sc
+        FROM cand ORDER BY sc DESC, vec_id LIMIT 1),
+  t1 AS MATERIALIZED (SELECT vec_id, rank, sc FROM m1),$stages
+SELECT vec_id, rank, round(sc, 6) AS mmr FROM t$k ORDER BY rank"""
+  }
+
+  private def bpeBytesOracleSql(n: Int): String =
+    bpeBytesReplayPrefix(n) + "\n" + (1 to n).map(k =>
       s"""SELECT $k AS rank, l AS "left", r AS "right", l || r AS merged,
          CAST(cnt AS BIGINT) AS pair_count FROM b$k""")
       .mkString("\nUNION ALL ") + "\nORDER BY rank"
@@ -1326,8 +1419,10 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
 
     // MMR diversification over a top-50 exact-cosine candidate list:
     // greedy λ·rel − (1−λ)·max-sim-to-selected, driver-side over the
-    // k-bounded list (the corpus scan lives in the producer). Rows-only:
-    // the greedy recurrence isn't SQL-expressible; SimilaritySpec pins a
+    // k-bounded list (the corpus scan lives in the producer). Oracled by
+    // the UNROLLED 10-stage replay (mmrOracleSql): 4-dp rel/redundancy
+    // make each marginal a three-op IEEE expression, so the SQL argmax
+    // walks the exact same selections; SimilaritySpec additionally pins
     // planted redundant-candidate demotion and determinism.
     QueryDef(
       "c14_mmr_rerank",
@@ -1340,7 +1435,7 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
         Similarity.mmrRerank(cand, "vec_id", "sim", "embedding",
           lambda = 0.7, k = 10)
       },
-      None
+      Some(mmrOracleSql(k = 10, c = 50, lambda = "0.7"))
     ),
 
     // Embedding-space prototypicality pruning (Sorscher et al. NeurIPS'22):
@@ -2194,6 +2289,20 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
       "c15_bpe_train",
       (s, d) => Text.bpeTrain(t(s, d, "documents"), "text", numMerges = 12),
       Some(bpeTrainOracleSql(12))
+    ),
+
+    // BYTE-level BPE (the GPT-2 tokenizer alphabet): merge semantics of
+    // c15_bpe_train, but symbols are the word's UTF-8 bytes through
+    // bytes-to-unicode — char-level tables undercount non-ASCII token
+    // budgets (one symbol for a 3-byte CJK char). The driver corpus is
+    // ASCII, so what this oracle checks end-to-end is the MACHINERY (the
+    // SQL byte-mapping table, UTF-8 byte arithmetic, unrolled replay over
+    // the mapped alphabet); TextSpec pins the multi-byte semantics
+    // (é → 2 symbols, gate-path equality on non-ASCII corpora).
+    QueryDef(
+      "c15_bpe_bytes",
+      (s, d) => Text.bpeTrainBytes(t(s, d, "documents"), "text", numMerges = 12),
+      Some(bpeBytesOracleSql(12))
     ),
 
     // BPE ENCODE under the learned table: train on the corpus, then

@@ -139,6 +139,15 @@ object ScaleBench {
         labels.write.format("noop").mode("overwrite").save()
         rounds.toLong
       }
+      // the Kiveris et al. large-star/small-star core on the SAME pair
+      // frame: per-round cost is two agg+join+distinct passes over the
+      // (shrinking) edge set vs propagation's edges⋈labels join — the
+      // round count and wall here decide which core owns production
+      val (tCcStar, ccStarRounds) = timeIt {
+        val (labels, rounds) = Dedup.connectedComponentsStarWithRounds(pairs, maxIter = 20)
+        labels.write.format("noop").mode("overwrite").save()
+        rounds.toLong
+      }
       val (tRm, _) = timeIt(noop(Dedup.removeNearDups(docs, "doc_id", pairs)))
       val (tLsh, nLsh) = timeIt {
         val c = Dedup.minhashLshCandidates(docs, "doc_id", "text",
@@ -335,6 +344,27 @@ object ScaleBench {
         Ivf.trainResidualQuantizer(emb, "embedding", k1 = kSL, k2 = kSL,
           sampleFraction = 0.25, maxIter = 5); 0L
       }
+      // IVFADC at the SIZED entry with the RESIDUAL coarse regime FORCED
+      // (threshold 64 < cellsForSearch at every k in this sweep) — the
+      // switched path's curve, stage-attributed: the in-query call
+      // (training + probe, the c14_ann_ivfpq shape), the offline BUILD
+      // (coarse residual train + PQ codebooks + cell-partitioned code
+      // table — the c14_ann_serve_pq setup), and the trained-nothing
+      // PROBE (must stay ~flat: nprobe² composite cells of the corpus +
+      // ADC lookup + bounded re-rank; coarse-train support is bounded by
+      // max(trainSampleRows, 39·kLevel) so build must track the scan)
+      val ivfpqDir = s"/tmp/graft_scale_ivfpq_x$k"
+      val (tIvfPqQ, _) = timeIt(noop(Quantize.ivfPqSized(
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        emb.filter(col("vec_id") === 0), "embedding", k = 10,
+        hierarchicalThreshold = 64)))
+      val (tIvfPqBuild, _) = timeIt {
+        Quantize.buildPqIndex(emb.filter(col("vec_id") =!= 0), "vec_id",
+          "embedding", ivfpqDir, hierarchicalThreshold = 64); 0L
+      }
+      val (tIvfPqProbe, _) = timeIt(noop(Quantize.probePqIndex(spark, ivfpqDir,
+        "vec_id", "embedding", emb.filter(col("vec_id") === 0), "embedding",
+        k = 10)))
       // batched LSH probe: the serving-layer path —
       // wall for the full batch call, then candidate volume and the
       // per-query exact-fallback RATE (queries whose probe came back
@@ -473,9 +503,77 @@ object ScaleBench {
       // exists, so the wall must track the corpus linearly
       val (tSpan, _) = timeIt(noop(
         Dedup.spanDedup(docs, "doc_id", "text")))
+      // curation v8, stage-attributed (a = n-gram + semantic decon union
+      // + id removal, b = the SPAN-CUT REASSEMBLY — posting projection +
+      // O(len) per-doc splice, the watched stage, c = quality gate +
+      // per-lang agg) — b must track the corpus linearly, never a pair
+      // join
+      var v8Kept: DataFrame = null
+      var v8Spanned: DataFrame = null
+      val (tV8a, _) = timeIt {
+        val corpus = docs.filter(col("doc_id") >= 50)
+        val doomed = Dedup.contaminatedIds(corpus, bench50, "doc_id", "text", n = 8)
+          .unionAll(Dedup.semanticContaminatedIds(emb, "vec_id", "embedding",
+            emb.filter(col("vec_id") < 50), "embedding", tau = 0.95))
+        v8Kept = Dedup.removeIds(corpus, "doc_id", doomed).localCheckpoint(true)
+        0L
+      }
+      val (tV8b, _) = timeIt {
+        v8Spanned = Dedup.spanDecontaminate(v8Kept, bench50, "doc_id", "text")
+          .localCheckpoint(true)
+        0L
+      }
+      val (tV8c, _) = timeIt(noop {
+        val quality = Text.qualityScore(v8Spanned, "doc_id", "text")
+        v8Spanned
+          .join(v8Kept.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .join(quality.filter(col("lexical_diversity") >= 0.5).select("doc_id"),
+            Seq("doc_id"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            org.apache.spark.sql.functions.round(
+              avg(length(col("text"))), 2).as("avg_kept_chars"),
+            sum(col("n_cut")).as("chars_cut"))
+      })
+      // curation v9, stage-attributed (a = decon + embedding join, b =
+      // the PER-LANG CENTROID scoring — the watched stage: the centroid
+      // frame is |langs|·dim rows, FIXED as replicas keep their lang, so
+      // b must be the linear explode + partial agg + broadcast scoring
+      // pass, c = grouped rank + count gate + rebalance)
+      var v9WithVec: DataFrame = null
+      var v9Scored: DataFrame = null
+      val (tV9a, _) = timeIt {
+        val clean = Dedup.decontaminate(docs.filter(col("doc_id") >= 50),
+          bench50, "doc_id", "text", n = 8)
+        v9WithVec = clean.select(col("doc_id"), col("lang"))
+          .join(emb.select(col("vec_id").as("doc_id"), col("embedding")),
+            Seq("doc_id"))
+          .localCheckpoint(true)
+        0L
+      }
+      val (tV9b, _) = timeIt {
+        v9Scored = Similarity.prototypeScores(
+          v9WithVec, "doc_id", "embedding", "lang").localCheckpoint(true)
+        0L
+      }
+      val (tV9c, _) = timeIt(noop {
+        val n = v9Scored.groupBy("lang").agg(count(lit(1)).as("__n"))
+          .localCheckpoint(true)
+        val ranked = Relational.groupedRank(v9Scored, Seq("lang"),
+          Seq(col("sim"), col("doc_id")), "__r")
+        val withN =
+          if (n.count() <= Dedup.HotShingleBroadcastLimit)
+            ranked.join(broadcast(n), Seq("lang"))
+          else ranked.join(n.hint("SHUFFLE_HASH"), Seq("lang"))
+        Relational.temperatureSample(
+          withN.filter(col("__r") * 3 > col("__n"))
+            .select(col("doc_id"), col("lang"), col("sim")),
+          "lang", "doc_id", baseFrac = 0.5)
+      })
 
       println(f"[scale] r$round x$k%-2d docs=$nDocs%7d vecs=$nVecs%6d | " +
-        f"jaccard=$tJac%6.2fs pairs=$nPairs%6d cc=$tCc%5.2fs(r=$ccRounds) rm=$tRm%5.2fs | " +
+        f"jaccard=$tJac%6.2fs pairs=$nPairs%6d cc=$tCc%5.2fs(r=$ccRounds) " +
+        f"ccStar=$tCcStar%5.2fs(r=$ccStarRounds) rm=$tRm%5.2fs | " +
         f"lsh=$tLsh%5.2fs($nLsh%5d) ann=$tAnn%5.2fs($nAnn%6d) annS=$tAnnS%5.2fs($nAnnS%6d) " +
         f"proto=$tProto%5.2fs pq=$tPq%5.2fs | " +
         f"decon=$tDec%5.2fs dist=$tDecD%5.2fs bloom=$tDecB%5.2fs sdec=$tSdec%5.2fs pack=$tPack%5.2fs line=$tLine%5.2fs " +
@@ -486,12 +584,14 @@ object ScaleBench {
         f"skew=$tSkewTr%5.2fs+$tSkew%5.2fs($nSkewPairs%6d,hot256=$hot256,hotDef=$hotDefault) " +
         f"probe=$tProbe%5.2fs($nProbeCand%5d) " +
         f"ivfTr=$tIvfTr1%5.2fs/$tIvfTr2%5.2fs(k=$kSearch) " +
+        f"ivfpq=$tIvfPqQ%5.2fs build=$tIvfPqBuild%5.2fs probe=$tIvfPqProbe%5.2fs " +
         f"pbatch=$tPbatch%5.2fs(cand=$nPbCand%6d,fb=$nPbFallback/5) " +
         f"sess=$tSess%5.2fs ret=$tRet%5.2fs | " +
         f"bpe=$tBpeTr%5.2fs/$tBpeEnc%5.2fs bpe2k=$tBpe2k%6.2fs($nBpe2k) " +
         f"ppl=$tPpl%5.2fs pplL=$tPplL%5.2fs rep=$tRep%5.2fs temp=$tTemp%5.2fs " +
         f"v6=$tV6a%5.2f/$tV6b%5.2f/$tV6c%5.2fs " +
-        f"v7=$tV7a%5.2f/$tV7b%5.2f/$tV7c%5.2fs span=$tSpan%5.2fs")
+        f"v7=$tV7a%5.2f/$tV7b%5.2f/$tV7c%5.2fs span=$tSpan%5.2fs " +
+        f"v8=$tV8a%5.2f/$tV8b%5.2f/$tV8c%5.2fs v9=$tV9a%5.2f/$tV9b%5.2f/$tV9c%5.2fs")
     }
     spark.stop()
   }

@@ -25,6 +25,22 @@ class CatalogSpec extends SparkSpec {
     assert(c.distinctValues("lineitem", "l_returnflag") eq v1) // memoized
   }
 
+  test("ORC tables register beside parquet: listing, schema, scan parity (registry round-trip)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cat-orc").toString
+    val nation = Tables.read(spark, sf0001, "nation")
+    nation.write.parquet(s"$root/nation.parquet")
+    nation.write.orc(s"$root/nation_orc.orc")
+    val c = new Catalog(spark, root)
+    assert(c.listTables() == Seq("nation", "nation_orc"))
+    assert(c.exists("nation_orc") && !c.exists("missing"))
+    assert(c.path("nation_orc").endsWith(".orc") && c.path("nation").endsWith(".parquet"))
+    // identical schema and rows through the registry, whichever format backs it
+    assert(c.describe("nation_orc") == c.describe("nation"))
+    val viaParquet = c.table("nation").orderBy("n_nationkey").collect().map(_.toSeq)
+    val viaOrc = c.table("nation_orc").orderBy("n_nationkey").collect().map(_.toSeq)
+    assert(viaOrc.sameElements(viaParquet), "orc-backed table diverged through the registry")
+  }
+
   test("events ts reads as microsecond timestamp despite TIMESTAMP(NANOS) storage") {
     val ev = Tables.read(spark, sf0001, "events")
     assert(ev.schema("ts").dataType == TimestampType)

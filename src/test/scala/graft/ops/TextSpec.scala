@@ -574,6 +574,41 @@ class TextSpec extends SparkSpec {
     assert(table(Long.MaxValue, 0L) == local, "char-budget gate path diverges")
   }
 
+  test("bpeTrainBytes: UTF-8 byte symbols via bytes-to-unicode; gate paths agree; ASCII == char-level") {
+    // café's é is two UTF-8 bytes (0xC3 0xA9 → 'Ã' '©' under the GPT-2
+    // table) — byte-level splits it where char-level keeps one symbol
+    assert(Text.byteMapString("café") == "cafÃ©")
+    // non-printable bytes map into U+0100.. in byte order: NUL (the
+    // first) lands on U+0100, space (0x20, the 33rd) on U+0120 -- the
+    // GPT-2 '\u0120' every byte-level vocab is full of
+    assert(Text.byteMapString("\u0000") == "\u0100")
+    assert(Text.byteMapString(" ") == "\u0120")
+    val docs = Seq(Seq.fill(3)("café").mkString(" ")).toDF("text")
+    def table(vocabLimit: Long) =
+      Text.bpeTrainBytes(docs, "text", numMerges = 3,
+        vocabBroadcastLimit = vocabLimit)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
+    // hand-derived: [c a f Ã © </w>]×3 — (a,f) wins rank 1 on the l
+    // tie-break, then (af,Ã), then (afÃ,©)
+    val local = table(Long.MaxValue)
+    assert(local == Seq(
+      (1, "a", "f", "af", 3L),
+      (2, "af", "Ã", "afÃ", 3L),
+      (3, "afÃ", "©", "afÃ©", 3L)), s"table $local")
+    assert(table(0L) == local, "iterative in-plan byte mapping diverges")
+    // printable-ASCII corpus: every byte maps to itself, so the
+    // byte-level table equals the char-level one on both paths
+    val ascii = Seq((Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest")).mkString(" ")).toDF("text")
+    def tuples(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(tuples(Text.bpeTrainBytes(ascii, "text", numMerges = 6)) ==
+      tuples(Text.bpeTrain(ascii, "text", numMerges = 6)),
+      "byte-level diverged from char-level on printable ASCII")
+  }
+
   test("bpeEncode: learned merges compress token counts; hand-checked encodes") {
     // train on the classic corpus, encode new text with the table
     val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
