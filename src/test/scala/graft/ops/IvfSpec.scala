@@ -351,6 +351,40 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("serve probe is statically partition-pruned to the probed cell directories") {
+    // the 100 TB serving claim behind c14_ann_serve: the inverted file is
+    // partitionBy(cell) and probed cell ids are DRIVER-computed, so the
+    // isin filter must land in PartitionFilters and the scan must touch
+    // only the probed cells' files — the I/O analog of "scan ~nprobe of
+    // cells of the corpus" (same construction as probeIndexFrame's)
+    val emb = graft.engine.Tables.read(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding").localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_serveprune").toString
+    val model = Ivf.buildIndex(emb, "vec_id", "embedding", dir, maxIter = 5)
+    val q = emb.filter($"vec_id" === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val probedCells = model.probedCells(q, nprobe = 2)
+    val inv = spark.read.parquet(s"$dir/invfile.parquet")
+    val probed = inv.filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:") && plan.contains("cell"),
+      s"no partition filter on cell in:\n$plan")
+    probed.count() // drive the scan so the numFiles metric materializes
+    val filesRead = probed.queryExecution.executedPlan
+      .collectLeaves().head.metrics("numFiles").value
+    val allFiles = spark.read.parquet(s"$dir/invfile.parquet").inputFiles.length
+    val cellDirs = new java.io.File(s"$dir/invfile.parquet").listFiles()
+      .count(_.getName.startsWith("cell="))
+    assert(cellDirs > probedCells.length, s"only $cellDirs cell dirs — partitioning missing")
+    assert(filesRead < allFiles,
+      s"scan read all $allFiles files despite the partition filter")
+    assert(filesRead <= math.ceil(
+        allFiles.toDouble * probedCells.length / cellDirs).toInt * 2,
+      s"pruning leaked: $filesRead of $allFiles files for " +
+        s"${probedCells.length} of $cellDirs cells")
+  }
+
   test("probeIndex: never-short fallback below k; single-query contract enforced") {
     val emb = graft.engine.Tables.read(spark, sf0001, "embeddings")
     val query = emb.filter($"vec_id" === 0)
