@@ -502,6 +502,36 @@ object Ivf {
     probeIndexFrame(spark.read.parquet(s"$dir/invfile.parquet"),
       loadIndexModel(spark, dir), idCol, vecCol, query, queryVecCol, k, nprobe)
 
+  /** Batched probe of a BUILT index — the serving counterpart of
+    * [[topKBatchSized]], zero training: the driver-held model loads once,
+    * each query row takes its probed cells from the same codegen
+    * [[graft.functions.NearestCells]] expression the in-query batch paths
+    * use (nprobe² composite cells under the residual regime), candidates
+    * come from one equi-join of the broadcast probe frame against the
+    * cell-keyed inverted file, then the shared per-query
+    * rank + gate + exact-fallback tail
+    * ([[Similarity.finishBatchTopK]]). Static partition pruning is the
+    * SINGLE-query trick ([[probeIndex]]): a batch's union of probed cells
+    * approaches the full cell set, so the scale shape here is the
+    * cell equi-join — the inverted file's cell clustering keeps each join
+    * partition's build side one cell's worth. The probe frame broadcasts
+    * by the batch contract every batched ANN path shares (queries are a
+    * bounded probe batch; the corpus side never moves). */
+  def probeIndexBatch(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      idCol: String, vecCol: String,
+                      queries: DataFrame, qIdCol: String, qVecCol: String,
+                      k: Int, nprobe: Int = 4): DataFrame = {
+    val model = loadIndexModel(spark, dir)
+    val inv = spark.read.parquet(s"$dir/invfile.parquet")
+    val qf = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"))
+    val probes =
+      if (model.isResidual)
+        probeCellsResidual(qf, "__qv",
+          ResidualQuantizer(model.level1, model.level2), nprobe, nprobe)
+      else probeCells(qf, "__qv", model.level1, nprobe)
+    batchedProbeTopK(inv, broadcast(probes), inv, idCol, vecCol, qf, k)
+  }
+
   /** The probe core over an already-loaded (inv, model) pair — shared by
     * [[probeIndex]] and IvfSpec's round-trip-equivalence spec (which feeds
     * the in-memory inverted file to prove parquet changes nothing).

@@ -1715,6 +1715,22 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
       None
     ),
 
+    // The batched serving shape: one cell equi-join of the broadcast
+    // probe frame against the materialized inverted file (a batch's
+    // probed-cell union defeats static pruning, so the join IS the
+    // right plan), shared per-query rank + exact fallback. Rows-only;
+    // IvfSpec pins serve==in-query-batch equality on both regimes.
+    QueryDef(
+      "c14_ann_serve_batch",
+      (s, d) => {
+        val dir = ensureServeIndex(s, d, "ivf")
+        val emb = t(s, d, "embeddings")
+        Ivf.probeIndexBatch(s, dir, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+      },
+      None
+    ),
+
     // ── C15: text analysis ─────────────────────────────────────────────
     QueryDef(
       "c15_lang_stats",

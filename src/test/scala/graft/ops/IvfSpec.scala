@@ -351,6 +351,41 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("probeIndexBatch: zero-training serve equals the in-query batch probe on both regimes") {
+    // the batched serving counterpart: same model ⇒ same probed cells ⇒
+    // same candidates ⇒ same per-query (sim desc, id) top-k — reading
+    // the inverted file from parquet must change nothing
+    val emb = graft.engine.Tables.read(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding").localCheckpoint(true)
+    val queries = emb.filter($"vec_id" < 5)
+    def grouped(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id", "sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(t => (t._2, t._3)).toSet }
+    for ((thresh, label) <- Seq((graft.ops.Dedup.HierarchicalCellsThreshold, "single-level"),
+                                (1, "residual"))) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_servebatch").toString
+      val model = Ivf.buildIndex(emb, "vec_id", "embedding", dir,
+        maxIter = 5, hierarchicalThreshold = thresh)
+      val served = grouped(Ivf.probeIndexBatch(spark, dir, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 9))
+      val inQuery = grouped(
+        if (model.isResidual)
+          Ivf.topKBatchResidual(emb, "vec_id", "embedding",
+            queries, "vec_id", "embedding", 9,
+            Ivf.ResidualQuantizer(model.level1, model.level2))
+        else
+          Ivf.topKBatch(emb, "vec_id", "embedding",
+            queries, "vec_id", "embedding", 9, model.level1))
+      assert(served == inQuery, s"$label served batch diverged from the in-query batch")
+      assert(served.keySet.size == 5 && served.values.forall(_.size == 9),
+        s"$label batch shape broke")
+      // each query's own vector is in the index ⇒ self in its top-k at 1.0
+      served.foreach { case (q, s) =>
+        assert(s.contains((q, 1.0)), s"$label query $q missing its planted self") }
+    }
+  }
+
   test("serve probe is statically partition-pruned to the probed cell directories") {
     // the 100 TB serving claim behind c14_ann_serve: the inverted file is
     // partitionBy(cell) and probed cell ids are DRIVER-computed, so the
