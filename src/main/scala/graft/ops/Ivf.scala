@@ -502,6 +502,23 @@ object Ivf {
     probeIndexFrame(spark.read.parquet(s"$dir/invfile.parquet"),
       loadIndexModel(spark, dir), idCol, vecCol, query, queryVecCol, k, nprobe)
 
+  /** Append new vectors to a BUILT index WITHOUT retraining (FAISS
+    * `add()` semantics): cells come from the PERSISTED model, rows land
+    * as a dynamic-partition APPEND on the cell-partitioned inverted
+    * file — only the touched cell directories gain files, nothing
+    * rewrites, and every probe path serves the union immediately. When
+    * to retrain (quantizer drift as the corpus distribution moves) is
+    * the caller's index-lifecycle policy, exactly as in FAISS; the
+    * honest-training in-query paths are unaffected. */
+  def appendIndex(emb: DataFrame, idCol: String, vecCol: String,
+                  dir: String): IndexModel = {
+    val model = loadIndexModel(emb.sparkSession, dir)
+    model.indexOf(emb, idCol, vecCol)
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$dir/invfile.parquet")
+    model
+  }
+
   /** Batched probe of a BUILT index — the serving counterpart of
     * [[topKBatchSized]], zero training: the driver-held model loads once,
     * each query row takes its probed cells from the same codegen

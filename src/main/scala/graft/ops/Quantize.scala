@@ -337,6 +337,22 @@ object Quantize {
     PqIndexModel(coarse, cb)
   }
 
+  /** Append new vectors to a BUILT IVFADC index without retraining
+    * ([[Ivf.appendIndex]]'s semantics on the code table): cells and PQ
+    * codes come from the PERSISTED model/codebooks, rows append into the
+    * touched cell directories only; probes serve the union immediately.
+    * Retraining cadence under distribution drift is the caller's
+    * index-lifecycle policy, as in FAISS. */
+  def appendPqIndex(emb: DataFrame, idCol: String, vecCol: String,
+                    dir: String): PqIndexModel = {
+    val model = loadPqIndex(emb.sparkSession, dir)
+    model.coarse.indexOf(emb, idCol, vecCol)
+      .withColumn("code",
+        pqCode(model.coarse.residualOf(col(vecCol)), model.cb))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/codes.parquet")
+    model
+  }
+
   /** Load a built IVFADC index's driver-held model back from `dir`. */
   def loadPqIndex(spark: org.apache.spark.sql.SparkSession,
                   dir: String): PqIndexModel = {

@@ -386,6 +386,31 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("appendIndex: appended vectors serve immediately and equal the in-memory union probe") {
+    // the index LIFECYCLE: build on half the corpus, append the rest
+    // (cells from the persisted model, no retraining), and the served
+    // top-k must equal the in-memory probe over the union under the SAME
+    // model — plus a planted duplicate appended after the build must
+    // surface first, proving appends actually reach the probe
+    val emb = graft.engine.Tables.read(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding").localCheckpoint(true)
+    val half = emb.filter($"vec_id" % 2 === 0)
+    val rest = emb.filter($"vec_id" % 2 =!= 0)
+    val query = emb.filter($"vec_id" === 1) // odd id: arrives via append
+    val dir = java.nio.file.Files.createTempDirectory("graft_append").toString
+    val model = Ivf.buildIndex(half, "vec_id", "embedding", dir, maxIter = 5)
+    Ivf.appendIndex(rest, "vec_id", "embedding", dir)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val served = pairs(Ivf.probeIndex(spark, dir, "vec_id", "embedding",
+      query, "embedding", k = 10))
+    val inMem = pairs(Ivf.probeIndexFrame(
+      model.indexOf(emb, "vec_id", "embedding"), model,
+      "vec_id", "embedding", query, "embedding", k = 10, nprobe = 4))
+    assert(served == inMem, "append-built index diverged from the in-memory union probe")
+    assert(served.head == (1L, 1.0), s"appended self not first: ${served.head}")
+  }
+
   test("serve probe is statically partition-pruned to the probed cell directories") {
     // the 100 TB serving claim behind c14_ann_serve: the inverted file is
     // partitionBy(cell) and probed cell ids are DRIVER-computed, so the

@@ -193,6 +193,33 @@ class QuantizeSpec extends SparkSpec {
     }
   }
 
+  test("appendPqIndex: appended codes serve immediately and equal the in-memory union probe") {
+    // lifecycle parity with Ivf.appendIndex: codes for the appended rows
+    // come from the PERSISTED coarse model + codebooks, and the served
+    // top-k equals pqProbeCore over an in-memory union code table built
+    // with the same model; a query whose vector arrives via append must
+    // re-rank first at 1.0
+    val emb = graft.engine.Tables.read(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding").localCheckpoint(true)
+    val half = emb.filter($"vec_id" % 2 === 0)
+    val rest = emb.filter($"vec_id" % 2 =!= 0)
+    val query = emb.filter($"vec_id" === 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqappend").toString
+    val model = Quantize.buildPqIndex(half, "vec_id", "embedding", dir)
+    Quantize.appendPqIndex(rest, "vec_id", "embedding", dir)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val served = pairs(Quantize.probePqIndex(spark, dir, "vec_id", "embedding",
+      query, "embedding", k = 10))
+    val codesMem = model.coarse.indexOf(emb, "vec_id", "embedding")
+      .withColumn("code",
+        Quantize.pqCode(model.coarse.residualOf(col("embedding")), model.cb))
+    val inMem = pairs(Quantize.pqProbeCore(codesMem, model,
+      "vec_id", "embedding", query, "embedding", k = 10, nprobe = 4, rerank = 100))
+    assert(served == inMem, "append-built PQ index diverged from the in-memory union probe")
+    assert(served.head == (1L, 1.0), s"appended self not first: ${served.head}")
+  }
+
   test("probePqIndex: never-short fallback below k; single-query contract enforced") {
     val emb = graft.engine.Tables.read(spark, sf0001, "embeddings")
     val query = emb.filter($"vec_id" === 0)
