@@ -539,7 +539,14 @@ object Ivf {
                       queries: DataFrame, qIdCol: String, qVecCol: String,
                       k: Int, nprobe: Int = 4): DataFrame = {
     val model = loadIndexModel(spark, dir)
-    val inv = spark.read.parquet(s"$dir/invfile.parquet")
+    // serve either layout ([[Streaming.annProbeStream]]'s rule): an
+    // Ivf.buildIndex dir carries invfile.parquet, a Quantize.buildPqIndex
+    // dir carries codes.parquet with the same cell/id/vec columns (the
+    // `code` column prunes away — this batch probe is exact-cosine)
+    val invPath = new org.apache.hadoop.fs.Path(s"$dir/invfile.parquet")
+    val fs = invPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = if (fs.exists(invPath)) invPath.toString else s"$dir/codes.parquet"
+    val inv = spark.read.parquet(src).select(col(idCol), col(vecCol), col("cell"))
     val qf = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"))
     val probes =
       if (model.isResidual)

@@ -51,6 +51,15 @@ object CcAb {
           println(s"[ccab]   rounds=$rounds")
         }
       }
+      // the round-13 large-star/small-star core on the same frames — the
+      // shallow-graph comparison lives in ScaleBench's ccStar column;
+      // this adds the deep-chain side the sweep can't show
+      timeIt("real star") {
+        val (labels, rounds) = Dedup.connectedComponentsStarWithRounds(
+          realPairs, maxIter = 20)
+        labels.write.format("noop").mode("overwrite").save()
+        println(s"[ccab]   rounds=$rounds")
+      }
       // never-jump on the chain is O(d) = 1000 rounds — analytically hopeless,
       // not worth 10 minutes of wall clock to confirm; measure the two
       // O(log d) variants only
@@ -62,6 +71,12 @@ object CcAb {
           labels.write.format("noop").mode("overwrite").save()
           println(s"[ccab]   rounds=$rounds")
         }
+      }
+      timeIt("chain star") {
+        val (labels, rounds) = Dedup.connectedComponentsStarWithRounds(
+          chain, maxIter = 30)
+        labels.write.format("noop").mode("overwrite").save()
+        println(s"[ccab]   rounds=$rounds")
       }
     }
     spark.stop()

@@ -262,6 +262,25 @@ class DedupSpec extends SparkSpec {
     assert(star.nonEmpty)
   }
 
+  test("star components equal propagation on random graphs (property)") {
+    // fixed-shape cases can miss structural corners (multi-hub overlap,
+    // dense cores, many singletons-in-pairs): random multigraphs over a
+    // small id space force heavy component merging both cores must agree on
+    val rnd = new scala.util.Random(431)
+    for (trial <- 1 to 5) {
+      val n = 6 + rnd.nextInt(25)
+      val m = 1 + rnd.nextInt(3 * n)
+      val pairs = Seq.fill(m)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).toDF("doc_a", "doc_b")
+        .localCheckpoint(true)
+      val star = Dedup.connectedComponentsStar(pairs, maxIter = 30)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val prop = Dedup.connectedComponents(pairs, maxIter = 50)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star == prop, s"trial $trial (n=$n m=$m): $star vs $prop")
+    }
+  }
+
   test("star components converge in few rounds on a deep chain and throw on exhaustion") {
     val chain = (1L until 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val (labels, rounds) = Dedup.connectedComponentsStarWithRounds(chain, maxIter = 15)
