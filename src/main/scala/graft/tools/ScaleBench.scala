@@ -365,6 +365,25 @@ object ScaleBench {
       val (tIvfPqProbe, _) = timeIt(noop(Quantize.probePqIndex(spark, ivfpqDir,
         "vec_id", "embedding", emb.filter(col("vec_id") === 0), "embedding",
         k = 10)))
+      // the batched serve (cell equi-join — static pruning is the
+      // single-query trick) against the same materialized dir, and the
+      // retrain-free APPEND of a 1% disjoint-id slice (persisted
+      // quantizer assigns cells+codes, dynamic-partition append) — both
+      // must stay ~flat: the batch probe scans probed cells only, the
+      // append pays one assignment pass over the appended rows. The
+      // build above runs mode=overwrite each round, so appends never
+      // accumulate across rounds.
+      val (tIvfPqServeB, _) = timeIt(noop(Ivf.probeIndexBatch(spark, ivfpqDir,
+        "vec_id", "embedding", emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10)))
+      val (tIvfPqApp, _) = timeIt {
+        Quantize.appendPqIndex(
+          emb.filter(col("vec_id") < nVecs / 100)
+            .select((col("vec_id") + lit(900000000L)).as("vec_id"),
+              col("embedding")),
+          "vec_id", "embedding", ivfpqDir)
+        0L
+      }
       // batched LSH probe: the serving-layer path —
       // wall for the full batch call, then candidate volume and the
       // per-query exact-fallback RATE (queries whose probe came back
@@ -585,6 +604,7 @@ object ScaleBench {
         f"probe=$tProbe%5.2fs($nProbeCand%5d) " +
         f"ivfTr=$tIvfTr1%5.2fs/$tIvfTr2%5.2fs(k=$kSearch) " +
         f"ivfpq=$tIvfPqQ%5.2fs build=$tIvfPqBuild%5.2fs probe=$tIvfPqProbe%5.2fs " +
+        f"serveB=$tIvfPqServeB%5.2fs app=$tIvfPqApp%5.2fs " +
         f"pbatch=$tPbatch%5.2fs(cand=$nPbCand%6d,fb=$nPbFallback/5) " +
         f"sess=$tSess%5.2fs ret=$tRet%5.2fs | " +
         f"bpe=$tBpeTr%5.2fs/$tBpeEnc%5.2fs bpe2k=$tBpe2k%6.2fs($nBpe2k) " +
