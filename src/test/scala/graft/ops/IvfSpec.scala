@@ -384,6 +384,22 @@ class IvfSpec extends SparkSpec {
       served.foreach { case (q, s) =>
         assert(s.contains((q, 1.0)), s"$label query $q missing its planted self") }
     }
+    // the PQ-dir layout (codes.parquet carries the same cell/id/vec
+    // columns): the exact-cosine batch probe must serve it and equal the
+    // in-query batch under the dir's own persisted coarse model
+    val pqDir = java.nio.file.Files.createTempDirectory("graft_servebatch_pq").toString
+    graft.ops.Quantize.buildPqIndex(emb, "vec_id", "embedding", pqDir)
+    val pqModel = Ivf.loadIndexModel(spark, pqDir)
+    val servedPq = grouped(Ivf.probeIndexBatch(spark, pqDir, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 9))
+    val inQueryPq = grouped(
+      if (pqModel.isResidual)
+        Ivf.topKBatchResidual(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", 9,
+          Ivf.ResidualQuantizer(pqModel.level1, pqModel.level2))
+      else Ivf.topKBatch(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", 9, pqModel.level1))
+    assert(servedPq == inQueryPq, "PQ-layout served batch diverged from the in-query batch")
   }
 
   test("appendIndex: appended vectors serve immediately and equal the in-memory union probe") {
