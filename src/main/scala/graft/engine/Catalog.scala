@@ -35,7 +35,7 @@ final class Catalog(spark: SparkSession, rootDir: String) {
     * Parquet goes through [[Tables.read]] so TIMESTAMP(NANOS) columns
     * (events.ts) load everywhere the catalog is used. */
   def table(name: String): DataFrame =
-    if (fmt(name) == "orc") spark.read.orc(path(name))
+    if (fmt(name) == "orc") Tables.readOrc(spark, rootDir, name)
     else Tables.read(spark, rootDir, name)
 
   /** A9: enumerate queryable data types (parquet/orc files/dirs under root). */

@@ -25,15 +25,27 @@ import org.apache.spark.sql.types.LongType
   */
 object Tables {
 
+  /** The normalization tail both formats share: a LongType `ts` column
+    * is raw nanos (the nanosAsLong read) — truncate to micros.
+    * Integer div truncates toward zero == duckdb's ns→us truncation. */
+  private[engine] def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case None => df
+    }
+
   def read(s: SparkSession, dir: String, name: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    val df = s.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) =>
-        // integer div truncates toward zero == duckdb's ns->us truncation
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None => df
-    }
+    normalizeTs(s.read.parquet(s"$dir/$name.parquet"))
   }
+
+  /** ORC registry tables load through the SAME normalization tail (the
+    * load-only-via-Tables rule applies to every format the Catalog
+    * serves). The two parquet confs are parquet-reader-specific; graft's
+    * ORC tables are engine-written from already-normalized frames
+    * (CatalogSpec round-trip), and a raw long `ts` still truncates
+    * identically here. */
+  def readOrc(s: SparkSession, dir: String, name: String): DataFrame =
+    normalizeTs(s.read.orc(s"$dir/$name.orc"))
 }

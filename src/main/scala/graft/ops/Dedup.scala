@@ -612,11 +612,16 @@ object Dedup {
     * nodes re-attached as singletons). Throws [[IllegalStateException]]
     * on `maxIter` exhaustion — partial labels are wrong clusters. */
   def connectedComponentsStarWithRounds(pairs: DataFrame, maxIter: Int = 20): (DataFrame, Int) = {
-    val nodes = pairs.select(col("doc_a").as("node"))
-      .union(pairs.select(col("doc_b").as("node")))
+    // checkpoint the input ONCE: nodes and sym each union two references,
+    // so an un-materialized pair plan (e.g. a lazy jaccardNearDup) would
+    // otherwise re-run its corpus passes four times here — twice the
+    // propagation core's cost before a single star round ran
+    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    val nodes = p.select(col("doc_a").as("node"))
+      .union(p.select(col("doc_b").as("node")))
       .distinct().localCheckpoint(true)
-    val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val sym = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .filter(col("src") =!= col("dst")).localCheckpoint(true)
     var edges = sym
       .select(greatest(col("src"), col("dst")).as("u"),

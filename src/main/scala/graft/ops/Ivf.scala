@@ -472,15 +472,35 @@ object Ivf {
   /** Build the IVF-flat index at `dir`: sized coarse model (single-level
     * or residual past the threshold) + the cell-partitioned inverted
     * file. Returns the driver-held model (also persisted). */
+  /** KMeans must never see k > points. Builds clamp every trained count
+    * (cells, codebooks) to the corpus size with this; the in-query paths
+    * instead short-circuit tiny corpora to the exact scan and never
+    * train — a build can't, it must still produce an index. */
+  private[ops] def clampK(k: Int, n: Long): Int =
+    math.min(k.toLong, math.max(1L, n)).toInt
+
+  /** Resolve a serve dir's (cell, id, vec) source — the
+    * serve-either-layout rule shared by [[probeIndexBatch]] and
+    * [[graft.streaming.Streaming.annProbeStream]]: a [[buildIndex]] dir
+    * carries `invfile.parquet`, a [[Quantize.buildPqIndex]] dir carries
+    * `codes.parquet` with the same columns (its `code` column prunes
+    * away for exact-cosine consumers). Resolved once, driver-side, at
+    * plan time. */
+  private[graft] def cellSource(spark: org.apache.spark.sql.SparkSession,
+                                dir: String, idCol: String,
+                                vecCol: String): DataFrame = {
+    val invPath = new org.apache.hadoop.fs.Path(s"$dir/invfile.parquet")
+    val fs = invPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = if (fs.exists(invPath)) invPath.toString else s"$dir/codes.parquet"
+    spark.read.parquet(src).select(col(idCol), col(vecCol), col("cell"))
+  }
+
   def buildIndex(emb: DataFrame, idCol: String, vecCol: String, dir: String,
                  nprobe: Int = 4, seed: Long = 42L,
                  sampleFraction: Double = 1.0, maxIter: Int = 10,
                  hierarchicalThreshold: Int = Dedup.HierarchicalCellsThreshold): IndexModel = {
     val n = emb.count()
-    // unlike the in-query paths (which short-circuit tiny corpora to the
-    // exact scan and never train), a BUILD must produce an index — clamp
-    // the cell count to the corpus size so KMeans never sees k > points
-    val cells = math.min(cellsForSearch(n, nprobe).toLong, math.max(1L, n)).toInt
+    val cells = clampK(cellsForSearch(n, nprobe), n)
     val model = trainModel(emb, vecCol, cells, seed, sampleFraction, maxIter,
       hierarchicalThreshold)
     writeModel(emb.sparkSession, dir, model)
@@ -539,14 +559,7 @@ object Ivf {
                       queries: DataFrame, qIdCol: String, qVecCol: String,
                       k: Int, nprobe: Int = 4): DataFrame = {
     val model = loadIndexModel(spark, dir)
-    // serve either layout ([[Streaming.annProbeStream]]'s rule): an
-    // Ivf.buildIndex dir carries invfile.parquet, a Quantize.buildPqIndex
-    // dir carries codes.parquet with the same cell/id/vec columns (the
-    // `code` column prunes away — this batch probe is exact-cosine)
-    val invPath = new org.apache.hadoop.fs.Path(s"$dir/invfile.parquet")
-    val fs = invPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val src = if (fs.exists(invPath)) invPath.toString else s"$dir/codes.parquet"
-    val inv = spark.read.parquet(src).select(col(idCol), col(vecCol), col("cell"))
+    val inv = cellSource(spark, dir, idCol, vecCol)
     val qf = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"))
     val probes =
       if (model.isResidual)
@@ -563,8 +576,9 @@ object Ivf {
     * SINGLE-query contract, like [[topK]]/[[Quantize.ivfPqTopK]]: probed
     * cells are driver-computed from the one query vector (that is what
     * makes the scan statically pruned). Enforced — a multi-row frame would
-    * otherwise silently score every row against row 1's cells. Batches go
-    * through [[Similarity.topKBatchSized]]. */
+    * otherwise silently score every row against row 1's cells. Batches
+    * against a built dir go through [[probeIndexBatch]] — the
+    * zero-training counterpart. */
   private[ops] def probeIndexFrame(inv: DataFrame, model: IndexModel,
                                    idCol: String, vecCol: String,
                                    query: DataFrame, queryVecCol: String,
@@ -574,7 +588,7 @@ object Ivf {
     require(qRows.length == 1,
       s"probeIndex is single-query (got ${if (qRows.isEmpty) 0 else "≥2"} rows); " +
         "probed cells are driver-computed from one vector — batch callers " +
-        "use Similarity.topKBatchSized")
+        "use Ivf.probeIndexBatch against the same dir")
     val q = qRows.head.getSeq[Double](0).toArray
     val probes = broadcast(query.select(col(queryVecCol).as("__qv")))
     val probed = inv

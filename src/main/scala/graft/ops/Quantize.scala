@@ -245,10 +245,10 @@ object Quantize {
   private def trainCoarse(emb: DataFrame, vecCol: String, nprobe: Int,
                           seed: Long, trainSampleRows: Long, n: Long,
                           hierarchicalThreshold: Int): Ivf.IndexModel = {
-    // clamped to the corpus size: the in-query callers short-circuit tiny
-    // corpora before training, but buildPqIndex must always produce an
-    // index — KMeans must never see k > points
-    val cells = math.min(Ivf.cellsForSearch(n, nprobe).toLong, math.max(1L, n)).toInt
+    // clamped to the corpus size (Ivf.clampK's rule): the in-query
+    // callers short-circuit tiny corpora before training, but
+    // buildPqIndex must always produce an index
+    val cells = Ivf.clampK(Ivf.cellsForSearch(n, nprobe), n)
     val perFit =
       if (cells <= hierarchicalThreshold) cells
       else math.max(2, math.ceil(math.sqrt(cells.toDouble)).toInt)
@@ -322,8 +322,7 @@ object Quantize {
          trainSampleRows.toDouble / n, seed))
         .select(coarse.residualOf(col(vecCol)).as("__res")).localCheckpoint(true)
     // same clamp as the coarse stage: tiny corpora train one code per point
-    val cb = trainPq(trainBase, "__res", m,
-      math.min(codebookSize.toLong, math.max(1L, n)).toInt, seed)
+    val cb = trainPq(trainBase, "__res", m, Ivf.clampK(codebookSize, n), seed)
     Ivf.writeModel(spark, dir, coarse)
     import spark.implicits._
     cb.books.zipWithIndex
@@ -385,7 +384,9 @@ object Quantize {
     * (which feeds the in-memory code table to prove parquet changes
     * nothing). SINGLE-query contract like [[ivfPqTopK]], enforced — the
     * probed cells are driver-computed from the one query vector; batch
-    * callers use [[Similarity.topKBatchSized]]. */
+    * callers use [[Ivf.probeIndexBatch]] against the same dir (the code
+    * table carries the raw vectors, so the exact-cosine batch serve
+    * reads it directly). */
   private[ops] def pqProbeCore(codes: DataFrame, model: PqIndexModel,
                                idCol: String, vecCol: String,
                                query: DataFrame, queryVecCol: String,
@@ -396,7 +397,7 @@ object Quantize {
     require(qRows.length == 1,
       s"probePqIndex is single-query (got ${if (qRows.isEmpty) 0 else "≥2"} rows); " +
         "probed cells are driver-computed from one vector — batch callers " +
-        "use Similarity.topKBatchSized")
+        "use Ivf.probeIndexBatch against the same dir")
     val q = qRows.head.getSeq[Double](0).toArray
     val shortlist = codes
       .filter(col("cell").isin(

@@ -172,15 +172,22 @@ object Similarity {
     val selected = scala.collection.mutable.ArrayBuffer.empty[(Cand, Double)]
     while (selected.length < math.min(k, rows.length)) {
       val best = pool.map { c =>
-        // redundancy quantized to 4 dp (HALF_UP, after the max — round is
-        // monotone, so max∘round == round∘max): with 4-dp rel and 4-dp
+        // redundancy quantized to 4 dp with DuckDB's OWN primitive —
+        // half-away on fl(x·10⁴) (validated bit-identical to duckdb
+        // round(x,4) over 400k random + midpoint doubles; a
+        // shortest-decimal BigDecimal round differs on midpoint
+        // straddlers like 0.26115 → 0.2612 vs 0.2611). Quantized AFTER
+        // the max (round is monotone, max∘round == round∘max, matching
+        // the oracle's per-pair pc rounding); with 4-dp rel and 4-dp
         // redundancy the marginal is a three-op IEEE expression, so the
-        // unrolled SQL oracle replays the greedy BIT-identically; the
-        // discarded precision is far below any diversification signal
+        // unrolled SQL oracle replays the greedy chain bit-identically —
+        // a single flipped round here would reseed every later argmax
         val redundancy =
           if (selected.isEmpty) 0.0
-          else BigDecimal(selected.map { case (s, _) => cos(c, s) }.max)
-            .setScale(4, BigDecimal.RoundingMode.HALF_UP).doubleValue
+          else {
+            val s = selected.map { case (sel, _) => cos(c, sel) }.max * 1e4
+            (if (s >= 0) math.floor(s + 0.5) else math.ceil(s - 0.5)) / 1e4
+          }
         (c, lambda * c.rel - (1 - lambda) * redundancy)
       }.minBy { case (c, m) => (-m, c.id) }
       selected += best

@@ -35,9 +35,21 @@ object QueryDefs {
     * sf0.01 and sf0.1 never share an index; the marker is written only
     * after a completed build, so a crashed build rebuilds. */
   private def ensureServeIndex(s: SparkSession, d: String, kind: String): String = {
-    // v1 = index layout version: bump when the persisted schema changes,
-    // so a stale /tmp dir from an older build can never be misread
-    val dir = s"/tmp/graft_ann_serve_v1_${Integer.toHexString(d.hashCode)}/$kind"
+    // v1 = index layout version: bump when the persisted schema changes.
+    // The dir is ALSO keyed by a corpus fingerprint (total bytes ⊕
+    // rotated max-mtime ⊕ file count of the embeddings table), so a
+    // regenerated corpus at the same path gets a fresh build instead of
+    // a silently stale index. Single-driver contract: Verify/Bench runs
+    // are sequential, so the marker-after-build protocol never races.
+    val srcPath = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+    val srcFs = srcPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val stats = srcFs.listStatus(srcPath)
+    val fp = java.lang.Long.toHexString(
+      stats.map(_.getLen).sum ^
+        java.lang.Long.rotateLeft(
+          if (stats.isEmpty) 0L else stats.map(_.getModificationTime).max, 21) ^
+        stats.length.toLong)
+    val dir = s"/tmp/graft_ann_serve_v1_${Integer.toHexString(d.hashCode)}_$fp/$kind"
     val marker = new org.apache.hadoop.fs.Path(s"$dir/_GRAFT_INDEX_OK")
     val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) {

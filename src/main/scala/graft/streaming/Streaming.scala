@@ -177,15 +177,7 @@ object Streaming {
                      nprobe: Int = 4): DataFrame = {
     val spark = docs.sparkSession
     val model = graft.ops.Ivf.loadIndexModel(spark, indexDir)
-    // serve either index layout: Ivf.buildIndex writes invfile.parquet,
-    // Quantize.buildPqIndex writes codes.parquet (same cell/id/vec columns
-    // + a `code` column the projection below prunes) — resolved once at
-    // plan time, driver-side
-    val invPath = new org.apache.hadoop.fs.Path(s"$indexDir/invfile.parquet")
-    val fs = invPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val src = if (fs.exists(invPath)) invPath.toString
-              else s"$indexDir/codes.parquet"
-    val inv = spark.read.parquet(src).select(col(idCol), col(vecCol), col("cell"))
+    val inv = graft.ops.Ivf.cellSource(spark, indexDir, idCol, vecCol)
     val q = docs.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
     val probes =
       if (model.isResidual)
