@@ -609,6 +609,26 @@ class TextSpec extends SparkSpec {
       "byte-level diverged from char-level on printable ASCII")
   }
 
+  test("byte-level BPE equals char-level on random printable-ASCII corpora (property)") {
+    // the identity the GPT-2 table guarantees (printable bytes map to
+    // themselves) must hold for ANY ascii corpus, not just the fixed
+    // case — and a divergence would localize a bug in the byte mapping
+    // or the in-plan byteMapColumn arithmetic
+    val rnd = new scala.util.Random(271)
+    for (trial <- 1 to 3) {
+      val words = Seq.fill(8)(Seq.fill(1 + rnd.nextInt(5))(
+        (33 + rnd.nextInt(94)).toChar).mkString)
+      val corpus = Seq.fill(20)(words(rnd.nextInt(words.length))).mkString(" ")
+      val docs = Seq(corpus).toDF("text")
+      def tuples(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
+      assert(tuples(Text.bpeTrainBytes(docs, "text", numMerges = 8)) ==
+        tuples(Text.bpeTrain(docs, "text", numMerges = 8)),
+        s"trial $trial: byte-level diverged on ascii corpus $corpus")
+    }
+  }
+
   test("bpeEncode: learned merges compress token counts; hand-checked encodes") {
     // train on the classic corpus, encode new text with the table
     val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++

@@ -815,5 +815,18 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
     val streamed = tagged(spark.table("sink_annprobe"))
     assert(streamed == batchIvf, s"stream $streamed vs batch $batchIvf")
+    // lifecycle × streaming: a vector APPENDED after the build (persisted
+    // quantizer assigns its cell, no retrain, no plan restart) must be
+    // tagged by the same probe — through the stream==batch-pinned path
+    graft.ops.Ivf.appendIndex(
+      Seq((50L, near(base0, 0.015f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dirIvf)
+    val afterAppend = tagged(Streaming.annProbeStream(
+      queries.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      dirIvf, tau = 0.9, nprobe = 16))
+    assert(afterAppend.exists(t => t._1 == 100L && t._2 == 50L && t._3 >= 0.9),
+      s"appended vector not tagged: $afterAppend")
+    assert(afterAppend.filter(t => t._2 != 50L) == batchIvf,
+      s"append changed pre-existing tags: $afterAppend vs $batchIvf")
   }
 }
