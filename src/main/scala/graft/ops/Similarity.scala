@@ -410,6 +410,73 @@ object Similarity {
     math.max(4, (math.log(math.max(corpusSize, 1).toDouble /
       targetBucketSize) / math.log(2)).ceil.toInt)
 
+  /** Materialize the occupancy-sized LSH index at `dir` — the LSH arm of
+    * the build-once/serve-many split ([[Ivf.buildIndex]] /
+    * [[Quantize.buildPqIndex]]): hyperplane LSH has NO training, so the
+    * only corpus-sized cost is the signature projection itself, paid
+    * here exactly once. Layout: the sizing params persist in
+    * `meta.parquet` (probes must recompute the SAME seeded hyperplanes),
+    * and the (table, bucket, id, vec) rows write RANGE-partitioned +
+    * sorted by (table, bucket) — 2^planes buckets are far too many for
+    * cell-style directories, so bucket pruning rides parquet row-group
+    * min/max statistics instead (the scan analog of the IVF partition
+    * pruning, pinned in SimilaritySpec). */
+  def buildLshIndex(emb: DataFrame, idCol: String, vecCol: String,
+                    dir: String, baseTables: Int = 8, dim: Int = 64,
+                    seed: Long = 42L): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val n = emb.count()
+    val planes = probePlanesFor(n)
+    val tables = probeTablesFor(planes, baseTables)
+    Seq((planes, tables, dim, seed))
+      .toDF("planes", "tables", "dim", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
+    lshIndex(emb, idCol, vecCol, tables, planes, dim, seed)
+      .repartitionByRange(col("table"), col("bucket"))
+      .sortWithinPartitions("table", "bucket")
+      .write.mode("overwrite").parquet(s"$dir/lsh.parquet")
+  }
+
+  /** Probe a built LSH index: read the persisted sizing, recompute the
+    * query's (table, bucket) pairs through the SAME codegen
+    * [[graft.functions.HyperplaneBuckets]] expression the build used
+    * (one 1-row job — no driver reimplementation to drift), filter the
+    * index to those pairs (pushed to the parquet scan, pruning sorted
+    * row groups), exact cosine within, and the never-short exact-scan
+    * fallback over the table-0 slice (which carries every vector exactly
+    * once). Zero training, zero signature pass over the corpus — the
+    * cost the in-query [[lshTopKSized]] pays per call. SINGLE-query like
+    * [[Ivf.probeIndex]], enforced; batches go through
+    * [[lshTopKBatchSized]] or the IVF serve dir. */
+  def probeLshIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    idCol: String, vecCol: String,
+                    query: DataFrame, queryVecCol: String, k: Int): DataFrame = {
+    val meta = spark.read.parquet(s"$dir/meta.parquet").head()
+    val (planes, tables, dim, seed) =
+      (meta.getAs[Int]("planes"), meta.getAs[Int]("tables"),
+        meta.getAs[Int]("dim"), meta.getAs[Long]("seed"))
+    require(query.select(col(queryVecCol)).take(2).length == 1,
+      "probeLshIndex is single-query (probed buckets are computed from " +
+        "one vector) — batch callers use lshTopKBatchSized")
+    val qPairs = lshIndex(
+      query.select(lit(0L).as("__qid"), col(queryVecCol).as("__qv")),
+      "__qid", "__qv", tables, planes, dim, seed)
+      .select("table", "bucket").collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    val idx = spark.read.parquet(s"$dir/lsh.parquet")
+    val probed = idx
+      .filter(qPairs.map { case (t, b) =>
+        col("table") === t && col("bucket") === b }.reduce(_ || _))
+      .crossJoin(broadcast(query.select(col(queryVecCol).as("__qv"))))
+      .dropDuplicates(idCol) // a vector can collide in several tables
+      .select(col(idCol), round(cosine(col(vecCol), col("__qv")), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+    neverShort(probed, idx.filter(col("table") === 0),
+      idCol, vecCol, query, queryVecCol, k)
+  }
+
   /** ANN query: probe the query vector's buckets, brute-force only within
     * the union of candidates (the IVF-style "probe a few cells" pattern,
     * with hyperplane buckets as cells).

@@ -58,6 +58,7 @@ object QueryDefs {
       kind match {
         case "ivf" => Ivf.buildIndex(corpus, "vec_id", "embedding", dir)
         case "pq"  => Quantize.buildPqIndex(corpus, "vec_id", "embedding", dir)
+        case "lsh" => Similarity.buildLshIndex(corpus, "vec_id", "embedding", dir)
       }
       fs.create(marker, true).close()
     }
@@ -1722,6 +1723,23 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
       (s, d) => {
         val dir = ensureServeIndex(s, d, "pq")
         Quantize.probePqIndex(s, dir, "vec_id", "embedding",
+          t(s, d, "embeddings").filter(col("vec_id") === 0), "embedding", k = 10)
+      },
+      None
+    ),
+
+    // The LSH arm of the serve split: no training at all — the one
+    // corpus-sized cost (the signature projection) is paid at build;
+    // the probe recomputes the query's buckets from the persisted
+    // sizing, filters sorted row groups (pushed (table, bucket)
+    // predicates), exact cosine within. Rows-only (bucket membership is
+    // seed-dependent); SimilaritySpec pins serve==in-query equality,
+    // pushdown, fallback and the single-query guard.
+    QueryDef(
+      "c14_ann_serve_lsh",
+      (s, d) => {
+        val dir = ensureServeIndex(s, d, "lsh")
+        Similarity.probeLshIndex(s, dir, "vec_id", "embedding",
           t(s, d, "embeddings").filter(col("vec_id") === 0), "embedding", k = 10)
       },
       None

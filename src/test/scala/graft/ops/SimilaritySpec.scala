@@ -403,4 +403,46 @@ class SimilaritySpec extends SparkSpec {
     assert(fast.map(_._1) == Set(1L, 2L, 3L),
       s"degenerate rows must emit no row: ${fast.map(_._1)}")
   }
+
+  test("buildLshIndex/probeLshIndex: zero-pass serve equals the in-query sized probe; filters push to the scan") {
+    // the LSH arm of build-once/serve-many: same persisted sizing ⇒ same
+    // seeded hyperplanes ⇒ same buckets ⇒ same candidates ⇒ identical
+    // (sim desc, id) top-k as lshTopKSized, with the signature pass paid
+    // once at build instead of per query
+    val emb = graft.engine.Tables.read(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding").localCheckpoint(true)
+    val query = emb.filter($"vec_id" === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lshserve").toString
+    Similarity.buildLshIndex(emb, "vec_id", "embedding", dir)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val served = pairs(Similarity.probeLshIndex(spark, dir,
+      "vec_id", "embedding", query, "embedding", k = 10))
+    val inQuery = pairs(Similarity.lshTopKSized(emb,
+      "vec_id", "embedding", query, "embedding", k = 10))
+    assert(served == inQuery, "served LSH probe diverged from the in-query sized probe")
+    assert(served.head == (0L, 1.0), s"planted self not first: ${served.head}")
+    // the (table, bucket) filter must reach the parquet scan — with the
+    // file sorted by (table, bucket), row-group min/max stats prune
+    val meta = spark.read.parquet(s"$dir/meta.parquet").head()
+    val plan = spark.read.parquet(s"$dir/lsh.parquet")
+      .filter(col("table") === 0 && col("bucket") === 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("table"),
+      s"bucket filter not pushed:\n$plan")
+    assert(meta.getAs[Int]("planes") == Similarity.probePlanesFor(emb.count()),
+      "persisted sizing drifted from the in-query rule")
+    // never-short + single-query contract
+    val tinyDir = java.nio.file.Files.createTempDirectory("graft_lshserve_tiny").toString
+    Similarity.buildLshIndex(emb.filter($"vec_id" =!= 0).limit(12)
+      .localCheckpoint(true), "vec_id", "embedding", tinyDir)
+    val got = Similarity.probeLshIndex(spark, tinyDir,
+      "vec_id", "embedding", query, "embedding", k = 10).collect()
+    assert(got.length == 10, s"fallback returned ${got.length} rows")
+    val err = intercept[IllegalArgumentException] {
+      Similarity.probeLshIndex(spark, dir, "vec_id", "embedding",
+        emb.filter($"vec_id".isin(0L, 1L)), "embedding", k = 10)
+    }
+    assert(err.getMessage.contains("single-query"))
+  }
 }
