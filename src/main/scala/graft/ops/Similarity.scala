@@ -432,49 +432,83 @@ object Similarity {
     Seq((planes, tables, dim, seed))
       .toDF("planes", "tables", "dim", "seed")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
-    lshIndex(emb, idCol, vecCol, tables, planes, dim, seed)
+    // vectors persist ONCE; postings carry (table, bucket, id) only —
+    // the finding-22 rule (bucket structures ship ids, never payloads):
+    // an lshIndex row exists PER TABLE, so writing vectors through it
+    // would store and shuffle the corpus `tables`× (8–15× at probe
+    // sizing). The corpus is scanned once into vectors.parquet and the
+    // signature pass reads that back — never the source twice.
+    emb.select(col(idCol), col(vecCol))
+      .write.mode("overwrite").parquet(s"$dir/vectors.parquet")
+    val src = spark.read.parquet(s"$dir/vectors.parquet")
+    lshIndex(src, idCol, vecCol, tables, planes, dim, seed)
+      .select(col("table"), col("bucket"), col(idCol))
       .repartitionByRange(col("table"), col("bucket"))
       .sortWithinPartitions("table", "bucket")
-      .write.mode("overwrite").parquet(s"$dir/lsh.parquet")
+      .write.mode("overwrite").parquet(s"$dir/postings.parquet")
   }
+
+  /** The single-query candidate tail [[lshTopK]] and [[probeLshIndex]]
+    * share (the [[finishBatchTopK]] of the 1-query paths): dedup ids
+    * that collided in several tables, exact cosine against the riding
+    * `__qv`, (sim desc, id) top-k. */
+  private def rankCandidates(cands: DataFrame, idCol: String,
+                             vecCol: String, k: Int): DataFrame =
+    cands.dropDuplicates(idCol)
+      .select(col(idCol), round(cosine(col(vecCol), col("__qv")), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
 
   /** Probe a built LSH index: read the persisted sizing, recompute the
     * query's (table, bucket) pairs through the SAME codegen
     * [[graft.functions.HyperplaneBuckets]] expression the build used
-    * (one 1-row job — no driver reimplementation to drift), filter the
-    * index to those pairs (pushed to the parquet scan, pruning sorted
-    * row groups), exact cosine within, and the never-short exact-scan
-    * fallback over the table-0 slice (which carries every vector exactly
-    * once). Zero training, zero signature pass over the corpus — the
-    * cost the in-query [[lshTopKSized]] pays per call. SINGLE-query like
-    * [[Ivf.probeIndex]], enforced; batches go through
-    * [[lshTopKBatchSized]] or the IVF serve dir. */
+    * (ONE 1-row job — its row count is also the single-query guard: a
+    * non-null query vector emits exactly `tables` rows, more means a
+    * multi-row frame), filter the postings to those pairs (pushed to the
+    * parquet scan, pruning (table, bucket)-sorted row groups), recover
+    * candidate vectors through a COUNT-GATED id lookup (under
+    * `candidateIdLimit`: collected ids push an In filter into the
+    * vectors scan; past it: SHUFFLE_HASH semi-join — same rows, the
+    * no-small-by-construction rule), exact cosine within, and the
+    * never-short exact-scan fallback over vectors.parquet. A NULL query
+    * vector hashes to no bucket: the probe surfaces nothing and the
+    * exact fallback answers — same contract as [[lshTopKSized]] on the
+    * same input. Zero training, zero signature pass — the cost the
+    * in-query path pays per call. SINGLE-query; batches go through
+    * [[lshTopKBatchSized]] or [[Ivf.probeIndexBatch]]. */
   def probeLshIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                     idCol: String, vecCol: String,
-                    query: DataFrame, queryVecCol: String, k: Int): DataFrame = {
+                    query: DataFrame, queryVecCol: String, k: Int,
+                    candidateIdLimit: Long = 10000L): DataFrame = {
     val meta = spark.read.parquet(s"$dir/meta.parquet").head()
     val (planes, tables, dim, seed) =
       (meta.getAs[Int]("planes"), meta.getAs[Int]("tables"),
         meta.getAs[Int]("dim"), meta.getAs[Long]("seed"))
-    require(query.select(col(queryVecCol)).take(2).length == 1,
-      "probeLshIndex is single-query (probed buckets are computed from " +
-        "one vector) — batch callers use lshTopKBatchSized")
-    val qPairs = lshIndex(
+    val bucketRows = lshIndex(
       query.select(lit(0L).as("__qid"), col(queryVecCol).as("__qv")),
       "__qid", "__qv", tables, planes, dim, seed)
-      .select("table", "bucket").collect()
-      .map(r => (r.getInt(0), r.getInt(1)))
-    val idx = spark.read.parquet(s"$dir/lsh.parquet")
-    val probed = idx
-      .filter(qPairs.map { case (t, b) =>
-        col("table") === t && col("bucket") === b }.reduce(_ || _))
-      .crossJoin(broadcast(query.select(col(queryVecCol).as("__qv"))))
-      .dropDuplicates(idCol) // a vector can collide in several tables
-      .select(col(idCol), round(cosine(col(vecCol), col("__qv")), 4).as("sim"))
-      .orderBy(col("sim").desc, col(idCol))
-      .limit(k)
-    neverShort(probed, idx.filter(col("table") === 0),
-      idCol, vecCol, query, queryVecCol, k)
+      .select("table", "bucket").take(tables + 1)
+    require(bucketRows.length <= tables,
+      "probeLshIndex is single-query (probed buckets are computed from " +
+        "one vector) — batch callers use lshTopKBatchSized or Ivf.probeIndexBatch")
+    val qPairs = bucketRows.map(r => (r.getInt(0), r.getInt(1)))
+    val postings = spark.read.parquet(s"$dir/postings.parquet")
+    val vectors = spark.read.parquet(s"$dir/vectors.parquet")
+    // foldLeft(false): an empty pair set (null query vector) selects
+    // nothing instead of crashing an empty reduce — the fallback answers
+    val hits = postings
+      .filter(qPairs.foldLeft(lit(false)) { case (acc, (t, b)) =>
+        acc || (col("table") === t && col("bucket") === b) })
+      .select(col(idCol)).distinct()
+    val ids = hits.take(math.min(candidateIdLimit, Int.MaxValue - 1L).toInt + 1)
+    val cand =
+      if (ids.length <= candidateIdLimit)
+        vectors.filter(col(idCol).isin(ids.map(_.get(0)): _*))
+      else vectors.join(hits.hint("SHUFFLE_HASH"), Seq(idCol), "left_semi")
+    val probed = rankCandidates(
+      cand.crossJoin(broadcast(query.select(col(queryVecCol).as("__qv")))),
+      idCol, vecCol, k)
+    neverShort(probed, vectors, idCol, vecCol, query, queryVecCol, k)
   }
 
   /** ANN query: probe the query vector's buckets, brute-force only within
@@ -663,11 +697,7 @@ object Similarity {
     val qIdx = lshIndex(query.select(col(queryVecCol).as("__qv")), "__qv", "__qv",
       tables, planesPerTable, dim, seed)
       .select(col("table"), col("bucket"), col("__qv"))
-    idx
-      .join(broadcast(qIdx), Seq("table", "bucket"))
-      .dropDuplicates(idCol)
-      .select(col(idCol), round(cosine(col(vecCol), col("__qv")), 4).as("sim"))
-      .orderBy(col("sim").desc, col(idCol))
-      .limit(k)
+    rankCandidates(idx.join(broadcast(qIdx), Seq("table", "bucket")),
+      idCol, vecCol, k)
   }
 }

@@ -35,7 +35,8 @@ object QueryDefs {
     * sf0.01 and sf0.1 never share an index; the marker is written only
     * after a completed build, so a crashed build rebuilds. */
   private def ensureServeIndex(s: SparkSession, d: String, kind: String): String = {
-    // v1 = index layout version: bump when the persisted schema changes.
+    // v2 = index layout version (v2: LSH postings/vectors split): bump
+    // when any persisted schema changes.
     // The dir is ALSO keyed by a corpus fingerprint (total bytes ⊕
     // rotated max-mtime ⊕ file count of the embeddings table), so a
     // regenerated corpus at the same path gets a fresh build instead of
@@ -49,7 +50,7 @@ object QueryDefs {
         java.lang.Long.rotateLeft(
           if (stats.isEmpty) 0L else stats.map(_.getModificationTime).max, 21) ^
         stats.length.toLong)
-    val dir = s"/tmp/graft_ann_serve_v1_${Integer.toHexString(d.hashCode)}_$fp/$kind"
+    val dir = s"/tmp/graft_ann_serve_v2_${Integer.toHexString(d.hashCode)}_$fp/$kind"
     val marker = new org.apache.hadoop.fs.Path(s"$dir/_GRAFT_INDEX_OK")
     val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) {

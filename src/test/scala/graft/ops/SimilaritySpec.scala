@@ -422,14 +422,27 @@ class SimilaritySpec extends SparkSpec {
       "vec_id", "embedding", query, "embedding", k = 10))
     assert(served == inQuery, "served LSH probe diverged from the in-query sized probe")
     assert(served.head == (0L, 1.0), s"planted self not first: ${served.head}")
-    // the (table, bucket) filter must reach the parquet scan — with the
-    // file sorted by (table, bucket), row-group min/max stats prune
-    val meta = spark.read.parquet(s"$dir/meta.parquet").head()
-    val plan = spark.read.parquet(s"$dir/lsh.parquet")
-      .filter(col("table") === 0 && col("bucket") === 3)
+    // both id-recovery gate paths return the same answer (the
+    // no-small-by-construction rule): limit 0 forces the SHUFFLE_HASH
+    // semi-join in place of the collected-ids In pushdown
+    val servedDist = pairs(Similarity.probeLshIndex(spark, dir,
+      "vec_id", "embedding", query, "embedding", k = 10, candidateIdLimit = 0L))
+    assert(servedDist == served, "gate paths diverge on the served probe")
+    // the REAL probe filter shape (OR of (table, bucket) pairs) must
+    // reach the postings scan with a NON-EMPTY pushed payload — matching
+    // only the header would pass even when nothing pushes
+    val plan = spark.read.parquet(s"$dir/postings.parquet")
+      .filter((col("table") === 0 && col("bucket") === 3) ||
+        (col("table") === 1 && col("bucket") === 7))
       .queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters") && plan.contains("table"),
-      s"bucket filter not pushed:\n$plan")
+    assert(plan.contains("PushedFilters: [Or") ||
+      plan.contains("PushedFilters: [EqualTo"),
+      s"probe filter shape not pushed (empty payload?):\n$plan")
+    // postings carry ids only (finding 22): the vector payload must not
+    // be duplicated per table
+    assert(!spark.read.parquet(s"$dir/postings.parquet")
+      .columns.contains("embedding"), "postings leaked the vector payload")
+    val meta = spark.read.parquet(s"$dir/meta.parquet").head()
     assert(meta.getAs[Int]("planes") == Similarity.probePlanesFor(emb.count()),
       "persisted sizing drifted from the in-query rule")
     // never-short + single-query contract
