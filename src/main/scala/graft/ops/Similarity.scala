@@ -448,6 +448,34 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$dir/postings.parquet")
   }
 
+  /** Append new vectors to a built LSH index without resizing
+    * ([[Ivf.appendIndex]]'s lifecycle semantics): signatures come from
+    * the PERSISTED sizing (planes/tables/seed — recomputing them from
+    * the grown corpus would silently shear old and new rows into
+    * different bucket spaces), postings and vectors append in place
+    * (the appended postings batch is range-sorted like the build's, so
+    * its own row groups prune), and probes serve the union immediately.
+    * Bucket occupancy grows past the build-time target until the caller
+    * rebuilds — the LSH analog of coarse-quantizer drift under
+    * [[Quantize.appendPqIndex]], and the same rebuild-policy decision.
+    * The append batch is evaluated twice (vectors + postings) — batches
+    * are increment-sized; a corpus-scale append is a rebuild. */
+  def appendLshIndex(emb: DataFrame, idCol: String, vecCol: String,
+                     dir: String): Unit = {
+    val spark = emb.sparkSession
+    val meta = spark.read.parquet(s"$dir/meta.parquet").head()
+    val (planes, tables, dim, seed) =
+      (meta.getAs[Int]("planes"), meta.getAs[Int]("tables"),
+        meta.getAs[Int]("dim"), meta.getAs[Long]("seed"))
+    val batch = emb.select(col(idCol), col(vecCol))
+    batch.write.mode("append").parquet(s"$dir/vectors.parquet")
+    lshIndex(batch, idCol, vecCol, tables, planes, dim, seed)
+      .select(col("table"), col("bucket"), col(idCol))
+      .repartitionByRange(col("table"), col("bucket"))
+      .sortWithinPartitions("table", "bucket")
+      .write.mode("append").parquet(s"$dir/postings.parquet")
+  }
+
   /** The single-query candidate tail [[lshTopK]] and [[probeLshIndex]]
     * share (the [[finishBatchTopK]] of the 1-query paths): dedup ids
     * that collided in several tables, exact cosine against the riding

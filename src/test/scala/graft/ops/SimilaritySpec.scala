@@ -445,6 +445,25 @@ class SimilaritySpec extends SparkSpec {
     val meta = spark.read.parquet(s"$dir/meta.parquet").head()
     assert(meta.getAs[Int]("planes") == Similarity.probePlanesFor(emb.count()),
       "persisted sizing drifted from the in-query rule")
+    // append lifecycle: a vector appended AFTER the build (signatures
+    // from the persisted sizing — resizing would shear old and new rows
+    // into different bucket spaces) must serve immediately; an appended
+    // exact duplicate of the query shares every bucket and ranks first
+    val appDir = java.nio.file.Files.createTempDirectory("graft_lshserve_app").toString
+    Similarity.buildLshIndex(emb.filter($"vec_id" % 2 === 0),
+      "vec_id", "embedding", appDir)
+    val qvec = query.select("embedding").head().getSeq[Float](0).toArray
+    Similarity.appendLshIndex(
+      emb.filter($"vec_id" % 2 =!= 0).unionAll(
+        Seq((999999L, qvec)).toDF("vec_id", "embedding")),
+      "vec_id", "embedding", appDir)
+    val appServed = pairs(Similarity.probeLshIndex(spark, appDir,
+      "vec_id", "embedding", query, "embedding", k = 10))
+    assert(appServed.length == 10)
+    // vec 0 (even, built) and 999999 (appended dup) both score 1.0 —
+    // the id tie-break puts the built self first, the appended dup next
+    assert(appServed.take(2) == Seq((0L, 1.0), (999999L, 1.0)),
+      s"appended duplicate not served: ${appServed.take(2)}")
     // never-short + single-query contract
     val tinyDir = java.nio.file.Files.createTempDirectory("graft_lshserve_tiny").toString
     Similarity.buildLshIndex(emb.filter($"vec_id" =!= 0).limit(12)
