@@ -376,6 +376,18 @@ object ScaleBench {
       val (tIvfPqServeB, _) = timeIt(noop(Ivf.probeIndexBatch(spark, ivfpqDir,
         "vec_id", "embedding", emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", k = 10)))
+      // the LSH serve arm: build = the one corpus-sized signature pass
+      // (no training exists), probe = pruned postings scan + count-gated
+      // id recovery + bounded cosine — must stay ~flat while build
+      // tracks the corpus
+      val lshDir = s"/tmp/graft_scale_lsh_x$k"
+      val (tLshBuild, _) = timeIt {
+        Similarity.buildLshIndex(emb.filter(col("vec_id") =!= 0),
+          "vec_id", "embedding", lshDir); 0L
+      }
+      val (tLshProbe, _) = timeIt(noop(Similarity.probeLshIndex(spark, lshDir,
+        "vec_id", "embedding", emb.filter(col("vec_id") === 0), "embedding",
+        k = 10)))
       val (tIvfPqApp, _) = timeIt {
         Quantize.appendPqIndex(
           emb.filter(col("vec_id") < nVecs / 100)
@@ -605,6 +617,7 @@ object ScaleBench {
         f"ivfTr=$tIvfTr1%5.2fs/$tIvfTr2%5.2fs(k=$kSearch) " +
         f"ivfpq=$tIvfPqQ%5.2fs build=$tIvfPqBuild%5.2fs probe=$tIvfPqProbe%5.2fs " +
         f"serveB=$tIvfPqServeB%5.2fs app=$tIvfPqApp%5.2fs " +
+        f"lshB=$tLshBuild%5.2fs lshP=$tLshProbe%5.2fs " +
         f"pbatch=$tPbatch%5.2fs(cand=$nPbCand%6d,fb=$nPbFallback/5) " +
         f"sess=$tSess%5.2fs ret=$tRet%5.2fs | " +
         f"bpe=$tBpeTr%5.2fs/$tBpeEnc%5.2fs bpe2k=$tBpe2k%6.2fs($nBpe2k) " +
