@@ -522,6 +522,30 @@ object Ivf {
     probeIndexFrame(spark.read.parquet(s"$dir/invfile.parquet"),
       loadIndexModel(spark, dir), idCol, vecCol, query, queryVecCol, k, nprobe)
 
+  /** Does `dir/child` exist? The layout-dispatch primitive shared by
+    * [[cellSource]], the append guards, and the streaming probe's
+    * plan-time layout resolution. */
+  private[graft] def layoutFileExists(spark: org.apache.spark.sql.SparkSession,
+                                      dir: String, child: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$child")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Fail fast when an append targets a dir of the WRONG layout (ADVICE
+    * r13): `appendIndex` on a PQ dir would otherwise succeed silently —
+    * the coarse model loads fine and the append creates `invfile.parquet`
+    * next to `codes.parquet`, after which [[cellSource]] prefers invfile
+    * and batch/stream probes serve ONLY the appended rows while
+    * [[Quantize.probePqIndex]] serves only the originals: a silently
+    * SPLIT index, wrong on both paths. */
+  private[graft] def requireLayout(spark: org.apache.spark.sql.SparkSession,
+                                   dir: String, child: String,
+                                   op: String, rightOp: String): Unit =
+    require(layoutFileExists(spark, dir, child),
+      s"$op: $dir has no $child — this dir holds a different index " +
+        s"layout; appending through $op would create a silently split " +
+        s"mixed-layout dir. Use $rightOp for this dir's layout.")
+
   /** Append new vectors to a BUILT index WITHOUT retraining (FAISS
     * `add()` semantics): cells come from the PERSISTED model, rows land
     * as a dynamic-partition APPEND on the cell-partitioned inverted
@@ -532,6 +556,8 @@ object Ivf {
     * honest-training in-query paths are unaffected. */
   def appendIndex(emb: DataFrame, idCol: String, vecCol: String,
                   dir: String): IndexModel = {
+    requireLayout(emb.sparkSession, dir, "invfile.parquet",
+      "appendIndex", "Quantize.appendPqIndex")
     val model = loadIndexModel(emb.sparkSession, dir)
     model.indexOf(emb, idCol, vecCol)
       .write.mode("append").partitionBy("cell")

@@ -344,6 +344,11 @@ object Quantize {
     * index-lifecycle policy, as in FAISS. */
   def appendPqIndex(emb: DataFrame, idCol: String, vecCol: String,
                     dir: String): PqIndexModel = {
+    // layout guard (ADVICE r13, symmetric with Ivf.appendIndex's): an
+    // IVF-flat dir would fail later on books.parquet anyway, but with a
+    // bare path error — fail here with the split-index rationale instead
+    Ivf.requireLayout(emb.sparkSession, dir, "codes.parquet",
+      "appendPqIndex", "Ivf.appendIndex")
     val model = loadPqIndex(emb.sparkSession, dir)
     model.coarse.indexOf(emb, idCol, vecCol)
       .withColumn("code",

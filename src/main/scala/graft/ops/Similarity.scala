@@ -512,13 +512,18 @@ object Similarity {
     val (planes, tables, dim, seed) =
       (meta.getAs[Int]("planes"), meta.getAs[Int]("tables"),
         meta.getAs[Int]("dim"), meta.getAs[Long]("seed"))
+    // guard on the FRAME, not on emitted signature rows (ADVICE r13): a
+    // multi-row frame whose extra rows carry NULL vectors emits no
+    // signature rows for them and would slip a row-count guard, after
+    // which the crossJoin + dropDuplicates tail picks a nondeterministic
+    // __qv per candidate — same posture as probeIndexFrame's take(2)
+    require(query.select(col(queryVecCol)).take(2).length == 1,
+      "probeLshIndex is single-query (probed buckets are computed from " +
+        "one vector) — batch callers use lshTopKBatchSized or Ivf.probeIndexBatch")
     val bucketRows = lshIndex(
       query.select(lit(0L).as("__qid"), col(queryVecCol).as("__qv")),
       "__qid", "__qv", tables, planes, dim, seed)
       .select("table", "bucket").take(tables + 1)
-    require(bucketRows.length <= tables,
-      "probeLshIndex is single-query (probed buckets are computed from " +
-        "one vector) — batch callers use lshTopKBatchSized or Ivf.probeIndexBatch")
     val qPairs = bucketRows.map(r => (r.getInt(0), r.getInt(1)))
     val postings = spark.read.parquet(s"$dir/postings.parquet")
     val vectors = spark.read.parquet(s"$dir/vectors.parquet")

@@ -427,6 +427,32 @@ class IvfSpec extends SparkSpec {
     assert(served.head == (1L, 1.0), s"appended self not first: ${served.head}")
   }
 
+  test("appends refuse a dir of the wrong layout instead of splitting the index (ADVICE r13)") {
+    // appendIndex on a PQ dir would otherwise SUCCEED silently: the
+    // coarse model loads, invfile.parquet appears next to codes.parquet,
+    // and from then on cellSource serves only appended rows while
+    // probePqIndex serves only the originals — wrong on both paths
+    val emb = graft.engine.Tables.read(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding").limit(64).localCheckpoint(true)
+    val batch = emb.limit(4)
+    val pqDir = java.nio.file.Files.createTempDirectory("graft_pq_guard").toString
+    Quantize.buildPqIndex(emb, "vec_id", "embedding", pqDir, m = 4)
+    val errPq = intercept[IllegalArgumentException] {
+      Ivf.appendIndex(batch, "vec_id", "embedding", pqDir)
+    }
+    assert(errPq.getMessage.contains("appendPqIndex"),
+      s"wrong guidance: ${errPq.getMessage}")
+    assert(!new java.io.File(s"$pqDir/invfile.parquet").exists(),
+      "guard fired but the split invfile was still created")
+    val ivfDir = java.nio.file.Files.createTempDirectory("graft_ivf_guard").toString
+    Ivf.buildIndex(emb, "vec_id", "embedding", ivfDir, maxIter = 5)
+    val errIvf = intercept[IllegalArgumentException] {
+      Quantize.appendPqIndex(batch, "vec_id", "embedding", ivfDir)
+    }
+    assert(errIvf.getMessage.contains("Ivf.appendIndex"),
+      s"wrong guidance: ${errIvf.getMessage}")
+  }
+
   test("serve probe is statically partition-pruned to the probed cell directories") {
     // the 100 TB serving claim behind c14_ann_serve: the inverted file is
     // partitionBy(cell) and probed cell ids are DRIVER-computed, so the

@@ -476,5 +476,16 @@ class SimilaritySpec extends SparkSpec {
         emb.filter($"vec_id".isin(0L, 1L)), "embedding", k = 10)
     }
     assert(err.getMessage.contains("single-query"))
+    // ADVICE r13: a multi-row frame whose EXTRA rows carry null vectors
+    // emits signature rows only for the real one — the guard must run on
+    // the frame, not on emitted buckets, or the crossJoin tail picks a
+    // nondeterministic __qv per candidate
+    val nullExtra = query.select($"vec_id", $"embedding").unionAll(
+      Seq((7777L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    val errNull = intercept[IllegalArgumentException] {
+      Similarity.probeLshIndex(spark, dir, "vec_id", "embedding",
+        nullExtra, "embedding", k = 10)
+    }
+    assert(errNull.getMessage.contains("single-query"))
   }
 }
