@@ -218,6 +218,17 @@ object Similarity {
     Seq.fill(tables)(Seq.fill(planesPerTable)(Seq.fill(dim)(rnd.nextGaussian())))
   }
 
+  /** The full per-table bucket ARRAY for one vector under the seeded
+    * hyperplanes — the signature primitive [[lshIndex]] posexplodes,
+    * exposed whole for consumers that need all tables' buckets on one
+    * row (the streaming LSH probe keeps it riding to dedup candidates
+    * statelessly by first colliding table). NULL vector ⇒ NULL array. */
+  private[graft] def bucketsColumn(vec: Column, tables: Int, planes: Int,
+                                   dim: Int, seed: Long): Column =
+    graft.functions.HyperplaneBuckets.buckets(vec,
+      hyperplanes(tables, planes, dim, seed).flatten.flatten.toArray,
+      tables, planes, dim)
+
   /** (id, table, bucket) index for the corpus — the shuffle key for all
     * LSH joins. Near-identical vectors collide in at least one table with
     * high probability; unrelated vectors spread over 2^planes buckets.
@@ -227,10 +238,7 @@ object Similarity {
   def lshIndex(emb: DataFrame, idCol: String, vecCol: String,
                tables: Int = 4, planesPerTable: Int = 12,
                dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val flat = hyperplanes(tables, planesPerTable, dim, seed)
-      .flatten.flatten.toArray
-    val b = graft.functions.HyperplaneBuckets.buckets(
-      col(vecCol), flat, tables, planesPerTable, dim)
+    val b = bucketsColumn(col(vecCol), tables, planesPerTable, dim, seed)
     emb.select(col(idCol), col(vecCol), posexplode(b).as(Seq("table", "bucket")))
   }
 

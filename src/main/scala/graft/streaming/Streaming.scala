@@ -147,11 +147,14 @@ object Streaming {
       .select(col(idCol), col(textCol), col("quality_score"))
   }
 
-  /** Streaming ANN probe against a MATERIALIZED index
-    * ([[graft.ops.Ivf.buildIndex]] `invfile.parquet`, or
-    * [[graft.ops.Quantize.buildPqIndex]] `codes.parquet` — the code
+  /** Streaming ANN probe against a MATERIALIZED index — ALL THREE
+    * layouts: [[graft.ops.Ivf.buildIndex]] `invfile.parquet`,
+    * [[graft.ops.Quantize.buildPqIndex]] `codes.parquet` (the code
     * table carries the same (cell, id, vec) columns plus the PQ codes,
-    * which this exact-cosine probe simply prunes away): each arriving
+    * which this exact-cosine probe simply prunes away), and
+    * [[graft.ops.Similarity.buildLshIndex]]'s postings layout (routed
+    * to [[lshProbeStream]] at plan time). On the cell layouts each
+    * arriving
     * vector probes its `nprobe` nearest cells (nprobe² composite cells
     * under the residual regime) and emits every corpus neighbor within
     * cosine ≥ `tau` as (query_id, idCol, sim) — semantic-duplicate /
@@ -163,6 +166,15 @@ object Streaming {
     * probes use, riding a stream-static equi-join on `cell`; no stream
     * state, identical in batch (the stream==batch spec feeds the same
     * frame both ways).
+    *
+    * Index-append visibility contract (spec-pinned): the static side's
+    * file listing is snapshot at PLAN construction, so rows landed by
+    * `appendIndex`/`appendPqIndex`/`appendLshIndex` while the stream
+    * runs are NOT probed until the query restarts — deterministic
+    * (every micro-batch serves exactly the build the plan saw), the
+    * same snapshot semantics a batch report gets. An ingest topology
+    * that appends continuously restarts the probe stream on its
+    * index-publish cadence.
     *
     * Per-arrival top-k needs a per-query rank (an aggregation — blocked
     * in append mode); the ≥ tau contract is the stateless ingest shape,
@@ -176,9 +188,16 @@ object Streaming {
                      indexDir: String, tau: Double,
                      nprobe: Int = 4): DataFrame = {
     val spark = docs.sparkSession
+    val q = docs.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    // layout resolved ONCE, driver-side, at plan time (the cellSource
+    // rule): an LSH dir (Similarity.buildLshIndex) carries meta.parquet +
+    // postings/vectors; the cell layouts carry centroids.parquet +
+    // invfile/codes. `nprobe` has no LSH meaning (buckets, not cells) and
+    // is ignored on that arm — recall is the persisted tables' job.
+    if (graft.ops.Ivf.layoutFileExists(spark, indexDir, "meta.parquet"))
+      return lshProbeStream(spark, q, idCol, vecCol, indexDir, tau)
     val model = graft.ops.Ivf.loadIndexModel(spark, indexDir)
     val inv = graft.ops.Ivf.cellSource(spark, indexDir, idCol, vecCol)
-    val q = docs.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
     val probes =
       if (model.isResidual)
         graft.ops.Ivf.probeCellsResidual(q, "__qv",
@@ -187,6 +206,55 @@ object Streaming {
       else graft.ops.Ivf.probeCells(q, "__qv", model.level1, nprobe)
     probes
       .join(inv.hint("SHUFFLE_HASH"), Seq("cell"))
+      .select(col("query_id"), col(idCol),
+        round(graft.ops.Similarity.cosine(col(vecCol), col("__qv")), 4).as("sim"))
+      .filter(col("sim") >= tau)
+  }
+
+  /** The LSH-postings arm of [[annProbeStream]] — the one index layout
+    * with NO training at all, so ingest probes it for free: each arrival
+    * recomputes its per-table buckets through the same codegen
+    * [[graft.functions.HyperplaneBuckets]] the build used, under the
+    * PERSISTED sizing (meta.parquet — resizing from the stream would
+    * shear arrivals into a different bucket space than the postings),
+    * stream-static joins the id-only postings on (table, bucket), then
+    * recovers candidate vectors by a second stream-static join on id.
+    * Both static sides are corpus-sized and NEVER broadcast
+    * (SHUFFLE_HASH; the batch probe's count-gated In-pushdown needs the
+    * candidate set at plan time, which a stream only knows per batch).
+    *
+    * A (query, candidate) pair that collides in SEVERAL tables would
+    * emit duplicate tags, and streaming dedup is stateful — instead the
+    * pair is kept only at its FIRST colliding table, decided statelessly
+    * from data on the row: the candidate's own bucket array is recomputed
+    * from its vector (identical to its postings rows by construction —
+    * appends reuse the persisted sizing), and the row survives iff no
+    * earlier table matches. NULL arrival vectors hash to no bucket
+    * (NULL array ⇒ posexplode emits nothing), matching the batch
+    * probe's contract. */
+  private def lshProbeStream(spark: SparkSession, q: DataFrame,
+                             idCol: String, vecCol: String,
+                             indexDir: String, tau: Double): DataFrame = {
+    val meta = spark.read.parquet(s"$indexDir/meta.parquet").head()
+    val (planes, tables, dim, seed) =
+      (meta.getAs[Int]("planes"), meta.getAs[Int]("tables"),
+        meta.getAs[Int]("dim"), meta.getAs[Long]("seed"))
+    val postings = spark.read.parquet(s"$indexDir/postings.parquet")
+    val vectors = spark.read.parquet(s"$indexDir/vectors.parquet")
+    def buckets(c: org.apache.spark.sql.Column) =
+      graft.ops.Similarity.bucketsColumn(c, tables, planes, dim, seed)
+    q
+      .withColumn("__qb", buckets(col("__qv")))
+      .select(col("query_id"), col("__qv"), col("__qb"),
+        posexplode(col("__qb")).as(Seq("table", "bucket")))
+      .join(postings.hint("SHUFFLE_HASH"), Seq("table", "bucket"))
+      .join(vectors.hint("SHUFFLE_HASH"), Seq(idCol))
+      // first-colliding-table filter: slice(qb==cb, 1, table) is the
+      // match vector over tables 0..table-1 — empty at table 0
+      .withColumn("__cb", buckets(col(vecCol)))
+      .filter(!exists(
+        slice(zip_with(col("__qb"), col("__cb"), (a, b) => a === b),
+          lit(1), col("table")), m => m))
       .select(col("query_id"), col(idCol),
         round(graft.ops.Similarity.cosine(col(vecCol), col("__qv")), 4).as("sim"))
       .filter(col("sim") >= tau)

@@ -769,7 +769,7 @@ class StreamingSpec extends SparkSpec {
     assert(keptIds.size >= 25, s"score gate dropped most clean docs: ${keptIds.size}")
   }
 
-  test("streaming ANN probe equals the batch probe, on both index layouts") {
+  test("streaming ANN probe equals the batch probe, on all three index layouts") {
     // round-12 verdict #2 + advisor: the stream==batch pin annProbeStream's
     // doc promises, plus the PQ-layout dir (codes.parquet carries the same
     // cell/id/vec columns — must serve, not throw path-not-found)
@@ -782,8 +782,10 @@ class StreamingSpec extends SparkSpec {
       .toDF("vec_id", "embedding").localCheckpoint(true)
     val dirIvf = java.nio.file.Files.createTempDirectory("graft_annps_ivf").toString
     val dirPq = java.nio.file.Files.createTempDirectory("graft_annps_pq").toString
+    val dirLsh = java.nio.file.Files.createTempDirectory("graft_annps_lsh").toString
     graft.ops.Ivf.buildIndex(corpus, "vec_id", "embedding", dirIvf, maxIter = 5)
     graft.ops.Quantize.buildPqIndex(corpus, "vec_id", "embedding", dirPq, m = 4)
+    graft.ops.Similarity.buildLshIndex(corpus, "vec_id", "embedding", dirLsh, dim = 16)
     val queries = Seq(
       (100L, near(base0, -0.02f)),                      // tags cluster 0
       (101L, near(base1, 0.03f)),                       // tags cluster 1
@@ -799,6 +801,30 @@ class StreamingSpec extends SparkSpec {
     // nprobe=16 == the cell count ⇒ every cell probed on both layouts:
     // the ≥ tau set is exactly the brute-force cosine set either way
     assert(batchIvf == batchPq, s"layouts diverge: $batchIvf vs $batchPq")
+    // THREE-layout equality (r13 verdict #1): the LSH postings arm routes
+    // at plan time off meta.parquet and must tag the same set — at these
+    // near-1 intra-cluster cosines a true pair misses all 8 tables with
+    // probability ~1e-10, and the seeded hyperplanes make it deterministic
+    val lshRows = Streaming.annProbeStream(
+      queries.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      dirLsh, tau = 0.9).collect()
+    val batchLsh = lshRows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batchLsh == batchIvf, s"LSH layout diverges: $batchLsh vs $batchIvf")
+    // first-colliding-table dedup actually dedups: a pair colliding in
+    // several tables must tag ONCE (row count == set size)
+    assert(lshRows.length == batchLsh.size,
+      s"duplicate tags survived: ${lshRows.length} rows, ${batchLsh.size} distinct")
+    // stream==batch vs the single-query serve probe (r13 verdict #1):
+    // probeLshIndex(k=10) on the cluster-0 query filtered to >= tau is
+    // exactly the stream's tag set for that query
+    val probeSet = graft.ops.Similarity.probeLshIndex(spark, dirLsh,
+        "vec_id", "embedding",
+        Seq((100L, near(base0, -0.02f))).toDF("vec_id", "embedding"),
+        "embedding", k = 10)
+      .filter($"sim" >= 0.9).collect()
+      .map(r => (100L, r.getLong(0), r.getDouble(1))).toSet
+    assert(probeSet == batchLsh.filter(_._1 == 100L),
+      s"stream tags diverge from probeLshIndex: $probeSet vs ${batchLsh.filter(_._1 == 100L)}")
     assert(batchIvf.exists(_._1 == 100L) && batchIvf.exists(_._1 == 101L),
       s"cluster queries tagged nothing: $batchIvf")
     assert(batchIvf.filter(_._1 == 100L).forall(t => t._2 <= 10L && t._3 >= 0.9))
@@ -815,6 +841,20 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
     val streamed = tagged(spark.table("sink_annprobe"))
     assert(streamed == batchIvf, s"stream $streamed vs batch $batchIvf")
+    // the SAME stream==batch pin on the LSH arm: stateless plan (buckets
+    // recomputed per arrival under the persisted sizing), arrival order free
+    val memLsh = MemoryStream[(Long, Array[Float])]
+    val qLsh = Streaming.annProbeStream(
+        memLsh.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        dirLsh, tau = 0.9)
+      .writeStream.format("memory").queryName("sink_annprobe_lsh")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      memLsh.addData(queries.take(1)); qLsh.processAllAvailable()
+      memLsh.addData(queries.drop(1)); qLsh.processAllAvailable()
+    } finally qLsh.stop()
+    val streamedLsh = tagged(spark.table("sink_annprobe_lsh"))
+    assert(streamedLsh == batchLsh, s"LSH stream $streamedLsh vs batch $batchLsh")
     // lifecycle × streaming: a vector APPENDED after the build (persisted
     // quantizer assigns its cell, no retrain, no plan restart) must be
     // tagged by the same probe — through the stream==batch-pinned path
@@ -828,5 +868,71 @@ class StreamingSpec extends SparkSpec {
       s"appended vector not tagged: $afterAppend")
     assert(afterAppend.filter(t => t._2 != 50L) == batchIvf,
       s"append changed pre-existing tags: $afterAppend vs $batchIvf")
+    // same lifecycle pin on the LSH arm: appendLshIndex signs under the
+    // persisted sizing, so a fresh plan tags the appended vector too
+    graft.ops.Similarity.appendLshIndex(
+      Seq((51L, near(base0, 0.017f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dirLsh)
+    val afterAppendLsh = tagged(Streaming.annProbeStream(
+      queries.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      dirLsh, tau = 0.9))
+    assert(afterAppendLsh.exists(t => t._1 == 100L && t._2 == 51L && t._3 >= 0.9),
+      s"appended vector not tagged on the LSH arm: $afterAppendLsh")
+    assert(afterAppendLsh.filter(t => t._2 != 51L) == batchLsh,
+      s"append changed pre-existing LSH tags: $afterAppendLsh vs $batchLsh")
+  }
+
+  test("serve-index appends land between micro-batches: visibility contract pinned") {
+    // the real ingest topology (r13 verdict #7): a probe stream is RUNNING
+    // while appendIndex lands new corpus rows. The static side's file
+    // listing is snapshot at plan construction (InMemoryFileIndex), so the
+    // CONTRACT is: appends are NOT visible to a running stream — restart
+    // the query (rebuild the plan) to serve them. This spec pins both
+    // halves so a Spark upgrade that silently changes the semantics fails
+    // loudly here instead of shifting results in production.
+    val rnd = new scala.util.Random(61)
+    val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+    def near(eps: Float) = base.map(_ + eps)
+    val corpus = (1L to 10L).map(i => (i, near(0.01f * i)))
+      .toDF("vec_id", "embedding").localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_annps_midapp").toString
+    graft.ops.Ivf.buildIndex(corpus, "vec_id", "embedding", dir, maxIter = 5)
+    val qvec = near(-0.02f)
+    def tags(table: String) = spark.table(table)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Streaming.annProbeStream(
+        mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        dir, tau = 0.9, nprobe = 16)
+      .writeStream.format("memory").queryName("sink_midappend")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(Seq((100L, qvec))); q.processAllAvailable()
+      assert(tags("sink_midappend").contains((100L, 1L)), "probe stream dead on arrival")
+      // append WHILE the stream runs, then probe again on the same plan
+      graft.ops.Ivf.appendIndex(
+        Seq((50L, near(0.015f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dir)
+      mem.addData(Seq((200L, qvec))); q.processAllAvailable()
+      val mid = tags("sink_midappend")
+      assert(mid.exists(t => t._1 == 200L && t._2 == 1L),
+        s"post-append batch tagged nothing at all: $mid")
+      assert(!mid.contains((200L, 50L)),
+        "mid-stream append became visible to the running plan — the " +
+          "documented not-until-restart contract no longer holds; update " +
+          "annProbeStream's Scaladoc and this pin together")
+    } finally q.stop()
+    // restart = a fresh plan (fresh file listing): the append now serves
+    val mem2 = MemoryStream[(Long, Array[Float])]
+    val q2 = Streaming.annProbeStream(
+        mem2.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        dir, tau = 0.9, nprobe = 16)
+      .writeStream.format("memory").queryName("sink_midappend2")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem2.addData(Seq((300L, qvec))); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(tags("sink_midappend2").contains((300L, 50L)),
+      s"restarted stream still blind to the append: ${tags("sink_midappend2")}")
   }
 }
