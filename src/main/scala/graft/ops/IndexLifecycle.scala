@@ -1,0 +1,179 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Remove + compaction for the materialized ANN serve indexes — the two
+  * lifecycle verbs [[Ivf.buildIndex]]/[[Quantize.buildPqIndex]]/
+  * [[Similarity.buildLshIndex]] + their appends were missing (the FAISS
+  * `remove_ids` analog, plus the small-file maintenance every
+  * append-accumulating 100 TB layout eventually needs).
+  *
+  * Layout dispatch mirrors [[Ivf.cellSource]]: an LSH dir carries
+  * `meta.parquet` + id-only postings; the cell layouts carry a
+  * cell-PARTITIONED `invfile.parquet`/`codes.parquet`.
+  *
+  * Removal strategy differs by layout because the physical clustering
+  * differs:
+  *  - CELL layouts: physical, immediate — a dynamic-partition OVERWRITE
+  *    of only the cells that actually hold removed ids (probes are
+  *    untouched: no tombstone ever enters the read path). Cells left
+  *    empty have their directories deleted explicitly — dynamic
+  *    overwrite only replaces partitions PRESENT in the written data,
+  *    so an emptied cell would otherwise keep its stale files.
+  *  - LSH layout: postings are range-sorted by (table, bucket), not
+  *    id-clustered, so a physical remove would rewrite the whole
+  *    postings set per call. Removal instead APPENDS the ids to a
+  *    `deletes.parquet` tombstone set — O(removed) per call — which
+  *    every LSH probe path anti-joins out of the vectors side
+  *    ([[Similarity.lshVectors]]); [[compactIndex]] applies tombstones
+  *    physically and clears them, bounding the tombstone set by the
+  *    compaction cadence (the Lucene/Delta deletion-vector shape).
+  *
+  * Removal batches are increment-sized by contract, like appends — a
+  * corpus-scale removal is a rebuild. The affected-cell list collects to
+  * the driver: it is bounded by the CELL count (occupancy-sized by
+  * construction — [[Ivf.cellsForSearch]]), never by corpus rows.
+  */
+object IndexLifecycle {
+
+  private def hfs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** The cell-layout data file under `dir`, or None for the LSH layout. */
+  private def cellFileOf(spark: SparkSession, dir: String): Option[String] =
+    if (Ivf.layoutFileExists(spark, dir, "meta.parquet")) None
+    else if (Ivf.layoutFileExists(spark, dir, "invfile.parquet")) Some("invfile.parquet")
+    else if (Ivf.layoutFileExists(spark, dir, "codes.parquet")) Some("codes.parquet")
+    else throw new IllegalArgumentException(
+      s"$dir holds no recognized index layout (meta/invfile/codes)")
+
+  /** Count-gated semi/anti join of `table` against the removal-id frame —
+    * broadcast under the gate, SHUFFLE_HASH past it (the
+    * no-small-by-construction rule; same gate every bounded-structure
+    * path in this repo uses). */
+  private def idJoin(table: DataFrame, ids: DataFrame, idCol: String,
+                     nIds: Long, limit: Long, joinType: String): DataFrame =
+    if (nIds <= limit) table.join(broadcast(ids), Seq(idCol), joinType)
+    else table.join(ids.hint("SHUFFLE_HASH"), Seq(idCol), joinType)
+
+  /** Remove `ids` rows from the index at `dir` (FAISS `remove_ids`):
+    * cell layouts rewrite only the affected cell partitions; the LSH
+    * layout appends tombstones served out by every probe path until
+    * [[compactIndex]] applies them physically. Probes serve the
+    * post-removal set immediately on every layout (modulo the running-
+    * stream plan-snapshot contract, [[graft.streaming.Streaming
+    * .annProbeStream]]). Removing an id that is not in the index is a
+    * no-op, as in FAISS. */
+  def removeIds(spark: SparkSession, dir: String, ids: DataFrame,
+                idCol: String,
+                idBroadcastLimit: Long = Dedup.HotShingleBroadcastLimit): Unit =
+    cellFileOf(spark, dir) match {
+      case None =>
+        // LSH tombstone append: O(removed ids) — dedup is the anti
+        // join's job, compaction clears the set
+        ids.select(col(idCol)).distinct()
+          .write.mode("append").parquet(s"$dir/deletes.parquet")
+      case Some(file) =>
+        val table = spark.read.parquet(s"$dir/$file")
+        val idsDf = ids.select(col(idCol)).distinct().localCheckpoint(true)
+        val nIds = idsDf.count()
+        // affected cells: bounded by the cell count, driver-holdable
+        val affected = idJoin(table, idsDf, idCol, nIds, idBroadcastLimit,
+          "left_semi").select("cell").distinct().collect().map(_.getInt(0))
+        if (affected.nonEmpty) {
+          // localCheckpoint breaks the read-from-overwrite-target cycle
+          // AND materializes survivors before their files are replaced;
+          // bounded by the affected cells' content (increment-sized
+          // removal contract)
+          val survivors = idJoin(
+            table.filter(col("cell").isin(affected.map(Integer.valueOf): _*)),
+            idsDf, idCol, nIds, idBroadcastLimit, "left_anti")
+            .localCheckpoint(true)
+          survivors.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell").parquet(s"$dir/$file")
+          // emptied cells keep stale files under dynamic overwrite
+          // (nothing was written for them) — drop their directories
+          val kept = survivors.select("cell").distinct()
+            .collect().map(_.getInt(0)).toSet
+          val (fs, _) = hfs(spark, dir)
+          affected.filterNot(kept).foreach { c =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$file/cell=$c"), true)
+          }
+        }
+    }
+
+  /** Compact the index at `dir`: repeated [[Ivf.appendIndex]]-family
+    * appends accumulate one file batch per touched cell per append — the
+    * classic small-file hazard that turns a 100 TB scan into metadata
+    * torture. Cell layouts rewrite only cells whose file count exceeds
+    * `maxFilesPerCell` (hash-repartitioned by cell, so each rewritten
+    * cell lands as ONE file). The LSH layout rewrites postings + vectors
+    * wholesale — its postings are not id-clustered, so compaction doubles
+    * as the physical application of the [[removeIds]] tombstones, which
+    * are cleared afterwards; the rewrite preserves the build's
+    * (table, bucket) range-sort so row-group pruning survives. LSH
+    * compaction costs one pass over the index (no signatures recompute);
+    * run it on the append/remove cadence, not per call.
+    *
+    * The LSH rewrite swaps via tmp dirs (write new → move live aside →
+    * move new in → drop old), never materializing the corpus through the
+    * block manager; a crash mid-swap leaves either the live or the
+    * `.__old` dir intact. */
+  def compactIndex(spark: SparkSession, dir: String,
+                   maxFilesPerCell: Int = 4): Unit =
+    cellFileOf(spark, dir) match {
+      case None => compactLsh(spark, dir)
+      case Some(file) =>
+        val (fs, root) = hfs(spark, s"$dir/$file")
+        val heavy = fs.listStatus(root).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+          .filter(s => fs.listStatus(s.getPath)
+            .count(f => f.getPath.getName.startsWith("part-")) > maxFilesPerCell)
+          .map(_.getPath.getName.stripPrefix("cell=").toInt)
+        if (heavy.nonEmpty) {
+          val rows = spark.read.parquet(s"$dir/$file")
+            .filter(col("cell").isin(heavy.map(Integer.valueOf): _*))
+            .repartition(col("cell"))
+            .localCheckpoint(true)
+          rows.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell").parquet(s"$dir/$file")
+        }
+    }
+
+  private def compactLsh(spark: SparkSession, dir: String): Unit = {
+    val hasDeletes = Ivf.layoutFileExists(spark, dir, "deletes.parquet")
+    def minusDeletes(df: DataFrame, idCol: String): DataFrame =
+      if (!hasDeletes) df
+      else df.join(
+        spark.read.parquet(s"$dir/deletes.parquet").distinct()
+          .hint("SHUFFLE_HASH"),
+        Seq(idCol), "left_anti")
+    // the postings' id column name = the vectors' non-vector column (the
+    // build wrote both from the same (idCol, vecCol) selection)
+    val idCol = spark.read.parquet(s"$dir/postings.parquet").columns
+      .filterNot(Set("table", "bucket")).head
+    def swapIn(name: String)(fresh: DataFrame): Unit = {
+      val (fs, live) = hfs(spark, s"$dir/$name")
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/$name.__compact")
+      val old = new org.apache.hadoop.fs.Path(s"$dir/$name.__old")
+      fs.delete(tmp, true); fs.delete(old, true)
+      fresh.write.mode("overwrite").parquet(tmp.toString)
+      fs.rename(live, old); fs.rename(tmp, live); fs.delete(old, true)
+    }
+    swapIn("postings.parquet")(
+      minusDeletes(spark.read.parquet(s"$dir/postings.parquet"), idCol)
+        .repartitionByRange(col("table"), col("bucket"))
+        .sortWithinPartitions("table", "bucket"))
+    swapIn("vectors.parquet")(
+      minusDeletes(spark.read.parquet(s"$dir/vectors.parquet"), idCol))
+    if (hasDeletes) {
+      val (fs, del) = hfs(spark, s"$dir/deletes.parquet")
+      fs.delete(del, true)
+    }
+  }
+}

@@ -482,6 +482,43 @@ object Similarity {
       .repartitionByRange(col("table"), col("bucket"))
       .sortWithinPartitions("table", "bucket")
       .write.mode("append").parquet(s"$dir/postings.parquet")
+    // re-insert contract: appending an id that was tombstoned by
+    // IndexLifecycle.removeIds un-deletes it — without this the append
+    // would land physically but lshVectors would keep filtering it out
+    // until compaction. The tombstone set is compaction-bounded, so this
+    // rewrite is tombstone-sized, not corpus-sized.
+    if (Ivf.layoutFileExists(spark, dir, "deletes.parquet")) {
+      val remaining = spark.read.parquet(s"$dir/deletes.parquet")
+        .join(batch.select(col(idCol)), Seq(idCol), "left_anti")
+        .localCheckpoint(true)
+      remaining.write.mode("overwrite").parquet(s"$dir/deletes.parquet")
+    }
+  }
+
+  /** The LSH index's vectors side with [[IndexLifecycle.removeIds]]
+    * tombstones served out — shared by [[probeLshIndex]] and the
+    * streaming probe ([[graft.streaming.Streaming.annProbeStream]]'s
+    * LSH arm). Filtering VECTORS alone suffices: candidate recovery,
+    * the ranking crossJoin, and the never-short exact fallback all read
+    * this frame, so a tombstoned id can surface nowhere (stale postings
+    * rows just match nothing until [[IndexLifecycle.compactIndex]]
+    * drops them). Count-gated like every bounded structure: the
+    * tombstone set broadcasts under the gate, anti-joins SHUFFLE_HASH
+    * past it — its size is bounded by the compaction cadence, not
+    * assumed small. */
+  private[graft] def lshVectors(spark: org.apache.spark.sql.SparkSession,
+                                dir: String, idCol: String,
+                                deleteBroadcastLimit: Long =
+                                  Dedup.HotShingleBroadcastLimit): DataFrame = {
+    val vectors = spark.read.parquet(s"$dir/vectors.parquet")
+    if (!Ivf.layoutFileExists(spark, dir, "deletes.parquet")) vectors
+    else {
+      val del = spark.read.parquet(s"$dir/deletes.parquet")
+        .select(col(idCol)).distinct().localCheckpoint(true)
+      if (del.count() <= deleteBroadcastLimit)
+        vectors.join(broadcast(del), Seq(idCol), "left_anti")
+      else vectors.join(del.hint("SHUFFLE_HASH"), Seq(idCol), "left_anti")
+    }
   }
 
   /** The single-query candidate tail [[lshTopK]] and [[probeLshIndex]]
@@ -534,7 +571,7 @@ object Similarity {
       .select("table", "bucket").take(tables + 1)
     val qPairs = bucketRows.map(r => (r.getInt(0), r.getInt(1)))
     val postings = spark.read.parquet(s"$dir/postings.parquet")
-    val vectors = spark.read.parquet(s"$dir/vectors.parquet")
+    val vectors = lshVectors(spark, dir, idCol)
     // foldLeft(false): an empty pair set (null query vector) selects
     // nothing instead of crashing an empty reduce — the fallback answers
     val hits = postings

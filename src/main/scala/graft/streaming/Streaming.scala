@@ -240,7 +240,9 @@ object Streaming {
       (meta.getAs[Int]("planes"), meta.getAs[Int]("tables"),
         meta.getAs[Int]("dim"), meta.getAs[Long]("seed"))
     val postings = spark.read.parquet(s"$indexDir/postings.parquet")
-    val vectors = spark.read.parquet(s"$indexDir/vectors.parquet")
+    // tombstone-aware (IndexLifecycle.removeIds): removed ids must not
+    // tag arrivals even before compaction applies them physically
+    val vectors = graft.ops.Similarity.lshVectors(spark, indexDir, idCol)
     def buckets(c: org.apache.spark.sql.Column) =
       graft.ops.Similarity.bucketsColumn(c, tables, planes, dim, seed)
     q

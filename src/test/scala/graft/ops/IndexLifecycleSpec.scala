@@ -1,0 +1,176 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The remove/compact half of the serve-index lifecycle (r13 verdict #3):
+  * union-probe equality after remove and after compact on all three
+  * layouts, emptied-cell cleanup, tombstone re-insert, and the
+  * small-file bound compaction exists to enforce. */
+class IndexLifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = graft.engine.Tables.read(spark, sf0001, "embeddings")
+    .select("vec_id", "embedding")
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("IVF removeIds: probe equals the same-model probe over survivors; emptied cells vanish") {
+    val corpus = emb.localCheckpoint(true)
+    val query = corpus.filter($"vec_id" === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lc_ivf").toString
+    val model = Ivf.buildIndex(corpus, "vec_id", "embedding", dir, maxIter = 5)
+    // remove ids that WERE in the top-k (so the check can't pass vacuously)
+    val before = pairs(Ivf.probeIndex(spark, dir, "vec_id", "embedding",
+      query, "embedding", k = 10))
+    val removed = before.take(3).map(_._1)
+    assert(removed.contains(0L), "planted self not in top-3 — corpus drifted?")
+    IndexLifecycle.removeIds(spark, dir, removed.toDF("vec_id"), "vec_id")
+    val after = pairs(Ivf.probeIndex(spark, dir, "vec_id", "embedding",
+      query, "embedding", k = 10))
+    assert(after.map(_._1).toSet.intersect(removed.toSet).isEmpty,
+      s"removed ids still served: $after")
+    // union-probe equality: the survivors under the SAME persisted model
+    val survivors = corpus.filter(!$"vec_id".isin(removed: _*))
+    val expect = pairs(Ivf.probeIndexFrame(
+      model.indexOf(survivors, "vec_id", "embedding"), model,
+      "vec_id", "embedding", query, "embedding", k = 10, nprobe = 4))
+    assert(after == expect, s"post-remove probe diverged: $after vs $expect")
+    // emptying a whole cell must delete its directory — dynamic overwrite
+    // alone would leave the stale files in place
+    val inv = spark.read.parquet(s"$dir/invfile.parquet").localCheckpoint(true)
+    val someCell = inv.groupBy("cell").count().orderBy("count", "cell")
+      .head().getInt(0)
+    val cellIds = inv.filter($"cell" === someCell).select("vec_id")
+      .collect().map(_.getLong(0))
+    IndexLifecycle.removeIds(spark, dir, cellIds.toSeq.toDF("vec_id"), "vec_id")
+    assert(!new java.io.File(s"$dir/invfile.parquet/cell=$someCell").exists(),
+      s"emptied cell=$someCell directory survived")
+    assert(spark.read.parquet(s"$dir/invfile.parquet")
+      .filter($"cell" === someCell).count() == 0L, "stale rows in emptied cell")
+    // removing ids that are not present is a no-op, as in FAISS
+    val snapshot = pairs(Ivf.probeIndex(spark, dir, "vec_id", "embedding",
+      query, "embedding", k = 10))
+    IndexLifecycle.removeIds(spark, dir, Seq(888888L).toDF("vec_id"), "vec_id")
+    assert(pairs(Ivf.probeIndex(spark, dir, "vec_id", "embedding",
+      query, "embedding", k = 10)) == snapshot, "no-op removal changed the probe")
+  }
+
+  test("PQ removeIds: probe equals the same-codebook probe over surviving codes") {
+    val corpus = emb.localCheckpoint(true)
+    val query = corpus.filter($"vec_id" === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lc_pq").toString
+    Quantize.buildPqIndex(corpus, "vec_id", "embedding", dir, m = 4)
+    val codesBefore = spark.read.parquet(s"$dir/codes.parquet").localCheckpoint(true)
+    val before = pairs(Quantize.probePqIndex(spark, dir, "vec_id", "embedding",
+      query, "embedding", k = 10))
+    val removed = before.take(3).map(_._1)
+    IndexLifecycle.removeIds(spark, dir, removed.toDF("vec_id"), "vec_id")
+    val after = pairs(Quantize.probePqIndex(spark, dir, "vec_id", "embedding",
+      query, "embedding", k = 10))
+    assert(after.map(_._1).toSet.intersect(removed.toSet).isEmpty,
+      s"removed ids still served: $after")
+    val expect = pairs(Quantize.pqProbeCore(
+      codesBefore.filter(!$"vec_id".isin(removed: _*)),
+      Quantize.loadPqIndex(spark, dir), "vec_id", "embedding",
+      query, "embedding", k = 10, nprobe = 4, rerank = 100))
+    assert(after == expect, s"post-remove PQ probe diverged: $after vs $expect")
+  }
+
+  test("LSH removeIds/compactIndex: tombstone probe == compacted probe == fresh build on survivors") {
+    val corpus = emb.localCheckpoint(true)
+    val query = corpus.filter($"vec_id" === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lc_lsh").toString
+    Similarity.buildLshIndex(corpus, "vec_id", "embedding", dir)
+    val before = pairs(Similarity.probeLshIndex(spark, dir,
+      "vec_id", "embedding", query, "embedding", k = 10))
+    val removed = before.take(3).map(_._1)
+    assert(removed.contains(0L))
+    IndexLifecycle.removeIds(spark, dir, removed.toDF("vec_id"), "vec_id")
+    val tombstoned = pairs(Similarity.probeLshIndex(spark, dir,
+      "vec_id", "embedding", query, "embedding", k = 10))
+    assert(tombstoned.map(_._1).toSet.intersect(removed.toSet).isEmpty,
+      s"tombstoned ids still served: $tombstoned")
+    // sizing check: survivors at this count keep the same planes/tables,
+    // so a FRESH build on them shares the seeded hyperplanes — the
+    // strongest external comparator the tombstone path can have
+    val survivors = corpus.filter(!$"vec_id".isin(removed: _*))
+      .localCheckpoint(true)
+    assert(Similarity.probePlanesFor(survivors.count()) ==
+      Similarity.probePlanesFor(corpus.count()), "sizing drifted — respec")
+    val freshDir = java.nio.file.Files.createTempDirectory("graft_lc_lsh_fresh").toString
+    Similarity.buildLshIndex(survivors, "vec_id", "embedding", freshDir)
+    val fresh = pairs(Similarity.probeLshIndex(spark, freshDir,
+      "vec_id", "embedding", query, "embedding", k = 10))
+    assert(tombstoned == fresh, s"tombstone probe diverged: $tombstoned vs $fresh")
+    // compaction applies tombstones physically and clears them; the probe
+    // is unchanged and the postings physically shrink
+    val postingsBefore = spark.read.parquet(s"$dir/postings.parquet").count()
+    IndexLifecycle.compactIndex(spark, dir)
+    assert(!new java.io.File(s"$dir/deletes.parquet").exists(),
+      "compaction left the tombstone set behind")
+    val compacted = pairs(Similarity.probeLshIndex(spark, dir,
+      "vec_id", "embedding", query, "embedding", k = 10))
+    assert(compacted == tombstoned, s"compaction changed the probe: $compacted")
+    assert(spark.read.parquet(s"$dir/postings.parquet").count() < postingsBefore,
+      "compaction did not drop the removed postings")
+    // row-group pruning survives the rewrite: the probe filter still
+    // pushes a non-empty payload into the compacted postings scan
+    val plan = spark.read.parquet(s"$dir/postings.parquet")
+      .filter(col("table") === 0 && col("bucket") === 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("EqualTo"),
+      s"probe filters no longer push after compaction:\n$plan")
+  }
+
+  test("LSH re-insert: appending a tombstoned id un-deletes it") {
+    val corpus = emb.localCheckpoint(true)
+    val query = corpus.filter($"vec_id" === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lc_reins").toString
+    Similarity.buildLshIndex(corpus.filter($"vec_id" =!= 3), "vec_id", "embedding", dir)
+    val three = corpus.filter($"vec_id" === 3).localCheckpoint(true)
+    Similarity.appendLshIndex(three, "vec_id", "embedding", dir)
+    IndexLifecycle.removeIds(spark, dir, Seq(3L).toDF("vec_id"), "vec_id")
+    assert(!pairs(Similarity.probeLshIndex(spark, dir, "vec_id", "embedding",
+      query, "embedding", k = 500)).map(_._1).contains(3L), "tombstone ignored")
+    Similarity.appendLshIndex(three, "vec_id", "embedding", dir)
+    assert(pairs(Similarity.probeLshIndex(spark, dir, "vec_id", "embedding",
+      query, "embedding", k = 500)).map(_._1).contains(3L),
+      "re-inserted id still tombstoned")
+  }
+
+  test("IVF compactIndex: append-accumulated small files merge; probe unchanged") {
+    val corpus = emb.localCheckpoint(true)
+    val query = corpus.filter($"vec_id" === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lc_compact").toString
+    Ivf.buildIndex(corpus.filter($"vec_id" < 400), "vec_id", "embedding", dir,
+      maxIter = 5)
+    // five appends: every touched cell gains a file batch per append
+    (0 until 5).foreach { i =>
+      Ivf.appendIndex(corpus.filter($"vec_id" >= 400 + i * 20 &&
+        $"vec_id" < 400 + (i + 1) * 20), "vec_id", "embedding", dir)
+    }
+    def filesPerCell: Map[String, Int] =
+      new java.io.File(s"$dir/invfile.parquet").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.startsWith("part-"))).toMap
+    val beforeFiles = filesPerCell
+    assert(beforeFiles.values.max > 3,
+      s"appends produced no small-file pressure: $beforeFiles")
+    val before = pairs(Ivf.probeIndex(spark, dir, "vec_id", "embedding",
+      query, "embedding", k = 10))
+    IndexLifecycle.compactIndex(spark, dir, maxFilesPerCell = 3)
+    val afterFiles = filesPerCell
+    assert(afterFiles.values.max <= 3,
+      s"compaction left heavy cells: $afterFiles")
+    // untouched (light) cells keep their files — compaction is targeted
+    beforeFiles.filter(_._2 <= 3).foreach { case (cell, n) =>
+      assert(afterFiles(cell) == n, s"light cell $cell was rewritten")
+    }
+    val after = pairs(Ivf.probeIndex(spark, dir, "vec_id", "embedding",
+      query, "embedding", k = 10))
+    assert(after == before, s"compaction changed the probe: $after vs $before")
+  }
+}

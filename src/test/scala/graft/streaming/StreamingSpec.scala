@@ -880,6 +880,15 @@ class StreamingSpec extends SparkSpec {
       s"appended vector not tagged on the LSH arm: $afterAppendLsh")
     assert(afterAppendLsh.filter(t => t._2 != 51L) == batchLsh,
       s"append changed pre-existing LSH tags: $afterAppendLsh vs $batchLsh")
+    // removeIds tombstones reach the stream path too (lshVectors is
+    // shared): the appended vector un-tags on a fresh plan
+    graft.ops.IndexLifecycle.removeIds(spark, dirLsh,
+      Seq(51L).toDF("vec_id"), "vec_id")
+    val afterRemove = tagged(Streaming.annProbeStream(
+      queries.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      dirLsh, tau = 0.9))
+    assert(afterRemove == batchLsh,
+      s"tombstoned id still tagged on the stream path: $afterRemove")
   }
 
   test("serve-index appends land between micro-batches: visibility contract pinned") {
