@@ -156,7 +156,7 @@ object Ivf {
       * level-2 cells of the query's residual within each — the same
       * deliberate widening as [[topKSized]]). Clamped to the ACTUAL
       * trained counts like [[probeCellsResidual]]. */
-    private[ops] def probedCells(q: Array[Double], nprobe: Int): Seq[Int] =
+    private[graft] def probedCells(q: Array[Double], nprobe: Int): Seq[Int] =
       if (isResidual) {
         val k2 = level2.length
         val np1 = math.min(nprobe, level1.length)

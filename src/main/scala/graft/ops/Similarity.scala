@@ -495,6 +495,72 @@ object Similarity {
     }
   }
 
+  /** Driver-side single-vector replica of
+    * [[graft.functions.HyperplaneBuckets]]: per-table packed bucket plus
+    * the raw per-plane margins (the dot products whose signs ARE the
+    * bucket bits). Bit-for-bit the codegen expression's arithmetic —
+    * same seeded planes, same ascending accumulation, same `> 0` rule,
+    * same min(dim, len) clamp (spec-pinned) — so a driver-computed
+    * bucket always matches what the build wrote. One vector only: the
+    * corpus-side signature pass stays the codegen expression. */
+  private[ops] def bucketsAndMarginsLocal(vec: Array[Double], tables: Int,
+                                          planes: Int, dim: Int,
+                                          seed: Long): (Array[Int], Array[Array[Double]]) = {
+    val flat = hyperplanes(tables, planes, dim, seed).flatten.flatten.toArray
+    val m = math.min(dim, vec.length)
+    val buckets = new Array[Int](tables)
+    val margins = Array.ofDim[Double](tables, planes)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0
+      var p = 0
+      while (p < planes) {
+        val base = (t * planes + p) * dim
+        var s = 0.0
+        var i = 0
+        while (i < m) { s += vec(i) * flat(base + i); i += 1 }
+        if (s > 0) bucket |= (1 << p)
+        margins(t)(p) = s
+        p += 1
+      }
+      buckets(t) = bucket
+      t += 1
+    }
+    (buckets, margins)
+  }
+
+  /** The `count` lowest-cost non-empty perturbation sets by total
+    * |margin| (Lv et al., "Multi-probe LSH", VLDB'07 §4.2): a query
+    * whose dot product with a hyperplane is near zero sits near that
+    * boundary, so flipping that bit probes the bucket a near neighbor
+    * most likely fell into. Heap expansion over margins sorted
+    * ascending — each popped set spawns its shift (max element moved up)
+    * and expand (next element added) successors, generating subsets in
+    * nondecreasing cost without enumerating 2^planes. Returns ORIGINAL
+    * plane indices. */
+  private[ops] def perturbationSets(absMargins: Array[Double],
+                                    count: Int): Seq[Seq[Int]] = {
+    if (count <= 0 || absMargins.isEmpty) return Nil
+    val order = absMargins.zipWithIndex.sortBy(_._1).map(_._2)
+    val sorted = order.map(absMargins)
+    val nPlanes = sorted.length
+    // set = positions into `sorted`, head = max position
+    final case class Node(cost: Double, set: List[Int])
+    val pq = scala.collection.mutable.PriorityQueue(
+      Node(sorted(0), List(0)))(Ordering.by(n => -n.cost))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Int]]
+    while (out.length < count && pq.nonEmpty) {
+      val n = pq.dequeue()
+      out += n.set.map(order)
+      val m = n.set.head
+      if (m + 1 < nPlanes) {
+        pq.enqueue(Node(n.cost - sorted(m) + sorted(m + 1), (m + 1) :: n.set.tail))
+        pq.enqueue(Node(n.cost + sorted(m + 1), (m + 1) :: n.set))
+      }
+    }
+    out.toSeq
+  }
+
   /** The LSH index's vectors side with [[IndexLifecycle.removeIds]]
     * tombstones served out — shared by [[probeLshIndex]] and the
     * streaming probe ([[graft.streaming.Streaming.annProbeStream]]'s
@@ -552,7 +618,8 @@ object Similarity {
   def probeLshIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                     idCol: String, vecCol: String,
                     query: DataFrame, queryVecCol: String, k: Int,
-                    candidateIdLimit: Long = 10000L): DataFrame = {
+                    candidateIdLimit: Long = 10000L,
+                    multiProbe: Int = 0): DataFrame = {
     val meta = spark.read.parquet(s"$dir/meta.parquet").head()
     val (planes, tables, dim, seed) =
       (meta.getAs[Int]("planes"), meta.getAs[Int]("tables"),
@@ -561,15 +628,34 @@ object Similarity {
     // multi-row frame whose extra rows carry NULL vectors emits no
     // signature rows for them and would slip a row-count guard, after
     // which the crossJoin + dropDuplicates tail picks a nondeterministic
-    // __qv per candidate — same posture as probeIndexFrame's take(2)
-    require(query.select(col(queryVecCol)).take(2).length == 1,
+    // __qv per candidate — same posture as probeIndexFrame's take(2).
+    // The same take also DELIVERS the vector: buckets and margins are
+    // driver arithmetic ([[bucketsAndMarginsLocal]], spec-pinned equal to
+    // the codegen expression), so the probe pays zero Spark jobs before
+    // the postings scan.
+    val qRows = query.select(col(queryVecCol).cast("array<double>")).take(2)
+    require(qRows.length == 1,
       "probeLshIndex is single-query (probed buckets are computed from " +
         "one vector) — batch callers use lshTopKBatchSized or Ivf.probeIndexBatch")
-    val bucketRows = lshIndex(
-      query.select(lit(0L).as("__qid"), col(queryVecCol).as("__qv")),
-      "__qid", "__qv", tables, planes, dim, seed)
-      .select("table", "bucket").take(tables + 1)
-    val qPairs = bucketRows.map(r => (r.getInt(0), r.getInt(1)))
+    // NULL query vector ⇒ no bucket ⇒ the never-short fallback answers
+    val qPairs: Seq[(Int, Int)] =
+      if (qRows.head.isNullAt(0)) Seq.empty
+      else {
+        val qv = qRows.head.getSeq[Double](0).toArray
+        val (buckets, margins) =
+          bucketsAndMarginsLocal(qv, tables, planes, dim, seed)
+        // multi-probe (Lv et al. VLDB'07): beyond each table's exact
+        // bucket, probe the `multiProbe` buckets reached by flipping the
+        // lowest-|margin| bit sets — near-boundary planes are where a
+        // true neighbor most likely landed on the other side. Bounded
+        // extra candidates for recall WITHOUT more tables (= a smaller
+        // index than table compensation buys).
+        (0 until tables).flatMap { t =>
+          (t, buckets(t)) +:
+            perturbationSets(margins(t).map(math.abs), multiProbe)
+              .map(ps => (t, ps.foldLeft(buckets(t))((b, p) => b ^ (1 << p))))
+        }.distinct
+      }
     val postings = spark.read.parquet(s"$dir/postings.parquet")
     val vectors = lshVectors(spark, dir, idCol)
     // foldLeft(false): an empty pair set (null query vector) selects

@@ -1746,6 +1746,24 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
       None
     ),
 
+    // Multi-probe LSH serve (Lv et al. VLDB'07): the same materialized
+    // index, plus per table the `multiProbe` buckets reached by flipping
+    // the lowest-|margin| hyperplane bits — bounded extra candidates
+    // for recall without more tables (= a smaller index than table
+    // compensation buys). Rows-only; SimilaritySpec pins the
+    // driver/codegen bucket parity, the heap-expansion order, and the
+    // recall gain over single-probe at equal tables.
+    QueryDef(
+      "c14_ann_serve_lsh_mp",
+      (s, d) => {
+        val dir = ensureServeIndex(s, d, "lsh")
+        Similarity.probeLshIndex(s, dir, "vec_id", "embedding",
+          t(s, d, "embeddings").filter(col("vec_id") === 0), "embedding", k = 10,
+          multiProbe = 4)
+      },
+      None
+    ),
+
     // The batched serving shape: one cell equi-join of the broadcast
     // probe frame against the materialized inverted file (a batch's
     // probed-cell union defeats static pruning, so the join IS the

@@ -388,6 +388,25 @@ object ScaleBench {
       val (tLshProbe, _) = timeIt(noop(Similarity.probeLshIndex(spark, lshDir,
         "vec_id", "embedding", emb.filter(col("vec_id") === 0), "embedding",
         k = 10)))
+      // multi-probe serve (Lv et al.): 8 extra flipped-bit buckets per
+      // table — the probe wall must stay in the single-probe's band (the
+      // extra candidates are a bounded multiple of bucket occupancy,
+      // never a corpus fraction)
+      val (tLshProbeM, _) = timeIt(noop(Similarity.probeLshIndex(spark, lshDir,
+        "vec_id", "embedding", emb.filter(col("vec_id") === 0), "embedding",
+        k = 10, multiProbe = 8)))
+      // serve-batch stage attribution: the batch's probed-cell UNION is
+      // what defeats static pruning — record its size next to the join
+      // wall so the flat curve is attributable (cells grow with n, the
+      // union approaches the cell count, each join partition's build side
+      // stays one cell's worth)
+      val nServeCellsUnion = {
+        val model = Ivf.loadIndexModel(spark, ivfpqDir)
+        emb.filter(col("vec_id") < 5)
+          .select(col("embedding").cast("array<double>")).collect()
+          .flatMap(r => model.probedCells(r.getSeq[Double](0).toArray, 4))
+          .distinct.length
+      }
       val (tIvfPqApp, _) = timeIt {
         Quantize.appendPqIndex(
           emb.filter(col("vec_id") < nVecs / 100)
@@ -396,6 +415,31 @@ object ScaleBench {
           "vec_id", "embedding", ivfpqDir)
         0L
       }
+      // compaction: two more small appends pile file batches onto the
+      // touched cells, then compactIndex rewrites only cells over the
+      // bound — record max files/cell before+after and the rewrite wall
+      // (the small-file hazard row the lifecycle exists to close)
+      (1 to 2).foreach { j =>
+        Quantize.appendPqIndex(
+          emb.filter(col("vec_id") >= j * (nVecs / 200) &&
+            col("vec_id") < (j + 1) * (nVecs / 200))
+            .select((col("vec_id") + lit(910000000L + j * 1000000L)).as("vec_id"),
+              col("embedding")),
+          "vec_id", "embedding", ivfpqDir)
+      }
+      def maxFilesPerCell: Int = {
+        val dirs = new java.io.File(s"$ivfpqDir/codes.parquet").listFiles()
+        if (dirs == null) 0
+        else dirs.filter(f => f.isDirectory && f.getName.startsWith("cell="))
+          .map(_.listFiles().count(_.getName.startsWith("part-")))
+          .foldLeft(0)(math.max)
+      }
+      val filesBeforeCompact = maxFilesPerCell
+      val (tCompact, _) = timeIt {
+        graft.ops.IndexLifecycle.compactIndex(spark, ivfpqDir,
+          maxFilesPerCell = 2); 0L
+      }
+      val filesAfterCompact = maxFilesPerCell
       // batched LSH probe: the serving-layer path —
       // wall for the full batch call, then candidate volume and the
       // per-query exact-fallback RATE (queries whose probe came back
@@ -616,8 +660,9 @@ object ScaleBench {
         f"probe=$tProbe%5.2fs($nProbeCand%5d) " +
         f"ivfTr=$tIvfTr1%5.2fs/$tIvfTr2%5.2fs(k=$kSearch) " +
         f"ivfpq=$tIvfPqQ%5.2fs build=$tIvfPqBuild%5.2fs probe=$tIvfPqProbe%5.2fs " +
-        f"serveB=$tIvfPqServeB%5.2fs app=$tIvfPqApp%5.2fs " +
-        f"lshB=$tLshBuild%5.2fs lshP=$tLshProbe%5.2fs " +
+        f"serveB=$tIvfPqServeB%5.2fs(cells=$nServeCellsUnion) app=$tIvfPqApp%5.2fs " +
+        f"compact=$tCompact%5.2fs(files=$filesBeforeCompact->$filesAfterCompact) " +
+        f"lshB=$tLshBuild%5.2fs lshP=$tLshProbe%5.2fs lshPM=$tLshProbeM%5.2fs " +
         f"pbatch=$tPbatch%5.2fs(cand=$nPbCand%6d,fb=$nPbFallback/5) " +
         f"sess=$tSess%5.2fs ret=$tRet%5.2fs | " +
         f"bpe=$tBpeTr%5.2fs/$tBpeEnc%5.2fs bpe2k=$tBpe2k%6.2fs($nBpe2k) " +
