@@ -145,6 +145,72 @@ object IndexLifecycle {
         }
     }
 
+  /** One-row operational readout of a serve index — the numbers the
+    * lifecycle policies act on, none of which a probe surfaces:
+    *
+    *  - `appended_fraction` = (live − built) / live, from the build-time
+    *    row count the builds persist (`buildinfo.parquet`). Finding 29's
+    *    retrain policy keys on THIS number (rebuild around ~0.5 for
+    *    recall-sensitive serving; resize cells/nprobe first) — without
+    *    the readout the policy is unactionable. NULL on dirs built
+    *    before the counter existed. Negative growth (removals) clamps
+    *    to 0: the fraction measures growth since training, and removed
+    *    rows were assigned under the live quantizer either way.
+    *  - `max_files_per_cell` — the small-file pressure [[compactIndex]]
+    *    exists to relieve (its `maxFilesPerCell` bound compares against
+    *    exactly this). For the LSH layout: file count of the postings
+    *    set, which LSH compaction rewrites wholesale.
+    *  - `tombstones` — the LSH [[removeIds]] backlog a compaction would
+    *    apply physically (always 0 on cell layouts: their removes are
+    *    physical and immediate).
+    *
+    * `live_rows`/`cells` are distributed aggregates; the file-count walk
+    * is driver-side filesystem METADATA, bounded by the cell count ×
+    * compaction cadence — never by corpus rows. */
+  def indexStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val built: Option[Long] =
+      if (Ivf.layoutFileExists(spark, dir, "buildinfo.parquet"))
+        Some(spark.read.parquet(s"$dir/buildinfo.parquet")
+          .head().getAs[Long]("built_rows"))
+      else None
+    val (layout, live, cells, maxFiles, tombstones) = cellFileOf(spark, dir) match {
+      case Some(file) =>
+        val table = spark.read.parquet(s"$dir/$file")
+        val agg = table.agg(count(lit(1)), countDistinct(col("cell"))).head()
+        val (fs, root) = hfs(spark, s"$dir/$file")
+        val mf = fs.listStatus(root).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+          .map(s => fs.listStatus(s.getPath)
+            .count(f => f.getPath.getName.startsWith("part-")))
+          .foldLeft(0)(math.max)
+        (if (file == "invfile.parquet") "ivf" else "pq",
+          agg.getLong(0), agg.getLong(1), mf, 0L)
+      case None =>
+        val idCol = spark.read.parquet(s"$dir/postings.parquet").columns
+          .filterNot(Set("table", "bucket")).head
+        val live = Similarity.lshVectors(spark, dir, idCol).count()
+        val buckets = spark.read.parquet(s"$dir/postings.parquet")
+          .agg(countDistinct(col("table"), col("bucket"))).head().getLong(0)
+        val (fs, root) = hfs(spark, s"$dir/postings.parquet")
+        val mf = fs.listStatus(root)
+          .count(f => f.getPath.getName.startsWith("part-"))
+        val tomb =
+          if (Ivf.layoutFileExists(spark, dir, "deletes.parquet"))
+            spark.read.parquet(s"$dir/deletes.parquet").distinct().count()
+          else 0L
+        ("lsh", live, buckets, mf, tomb)
+    }
+    val frac: Option[Double] = built.map { b =>
+      if (live <= 0L) 0.0
+      else math.max(0.0, (live - b).toDouble / live)
+    }
+    Seq((layout, live, built, frac.map(f => math.rint(f * 10000) / 10000),
+        cells, maxFiles, tombstones))
+      .toDF("layout", "live_rows", "built_rows", "appended_fraction",
+        "cells", "max_files_per_cell", "tombstones")
+  }
+
   private def compactLsh(spark: SparkSession, dir: String): Unit = {
     val hasDeletes = Ivf.layoutFileExists(spark, dir, "deletes.parquet")
     def minusDeletes(df: DataFrame, idCol: String): DataFrame =

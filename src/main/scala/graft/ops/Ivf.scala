@@ -507,7 +507,19 @@ object Ivf {
     model.indexOf(emb, idCol, vecCol)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/invfile.parquet")
+    writeBuildInfo(emb.sparkSession, dir, n)
     model
+  }
+
+  /** Record the build-time row count — [[IndexLifecycle.indexStats]]
+    * derives the appended fraction from it (the retrain-policy input,
+    * PERF.md finding 29). Appends deliberately do NOT touch it: the
+    * fraction measures growth SINCE the quantizer was trained. */
+  private[graft] def writeBuildInfo(spark: org.apache.spark.sql.SparkSession,
+                                    dir: String, n: Long): Unit = {
+    import spark.implicits._
+    Seq(n).toDF("built_rows")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/buildinfo.parquet")
   }
 
   /** Probe a built index: load the model, filter the inverted file to

@@ -333,6 +333,7 @@ object Quantize {
     indexed
       .withColumn("code", pqCode(coarse.residualOf(col(vecCol)), cb))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes.parquet")
+    Ivf.writeBuildInfo(spark, dir, n)
     PqIndexModel(coarse, cb)
   }
 

@@ -454,6 +454,7 @@ object Similarity {
       .repartitionByRange(col("table"), col("bucket"))
       .sortWithinPartitions("table", "bucket")
       .write.mode("overwrite").parquet(s"$dir/postings.parquet")
+    Ivf.writeBuildInfo(spark, dir, n)
   }
 
   /** Append new vectors to a built LSH index without resizing
@@ -503,7 +504,7 @@ object Similarity {
     * same min(dim, len) clamp (spec-pinned) — so a driver-computed
     * bucket always matches what the build wrote. One vector only: the
     * corpus-side signature pass stays the codegen expression. */
-  private[ops] def bucketsAndMarginsLocal(vec: Array[Double], tables: Int,
+  private[graft] def bucketsAndMarginsLocal(vec: Array[Double], tables: Int,
                                           planes: Int, dim: Int,
                                           seed: Long): (Array[Int], Array[Array[Double]]) = {
     val flat = hyperplanes(tables, planes, dim, seed).flatten.flatten.toArray
@@ -538,7 +539,7 @@ object Similarity {
     * and expand (next element added) successors, generating subsets in
     * nondecreasing cost without enumerating 2^planes. Returns ORIGINAL
     * plane indices. */
-  private[ops] def perturbationSets(absMargins: Array[Double],
+  private[graft] def perturbationSets(absMargins: Array[Double],
                                     count: Int): Seq[Seq[Int]] = {
     if (count <= 0 || absMargins.isEmpty) return Nil
     val order = absMargins.zipWithIndex.sortBy(_._1).map(_._2)
@@ -587,6 +588,43 @@ object Similarity {
     }
   }
 
+  /** A literal In list longer than this stops being a filter and starts
+    * being a PLANNING problem: every id becomes a Literal child the
+    * analyzer and optimizer walk, and parquet In-pushdown gave up far
+    * earlier anyway (threshold 10) — ScaleBench measured the
+    * multi-probe serve wall at 7 s where the single probe pays 1.5 s,
+    * almost all of it the ~8k-literal In. Past the cap the collected
+    * ids ride a LOCAL-relation broadcast semi-join instead: same rows,
+    * no giant expression tree, no postings re-scan. */
+  private[ops] val InLiteralCap = 1000
+
+  /** Bucket-predicate disjunctions longer than this leave whole-stage
+    * codegen (one giant method per deep Or tree) and evaluate
+    * interpreted per row — MpProfile measured 8.6 s vs 0.5 s for the
+    * same hits via a broadcast (table, bucket) equi-join at 126 pairs.
+    * Single-probe pair counts (= tables, ≤ ~15 at any sizing) stay
+    * under it and keep the pushed-filter row-group pruning; multi-probe
+    * counts (tables × (1 + q)) switch to the join. */
+  private[ops] val OrPairCap = 32
+
+  /** Candidate-id recovery shared by the LSH serve probes: the
+    * collected-id rows (already ≤ candidateIdLimit + 1, from a take)
+    * pick the path — literal In under [[InLiteralCap]], local-relation
+    * broadcast semi-join up to `candidateIdLimit`, SHUFFLE_HASH
+    * semi-join against the distributed `hits` frame past the gate (the
+    * no-small-by-construction rule). */
+  private def recoverCandidates(vectors: DataFrame, hits: DataFrame,
+                                idRows: Array[org.apache.spark.sql.Row],
+                                idCol: String,
+                                candidateIdLimit: Long): DataFrame =
+    if (idRows.length <= math.min(InLiteralCap.toLong, candidateIdLimit))
+      vectors.filter(col(idCol).isin(idRows.map(_.get(0)): _*))
+    else if (idRows.length <= candidateIdLimit) {
+      val local = vectors.sparkSession.createDataFrame(
+        java.util.Arrays.asList(idRows: _*), hits.schema)
+      vectors.join(broadcast(local), Seq(idCol), "left_semi")
+    } else vectors.join(hits.hint("SHUFFLE_HASH"), Seq(idCol), "left_semi")
+
   /** The single-query candidate tail [[lshTopK]] and [[probeLshIndex]]
     * share (the [[finishBatchTopK]] of the 1-query paths): dedup ids
     * that collided in several tables, exact cosine against the riding
@@ -613,8 +651,8 @@ object Similarity {
     * vector hashes to no bucket: the probe surfaces nothing and the
     * exact fallback answers — same contract as [[lshTopKSized]] on the
     * same input. Zero training, zero signature pass — the cost the
-    * in-query path pays per call. SINGLE-query; batches go through
-    * [[lshTopKBatchSized]] or [[Ivf.probeIndexBatch]]. */
+    * in-query path pays per call. SINGLE-query; batches against the
+    * same dir go through [[probeLshIndexBatch]]. */
   def probeLshIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                     idCol: String, vecCol: String,
                     query: DataFrame, queryVecCol: String, k: Int,
@@ -636,7 +674,7 @@ object Similarity {
     val qRows = query.select(col(queryVecCol).cast("array<double>")).take(2)
     require(qRows.length == 1,
       "probeLshIndex is single-query (probed buckets are computed from " +
-        "one vector) — batch callers use lshTopKBatchSized or Ivf.probeIndexBatch")
+        "one vector) — batch callers use probeLshIndexBatch against the same dir")
     // NULL query vector ⇒ no bucket ⇒ the never-short fallback answers
     val qPairs: Seq[(Int, Int)] =
       if (qRows.head.isNullAt(0)) Seq.empty
@@ -659,20 +697,75 @@ object Similarity {
     val postings = spark.read.parquet(s"$dir/postings.parquet")
     val vectors = lshVectors(spark, dir, idCol)
     // foldLeft(false): an empty pair set (null query vector) selects
-    // nothing instead of crashing an empty reduce — the fallback answers
-    val hits = postings
-      .filter(qPairs.foldLeft(lit(false)) { case (acc, (t, b)) =>
-        acc || (col("table") === t && col("bucket") === b) })
-      .select(col(idCol)).distinct()
+    // nothing instead of crashing an empty reduce — the fallback answers.
+    // Past [[OrPairCap]] pairs the OR becomes the cost: MpProfile at 25×
+    // measured the 126-term disjunction at 8.6 s (the deep Or tree falls
+    // out of whole-stage codegen into interpreted per-row eval) where a
+    // broadcast equi-join on the same pairs answers in 0.5 s. Under the
+    // cap the OR wins — it pushes to the scan and prunes the
+    // (table, bucket)-sorted row groups, which the join cannot.
+    val hits = (
+      if (qPairs.length <= OrPairCap)
+        postings.filter(qPairs.foldLeft(lit(false)) { case (acc, (t, b)) =>
+          acc || (col("table") === t && col("bucket") === b) })
+      else
+        postings.join(
+          broadcast(spark.createDataFrame(qPairs).toDF("table", "bucket")),
+          Seq("table", "bucket"))
+      ).select(col(idCol)).distinct()
     val ids = hits.take(math.min(candidateIdLimit, Int.MaxValue - 1L).toInt + 1)
-    val cand =
-      if (ids.length <= candidateIdLimit)
-        vectors.filter(col(idCol).isin(ids.map(_.get(0)): _*))
-      else vectors.join(hits.hint("SHUFFLE_HASH"), Seq(idCol), "left_semi")
+    val cand = recoverCandidates(vectors, hits, ids, idCol, candidateIdLimit)
     val probed = rankCandidates(
       cand.crossJoin(broadcast(query.select(col(queryVecCol).as("__qv")))),
       idCol, vecCol, k)
     neverShort(probed, vectors, idCol, vecCol, query, queryVecCol, k)
+  }
+
+  /** Batched probe of a built LSH index — the zero-training counterpart
+    * of [[lshTopKBatchSized]] and the missing cell of the serve matrix
+    * ([[Ivf.probeIndexBatch]] covers the two trained layouts). Query
+    * buckets come from the SAME codegen [[graft.functions.HyperplaneBuckets]]
+    * expression the build used, under the PERSISTED sizing — in-plan, so
+    * the query frame never collects to the driver (no bounded-batch
+    * assumption; only the bucket frame broadcasts, tables rows per
+    * query). One (table, bucket) equi-join against the postings replaces
+    * the single probe's pushed-predicate pruning — a batch's bucket
+    * union defeats row-group pruning the same way the IVF batch's cell
+    * union defeats static partition pruning, so the join IS the batched
+    * plan. Candidate ids recover through the same count-gated lookup as
+    * [[probeLshIndex]] (gated on the UNION across the batch), scoring is
+    * exact cosine per (query, candidate), and [[finishBatchTopK]]
+    * re-answers deficient queries exactly — PER QUERY, never the batch.
+    * Multi-probe stays a single-query lever: its perturbation heap runs
+    * on driver margins, which a streaming/batch plan doesn't surface. */
+  def probeLshIndexBatch(spark: org.apache.spark.sql.SparkSession, dir: String,
+                         idCol: String, vecCol: String,
+                         queries: DataFrame, qIdCol: String, qVecCol: String,
+                         k: Int, candidateIdLimit: Long = 10000L): DataFrame = {
+    val meta = spark.read.parquet(s"$dir/meta.parquet").head()
+    val (planes, tables, dim, seed) =
+      (meta.getAs[Int]("planes"), meta.getAs[Int]("tables"),
+        meta.getAs[Int]("dim"), meta.getAs[Long]("seed"))
+    val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"))
+    val qIdx = broadcast(lshIndex(q, "query_id", "__qv", tables, planes, dim, seed)
+      .select(col("table"), col("bucket"), col("query_id")))
+    val postings = spark.read.parquet(s"$dir/postings.parquet")
+    val vectors = lshVectors(spark, dir, idCol)
+    // (query, candidate) pairs: ids that share any (table, bucket) with
+    // the query — distinct BEFORE scoring so multi-table collisions
+    // score once, same as the single probe's dropDuplicates
+    val hits = postings.join(qIdx, Seq("table", "bucket"))
+      .select(col("query_id"), col(idCol)).distinct()
+      .localCheckpoint(true)
+    val ids = hits.select(col(idCol)).distinct()
+    val idRows = ids.take(math.min(candidateIdLimit, Int.MaxValue - 1L).toInt + 1)
+    val cand = recoverCandidates(vectors, ids, idRows, idCol, candidateIdLimit)
+    val scored = hits
+      .join(cand.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col(idCol),
+        round(cosine(col(vecCol), col("__qv")), 4).as("sim"))
+    finishBatchTopK(scored, vectors, idCol, vecCol, q, k)
   }
 
   /** ANN query: probe the query vector's buckets, brute-force only within

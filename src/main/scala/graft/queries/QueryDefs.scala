@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.QueryBuilder
-import graft.ops.{Dedup, Ivf, Multimodal, Quantize, Relational, Similarity, Text}
+import graft.ops.{Dedup, IndexLifecycle, Ivf, Multimodal, Quantize, Relational, Similarity, Text}
 
 /** One named query per implemented operator (SURVEY.md §2 checklist), each
   * with DuckDB oracle SQL where the semantics are SQL-expressible.
@@ -35,8 +35,9 @@ object QueryDefs {
     * sf0.01 and sf0.1 never share an index; the marker is written only
     * after a completed build, so a crashed build rebuilds. */
   private def ensureServeIndex(s: SparkSession, d: String, kind: String): String = {
-    // v2 = index layout version (v2: LSH postings/vectors split): bump
-    // when any persisted schema changes.
+    // v3 = index layout version (v3: builds persist buildinfo.parquet —
+    // the appended-fraction input indexStats reads): bump when any
+    // persisted schema changes.
     // The dir is ALSO keyed by a corpus fingerprint (total bytes ⊕
     // rotated max-mtime ⊕ file count of the embeddings table), so a
     // regenerated corpus at the same path gets a fresh build instead of
@@ -50,7 +51,7 @@ object QueryDefs {
         java.lang.Long.rotateLeft(
           if (stats.isEmpty) 0L else stats.map(_.getModificationTime).max, 21) ^
         stats.length.toLong)
-    val dir = s"/tmp/graft_ann_serve_v2_${Integer.toHexString(d.hashCode)}_$fp/$kind"
+    val dir = s"/tmp/graft_ann_serve_v3_${Integer.toHexString(d.hashCode)}_$fp/$kind"
     val marker = new org.apache.hadoop.fs.Path(s"$dir/_GRAFT_INDEX_OK")
     val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) {
@@ -1775,6 +1776,38 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
         val dir = ensureServeIndex(s, d, "ivf")
         val emb = t(s, d, "embeddings")
         Ivf.probeIndexBatch(s, dir, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+      },
+      None
+    ),
+
+    // The batched serve shape on the TRAINING-FREE layout: query buckets
+    // from the same codegen expression the build used (in-plan, no
+    // driver collect of the batch), one (table, bucket) equi-join
+    // against the persisted postings, count-gated id recovery, per-query
+    // exact fallback. Rows-only; SimilaritySpec pins batch == per-query
+    // single probes on the same dir.
+    // The operational readout the index-lifecycle policies act on:
+    // appended_fraction (finding 29's retrain trigger), small-file
+    // pressure vs compactIndex's bound, LSH tombstone backlog. Rows-only
+    // (file counts depend on task scheduling); IndexLifecycleSpec pins
+    // the arithmetic across build/append/remove/compact on all three
+    // layouts.
+    QueryDef(
+      "c14_ann_index_stats",
+      (s, d) => {
+        val dir = ensureServeIndex(s, d, "ivf")
+        IndexLifecycle.indexStats(s, dir)
+      },
+      None
+    ),
+
+    QueryDef(
+      "c14_ann_serve_lsh_batch",
+      (s, d) => {
+        val dir = ensureServeIndex(s, d, "lsh")
+        val emb = t(s, d, "embeddings")
+        Similarity.probeLshIndexBatch(s, dir, "vec_id", "embedding",
           emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
       },
       None

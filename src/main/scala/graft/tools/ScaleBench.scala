@@ -395,6 +395,12 @@ object ScaleBench {
       val (tLshProbeM, _) = timeIt(noop(Similarity.probeLshIndex(spark, lshDir,
         "vec_id", "embedding", emb.filter(col("vec_id") === 0), "embedding",
         k = 10, multiProbe = 8)))
+      // batched LSH serve: the (table, bucket) equi-join shape — like the
+      // IVF serve batch, the bucket union defeats pruning, so the join
+      // wall is the claim (must stay in the single-probe's band ×O(1))
+      val (tLshProbeB, _) = timeIt(noop(Similarity.probeLshIndexBatch(spark,
+        lshDir, "vec_id", "embedding", emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10)))
       // serve-batch stage attribution: the batch's probed-cell UNION is
       // what defeats static pruning — record its size next to the join
       // wall so the flat curve is attributable (cells grow with n, the
@@ -663,6 +669,7 @@ object ScaleBench {
         f"serveB=$tIvfPqServeB%5.2fs(cells=$nServeCellsUnion) app=$tIvfPqApp%5.2fs " +
         f"compact=$tCompact%5.2fs(files=$filesBeforeCompact->$filesAfterCompact) " +
         f"lshB=$tLshBuild%5.2fs lshP=$tLshProbe%5.2fs lshPM=$tLshProbeM%5.2fs " +
+        f"lshPB=$tLshProbeB%5.2fs " +
         f"pbatch=$tPbatch%5.2fs(cand=$nPbCand%6d,fb=$nPbFallback/5) " +
         f"sess=$tSess%5.2fs ret=$tRet%5.2fs | " +
         f"bpe=$tBpeTr%5.2fs/$tBpeEnc%5.2fs bpe2k=$tBpe2k%6.2fs($nBpe2k) " +

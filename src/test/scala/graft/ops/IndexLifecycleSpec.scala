@@ -173,4 +173,71 @@ class IndexLifecycleSpec extends SparkSpec {
       query, "embedding", k = 10))
     assert(after == before, s"compaction changed the probe: $after vs $before")
   }
+
+  test("indexStats tracks the lifecycle arithmetic on all three layouts") {
+    val corpus = emb.localCheckpoint(true)
+    val n = corpus.count()
+    def stats(dir: String) =
+      IndexLifecycle.indexStats(spark, dir).head()
+    // IVF: fresh build → appended_fraction 0; append half the built size
+    // → fraction = appended/(built+appended); remove → fraction clamps,
+    // live drops, tombstones stay 0 (cell removes are physical)
+    val ivfDir = java.nio.file.Files.createTempDirectory("graft_st_ivf").toString
+    val nBuilt = n / 2
+    Ivf.buildIndex(corpus.filter($"vec_id" < nBuilt), "vec_id", "embedding",
+      ivfDir, maxIter = 5)
+    val s0 = stats(ivfDir)
+    assert(s0.getAs[String]("layout") == "ivf")
+    assert(s0.getAs[Long]("live_rows") == nBuilt &&
+      s0.getAs[Long]("built_rows") == nBuilt)
+    assert(s0.getAs[Double]("appended_fraction") == 0.0)
+    assert(s0.getAs[Long]("tombstones") == 0L)
+    val nApp = nBuilt / 2
+    Ivf.appendIndex(corpus.filter($"vec_id" >= nBuilt &&
+      $"vec_id" < nBuilt + nApp), "vec_id", "embedding", ivfDir)
+    val s1 = stats(ivfDir)
+    assert(s1.getAs[Long]("live_rows") == nBuilt + nApp)
+    assert(s1.getAs[Double]("appended_fraction") ==
+      math.rint(nApp.toDouble / (nBuilt + nApp) * 10000) / 10000,
+      s"fraction off: $s1")
+    IndexLifecycle.removeIds(spark, ivfDir,
+      corpus.filter($"vec_id" < 5).select("vec_id"), "vec_id")
+    val s2 = stats(ivfDir)
+    assert(s2.getAs[Long]("live_rows") == nBuilt + nApp - 5)
+    assert(s2.getAs[Long]("tombstones") == 0L, "cell-layout removes are physical")
+    // PQ layout reports itself
+    val pqDir = java.nio.file.Files.createTempDirectory("graft_st_pq").toString
+    Quantize.buildPqIndex(corpus, "vec_id", "embedding", pqDir, m = 4)
+    val sp = stats(pqDir)
+    assert(sp.getAs[String]("layout") == "pq" &&
+      sp.getAs[Long]("live_rows") == n &&
+      sp.getAs[Double]("appended_fraction") == 0.0)
+    // LSH: tombstones count the removeIds backlog and compaction clears
+    // it; live_rows serves tombstones OUT (the probe's view, not the
+    // file's); max_files_per_cell is the postings file count
+    val lshDir = java.nio.file.Files.createTempDirectory("graft_st_lsh").toString
+    Similarity.buildLshIndex(corpus, "vec_id", "embedding", lshDir)
+    val l0 = stats(lshDir)
+    assert(l0.getAs[String]("layout") == "lsh" &&
+      l0.getAs[Long]("live_rows") == n &&
+      l0.getAs[Long]("tombstones") == 0L)
+    assert(l0.getAs[Long]("cells") > 0L)
+    IndexLifecycle.removeIds(spark, lshDir,
+      corpus.filter($"vec_id" < 7).select("vec_id"), "vec_id")
+    val l1 = stats(lshDir)
+    assert(l1.getAs[Long]("tombstones") == 7L && l1.getAs[Long]("live_rows") == n - 7)
+    IndexLifecycle.compactIndex(spark, lshDir)
+    val l2 = stats(lshDir)
+    assert(l2.getAs[Long]("tombstones") == 0L && l2.getAs[Long]("live_rows") == n - 7)
+    // a dir built before buildinfo existed reports NULL, not a lie
+    val (fs, bi) = {
+      val p = new org.apache.hadoop.fs.Path(s"$lshDir/buildinfo.parquet")
+      (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }
+    fs.delete(bi, true)
+    val l3 = stats(lshDir)
+    assert(l3.isNullAt(l3.fieldIndex("built_rows")) &&
+      l3.isNullAt(l3.fieldIndex("appended_fraction")),
+      "missing buildinfo must report NULL, not fabricate a fraction")
+  }
 }

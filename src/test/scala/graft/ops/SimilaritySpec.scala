@@ -489,6 +489,46 @@ class SimilaritySpec extends SparkSpec {
     assert(errNull.getMessage.contains("single-query"))
   }
 
+  test("probeLshIndexBatch equals per-query single probes on the same dir") {
+    // the batch cell of the LSH serve matrix: one (table, bucket)
+    // equi-join against the postings must answer every query exactly as
+    // N single probes would (the single probe is itself spec-pinned
+    // against the in-query path above) — same candidates, same exact
+    // cosine, same (sim desc, id) order, same never-empty contract
+    val emb = graft.engine.Tables.read(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding").localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lshserve_b").toString
+    Similarity.buildLshIndex(emb, "vec_id", "embedding", dir)
+    val batch = Similarity.probeLshIndexBatch(spark, dir, "vec_id", "embedding",
+        emb.filter($"vec_id" < 5), "vec_id", "embedding", k = 10)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"),
+        (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"), r.getAs[Int]("rnk"))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._3).toSeq).toMap
+    assert(batch.keySet == (0L until 5L).toSet,
+      s"batch missing queries: ${batch.keySet}")
+    (0L until 5L).foreach { qid =>
+      val single = Similarity.probeLshIndex(spark, dir, "vec_id", "embedding",
+          emb.filter($"vec_id" === qid), "embedding", k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid).map(t => (t._1, t._2)) == single,
+        s"query $qid: batch ${batch(qid)} vs single $single")
+      assert(batch(qid).length == 10, s"query $qid short: ${batch(qid).length}")
+      // self-match first at sim 1.0 — the planted truth
+      assert(batch(qid).head._1 == qid && batch(qid).head._2 == 1.0)
+    }
+    // both id-recovery gate paths agree (no-small-by-construction):
+    // limit 0 forces the SHUFFLE_HASH semi-join over the id union
+    val batchDist = Similarity.probeLshIndexBatch(spark, dir, "vec_id", "embedding",
+        emb.filter($"vec_id" < 5), "vec_id", "embedding", k = 10,
+        candidateIdLimit = 0L)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("sim"), r.getAs[Int]("rnk"))).sortBy(t => (t._1, t._4))
+    val batchIn = batch.toSeq.flatMap { case (q, rows) =>
+      rows.map(t => (q, t._1, t._2, t._3)) }.sortBy(t => (t._1, t._4))
+    assert(batchDist.toSeq == batchIn, "gate paths diverge on the batched probe")
+  }
+
   test("driver-side buckets are bit-for-bit the codegen expression's (probe parity)") {
     // probeLshIndex computes the query's buckets on the DRIVER
     // (bucketsAndMarginsLocal) while the build wrote postings through the
@@ -583,5 +623,17 @@ class SimilaritySpec extends SparkSpec {
       "single-probe found everything — respec the seed so the gap is visible")
     assert(hitsMulti > hitsSingle,
       s"multi-probe recovered nothing: $hitsMulti vs $hitsSingle of 20")
+    // at multiProbe=8 this corpus recovers >InLiteralCap candidate ids,
+    // so the default limit rides the broadcast MIDDLE path (the literal
+    // In of thousands costs seconds of analysis — ScaleBench measured
+    // 7 s vs 1.5 s); limit 0 forces the SHUFFLE_HASH path. All gate
+    // paths must answer identically.
+    val q0 = Seq(Tuple1(queries.head._2)).toDF("embedding")
+    def probe(limit: Long) = Similarity.probeLshIndex(spark, dir,
+        "vec_id", "embedding", q0, "embedding", k = 5,
+        candidateIdLimit = limit, multiProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probe(10000L) == probe(0L),
+      "broadcast middle path diverged from the SHUFFLE_HASH path")
   }
 }
