@@ -229,6 +229,21 @@ object Similarity {
       hyperplanes(tables, planes, dim, seed).flatten.flatten.toArray,
       tables, planes, dim)
 
+  /** The MULTI-PROBE signature array for one vector — per table the
+    * exact bucket plus the `extra` lowest-|margin| single-bit flips,
+    * flat with stride `1 + min(extra, planes)`; element `e` belongs to
+    * table `e / stride` ([[graft.functions.HyperplaneBucketsMulti]]).
+    * The in-plan lever the batch and streaming probes use; the
+    * single-query serve probe keeps the strictly-richer driver
+    * perturbation heap ([[perturbationSets]]). NULL vector ⇒ NULL
+    * array. */
+  private[graft] def bucketsMultiColumn(vec: Column, tables: Int, planes: Int,
+                                        dim: Int, seed: Long,
+                                        extra: Int): Column =
+    graft.functions.HyperplaneBucketsMulti.buckets(vec,
+      hyperplanes(tables, planes, dim, seed).flatten.flatten.toArray,
+      tables, planes, dim, extra)
+
   /** (id, table, bucket) index for the corpus — the shuffle key for all
     * LSH joins. Near-identical vectors collide in at least one table with
     * high probability; unrelated vectors spread over 2^planes buckets.
@@ -741,14 +756,32 @@ object Similarity {
   def probeLshIndexBatch(spark: org.apache.spark.sql.SparkSession, dir: String,
                          idCol: String, vecCol: String,
                          queries: DataFrame, qIdCol: String, qVecCol: String,
-                         k: Int, candidateIdLimit: Long = 10000L): DataFrame = {
+                         k: Int, candidateIdLimit: Long = 10000L,
+                         multiProbe: Int = 0): DataFrame = {
     val meta = spark.read.parquet(s"$dir/meta.parquet").head()
     val (planes, tables, dim, seed) =
       (meta.getAs[Int]("planes"), meta.getAs[Int]("tables"),
         meta.getAs[Int]("dim"), meta.getAs[Long]("seed"))
     val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"))
-    val qIdx = broadcast(lshIndex(q, "query_id", "__qv", tables, planes, dim, seed)
-      .select(col("table"), col("bucket"), col("query_id")))
+    // multiProbe > 0: each query additionally probes, per table, the
+    // `multiProbe` buckets reached by flipping the lowest-|margin| sign
+    // bits — computed IN-PLAN by the codegen expression (the query frame
+    // never collects to the driver), single-bit perturbations by design
+    // (the scaladoc on [[graft.functions.HyperplaneBucketsMulti]] has
+    // the trade vs the single-query probe's driver heap)
+    val qPairsDf =
+      if (multiProbe <= 0)
+        lshIndex(q, "query_id", "__qv", tables, planes, dim, seed)
+          .select(col("table"), col("bucket"), col("query_id"))
+      else {
+        val stride = 1 + math.min(multiProbe, planes)
+        q.select(col("query_id"),
+            posexplode(bucketsMultiColumn(col("__qv"), tables, planes, dim,
+              seed, multiProbe)).as(Seq("pos", "bucket")))
+          .select((col("pos") / lit(stride)).cast("int").as("table"),
+            col("bucket"), col("query_id"))
+      }
+    val qIdx = broadcast(qPairsDf)
     val postings = spark.read.parquet(s"$dir/postings.parquet")
     val vectors = lshVectors(spark, dir, idCol)
     // (query, candidate) pairs: ids that share any (table, bucket) with

@@ -186,16 +186,18 @@ object Streaming {
     * plan time (small by the residual-regime construction). */
   def annProbeStream(docs: DataFrame, idCol: String, vecCol: String,
                      indexDir: String, tau: Double,
-                     nprobe: Int = 4): DataFrame = {
+                     nprobe: Int = 4, multiProbe: Int = 0): DataFrame = {
     val spark = docs.sparkSession
     val q = docs.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
     // layout resolved ONCE, driver-side, at plan time (the cellSource
     // rule): an LSH dir (Similarity.buildLshIndex) carries meta.parquet +
     // postings/vectors; the cell layouts carry centroids.parquet +
     // invfile/codes. `nprobe` has no LSH meaning (buckets, not cells) and
-    // is ignored on that arm — recall is the persisted tables' job.
+    // is ignored on that arm — recall is the persisted tables' job, plus
+    // `multiProbe` extra flipped-bit buckets per table (ignored by the
+    // cell layouts in turn: their recall lever IS nprobe).
     if (graft.ops.Ivf.layoutFileExists(spark, indexDir, "meta.parquet"))
-      return lshProbeStream(spark, q, idCol, vecCol, indexDir, tau)
+      return lshProbeStream(spark, q, idCol, vecCol, indexDir, tau, multiProbe)
     val model = graft.ops.Ivf.loadIndexModel(spark, indexDir)
     val inv = graft.ops.Ivf.cellSource(spark, indexDir, idCol, vecCol)
     val probes =
@@ -234,7 +236,8 @@ object Streaming {
     * probe's contract. */
   private def lshProbeStream(spark: SparkSession, q: DataFrame,
                              idCol: String, vecCol: String,
-                             indexDir: String, tau: Double): DataFrame = {
+                             indexDir: String, tau: Double,
+                             multiProbe: Int = 0): DataFrame = {
     val meta = spark.read.parquet(s"$indexDir/meta.parquet").head()
     val (planes, tables, dim, seed) =
       (meta.getAs[Int]("planes"), meta.getAs[Int]("tables"),
@@ -243,20 +246,38 @@ object Streaming {
     // tombstone-aware (IndexLifecycle.removeIds): removed ids must not
     // tag arrivals even before compaction applies them physically
     val vectors = graft.ops.Similarity.lshVectors(spark, indexDir, idCol)
-    def buckets(c: org.apache.spark.sql.Column) =
+    // the arrival's probed-bucket array: stride buckets per table (the
+    // exact signature + multiProbe lowest-|margin| single-bit flips, all
+    // from ONE codegen pass under the PERSISTED sizing); stride = 1
+    // degenerates to the plain signature array, so one plan shape
+    // serves both. posexplode position → table via / stride.
+    val stride = 1 + math.max(0, math.min(multiProbe, planes))
+    def qBuckets(c: org.apache.spark.sql.Column) =
+      if (multiProbe <= 0)
+        graft.ops.Similarity.bucketsColumn(c, tables, planes, dim, seed)
+      else graft.ops.Similarity.bucketsMultiColumn(c, tables, planes, dim,
+        seed, multiProbe)
+    def exactBuckets(c: org.apache.spark.sql.Column) =
       graft.ops.Similarity.bucketsColumn(c, tables, planes, dim, seed)
     q
-      .withColumn("__qb", buckets(col("__qv")))
+      .withColumn("__qb", qBuckets(col("__qv")))
       .select(col("query_id"), col("__qv"), col("__qb"),
-        posexplode(col("__qb")).as(Seq("table", "bucket")))
+        posexplode(col("__qb")).as(Seq("pos", "bucket")))
+      .withColumn("table", (col("pos") / lit(stride)).cast("int"))
       .join(postings.hint("SHUFFLE_HASH"), Seq("table", "bucket"))
       .join(vectors.hint("SHUFFLE_HASH"), Seq(idCol))
-      // first-colliding-table filter: slice(qb==cb, 1, table) is the
-      // match vector over tables 0..table-1 — empty at table 0
-      .withColumn("__cb", buckets(col(vecCol)))
-      .filter(!exists(
-        slice(zip_with(col("__qb"), col("__cb"), (a, b) => a === b),
-          lit(1), col("table")), m => m))
+      // first-colliding-table filter, stateless from data on the row: a
+      // candidate sits in ONE bucket per table, so it matches table t iff
+      // __cb[t] ∈ the query's probed slice [t*stride+1, stride]. __match
+      // is that vector over all tables; the row survives iff no earlier
+      // table matched (slice of length `table`, empty at table 0). At
+      // stride 1 this is exactly the old qb[t]==cb[t] form.
+      .withColumn("__cb", exactBuckets(col(vecCol)))
+      .withColumn("__match",
+        zip_with(col("__cb"), sequence(lit(0), lit(tables - 1)), (cbt, tt) =>
+          exists(slice(col("__qb"), tt * lit(stride) + lit(1), lit(stride)),
+            b => b === cbt)))
+      .filter(!exists(slice(col("__match"), lit(1), col("table")), m => m))
       .select(col("query_id"), col(idCol),
         round(graft.ops.Similarity.cosine(col(vecCol), col("__qv")), 4).as("sim"))
       .filter(col("sim") >= tau)

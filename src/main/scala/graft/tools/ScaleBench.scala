@@ -401,6 +401,12 @@ object ScaleBench {
       val (tLshProbeB, _) = timeIt(noop(Similarity.probeLshIndexBatch(spark,
         lshDir, "vec_id", "embedding", emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", k = 10)))
+      // batch multi-probe: the in-plan HyperplaneBucketsMulti lever — one
+      // signature pass emits (1+8) buckets/table, the same equi-join
+      // carries (1+8)× pairs; the wall must stay in the batch band
+      val (tLshProbeBM, _) = timeIt(noop(Similarity.probeLshIndexBatch(spark,
+        lshDir, "vec_id", "embedding", emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10, multiProbe = 8)))
       // serve-batch stage attribution: the batch's probed-cell UNION is
       // what defeats static pruning — record its size next to the join
       // wall so the flat curve is attributable (cells grow with n, the
@@ -669,7 +675,7 @@ object ScaleBench {
         f"serveB=$tIvfPqServeB%5.2fs(cells=$nServeCellsUnion) app=$tIvfPqApp%5.2fs " +
         f"compact=$tCompact%5.2fs(files=$filesBeforeCompact->$filesAfterCompact) " +
         f"lshB=$tLshBuild%5.2fs lshP=$tLshProbe%5.2fs lshPM=$tLshProbeM%5.2fs " +
-        f"lshPB=$tLshProbeB%5.2fs " +
+        f"lshPB=$tLshProbeB%5.2fs lshPBM=$tLshProbeBM%5.2fs " +
         f"pbatch=$tPbatch%5.2fs(cand=$nPbCand%6d,fb=$nPbFallback/5) " +
         f"sess=$tSess%5.2fs ret=$tRet%5.2fs | " +
         f"bpe=$tBpeTr%5.2fs/$tBpeEnc%5.2fs bpe2k=$tBpe2k%6.2fs($nBpe2k) " +

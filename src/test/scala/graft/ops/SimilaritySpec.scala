@@ -561,6 +561,143 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("HyperplaneBucketsMulti: exact bucket + q lowest-|margin| single flips, bit-for-bit the driver arithmetic") {
+    // the in-plan multi-probe primitive: per table [exact, flip1..flipq]
+    // where flips are the q smallest |margin| planes ascending, ties to
+    // the LOWEST plane index. Pin against bucketsAndMarginsLocal (itself
+    // pinned against HyperplaneBuckets) over the real float embeddings.
+    val tables = 5; val planes = 6; val q = 3; val stride = 1 + q
+    val emb = graft.engine.Tables.read(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding").localCheckpoint(true)
+    val viaExpr = emb.select(col("vec_id"),
+        Similarity.bucketsMultiColumn(col("embedding"), tables, planes, 64,
+          42L, q).as("qm"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val vecs = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>")).collect()
+    assert(vecs.nonEmpty)
+    vecs.foreach { r =>
+      val id = r.getLong(0)
+      val (buckets, margins) = Similarity.bucketsAndMarginsLocal(
+        r.getSeq[Double](1).toArray, tables, planes, 64, 42L)
+      val got = viaExpr(id)
+      assert(got.length == tables * stride)
+      (0 until tables).foreach { t =>
+        assert(got(t * stride) == buckets(t),
+          s"vec $id table $t: exact bucket diverged")
+        val expectFlips = margins(t).map(math.abs).zipWithIndex
+          .sortBy { case (m, p) => (m, p) }.take(q)
+          .map { case (_, p) => buckets(t) ^ (1 << p) }.toSeq
+        assert(got.slice(t * stride + 1, (t + 1) * stride) == expectFlips,
+          s"vec $id table $t: flip set diverged")
+      }
+    }
+    // extra = 0 degenerates to the plain signature; extra > planes clamps
+    val plain = emb.select(col("vec_id"),
+        Similarity.bucketsColumn(col("embedding"), tables, planes, 64, 42L)
+          .as("qb"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val zero = emb.select(col("vec_id"),
+        Similarity.bucketsMultiColumn(col("embedding"), tables, planes, 64,
+          42L, 0).as("qm"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(zero == plain, "extra=0 must equal HyperplaneBuckets")
+    val clamped = emb.limit(1).select(
+        Similarity.bucketsMultiColumn(col("embedding"), tables, planes, 64,
+          42L, 99).as("qm"))
+      .head().getSeq[Int](0)
+    assert(clamped.length == tables * (1 + planes),
+      s"extra must clamp to planes: got ${clamped.length}")
+  }
+
+  test("batch + streaming multi-probe: recall >= single-probe, stream == batch at equal q") {
+    // the in-plan multi-probe lever on the two paths that cannot run the
+    // driver heap: same planted moderate-cosine regime as the
+    // single-query test — single-probe misses some targets, multi-probe
+    // recovers some, candidates only grow (per-rank sims dominate)
+    val rnd = new scala.util.Random(97)
+    def gauss() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val corpus = (1L to 4000L).map(i => (i, gauss()))
+    val targets = corpus.take(20)
+    val queries = targets.map { case (id, v) =>
+      val g = gauss()
+      (id + 100000L, v.zip(g).map { case (a, b) => 0.75f * a + 0.66f * b })
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_mpb").toString
+    Similarity.buildLshIndex(corpus.toDF("vec_id", "embedding")
+      .localCheckpoint(true), "vec_id", "embedding", dir)
+    val qDf = queries.toDF("vec_id", "embedding").localCheckpoint(true)
+    def run(mp: Int): Map[Long, Seq[(Long, Double)]] =
+      Similarity.probeLshIndexBatch(spark, dir, "vec_id", "embedding",
+          qDf, "vec_id", "embedding", k = 5, multiProbe = mp)
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"),
+          (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"), r.getAs[Int]("rnk"))))
+        .groupBy(_._1).view
+        .mapValues(_.map(_._2).sortBy(_._3).map(t => (t._1, t._2)).toSeq).toMap
+    val single = run(0)
+    val multi = run(6)
+    assert(single.keySet == queries.map(_._1).toSet && multi.keySet == single.keySet)
+    var hitsSingle = 0; var hitsMulti = 0
+    queries.foreach { case (qid, _) =>
+      val target = qid - 100000L
+      if (single(qid).exists(_._1 == target)) hitsSingle += 1
+      if (multi(qid).exists(_._1 == target)) hitsMulti += 1
+      single(qid).map(_._2).zip(multi(qid).map(_._2)).foreach { case (a, b) =>
+        assert(b >= a, s"query $qid: multi-probe sim regressed ($b < $a)") }
+    }
+    assert(hitsSingle < 20, "single-probe found everything — respec the seed")
+    assert(hitsMulti > hitsSingle,
+      s"batch multi-probe recovered nothing: $hitsMulti vs $hitsSingle of 20")
+    // streaming multi-probe == the driver oracle at equal q: expected
+    // tags are exactly the pairs where the candidate's exact bucket
+    // falls in the query's probed set (exact + 6 lowest-|margin| single
+    // flips, both primitives spec-pinned above) in ANY table, scored by
+    // the same double-accumulated cosine rounded 4 dp, >= tau. Identical
+    // IEEE ops in identical order on both sides, so set equality is
+    // exact — and it also proves the first-colliding-table dedup under
+    // multi-probe (row count == set size == oracle size).
+    val tau = 0.5
+    val streamTags = graft.streaming.Streaming.annProbeStream(
+        qDf, "vec_id", "embedding", dir, tau = tau, multiProbe = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val meta = spark.read.parquet(s"$dir/meta.parquet").head()
+    val (planesP, tablesP, dimP, seedP) =
+      (meta.getAs[Int]("planes"), meta.getAs[Int]("tables"),
+        meta.getAs[Int]("dim"), meta.getAs[Long]("seed"))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r4(d: Double): Double = java.math.BigDecimal.valueOf(d)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+    val corpusBuckets = corpus.map { case (id, v) =>
+      id -> Similarity.bucketsAndMarginsLocal(v.map(_.toDouble),
+        tablesP, planesP, dimP, seedP)._1 }.toMap
+    val expected = (for {
+      (qid, qv) <- queries
+      (bk, mg) = Similarity.bucketsAndMarginsLocal(qv.map(_.toDouble),
+        tablesP, planesP, dimP, seedP)
+      probed = (0 until tablesP).map { t =>
+        (bk(t) +: mg(t).map(math.abs).zipWithIndex
+          .sortBy { case (m, p) => (m, p) }.take(6)
+          .map { case (_, p) => bk(t) ^ (1 << p) }).toSet }
+      (cid, cv) <- corpus
+      if (0 until tablesP).exists(t => probed(t).contains(corpusBuckets(cid)(t)))
+      s = r4(cos(qv, cv)) if s >= tau
+    } yield (qid, cid, s)).toSet
+    assert(streamTags.toSet == expected,
+      s"stream multi-probe diverged from the oracle: ${streamTags.length} vs ${expected.size} tags")
+    assert(streamTags.length == streamTags.toSet.size,
+      "first-colliding-table dedup failed under multi-probe")
+    assert(streamTags.nonEmpty, "tau gate left nothing — vacuous compare")
+  }
+
   test("perturbationSets: heap expansion equals brute-force cheapest subsets") {
     // distinct power-of-two margins make every subset cost unique, so the
     // cheapest-T prefix is a total order the heap must reproduce exactly
