@@ -3,11 +3,13 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Remove + compaction for the materialized ANN serve indexes — the two
-  * lifecycle verbs [[Ivf.buildIndex]]/[[Quantize.buildPqIndex]]/
-  * [[Similarity.buildLshIndex]] + their appends were missing (the FAISS
-  * `remove_ids` analog, plus the small-file maintenance every
-  * append-accumulating 100 TB layout eventually needs).
+/** Remove + compaction + rebuild for the materialized ANN serve
+  * indexes — the lifecycle verbs [[Ivf.buildIndex]]/
+  * [[Quantize.buildPqIndex]]/[[Similarity.buildLshIndex]] + their
+  * appends were missing (the FAISS `remove_ids` analog, the small-file
+  * maintenance every append-accumulating 100 TB layout eventually
+  * needs, and the retrain [[rebuildIndex]] finding 29's drift policy
+  * acts through).
   *
   * Layout dispatch mirrors [[Ivf.cellSource]]: an LSH dir carries
   * `meta.parquet` + id-only postings; the cell layouts carry a
@@ -209,6 +211,91 @@ object IndexLifecycle {
         cells, maxFiles, tombstones))
       .toDF("layout", "live_rows", "built_rows", "appended_fraction",
         "cells", "max_files_per_cell", "tombstones")
+  }
+
+  /** Retrain the index at `dir` from its OWN persisted rows — the
+    * finding-29 remedy, completing the lifecycle verb set (build / probe
+    * / append / remove / compact / REBUILD). Appends assign under the
+    * stale quantizer (FAISS `add()` semantics); once `indexStats`'
+    * `appended_fraction` crosses the policy threshold (~0.5 per the
+    * DriftAb measurement — resize cells/nprobe first, the bigger lever),
+    * this rebuilds in place with FRESH corpus-sized training:
+    *
+    *  - every layout is self-contained — the cell layouts store raw
+    *    vectors beside cells/codes (the [[Quantize.buildPqIndex]]
+    *    rationale: on Spark the index is a cell-clustered REWRITE of the
+    *    corpus, not a RAM copy), and the LSH layout's `vectors.parquet`
+    *    is the corpus scan — so no caller-side corpus frame is needed,
+    *    exactly like FAISS retraining from a reconstructible index;
+    *  - LSH "training" is the occupancy SIZING (planes/tables from the
+    *    live row count) — the one lifecycle step [[Similarity
+    *    .appendLshIndex]] must not do (it would shear bucket spaces) and
+    *    a rebuild is precisely allowed to; pending tombstones apply
+    *    physically (the rebuild reads through [[Similarity.lshVectors]]);
+    *    the persisted dim/seed carry over;
+    *  - PQ rebuilds re-request the persisted geometry (m from
+    *    `books.parquet`, codebook size re-clamped against the grown
+    *    corpus) unless overridden.
+    *
+    * The rebuilt artifacts land in `dir.__rebuild` while the live dir
+    * keeps serving, then swap in as a WHOLE-dir rename pair — a partial
+    * child-by-child swap could leave fresh centroids over a stale
+    * inverted file: silently wrong cells. A crash inside the two-rename
+    * window leaves the live dir missing (loud — `dir.__old`/
+    * `dir.__rebuild` both intact for manual recovery), never mixed.
+    * Marker files callers keep INSIDE the dir do not survive the swap
+    * (the serve-query cache re-validates via its own marker protocol).
+    * Probes opened before the swap hold the old plan snapshot — the same
+    * contract as the streaming probe's append visibility. */
+  def rebuildIndex(spark: SparkSession, dir: String, nprobe: Int = 4,
+                   seed: Long = 42L, maxIter: Int = 10,
+                   lshBaseTables: Int = 8,
+                   pqM: Option[Int] = None,
+                   pqCodebookSize: Option[Int] = None): Unit = {
+    val tmp = s"$dir.__rebuild"
+    val (fs, _) = hfs(spark, dir)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    // (idCol, vecCol) inferred from the persisted schema: the vector is
+    // the array field, the id the remaining non-layout column
+    def inferCols(df: DataFrame): (String, String) = {
+      val layout = Set("cell", "code", "table", "bucket")
+      val fields = df.schema.fields.filterNot(f => layout(f.name))
+      val vec = fields.collectFirst {
+        case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] => f.name
+      }.getOrElse(throw new IllegalArgumentException(
+        s"$dir: no array column to rebuild from (${df.columns.mkString(",")})"))
+      (fields.map(_.name).filterNot(_ == vec).head, vec)
+    }
+    cellFileOf(spark, dir) match {
+      case None =>
+        val meta = spark.read.parquet(s"$dir/meta.parquet").head()
+        val (idCol, vecCol) =
+          inferCols(spark.read.parquet(s"$dir/vectors.parquet"))
+        Similarity.buildLshIndex(
+          Similarity.lshVectors(spark, dir, idCol).select(idCol, vecCol),
+          idCol, vecCol, tmp, baseTables = lshBaseTables,
+          dim = meta.getAs[Int]("dim"), seed = meta.getAs[Long]("seed"))
+      case Some("invfile.parquet") =>
+        val src = spark.read.parquet(s"$dir/invfile.parquet")
+        val (idCol, vecCol) = inferCols(src)
+        Ivf.buildIndex(src.select(idCol, vecCol), idCol, vecCol, tmp,
+          nprobe = nprobe, seed = seed, maxIter = maxIter)
+      case Some(_) =>
+        val src = spark.read.parquet(s"$dir/codes.parquet")
+        val (idCol, vecCol) = inferCols(src)
+        val books = spark.read.parquet(s"$dir/books.parquet")
+          .agg(countDistinct(col("j")), countDistinct(col("c"))).head()
+        Quantize.buildPqIndex(src.select(idCol, vecCol), idCol, vecCol, tmp,
+          nprobe = nprobe, m = pqM.getOrElse(books.getLong(0).toInt),
+          codebookSize = pqCodebookSize.getOrElse(books.getLong(1).toInt),
+          seed = seed)
+    }
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val old = new org.apache.hadoop.fs.Path(s"$dir.__old")
+    fs.delete(old, true)
+    fs.rename(live, old)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), live)
+    fs.delete(old, true)
   }
 
   private def compactLsh(spark: SparkSession, dir: String): Unit = {

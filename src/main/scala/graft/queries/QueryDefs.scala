@@ -67,6 +67,35 @@ object QueryDefs {
     dir
   }
 
+  /** The rebuild-lifecycle fixture (marker-gated like [[ensureServeIndex]],
+    * sharing its fingerprint key): build the IVF index on HALF the
+    * corpus, append the other half (appended_fraction ~0.5 — exactly the
+    * finding-29 retrain threshold), then [[IndexLifecycle.rebuildIndex]]
+    * retrains from the index's own rows. The marker lives OUTSIDE the
+    * index dir because the whole-dir swap replaces it; it is written
+    * only after a completed rebuild, so a crash rebuilds. The per-run
+    * query cost is the stats readout, not the training. */
+  private def ensureRebuiltIndex(s: SparkSession, d: String): String = {
+    val base = ensureServeIndex(s, d, "ivf")  // forces the shared parent dir
+    val parent = base.stripSuffix("/ivf")
+    val dir = s"$parent/ivf_rebuilt"
+    val marker = new org.apache.hadoop.fs.Path(s"$parent/_GRAFT_REBUILD_OK")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      val corpus = t(s, d, "embeddings").filter(col("vec_id") =!= 0)
+        .select("vec_id", "embedding")
+      val half = corpus.agg(expr("percentile(vec_id, 0.5)")).head().getDouble(0)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      Ivf.buildIndex(corpus.filter(col("vec_id") <= half),
+        "vec_id", "embedding", dir)
+      Ivf.appendIndex(corpus.filter(col("vec_id") > half),
+        "vec_id", "embedding", dir)
+      IndexLifecycle.rebuildIndex(s, dir)
+      fs.create(marker, true).close()
+    }
+    dir
+  }
+
   /** DuckDB replay of [[Text.bpeTrain]]'s merge loop as `n` UNROLLED SQL
     * stages (BPE training is a bounded iteration, so a non-recursive
     * unroll is exact — and DuckDB's recursive CTEs can't aggregate in the
@@ -1798,6 +1827,31 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
       (s, d) => {
         val dir = ensureServeIndex(s, d, "ivf")
         IndexLifecycle.indexStats(s, dir)
+      },
+      None
+    ),
+
+    // The REBUILD verb closing the index lifecycle (finding 29's remedy):
+    // the fixture builds on half the corpus, appends the other half
+    // (appended_fraction ~0.5 — the retrain threshold), and rebuilds from
+    // the index's own rows. The readout must show the reset: built ==
+    // live, fraction 0 — and the planted near-self still answers first
+    // through the retrained quantizer. Rows-only (KMeans float-reduction
+    // order); IndexLifecycleSpec pins content/stats/geometry on all
+    // three layouts.
+    QueryDef(
+      "c14_ann_index_rebuild",
+      (s, d) => {
+        val dir = ensureRebuiltIndex(s, d)
+        val emb = t(s, d, "embeddings")
+        val probe = Ivf.probeIndex(s, dir, "vec_id", "embedding",
+          emb.filter(col("vec_id") === 1), "embedding", k = 5)
+          .agg(count(lit(1)).as("k_rows"),
+            sum(when(col("vec_id") === 1, 1).otherwise(0)).as("self_hits"))
+        IndexLifecycle.indexStats(s, dir)
+          .select(col("layout"), col("live_rows"), col("built_rows"),
+            col("appended_fraction"), col("tombstones"))
+          .crossJoin(probe)
       },
       None
     ),

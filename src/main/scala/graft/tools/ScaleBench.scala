@@ -407,6 +407,21 @@ object ScaleBench {
       val (tLshProbeBM, _) = timeIt(noop(Similarity.probeLshIndexBatch(spark,
         lshDir, "vec_id", "embedding", emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", k = 10, multiProbe = 8)))
+      // rebuild (finding 29's remedy): append a 1% disjoint slice, then
+      // retrain from the index's own rows. Measured on the LSH layout —
+      // the one whose rebuild does something appends can't (re-run the
+      // occupancy sizing); the cell layouts' rebuild IS their build
+      // (already the `build` column) plus one index read. Wall must
+      // track the build column: rebuild is paid on the drift cadence,
+      // never per probe.
+      val (tLshRebuild, _) = timeIt {
+        Similarity.appendLshIndex(
+          emb.filter(col("vec_id") < nVecs / 100)
+            .select((col("vec_id") + lit(920000000L)).as("vec_id"),
+              col("embedding")),
+          "vec_id", "embedding", lshDir)
+        graft.ops.IndexLifecycle.rebuildIndex(spark, lshDir); 0L
+      }
       // serve-batch stage attribution: the batch's probed-cell UNION is
       // what defeats static pruning — record its size next to the join
       // wall so the flat curve is attributable (cells grow with n, the
@@ -676,6 +691,7 @@ object ScaleBench {
         f"compact=$tCompact%5.2fs(files=$filesBeforeCompact->$filesAfterCompact) " +
         f"lshB=$tLshBuild%5.2fs lshP=$tLshProbe%5.2fs lshPM=$tLshProbeM%5.2fs " +
         f"lshPB=$tLshProbeB%5.2fs lshPBM=$tLshProbeBM%5.2fs " +
+        f"lshRb=$tLshRebuild%5.2fs " +
         f"pbatch=$tPbatch%5.2fs(cand=$nPbCand%6d,fb=$nPbFallback/5) " +
         f"sess=$tSess%5.2fs ret=$tRet%5.2fs | " +
         f"bpe=$tBpeTr%5.2fs/$tBpeEnc%5.2fs bpe2k=$tBpe2k%6.2fs($nBpe2k) " +

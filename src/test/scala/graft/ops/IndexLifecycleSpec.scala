@@ -174,6 +174,106 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(after == before, s"compaction changed the probe: $after vs $before")
   }
 
+  test("rebuildIndex: fresh training from the index's own rows; stats reset; artifacts consistent") {
+    val corpus = emb.localCheckpoint(true)
+    val n = corpus.count()
+    val query = corpus.filter($"vec_id" === 0)
+    def stats(dir: String) = IndexLifecycle.indexStats(spark, dir).head()
+
+    // IVF: build half, append a quarter, remove a few — then rebuild.
+    val ivfDir = java.nio.file.Files.createTempDirectory("graft_rb_ivf").toString
+    Ivf.buildIndex(corpus.filter($"vec_id" < n / 2), "vec_id", "embedding",
+      ivfDir, maxIter = 5)
+    Ivf.appendIndex(corpus.filter($"vec_id" >= n / 2 && $"vec_id" < 3 * n / 4),
+      "vec_id", "embedding", ivfDir)
+    IndexLifecycle.removeIds(spark, ivfDir,
+      Seq(5L, 6L, 7L).toDF("vec_id"), "vec_id")
+    assert(stats(ivfDir).getAs[Double]("appended_fraction") > 0.0)
+    IndexLifecycle.rebuildIndex(spark, ivfDir, maxIter = 5)
+    val si = stats(ivfDir)
+    val expectIds = corpus.filter($"vec_id" < 3 * n / 4 &&
+      !$"vec_id".isin(5L, 6L, 7L)).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(si.getAs[String]("layout") == "ivf" &&
+      si.getAs[Long]("live_rows") == expectIds.size &&
+      si.getAs[Long]("built_rows") == expectIds.size &&
+      si.getAs[Double]("appended_fraction") == 0.0, s"stats not reset: $si")
+    val inv = spark.read.parquet(s"$ivfDir/invfile.parquet").localCheckpoint(true)
+    assert(inv.select("vec_id").collect().map(_.getLong(0)).toSet == expectIds,
+      "rebuilt inverted file lost or invented rows")
+    // written cells must match the written centroids — the mixed-artifact
+    // hazard the whole-dir swap exists to prevent: re-assigning the
+    // rebuilt rows under the rebuilt model must reproduce the cell column
+    val model = Ivf.loadIndexModel(spark, ivfDir)
+    val reassigned = model.indexOf(inv.select("vec_id", "embedding"),
+      "vec_id", "embedding").select($"vec_id", $"cell".as("re_cell"))
+    assert(inv.join(reassigned, Seq("vec_id"))
+      .filter($"cell" =!= $"re_cell").count() == 0L,
+      "rebuilt cells diverge from the rebuilt centroids")
+    // the planted self answers first through the rebuilt index
+    val top = pairs(Ivf.probeIndex(spark, ivfDir, "vec_id", "embedding",
+      query, "embedding", k = 5))
+    assert(top.head._1 == 0L, s"planted self not first after rebuild: $top")
+
+    // PQ: geometry (m) carries over from books.parquet; stats reset.
+    val pqDir = java.nio.file.Files.createTempDirectory("graft_rb_pq").toString
+    Quantize.buildPqIndex(corpus.filter($"vec_id" < n / 2), "vec_id",
+      "embedding", pqDir, m = 4)
+    Quantize.appendPqIndex(corpus.filter($"vec_id" >= n / 2), "vec_id",
+      "embedding", pqDir)
+    IndexLifecycle.rebuildIndex(spark, pqDir)
+    val sp = stats(pqDir)
+    assert(sp.getAs[String]("layout") == "pq" &&
+      sp.getAs[Long]("live_rows") == n &&
+      sp.getAs[Double]("appended_fraction") == 0.0, s"PQ stats not reset: $sp")
+    assert(spark.read.parquet(s"$pqDir/books.parquet")
+      .agg(countDistinct($"j")).head().getLong(0) == 4L,
+      "rebuild dropped the persisted PQ geometry")
+    assert(pairs(Quantize.probePqIndex(spark, pqDir, "vec_id", "embedding",
+      query, "embedding", k = 5)).head._1 == 0L)
+
+    // LSH: rebuild is the ONE lifecycle step allowed to re-run the
+    // occupancy sizing — build small, append 9x (blowing bucket
+    // occupancy), rebuild, and the plane count must grow to the sized
+    // value for the union. Tombstones apply physically; the rebuilt dir
+    // is bit-equal to a fresh build on the survivors (no training, so
+    // full determinism — the strongest comparator).
+    val rnd = new scala.util.Random(11)
+    val big = (1L to 3000L).map(i =>
+        (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding").localCheckpoint(true)
+    val lshDir = java.nio.file.Files.createTempDirectory("graft_rb_lsh").toString
+    Similarity.buildLshIndex(big.filter($"vec_id" <= 300), "vec_id",
+      "embedding", lshDir)
+    val planesBefore = spark.read.parquet(s"$lshDir/meta.parquet")
+      .head().getAs[Int]("planes")
+    Similarity.appendLshIndex(big.filter($"vec_id" > 300), "vec_id",
+      "embedding", lshDir)
+    IndexLifecycle.removeIds(spark, lshDir,
+      Seq(2999L, 3000L).toDF("vec_id"), "vec_id")
+    IndexLifecycle.rebuildIndex(spark, lshDir)
+    val planesAfter = spark.read.parquet(s"$lshDir/meta.parquet")
+      .head().getAs[Int]("planes")
+    assert(planesAfter == Similarity.probePlanesFor(2998L) &&
+      planesAfter > planesBefore,
+      s"rebuild did not re-size: $planesBefore -> $planesAfter")
+    val sl = stats(lshDir)
+    assert(sl.getAs[String]("layout") == "lsh" &&
+      sl.getAs[Long]("live_rows") == 2998L &&
+      sl.getAs[Long]("built_rows") == 2998L &&
+      sl.getAs[Long]("tombstones") == 0L, s"LSH stats not reset: $sl")
+    val freshDir = java.nio.file.Files.createTempDirectory("graft_rb_fresh").toString
+    Similarity.buildLshIndex(big.filter($"vec_id" <= 2998L), "vec_id",
+      "embedding", freshDir)
+    val q2 = big.filter($"vec_id" === 17L)
+    val viaRebuild = pairs(Similarity.probeLshIndex(spark, lshDir,
+      "vec_id", "embedding", q2, "embedding", k = 10))
+    val viaFresh = pairs(Similarity.probeLshIndex(spark, freshDir,
+      "vec_id", "embedding", q2, "embedding", k = 10))
+    assert(viaRebuild == viaFresh,
+      s"rebuilt LSH dir diverges from a fresh build: $viaRebuild vs $viaFresh")
+  }
+
   test("indexStats tracks the lifecycle arithmetic on all three layouts") {
     val corpus = emb.localCheckpoint(true)
     val n = corpus.count()
