@@ -245,8 +245,13 @@ object IndexLifecycle {
     * `dir.__rebuild` both intact for manual recovery), never mixed.
     * Marker files callers keep INSIDE the dir do not survive the swap
     * (the serve-query cache re-validates via its own marker protocol).
-    * Probes opened before the swap hold the old plan snapshot — the same
-    * contract as the streaming probe's append visibility. */
+    * A RUNNING probe stream's plan snapshot (the append-visibility
+    * contract, StreamingSpec) points at the now-deleted old files, so it
+    * fails LOUDLY on its next micro-batch rather than serving anything
+    * stale — restart the stream to serve the rebuilt index, the same
+    * restart rule appends already require, enforced by failure instead
+    * of staleness. Run rebuilds on the maintenance cadence, quiesce
+    * streams first. */
   def rebuildIndex(spark: SparkSession, dir: String, nprobe: Int = 4,
                    seed: Long = 42L, maxIter: Int = 10,
                    lshBaseTables: Int = 8,
@@ -296,6 +301,39 @@ object IndexLifecycle {
     fs.rename(live, old)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), live)
     fs.delete(old, true)
+  }
+
+  /** One maintenance pass: read [[indexStats]], take the ONE action the
+    * readout calls for, in severity order — rebuild beats compact
+    * because a rebuild subsumes compaction (fresh single-batch
+    * artifacts), so compacting first would pay the rewrite twice:
+    *
+    *  1. `appended_fraction` ≥ `rebuildAt` → [[rebuildIndex]] (the
+    *     finding-29 drift policy; ~0.5 per the DriftAb measurement —
+    *     resize cells/nprobe first if recall is the binding concern,
+    *     that lever is per-probe and free);
+    *  2. small-file pressure over `maxFilesPerCell`, or any LSH
+    *     tombstone backlog → [[compactIndex]];
+    *  3. otherwise no-op.
+    *
+    * Returns the action taken (`"rebuild" | "compact" | "none"`) so a
+    * scheduler can log/alert on it. One action per pass, idempotent at
+    * the fixpoint: a second pass right after returns `"none"` (rebuild
+    * resets the fraction, compaction clears files + tombstones). A dir
+    * built before `buildinfo.parquet` existed has no fraction — rule 1
+    * is skipped rather than guessed (the indexStats NULL contract). */
+  def maintainIndex(spark: SparkSession, dir: String,
+                    rebuildAt: Double = 0.5,
+                    maxFilesPerCell: Int = 4): String = {
+    val s = indexStats(spark, dir).head()
+    val frac = Option(s.getAs[java.lang.Double]("appended_fraction"))
+      .map(_.doubleValue)
+    if (frac.exists(_ >= rebuildAt)) {
+      rebuildIndex(spark, dir); "rebuild"
+    } else if (s.getAs[Int]("max_files_per_cell") > maxFilesPerCell ||
+               s.getAs[Long]("tombstones") > 0L) {
+      compactIndex(spark, dir, maxFilesPerCell); "compact"
+    } else "none"
   }
 
   private def compactLsh(spark: SparkSession, dir: String): Unit = {

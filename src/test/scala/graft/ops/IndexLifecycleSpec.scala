@@ -274,6 +274,62 @@ class IndexLifecycleSpec extends SparkSpec {
       s"rebuilt LSH dir diverges from a fresh build: $viaRebuild vs $viaFresh")
   }
 
+  test("maintainIndex: one action per pass in severity order, idempotent at the fixpoint") {
+    val corpus = emb.localCheckpoint(true)
+    val n = corpus.count()
+    def stats(dir: String) = IndexLifecycle.indexStats(spark, dir).head()
+
+    // fresh build → nothing to do
+    val dir = java.nio.file.Files.createTempDirectory("graft_mt_ivf").toString
+    Ivf.buildIndex(corpus.filter($"vec_id" < n / 2), "vec_id", "embedding",
+      dir, maxIter = 5)
+    assert(IndexLifecycle.maintainIndex(spark, dir) == "none")
+
+    // pile appends: small-file pressure but fraction well under 0.5 →
+    // compact wins
+    (0 until 5).foreach { i =>
+      Ivf.appendIndex(corpus.filter($"vec_id" >= n / 2 + i * 20 &&
+        $"vec_id" < n / 2 + (i + 1) * 20), "vec_id", "embedding", dir)
+    }
+    assert(stats(dir).getAs[Double]("appended_fraction") < 0.5)
+    assert(stats(dir).getAs[Int]("max_files_per_cell") > 4,
+      "appends produced no file pressure — respec")
+    assert(IndexLifecycle.maintainIndex(spark, dir) == "compact")
+    assert(stats(dir).getAs[Int]("max_files_per_cell") <= 4)
+    assert(IndexLifecycle.maintainIndex(spark, dir) == "none", "not idempotent")
+
+    // append past the threshold → rebuild beats compact, resets fraction
+    // (rebuildAt passed explicitly: the branch under test is severity
+    // order, not the default constant)
+    Ivf.appendIndex(corpus.filter($"vec_id" >= n / 2 + 100), "vec_id",
+      "embedding", dir)
+    val fracBefore = stats(dir).getAs[Double]("appended_fraction")
+    assert(fracBefore > 0.0, "fixture drifted")
+    assert(IndexLifecycle.maintainIndex(spark, dir, rebuildAt = fracBefore) ==
+      "rebuild")
+    val after = stats(dir)
+    assert(after.getAs[Double]("appended_fraction") == 0.0 &&
+      after.getAs[Long]("built_rows") == after.getAs[Long]("live_rows"))
+    assert(IndexLifecycle.maintainIndex(spark, dir) == "none", "not idempotent")
+
+    // LSH: a tombstone backlog alone triggers compaction
+    val lshDir = java.nio.file.Files.createTempDirectory("graft_mt_lsh").toString
+    Similarity.buildLshIndex(corpus, "vec_id", "embedding", lshDir)
+    IndexLifecycle.removeIds(spark, lshDir, Seq(3L).toDF("vec_id"), "vec_id")
+    assert(IndexLifecycle.maintainIndex(spark, lshDir) == "compact")
+    assert(stats(lshDir).getAs[Long]("tombstones") == 0L)
+    assert(IndexLifecycle.maintainIndex(spark, lshDir) == "none")
+
+    // a pre-counter dir (no buildinfo) must never rebuild on a guess
+    val (fs, bi) = {
+      val p = new org.apache.hadoop.fs.Path(s"$lshDir/buildinfo.parquet")
+      (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }
+    fs.delete(bi, true)
+    assert(IndexLifecycle.maintainIndex(spark, lshDir, rebuildAt = 0.0) == "none",
+      "rebuilt on a fabricated fraction")
+  }
+
   test("indexStats tracks the lifecycle arithmetic on all three layouts") {
     val corpus = emb.localCheckpoint(true)
     val n = corpus.count()
