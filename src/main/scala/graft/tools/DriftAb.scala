@@ -106,12 +106,22 @@ object DriftAb {
       val (ivfEqB, ivfEqA) = ivfRecall(freshIvf, nprobe = npEq)
       val (pqStaleB, pqStaleA) = pqRecall(stalePq)
       val (pqFreshB, pqFreshA) = pqRecall(freshPq)
+      // the remedy, measured: rebuild the drifted dirs from their own
+      // rows (IndexLifecycle.rebuildIndex — what maintainIndex fires at
+      // the threshold) and re-probe. Recall must land at the fresh-build
+      // level: the rebuild IS a fresh train on the same union, with the
+      // cell count re-sized for the grown corpus.
+      graft.ops.IndexLifecycle.rebuildIndex(spark, staleIvf)
+      graft.ops.IndexLifecycle.rebuildIndex(spark, stalePq)
+      val (ivfRbB, ivfRbA) = ivfRecall(staleIvf)
+      val (pqRbB, pqRbA) = pqRecall(stalePq)
       val appendedPct = 100 * (total - 1) / total
       println(f"[drift] x$total ($appendedPct%d%% appended, n=${n0 * total}, " +
         f"cells=$cellsStale stale/$cellsFresh fresh) | " +
         f"ivf stale=$ivfStaleB%.3f/$ivfStaleA%.3f fresh=$ivfFreshB%.3f/$ivfFreshA%.3f " +
-        f"fresh@np=$npEq=$ivfEqB%.3f/$ivfEqA%.3f | " +
+        f"fresh@np=$npEq=$ivfEqB%.3f/$ivfEqA%.3f rebuilt=$ivfRbB%.3f/$ivfRbA%.3f | " +
         f"pq stale=$pqStaleB%.3f/$pqStaleA%.3f fresh=$pqFreshB%.3f/$pqFreshA%.3f " +
+        f"rebuilt=$pqRbB%.3f/$pqRbA%.3f " +
         f"(recall@10 built-origin/appended-origin queries, $nQ each)")
     }
     spark.stop()

@@ -944,4 +944,41 @@ class StreamingSpec extends SparkSpec {
     assert(tags("sink_midappend2").contains((300L, 50L)),
       s"restarted stream still blind to the append: ${tags("sink_midappend2")}")
   }
+
+  test("a restarted probe stream serves the rebuilt index (the maintenance-cadence contract)") {
+    // rebuildIndex's whole-dir swap deletes the files a RUNNING stream's
+    // plan snapshot points at (loud failure by design, IndexLifecycle
+    // Scaladoc); the operable contract is quiesce → rebuild → restart.
+    // Pin the happy path: a stream started AFTER the rebuild serves the
+    // retrained index — including a row that only an id assigned under
+    // the NEW quantizer can deliver.
+    val rnd = new scala.util.Random(73)
+    val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+    def near(eps: Float) = base.map(_ + eps)
+    val corpus = (1L to 10L).map(i => (i, near(0.01f * i)))
+      .toDF("vec_id", "embedding").localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_annps_rebuild").toString
+    graft.ops.Ivf.buildIndex(corpus, "vec_id", "embedding", dir, maxIter = 5)
+    graft.ops.Ivf.appendIndex(
+      Seq((50L, near(0.015f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir)
+    graft.ops.IndexLifecycle.rebuildIndex(spark, dir, maxIter = 5)
+    val stats = graft.ops.IndexLifecycle.indexStats(spark, dir).head()
+    assert(stats.getAs[Long]("built_rows") == 11L &&
+      stats.getAs[Double]("appended_fraction") == 0.0,
+      s"rebuild did not absorb the append: $stats")
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Streaming.annProbeStream(
+        mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        dir, tau = 0.9, nprobe = 16)
+      .writeStream.format("memory").queryName("sink_rebuilt")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(Seq((100L, near(-0.02f)))); q.processAllAvailable()
+      val got = spark.table("sink_rebuilt")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.contains((100L, 1L)) && got.contains((100L, 50L)),
+        s"restarted stream does not serve the rebuilt index: $got")
+    } finally q.stop()
+  }
 }
