@@ -312,7 +312,14 @@ object IndexLifecycle {
     *     finding-29 drift policy; ~0.5 per the DriftAb measurement —
     *     resize cells/nprobe first if recall is the binding concern,
     *     that lever is per-probe and free);
-    *  2. small-file pressure over `maxFilesPerCell`, or any LSH
+    *  2. small-file pressure — cell layouts: any cell over
+    *     `maxFilesPerCell`; LSH: postings files over
+    *     `lshMaxPostingsFiles` (a SEPARATE, larger bound: the LSH file
+    *     count baseline is the build's write parallelism, not 1 — a
+    *     per-cell-sized bound would fire right after a healthy build
+    *     and, because LSH compaction rewrites wholesale back to
+    *     parallelism-many files, never reach the fixpoint; keep the
+    *     bound above `spark.sql.shuffle.partitions`) — or any LSH
     *     tombstone backlog → [[compactIndex]];
     *  3. otherwise no-op.
     *
@@ -324,14 +331,18 @@ object IndexLifecycle {
     * is skipped rather than guessed (the indexStats NULL contract). */
   def maintainIndex(spark: SparkSession, dir: String,
                     rebuildAt: Double = 0.5,
-                    maxFilesPerCell: Int = 4): String = {
+                    maxFilesPerCell: Int = 4,
+                    lshMaxPostingsFiles: Int = 256): String = {
     val s = indexStats(spark, dir).head()
+    val isLsh = s.getAs[String]("layout") == "lsh"
     val frac = Option(s.getAs[java.lang.Double]("appended_fraction"))
       .map(_.doubleValue)
+    val filePressure =
+      if (isLsh) s.getAs[Int]("max_files_per_cell") > lshMaxPostingsFiles
+      else s.getAs[Int]("max_files_per_cell") > maxFilesPerCell
     if (frac.exists(_ >= rebuildAt)) {
       rebuildIndex(spark, dir); "rebuild"
-    } else if (s.getAs[Int]("max_files_per_cell") > maxFilesPerCell ||
-               s.getAs[Long]("tombstones") > 0L) {
+    } else if (filePressure || s.getAs[Long]("tombstones") > 0L) {
       compactIndex(spark, dir, maxFilesPerCell); "compact"
     } else "none"
   }

@@ -319,6 +319,16 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(IndexLifecycle.maintainIndex(spark, lshDir) == "compact")
     assert(stats(lshDir).getAs[Long]("tombstones") == 0L)
     assert(IndexLifecycle.maintainIndex(spark, lshDir) == "none")
+    // LSH file pressure measures against its OWN bound: the postings
+    // file-count baseline is the build's write parallelism, so the
+    // per-cell bound must not apply (it would fire right after a healthy
+    // build and never reach the fixpoint — LSH compaction rewrites back
+    // to parallelism-many files). A bound below the current count fires;
+    // the default, sized above shuffle parallelism, does not.
+    assert(stats(lshDir).getAs[Int]("max_files_per_cell") > 0)
+    assert(IndexLifecycle.maintainIndex(spark, lshDir,
+      lshMaxPostingsFiles = 0) == "compact")
+    assert(IndexLifecycle.maintainIndex(spark, lshDir) == "none")
 
     // a pre-counter dir (no buildinfo) must never rebuild on a guess
     val (fs, bi) = {
