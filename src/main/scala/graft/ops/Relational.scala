@@ -270,6 +270,25 @@ object Relational {
       when(md5Below(idCol, trainFrac), "train").otherwise("val"))
   }
 
+  /** Deterministic epoch shuffle — the reproducible training-data
+    * ordering: every row keyed by md5(id ":" seed), so the same
+    * (corpus, seed) yields the SAME order on any cluster size, partition
+    * count, or input file layout (the property partition-order and
+    * RNG-based shuffles lack — `orderBy(rand(seed))` changes with the
+    * physical row order feeding it), while each epoch's seed reshuffles
+    * independently and uncorrelated (avalanche). The fixed-length hex
+    * digest makes lexicographic order total; `idCol` breaks the
+    * astronomically-unlikely digest tie. A pure codegen projection —
+    * consumers choose the sort shape: a bounded epoch HEAD plans as
+    * `TakeOrderedAndProject` (per-partition heaps, no global sort), a
+    * full-epoch write is one range-partitioned sort, the thing an epoch
+    * is by definition. Portable SQL: the oracle runs the same md5
+    * verbatim. */
+  def epochShuffle(df: DataFrame, idCol: String, seed: Long,
+                   keyCol: String = "epoch_key"): DataFrame =
+    df.withColumn(keyCol,
+      md5(concat(col(idCol).cast("string"), lit(":" + seed))))
+
   /** Per-stratum content-stable sampling — [[hashSplit]] generalized to a
     * fraction PER GROUP (the training-data use: downsample dominant
     * classes/languages/sources to target fractions). Same mechanism

@@ -750,6 +750,30 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
               FROM documents""")
     ),
 
+    // C23: deterministic epoch shuffle — reproducible training-data
+    // ordering: rank by md5(id:seed), stable under cluster size /
+    // partitioning / file layout (rand(seed) is not), reshuffled per
+    // epoch seed. The query takes the epoch HEAD under the total
+    // (key, id) order — TakeOrderedAndProject, no global sort — then
+    // numbers the bounded frame (50-row window, finding-21-sized).
+    QueryDef(
+      "c23_epoch_shuffle",
+      (s, d) => {
+        val top = graft.ops.Relational.epochShuffle(
+            t(s, d, "documents").select("doc_id"), "doc_id", seed = 42L)
+          .orderBy(col("epoch_key"), col("doc_id")).limit(50)
+        top.withColumn("pos", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("epoch_key"), col("doc_id"))))
+          .select(col("pos"), col("doc_id"), col("epoch_key"))
+      },
+      Some("""SELECT row_number() OVER (ORDER BY epoch_key, doc_id) AS pos,
+                     doc_id, epoch_key
+              FROM (SELECT doc_id,
+                           md5(CAST(doc_id AS VARCHAR) || ':42') AS epoch_key
+                    FROM documents ORDER BY epoch_key, doc_id LIMIT 50) t""")
+    ),
+
     // C6 composition: daily cohort retention — users grouped by first-seen
     // day, counted per day-offset of later activity (the other standard
     // event-analytics query next to the funnel). Shape: distinct

@@ -265,4 +265,31 @@ class RelationalSpec extends SparkSpec {
     assert(Relational.temperatureSample(df, "stratum", "doc_id")
       .columns.toSeq == Seq("doc_id", "stratum"))
   }
+
+  test("epochShuffle: partition-independent total order, seed-reshuffled permutation, heap-planned head") {
+    val docs = graft.engine.Tables.read(spark, sf0001, "documents")
+      .select("doc_id").localCheckpoint(true)
+    def order(df: org.apache.spark.sql.DataFrame, seed: Long): Seq[Long] =
+      Relational.epochShuffle(df, "doc_id", seed)
+        .orderBy(col("epoch_key"), col("doc_id"))
+        .collect().map(_.getLong(0)).toSeq
+    val base = order(docs, 42L)
+    // the property rand(seed) lacks: the SAME order from any partitioning
+    assert(order(docs.repartition(7), 42L) == base,
+      "epoch order changed with the partition layout")
+    assert(order(docs.coalesce(1), 42L) == base,
+      "epoch order changed with the partition count")
+    // an epoch is a permutation: every row exactly once
+    assert(base.sorted == docs.collect().map(_.getLong(0)).toSeq.sorted)
+    // another seed is a DIFFERENT permutation of the same rows
+    val other = order(docs, 43L)
+    assert(other != base && other.sorted == base.sorted,
+      "seed change must reshuffle, not resample")
+    // the epoch head must plan as per-partition heaps, not a global sort
+    val headPlan = Relational.epochShuffle(docs, "doc_id", 42L)
+      .orderBy(col("epoch_key"), col("doc_id")).limit(50)
+      .queryExecution.executedPlan.toString
+    assert(headPlan.contains("TakeOrderedAndProject"),
+      s"epoch head lost the heap plan:\n$headPlan")
+  }
 }
