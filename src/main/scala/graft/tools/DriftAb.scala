@@ -123,6 +123,49 @@ object DriftAb {
         f"pq stale=$pqStaleB%.3f/$pqStaleA%.3f fresh=$pqFreshB%.3f/$pqFreshA%.3f " +
         f"rebuilt=$pqRbB%.3f/$pqRbA%.3f " +
         f"(recall@10 built-origin/appended-origin queries, $nQ each)")
+
+      // LSH drift is OCCUPANCY, not assignment: hyperplanes are seeded
+      // constants (recall cannot go stale), but appends under the
+      // PERSISTED sizing grow candidates-per-bucket linearly with the
+      // appended fraction — the probe pays the bloat on every call.
+      // Rebuild is the one step allowed to re-run the occupancy sizing;
+      // measure the candidate volume it buys back (and the recall it
+      // trades: the bloated index scanned more, so its recall is a
+      // ceiling the re-sized index deliberately does not chase — bounded
+      // cost is the contract, nprobe-style levers buy recall back).
+      val staleLsh = s"/tmp/graft_drift_lsh_stale_x$total"
+      Similarity.buildLshIndex(base, "vec_id", "embedding", staleLsh)
+      Similarity.appendLshIndex(appended, "vec_id", "embedding", staleLsh)
+      def lshPlanes(dir: String): Int =
+        spark.read.parquet(s"$dir/meta.parquet").head().getAs[Int]("planes")
+      def lshCandVolume(dir: String): Long = {
+        val meta = spark.read.parquet(s"$dir/meta.parquet").head()
+        val (p, tb, dm, sd) = (meta.getAs[Int]("planes"),
+          meta.getAs[Int]("tables"), meta.getAs[Int]("dim"),
+          meta.getAs[Long]("seed"))
+        spark.read.parquet(s"$dir/postings.parquet")
+          .join(broadcast(Similarity.lshIndex(queries, "qid", "embedding",
+            tb, p, dm, sd).select(col("table"), col("bucket"), col("qid"))),
+            Seq("table", "bucket"))
+          .select(col("qid"), col("vec_id")).distinct().count()
+      }
+      def lshRecall(dir: String): (Double, Double) = recallSplit(
+        Similarity.probeLshIndexBatch(spark, dir, "vec_id", "embedding",
+            queries, "qid", "embedding", k = 10,
+            candidateIdLimit = 1000000L)
+          .collect().groupBy(_.getAs[Long]("query_id"))
+          .map { case (q, rows) => q -> rows.map(_.getAs[Long]("vec_id")).toSet })
+      val planesStale = lshPlanes(staleLsh)
+      val volStale = lshCandVolume(staleLsh)
+      val (lshStaleB, lshStaleA) = lshRecall(staleLsh)
+      graft.ops.IndexLifecycle.rebuildIndex(spark, staleLsh)
+      val planesRb = lshPlanes(staleLsh)
+      val volRb = lshCandVolume(staleLsh)
+      val (lshRbB, lshRbA) = lshRecall(staleLsh)
+      println(f"[drift] x$total lsh occupancy: planes $planesStale->$planesRb, " +
+        f"probe candidates (2x$nQ queries) $volStale->$volRb, " +
+        f"recall stale=$lshStaleB%.3f/$lshStaleA%.3f " +
+        f"rebuilt=$lshRbB%.3f/$lshRbA%.3f")
     }
     spark.stop()
   }
