@@ -1891,6 +1891,26 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
       None
     ),
 
+    // The batch probe with the IN-PLAN multi-probe lever engaged
+    // (HyperplaneBucketsMulti, q=4): one codegen pass per query row
+    // emits the exact bucket plus the 4 lowest-|margin| single-bit
+    // flips per table, the same (table, bucket) equi-join carries 5x
+    // pairs — recall without more tables, at the batch wall (measured
+    // in-band, PERF.md round-14 rows). Rows-only like its single-probe
+    // sibling; SimilaritySpec pins expression parity, recall dominance,
+    // and the stream==driver-oracle equality at equal q.
+    QueryDef(
+      "c14_ann_serve_lsh_batch_mp",
+      (s, d) => {
+        val dir = ensureServeIndex(s, d, "lsh")
+        val emb = t(s, d, "embeddings")
+        Similarity.probeLshIndexBatch(s, dir, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10,
+          multiProbe = 4)
+      },
+      None
+    ),
+
     // ── C15: text analysis ─────────────────────────────────────────────
     QueryDef(
       "c15_lang_stats",
