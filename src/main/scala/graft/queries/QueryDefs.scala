@@ -1895,8 +1895,10 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
     // (HyperplaneBucketsMulti, q=4): one codegen pass per query row
     // emits the exact bucket plus the 4 lowest-|margin| single-bit
     // flips per table, the same (table, bucket) equi-join carries 5x
-    // pairs — recall without more tables, at the batch wall (measured
-    // in-band, PERF.md round-14 rows). Rows-only like its single-probe
+    // pairs — recall without more tables at bounded cost (measured:
+    // batch parity at 1-5x, ~1.3-2x the single-probe batch at 10-25x
+    // as the candidate volume surfaces — PERF.md round-14 rows).
+    // Rows-only like its single-probe
     // sibling; SimilaritySpec pins expression parity, recall dominance,
     // and the stream==driver-oracle equality at equal q.
     QueryDef(
