@@ -182,6 +182,15 @@ object Bench {
       spark.range(1000000L).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/region.parquet").count()
     } catch { case NonFatal(_) => () }
+    // pre-warm the marker-gated serve/rebuild fixtures UNTIMED (r14
+    // verdict #8): on a fresh /tmp the one-off builds otherwise land
+    // inside timed pass 1 (16.9 s on the rebuild fixture), polluting the
+    // noise witness. A failure here is NOT swallowed into a fake green —
+    // the serve queries re-attempt the build and report the error in the
+    // timed pass.
+    try graft.queries.QueryDefs.warmServeFixtures(spark, sfDir)
+    catch { case NonFatal(e) =>
+      System.err.println(s"[bench] fixture warm-up failed (timed pass will retry): $e") }
     val detailed = measureDetailed(spark, sfDir, SparkEntry.queries)
     val results = detailed.map { case (n, t) => n -> (t.best, t.err) }
     val json = fullJson(results, sfDir, Some(detailed))

@@ -44,6 +44,27 @@ object IndexLifecycle {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
+  /** Crash-safe parquet replace: write `fresh` to `path.__compact`, then
+    * rename-swap (live → `.__old`, `.__compact` → live, drop `.__old`).
+    * A crash at any point leaves either the old or the new file set
+    * intact — never a half-written live target, which a plain
+    * mode("overwrite") of the SAME path cannot promise (overwrite deletes
+    * the target before writing). Shared by [[compactIndex]]'s LSH arm and
+    * [[Similarity.appendLshIndex]]'s tombstone un-delete (ADVICE r14: the
+    * in-place rewrite there could silently drop ALL pending tombstones on
+    * a crash, resurrecting removed ids on every probe). Writing to a
+    * sibling path also breaks the read-from-overwrite-target cycle, so no
+    * localCheckpoint materialization is needed. */
+  private[ops] def swapInParquet(spark: SparkSession, path: String)
+                                (fresh: DataFrame): Unit = {
+    val (fs, live) = hfs(spark, path)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path.__compact")
+    val old = new org.apache.hadoop.fs.Path(s"$path.__old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    fresh.write.mode("overwrite").parquet(tmp.toString)
+    fs.rename(live, old); fs.rename(tmp, live); fs.delete(old, true)
+  }
+
   /** The cell-layout data file under `dir`, or None for the LSH layout. */
   private def cellFileOf(spark: SparkSession, dir: String): Option[String] =
     if (Ivf.layoutFileExists(spark, dir, "meta.parquet")) None
@@ -233,9 +254,20 @@ object IndexLifecycle {
     *    a rebuild is precisely allowed to; pending tombstones apply
     *    physically (the rebuild reads through [[Similarity.lshVectors]]);
     *    the persisted dim/seed carry over;
-    *  - PQ rebuilds re-request the persisted geometry (m from
-    *    `books.parquet`, codebook size re-clamped against the grown
-    *    corpus) unless overridden.
+    *  - every build parameter defaults to the value PERSISTED at build
+    *    time (`buildinfo.parquet` — ADVICE r14): a policy-triggered
+    *    rebuild of an index built with nprobe=8 / seed=7 / baseTables=12
+    *    keeps that geometry instead of silently re-sizing cells under
+    *    nprobe=4 and reseeding KMeans at 42. Pass `Some(...)` to
+    *    deliberately change a parameter; a pre-params dir (no such
+    *    buildinfo column) falls back to the build functions' defaults;
+    *  - PQ rebuilds re-request the persisted REQUESTED codebook size,
+    *    re-clamped by [[Quantize.buildPqIndex]] against the LIVE row
+    *    count — so a codebook that trained clamped on a tiny corpus
+    *    grows back once the corpus has. Only on a pre-params dir does
+    *    the fallback reuse the TRAINED (clamp-shrunk) size from
+    *    `books.parquet`, which never grows back; m falls back to the
+    *    trained subspace count, which equals the request always.
     *
     * The rebuilt artifacts land in `dir.__rebuild` while the live dir
     * keeps serving, then swap in as a WHOLE-dir rename pair — a partial
@@ -252,14 +284,37 @@ object IndexLifecycle {
     * restart rule appends already require, enforced by failure instead
     * of staleness. Run rebuilds on the maintenance cadence, quiesce
     * streams first. */
-  def rebuildIndex(spark: SparkSession, dir: String, nprobe: Int = 4,
-                   seed: Long = 42L, maxIter: Int = 10,
-                   lshBaseTables: Int = 8,
+  def rebuildIndex(spark: SparkSession, dir: String,
+                   nprobe: Option[Int] = None,
+                   seed: Option[Long] = None,
+                   maxIter: Option[Int] = None,
+                   lshBaseTables: Option[Int] = None,
                    pqM: Option[Int] = None,
                    pqCodebookSize: Option[Int] = None): Unit = {
     val tmp = s"$dir.__rebuild"
     val (fs, _) = hfs(spark, dir)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    // persisted build parameters (buildinfo.parquet): caller override >
+    // persisted > build-function default. Columns are probed by name so
+    // pre-params dirs (built before the columns existed) keep working.
+    val info: Map[String, Any] =
+      if (Ivf.layoutFileExists(spark, dir, "buildinfo.parquet")) {
+        val r = spark.read.parquet(s"$dir/buildinfo.parquet").head()
+        r.schema.fieldNames.map(f => f -> r.get(r.fieldIndex(f))).toMap
+      } else Map.empty
+    def pLong(name: String): Option[Long] = info.get(name).collect {
+      case l: java.lang.Long => l.longValue
+      case i: java.lang.Integer => i.longValue
+    }
+    def pInt(name: String): Option[Int] = pLong(name).map(_.toInt)
+    def pDouble(name: String): Option[Double] = info.get(name).collect {
+      case d: java.lang.Double => d.doubleValue
+    }
+    val rNprobe = nprobe.orElse(pInt("nprobe")).getOrElse(4)
+    val rSeed = seed.orElse(pLong("seed")).getOrElse(42L)
+    val rMaxIter = maxIter.orElse(pInt("max_iter")).getOrElse(10)
+    val rHier = pInt("hierarchical_threshold")
+      .getOrElse(Dedup.HierarchicalCellsThreshold)
     // (idCol, vecCol) inferred from the persisted schema: the vector is
     // the array field, the id the remaining non-layout column
     def inferCols(df: DataFrame): (String, String) = {
@@ -278,22 +333,33 @@ object IndexLifecycle {
           inferCols(spark.read.parquet(s"$dir/vectors.parquet"))
         Similarity.buildLshIndex(
           Similarity.lshVectors(spark, dir, idCol).select(idCol, vecCol),
-          idCol, vecCol, tmp, baseTables = lshBaseTables,
-          dim = meta.getAs[Int]("dim"), seed = meta.getAs[Long]("seed"))
+          idCol, vecCol, tmp,
+          baseTables = lshBaseTables.orElse(pInt("base_tables")).getOrElse(8),
+          dim = meta.getAs[Int]("dim"),
+          seed = seed.getOrElse(meta.getAs[Long]("seed")))
       case Some("invfile.parquet") =>
         val src = spark.read.parquet(s"$dir/invfile.parquet")
         val (idCol, vecCol) = inferCols(src)
         Ivf.buildIndex(src.select(idCol, vecCol), idCol, vecCol, tmp,
-          nprobe = nprobe, seed = seed, maxIter = maxIter)
+          nprobe = rNprobe, seed = rSeed, maxIter = rMaxIter,
+          sampleFraction = pDouble("sample_fraction").getOrElse(1.0),
+          hierarchicalThreshold = rHier)
       case Some(_) =>
         val src = spark.read.parquet(s"$dir/codes.parquet")
         val (idCol, vecCol) = inferCols(src)
-        val books = spark.read.parquet(s"$dir/books.parquet")
+        // trained-geometry fallback for pre-params dirs only: m (subspace
+        // count) is never clamped, so countDistinct(j) == the request;
+        // countDistinct(c) is the clamp-SHRUNK codebook — see scaladoc
+        lazy val books = spark.read.parquet(s"$dir/books.parquet")
           .agg(countDistinct(col("j")), countDistinct(col("c"))).head()
         Quantize.buildPqIndex(src.select(idCol, vecCol), idCol, vecCol, tmp,
-          nprobe = nprobe, m = pqM.getOrElse(books.getLong(0).toInt),
-          codebookSize = pqCodebookSize.getOrElse(books.getLong(1).toInt),
-          seed = seed)
+          nprobe = rNprobe,
+          m = pqM.orElse(pInt("m")).getOrElse(books.getLong(0).toInt),
+          codebookSize = pqCodebookSize.orElse(pInt("codebook_size"))
+            .getOrElse(books.getLong(1).toInt),
+          seed = rSeed,
+          trainSampleRows = pLong("train_sample_rows").getOrElse(16384L),
+          hierarchicalThreshold = rHier)
     }
     val live = new org.apache.hadoop.fs.Path(dir)
     val old = new org.apache.hadoop.fs.Path(s"$dir.__old")
@@ -319,8 +385,19 @@ object IndexLifecycle {
     *     per-cell-sized bound would fire right after a healthy build
     *     and, because LSH compaction rewrites wholesale back to
     *     parallelism-many files, never reach the fixpoint; keep the
-    *     bound above `spark.sql.shuffle.partitions`) — or any LSH
-    *     tombstone backlog → [[compactIndex]];
+    *     bound above `spark.sql.shuffle.partitions`) — or an LSH
+    *     tombstone backlog at
+    *     `tombstones ≥ max(minTombstoneBacklog, tombstoneFraction ·
+    *     live_rows)` → [[compactIndex]]. The backlog is THRESHOLDED
+    *     (r14 verdict #2): LSH compaction is a wholesale
+    *     postings+vectors rewrite, so firing on ANY tombstone makes one
+    *     removed id cost a corpus-sized rewrite on the next pass — the
+    *     exact rewrite amplification the per-cell bound avoids on cell
+    *     layouts. Below the threshold the backlog just keeps being
+    *     served out of every probe ([[Similarity.lshVectors]]) at
+    *     O(tombstones) anti-join cost — the Lucene/Delta
+    *     deletion-vector cadence (rewrite when deletes reach a fraction
+    *     of the segment, not per delete);
     *  3. otherwise no-op.
     *
     * Returns the action taken (`"rebuild" | "compact" | "none"`) so a
@@ -332,7 +409,9 @@ object IndexLifecycle {
   def maintainIndex(spark: SparkSession, dir: String,
                     rebuildAt: Double = 0.5,
                     maxFilesPerCell: Int = 4,
-                    lshMaxPostingsFiles: Int = 256): String = {
+                    lshMaxPostingsFiles: Int = 256,
+                    minTombstoneBacklog: Long = 64L,
+                    tombstoneFraction: Double = 0.1): String = {
     val s = indexStats(spark, dir).head()
     val isLsh = s.getAs[String]("layout") == "lsh"
     val frac = Option(s.getAs[java.lang.Double]("appended_fraction"))
@@ -340,9 +419,14 @@ object IndexLifecycle {
     val filePressure =
       if (isLsh) s.getAs[Int]("max_files_per_cell") > lshMaxPostingsFiles
       else s.getAs[Int]("max_files_per_cell") > maxFilesPerCell
+    // live_rows already serves tombstones OUT, so the fraction compares
+    // the backlog against the index a compaction would actually rewrite
+    val tombstonePressure = s.getAs[Long]("tombstones") >= math.max(
+      minTombstoneBacklog,
+      math.ceil(tombstoneFraction * s.getAs[Long]("live_rows")).toLong)
     if (frac.exists(_ >= rebuildAt)) {
       rebuildIndex(spark, dir); "rebuild"
-    } else if (filePressure || s.getAs[Long]("tombstones") > 0L) {
+    } else if (filePressure || tombstonePressure) {
       compactIndex(spark, dir, maxFilesPerCell); "compact"
     } else "none"
   }
@@ -359,14 +443,8 @@ object IndexLifecycle {
     // build wrote both from the same (idCol, vecCol) selection)
     val idCol = spark.read.parquet(s"$dir/postings.parquet").columns
       .filterNot(Set("table", "bucket")).head
-    def swapIn(name: String)(fresh: DataFrame): Unit = {
-      val (fs, live) = hfs(spark, s"$dir/$name")
-      val tmp = new org.apache.hadoop.fs.Path(s"$dir/$name.__compact")
-      val old = new org.apache.hadoop.fs.Path(s"$dir/$name.__old")
-      fs.delete(tmp, true); fs.delete(old, true)
-      fresh.write.mode("overwrite").parquet(tmp.toString)
-      fs.rename(live, old); fs.rename(tmp, live); fs.delete(old, true)
-    }
+    def swapIn(name: String)(fresh: DataFrame): Unit =
+      swapInParquet(spark, s"$dir/$name")(fresh)
     swapIn("postings.parquet")(
       minusDeletes(spark.read.parquet(s"$dir/postings.parquet"), idCol)
         .repartitionByRange(col("table"), col("bucket"))

@@ -507,19 +507,32 @@ object Ivf {
     model.indexOf(emb, idCol, vecCol)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/invfile.parquet")
-    writeBuildInfo(emb.sparkSession, dir, n)
+    writeBuildInfo(emb.sparkSession, dir, n, Seq(
+      "nprobe" -> nprobe, "seed" -> seed, "max_iter" -> maxIter,
+      "sample_fraction" -> sampleFraction,
+      "hierarchical_threshold" -> hierarchicalThreshold))
     model
   }
 
   /** Record the build-time row count — [[IndexLifecycle.indexStats]]
     * derives the appended fraction from it (the retrain-policy input,
     * PERF.md finding 29). Appends deliberately do NOT touch it: the
-    * fraction measures growth SINCE the quantizer was trained. */
+    * fraction measures growth SINCE the quantizer was trained.
+    *
+    * `params` persists the build's REQUESTED parameters beside the count
+    * (ADVICE r14): [[IndexLifecycle.rebuildIndex]] defaults to these, so
+    * a policy-triggered rebuild of an index built with e.g. nprobe=8
+    * keeps its geometry instead of silently re-sizing cells under the
+    * hardcoded default and reseeding KMeans. Values are Int/Long/Double
+    * literals; readers probe by column name (a pre-params dir simply has
+    * no such column and falls back to the defaults). */
   private[graft] def writeBuildInfo(spark: org.apache.spark.sql.SparkSession,
-                                    dir: String, n: Long): Unit = {
+                                    dir: String, n: Long,
+                                    params: Seq[(String, Any)] = Nil): Unit = {
     import spark.implicits._
-    Seq(n).toDF("built_rows")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/buildinfo.parquet")
+    params.foldLeft(Seq(n).toDF("built_rows")) { case (df, (k, v)) =>
+      df.withColumn(k, lit(v))
+    }.coalesce(1).write.mode("overwrite").parquet(s"$dir/buildinfo.parquet")
   }
 
   /** Probe a built index: load the model, filter the inverted file to

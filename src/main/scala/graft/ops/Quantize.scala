@@ -333,7 +333,15 @@ object Quantize {
     indexed
       .withColumn("code", pqCode(coarse.residualOf(col(vecCol)), cb))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes.parquet")
-    Ivf.writeBuildInfo(spark, dir, n)
+    // codebook_size is the REQUESTED size, pre-clamp (ADVICE r14): a
+    // rebuild after the corpus grows must re-clamp the request against
+    // the LIVE row count — the trained countDistinct(c) in books.parquet
+    // is the clamp(k, n)-SHRUNK size, which clampK never grows back
+    Ivf.writeBuildInfo(spark, dir, n, Seq(
+      "nprobe" -> nprobe, "seed" -> seed, "m" -> m,
+      "codebook_size" -> codebookSize,
+      "train_sample_rows" -> trainSampleRows,
+      "hierarchical_threshold" -> hierarchicalThreshold))
     PqIndexModel(coarse, cb)
   }
 

@@ -433,6 +433,56 @@ object Similarity {
     math.max(4, (math.log(math.max(corpusSize, 1).toDouble /
       targetBucketSize) / math.log(2)).ceil.toInt)
 
+  /** Occupancy-sized multi-probe count — the last ANN lever with no
+    * sized policy (r14 verdict #3: [[planesFor]]/[[probePlanesFor]]/
+    * [[Dedup.cellsFor]] size everything else; a candidate-volume
+    * hyperparameter is corpus-sized, never fixed).
+    *
+    * The target is a fixed expected candidate BUDGET (a count), not a
+    * corpus fraction: a fraction target makes per-query probe cost grow
+    * linearly in n — the exact regression [[probePlanesFor]]'s
+    * constant-scan rule exists to prevent (finding 19) — while a budget
+    * keeps the scanned set ~constant as the corpus and its bucket
+    * occupancy move. Expected candidates at q extra probes per table are
+    * `tables · (1+q) · occupancy` with occupancy = live/2^planes, so
+    * q+1 = budget / (tables · occupancy), clamped to [1, planes+1]:
+    * the in-plan form ([[graft.functions.HyperplaneBucketsMulti]]) emits
+    * single-bit flips, of which a table has exactly `planes`, and the
+    * driver heap stays clamped identically so the two forms keep their
+    * bit-for-bit parity contract.
+    *
+    * Drift behavior is the point: appends grow occupancy under a frozen
+    * sizing, so the sized q SHRINKS to hold the candidate volume at the
+    * budget — multi-probe recall then degrades toward single-probe,
+    * which [[IndexLifecycle.indexStats]]' appended_fraction already
+    * flags for rebuild (finding 29); q never silently re-inflates the
+    * probe cost. Default budget 4096 = 8× the single-probe volume at
+    * the build sizing (tables ≈ 8–15, occupancy ≤ 64): q lands at the
+    * 4–8 range the recall measurements used at sf0.1 and stays there
+    * across rungs (LifecycleSweep row). */
+  def multiProbeForSized(liveRows: Long, planes: Int, tables: Int,
+                         targetCandidates: Int = 4096): Int = {
+    val occupancy = math.max(1.0,
+      math.max(liveRows, 1L).toDouble / (1L << math.min(planes, 62)))
+    val q = math.ceil(targetCandidates.toDouble /
+      (tables.toDouble * occupancy)).toInt - 1
+    math.min(math.max(q, 0), planes)
+  }
+
+  /** [[multiProbeForSized]] against a built index dir: planes/tables from
+    * the persisted sizing (`meta.parquet`), live rows from the vectors
+    * side. The count is a zero-column parquet scan (row-group metadata
+    * only — no vector bytes decode), one tiny job per probe call; the
+    * tombstone backlog is compaction-bounded and deliberately ignored
+    * here (it moves occupancy by O(backlog/live)). */
+  def multiProbeFor(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    targetCandidates: Int = 4096): Int = {
+    val meta = spark.read.parquet(s"$dir/meta.parquet").head()
+    val live = spark.read.parquet(s"$dir/vectors.parquet").count()
+    multiProbeForSized(live, meta.getAs[Int]("planes"),
+      meta.getAs[Int]("tables"), targetCandidates)
+  }
+
   /** Materialize the occupancy-sized LSH index at `dir` — the LSH arm of
     * the build-once/serve-many split ([[Ivf.buildIndex]] /
     * [[Quantize.buildPqIndex]]): hyperplane LSH has NO training, so the
@@ -469,7 +519,10 @@ object Similarity {
       .repartitionByRange(col("table"), col("bucket"))
       .sortWithinPartitions("table", "bucket")
       .write.mode("overwrite").parquet(s"$dir/postings.parquet")
-    Ivf.writeBuildInfo(spark, dir, n)
+    // base_tables is the one sizing input meta.parquet does not carry
+    // (planes/tables are its DERIVED outputs): a rebuild re-runs the
+    // occupancy sizing from the live count and needs the original request
+    Ivf.writeBuildInfo(spark, dir, n, Seq("base_tables" -> baseTables))
   }
 
   /** Append new vectors to a built LSH index without resizing
@@ -502,12 +555,15 @@ object Similarity {
     // IndexLifecycle.removeIds un-deletes it — without this the append
     // would land physically but lshVectors would keep filtering it out
     // until compaction. The tombstone set is compaction-bounded, so this
-    // rewrite is tombstone-sized, not corpus-sized.
+    // rewrite is tombstone-sized, not corpus-sized. Crash-safe tmp+rename
+    // swap (ADVICE r14): a plain in-place overwrite deletes the live
+    // tombstone set before writing the survivors, so a crash mid-rewrite
+    // would silently resurrect EVERY removed id on every probe — the
+    // swap leaves either the old or the new set intact.
     if (Ivf.layoutFileExists(spark, dir, "deletes.parquet")) {
-      val remaining = spark.read.parquet(s"$dir/deletes.parquet")
-        .join(batch.select(col(idCol)), Seq(idCol), "left_anti")
-        .localCheckpoint(true)
-      remaining.write.mode("overwrite").parquet(s"$dir/deletes.parquet")
+      IndexLifecycle.swapInParquet(spark, s"$dir/deletes.parquet")(
+        spark.read.parquet(s"$dir/deletes.parquet")
+          .join(batch.select(col(idCol)), Seq(idCol), "left_anti"))
     }
   }
 

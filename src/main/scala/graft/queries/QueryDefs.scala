@@ -35,9 +35,9 @@ object QueryDefs {
     * sf0.01 and sf0.1 never share an index; the marker is written only
     * after a completed build, so a crashed build rebuilds. */
   private def ensureServeIndex(s: SparkSession, d: String, kind: String): String = {
-    // v3 = index layout version (v3: builds persist buildinfo.parquet —
-    // the appended-fraction input indexStats reads): bump when any
-    // persisted schema changes.
+    // v4 = index layout version (v4: buildinfo.parquet carries the
+    // requested build parameters — rebuildIndex's persisted defaults):
+    // bump when any persisted schema changes.
     // The dir is ALSO keyed by a corpus fingerprint (total bytes ⊕
     // rotated max-mtime ⊕ file count of the embeddings table), so a
     // regenerated corpus at the same path gets a fresh build instead of
@@ -51,7 +51,7 @@ object QueryDefs {
         java.lang.Long.rotateLeft(
           if (stats.isEmpty) 0L else stats.map(_.getModificationTime).max, 21) ^
         stats.length.toLong)
-    val dir = s"/tmp/graft_ann_serve_v3_${Integer.toHexString(d.hashCode)}_$fp/$kind"
+    val dir = s"/tmp/graft_ann_serve_v4_${Integer.toHexString(d.hashCode)}_$fp/$kind"
     val marker = new org.apache.hadoop.fs.Path(s"$dir/_GRAFT_INDEX_OK")
     val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) {
@@ -94,6 +94,19 @@ object QueryDefs {
       fs.create(marker, true).close()
     }
     dir
+  }
+
+  /** Untimed warm-up of every marker-gated serve/lifecycle fixture
+    * (r14 verdict #8): Bench calls this BEFORE pass 1 so the one-off
+    * builds (16.9 s for the rebuild fixture on a fresh /tmp) land
+    * outside the timed passes — min-of-2 already hides them from
+    * totals, but the pass-1 numbers polluted the noise witness and
+    * every session-spread read. The serve queries' own marker checks
+    * then hit warm fixtures, the same way ScaleBench pre-materializes
+    * its pair corpora. */
+  def warmServeFixtures(s: SparkSession, d: String): Unit = {
+    Seq("ivf", "pq", "lsh").foreach(kind => ensureServeIndex(s, d, kind))
+    ensureRebuiltIndex(s, d)
   }
 
   /** DuckDB replay of [[Text.bpeTrain]]'s merge loop as `n` UNROLLED SQL
@@ -1804,8 +1817,11 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
     // index, plus per table the `multiProbe` buckets reached by flipping
     // the lowest-|margin| hyperplane bits — bounded extra candidates
     // for recall without more tables (= a smaller index than table
-    // compensation buys). Rows-only; SimilaritySpec pins the
-    // driver/codegen bucket parity, the heap-expansion order, and the
+    // compensation buys). q is OCCUPANCY-SIZED (multiProbeFor: a fixed
+    // expected candidate budget against the persisted sizing + live
+    // occupancy — the last ANN lever without a sized policy, r14 verdict
+    // #3). Rows-only; SimilaritySpec pins the driver/codegen bucket
+    // parity, the heap-expansion order, the sized-q recall gate, and the
     // recall gain over single-probe at equal tables.
     QueryDef(
       "c14_ann_serve_lsh_mp",
@@ -1813,7 +1829,7 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
         val dir = ensureServeIndex(s, d, "lsh")
         Similarity.probeLshIndex(s, dir, "vec_id", "embedding",
           t(s, d, "embeddings").filter(col("vec_id") === 0), "embedding", k = 10,
-          multiProbe = 4)
+          multiProbe = Similarity.multiProbeFor(s, dir))
       },
       None
     ),
@@ -1892,15 +1908,16 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
     ),
 
     // The batch probe with the IN-PLAN multi-probe lever engaged
-    // (HyperplaneBucketsMulti, q=4): one codegen pass per query row
-    // emits the exact bucket plus the 4 lowest-|margin| single-bit
-    // flips per table, the same (table, bucket) equi-join carries 5x
-    // pairs — recall without more tables at bounded cost (measured:
-    // batch parity at 1-5x, ~1.3-2x the single-probe batch at 10-25x
-    // as the candidate volume surfaces — PERF.md round-14 rows).
-    // Rows-only like its single-probe
-    // sibling; SimilaritySpec pins expression parity, recall dominance,
-    // and the stream==driver-oracle equality at equal q.
+    // (HyperplaneBucketsMulti): one codegen pass per query row emits
+    // the exact bucket plus the q lowest-|margin| single-bit flips per
+    // table, the same (table, bucket) equi-join carries (1+q)x pairs —
+    // recall without more tables at bounded cost (measured: batch
+    // parity at 1-5x, ~1.3-2x the single-probe batch at 10-25x as the
+    // candidate volume surfaces — PERF.md round-14 rows). q is the same
+    // occupancy-sized default as the single-probe sibling
+    // (multiProbeFor: fixed candidate budget). Rows-only;
+    // SimilaritySpec pins expression parity, recall dominance, and the
+    // stream==driver-oracle equality at equal q.
     QueryDef(
       "c14_ann_serve_lsh_batch_mp",
       (s, d) => {
@@ -1908,7 +1925,7 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
         val emb = t(s, d, "embeddings")
         Similarity.probeLshIndexBatch(s, dir, "vec_id", "embedding",
           emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10,
-          multiProbe = 4)
+          multiProbe = Similarity.multiProbeFor(s, dir))
       },
       None
     ),

@@ -189,7 +189,7 @@ class IndexLifecycleSpec extends SparkSpec {
     IndexLifecycle.removeIds(spark, ivfDir,
       Seq(5L, 6L, 7L).toDF("vec_id"), "vec_id")
     assert(stats(ivfDir).getAs[Double]("appended_fraction") > 0.0)
-    IndexLifecycle.rebuildIndex(spark, ivfDir, maxIter = 5)
+    IndexLifecycle.rebuildIndex(spark, ivfDir, maxIter = Some(5))
     val si = stats(ivfDir)
     val expectIds = corpus.filter($"vec_id" < 3 * n / 4 &&
       !$"vec_id".isin(5L, 6L, 7L)).select("vec_id")
@@ -312,11 +312,30 @@ class IndexLifecycleSpec extends SparkSpec {
       after.getAs[Long]("built_rows") == after.getAs[Long]("live_rows"))
     assert(IndexLifecycle.maintainIndex(spark, dir) == "none", "not idempotent")
 
-    // LSH: a tombstone backlog alone triggers compaction
+    // LSH: the tombstone backlog fires compaction only at the THRESHOLD
+    // max(minTombstoneBacklog, tombstoneFraction·live) — LSH compaction
+    // is a wholesale postings+vectors rewrite, so one removed id must
+    // not cost it (r14 verdict #2, the Lucene/Delta deletion-vector
+    // cadence). A sub-threshold backlog waits: "none", but every probe
+    // still serves the tombstones OUT.
     val lshDir = java.nio.file.Files.createTempDirectory("graft_mt_lsh").toString
     Similarity.buildLshIndex(corpus, "vec_id", "embedding", lshDir)
     IndexLifecycle.removeIds(spark, lshDir, Seq(3L).toDF("vec_id"), "vec_id")
-    assert(IndexLifecycle.maintainIndex(spark, lshDir) == "compact")
+    assert(IndexLifecycle.maintainIndex(spark, lshDir) == "none",
+      "sub-threshold backlog fired a wholesale postings rewrite")
+    assert(stats(lshDir).getAs[Long]("tombstones") == 1L,
+      "the waiting backlog was dropped")
+    assert(!pairs(Similarity.probeLshIndex(spark, lshDir, "vec_id",
+      "embedding", corpus.filter($"vec_id" === 0), "embedding", k = 500))
+      .map(_._1).contains(3L),
+      "sub-threshold tombstone not served out of the probe")
+    // both operands of the max(): a dominating fraction keeps waiting...
+    assert(IndexLifecycle.maintainIndex(spark, lshDir,
+      minTombstoneBacklog = 1L, tombstoneFraction = 0.9) == "none",
+      "fraction operand ignored")
+    // ...and at threshold the compaction fires and clears the backlog
+    assert(IndexLifecycle.maintainIndex(spark, lshDir,
+      minTombstoneBacklog = 1L, tombstoneFraction = 0.0) == "compact")
     assert(stats(lshDir).getAs[Long]("tombstones") == 0L)
     assert(IndexLifecycle.maintainIndex(spark, lshDir) == "none")
     // LSH file pressure measures against its OWN bound: the postings
@@ -405,5 +424,119 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(l3.isNullAt(l3.fieldIndex("built_rows")) &&
       l3.isNullAt(l3.fieldIndex("appended_fraction")),
       "missing buildinfo must report NULL, not fabricate a fraction")
+  }
+
+  test("rebuildIndex defaults to the PERSISTED build parameters (ADVICE r14)") {
+    val corpus = emb.localCheckpoint(true)
+    val n = corpus.count()
+    def level1Cells(dir: String): Long =
+      spark.read.parquet(s"$dir/centroids.parquet")
+        .filter($"level" === 1).count()
+    def info(dir: String) = spark.read.parquet(s"$dir/buildinfo.parquet").head()
+
+    // IVF: non-default nprobe/seed/maxIter persist and survive a
+    // default-args rebuild — cells re-size under the ORIGINAL nprobe
+    val ivfDir = java.nio.file.Files.createTempDirectory("graft_bp_ivf").toString
+    Ivf.buildIndex(corpus, "vec_id", "embedding", ivfDir,
+      nprobe = 16, seed = 7L, maxIter = 3)
+    assert(level1Cells(ivfDir) == Ivf.clampK(Ivf.cellsForSearch(n, 16), n))
+    assert(Ivf.clampK(Ivf.cellsForSearch(n, 16), n) !=
+      Ivf.clampK(Ivf.cellsForSearch(n, 4), n),
+      "nprobe=16 and nprobe=4 size the same at this n — respec")
+    IndexLifecycle.rebuildIndex(spark, ivfDir) // all defaults
+    assert(level1Cells(ivfDir) == Ivf.clampK(Ivf.cellsForSearch(n, 16), n),
+      "rebuild re-sized cells under the hardcoded nprobe default")
+    val bi = info(ivfDir)
+    assert(bi.getAs[Int]("nprobe") == 16 && bi.getAs[Long]("seed") == 7L &&
+      bi.getAs[Int]("max_iter") == 3,
+      s"rebuilt buildinfo lost the requested params: $bi")
+    // an explicit override still wins over the persisted value
+    IndexLifecycle.rebuildIndex(spark, ivfDir, nprobe = Some(4))
+    assert(level1Cells(ivfDir) == Ivf.clampK(Ivf.cellsForSearch(n, 4), n),
+      "explicit nprobe override ignored")
+    assert(info(ivfDir).getAs[Int]("nprobe") == 4,
+      "override not persisted as the new request")
+
+    // LSH: base_tables (the one sizing INPUT meta.parquet doesn't carry)
+    // persists and drives the rebuild's table compensation
+    val lshDir = java.nio.file.Files.createTempDirectory("graft_bp_lsh").toString
+    Similarity.buildLshIndex(corpus, "vec_id", "embedding", lshDir,
+      baseTables = 12)
+    IndexLifecycle.rebuildIndex(spark, lshDir)
+    val meta = spark.read.parquet(s"$lshDir/meta.parquet").head()
+    assert(meta.getAs[Int]("tables") ==
+      Similarity.probeTablesFor(meta.getAs[Int]("planes"), 12),
+      s"rebuild re-sized tables under the default baseTables: $meta")
+
+    // PQ: the REQUESTED codebook size persists and re-clamps against the
+    // LIVE count on rebuild — a codebook that trained clamped on a tiny
+    // corpus grows back once the corpus has (the clampK-never-grows trap)
+    val pqDir = java.nio.file.Files.createTempDirectory("graft_bp_pq").toString
+    val tiny = corpus.filter($"vec_id" < 20).localCheckpoint(true)
+    Quantize.buildPqIndex(tiny, "vec_id", "embedding", pqDir,
+      m = 4, codebookSize = 64)
+    // the trained codebook is AT MOST clamp(64, 20) = 20 entries (KMeans
+    // also dedups collapsed centers — singleton-cell residuals are all
+    // the zero vector — so it can land below the clamp; the pin is the
+    // bound, not the exact count)
+    def trainedCb(dir: String): Long =
+      spark.read.parquet(s"$dir/books.parquet")
+        .agg(countDistinct($"c")).head().getLong(0)
+    val cbTiny = trainedCb(pqDir)
+    assert(cbTiny <= 20L, "clamp did not bind — respec the fixture")
+    Quantize.appendPqIndex(corpus.filter($"vec_id" >= 20 && $"vec_id" < 340),
+      "vec_id", "embedding", pqDir)
+    IndexLifecycle.rebuildIndex(spark, pqDir)
+    assert(trainedCb(pqDir) > 20L,
+      s"rebuild kept the clamp-shrunk codebook ($cbTiny -> ${trainedCb(pqDir)}) " +
+        "instead of re-clamping the persisted request against the grown corpus")
+    val pbi = info(pqDir)
+    assert(pbi.getAs[Int]("codebook_size") == 64 && pbi.getAs[Int]("m") == 4,
+      s"PQ rebuild lost the requested geometry: $pbi")
+  }
+
+  test("cell layouts: remove-then-re-append restores the probe (the LSH re-insert contract's physical analog)") {
+    val corpus = emb.localCheckpoint(true)
+    val n = corpus.count()
+    val query = corpus.filter($"vec_id" === 0)
+    def stats(dir: String) = IndexLifecycle.indexStats(spark, dir).head()
+
+    // IVF: the persisted model re-assigns the re-appended rows to their
+    // original cells, so the probe must be BIT-EQUAL to pre-remove
+    val ivfDir = java.nio.file.Files.createTempDirectory("graft_ra_ivf").toString
+    Ivf.buildIndex(corpus, "vec_id", "embedding", ivfDir, maxIter = 5)
+    val before = pairs(Ivf.probeIndex(spark, ivfDir, "vec_id", "embedding",
+      query, "embedding", k = 10))
+    val removed = before.take(3).map(_._1)
+    IndexLifecycle.removeIds(spark, ivfDir, removed.toDF("vec_id"), "vec_id")
+    assert(!pairs(Ivf.probeIndex(spark, ivfDir, "vec_id", "embedding",
+      query, "embedding", k = 10)).map(_._1).exists(removed.contains),
+      "remove did not take")
+    Ivf.appendIndex(corpus.filter($"vec_id".isin(removed: _*)),
+      "vec_id", "embedding", ivfDir)
+    val after = pairs(Ivf.probeIndex(spark, ivfDir, "vec_id", "embedding",
+      query, "embedding", k = 10))
+    assert(after == before, s"re-append diverged: $after vs $before")
+    assert(stats(ivfDir).getAs[Long]("live_rows") == n,
+      "indexStats row count inconsistent after remove+re-append")
+
+    // PQ: persisted coarse model + codebooks give the re-appended rows
+    // their original cells AND codes — same bit-equality contract
+    val pqDir = java.nio.file.Files.createTempDirectory("graft_ra_pq").toString
+    Quantize.buildPqIndex(corpus, "vec_id", "embedding", pqDir, m = 4)
+    val pBefore = pairs(Quantize.probePqIndex(spark, pqDir, "vec_id",
+      "embedding", query, "embedding", k = 10))
+    val pRemoved = pBefore.take(3).map(_._1)
+    IndexLifecycle.removeIds(spark, pqDir, pRemoved.toDF("vec_id"), "vec_id")
+    assert(!pairs(Quantize.probePqIndex(spark, pqDir, "vec_id", "embedding",
+      query, "embedding", k = 10)).map(_._1).exists(pRemoved.contains),
+      "PQ remove did not take")
+    Quantize.appendPqIndex(corpus.filter($"vec_id".isin(pRemoved: _*)),
+      "vec_id", "embedding", pqDir)
+    val pAfter = pairs(Quantize.probePqIndex(spark, pqDir, "vec_id",
+      "embedding", query, "embedding", k = 10))
+    assert(pAfter == pBefore, s"PQ re-append diverged: $pAfter vs $pBefore")
+    assert(stats(pqDir).getAs[Long]("live_rows") == n,
+      "PQ indexStats row count inconsistent after remove+re-append")
   }
 }

@@ -772,5 +772,52 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(probe(10000L) == probe(0L),
       "broadcast middle path diverged from the SHUFFLE_HASH path")
+    // the OCCUPANCY-SIZED q (multiProbeFor, r14 verdict #3): same dir,
+    // q sized from the persisted meta + live vector count — the recall
+    // gate must hold at the sized default the _mp serve entries use
+    val meta = spark.read.parquet(s"$dir/meta.parquet").head()
+    val sizedQ = Similarity.multiProbeFor(spark, dir)
+    assert(sizedQ == Similarity.multiProbeForSized(4000L,
+      meta.getAs[Int]("planes"), meta.getAs[Int]("tables")),
+      "dir-level sizing diverged from the pure formula")
+    assert(sizedQ > 0, "sized q degenerate at this corpus — respec")
+    val (hitsSized, simsSized) = recallAndSims(sizedQ)
+    simsSingle.zip(simsSized).zipWithIndex.foreach { case ((s, z), i) =>
+      s.zip(z).foreach { case (a, b) =>
+        assert(b >= a, s"query $i: sized-q sim regressed ($b < $a)") } }
+    assert(hitsSized > hitsSingle,
+      s"sized q=$sizedQ recovered nothing over single: $hitsSized vs $hitsSingle")
+  }
+
+  test("multiProbeForSized: fixed candidate budget — sized, clamped, occupancy-tracking") {
+    import Similarity.multiProbeForSized
+    // bounds: q ∈ [0, planes] over a broad grid
+    for (live <- Seq(1L, 100L, 10000L, 10000000L); planes <- Seq(4, 10, 20);
+         tables <- Seq(8, 15); t <- Seq(512, 4096)) {
+      val q = multiProbeForSized(live, planes, tables, t)
+      assert(q >= 0 && q <= planes, s"q=$q out of [0, $planes]")
+    }
+    // a single probe that already meets the budget sizes q to 0
+    assert(multiProbeForSized(1000000L, 4, 16, 4096) == 0)
+    // the budget formula: tables·(1+q)·occupancy lands in
+    // [target, target + single-probe volume) when unclamped
+    for ((live, planes, tables) <- Seq((65536L, 10, 8), (60000L, 10, 14),
+         (1500000L, 15, 19))) {
+      val occ = live.toDouble / (1L << planes)
+      val single = tables * occ
+      val q = multiProbeForSized(live, planes, tables, 4096)
+      if (q < planes) {
+        val vol = (1 + q) * single
+        assert(vol >= 4096 && vol < 4096 + single,
+          s"budget missed at ($live,$planes,$tables): vol=$vol")
+      }
+    }
+    // drift behavior: appends double occupancy under a frozen sizing —
+    // the sized q must HALVE the probed-bucket count, holding the
+    // candidate volume at the budget instead of silently doubling cost
+    val qBefore = multiProbeForSized(65536L, 10, 8, 4096)
+    val qAfter = multiProbeForSized(131072L, 10, 8, 4096)
+    assert(qBefore == 7 && qAfter == 3,
+      s"occupancy doubling did not halve the probe count: $qBefore -> $qAfter")
   }
 }

@@ -962,7 +962,7 @@ class StreamingSpec extends SparkSpec {
     graft.ops.Ivf.appendIndex(
       Seq((50L, near(0.015f))).toDF("vec_id", "embedding"),
       "vec_id", "embedding", dir)
-    graft.ops.IndexLifecycle.rebuildIndex(spark, dir, maxIter = 5)
+    graft.ops.IndexLifecycle.rebuildIndex(spark, dir, maxIter = Some(5))
     val stats = graft.ops.IndexLifecycle.indexStats(spark, dir).head()
     assert(stats.getAs[Long]("built_rows") == 11L &&
       stats.getAs[Double]("appended_fraction") == 0.0,
@@ -979,6 +979,49 @@ class StreamingSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got.contains((100L, 1L)) && got.contains((100L, 50L)),
         s"restarted stream does not serve the rebuilt index: $got")
+    } finally q.stop()
+  }
+
+  test("rebuild under a RUNNING probe stream fails LOUDLY on the next micro-batch") {
+    // The other half of the maintenance-cadence contract (r14 verdict
+    // #5): rebuildIndex's scaladoc promises that a running stream's plan
+    // snapshot — which points at the pre-rebuild files the whole-dir
+    // swap deletes — raises on its next micro-batch rather than serving
+    // anything stale. Pin it like the append-visibility contract: a
+    // Spark upgrade that silently re-lists (or ignores missing files)
+    // must fail HERE, not ship stale cells in production.
+    val rnd = new scala.util.Random(83)
+    val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+    def near(eps: Float) = base.map(_ + eps)
+    val corpus = (1L to 10L).map(i => (i, near(0.01f * i)))
+      .toDF("vec_id", "embedding").localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_annps_rbrun").toString
+    graft.ops.Ivf.buildIndex(corpus, "vec_id", "embedding", dir, maxIter = 5)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Streaming.annProbeStream(
+        mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        dir, tau = 0.9, nprobe = 16)
+      .writeStream.format("memory").queryName("sink_rbrun")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(Seq((100L, near(-0.02f)))); q.processAllAvailable()
+      assert(spark.table("sink_rbrun").collect()
+        .exists(_.getLong(0) == 100L), "probe stream dead on arrival")
+      graft.ops.IndexLifecycle.rebuildIndex(spark, dir, maxIter = Some(5))
+      mem.addData(Seq((200L, near(-0.02f))))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      // the failure is the missing pre-rebuild files, not some unrelated
+      // stream error — walk the cause chain (Spark wraps FNF in task /
+      // SparkException layers)
+      val chain = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).take(20).toSeq
+      assert(chain.exists(c => c.isInstanceOf[java.io.FileNotFoundException] ||
+        String.valueOf(c.getMessage).toLowerCase.contains("file")),
+        s"stream failed, but not on the swapped files: $e")
+      assert(!spark.table("sink_rbrun").collect().exists(_.getLong(0) == 200L),
+        "post-rebuild micro-batch served results from the stale plan snapshot")
     } finally q.stop()
   }
 }
