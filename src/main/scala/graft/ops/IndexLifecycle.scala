@@ -110,10 +110,19 @@ object IndexLifecycle {
           // localCheckpoint breaks the read-from-overwrite-target cycle
           // AND materializes survivors before their files are replaced;
           // bounded by the affected cells' content (increment-sized
-          // removal contract)
+          // removal contract). repartition(cell) first: without it the
+          // dynamic overwrite fans each rewritten cell into one file PER
+          // TASK holding its rows (LifecycleSweep measured files<=32 —
+          // the shuffle parallelism — after one remove), manufacturing
+          // the exact small-file pressure compactIndex exists to
+          // relieve; hash-clustering by cell lands each rewritten cell
+          // as ONE file (compactIndex's own discipline) for one extra
+          // shuffle of the affected content — data that was moving
+          // anyway.
           val survivors = idJoin(
             table.filter(col("cell").isin(affected.map(Integer.valueOf): _*)),
             idsDf, idCol, nIds, idBroadcastLimit, "left_anti")
+            .repartition(col("cell"))
             .localCheckpoint(true)
           survivors.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

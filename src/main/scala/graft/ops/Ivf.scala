@@ -504,7 +504,14 @@ object Ivf {
     val model = trainModel(emb, vecCol, cells, seed, sampleFraction, maxIter,
       hierarchicalThreshold)
     writeModel(emb.sparkSession, dir, model)
+    // repartition(cell): without it every write task holding a cell's
+    // rows emits its own file — a parallelism-32 build starts life at
+    // 32 files per cell, the small-file state compactIndex exists to
+    // UNDO (it would fire right after a healthy build). One extra
+    // shuffle of the corpus at build time — noise next to the KMeans
+    // passes — lands each cell as one file (LifecycleSweep, r15).
     model.indexOf(emb, idCol, vecCol)
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/invfile.parquet")
     writeBuildInfo(emb.sparkSession, dir, n, Seq(
@@ -584,7 +591,11 @@ object Ivf {
     requireLayout(emb.sparkSession, dir, "invfile.parquet",
       "appendIndex", "Quantize.appendPqIndex")
     val model = loadIndexModel(emb.sparkSession, dir)
+    // repartition(cell): one file per TOUCHED cell per append (instead
+    // of one per task per cell) — appends still accumulate one file
+    // batch per append, which stays compactIndex's job
     model.indexOf(emb, idCol, vecCol)
+      .repartition(col("cell"))
       .write.mode("append").partitionBy("cell")
       .parquet(s"$dir/invfile.parquet")
     model

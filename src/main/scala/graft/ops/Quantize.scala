@@ -330,8 +330,11 @@ object Quantize {
         book.zipWithIndex.map { case (cen, c) => (j, c, cen.toSeq) } }
       .toSeq.toDF("j", "c", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/books.parquet")
+    // repartition(cell): one file per cell (Ivf.buildIndex's rationale —
+    // a parallel build must not start at compaction-pressure file counts)
     indexed
       .withColumn("code", pqCode(coarse.residualOf(col(vecCol)), cb))
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes.parquet")
     // codebook_size is the REQUESTED size, pre-clamp (ADVICE r14): a
     // rebuild after the corpus grows must re-clamp the request against
@@ -359,9 +362,11 @@ object Quantize {
     Ivf.requireLayout(emb.sparkSession, dir, "codes.parquet",
       "appendPqIndex", "Ivf.appendIndex")
     val model = loadPqIndex(emb.sparkSession, dir)
+    // repartition(cell): one file per touched cell per append
     model.coarse.indexOf(emb, idCol, vecCol)
       .withColumn("code",
         pqCode(model.coarse.residualOf(col(vecCol)), model.cb))
+      .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$dir/codes.parquet")
     model
   }

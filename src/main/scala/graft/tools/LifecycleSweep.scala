@@ -1,0 +1,158 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Ivf, IndexLifecycle, Similarity}
+
+/** Lifecycle scaling evidence the main ScaleBench sweep doesn't carry
+  * (r14 verdict #3/#7), at 1×/2×/5×/10×/25× the sf0.1 embeddings:
+  *
+  *  - **cell-layout removeIds**: wall + affected-cell count for a
+  *    FIXED 500-id removal batch. The call has two cost terms: the
+  *    affected-cell DISCOVERY (a column-pruned id⋈cell semi-join over
+  *    the inverted file — linear in corpus bytes but reads two columns)
+  *    and the dynamic-partition REWRITE (bounded by the affected cells'
+  *    content — the increment-sized claim). A second remove of ids NOT
+  *    in the index isolates the discovery term (no cells match, so no
+  *    rewrite happens): rewrite = t(remove) − t(noop remove), and THAT
+  *    difference must stay increment-sized across rungs.
+  *
+  *  - **occupancy-sized multi-probe** ([[Similarity.multiProbeFor]]):
+  *    the sized q and the measured candidate volume per rung — the
+  *    volume must track the fixed budget (default 4096), not the
+  *    corpus; the probe wall at the sized q rides along.
+  *
+  * Corpora reuse [[ScaleBench]]'s /tmp replicas (disjoint sign-flipped
+  * embeddings — within-replica dot products exact, cross-replica ~0).
+  *
+  * Run: sbt "runMain graft.tools.LifecycleSweep"  (SPARK_GRAFT_KS to trim)
+  */
+object LifecycleSweep {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val ks = sys.env.getOrElse("SPARK_GRAFT_KS", "1,2,5,10,25")
+      .split(",").map(_.trim.toInt).toSeq
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "15s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+
+    val baseEmb = graft.engine.Tables.read(spark, "/root/testdata/sf0.1", "embeddings")
+
+    def timeIt(body: => Long): (Double, Long) = {
+      val t0 = System.nanoTime(); val out = body
+      ((System.nanoTime() - t0) / 1e9, out)
+    }
+
+    for (k <- ks) {
+      val dir = s"/tmp/graft_scale_x$k"
+      if (!new java.io.File(s"$dir/embeddings.parquet").exists())
+        ScaleBench.scaledEmb(baseEmb, k).write.mode("overwrite")
+          .parquet(s"$dir/embeddings.parquet")
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .repartition(cpus.toInt).localCheckpoint(true)
+      val nVecs = emb.count()
+
+      // ── cell-layout removeIds ────────────────────────────────────────
+      // residual coarse regime forced (threshold 64, the ScaleBench
+      // convention) + sampled training: build cost is context, not the
+      // measured claim — the remove wall is.
+      val ivfDir = s"/tmp/graft_lcs_ivf_x$k"
+      val (tBuild, _) = timeIt {
+        Ivf.buildIndex(emb, "vec_id", "embedding", ivfDir,
+          sampleFraction = 0.25, maxIter = 5, hierarchicalThreshold = 64)
+        0L
+      }
+      // affected cells, computed untimed (removeIds re-derives them
+      // inside the timed call)
+      def affectedCells(b: DataFrame): Long =
+        spark.read.parquet(s"$ivfDir/invfile.parquet")
+          .join(broadcast(b), Seq("vec_id"), "left_semi")
+          .select("cell").distinct().count()
+      val cellsTotal = spark.read.parquet(s"$ivfDir/invfile.parquet")
+        .select("cell").distinct().count()
+      // SMALL fixed batch first (16 ids — the increment-sized regime the
+      // removeIds contract is written for: affected ≤ 16 cells no matter
+      // the corpus), then the 500-id batch (scattered ids touch
+      // ~min(batch, cells) cells — the regime where a cell layout's
+      // physical remove approaches a corpus rewrite and the LSH
+      // tombstone verb is the right layout)
+      val batch16 = emb.filter(col("vec_id") >= 601 && col("vec_id") <= 616)
+        .select("vec_id").localCheckpoint(true)
+      val affected16 = affectedCells(batch16)
+      val (tRm16, _) = timeIt {
+        IndexLifecycle.removeIds(spark, ivfDir, batch16, "vec_id"); 0L
+      }
+      val batch = emb.filter(col("vec_id") >= 1 && col("vec_id") <= 500)
+        .select("vec_id").localCheckpoint(true)
+      val nBatch = batch.count() + batch16.count()
+      val affected = affectedCells(batch)
+      val (tRm, _) = timeIt {
+        IndexLifecycle.removeIds(spark, ivfDir, batch, "vec_id"); 0L
+      }
+      // discovery-only control: ids not present → no cells match → no
+      // rewrite; the wall is the column-pruned semi-join scan alone
+      import spark.implicits._
+      val ghost = (1L to 500L).map(_ + 8000000000L).toDF("vec_id")
+        .localCheckpoint(true)
+      val (tRmNoop, _) = timeIt {
+        IndexLifecycle.removeIds(spark, ivfDir, ghost, "vec_id"); 0L
+      }
+      val statsRow = IndexLifecycle.indexStats(spark, ivfDir).head()
+      val live = statsRow.getAs[Long]("live_rows")
+      val maxFiles = statsRow.getAs[Int]("max_files_per_cell")
+      require(live == nVecs - nBatch, s"remove lost rows: $live vs ${nVecs - nBatch}")
+
+      // ── occupancy-sized multi-probe ──────────────────────────────────
+      val lshDir = s"/tmp/graft_scale_lsh_x$k"
+      if (!new java.io.File(s"$lshDir/meta.parquet").exists())
+        Similarity.buildLshIndex(emb.filter(col("vec_id") =!= 0),
+          "vec_id", "embedding", lshDir)
+      val meta = spark.read.parquet(s"$lshDir/meta.parquet").head()
+      val (planes, tables, dim, seed) =
+        (meta.getAs[Int]("planes"), meta.getAs[Int]("tables"),
+          meta.getAs[Int]("dim"), meta.getAs[Long]("seed"))
+      val sizedQ = Similarity.multiProbeFor(spark, lshDir)
+      // measured candidate volume at the sized q, averaged over 5
+      // queries — the same (table, bucket)-pair set probeLshIndex scans
+      val postings = spark.read.parquet(s"$lshDir/postings.parquet")
+      val qVecs = emb.filter(col("vec_id") < 5)
+        .select(col("embedding").cast("array<double>")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      val volumes = qVecs.map { qv =>
+        val (buckets, margins) =
+          Similarity.bucketsAndMarginsLocal(qv, tables, planes, dim, seed)
+        val qPairs = (0 until tables).flatMap { t =>
+          (t, buckets(t)) +:
+            Similarity.perturbationSets(margins(t).map(math.abs), sizedQ)
+              .map(ps => (t, ps.foldLeft(buckets(t))((b, p) => b ^ (1 << p))))
+        }.distinct
+        postings.join(
+            broadcast(spark.createDataFrame(qPairs).toDF("table", "bucket")),
+            Seq("table", "bucket"))
+          .select("vec_id").distinct().count()
+      }
+      val meanVol = volumes.sum / volumes.length
+      val (tProbe, _) = timeIt {
+        Similarity.probeLshIndex(spark, lshDir, "vec_id", "embedding",
+            emb.filter(col("vec_id") === 0), "embedding", k = 10,
+            multiProbe = sizedQ)
+          .write.format("noop").mode("overwrite").save()
+        0L
+      }
+
+      println(f"[lcs] x$k%-2d vecs=$nVecs%8d | ivfBuild=$tBuild%6.2fs " +
+        f"rm16=$tRm16%5.2fs(aff=$affected16%3d) " +
+        f"rm500=$tRm%5.2fs rmNoop=$tRmNoop%5.2fs rewrite=${tRm - tRmNoop}%5.2fs " +
+        f"affected=$affected%4d/$cellsTotal%4d cells files<=$maxFiles | " +
+        f"planes=$planes tables=$tables sizedQ=$sizedQ " +
+        f"cand=$meanVol%6d (target 4096) probe=$tProbe%5.2fs")
+    }
+    spark.stop()
+  }
+}

@@ -26,7 +26,21 @@ class IndexLifecycleSpec extends SparkSpec {
       query, "embedding", k = 10))
     val removed = before.take(3).map(_._1)
     assert(removed.contains(0L), "planted self not in top-3 — corpus drifted?")
+    val affectedCells = spark.read.parquet(s"$dir/invfile.parquet")
+      .filter($"vec_id".isin(removed: _*)).select("cell").distinct()
+      .collect().map(_.getInt(0)).toSet
     IndexLifecycle.removeIds(spark, dir, removed.toDF("vec_id"), "vec_id")
+    // each REWRITTEN cell lands as ONE file (LifecycleSweep caught the
+    // pre-r15 fan-out: one file per task holding the cell's rows = up to
+    // shuffle-partition-many files per cell after a single remove —
+    // manufactured small-file pressure); untouched cells keep whatever
+    // the build wrote — consolidation is compactIndex's job, removal
+    // must only not make it worse
+    affectedCells.foreach { c =>
+      val d = new java.io.File(s"$dir/invfile.parquet/cell=$c")
+      val nf = if (d.exists()) d.listFiles().count(_.getName.startsWith("part-")) else 0
+      assert(nf <= 1, s"removeIds fanned cell=$c into $nf files")
+    }
     val after = pairs(Ivf.probeIndex(spark, dir, "vec_id", "embedding",
       query, "embedding", k = 10))
     assert(after.map(_._1).toSet.intersect(removed.toSet).isEmpty,
