@@ -191,7 +191,15 @@ object Bench {
     try graft.queries.QueryDefs.warmServeFixtures(spark, sfDir)
     catch { case NonFatal(e) =>
       System.err.println(s"[bench] fixture warm-up failed (timed pass will retry): $e") }
-    val detailed = measureDetailed(spark, sfDir, SparkEntry.queries)
+    // SPARK_GRAFT_ONLY=a,b,c restricts the run to named queries — the
+    // session-composition A/B lever (does a query's wall depend on the
+    // 150-query session around it, or on its own plan?). A filtered run
+    // never overwrites the durable repo artifact.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.view.filterKeys(names).toMap)
+    val detailed = measureDetailed(spark, sfDir, queries)
     val results = detailed.map { case (n, t) => n -> (t.best, t.err) }
     val json = fullJson(results, sfDir, Some(detailed))
     val failed = errsOf(results).size
@@ -200,7 +208,8 @@ object Bench {
     // post-round bench (the stdout tail window holds only the compact
     // line; the full per-query history lives here)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
-    for (path <- Seq(out, "/root/repo/BENCH_FULL.json").distinct) {
+    val durable = if (only.isEmpty) Seq("/root/repo/BENCH_FULL.json") else Nil
+    for (path <- (Seq(out) ++ durable).distinct) {
       try {
         java.nio.file.Files.write(java.nio.file.Paths.get(path),
           (json + "\n").getBytes("UTF-8"))
