@@ -550,9 +550,11 @@ object Ivf {
   def probeIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                  idCol: String, vecCol: String,
                  query: DataFrame, queryVecCol: String, k: Int,
-                 nprobe: Int = 4): DataFrame =
+                 nprobe: Int = 4,
+                 selector: Option[DataFrame] = None): DataFrame =
     probeIndexFrame(spark.read.parquet(s"$dir/invfile.parquet"),
-      loadIndexModel(spark, dir), idCol, vecCol, query, queryVecCol, k, nprobe)
+      loadIndexModel(spark, dir), idCol, vecCol, query, queryVecCol, k, nprobe,
+      selector)
 
   /** Does `dir/child` exist? The layout-dispatch primitive shared by
     * [[cellSource]], the append guards, and the streaming probe's
@@ -619,9 +621,11 @@ object Ivf {
   def probeIndexBatch(spark: org.apache.spark.sql.SparkSession, dir: String,
                       idCol: String, vecCol: String,
                       queries: DataFrame, qIdCol: String, qVecCol: String,
-                      k: Int, nprobe: Int = 4): DataFrame = {
+                      k: Int, nprobe: Int = 4,
+                      selector: Option[DataFrame] = None): DataFrame = {
     val model = loadIndexModel(spark, dir)
-    val inv = cellSource(spark, dir, idCol, vecCol)
+    val inv = Similarity.applySelector(
+      cellSource(spark, dir, idCol, vecCol), selector, idCol)
     val qf = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"))
     val probes =
       if (model.isResidual)
@@ -644,7 +648,8 @@ object Ivf {
   private[ops] def probeIndexFrame(inv: DataFrame, model: IndexModel,
                                    idCol: String, vecCol: String,
                                    query: DataFrame, queryVecCol: String,
-                                   k: Int, nprobe: Int): DataFrame = {
+                                   k: Int, nprobe: Int,
+                                   selector: Option[DataFrame] = None): DataFrame = {
     val qRows = query.select(col(queryVecCol).cast("array<double>").as("__q"))
       .take(2)
     require(qRows.length == 1,
@@ -653,12 +658,19 @@ object Ivf {
         "use Ivf.probeIndexBatch against the same dir")
     val q = qRows.head.getSeq[Double](0).toArray
     val probes = broadcast(query.select(col(queryVecCol).as("__qv")))
-    val probed = inv
+    // the selector (FAISS IDSelector analog) rides the single inverted-
+    // file choke point: the probed scan AND the exact fallback read the
+    // filtered frame, so a disallowed id can surface nowhere and the
+    // never-short contract runs over the FILTERED corpus. The cell
+    // filter still pushes through the semi-join to the scan — static
+    // partition pruning survives filtering.
+    val src = Similarity.applySelector(inv, selector, idCol)
+    val probed = src
       .filter(col("cell").isin(model.probedCells(q, nprobe).map(Integer.valueOf): _*))
       .crossJoin(probes)
       .select(col(idCol), round(Similarity.cosine(col(vecCol), col("__qv")), 4).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
-    Similarity.neverShort(probed, inv, idCol, vecCol, query, queryVecCol, k)
+    Similarity.neverShort(probed, src, idCol, vecCol, query, queryVecCol, k)
   }
 }

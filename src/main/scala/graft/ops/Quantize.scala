@@ -394,9 +394,11 @@ object Quantize {
   def probePqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                    idCol: String, vecCol: String,
                    query: DataFrame, queryVecCol: String, k: Int,
-                   nprobe: Int = 4, rerank: Int = 100): DataFrame =
+                   nprobe: Int = 4, rerank: Int = 100,
+                   selector: Option[DataFrame] = None): DataFrame =
     pqProbeCore(spark.read.parquet(s"$dir/codes.parquet"),
-      loadPqIndex(spark, dir), idCol, vecCol, query, queryVecCol, k, nprobe, rerank)
+      loadPqIndex(spark, dir), idCol, vecCol, query, queryVecCol, k, nprobe,
+      rerank, selector)
 
   /** The probe core over an already-loaded (codes, model) pair — shared
     * by [[probePqIndex]] and QuantizeSpec's round-trip-equivalence spec
@@ -409,7 +411,8 @@ object Quantize {
   private[ops] def pqProbeCore(codes: DataFrame, model: PqIndexModel,
                                idCol: String, vecCol: String,
                                query: DataFrame, queryVecCol: String,
-                               k: Int, nprobe: Int, rerank: Int): DataFrame = {
+                               k: Int, nprobe: Int, rerank: Int,
+                               selector: Option[DataFrame] = None): DataFrame = {
     require(rerank >= k, s"rerank $rerank < k $k")
     val qRows = query.select(col(queryVecCol).cast("array<double>").as("__q"))
       .take(2)
@@ -418,7 +421,11 @@ object Quantize {
         "probed cells are driver-computed from one vector — batch callers " +
         "use Ivf.probeIndexBatch against the same dir")
     val q = qRows.head.getSeq[Double](0).toArray
-    val shortlist = codes
+    // selector (FAISS IDSelector analog): ADC shortlist and exact
+    // fallback both read the filtered code table — Ivf.probeIndexFrame's
+    // rationale
+    val src = Similarity.applySelector(codes, selector, idCol)
+    val shortlist = src
       .filter(col("cell").isin(
         model.coarse.probedCells(q, nprobe).map(Integer.valueOf): _*))
       .select(col(idCol), col(vecCol),
@@ -428,6 +435,6 @@ object Quantize {
       .limit(rerank)
     Similarity.neverShort(
       Similarity.bruteForceTopK(shortlist, idCol, vecCol, query, queryVecCol, k),
-      codes, idCol, vecCol, query, queryVecCol, k)
+      src, idCol, vecCol, query, queryVecCol, k)
   }
 }

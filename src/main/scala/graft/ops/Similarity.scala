@@ -659,6 +659,30 @@ object Similarity {
     }
   }
 
+  /** FAISS `IDSelector` analog for the serve probes (per-tenant /
+    * allowlist filtered search — the RAG "only this tenant's documents"
+    * shape): restrict `table` to the ids in `selector` via a
+    * count-gated semi-join (broadcast under the gate, SHUFFLE_HASH past
+    * it — a tenant's allowlist is NOT small by construction). Applied
+    * to the VECTORS/CODES source, the same single-choke-point shape as
+    * the [[lshVectors]] tombstone filter: candidate recovery, ranking,
+    * and the never-short exact fallback all read the filtered frame, so
+    * a disallowed id can surface nowhere AND the fallback's "fewer than
+    * k" contract runs over the FILTERED corpus (3 allowed rows at k=10
+    * return exactly 3 ranked rows, never fall through to disallowed
+    * ones). Selector semantics are query-scoped and transient —
+    * permanent removal is [[IndexLifecycle.removeIds]]. */
+  private[ops] def applySelector(table: DataFrame,
+                                 selector: Option[DataFrame], idCol: String,
+                                 broadcastLimit: Long =
+                                   Dedup.HotShingleBroadcastLimit): DataFrame =
+    selector.fold(table) { sel =>
+      val ids = sel.select(col(idCol)).distinct().localCheckpoint(true)
+      if (ids.count() <= broadcastLimit)
+        table.join(broadcast(ids), Seq(idCol), "left_semi")
+      else table.join(ids.hint("SHUFFLE_HASH"), Seq(idCol), "left_semi")
+    }
+
   /** A literal In list longer than this stops being a filter and starts
     * being a PLANNING problem: every id becomes a Literal child the
     * analyzer and optimizer walk, and parquet In-pushdown gave up far
@@ -728,7 +752,8 @@ object Similarity {
                     idCol: String, vecCol: String,
                     query: DataFrame, queryVecCol: String, k: Int,
                     candidateIdLimit: Long = 10000L,
-                    multiProbe: Int = 0): DataFrame = {
+                    multiProbe: Int = 0,
+                    selector: Option[DataFrame] = None): DataFrame = {
     val meta = spark.read.parquet(s"$dir/meta.parquet").head()
     val (planes, tables, dim, seed) =
       (meta.getAs[Int]("planes"), meta.getAs[Int]("tables"),
@@ -766,7 +791,9 @@ object Similarity {
         }.distinct
       }
     val postings = spark.read.parquet(s"$dir/postings.parquet")
-    val vectors = lshVectors(spark, dir, idCol)
+    // selector rides the vectors choke point exactly like the tombstone
+    // filter — postings stay unfiltered (stale hits just match nothing)
+    val vectors = applySelector(lshVectors(spark, dir, idCol), selector, idCol)
     // foldLeft(false): an empty pair set (null query vector) selects
     // nothing instead of crashing an empty reduce — the fallback answers.
     // Past [[OrPairCap]] pairs the OR becomes the cost: MpProfile at 25×
@@ -813,7 +840,8 @@ object Similarity {
                          idCol: String, vecCol: String,
                          queries: DataFrame, qIdCol: String, qVecCol: String,
                          k: Int, candidateIdLimit: Long = 10000L,
-                         multiProbe: Int = 0): DataFrame = {
+                         multiProbe: Int = 0,
+                         selector: Option[DataFrame] = None): DataFrame = {
     val meta = spark.read.parquet(s"$dir/meta.parquet").head()
     val (planes, tables, dim, seed) =
       (meta.getAs[Int]("planes"), meta.getAs[Int]("tables"),
@@ -839,7 +867,7 @@ object Similarity {
       }
     val qIdx = broadcast(qPairsDf)
     val postings = spark.read.parquet(s"$dir/postings.parquet")
-    val vectors = lshVectors(spark, dir, idCol)
+    val vectors = applySelector(lshVectors(spark, dir, idCol), selector, idCol)
     // (query, candidate) pairs: ids that share any (table, bucket) with
     // the query — distinct BEFORE scoring so multi-table collisions
     // score once, same as the single probe's dropDuplicates

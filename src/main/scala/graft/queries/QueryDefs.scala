@@ -1432,6 +1432,36 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
               FROM dots ORDER BY sim DESC, vec_id LIMIT 10""")
     ),
 
+    // Filtered exact search (the per-tenant / metadata-predicate RAG
+    // shape): on Spark a metadata predicate IS the filter — pushed to
+    // the scan ahead of the TakeOrderedAndProject top-k — so the exact
+    // form is a composition, no new operator (the serve-side analog,
+    // FAISS's IDSelector, is `c14_ann_serve_filtered` below). Oracle
+    // replays c14_cosine_topk's double-accumulated cosine under the
+    // same predicate.
+    QueryDef(
+      "c14_filtered_topk",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") =!= 0 && col("label") === 3),
+          "vec_id", "embedding",
+          emb.filter(col("vec_id") === 0), "embedding", k = 10
+        )
+      },
+      Some("""WITH q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS v,
+                                generate_subscripts(embedding, 1) AS i
+                         FROM embeddings WHERE vec_id = 0),
+                e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                             generate_subscripts(embedding, 1) AS i
+                      FROM embeddings WHERE vec_id <> 0 AND label = 3),
+                dots AS (SELECT e.vec_id, sum(e.v * q.v) AS dot, sum(e.v * e.v) AS ne,
+                                sum(q.v * q.v) AS nq
+                         FROM e JOIN q ON e.i = q.i GROUP BY e.vec_id)
+              SELECT vec_id, round(dot / (sqrt(ne) * sqrt(nq)), 4) AS sim
+              FROM dots ORDER BY sim DESC, vec_id LIMIT 10""")
+    ),
+
     // Hybrid retrieval: BM25 lexical top-20 + exact cosine dense top-20
     // fused by reciprocal rank fusion (1/(60+rank)). Both input lists are
     // rank-deterministic (each orders by its ROUNDED score with an id
@@ -1926,6 +1956,29 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
         Similarity.probeLshIndexBatch(s, dir, "vec_id", "embedding",
           emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10,
           multiProbe = Similarity.multiProbeFor(s, dir))
+      },
+      None
+    ),
+
+    // Filtered SERVE probe (FAISS IDSelector / SearchParameters.sel —
+    // the per-tenant RAG serving shape): the same materialized IVF
+    // index, probe restricted to a driver-supplied allowlist frame. The
+    // selector rides the inverted-file choke point as a COUNT-GATED
+    // semi-join (an allowlist is never "small by construction"), the
+    // probed-cell filter still pushes through it (partition pruning
+    // survives), and the never-short fallback runs over the FILTERED
+    // corpus — 3 allowed rows at k=10 return exactly 3, never a
+    // disallowed id. Rows-only (KMeans); FilteredProbeSpec pins
+    // no-disallowed-id + full-selector no-op + filtered-never-short +
+    // covering-nprobe exactness on every probe path, all layouts.
+    QueryDef(
+      "c14_ann_serve_filtered",
+      (s, d) => {
+        val dir = ensureServeIndex(s, d, "ivf")
+        val emb = t(s, d, "embeddings")
+        Ivf.probeIndex(s, dir, "vec_id", "embedding",
+          emb.filter(col("vec_id") === 0), "embedding", k = 10,
+          selector = Some(emb.filter(col("label") === 3).select("vec_id")))
       },
       None
     ),
