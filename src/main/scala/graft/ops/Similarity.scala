@@ -43,6 +43,30 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact cosine RANGE search (FAISS `range_search`): every corpus row
+    * with rounded cosine ≥ `tau` against one query vector. Same
+    * broadcast-query + map-side-projection shape as [[bruteForceTopK]],
+    * but range semantics have no k — the result is the full qualifying
+    * set, and an empty set is a valid answer (no never-short fallback:
+    * that contract belongs to top-k, where "nothing" is never right).
+    * The (sim desc, id) ordering exists for deterministic output (the
+    * repo's oracle contract); a 100 TB caller that doesn't need a total
+    * order should drop it — it is the one data-sized sort here, though
+    * it only sorts the ≥ tau survivors, not the corpus. The ANN serve
+    * counterpart is [[graft.streaming.Streaming.annProbeStream]]'s
+    * ≥ tau tagging — the same plan batch or stream — whose recall is
+    * the probed-cell recall, exact within probed cells. */
+  def rangeSearch(emb: DataFrame, idCol: String, vecCol: String,
+                  query: DataFrame, queryVecCol: String,
+                  tau: Double): DataFrame = {
+    val q = broadcast(query.select(col(queryVecCol).as("__qv")))
+    emb
+      .crossJoin(q)
+      .select(col(idCol), round(cosine(col(vecCol), col("__qv")), 4).as("sim"))
+      .filter(col("sim") >= tau)
+      .orderBy(col("sim").desc, col(idCol))
+  }
+
   /** Reciprocal rank fusion (Cormack, Clarke & Buettcher, SIGIR'09):
     * fuse N ranked candidate lists into one ranking by
     * score(d) = Σ_lists 1/(rrfK + rank_list(d)) — the standard hybrid
@@ -672,10 +696,10 @@ object Similarity {
     * return exactly 3 ranked rows, never fall through to disallowed
     * ones). Selector semantics are query-scoped and transient —
     * permanent removal is [[IndexLifecycle.removeIds]]. */
-  private[ops] def applySelector(table: DataFrame,
-                                 selector: Option[DataFrame], idCol: String,
-                                 broadcastLimit: Long =
-                                   Dedup.HotShingleBroadcastLimit): DataFrame =
+  private[graft] def applySelector(table: DataFrame,
+                                   selector: Option[DataFrame], idCol: String,
+                                   broadcastLimit: Long =
+                                     Dedup.HotShingleBroadcastLimit): DataFrame =
     selector.fold(table) { sel =>
       val ids = sel.select(col(idCol)).distinct().localCheckpoint(true)
       if (ids.count() <= broadcastLimit)

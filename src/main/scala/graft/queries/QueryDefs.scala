@@ -1462,6 +1462,33 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
               FROM dots ORDER BY sim DESC, vec_id LIMIT 10""")
     ),
 
+    // Exact RANGE search (FAISS range_search): the full qualifying set
+    // at rounded cosine >= 0.3 — no k, no LIMIT, so the total order
+    // exists purely for the deterministic-output contract. Oracle
+    // replays the double-accumulated cosine and the same
+    // round-then-compare.
+    QueryDef(
+      "c14_range_search",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.rangeSearch(
+          emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+          emb.filter(col("vec_id") === 0), "embedding", tau = 0.3)
+      },
+      Some("""WITH q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS v,
+                                generate_subscripts(embedding, 1) AS i
+                         FROM embeddings WHERE vec_id = 0),
+                e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                             generate_subscripts(embedding, 1) AS i
+                      FROM embeddings WHERE vec_id <> 0),
+                dots AS (SELECT e.vec_id, sum(e.v * q.v) AS dot, sum(e.v * e.v) AS ne,
+                                sum(q.v * q.v) AS nq
+                         FROM e JOIN q ON e.i = q.i GROUP BY e.vec_id)
+              SELECT vec_id, round(dot / (sqrt(ne) * sqrt(nq)), 4) AS sim
+              FROM dots WHERE round(dot / (sqrt(ne) * sqrt(nq)), 4) >= 0.3
+              ORDER BY sim DESC, vec_id""")
+    ),
+
     // Hybrid retrieval: BM25 lexical top-20 + exact cosine dense top-20
     // fused by reciprocal rank fusion (1/(60+rank)). Both input lists are
     // rank-deterministic (each orders by its ROUNDED score with an id
@@ -1979,6 +2006,28 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
         Ivf.probeIndex(s, dir, "vec_id", "embedding",
           emb.filter(col("vec_id") === 0), "embedding", k = 10,
           selector = Some(emb.filter(col("label") === 3).select("vec_id")))
+      },
+      None
+    ),
+
+    // The SERVE range probe: annProbeStream's plan on a batch frame
+    // (stream-static joins are plain joins given a batch input — the
+    // stream==batch specs rest on exactly that) against the
+    // materialized IVF index: probed cells only, exact cosine >= tau
+    // within, recall = probed-cell recall (range semantics: an empty
+    // answer is valid, no never-short — that contract belongs to
+    // top-k). Rows-only (KMeans cells); StreamingSpec pins
+    // values-exact-within-probed-cells and covering-nprobe set
+    // equality with the exact rangeSearch.
+    QueryDef(
+      "c14_ann_serve_range",
+      (s, d) => {
+        val dir = ensureServeIndex(s, d, "ivf")
+        val emb = t(s, d, "embeddings")
+        graft.streaming.Streaming.annProbeStream(
+            emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+            dir, tau = 0.2, nprobe = 16)
+          .orderBy(col("sim").desc, col("vec_id"))
       },
       None
     ),

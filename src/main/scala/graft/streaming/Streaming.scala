@@ -186,7 +186,8 @@ object Streaming {
     * plan time (small by the residual-regime construction). */
   def annProbeStream(docs: DataFrame, idCol: String, vecCol: String,
                      indexDir: String, tau: Double,
-                     nprobe: Int = 4, multiProbe: Int = 0): DataFrame = {
+                     nprobe: Int = 4, multiProbe: Int = 0,
+                     selector: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
     val q = docs.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
     // layout resolved ONCE, driver-side, at plan time (the cellSource
@@ -197,9 +198,15 @@ object Streaming {
     // `multiProbe` extra flipped-bit buckets per table (ignored by the
     // cell layouts in turn: their recall lever IS nprobe).
     if (graft.ops.Ivf.layoutFileExists(spark, indexDir, "meta.parquet"))
-      return lshProbeStream(spark, q, idCol, vecCol, indexDir, tau, multiProbe)
+      return lshProbeStream(spark, q, idCol, vecCol, indexDir, tau, multiProbe,
+        selector)
     val model = graft.ops.Ivf.loadIndexModel(spark, indexDir)
-    val inv = graft.ops.Ivf.cellSource(spark, indexDir, idCol, vecCol)
+    // selector (FAISS IDSelector analog, a STATIC frame): per-tenant
+    // filtered tagging at ingest — rides the static side's choke point
+    // exactly like the batch probes', resolved once at plan time
+    val inv = graft.ops.Similarity.applySelector(
+      graft.ops.Ivf.cellSource(spark, indexDir, idCol, vecCol),
+      selector, idCol)
     val probes =
       if (model.isResidual)
         graft.ops.Ivf.probeCellsResidual(q, "__qv",
@@ -237,15 +244,19 @@ object Streaming {
   private def lshProbeStream(spark: SparkSession, q: DataFrame,
                              idCol: String, vecCol: String,
                              indexDir: String, tau: Double,
-                             multiProbe: Int = 0): DataFrame = {
+                             multiProbe: Int = 0,
+                             selector: Option[DataFrame] = None): DataFrame = {
     val meta = spark.read.parquet(s"$indexDir/meta.parquet").head()
     val (planes, tables, dim, seed) =
       (meta.getAs[Int]("planes"), meta.getAs[Int]("tables"),
         meta.getAs[Int]("dim"), meta.getAs[Long]("seed"))
     val postings = spark.read.parquet(s"$indexDir/postings.parquet")
     // tombstone-aware (IndexLifecycle.removeIds): removed ids must not
-    // tag arrivals even before compaction applies them physically
-    val vectors = graft.ops.Similarity.lshVectors(spark, indexDir, idCol)
+    // tag arrivals even before compaction applies them physically; the
+    // selector composes on the same choke point
+    val vectors = graft.ops.Similarity.applySelector(
+      graft.ops.Similarity.lshVectors(spark, indexDir, idCol),
+      selector, idCol)
     // the arrival's probed-bucket array: stride buckets per table (the
     // exact signature + multiProbe lowest-|margin| single-bit flips, all
     // from ONE codegen pass under the PERSISTED sizing); stride = 1

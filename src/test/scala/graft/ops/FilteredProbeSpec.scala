@@ -122,6 +122,35 @@ class FilteredProbeSpec extends SparkSpec {
       s"gate did not route the join:\n$p1\n$p2")
   }
 
+  test("serve range probe: values exact within probed cells; covering nprobe == exact rangeSearch") {
+    // range semantics (FAISS range_search): the probe may MISS rows in
+    // unprobed cells (recall = probed-cell recall, empty is valid) but
+    // every row it does return must carry the exact rounded cosine —
+    // a wrong sim is a bug, a missing row is the documented trade
+    val exact = pairs(Similarity.rangeSearch(indexed, "vec_id", "embedding",
+      query, "embedding", tau = 0.2))
+    assert(exact.nonEmpty, "tau too high for this corpus — respec")
+    val exactMap = exact.toMap
+    def probe(nprobe: Int) = pairs(graft.streaming.Streaming.annProbeStream(
+        query, "vec_id", "embedding", ivfDir, tau = 0.2, nprobe = nprobe)
+      .select("vec_id", "sim"))
+    val got = probe(4)
+    got.foreach { case (id, sim) =>
+      assert(exactMap.get(id).contains(sim),
+        s"range probe returned ($id, $sim), exact says ${exactMap.get(id)}")
+    }
+    // covering nprobe: probed cells = all cells, so the probe IS exact
+    assert(probe(4096).toSet == exact.toSet,
+      "covering range probe diverged from exact rangeSearch")
+    // and the selector composes: allowed-only, still value-exact
+    val sel = pairs(graft.streaming.Streaming.annProbeStream(
+        query, "vec_id", "embedding", ivfDir, tau = 0.2, nprobe = 4096,
+        selector = Some(allowed))
+      .select("vec_id", "sim"))
+    assert(sel.toSet == exact.filter(p => allowedSet(p._1)).toSet,
+      "filtered covering range probe != exact range over allowed rows")
+  }
+
   test("selector composes with removeIds tombstones on the LSH layout") {
     // a removed id stays gone even when the selector allows it: both
     // filters ride the same vectors choke point

@@ -891,6 +891,57 @@ class StreamingSpec extends SparkSpec {
       s"tombstoned id still tagged on the stream path: $afterRemove")
   }
 
+  test("annProbeStream selector: per-tenant filtered tagging at ingest, stream == batch, both arms") {
+    // the FAISS IDSelector analog on the INGEST path: a static allowlist
+    // frame rides the static side's choke point (cellSource / lshVectors),
+    // so a disallowed corpus id can tag no arrival — and filtering the
+    // UNFILTERED tag set by the allowlist reproduces the filtered run
+    // exactly (the selector changes candidate membership, never scores)
+    val rnd = new scala.util.Random(67)
+    val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+    def near(eps: Float) = base.map(_ + eps)
+    val corpus = (1L to 10L).map(i => (i, near(0.01f * i)))
+      .toDF("vec_id", "embedding").localCheckpoint(true)
+    val dirIvf = java.nio.file.Files.createTempDirectory("graft_annps_selI").toString
+    val dirLsh = java.nio.file.Files.createTempDirectory("graft_annps_selL").toString
+    graft.ops.Ivf.buildIndex(corpus, "vec_id", "embedding", dirIvf, maxIter = 5)
+    graft.ops.Similarity.buildLshIndex(corpus, "vec_id", "embedding", dirLsh,
+      dim = 16)
+    val allowed = Seq(2L, 4L, 6L, 8L, 10L).toDF("vec_id").localCheckpoint(true)
+    val queries = Seq((100L, near(-0.02f)), (101L, near(0.12f)))
+    def tagged(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    for ((dir, arm) <- Seq((dirIvf, "ivf"), (dirLsh, "lsh"))) {
+      val bare = tagged(Streaming.annProbeStream(
+        queries.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        dir, tau = 0.9, nprobe = 16))
+      val filtered = tagged(Streaming.annProbeStream(
+        queries.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        dir, tau = 0.9, nprobe = 16, selector = Some(allowed)))
+      assert(filtered.nonEmpty, s"$arm: filtered probe tagged nothing")
+      assert(filtered.forall(_._2 % 2 == 0),
+        s"$arm: disallowed id tagged: $filtered")
+      assert(filtered == bare.filter(_._2 % 2 == 0),
+        s"$arm: selector changed more than membership: $filtered vs $bare")
+    }
+    // streamed with the selector: same stateless plan, same tags
+    val expect = tagged(Streaming.annProbeStream(
+      queries.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      dirIvf, tau = 0.9, nprobe = 16, selector = Some(allowed)))
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Streaming.annProbeStream(
+        mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        dirIvf, tau = 0.9, nprobe = 16, selector = Some(allowed))
+      .writeStream.format("memory").queryName("sink_annprobe_sel")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(queries.take(1)); q.processAllAvailable()
+      mem.addData(queries.drop(1)); q.processAllAvailable()
+    } finally q.stop()
+    assert(tagged(spark.table("sink_annprobe_sel")) == expect,
+      "selector stream diverged from the batch run of the same plan")
+  }
+
   test("serve-index appends land between micro-batches: visibility contract pinned") {
     // the real ingest topology (r13 verdict #7): a probe stream is RUNNING
     // while appendIndex lands new corpus rows. The static side's file
