@@ -145,13 +145,28 @@ object LifecycleSweep {
           .write.format("noop").mode("overwrite").save()
         0L
       }
+      // FILTERED probe (IDSelector analog): a 10%-of-corpus allowlist —
+      // under the broadcast gate at every rung here, so the cost is one
+      // broadcast semi-join on the vectors side; the wall must stay in
+      // the probe band, never grow a corpus-shaped term
+      val allowlist = emb.filter(pmod(col("vec_id"), lit(10)) === 1)
+        .select("vec_id").localCheckpoint(true)
+      val nAllowed = allowlist.count()
+      val (tProbeF, _) = timeIt {
+        Similarity.probeLshIndex(spark, lshDir, "vec_id", "embedding",
+            emb.filter(col("vec_id") === 0), "embedding", k = 10,
+            selector = Some(allowlist))
+          .write.format("noop").mode("overwrite").save()
+        0L
+      }
 
       println(f"[lcs] x$k%-2d vecs=$nVecs%8d | ivfBuild=$tBuild%6.2fs " +
         f"rm16=$tRm16%5.2fs(aff=$affected16%3d) " +
         f"rm500=$tRm%5.2fs rmNoop=$tRmNoop%5.2fs rewrite=${tRm - tRmNoop}%5.2fs " +
         f"affected=$affected%4d/$cellsTotal%4d cells files<=$maxFiles | " +
         f"planes=$planes tables=$tables sizedQ=$sizedQ " +
-        f"cand=$meanVol%6d (target 4096) probe=$tProbe%5.2fs")
+        f"cand=$meanVol%6d (target 4096) probe=$tProbe%5.2fs " +
+        f"probeF=$tProbeF%5.2fs(allow=$nAllowed)")
     }
     spark.stop()
   }
