@@ -182,23 +182,35 @@ object Bench {
       spark.range(1000000L).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/region.parquet").count()
     } catch { case NonFatal(_) => () }
-    // pre-warm the marker-gated serve/rebuild fixtures UNTIMED (r14
-    // verdict #8): on a fresh /tmp the one-off builds otherwise land
-    // inside timed pass 1 (16.9 s on the rebuild fixture), polluting the
-    // noise witness. A failure here is NOT swallowed into a fake green —
-    // the serve queries re-attempt the build and report the error in the
-    // timed pass.
-    try graft.queries.QueryDefs.warmServeFixtures(spark, sfDir)
-    catch { case NonFatal(e) =>
-      System.err.println(s"[bench] fixture warm-up failed (timed pass will retry): $e") }
     // SPARK_GRAFT_ONLY=a,b,c restricts the run to named queries — the
     // session-composition A/B lever (does a query's wall depend on the
     // 150-query session around it, or on its own plan?). A filtered run
-    // never overwrites the durable repo artifact.
+    // never overwrites the durable repo artifact. Unknown names FAIL
+    // FAST: a typo silently filtering to zero queries would otherwise
+    // report a green ~0 s total.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.mkString(",")}")
+    }
     val queries = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.view.filterKeys(names).toMap)
+    // pre-warm the marker-gated serve/rebuild fixtures UNTIMED (r14
+    // verdict #8): on a fresh /tmp the one-off builds otherwise land
+    // inside timed pass 1 (16.9 s on the rebuild fixture), polluting the
+    // noise witness. Skipped when a filtered run measures no serve/
+    // lifecycle query — an isolation A/B must not pay fixture builds its
+    // queries never read. A failure here is NOT swallowed into a fake
+    // green — the serve queries re-attempt the build and report the
+    // error in the timed pass.
+    if (queries.keys.exists(n =>
+        n.startsWith("c14_ann_serve") || n.startsWith("c14_ann_index"))) {
+      try graft.queries.QueryDefs.warmServeFixtures(spark, sfDir)
+      catch { case NonFatal(e) =>
+        System.err.println(s"[bench] fixture warm-up failed (timed pass will retry): $e") }
+    }
     val detailed = measureDetailed(spark, sfDir, queries)
     val results = detailed.map { case (n, t) => n -> (t.best, t.err) }
     val json = fullJson(results, sfDir, Some(detailed))

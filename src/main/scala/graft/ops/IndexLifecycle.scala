@@ -47,22 +47,62 @@ object IndexLifecycle {
   /** Crash-safe parquet replace: write `fresh` to `path.__compact`, then
     * rename-swap (live → `.__old`, `.__compact` → live, drop `.__old`).
     * A crash at any point leaves either the old or the new file set
-    * intact — never a half-written live target, which a plain
+    * RECOVERABLE — never a half-written live target, which a plain
     * mode("overwrite") of the SAME path cannot promise (overwrite deletes
     * the target before writing). Shared by [[compactIndex]]'s LSH arm and
     * [[Similarity.appendLshIndex]]'s tombstone un-delete (ADVICE r14: the
     * in-place rewrite there could silently drop ALL pending tombstones on
     * a crash, resurrecting removed ids on every probe). Writing to a
     * sibling path also breaks the read-from-overwrite-target cycle, so no
-    * localCheckpoint materialization is needed. */
+    * localCheckpoint materialization is needed.
+    *
+    * The two renames leave a window where the LIVE path is missing — for
+    * most artifacts that is LOUD (a probe's scan fails on the missing
+    * path, the rebuild posture), but for `deletes.parquet` a missing
+    * file reads as "no tombstones": silent resurrection. [[recoverSwap]]
+    * closes that window: every reader of a swappable artifact calls it
+    * first, and it completes or rolls back an interrupted swap from the
+    * sibling dirs (the new set if its `_SUCCESS` landed, else the old).
+    * Rename return values are CHECKED — a false-returning rename (object
+    * stores, permission races) must not silently no-op the swap and then
+    * delete the old set. */
   private[ops] def swapInParquet(spark: SparkSession, path: String)
                                 (fresh: DataFrame): Unit = {
+    recoverSwap(spark, path)
     val (fs, live) = hfs(spark, path)
     val tmp = new org.apache.hadoop.fs.Path(s"$path.__compact")
     val old = new org.apache.hadoop.fs.Path(s"$path.__old")
     fs.delete(tmp, true); fs.delete(old, true)
     fresh.write.mode("overwrite").parquet(tmp.toString)
-    fs.rename(live, old); fs.rename(tmp, live); fs.delete(old, true)
+    require(fs.rename(live, old), s"swap: rename $live -> $old failed")
+    require(fs.rename(tmp, live), s"swap: rename $tmp -> $live failed " +
+      s"(old set preserved at $old)")
+    fs.delete(old, true)
+  }
+
+  /** Complete or roll back a [[swapInParquet]] interrupted between its
+    * two renames: if the live path is missing, restore it from
+    * `path.__compact` when that write COMPLETED (`_SUCCESS` present —
+    * the new set is the truth the crash interrupted publishing), else
+    * from `path.__old` (the old set; "either the old or the new set",
+    * never neither). A no-op when the live path exists or no sibling
+    * does (a never-swapped artifact). Idempotent; called by every
+    * reader whose artifact swaps ([[Similarity.lshVectors]],
+    * [[indexStats]]) and by [[swapInParquet]] itself before it deletes
+    * the siblings a previous crash left behind. */
+  private[graft] def recoverSwap(spark: SparkSession, path: String): Unit = {
+    val (fs, live) = hfs(spark, path)
+    if (!fs.exists(live)) {
+      val tmp = new org.apache.hadoop.fs.Path(s"$path.__compact")
+      val old = new org.apache.hadoop.fs.Path(s"$path.__old")
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path.__compact/_SUCCESS"))) {
+        require(fs.rename(tmp, live), s"swap recovery: $tmp -> $live failed")
+        fs.delete(old, true)
+      } else if (fs.exists(old)) {
+        require(fs.rename(old, live), s"swap recovery: $old -> $live failed")
+        fs.delete(tmp, true)
+      }
+    }
   }
 
   /** The cell-layout data file under `dir`, or None for the LSH layout. */
@@ -96,7 +136,10 @@ object IndexLifecycle {
     cellFileOf(spark, dir) match {
       case None =>
         // LSH tombstone append: O(removed ids) — dedup is the anti
-        // join's job, compaction clears the set
+        // join's job, compaction clears the set. Recover first: an
+        // append landing while deletes.parquet sits mid-swap would
+        // strand the prior tombstones in the sibling dirs forever.
+        recoverSwap(spark, s"$dir/deletes.parquet")
         ids.select(col(idCol)).distinct()
           .write.mode("append").parquet(s"$dir/deletes.parquet")
       case Some(file) =>
@@ -227,6 +270,7 @@ object IndexLifecycle {
         val (fs, root) = hfs(spark, s"$dir/postings.parquet")
         val mf = fs.listStatus(root)
           .count(f => f.getPath.getName.startsWith("part-"))
+        recoverSwap(spark, s"$dir/deletes.parquet")
         val tomb =
           if (Ivf.layoutFileExists(spark, dir, "deletes.parquet"))
             spark.read.parquet(s"$dir/deletes.parquet").distinct().count()
@@ -441,6 +485,8 @@ object IndexLifecycle {
   }
 
   private def compactLsh(spark: SparkSession, dir: String): Unit = {
+    Seq("deletes.parquet", "postings.parquet", "vectors.parquet")
+      .foreach(n => recoverSwap(spark, s"$dir/$n"))
     val hasDeletes = Ivf.layoutFileExists(spark, dir, "deletes.parquet")
     def minusDeletes(df: DataFrame, idCol: String): DataFrame =
       if (!hasDeletes) df

@@ -59,6 +59,14 @@ object Similarity {
   def rangeSearch(emb: DataFrame, idCol: String, vecCol: String,
                   query: DataFrame, queryVecCol: String,
                   tau: Double): DataFrame = {
+    // single-query guard, the probeIndexFrame posture: the output has no
+    // query_id column, so a multi-row frame would silently cross-score
+    // and emit duplicated, unattributed ids. Batch range callers use
+    // annProbeStream's plan on a batch frame (it carries query_id).
+    require(query.take(2).length == 1,
+      "rangeSearch is single-query (the result carries no query_id) — " +
+        "batch/stream callers use Streaming.annProbeStream, whose " +
+        "(query_id, id, sim) output is the batch range shape")
     val q = broadcast(query.select(col(queryVecCol).as("__qv")))
     emb
       .crossJoin(q)
@@ -584,6 +592,7 @@ object Similarity {
     // tombstone set before writing the survivors, so a crash mid-rewrite
     // would silently resurrect EVERY removed id on every probe — the
     // swap leaves either the old or the new set intact.
+    IndexLifecycle.recoverSwap(spark, s"$dir/deletes.parquet")
     if (Ivf.layoutFileExists(spark, dir, "deletes.parquet")) {
       IndexLifecycle.swapInParquet(spark, s"$dir/deletes.parquet")(
         spark.read.parquet(s"$dir/deletes.parquet")
@@ -672,6 +681,13 @@ object Similarity {
                                 dir: String, idCol: String,
                                 deleteBroadcastLimit: Long =
                                   Dedup.HotShingleBroadcastLimit): DataFrame = {
+    // a crash between swapInParquet's two renames leaves the live path
+    // missing — for deletes.parquet that would read as "no tombstones"
+    // (silent resurrection), for postings/vectors a loud missing-path
+    // error; every LSH read passes through here, so complete/roll back
+    // any interrupted swap for all three swappable artifacts first
+    Seq("deletes.parquet", "postings.parquet", "vectors.parquet")
+      .foreach(n => IndexLifecycle.recoverSwap(spark, s"$dir/$n"))
     val vectors = spark.read.parquet(s"$dir/vectors.parquet")
     if (!Ivf.layoutFileExists(spark, dir, "deletes.parquet")) vectors
     else {

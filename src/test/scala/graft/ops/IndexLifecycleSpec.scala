@@ -440,6 +440,59 @@ class IndexLifecycleSpec extends SparkSpec {
       "missing buildinfo must report NULL, not fabricate a fraction")
   }
 
+  test("swap crash recovery: an interrupted tombstone swap never resurrects removed ids") {
+    // the window swapInParquet cannot close alone: between
+    // rename(live -> __old) and rename(__compact -> live) the LIVE path
+    // is missing, and for deletes.parquet "missing" reads as "no
+    // tombstones". recoverSwap (called by every reader) must restore the
+    // COMPLETE new set when its _SUCCESS landed, else the old set —
+    // either way, never neither.
+    val corpus = emb.localCheckpoint(true)
+    val query = corpus.filter($"vec_id" === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_swaprec").toString
+    Similarity.buildLshIndex(corpus, "vec_id", "embedding", dir)
+    IndexLifecycle.removeIds(spark, dir, Seq(3L).toDF("vec_id"), "vec_id")
+    def served: Set[Long] = pairs(Similarity.probeLshIndex(spark, dir,
+      "vec_id", "embedding", query, "embedding", k = 500)).map(_._1).toSet
+    assert(!served.contains(3L), "fixture: tombstone not serving")
+    val del = s"$dir/deletes.parquet"
+    val fs = new org.apache.hadoop.fs.Path(del)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+
+    // crash state A: live renamed away, no __compact (swap died first) —
+    // recovery must roll BACK to the old set
+    assert(fs.rename(p(del), p(s"$del.__old")))
+    assert(!served.contains(3L),
+      "crash state A (live missing, old present) resurrected a removed id")
+    assert(fs.exists(p(del)) && !fs.exists(p(s"$del.__old")),
+      "recovery did not restore the live path")
+
+    // crash state B: a COMPLETE new set in __compact (its _SUCCESS
+    // landed) and live renamed away — recovery must promote the NEW set
+    Seq(3L, 4L).toDF("vec_id")
+      .write.mode("overwrite").parquet(s"$del.__compact")
+    assert(fs.exists(p(s"$del.__compact/_SUCCESS")), "fixture: no _SUCCESS")
+    assert(fs.rename(p(del), p(s"$del.__old")))
+    val afterB = served
+    assert(!afterB.contains(3L) && !afterB.contains(4L),
+      "crash state B did not promote the complete new tombstone set")
+    assert(fs.exists(p(del)) && !fs.exists(p(s"$del.__compact")) &&
+      !fs.exists(p(s"$del.__old")), "recovery left swap debris")
+
+    // crash state C: an INCOMPLETE __compact (no _SUCCESS — the write
+    // itself died) and live renamed away — recovery must fall back to
+    // the old set and drop the torn write
+    fs.mkdirs(p(s"$del.__compact"))
+    fs.create(p(s"$del.__compact/part-torn.parquet"), true).close()
+    assert(fs.rename(p(del), p(s"$del.__old")))
+    val afterC = served
+    assert(!afterC.contains(3L) && !afterC.contains(4L),
+      s"crash state C lost the old tombstone set: served 3/4 again")
+    assert(fs.exists(p(del)) && !fs.exists(p(s"$del.__compact")),
+      "torn write survived recovery (a _SUCCESS-less dir must never be promoted)")
+  }
+
   test("rebuildIndex defaults to the PERSISTED build parameters (ADVICE r14)") {
     val corpus = emb.localCheckpoint(true)
     val n = corpus.count()
