@@ -572,6 +572,12 @@ object Similarity {
   def appendLshIndex(emb: DataFrame, idCol: String, vecCol: String,
                      dir: String): Unit = {
     val spark = emb.sparkSession
+    // recover interrupted swaps FIRST: mode("append") onto a mid-swap
+    // missing postings/vectors path would CREATE a fresh file holding
+    // only this batch and strand the whole pre-crash set in the sibling
+    // dirs — silent corpus loss, worse than the crash being recovered
+    Seq("deletes.parquet", "postings.parquet", "vectors.parquet")
+      .foreach(n => IndexLifecycle.recoverSwap(spark, s"$dir/$n"))
     val meta = spark.read.parquet(s"$dir/meta.parquet").head()
     val (planes, tables, dim, seed) =
       (meta.getAs[Int]("planes"), meta.getAs[Int]("tables"),
@@ -830,10 +836,14 @@ object Similarity {
               .map(ps => (t, ps.foldLeft(buckets(t))((b, p) => b ^ (1 << p))))
         }.distinct
       }
-    val postings = spark.read.parquet(s"$dir/postings.parquet")
-    // selector rides the vectors choke point exactly like the tombstone
-    // filter — postings stay unfiltered (stale hits just match nothing)
+    // vectors FIRST: lshVectors recovers interrupted swaps for all three
+    // artifacts, and spark.read resolves the postings file listing
+    // eagerly — reading before recovery would throw on a mid-swap path.
+    // The selector rides the vectors choke point exactly like the
+    // tombstone filter — postings stay unfiltered (stale hits just
+    // match nothing).
     val vectors = applySelector(lshVectors(spark, dir, idCol), selector, idCol)
+    val postings = spark.read.parquet(s"$dir/postings.parquet")
     // foldLeft(false): an empty pair set (null query vector) selects
     // nothing instead of crashing an empty reduce — the fallback answers.
     // Past [[OrPairCap]] pairs the OR becomes the cost: MpProfile at 25×
@@ -905,9 +915,11 @@ object Similarity {
           .select((col("pos") / lit(stride)).cast("int").as("table"),
             col("bucket"), col("query_id"))
       }
+    // vectors first — lshVectors runs swap recovery before the eager
+    // postings listing (probeLshIndex's rationale)
+    val vectors = applySelector(lshVectors(spark, dir, idCol), selector, idCol)
     val qIdx = broadcast(qPairsDf)
     val postings = spark.read.parquet(s"$dir/postings.parquet")
-    val vectors = applySelector(lshVectors(spark, dir, idCol), selector, idCol)
     // (query, candidate) pairs: ids that share any (table, bucket) with
     // the query — distinct BEFORE scoring so multi-table collisions
     // score once, same as the single probe's dropDuplicates

@@ -250,13 +250,14 @@ object Streaming {
     val (planes, tables, dim, seed) =
       (meta.getAs[Int]("planes"), meta.getAs[Int]("tables"),
         meta.getAs[Int]("dim"), meta.getAs[Long]("seed"))
-    val postings = spark.read.parquet(s"$indexDir/postings.parquet")
     // tombstone-aware (IndexLifecycle.removeIds): removed ids must not
     // tag arrivals even before compaction applies them physically; the
-    // selector composes on the same choke point
+    // selector composes on the same choke point. vectors resolve FIRST —
+    // lshVectors runs swap recovery before the eager postings listing
     val vectors = graft.ops.Similarity.applySelector(
       graft.ops.Similarity.lshVectors(spark, indexDir, idCol),
       selector, idCol)
+    val postings = spark.read.parquet(s"$indexDir/postings.parquet")
     // the arrival's probed-bucket array: stride buckets per table (the
     // exact signature + multiProbe lowest-|margin| single-bit flips, all
     // from ONE codegen pass under the PERSISTED sizing); stride = 1

@@ -491,6 +491,22 @@ class IndexLifecycleSpec extends SparkSpec {
       s"crash state C lost the old tombstone set: served 3/4 again")
     assert(fs.exists(p(del)) && !fs.exists(p(s"$del.__compact")),
       "torn write survived recovery (a _SUCCESS-less dir must never be promoted)")
+
+    // crash state D: an APPEND arriving while postings.parquet sits
+    // mid-swap — mode("append") would otherwise CREATE a fresh postings
+    // file holding only the batch and strand the whole pre-crash corpus
+    // in the sibling dir forever; the append must recover first
+    val postings = s"$dir/postings.parquet"
+    assert(fs.rename(p(postings), p(s"$postings.__old")))
+    val batch = corpus.filter($"vec_id" === 1)
+      .select($"vec_id" + 900000L as "vec_id", $"embedding")
+      .localCheckpoint(true)
+    Similarity.appendLshIndex(batch, "vec_id", "embedding", dir)
+    val afterD = served
+    assert(afterD.contains(900001L), "appended id not served")
+    assert(afterD.size > 100,
+      s"append onto a mid-swap postings path stranded the corpus: " +
+        s"only ${afterD.size} ids served")
   }
 
   test("rebuildIndex defaults to the PERSISTED build parameters (ADVICE r14)") {
