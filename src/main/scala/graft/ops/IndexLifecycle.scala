@@ -262,6 +262,11 @@ object IndexLifecycle {
         (if (file == "invfile.parquet") "ivf" else "pq",
           agg.getLong(0), agg.getLong(1), mf, 0L)
       case None =>
+        // recover BEFORE the eager postings read below — maintenance is
+        // the natural first call after a compaction crash and must
+        // self-heal the exact state it exists to clean up
+        Seq("deletes.parquet", "postings.parquet", "vectors.parquet")
+          .foreach(n => recoverSwap(spark, s"$dir/$n"))
         val idCol = spark.read.parquet(s"$dir/postings.parquet").columns
           .filterNot(Set("table", "bucket")).head
         val live = Similarity.lshVectors(spark, dir, idCol).count()
@@ -381,6 +386,10 @@ object IndexLifecycle {
     }
     cellFileOf(spark, dir) match {
       case None =>
+        // a rebuild is how an operator restores a crashed index — it
+        // must recover interrupted swaps, not throw on them
+        Seq("deletes.parquet", "postings.parquet", "vectors.parquet")
+          .foreach(n => recoverSwap(spark, s"$dir/$n"))
         val meta = spark.read.parquet(s"$dir/meta.parquet").head()
         val (idCol, vecCol) =
           inferCols(spark.read.parquet(s"$dir/vectors.parquet"))
@@ -417,8 +426,12 @@ object IndexLifecycle {
     val live = new org.apache.hadoop.fs.Path(dir)
     val old = new org.apache.hadoop.fs.Path(s"$dir.__old")
     fs.delete(old, true)
-    fs.rename(live, old)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), live)
+    // checked renames (swapInParquet's rule): a false-returning rename
+    // must not silently no-op the rebuild — the stale index would keep
+    // serving while maintainIndex retrains forever without landing
+    require(fs.rename(live, old), s"rebuild swap: rename $dir -> $old failed")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), live),
+      s"rebuild swap: rename $tmp -> $dir failed (old index preserved at $old)")
     fs.delete(old, true)
   }
 

@@ -509,6 +509,9 @@ object Similarity {
     * here (it moves occupancy by O(backlog/live)). */
   def multiProbeFor(spark: org.apache.spark.sql.SparkSession, dir: String,
                     targetCandidates: Int = 4096): Int = {
+    // reader of a swappable artifact — and callers evaluate this BEFORE
+    // entering the probe whose own recovery would otherwise run first
+    IndexLifecycle.recoverSwap(spark, s"$dir/vectors.parquet")
     val meta = spark.read.parquet(s"$dir/meta.parquet").head()
     val live = spark.read.parquet(s"$dir/vectors.parquet").count()
     multiProbeForSized(live, meta.getAs[Int]("planes"),
@@ -597,8 +600,8 @@ object Similarity {
     // swap (ADVICE r14): a plain in-place overwrite deletes the live
     // tombstone set before writing the survivors, so a crash mid-rewrite
     // would silently resurrect EVERY removed id on every probe — the
-    // swap leaves either the old or the new set intact.
-    IndexLifecycle.recoverSwap(spark, s"$dir/deletes.parquet")
+    // swap leaves either the old or the new set intact. (Swap recovery
+    // already ran at function entry.)
     if (Ivf.layoutFileExists(spark, dir, "deletes.parquet")) {
       IndexLifecycle.swapInParquet(spark, s"$dir/deletes.parquet")(
         spark.read.parquet(s"$dir/deletes.parquet")
