@@ -90,12 +90,40 @@ object IndexLifecycle {
     * reader whose artifact swaps ([[Similarity.lshVectors]],
     * [[indexStats]]) and by [[swapInParquet]] itself before it deletes
     * the siblings a previous crash left behind. */
-  private[graft] def recoverSwap(spark: SparkSession, path: String): Unit = {
-    val (fs, live) = hfs(spark, path)
+  private[graft] def recoverSwap(spark: SparkSession, path: String): Unit =
+    recoverRenamePair(spark, path, s"$path.__compact", s"$path.__old",
+      s"$path.__compact/_SUCCESS")
+
+  /** The WHOLE-DIR analog of [[recoverSwap]] for [[rebuildIndex]]'s
+    * two-rename window: if the live index dir is missing, promote
+    * `dir.__rebuild` when the rebuild COMPLETED (its `_GRAFT_BUILD_OK`
+    * marker landed — written after every artifact, before the swap),
+    * else restore `dir.__old`. Called by every index-dir reader
+    * ([[Ivf.loadIndexModel]], the LSH probes, [[cellFileOf]]) so a
+    * crashed rebuild self-heals at the next touch — same posture as
+    * the file-level swaps. A RUNNING stream still fails loudly after a
+    * SUCCESSFUL rebuild (its plan snapshot names the old files, which
+    * the completed swap deleted) — recovery only changes the
+    * crashed-mid-swap state, which previously threw path-not-found at
+    * every reader until manual repair. */
+  private[graft] def recoverIndexDir(spark: SparkSession, dir: String): Unit =
+    recoverRenamePair(spark, dir, s"$dir.__rebuild", s"$dir.__old",
+      s"$dir.__rebuild/$RebuildOkMarker")
+
+  /** Marker written inside `dir.__rebuild` after a complete rebuild,
+    * before the swap — the dir-level `_SUCCESS`. Survives into the live
+    * dir after promotion (harmless: layout dispatch checks specific
+    * children). */
+  private[graft] val RebuildOkMarker = "_GRAFT_BUILD_OK"
+
+  private def recoverRenamePair(spark: SparkSession, livePath: String,
+                                tmpPath: String, oldPath: String,
+                                completeMarker: String): Unit = {
+    val (fs, live) = hfs(spark, livePath)
     if (!fs.exists(live)) {
-      val tmp = new org.apache.hadoop.fs.Path(s"$path.__compact")
-      val old = new org.apache.hadoop.fs.Path(s"$path.__old")
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path.__compact/_SUCCESS"))) {
+      val tmp = new org.apache.hadoop.fs.Path(tmpPath)
+      val old = new org.apache.hadoop.fs.Path(oldPath)
+      if (fs.exists(new org.apache.hadoop.fs.Path(completeMarker))) {
         require(fs.rename(tmp, live), s"swap recovery: $tmp -> $live failed")
         fs.delete(old, true)
       } else if (fs.exists(old)) {
@@ -105,13 +133,18 @@ object IndexLifecycle {
     }
   }
 
-  /** The cell-layout data file under `dir`, or None for the LSH layout. */
-  private def cellFileOf(spark: SparkSession, dir: String): Option[String] =
+  /** The cell-layout data file under `dir`, or None for the LSH layout.
+    * Recovers a crashed whole-dir rebuild first — layout dispatch on a
+    * mid-swap missing dir would otherwise throw the unrecognized-layout
+    * error at every lifecycle verb. */
+  private def cellFileOf(spark: SparkSession, dir: String): Option[String] = {
+    recoverIndexDir(spark, dir)
     if (Ivf.layoutFileExists(spark, dir, "meta.parquet")) None
     else if (Ivf.layoutFileExists(spark, dir, "invfile.parquet")) Some("invfile.parquet")
     else if (Ivf.layoutFileExists(spark, dir, "codes.parquet")) Some("codes.parquet")
     else throw new IllegalArgumentException(
       s"$dir holds no recognized index layout (meta/invfile/codes)")
+  }
 
   /** Count-gated semi/anti join of `table` against the removal-id frame —
     * broadcast under the gate, SHUFFLE_HASH past it (the
@@ -331,8 +364,11 @@ object IndexLifecycle {
     * keeps serving, then swap in as a WHOLE-dir rename pair — a partial
     * child-by-child swap could leave fresh centroids over a stale
     * inverted file: silently wrong cells. A crash inside the two-rename
-    * window leaves the live dir missing (loud — `dir.__old`/
-    * `dir.__rebuild` both intact for manual recovery), never mixed.
+    * window leaves the live dir missing, and the next reader
+    * SELF-HEALS it ([[recoverIndexDir]]): the completed `dir.__rebuild`
+    * promotes (its [[RebuildOkMarker]] landed), a torn one rolls back
+    * to `dir.__old` — either the old or the new index, never mixed,
+    * never manual.
     * Marker files callers keep INSIDE the dir do not survive the swap
     * (the serve-query cache re-validates via its own marker protocol).
     * A RUNNING probe stream's plan snapshot (the append-visibility
@@ -349,6 +385,10 @@ object IndexLifecycle {
                    lshBaseTables: Option[Int] = None,
                    pqM: Option[Int] = None,
                    pqCodebookSize: Option[Int] = None): Unit = {
+    // a rebuild issued on a dir a PREVIOUS rebuild crashed mid-swap must
+    // first restore it (also before the buildinfo read below — the
+    // persisted params live inside the dir being recovered)
+    recoverIndexDir(spark, dir)
     val tmp = s"$dir.__rebuild"
     val (fs, _) = hfs(spark, dir)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
@@ -423,6 +463,10 @@ object IndexLifecycle {
           trainSampleRows = pLong("train_sample_rows").getOrElse(16384L),
           hierarchicalThreshold = rHier)
     }
+    // completeness marker (the dir-level _SUCCESS): recovery promotes a
+    // __rebuild dir only when this landed — a torn rebuild is never served
+    fs.create(new org.apache.hadoop.fs.Path(s"$tmp/$RebuildOkMarker"), true)
+      .close()
     val live = new org.apache.hadoop.fs.Path(dir)
     val old = new org.apache.hadoop.fs.Path(s"$dir.__old")
     fs.delete(old, true)

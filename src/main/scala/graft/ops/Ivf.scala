@@ -460,6 +460,9 @@ object Ivf {
     * residual-regime construction). */
   def loadIndexModel(spark: org.apache.spark.sql.SparkSession,
                      dir: String): IndexModel = {
+    // self-heal a rebuild crashed mid whole-dir swap before touching
+    // any artifact (IndexLifecycle.recoverIndexDir's contract)
+    IndexLifecycle.recoverIndexDir(spark, dir)
     val rows = spark.read.parquet(s"$dir/centroids.parquet")
       .collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
@@ -551,10 +554,13 @@ object Ivf {
                  idCol: String, vecCol: String,
                  query: DataFrame, queryVecCol: String, k: Int,
                  nprobe: Int = 4,
-                 selector: Option[DataFrame] = None): DataFrame =
+                 selector: Option[DataFrame] = None): DataFrame = {
+    // model FIRST: loadIndexModel runs whole-dir swap recovery, and the
+    // invfile read resolves its file listing eagerly
+    val model = loadIndexModel(spark, dir)
     probeIndexFrame(spark.read.parquet(s"$dir/invfile.parquet"),
-      loadIndexModel(spark, dir), idCol, vecCol, query, queryVecCol, k, nprobe,
-      selector)
+      model, idCol, vecCol, query, queryVecCol, k, nprobe, selector)
+  }
 
   /** Does `dir/child` exist? The layout-dispatch primitive shared by
     * [[cellSource]], the append guards, and the streaming probe's

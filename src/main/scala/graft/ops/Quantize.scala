@@ -395,10 +395,13 @@ object Quantize {
                    idCol: String, vecCol: String,
                    query: DataFrame, queryVecCol: String, k: Int,
                    nprobe: Int = 4, rerank: Int = 100,
-                   selector: Option[DataFrame] = None): DataFrame =
+                   selector: Option[DataFrame] = None): DataFrame = {
+    // model first — loadPqIndex (via Ivf.loadIndexModel) runs whole-dir
+    // swap recovery before the eager codes listing
+    val model = loadPqIndex(spark, dir)
     pqProbeCore(spark.read.parquet(s"$dir/codes.parquet"),
-      loadPqIndex(spark, dir), idCol, vecCol, query, queryVecCol, k, nprobe,
-      rerank, selector)
+      model, idCol, vecCol, query, queryVecCol, k, nprobe, rerank, selector)
+  }
 
   /** The probe core over an already-loaded (codes, model) pair — shared
     * by [[probePqIndex]] and QuantizeSpec's round-trip-equivalence spec

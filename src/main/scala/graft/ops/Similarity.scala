@@ -511,6 +511,7 @@ object Similarity {
                     targetCandidates: Int = 4096): Int = {
     // reader of a swappable artifact — and callers evaluate this BEFORE
     // entering the probe whose own recovery would otherwise run first
+    IndexLifecycle.recoverIndexDir(spark, dir)
     IndexLifecycle.recoverSwap(spark, s"$dir/vectors.parquet")
     val meta = spark.read.parquet(s"$dir/meta.parquet").head()
     val live = spark.read.parquet(s"$dir/vectors.parquet").count()
@@ -575,10 +576,12 @@ object Similarity {
   def appendLshIndex(emb: DataFrame, idCol: String, vecCol: String,
                      dir: String): Unit = {
     val spark = emb.sparkSession
-    // recover interrupted swaps FIRST: mode("append") onto a mid-swap
-    // missing postings/vectors path would CREATE a fresh file holding
-    // only this batch and strand the whole pre-crash set in the sibling
-    // dirs — silent corpus loss, worse than the crash being recovered
+    // recover interrupted swaps FIRST (dir-level, then file-level):
+    // mode("append") onto a mid-swap missing path would CREATE a fresh
+    // file holding only this batch and strand the whole pre-crash set
+    // in the sibling dirs — silent corpus loss, worse than the crash
+    // being recovered
+    IndexLifecycle.recoverIndexDir(spark, dir)
     Seq("deletes.parquet", "postings.parquet", "vectors.parquet")
       .foreach(n => IndexLifecycle.recoverSwap(spark, s"$dir/$n"))
     val meta = spark.read.parquet(s"$dir/meta.parquet").head()
@@ -803,6 +806,7 @@ object Similarity {
                     candidateIdLimit: Long = 10000L,
                     multiProbe: Int = 0,
                     selector: Option[DataFrame] = None): DataFrame = {
+    IndexLifecycle.recoverIndexDir(spark, dir)
     val meta = spark.read.parquet(s"$dir/meta.parquet").head()
     val (planes, tables, dim, seed) =
       (meta.getAs[Int]("planes"), meta.getAs[Int]("tables"),
@@ -895,6 +899,7 @@ object Similarity {
                          k: Int, candidateIdLimit: Long = 10000L,
                          multiProbe: Int = 0,
                          selector: Option[DataFrame] = None): DataFrame = {
+    IndexLifecycle.recoverIndexDir(spark, dir)
     val meta = spark.read.parquet(s"$dir/meta.parquet").head()
     val (planes, tables, dim, seed) =
       (meta.getAs[Int]("planes"), meta.getAs[Int]("tables"),

@@ -190,6 +190,10 @@ object Streaming {
                      selector: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
     val q = docs.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    // self-heal a rebuild crashed mid whole-dir swap BEFORE the layout
+    // dispatch below — a missing dir would otherwise misroute an LSH
+    // index (no meta.parquet visible) onto the cell arm
+    graft.ops.IndexLifecycle.recoverIndexDir(spark, indexDir)
     // layout resolved ONCE, driver-side, at plan time (the cellSource
     // rule): an LSH dir (Similarity.buildLshIndex) carries meta.parquet +
     // postings/vectors; the cell layouts carry centroids.parquet +

@@ -509,6 +509,59 @@ class IndexLifecycleSpec extends SparkSpec {
         s"only ${afterD.size} ids served")
   }
 
+  test("whole-dir rebuild crash recovery: readers self-heal, torn rebuilds never serve") {
+    // the dir-level analog of the tombstone-swap recovery: rebuildIndex's
+    // two-rename window leaves the LIVE dir missing; the next reader must
+    // promote a COMPLETE __rebuild (its _GRAFT_BUILD_OK landed) or roll
+    // back to __old — never throw until manual repair, never serve torn
+    val corpus = emb.localCheckpoint(true)
+    val query = corpus.filter($"vec_id" === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dirrec").toString
+    Ivf.buildIndex(corpus, "vec_id", "embedding", dir, maxIter = 5)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    def topIds: Seq[Long] = pairs(Ivf.probeIndex(spark, dir, "vec_id",
+      "embedding", query, "embedding", k = 10)).map(_._1)
+
+    // state A: live renamed away, no __rebuild — roll back to the old dir
+    val before = topIds
+    assert(fs.rename(p(dir), p(s"$dir.__old")))
+    assert(topIds == before,
+      "crash state A (live missing, old present) did not roll back")
+    assert(fs.exists(p(dir)) && !fs.exists(p(s"$dir.__old")))
+
+    // state B: a COMPLETE rebuild in __rebuild (marker present, built on
+    // the corpus minus id 5 so promotion is observable) — promote it
+    Ivf.buildIndex(corpus.filter($"vec_id" =!= 5), "vec_id", "embedding",
+      s"$dir.__rebuild", maxIter = 5)
+    fs.create(p(s"$dir.__rebuild/${IndexLifecycle.RebuildOkMarker}"), true).close()
+    assert(fs.rename(p(dir), p(s"$dir.__old")))
+    val afterB = pairs(Ivf.probeIndex(spark, dir, "vec_id", "embedding",
+      query, "embedding", k = 600)).map(_._1)
+    assert(!afterB.contains(5L),
+      "crash state B did not promote the complete rebuild")
+    assert(fs.exists(p(dir)) && !fs.exists(p(s"$dir.__rebuild")) &&
+      !fs.exists(p(s"$dir.__old")), "dir recovery left swap debris")
+
+    // state C: a TORN __rebuild (no marker) — roll back to the old dir,
+    // drop the torn artifacts
+    fs.mkdirs(p(s"$dir.__rebuild/invfile.parquet"))
+    assert(fs.rename(p(dir), p(s"$dir.__old")))
+    val afterC = topIds
+    assert(afterC == pairs(Ivf.probeIndex(spark, dir, "vec_id", "embedding",
+      query, "embedding", k = 10)).map(_._1) && afterC.nonEmpty,
+      "crash state C did not restore a servable index")
+    assert(!fs.exists(p(s"$dir.__rebuild")),
+      "torn rebuild survived recovery (a marker-less dir must never be promoted)")
+
+    // a normal rebuild still round-trips and leaves the marker in the
+    // promoted dir (harmless, and the witness the dir completed)
+    IndexLifecycle.rebuildIndex(spark, dir, maxIter = Some(5))
+    assert(fs.exists(p(s"$dir/${IndexLifecycle.RebuildOkMarker}")))
+    assert(topIds.nonEmpty)
+  }
+
   test("rebuildIndex defaults to the PERSISTED build parameters (ADVICE r14)") {
     val corpus = emb.localCheckpoint(true)
     val n = corpus.count()
