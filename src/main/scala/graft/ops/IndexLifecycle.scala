@@ -44,6 +44,103 @@ object IndexLifecycle {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
+  // ── single-writer lease ─────────────────────────────────────────────
+
+  /** How long a writer lease stays honored before a contender may take
+    * it over as crashed. The crash-safety protocols make a takeover
+    * SAFE at any point (either-old-or-new, never mixed), so the lease
+    * duration only trades "how long a crashed writer blocks maintenance"
+    * against "how long the longest healthy verb runs" — size it above
+    * the latter (a corpus-scale rebuild), never below. */
+  val DefaultLeaseMs: Long = 60L * 60L * 1000L
+
+  private[graft] def lockPath(dir: String): String = s"$dir.__lock"
+
+  /** Acquire the index dir's single-WRITER lease, run `body`, release.
+    *
+    * The crash-safe rename protocols ([[swapInParquet]], [[rebuildIndex]]'s
+    * whole-dir swap) promise either-old-or-new against a CRASH, not
+    * against a concurrent second WRITER: a scheduled [[maintainIndex]]
+    * racing an append on the same dir could interleave the renames (an
+    * append's `mode("append")` landing between a rebuild's two renames
+    * goes to a freshly-promoted dir or is lost with `__old`). Every
+    * mutating verb — the appends ([[Ivf.appendIndex]],
+    * [[Quantize.appendPqIndex]], [[Similarity.appendLshIndex]]),
+    * [[removeIds]], [[compactIndex]], [[rebuildIndex]],
+    * [[maintainIndex]] — serializes through this lease instead; a verb
+    * arriving while another writer holds it FAILS LOUDLY (retry on the
+    * caller's schedule) rather than corrupting.
+    *
+    * Mechanics: a sibling `dir.__lock` file created atomically
+    * (`create(overwrite = false)` — the sibling placement survives
+    * [[rebuildIndex]]'s whole-dir swap, which renames `dir` itself). A
+    * holder that crashed mid-verb leaves the lock behind; a contender
+    * takes a lease older than `leaseMs` over (delete + re-create, with
+    * the atomic create arbitrating racing contenders) and the verb's own
+    * entry recovery heals whatever the crash tore. Best-effort by
+    * construction (object stores without atomic create weaken it to
+    * advisory), which is the contract: the lease prevents the OPERATIONAL
+    * race; crash-consistency never depended on it.
+    *
+    * READERS never take the lease — probes stay lock-free and self-heal
+    * torn states via [[recoverSwap]]/[[recoverIndexDir]]; the writer-side
+    * rename protocols tolerate a reader's concurrent recovery promoting
+    * their finished artifact first (see [[swapInParquet]]). */
+  private[graft] def withIndexLock[T](spark: SparkSession, dir: String,
+                                      verb: String,
+                                      leaseMs: Long = DefaultLeaseMs)(body: => T): T = {
+    val (fs, lock) = hfs(spark, lockPath(dir))
+    acquireLock(fs, lock, verb, leaseMs)
+    try body
+    finally fs.delete(lock, false)
+  }
+
+  private def acquireLock(fs: org.apache.hadoop.fs.FileSystem,
+                          lock: org.apache.hadoop.fs.Path,
+                          verb: String, leaseMs: Long): Unit = {
+    var attempts = 3
+    while (attempts > 0) {
+      try {
+        val out = fs.create(lock, false)
+        out.write(s"$verb ${System.currentTimeMillis()}\n".getBytes("UTF-8"))
+        out.close()
+        return
+      } catch {
+        case _: java.io.IOException =>
+          val held =
+            try Some(fs.getFileStatus(lock))
+            catch { case _: java.io.FileNotFoundException => None }
+          held match {
+            case Some(st) =>
+              val age = System.currentTimeMillis() - st.getModificationTime
+              if (age > leaseMs) {
+                // stale-lease takeover: the holder crashed mid-verb (a
+                // healthy verb deletes its lock in finally). Delete and
+                // loop — the atomic create arbitrates racing contenders.
+                fs.delete(lock, false)
+              } else {
+                val holder = try {
+                  val in = fs.open(lock)
+                  val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                  in.close(); s
+                } catch { case _: java.io.IOException => "unknown" }
+                throw new IllegalStateException(
+                  s"index writer lease $lock held by [$holder] for ${age} ms " +
+                    s"(lease ${leaseMs} ms): lifecycle verbs are single-writer — " +
+                    "retry after the holder finishes, or raise leaseMs takeover " +
+                    "only if the holder crashed")
+              }
+            case None => // released between the failed create and the stat — retry
+          }
+          attempts -= 1
+      }
+    }
+    throw new IllegalStateException(
+      s"could not acquire index writer lease $lock after 3 attempts " +
+        "(lost every takeover race — concurrent writers are contending; " +
+        "lifecycle verbs are single-writer by contract)")
+  }
+
   /** Crash-safe parquet replace: write `fresh` to `path.__compact`, then
     * rename-swap (live → `.__old`, `.__compact` → live, drop `.__old`).
     * A crash at any point leaves either the old or the new file set
@@ -62,10 +159,21 @@ object IndexLifecycle {
     * file reads as "no tombstones": silent resurrection. [[recoverSwap]]
     * closes that window: every reader of a swappable artifact calls it
     * first, and it completes or rolls back an interrupted swap from the
-    * sibling dirs (the new set if its `_SUCCESS` landed, else the old).
-    * Rename return values are CHECKED — a false-returning rename (object
-    * stores, permission races) must not silently no-op the swap and then
-    * delete the old set. */
+    * sibling dirs (the new set if its [[SwapOkMarker]] landed, else the
+    * old). Completeness is a GRAFT-OWNED marker written after the
+    * parquet write (ADVICE r15: keying on the committer's `_SUCCESS`
+    * silently rolls every interrupted swap back to the old set on
+    * deployments that disable `mapreduce.fileoutputcommitter
+    * .marksuccessfuljobs` — never corrupt, but always-old); recovery
+    * still honors a legacy `_SUCCESS` for swaps torn before the marker
+    * existed. Rename return values are CHECKED — a false-returning
+    * rename (object stores, permission races) must not silently no-op
+    * the swap and then delete the old set — with ONE tolerated failure:
+    * a concurrent READER's [[recoverSwap]] landing in the legitimate
+    * between-renames window sees live missing + the marker present and
+    * promotes the new set itself (ADVICE r15), so a failed second
+    * rename whose outcome is already "tmp gone, live present" is that
+    * reader finishing our swap, not an error. */
   private[ops] def swapInParquet(spark: SparkSession, path: String)
                                 (fresh: DataFrame): Unit = {
     recoverSwap(spark, path)
@@ -74,17 +182,34 @@ object IndexLifecycle {
     val old = new org.apache.hadoop.fs.Path(s"$path.__old")
     fs.delete(tmp, true); fs.delete(old, true)
     fresh.write.mode("overwrite").parquet(tmp.toString)
+    fs.create(new org.apache.hadoop.fs.Path(s"$tmp/$SwapOkMarker"), true).close()
     require(fs.rename(live, old), s"swap: rename $live -> $old failed")
-    require(fs.rename(tmp, live), s"swap: rename $tmp -> $live failed " +
-      s"(old set preserved at $old)")
+    val renamed =
+      try fs.rename(tmp, live)
+      catch { case _: java.io.FileNotFoundException => false }
+    if (!renamed) {
+      // tolerated iff another party (a reader's recovery) already
+      // promoted the COMPLETE new set; anything else preserves the old
+      require(!fs.exists(tmp) && fs.exists(live),
+        s"swap: rename $tmp -> $live failed (old set preserved at $old)")
+    }
     fs.delete(old, true)
   }
 
+  /** Graft-owned completeness marker written inside `path.__compact`
+    * after the parquet write, before the renames — the swap-level
+    * analog of [[RebuildOkMarker]] (ADVICE r15: do not key recovery on
+    * the Hadoop committer's `_SUCCESS`, which deployments can disable).
+    * Survives into the live path after promotion (harmless: parquet
+    * reads ignore underscore-prefixed files). */
+  private[graft] val SwapOkMarker = "_GRAFT_SWAP_OK"
+
   /** Complete or roll back a [[swapInParquet]] interrupted between its
     * two renames: if the live path is missing, restore it from
-    * `path.__compact` when that write COMPLETED (`_SUCCESS` present —
-    * the new set is the truth the crash interrupted publishing), else
-    * from `path.__old` (the old set; "either the old or the new set",
+    * `path.__compact` when that write COMPLETED ([[SwapOkMarker]] — or
+    * the legacy `_SUCCESS` for pre-marker swaps — present: the new set
+    * is the truth the crash interrupted publishing), else from
+    * `path.__old` (the old set; "either the old or the new set",
     * never neither). A no-op when the live path exists or no sibling
     * does (a never-swapped artifact). Idempotent; called by every
     * reader whose artifact swaps ([[Similarity.lshVectors]],
@@ -92,7 +217,7 @@ object IndexLifecycle {
     * the siblings a previous crash left behind. */
   private[graft] def recoverSwap(spark: SparkSession, path: String): Unit =
     recoverRenamePair(spark, path, s"$path.__compact", s"$path.__old",
-      s"$path.__compact/_SUCCESS")
+      Seq(s"$path.__compact/$SwapOkMarker", s"$path.__compact/_SUCCESS"))
 
   /** The WHOLE-DIR analog of [[recoverSwap]] for [[rebuildIndex]]'s
     * two-rename window: if the live index dir is missing, promote
@@ -108,7 +233,7 @@ object IndexLifecycle {
     * every reader until manual repair. */
   private[graft] def recoverIndexDir(spark: SparkSession, dir: String): Unit =
     recoverRenamePair(spark, dir, s"$dir.__rebuild", s"$dir.__old",
-      s"$dir.__rebuild/$RebuildOkMarker")
+      Seq(s"$dir.__rebuild/$RebuildOkMarker"))
 
   /** Marker written inside `dir.__rebuild` after a complete rebuild,
     * before the swap — the dir-level `_SUCCESS`. Survives into the live
@@ -118,16 +243,30 @@ object IndexLifecycle {
 
   private def recoverRenamePair(spark: SparkSession, livePath: String,
                                 tmpPath: String, oldPath: String,
-                                completeMarker: String): Unit = {
+                                completeMarkers: Seq[String]): Unit = {
     val (fs, live) = hfs(spark, livePath)
     if (!fs.exists(live)) {
       val tmp = new org.apache.hadoop.fs.Path(tmpPath)
       val old = new org.apache.hadoop.fs.Path(oldPath)
-      if (fs.exists(new org.apache.hadoop.fs.Path(completeMarker))) {
-        require(fs.rename(tmp, live), s"swap recovery: $tmp -> $live failed")
+      // a failed recovery rename is tolerated iff ANOTHER recoverer (a
+      // concurrent reader, or the writer itself finishing its swap) got
+      // there first and the live path now exists — two readers healing
+      // the same torn state must not fail each other spuriously. The
+      // raced rename surfaces as false OR as FileNotFoundException
+      // (Hadoop's local rename throws when the src was already moved).
+      def renameOrRaced(src: org.apache.hadoop.fs.Path, what: String): Unit = {
+        val ok =
+          try fs.rename(src, live)
+          catch { case _: java.io.FileNotFoundException => false }
+        if (!ok)
+          require(fs.exists(live), s"swap recovery: $src -> $live failed ($what)")
+      }
+      if (completeMarkers.exists(m =>
+          fs.exists(new org.apache.hadoop.fs.Path(m)))) {
+        renameOrRaced(tmp, "promoting completed new set")
         fs.delete(old, true)
       } else if (fs.exists(old)) {
-        require(fs.rename(old, live), s"swap recovery: $old -> $live failed")
+        renameOrRaced(old, "rolling back to old set")
         fs.delete(tmp, true)
       }
     }
@@ -162,10 +301,19 @@ object IndexLifecycle {
     * post-removal set immediately on every layout (modulo the running-
     * stream plan-snapshot contract, [[graft.streaming.Streaming
     * .annProbeStream]]). Removing an id that is not in the index is a
-    * no-op, as in FAISS. */
+    * no-op, as in FAISS.
+    *
+    * Mutating verb: serializes through the dir's single-writer lease
+    * ([[withIndexLock]]) — fails loudly if another writer holds it. */
   def removeIds(spark: SparkSession, dir: String, ids: DataFrame,
                 idCol: String,
                 idBroadcastLimit: Long = Dedup.HotShingleBroadcastLimit): Unit =
+    withIndexLock(spark, dir, "removeIds") {
+      removeIdsInner(spark, dir, ids, idCol, idBroadcastLimit)
+    }
+
+  private def removeIdsInner(spark: SparkSession, dir: String, ids: DataFrame,
+                             idCol: String, idBroadcastLimit: Long): Unit =
     cellFileOf(spark, dir) match {
       case None =>
         // LSH tombstone append: O(removed ids) — dedup is the anti
@@ -230,9 +378,18 @@ object IndexLifecycle {
     * The LSH rewrite swaps via tmp dirs (write new → move live aside →
     * move new in → drop old), never materializing the corpus through the
     * block manager; a crash mid-swap leaves either the live or the
-    * `.__old` dir intact. */
+    * `.__old` dir intact.
+    *
+    * Mutating verb: serializes through the dir's single-writer lease
+    * ([[withIndexLock]]) — fails loudly if another writer holds it. */
   def compactIndex(spark: SparkSession, dir: String,
                    maxFilesPerCell: Int = 4): Unit =
+    withIndexLock(spark, dir, "compactIndex") {
+      compactIndexInner(spark, dir, maxFilesPerCell)
+    }
+
+  private def compactIndexInner(spark: SparkSession, dir: String,
+                                maxFilesPerCell: Int): Unit =
     cellFileOf(spark, dir) match {
       case None => compactLsh(spark, dir)
       case Some(file) =>
@@ -377,14 +534,34 @@ object IndexLifecycle {
     * stale — restart the stream to serve the rebuilt index, the same
     * restart rule appends already require, enforced by failure instead
     * of staleness. Run rebuilds on the maintenance cadence, quiesce
-    * streams first. */
+    * streams first.
+    *
+    * Mutating verb: serializes through the dir's single-writer lease
+    * ([[withIndexLock]]) — fails loudly if another writer holds it. The
+    * lease is what makes the whole-dir swap safe against a concurrent
+    * append: without it, an append's `mode("append")` landing between
+    * the two renames would write into a path that is about to become
+    * `__old` (batch silently lost) or already the promoted fresh dir
+    * (batch assigned under a quantizer it was never trained beside). */
   def rebuildIndex(spark: SparkSession, dir: String,
                    nprobe: Option[Int] = None,
                    seed: Option[Long] = None,
                    maxIter: Option[Int] = None,
                    lshBaseTables: Option[Int] = None,
                    pqM: Option[Int] = None,
-                   pqCodebookSize: Option[Int] = None): Unit = {
+                   pqCodebookSize: Option[Int] = None): Unit =
+    withIndexLock(spark, dir, "rebuildIndex") {
+      rebuildIndexInner(spark, dir, nprobe, seed, maxIter, lshBaseTables,
+        pqM, pqCodebookSize)
+    }
+
+  private def rebuildIndexInner(spark: SparkSession, dir: String,
+                                nprobe: Option[Int],
+                                seed: Option[Long],
+                                maxIter: Option[Int],
+                                lshBaseTables: Option[Int],
+                                pqM: Option[Int],
+                                pqCodebookSize: Option[Int]): Unit = {
     // a rebuild issued on a dir a PREVIOUS rebuild crashed mid-swap must
     // first restore it (also before the buildinfo read below — the
     // persisted params live inside the dir being recovered)
@@ -474,8 +651,17 @@ object IndexLifecycle {
     // must not silently no-op the rebuild — the stale index would keep
     // serving while maintainIndex retrains forever without landing
     require(fs.rename(live, old), s"rebuild swap: rename $dir -> $old failed")
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), live),
-      s"rebuild swap: rename $tmp -> $dir failed (old index preserved at $old)")
+    val renamed =
+      try fs.rename(new org.apache.hadoop.fs.Path(tmp), live)
+      catch { case _: java.io.FileNotFoundException => false }
+    if (!renamed) {
+      // swapInParquet's tolerated failure: a concurrent reader's
+      // recoverIndexDir can promote the COMPLETE __rebuild (its marker
+      // landed before the renames) in the between-renames window —
+      // that reader finished our swap; anything else preserves the old
+      require(!fs.exists(new org.apache.hadoop.fs.Path(tmp)) && fs.exists(live),
+        s"rebuild swap: rename $tmp -> $dir failed (old index preserved at $old)")
+    }
     fs.delete(old, true)
   }
 
@@ -515,13 +701,31 @@ object IndexLifecycle {
     * the fixpoint: a second pass right after returns `"none"` (rebuild
     * resets the fraction, compaction clears files + tombstones). A dir
     * built before `buildinfo.parquet` existed has no fraction — rule 1
-    * is skipped rather than guessed (the indexStats NULL contract). */
+    * is skipped rather than guessed (the indexStats NULL contract).
+    *
+    * Mutating verb: the single-writer lease ([[withIndexLock]]) is held
+    * across the WHOLE read-stats-then-act pass, which closes the TOCTOU
+    * the unlocked shape had (an append landing between the [[indexStats]]
+    * read and the action made the decision stale — benign for one
+    * idempotent pass, but the lease makes the readout the verb acts on
+    * exact: no writer can move the numbers mid-pass). */
   def maintainIndex(spark: SparkSession, dir: String,
                     rebuildAt: Double = 0.5,
                     maxFilesPerCell: Int = 4,
                     lshMaxPostingsFiles: Int = 256,
                     minTombstoneBacklog: Long = 64L,
-                    tombstoneFraction: Double = 0.1): String = {
+                    tombstoneFraction: Double = 0.1): String =
+    withIndexLock(spark, dir, "maintainIndex") {
+      maintainIndexInner(spark, dir, rebuildAt, maxFilesPerCell,
+        lshMaxPostingsFiles, minTombstoneBacklog, tombstoneFraction)
+    }
+
+  private def maintainIndexInner(spark: SparkSession, dir: String,
+                                 rebuildAt: Double,
+                                 maxFilesPerCell: Int,
+                                 lshMaxPostingsFiles: Int,
+                                 minTombstoneBacklog: Long,
+                                 tombstoneFraction: Double): String = {
     val s = indexStats(spark, dir).head()
     val isLsh = s.getAs[String]("layout") == "lsh"
     val frac = Option(s.getAs[java.lang.Double]("appended_fraction"))
@@ -535,9 +739,12 @@ object IndexLifecycle {
       minTombstoneBacklog,
       math.ceil(tombstoneFraction * s.getAs[Long]("live_rows")).toLong)
     if (frac.exists(_ >= rebuildAt)) {
-      rebuildIndex(spark, dir); "rebuild"
+      // inner verbs: the lease is already held (re-acquiring would
+      // self-deadlock on our own lock file)
+      rebuildIndexInner(spark, dir, None, None, None, None, None, None)
+      "rebuild"
     } else if (filePressure || tombstonePressure) {
-      compactIndex(spark, dir, maxFilesPerCell); "compact"
+      compactIndexInner(spark, dir, maxFilesPerCell); "compact"
     } else "none"
   }
 

@@ -501,7 +501,8 @@ object Ivf {
   def buildIndex(emb: DataFrame, idCol: String, vecCol: String, dir: String,
                  nprobe: Int = 4, seed: Long = 42L,
                  sampleFraction: Double = 1.0, maxIter: Int = 10,
-                 hierarchicalThreshold: Int = Dedup.HierarchicalCellsThreshold): IndexModel = {
+                 hierarchicalThreshold: Int = Dedup.HierarchicalCellsThreshold): IndexModel =
+  IndexLifecycle.withIndexLock(emb.sparkSession, dir, "buildIndex") {
     val n = emb.count()
     val cells = clampK(cellsForSearch(n, nprobe), n)
     val model = trainModel(emb, vecCol, cells, seed, sampleFraction, maxIter,
@@ -595,7 +596,8 @@ object Ivf {
     * the caller's index-lifecycle policy, exactly as in FAISS; the
     * honest-training in-query paths are unaffected. */
   def appendIndex(emb: DataFrame, idCol: String, vecCol: String,
-                  dir: String): IndexModel = {
+                  dir: String): IndexModel =
+  IndexLifecycle.withIndexLock(emb.sparkSession, dir, "appendIndex") {
     requireLayout(emb.sparkSession, dir, "invfile.parquet",
       "appendIndex", "Quantize.appendPqIndex")
     val model = loadIndexModel(emb.sparkSession, dir)

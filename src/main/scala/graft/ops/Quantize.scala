@@ -310,7 +310,8 @@ object Quantize {
   def buildPqIndex(emb: DataFrame, idCol: String, vecCol: String, dir: String,
                    nprobe: Int = 4, m: Int = 8, codebookSize: Int = 16,
                    seed: Long = 42L, trainSampleRows: Long = 16384L,
-                   hierarchicalThreshold: Int = Dedup.HierarchicalCellsThreshold): PqIndexModel = {
+                   hierarchicalThreshold: Int = Dedup.HierarchicalCellsThreshold): PqIndexModel =
+  IndexLifecycle.withIndexLock(emb.sparkSession, dir, "buildPqIndex") {
     val spark = emb.sparkSession
     val n = emb.count()
     val coarse = trainCoarse(emb, vecCol, nprobe, seed, trainSampleRows, n,
@@ -355,7 +356,8 @@ object Quantize {
     * Retraining cadence under distribution drift is the caller's
     * index-lifecycle policy, as in FAISS. */
   def appendPqIndex(emb: DataFrame, idCol: String, vecCol: String,
-                    dir: String): PqIndexModel = {
+                    dir: String): PqIndexModel =
+  IndexLifecycle.withIndexLock(emb.sparkSession, dir, "appendPqIndex") {
     // layout guard (ADVICE r13, symmetric with Ivf.appendIndex's): an
     // IVF-flat dir would fail later on books.parquet anyway, but with a
     // bare path error — fail here with the split-index rationale instead

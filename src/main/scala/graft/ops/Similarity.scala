@@ -532,7 +532,8 @@ object Similarity {
     * pruning, pinned in SimilaritySpec). */
   def buildLshIndex(emb: DataFrame, idCol: String, vecCol: String,
                     dir: String, baseTables: Int = 8, dim: Int = 64,
-                    seed: Long = 42L): Unit = {
+                    seed: Long = 42L): Unit =
+  IndexLifecycle.withIndexLock(emb.sparkSession, dir, "buildLshIndex") {
     val spark = emb.sparkSession
     import spark.implicits._
     val n = emb.count()
@@ -574,7 +575,8 @@ object Similarity {
     * The append batch is evaluated twice (vectors + postings) — batches
     * are increment-sized; a corpus-scale append is a rebuild. */
   def appendLshIndex(emb: DataFrame, idCol: String, vecCol: String,
-                     dir: String): Unit = {
+                     dir: String): Unit =
+  IndexLifecycle.withIndexLock(emb.sparkSession, dir, "appendLshIndex") {
     val spark = emb.sparkSession
     // recover interrupted swaps FIRST (dir-level, then file-level):
     // mode("append") onto a mid-swap missing path would CREATE a fresh

