@@ -165,4 +165,61 @@ class FilteredProbeSpec extends SparkSpec {
     assert(!after.contains(victim), "tombstoned id resurfaced through the selector")
     assert(after.forall(allowedSet), "selector stopped filtering under tombstones")
   }
+
+  test("static partition pruning SURVIVES the selector semi-join on both gate paths (r15 verdict #2)") {
+    // probeIndexFrame claims the driver-computed cell filter still
+    // pushes through the selector semi-join to the scan; only the
+    // UNFILTERED probe had the PartitionFilters + files-read pin
+    // (IvfSpec), so a Catalyst change could silently turn every
+    // FILTERED serve probe into a full-index scan. Same construction as
+    // IvfSpec's pin, with the selector applied exactly as the probe
+    // does, on both selector gate paths and both cell layouts.
+    val q = query.select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    for ((dir, file) <- Seq((ivfDir, "invfile.parquet"),
+                            (pqDir, "codes.parquet"))) {
+      val model = Ivf.loadIndexModel(spark, dir)
+      val probedCells = model.probedCells(q, nprobe = 2)
+      val inv = spark.read.parquet(s"$dir/$file")
+      val allFiles = inv.inputFiles.length
+      val cellDirs = new java.io.File(s"$dir/$file").listFiles()
+        .count(_.getName.startsWith("cell="))
+      assert(cellDirs > probedCells.length,
+        s"$file: only $cellDirs cell dirs — partitioning missing")
+      for ((gate, limit) <- Seq(("broadcast", Long.MaxValue),
+                                ("shuffle_hash", 0L))) {
+        val src = Similarity.applySelector(inv, Some(allowed), "vec_id", limit)
+        val probed = src.filter(
+          col("cell").isin(probedCells.map(Integer.valueOf): _*))
+        probed.count() // drive the scan so numFiles materializes (final AQE plan)
+        // the join makes the plan adaptive, which hides the scan inside
+        // query stages — recurse through them to the one parquet scan
+        // (the selector side is a checkpointed local relation, not a
+        // file scan)
+        def fileScans(p: org.apache.spark.sql.execution.SparkPlan):
+            Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            fileScans(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            fileScans(q.plan)
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+          case other => other.children.flatMap(fileScans)
+        }
+        val scans = fileScans(probed.queryExecution.executedPlan)
+        assert(scans.length == 1,
+          s"$file/$gate: expected exactly one file scan, got ${scans.length}")
+        assert(scans.head.partitionFilters.nonEmpty &&
+            scans.head.partitionFilters.mkString(",").contains("cell"),
+          s"$file/$gate: cell filter did not reach PartitionFilters under " +
+            s"the selector join:\n${scans.head}")
+        val filesRead = scans.head.metrics("numFiles").value
+        assert(filesRead < allFiles,
+          s"$file/$gate: scan read all $allFiles files despite the partition filter")
+        assert(filesRead <= math.ceil(
+            allFiles.toDouble * probedCells.length / cellDirs).toInt * 2,
+          s"$file/$gate: pruning leaked: $filesRead of $allFiles files for " +
+            s"${probedCells.length} of $cellDirs cells")
+      }
+    }
+  }
 }
