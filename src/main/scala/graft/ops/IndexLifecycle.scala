@@ -23,6 +23,12 @@ import org.apache.spark.sql.functions._
   *    empty have their directories deleted explicitly — dynamic
   *    overwrite only replaces partitions PRESENT in the written data,
   *    so an emptied cell would otherwise keep its stale files.
+  *    `removeIds(tombstone = true)` opts a cell layout into the LSH
+  *    deletion-vector regime instead — the SCATTERED-batch remedy
+  *    (r15 verdict #3): a scattered batch's physical remove touches
+  *    min(batch, cells) cell directories, degenerating toward a
+  *    full-index rewrite at scale, where the tombstone append is
+  *    O(batch) flat and the rewrite defers to the compaction cadence.
   *  - LSH layout: postings are range-sorted by (table, bucket), not
   *    id-clustered, so a physical remove would rewrite the whole
   *    postings set per call. Removal instead APPENDS the ids to a
@@ -294,6 +300,47 @@ object IndexLifecycle {
     if (nIds <= limit) table.join(broadcast(ids), Seq(idCol), joinType)
     else table.join(ids.hint("SHUFFLE_HASH"), Seq(idCol), joinType)
 
+  /** Serve the `deletes.parquet` tombstones OUT of `table` — the single
+    * read-side filter behind tombstoned removal on EVERY layout
+    * ([[Similarity.lshVectors]] for LSH; [[Ivf.cellSource]],
+    * [[Ivf.probeIndex]], [[Quantize.probePqIndex]] and the rebuild
+    * sources for the cell layouts). Runs swap recovery first (a crash
+    * between [[swapInParquet]]'s two renames leaves the live tombstone
+    * file missing, which would read as "no tombstones" — silent
+    * resurrection), then count-gates the anti-join like every bounded
+    * structure: broadcast under the gate, SHUFFLE_HASH past it — the
+    * backlog is compaction-bounded, not assumed small. A dir with no
+    * tombstone file passes through untouched. */
+  private[graft] def minusTombstones(spark: SparkSession, dir: String,
+                                     table: DataFrame, idCol: String,
+                                     broadcastLimit: Long =
+                                       Dedup.HotShingleBroadcastLimit): DataFrame = {
+    recoverSwap(spark, s"$dir/deletes.parquet")
+    if (!Ivf.layoutFileExists(spark, dir, "deletes.parquet")) table
+    else {
+      val del = spark.read.parquet(s"$dir/deletes.parquet")
+        .select(col(idCol)).distinct().localCheckpoint(true)
+      idJoin(table, del, idCol, del.count(), broadcastLimit, "left_anti")
+    }
+  }
+
+  /** Drop `batchIds` from the pending tombstone set — the re-insert
+    * contract every append owes ([[Similarity.appendLshIndex]]'s rule,
+    * extended to the cell layouts once they gained tombstoned removal):
+    * appending an id that was tombstoned un-deletes it, else the append
+    * lands physically but every probe keeps filtering it out until
+    * compaction. Tombstone-sized (the set is compaction-bounded), via
+    * the crash-safe swap. */
+  private[graft] def undeleteTombstones(spark: SparkSession, dir: String,
+                                        batchIds: DataFrame,
+                                        idCol: String): Unit = {
+    recoverSwap(spark, s"$dir/deletes.parquet")
+    if (Ivf.layoutFileExists(spark, dir, "deletes.parquet"))
+      swapInParquet(spark, s"$dir/deletes.parquet")(
+        spark.read.parquet(s"$dir/deletes.parquet")
+          .join(batchIds.select(col(idCol)), Seq(idCol), "left_anti"))
+  }
+
   /** Remove `ids` rows from the index at `dir` (FAISS `remove_ids`):
     * cell layouts rewrite only the affected cell partitions; the LSH
     * layout appends tombstones served out by every probe path until
@@ -303,26 +350,51 @@ object IndexLifecycle {
     * .annProbeStream]]). Removing an id that is not in the index is a
     * no-op, as in FAISS.
     *
+    * `tombstone = true` (cell layouts only — the LSH layout ALWAYS
+    * tombstones, its postings aren't id-clustered) switches the cell
+    * layouts to the same deletion-vector regime: the batch appends to
+    * `deletes.parquet` at O(batch) cost, every probe path anti-joins it
+    * out ([[minusTombstones]] on the vectors/codes choke point), and
+    * [[compactIndex]] applies the backlog physically. This is the
+    * SCATTERED-batch remedy (r15 verdict #3): the physical remove
+    * rewrites min(batch, cells) cell directories, so a scattered batch
+    * at scale degenerates toward a full-index rewrite — the tombstone
+    * path's cost is flat in batch size and independent of how many
+    * cells the batch touches, deferring the rewrite to the compaction
+    * cadence exactly like the LSH arm (the Lucene/Delta
+    * deletion-vector shape). Keep the default (physical, immediate) for
+    * clustered or small removals where no tombstone should ever enter
+    * the read path.
+    *
     * Mutating verb: serializes through the dir's single-writer lease
     * ([[withIndexLock]]) — fails loudly if another writer holds it. */
   def removeIds(spark: SparkSession, dir: String, ids: DataFrame,
                 idCol: String,
-                idBroadcastLimit: Long = Dedup.HotShingleBroadcastLimit): Unit =
+                idBroadcastLimit: Long = Dedup.HotShingleBroadcastLimit,
+                tombstone: Boolean = false): Unit =
     withIndexLock(spark, dir, "removeIds") {
-      removeIdsInner(spark, dir, ids, idCol, idBroadcastLimit)
+      removeIdsInner(spark, dir, ids, idCol, idBroadcastLimit, tombstone)
     }
 
+  /** Append the batch to the dir's tombstone set: O(removed ids) —
+    * dedup is the anti join's job, compaction clears the set. Recover
+    * first: an append landing while deletes.parquet sits mid-swap would
+    * strand the prior tombstones in the sibling dirs forever. */
+  private def appendTombstones(spark: SparkSession, dir: String,
+                               ids: DataFrame, idCol: String): Unit = {
+    recoverSwap(spark, s"$dir/deletes.parquet")
+    ids.select(col(idCol)).distinct()
+      .write.mode("append").parquet(s"$dir/deletes.parquet")
+  }
+
   private def removeIdsInner(spark: SparkSession, dir: String, ids: DataFrame,
-                             idCol: String, idBroadcastLimit: Long): Unit =
+                             idCol: String, idBroadcastLimit: Long,
+                             tombstone: Boolean): Unit =
     cellFileOf(spark, dir) match {
       case None =>
-        // LSH tombstone append: O(removed ids) — dedup is the anti
-        // join's job, compaction clears the set. Recover first: an
-        // append landing while deletes.parquet sits mid-swap would
-        // strand the prior tombstones in the sibling dirs forever.
-        recoverSwap(spark, s"$dir/deletes.parquet")
-        ids.select(col(idCol)).distinct()
-          .write.mode("append").parquet(s"$dir/deletes.parquet")
+        appendTombstones(spark, dir, ids, idCol)
+      case Some(_) if tombstone =>
+        appendTombstones(spark, dir, ids, idCol)
       case Some(file) =>
         val table = spark.read.parquet(s"$dir/$file")
         val idsDf = ids.select(col(idCol)).distinct().localCheckpoint(true)
@@ -393,20 +465,56 @@ object IndexLifecycle {
     cellFileOf(spark, dir) match {
       case None => compactLsh(spark, dir)
       case Some(file) =>
+        recoverSwap(spark, s"$dir/deletes.parquet")
         val (fs, root) = hfs(spark, s"$dir/$file")
         val heavy = fs.listStatus(root).toSeq
           .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
           .filter(s => fs.listStatus(s.getPath)
             .count(f => f.getPath.getName.startsWith("part-")) > maxFilesPerCell)
           .map(_.getPath.getName.stripPrefix("cell=").toInt)
-        if (heavy.nonEmpty) {
-          val rows = spark.read.parquet(s"$dir/$file")
-            .filter(col("cell").isin(heavy.map(Integer.valueOf): _*))
+        // tombstoned removal (removeIds tombstone = true) defers the
+        // cell rewrites to HERE: cells holding tombstoned ids join the
+        // rewrite set (bounded by the cell count, like removeIds'
+        // affected list), survivors rewrite with the anti-join applied,
+        // and the backlog clears LAST — a crash after the rewrite but
+        // before the clear re-applies an already-physical anti-join:
+        // idempotent, never resurrecting
+        val del: Option[DataFrame] =
+          if (Ivf.layoutFileExists(spark, dir, "deletes.parquet"))
+            Some(spark.read.parquet(s"$dir/deletes.parquet")
+              .distinct().localCheckpoint(true))
+          else None
+        val table = spark.read.parquet(s"$dir/$file")
+        val affected: Seq[Int] = del match {
+          case Some(d) =>
+            idJoin(table, d, d.columns.head, d.count(),
+              Dedup.HotShingleBroadcastLimit, "left_semi")
+              .select("cell").distinct().collect().map(_.getInt(0)).toSeq
+          case None => Nil
+        }
+        val rewrite = (heavy ++ affected).distinct
+        if (rewrite.nonEmpty) {
+          val base = table
+            .filter(col("cell").isin(rewrite.map(Integer.valueOf): _*))
+          val rows = del.fold(base)(d =>
+              idJoin(base, d, d.columns.head, d.count(),
+                Dedup.HotShingleBroadcastLimit, "left_anti"))
             .repartition(col("cell"))
             .localCheckpoint(true)
           rows.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("cell").parquet(s"$dir/$file")
+          // emptied cells keep stale files under dynamic overwrite —
+          // drop their directories (removeIds' physical-arm rule)
+          val kept = rows.select("cell").distinct()
+            .collect().map(_.getInt(0)).toSet
+          rewrite.filterNot(kept).foreach { c =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$file/cell=$c"), true)
+          }
+        }
+        if (del.isDefined) {
+          val (dfs, dpath) = hfs(spark, s"$dir/deletes.parquet")
+          dfs.delete(dpath, true)
         }
     }
 
@@ -425,9 +533,10 @@ object IndexLifecycle {
     *    exists to relieve (its `maxFilesPerCell` bound compares against
     *    exactly this). For the LSH layout: file count of the postings
     *    set, which LSH compaction rewrites wholesale.
-    *  - `tombstones` — the LSH [[removeIds]] backlog a compaction would
-    *    apply physically (always 0 on cell layouts: their removes are
-    *    physical and immediate).
+    *  - `tombstones` — the [[removeIds]] backlog a compaction would
+    *    apply physically (the LSH layout always tombstones; cell
+    *    layouts carry one only under `removeIds(tombstone = true)` —
+    *    their default removes are physical and immediate, backlog 0).
     *
     * `live_rows`/`cells` are distributed aggregates; the file-count walk
     * is driver-side filesystem METADATA, bounded by the cell count ×
@@ -441,7 +550,18 @@ object IndexLifecycle {
       else None
     val (layout, live, cells, maxFiles, tombstones) = cellFileOf(spark, dir) match {
       case Some(file) =>
-        val table = spark.read.parquet(s"$dir/$file")
+        // cell layouts can now carry a tombstone backlog too (removeIds
+        // tombstone = true): live_rows serves it OUT, mirroring the LSH
+        // arm, so the maintenance fraction compares the backlog against
+        // the index a compaction would actually rewrite
+        recoverSwap(spark, s"$dir/deletes.parquet")
+        val raw = spark.read.parquet(s"$dir/$file")
+        val (table, tomb) =
+          if (Ivf.layoutFileExists(spark, dir, "deletes.parquet")) {
+            val del = spark.read.parquet(s"$dir/deletes.parquet")
+            (minusTombstones(spark, dir, raw, del.columns.head),
+              del.distinct().count())
+          } else (raw, 0L)
         val agg = table.agg(count(lit(1)), countDistinct(col("cell"))).head()
         val (fs, root) = hfs(spark, s"$dir/$file")
         val mf = fs.listStatus(root).toSeq
@@ -450,7 +570,7 @@ object IndexLifecycle {
             .count(f => f.getPath.getName.startsWith("part-")))
           .foldLeft(0)(math.max)
         (if (file == "invfile.parquet") "ivf" else "pq",
-          agg.getLong(0), agg.getLong(1), mf, 0L)
+          agg.getLong(0), agg.getLong(1), mf, tomb)
       case None =>
         // recover BEFORE the eager postings read below — maintenance is
         // the natural first call after a compaction crash and must
@@ -617,15 +737,20 @@ object IndexLifecycle {
           dim = meta.getAs[Int]("dim"),
           seed = seed.getOrElse(meta.getAs[Long]("seed")))
       case Some("invfile.parquet") =>
-        val src = spark.read.parquet(s"$dir/invfile.parquet")
-        val (idCol, vecCol) = inferCols(src)
+        val raw = spark.read.parquet(s"$dir/invfile.parquet")
+        val (idCol, vecCol) = inferCols(raw)
+        // pending cell-layout tombstones apply physically here, like
+        // the LSH arm's read-through-lshVectors: the rebuilt index
+        // never carries them (the whole-dir swap drops deletes.parquet)
+        val src = minusTombstones(spark, dir, raw, idCol)
         Ivf.buildIndex(src.select(idCol, vecCol), idCol, vecCol, tmp,
           nprobe = rNprobe, seed = rSeed, maxIter = rMaxIter,
           sampleFraction = pDouble("sample_fraction").getOrElse(1.0),
           hierarchicalThreshold = rHier)
       case Some(_) =>
-        val src = spark.read.parquet(s"$dir/codes.parquet")
-        val (idCol, vecCol) = inferCols(src)
+        val raw = spark.read.parquet(s"$dir/codes.parquet")
+        val (idCol, vecCol) = inferCols(raw)
+        val src = minusTombstones(spark, dir, raw, idCol)
         // trained-geometry fallback for pre-params dirs only: m (subspace
         // count) is never clamped, so countDistinct(j) == the request;
         // countDistinct(c) is the clamp-SHRUNK codebook — see scaladoc
@@ -681,8 +806,9 @@ object IndexLifecycle {
     *     per-cell-sized bound would fire right after a healthy build
     *     and, because LSH compaction rewrites wholesale back to
     *     parallelism-many files, never reach the fixpoint; keep the
-    *     bound above `spark.sql.shuffle.partitions`) — or an LSH
-    *     tombstone backlog at
+    *     bound above `spark.sql.shuffle.partitions`) — or a
+    *     tombstone backlog (LSH always; cell layouts under
+    *     `removeIds(tombstone = true)`, thresholded IDENTICALLY) at
     *     `tombstones ≥ max(minTombstoneBacklog, tombstoneFraction ·
     *     live_rows)` → [[compactIndex]]. The backlog is THRESHOLDED
     *     (r14 verdict #2): LSH compaction is a wholesale

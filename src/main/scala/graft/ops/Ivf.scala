@@ -495,7 +495,12 @@ object Ivf {
     val invPath = new org.apache.hadoop.fs.Path(s"$dir/invfile.parquet")
     val fs = invPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val src = if (fs.exists(invPath)) invPath.toString else s"$dir/codes.parquet"
-    spark.read.parquet(src).select(col(idCol), col(vecCol), col("cell"))
+    // tombstones (removeIds tombstone = true) serve out at the same
+    // choke point the LSH arm uses (lshVectors): every consumer —
+    // batch probe, streaming probe — reads the filtered frame
+    IndexLifecycle.minusTombstones(spark, dir,
+      spark.read.parquet(src).select(col(idCol), col(vecCol), col("cell")),
+      idCol)
   }
 
   def buildIndex(emb: DataFrame, idCol: String, vecCol: String, dir: String,
@@ -559,7 +564,11 @@ object Ivf {
     // model FIRST: loadIndexModel runs whole-dir swap recovery, and the
     // invfile read resolves its file listing eagerly
     val model = loadIndexModel(spark, dir)
-    probeIndexFrame(spark.read.parquet(s"$dir/invfile.parquet"),
+    // tombstones filter at the inverted-file choke point: probed scan,
+    // ranking, AND the never-short fallback read the filtered frame
+    probeIndexFrame(
+      IndexLifecycle.minusTombstones(spark, dir,
+        spark.read.parquet(s"$dir/invfile.parquet"), idCol),
       model, idCol, vecCol, query, queryVecCol, k, nprobe, selector)
   }
 
@@ -608,6 +617,12 @@ object Ivf {
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell")
       .parquet(s"$dir/invfile.parquet")
+    // re-insert contract (appendLshIndex's rule, now that cell layouts
+    // can carry tombstones): appending a tombstoned id un-deletes it —
+    // without this the append lands physically but every probe keeps
+    // filtering it out until compaction
+    IndexLifecycle.undeleteTombstones(emb.sparkSession, dir,
+      emb.select(col(idCol)), idCol)
     model
   }
 

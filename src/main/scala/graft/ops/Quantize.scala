@@ -370,6 +370,10 @@ object Quantize {
         pqCode(model.coarse.residualOf(col(vecCol)), model.cb))
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$dir/codes.parquet")
+    // re-insert contract: a tombstoned id that re-appends un-deletes
+    // (Ivf.appendIndex's rule)
+    IndexLifecycle.undeleteTombstones(emb.sparkSession, dir,
+      emb.select(col(idCol)), idCol)
     model
   }
 
@@ -401,7 +405,11 @@ object Quantize {
     // model first — loadPqIndex (via Ivf.loadIndexModel) runs whole-dir
     // swap recovery before the eager codes listing
     val model = loadPqIndex(spark, dir)
-    pqProbeCore(spark.read.parquet(s"$dir/codes.parquet"),
+    // tombstones filter at the code-table choke point (Ivf.probeIndex's
+    // rationale): ADC shortlist AND exact fallback read the filtered frame
+    pqProbeCore(
+      IndexLifecycle.minusTombstones(spark, dir,
+        spark.read.parquet(s"$dir/codes.parquet"), idCol),
       model, idCol, vecCol, query, queryVecCol, k, nprobe, rerank, selector)
   }
 

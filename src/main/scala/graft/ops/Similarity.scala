@@ -702,15 +702,9 @@ object Similarity {
     // any interrupted swap for all three swappable artifacts first
     Seq("deletes.parquet", "postings.parquet", "vectors.parquet")
       .foreach(n => IndexLifecycle.recoverSwap(spark, s"$dir/$n"))
-    val vectors = spark.read.parquet(s"$dir/vectors.parquet")
-    if (!Ivf.layoutFileExists(spark, dir, "deletes.parquet")) vectors
-    else {
-      val del = spark.read.parquet(s"$dir/deletes.parquet")
-        .select(col(idCol)).distinct().localCheckpoint(true)
-      if (del.count() <= deleteBroadcastLimit)
-        vectors.join(broadcast(del), Seq(idCol), "left_anti")
-      else vectors.join(del.hint("SHUFFLE_HASH"), Seq(idCol), "left_anti")
-    }
+    IndexLifecycle.minusTombstones(spark, dir,
+      spark.read.parquet(s"$dir/vectors.parquet"), idCol,
+      deleteBroadcastLimit)
   }
 
   /** FAISS `IDSelector` analog for the serve probes (per-tenant /

@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Ivf, IndexLifecycle, Similarity}
+import graft.ops.{Dedup, Ivf, IndexLifecycle, Similarity}
 
 /** Lifecycle scaling evidence the main ScaleBench sweep doesn't carry
   * (r14 verdict #3/#7), at 1×/2×/5×/10×/25× the sf0.1 embeddings:
@@ -159,6 +159,67 @@ object LifecycleSweep {
           .write.format("noop").mode("overwrite").save()
         0L
       }
+      // PAST-GATE filtered probe (r15 verdict #5): pad the allowlist
+      // over the 4M broadcast gate with ghost ids (absent from the
+      // index — the semi-join result is identical) so the selector
+      // rides the SHUFFLE_HASH path through the PUBLIC probe API; its
+      // wall carries the one genuinely corpus-shaped term (the vectors
+      // side shuffles), which is the curve this row exists to show.
+      val bigAllow = allowlist.union(
+          spark.range(Dedup.HotShingleBroadcastLimit + 100000L)
+            .select((col("id") + 8000000000L).as("vec_id")))
+        .localCheckpoint(true)
+      val (tProbeFSh, _) = timeIt {
+        Similarity.probeLshIndex(spark, lshDir, "vec_id", "embedding",
+            emb.filter(col("vec_id") === 0), "embedding", k = 10,
+            selector = Some(bigAllow))
+          .write.format("noop").mode("overwrite").save()
+        0L
+      }
+      // serve RANGE probe (annProbeStream's plan on a batch frame
+      // against the cell index): probed cells only, exact cosine >= tau
+      val (tRange, _) = timeIt {
+        graft.streaming.Streaming.annProbeStream(
+            emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+            ivfDir, tau = 0.2, nprobe = 16)
+          .write.format("noop").mode("overwrite").save()
+        0L
+      }
+      // filtered CELL probe, broadcast gate (the IVF twin of probeF)
+      val (tIvfF, _) = timeIt {
+        Ivf.probeIndex(spark, ivfDir, "vec_id", "embedding",
+            emb.filter(col("vec_id") === 0), "embedding", k = 10,
+            selector = Some(allowlist))
+          .write.format("noop").mode("overwrite").save()
+        0L
+      }
+
+      // ── tombstoned scattered remove (r15 verdict #3) ────────────────
+      // a SECOND scattered 500-id batch through the tombstone verb: the
+      // write must be flat in batch size (an O(batch) append — never
+      // min(batch, cells) cell rewrites); the probe pays the anti-join
+      // rider; compaction carries the DEFERRED rewrite on its own
+      // cadence. Compare tRmTomb against rm500 (the physical wall).
+      val tombBatch = emb.filter(col("vec_id") >= 2001 && col("vec_id") <= 2500)
+        .select("vec_id").localCheckpoint(true)
+      val affectedTomb = affectedCells(tombBatch)
+      val (tRmTomb, _) = timeIt {
+        IndexLifecycle.removeIds(spark, ivfDir, tombBatch, "vec_id",
+          tombstone = true); 0L
+      }
+      val (tProbeTomb, _) = timeIt {
+        Ivf.probeIndex(spark, ivfDir, "vec_id", "embedding",
+            emb.filter(col("vec_id") === 0), "embedding", k = 10)
+          .write.format("noop").mode("overwrite").save()
+        0L
+      }
+      val (tCompact, _) = timeIt {
+        IndexLifecycle.compactIndex(spark, ivfDir); 0L
+      }
+      val liveAfter = IndexLifecycle.indexStats(spark, ivfDir).head()
+        .getAs[Long]("live_rows")
+      require(liveAfter == nVecs - nBatch - tombBatch.count(),
+        s"tombstone+compact lost rows: $liveAfter")
 
       println(f"[lcs] x$k%-2d vecs=$nVecs%8d | ivfBuild=$tBuild%6.2fs " +
         f"rm16=$tRm16%5.2fs(aff=$affected16%3d) " +
@@ -167,6 +228,10 @@ object LifecycleSweep {
         f"planes=$planes tables=$tables sizedQ=$sizedQ " +
         f"cand=$meanVol%6d (target 4096) probe=$tProbe%5.2fs " +
         f"probeF=$tProbeF%5.2fs(allow=$nAllowed)")
+      println(f"[lcs] x$k%-2d tombstone: rmT500=$tRmTomb%5.2fs" +
+        f"(aff=$affectedTomb%4d cells untouched) probeT=$tProbeTomb%5.2fs " +
+        f"compact=$tCompact%5.2fs | range=$tRange%5.2fs " +
+        f"ivfF=$tIvfF%5.2fs probeFsh=$tProbeFSh%5.2fs(allow>${Dedup.HotShingleBroadcastLimit})")
     }
     spark.stop()
   }

@@ -631,6 +631,100 @@ class IndexLifecycleSpec extends SparkSpec {
       s"PQ rebuild lost the requested geometry: $pbi")
   }
 
+  test("cell-layout TOMBSTONED removeIds: probes serve survivors at O(batch) write cost; compaction applies and clears (r15 verdict #3)") {
+    val corpus = emb.localCheckpoint(true)
+    val query = corpus.filter($"vec_id" === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lc_tomb_ivf").toString
+    val model = Ivf.buildIndex(corpus, "vec_id", "embedding", dir, maxIter = 5)
+    val before = pairs(Ivf.probeIndex(spark, dir, "vec_id", "embedding",
+      query, "embedding", k = 10))
+    val removed = before.take(3).map(_._1)
+    val filesBefore = spark.read.parquet(s"$dir/invfile.parquet").inputFiles.sorted
+    IndexLifecycle.removeIds(spark, dir, removed.toDF("vec_id"), "vec_id",
+      tombstone = true)
+    // the scattered-batch point: NO cell directory was rewritten — the
+    // write cost is O(batch), flat in how many cells the batch touches
+    assert(spark.read.parquet(s"$dir/invfile.parquet").inputFiles.sorted
+        .sameElements(filesBefore),
+      "tombstoned remove rewrote cell files — that is the physical path's job")
+    // single probe, batch probe (via cellSource — the streaming probe's
+    // source too): all serve the survivors
+    val after = pairs(Ivf.probeIndex(spark, dir, "vec_id", "embedding",
+      query, "embedding", k = 10))
+    assert(after.map(_._1).toSet.intersect(removed.toSet).isEmpty,
+      s"tombstoned ids still served: $after")
+    val survivors = corpus.filter(!$"vec_id".isin(removed: _*))
+    val expect = pairs(Ivf.probeIndexFrame(
+      model.indexOf(survivors, "vec_id", "embedding"), model,
+      "vec_id", "embedding", query, "embedding", k = 10, nprobe = 4))
+    assert(after == expect, s"union-probe equality broke: $after vs $expect")
+    val batchIds = Ivf.probeIndexBatch(spark, dir, "vec_id", "embedding",
+      query, "vec_id", "embedding", k = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(batchIds.intersect(removed.toSet).isEmpty,
+      "batch probe (cellSource) served tombstoned ids")
+    // stats: backlog visible, live serves it out — the maintenance
+    // threshold reads the exact numbers the LSH arm reads
+    val st = IndexLifecycle.indexStats(spark, dir).head()
+    assert(st.getAs[Long]("tombstones") == removed.length.toLong)
+    assert(st.getAs[Long]("live_rows") == corpus.count() - removed.length)
+    // maintainIndex thresholds the cell backlog IDENTICALLY to LSH:
+    // below the floor it waits, at it it compacts
+    assert(IndexLifecycle.maintainIndex(spark, dir,
+      minTombstoneBacklog = 64L) == "none")
+    assert(IndexLifecycle.maintainIndex(spark, dir,
+      minTombstoneBacklog = 1L, tombstoneFraction = 0.0) == "compact")
+    // compaction applied the batch physically and cleared the backlog
+    assert(!new java.io.File(s"$dir/deletes.parquet").exists(),
+      "compaction did not clear the tombstone set")
+    assert(spark.read.parquet(s"$dir/invfile.parquet")
+        .filter($"vec_id".isin(removed: _*)).count() == 0,
+      "compaction did not apply tombstones physically")
+    assert(pairs(Ivf.probeIndex(spark, dir, "vec_id", "embedding",
+      query, "embedding", k = 10)) == after,
+      "probe changed across compaction — it must only change WHERE rows live")
+    val st2 = IndexLifecycle.indexStats(spark, dir).head()
+    assert(st2.getAs[Long]("tombstones") == 0L)
+  }
+
+  test("PQ tombstoned removeIds: probe equality, re-insert un-deletes, rebuild applies the backlog") {
+    val corpus = emb.localCheckpoint(true)
+    val query = corpus.filter($"vec_id" === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lc_tomb_pq").toString
+    Quantize.buildPqIndex(corpus, "vec_id", "embedding", dir, m = 4)
+    val before = pairs(Quantize.probePqIndex(spark, dir, "vec_id", "embedding",
+      query, "embedding", k = 10).select("vec_id", "sim"))
+    val removed = before.take(2).map(_._1)
+    IndexLifecycle.removeIds(spark, dir, removed.toDF("vec_id"), "vec_id",
+      tombstone = true)
+    val after = pairs(Quantize.probePqIndex(spark, dir, "vec_id", "embedding",
+      query, "embedding", k = 10).select("vec_id", "sim"))
+    assert(after.map(_._1).toSet.intersect(removed.toSet).isEmpty,
+      "PQ probe served tombstoned ids")
+    // re-insert contract: appending a tombstoned id un-deletes it (the
+    // LSH rule, now on the cell layouts)
+    val back = corpus.filter($"vec_id" === removed.head)
+    Quantize.appendPqIndex(back, "vec_id", "embedding", dir)
+    val reinserted = pairs(Quantize.probePqIndex(spark, dir, "vec_id",
+      "embedding", query, "embedding", k = 10).select("vec_id", "sim"))
+    assert(reinserted.map(_._1).contains(removed.head),
+      "re-appended id still filtered by its stale tombstone")
+    assert(!reinserted.map(_._1).contains(removed(1)),
+      "un-delete dropped an UNRELATED tombstone")
+    // rebuild applies the remaining backlog physically (reads through
+    // the tombstone filter) and the fresh dir carries none
+    IndexLifecycle.rebuildIndex(spark, dir)
+    assert(!new java.io.File(s"$dir/deletes.parquet").exists())
+    assert(spark.read.parquet(s"$dir/codes.parquet")
+        .filter($"vec_id" === removed(1)).count() == 0,
+      "rebuild resurrected a tombstoned id")
+    // note: the re-appended id now exists physically TWICE in the
+    // corpus history (original + append) — buildPqIndex trains on the
+    // live rows, so it must appear exactly once post-rebuild
+    assert(spark.read.parquet(s"$dir/codes.parquet")
+        .filter($"vec_id" === removed.head).count() >= 1)
+  }
+
   test("cell layouts: remove-then-re-append restores the probe (the LSH re-insert contract's physical analog)") {
     val corpus = emb.localCheckpoint(true)
     val n = corpus.count()
