@@ -90,10 +90,63 @@ object Bench {
   private def errsOf(results: Map[String, (Double, Option[String])]): Seq[String] =
     results.collect { case (k, (_, Some(e))) => s"\"$k\":\"$e\"" }.toSeq
 
+  // ── per-query historical floors (r15 verdict #4) ─────────────────────
+  // The r15 driver session read +6.6% with 31 untouched queries >15% up —
+  // correctly adjudicated as session noise, but only by hand-joining
+  // seven PERF.md sessions. The floors file carries the per-query minima
+  // over ALL recorded full sessions, so every bench artifact attributes
+  // its own noise: a query AT its floor moved nothing; a query above it
+  // in a session whose floor_p50 is also elevated is session noise; a NEW
+  // floor is a real improvement. When a deliberate trade changes a
+  // query's plan (the `_mp` multi-probe case), delete its entry so the
+  // floor re-seeds from the new plan's first session.
+
+  /** Parse the flat machine-written floors file `{"name":sec,...}`.
+    * Missing/corrupt file ⇒ empty (floors are advisory, never fatal). */
+  def readFloors(path: String): Map[String, Double] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      """"([a-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case NonFatal(_) => Map.empty }
+
+  /** Fold this session's healthy bests into the prior floors: per-query
+    * min, new queries enter at their first best, queries gone from the
+    * surface prune away (the file tracks the CURRENT surface — the
+    * cross-surface joins are what made the hand-attribution painful). */
+  def mergedFloors(prior: Map[String, Double],
+                   results: Map[String, (Double, Option[String])]): Map[String, Double] =
+    results.collect { case (n, (best, None)) =>
+      n -> prior.get(n).fold(best)(math.min(_, best))
+    }
+
+  /** p50/p90 of best/floor across queries carrying a floor — the
+    * one-number noise attribution (≈1.0 = the session sat on the
+    * historical minima; broadly elevated = a slow session, not a
+    * regression). */
+  def floorStats(results: Map[String, (Double, Option[String])],
+                 floors: Map[String, Double]): (Double, Double) = {
+    val ratios = results.collect {
+      case (n, (best, None)) if floors.get(n).exists(_ > 1e-9) =>
+        best / floors(n)
+    }.toSeq.sorted
+    if (ratios.isEmpty) (1.0, 1.0)
+    else {
+      def pct(p: Double) =
+        ratios(math.min(ratios.size - 1, (p * ratios.size).toInt))
+      (pct(0.50), pct(0.90))
+    }
+  }
+
   /** The COMPLETE one-line JSON — every query entry; goes to the durable
-    * files, where bytes are free. */
+    * files, where bytes are free. `floors` lands beside the passes with
+    * its p50/p90 attribution; `only` marks a FILTERED session so a
+    * partial artifact is self-identifying (ADVICE r15). */
   def fullJson(results: Map[String, (Double, Option[String])], sfDir: String,
-               detailed: Option[Map[String, Timing]] = None): String = {
+               detailed: Option[Map[String, Timing]] = None,
+               floors: Map[String, Double] = Map.empty,
+               only: Option[Seq[String]] = None): String = {
     val qs = results.map { case (k, (v, _)) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
     val errs = errsOf(results)
     val total = results.values.map(_._1).sum
@@ -108,8 +161,19 @@ object Bench {
       }.mkString("{", ",", "}")
       s""","noise_p50":${r3(p50)},"noise_p90":${r3(p90)},"passes":$raw"""
     }.getOrElse("")
+    val floorsSection =
+      if (floors.isEmpty) ""
+      else {
+        val (fp50, fp90) = floorStats(results, floors)
+        val fl = floors.toSeq.sorted.map { case (k, v) => s"\"$k\":${r3(v)}" }
+          .mkString("{", ",", "}")
+        s""","floor_p50":${r3(fp50)},"floor_p90":${r3(fp90)},"floors":$fl"""
+      }
+    val onlySection = only.fold("")(names =>
+      s""","only":${names.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}""")
     s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
-      s""""errors":${errs.mkString("{", ",", "}")},"failed":${errs.size},"sf":"$sfDir"$noise}"""
+      s""""errors":${errs.mkString("{", ",", "}")},"failed":${errs.size},""" +
+      s""""sf":"$sfDir"$onlySection$noise$floorsSection}"""
   }
 
   /** The stdout line: the driver captures a bounded
@@ -213,13 +277,36 @@ object Bench {
     }
     val detailed = measureDetailed(spark, sfDir, queries)
     val results = detailed.map { case (n, t) => n -> (t.best, t.err) }
-    val json = fullJson(results, sfDir, Some(detailed))
+    // floors: read prior minima, fold this session in, persist — FULL
+    // sessions only (a filtered mini-session is measurably colder,
+    // PERF.md finding 26, and must not define the surface either);
+    // filtered runs still READ floors so their artifact attributes too.
+    // sf0.1 only: minima from other scale factors are not comparable.
+    val floorsPath = "/root/repo/BENCH_FLOORS.json"
+    val floorsApply = new java.io.File(sfDir).getName == "sf0.1"
+    val prior = if (floorsApply) readFloors(floorsPath) else Map.empty[String, Double]
+    val floors =
+      if (!floorsApply) Map.empty[String, Double]
+      else if (only.isEmpty) {
+        val merged = mergedFloors(prior, results)
+        try java.nio.file.Files.write(java.nio.file.Paths.get(floorsPath),
+          (merged.toSeq.sorted.map { case (k, v) => s"\"$k\":${r3(v)}" }
+            .mkString("{", ",", "}") + "\n").getBytes("UTF-8"))
+        catch { case NonFatal(e) =>
+          System.err.println(s"[bench] floors write failed: $e") }
+        merged
+      } else prior.view.filterKeys(results.keySet).toMap
+    val json = fullJson(results, sfDir, Some(detailed), floors,
+      only.map(_.toSeq.sorted))
     val failed = errsOf(results).size
     // durable copies FIRST — they can never lose data: /tmp for local
     // A/Bs, and a repo-root copy the judge can read after the driver's
     // post-round bench (the stdout tail window holds only the compact
-    // line; the full per-query history lives here)
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    // line; the full per-query history lives here). A FILTERED session
+    // defaults to its own /tmp path (ADVICE r15: overwriting the default
+    // artifact let a partial A/B masquerade as a full session downstream).
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isEmpty) "/tmp/graft_bench.json" else "/tmp/graft_bench_only.json")
     val durable = if (only.isEmpty) Seq("/root/repo/BENCH_FULL.json") else Nil
     for (path <- (Seq(out) ++ durable).distinct) {
       try {

@@ -98,6 +98,42 @@ class BenchSpec extends SparkSpec {
     assert(failedSecond.spread.isEmpty, "errored pass 2 leaked into the noise witness")
   }
 
+  test("floors: per-query minima merge, prune to the surface, and self-attribute the session (r15 verdict #4)") {
+    val prior = Map("a" -> 1.0, "b" -> 2.0, "gone" -> 5.0)
+    val results: Map[String, (Double, Option[String])] = Map(
+      "a" -> (1.5, None),            // above floor: floor stays 1.0
+      "b" -> (1.8, None),            // NEW floor: real improvement
+      "fresh" -> (0.7, None),        // new query: enters at first best
+      "broken" -> (0.1, Some("boom")) // errored: never defines a floor
+    )
+    val merged = Bench.mergedFloors(prior, results)
+    assert(merged == Map("a" -> 1.0, "b" -> 1.8, "fresh" -> 0.7),
+      s"merge wrong: $merged") // "gone" pruned (not on the surface)
+    // the artifact carries floors + the p50/p90 attribution
+    val json = Bench.fullJson(results, "sf0.1", floors = merged)
+    assert(json.contains("\"floors\":{"), json)
+    assert(json.contains("\"floor_p50\":"), json)
+    assert(json.count(_ == '{') == json.count(_ == '}'), s"unbalanced: $json")
+    // ratios: a=1.5, b=1.0, fresh=1.0 → p50 = 1.0 (session at its floors)
+    val (p50, p90) = Bench.floorStats(results, merged)
+    assert(p50 == 1.0 && p90 == 1.5, s"floor stats wrong: $p50 $p90")
+    // the repo floors file parses back (round-trip through the reader)
+    val f = java.nio.file.Files.createTempFile("graft_floors", ".json")
+    java.nio.file.Files.write(f, "{\"x\":1.25,\"y\":0.5}\n".getBytes("UTF-8"))
+    assert(Bench.readFloors(f.toString) == Map("x" -> 1.25, "y" -> 0.5))
+    assert(Bench.readFloors("/nonexistent/floors.json").isEmpty,
+      "missing floors file must be advisory-empty, never fatal")
+  }
+
+  test("a FILTERED session is self-identifying in its artifact (ADVICE r15)") {
+    val results: Map[String, (Double, Option[String])] =
+      Map("a" -> (1.0, None))
+    val json = Bench.fullJson(results, "sf0.1", only = Some(Seq("a")))
+    assert(json.contains(""""only":["a"]"""), json)
+    assert(!Bench.fullJson(results, "sf0.1").contains("\"only\""),
+      "full sessions must not carry the filter marker")
+  }
+
   test("driver contract: every oracle has a query, names are driver-safe, entry smokes") {
     // the driver joins oracleSql to queries BY NAME and embeds names in
     // file paths / JSON keys — an orphaned oracle or an exotic name fails
