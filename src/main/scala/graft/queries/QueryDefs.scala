@@ -96,6 +96,32 @@ object QueryDefs {
     dir
   }
 
+  /** The deletion-vector lifecycle fixture: its OWN IVF dir (the shared
+    * serve fixture must never be mutated — every serve probe's planted
+    * expectations read it), marker-gated like [[ensureRebuiltIndex]].
+    * The QUERY mutates this dir per run (tombstone-remove → probe →
+    * compact), which is cross-run stable by construction: run 1 hides
+    * then physically applies the victims; later runs re-tombstone ids
+    * that no longer exist (a no-op by the removeIds contract), so the
+    * probe result, live count, and post-compact backlog (0) never
+    * change. */
+  private def ensureTombIndex(s: SparkSession, d: String): String = {
+    val base = ensureServeIndex(s, d, "ivf") // forces the shared parent dir
+    val parent = base.stripSuffix("/ivf")
+    val dir = s"$parent/ivf_tomb"
+    val marker = new org.apache.hadoop.fs.Path(s"$parent/_GRAFT_TOMB_OK")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      Ivf.buildIndex(
+        t(s, d, "embeddings").filter(col("vec_id") =!= 0)
+          .select("vec_id", "embedding"),
+        "vec_id", "embedding", dir)
+      fs.create(marker, true).close()
+    }
+    dir
+  }
+
   /** Untimed warm-up of every marker-gated serve/lifecycle fixture
     * (r14 verdict #8): Bench calls this BEFORE pass 1 so the one-off
     * builds (16.9 s for the rebuild fixture on a fresh /tmp) land
@@ -107,6 +133,7 @@ object QueryDefs {
   def warmServeFixtures(s: SparkSession, d: String): Unit = {
     Seq("ivf", "pq", "lsh").foreach(kind => ensureServeIndex(s, d, kind))
     ensureRebuiltIndex(s, d)
+    ensureTombIndex(s, d)
   }
 
   /** DuckDB replay of [[Text.bpeTrain]]'s merge loop as `n` UNROLLED SQL
@@ -1948,6 +1975,45 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
         IndexLifecycle.indexStats(s, dir)
           .select(col("layout"), col("live_rows"), col("built_rows"),
             col("appended_fraction"), col("tombstones"))
+          .crossJoin(probe)
+      },
+      None
+    ),
+
+    // The DELETION-VECTOR lifecycle on a cell layout (r16): tombstoned
+    // scattered remove (O(batch) append — the physical verb pays
+    // min(batch, cells) cell rewrites, PERF finding 32), probe serving
+    // the survivors through the anti-join rider, compaction applying
+    // the backlog physically and clearing it. Cross-run stable: later
+    // runs re-tombstone already-removed ids (no-op) and compact a clean
+    // dir. Rows-only (KMeans cells); IndexLifecycleSpec pins
+    // union-probe equality, O(batch) no-rewrite, re-insert un-delete,
+    // rebuild-applies, and the maintenance threshold on both cell
+    // layouts.
+    QueryDef(
+      "c14_ann_index_tombstone",
+      (s, d) => {
+        val dir = ensureTombIndex(s, d)
+        val emb = t(s, d, "embeddings")
+        val victims = Seq(2L, 3L, 4L)
+        IndexLifecycle.removeIds(s, dir,
+          emb.filter(col("vec_id").isin(victims.map(java.lang.Long.valueOf): _*))
+            .select("vec_id"),
+          "vec_id", tombstone = true)
+        // materialize the 1-row probe summary BEFORE compacting: the
+        // lazy plan snapshots the pre-compact file listing, and the
+        // compaction deletes rewritten cells' old files (the same
+        // plan-snapshot contract the rebuild-under-stream spec pins)
+        val probe = Ivf.probeIndex(s, dir, "vec_id", "embedding",
+          emb.filter(col("vec_id") === 0), "embedding", k = 10)
+          .agg(count(lit(1)).as("k_rows"),
+            sum(when(col("vec_id").isin(victims.map(java.lang.Long.valueOf): _*), 1)
+              .otherwise(0)).as("victim_hits"))
+          .localCheckpoint(true)
+        IndexLifecycle.compactIndex(s, dir)
+        IndexLifecycle.indexStats(s, dir)
+          .select(col("layout"), col("live_rows"), col("built_rows"),
+            col("tombstones"))
           .crossJoin(probe)
       },
       None

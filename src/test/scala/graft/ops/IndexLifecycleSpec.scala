@@ -725,6 +725,22 @@ class IndexLifecycleSpec extends SparkSpec {
         .filter($"vec_id" === removed.head).count() >= 1)
   }
 
+  test("c14_ann_index_tombstone query is cross-run stable (the driver runs it twice per bench)") {
+    // the query MUTATES its fixture per run (tombstone → probe →
+    // compact); stability rests on removeIds' remove-absent-is-a-no-op
+    // contract — pin it end to end through the actual SparkEntry plan
+    val q = graft.SparkEntry.queries("c14_ann_index_tombstone")
+    val r1 = q(spark, sf0001).collect().toSeq
+    val r2 = q(spark, sf0001).collect().toSeq
+    assert(r1 == r2, s"tombstone lifecycle query drifted across runs:\n$r1\n$r2")
+    assert(r1.length == 1)
+    val row = r1.head
+    assert(row.getAs[Long]("victim_hits") == 0L, s"victims served: $row")
+    assert(row.getAs[Long]("k_rows") == 10L, s"probe short: $row")
+    assert(row.getAs[Long]("tombstones") == 0L,
+      s"compaction left a backlog: $row")
+  }
+
   test("cell layouts: remove-then-re-append restores the probe (the LSH re-insert contract's physical analog)") {
     val corpus = emb.localCheckpoint(true)
     val n = corpus.count()

@@ -889,6 +889,17 @@ class StreamingSpec extends SparkSpec {
       dirLsh, tau = 0.9))
     assert(afterRemove == batchLsh,
       s"tombstoned id still tagged on the stream path: $afterRemove")
+    // the CELL arm's r16 counterpart: a TOMBSTONED remove (deletion
+    // vectors — no cell rewrite, so the running-plan file-snapshot
+    // hazard doesn't even arise) un-tags through cellSource's shared
+    // anti-join on a fresh plan
+    graft.ops.IndexLifecycle.removeIds(spark, dirIvf,
+      Seq(50L).toDF("vec_id"), "vec_id", tombstone = true)
+    val afterRemoveIvf = tagged(Streaming.annProbeStream(
+      queries.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      dirIvf, tau = 0.9, nprobe = 16))
+    assert(afterRemoveIvf == batchIvf,
+      s"cell-tombstoned id still tagged on the stream path: $afterRemoveIvf")
   }
 
   test("annProbeStream selector: per-tenant filtered tagging at ingest, stream == batch, both arms") {
