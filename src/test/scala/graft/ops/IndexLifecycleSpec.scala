@@ -663,6 +663,34 @@ class IndexLifecycleSpec extends SparkSpec {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(batchIds.intersect(removed.toSet).isEmpty,
       "batch probe (cellSource) served tombstoned ids")
+    // static partition pruning must survive the tombstone ANTI-join the
+    // same way it survives the selector semi-join (FilteredProbeSpec's
+    // pin): the probed-cell filter still reaches the scan while the
+    // backlog is pending
+    locally {
+      val q0 = query.select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      val probedCells = model.probedCells(q0, nprobe = 2)
+      val pruned = IndexLifecycle.minusTombstones(spark, dir,
+          spark.read.parquet(s"$dir/invfile.parquet"), "vec_id")
+        .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+      pruned.count()
+      def fileScans(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          fileScans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          fileScans(q.plan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(fileScans)
+      }
+      val scans = fileScans(pruned.queryExecution.executedPlan)
+      assert(scans.length == 1 && scans.head.partitionFilters.nonEmpty,
+        s"cell filter did not reach PartitionFilters under the tombstone anti-join")
+      val allFiles = spark.read.parquet(s"$dir/invfile.parquet").inputFiles.length
+      assert(scans.head.metrics("numFiles").value < allFiles,
+        "tombstone anti-join defeated static pruning: scan read every file")
+    }
     // stats: backlog visible, live serves it out — the maintenance
     // threshold reads the exact numbers the LSH arm reads
     val st = IndexLifecycle.indexStats(spark, dir).head()
