@@ -232,6 +232,26 @@ object LifecycleSweep {
         f"(aff=$affectedTomb%4d cells untouched) probeT=$tProbeTomb%5.2fs " +
         f"compact=$tCompact%5.2fs | range=$tRange%5.2fs " +
         f"ivfF=$tIvfF%5.2fs probeFsh=$tProbeFSh%5.2fs(allow>${Dedup.HotShingleBroadcastLimit})")
+
+      // batch-size dimension at the LARGEST rung only (the other half of
+      // the verdict's claim: the tombstone write is flat in BATCH SIZE —
+      // an O(batch) append of a few-KB id frame whose wall is job
+      // overhead, not data — as well as flat in touched-cell count):
+      // disjoint scattered batches of 100 / 1000 / 4000 ids
+      if (k == ks.max) {
+        var lo = 10000L
+        for (bs <- Seq(100L, 1000L, 4000L)) {
+          val b = emb.filter(col("vec_id") >= lo && col("vec_id") < lo + bs)
+            .select("vec_id").localCheckpoint(true)
+          val n = b.count()
+          val (tB, _) = timeIt {
+            IndexLifecycle.removeIds(spark, ivfDir, b, "vec_id",
+              tombstone = true); 0L
+          }
+          println(f"[lcs] x$k%-2d tombstone-batch: ids=$n%5d rmT=$tB%5.2fs")
+          lo += bs
+        }
+      }
     }
     spark.stop()
   }
