@@ -91,14 +91,41 @@ object IndexLifecycle {
     * READERS never take the lease — probes stay lock-free and self-heal
     * torn states via [[recoverSwap]]/[[recoverIndexDir]]; the writer-side
     * rename protocols tolerate a reader's concurrent recovery promoting
-    * their finished artifact first (see [[swapInParquet]]). */
+    * their finished artifact first (see [[swapInParquet]]).
+    *
+    * The lease RENEWS while the verb runs (a daemon heartbeat re-touches
+    * the lock's mtime every leaseMs/4): a healthy verb that outlives the
+    * lease duration — a corpus-scale rebuild on a bad day — is never
+    * taken over mid-run; takeover only ever fires on a holder that
+    * stopped heartbeating (crashed, or a hung JVM whose writes would
+    * land on recovery-protected rename protocols anyway). Renewal is
+    * best-effort like the lease itself: a store without setTimes just
+    * degrades to the fixed-duration lease. */
   private[graft] def withIndexLock[T](spark: SparkSession, dir: String,
                                       verb: String,
                                       leaseMs: Long = DefaultLeaseMs)(body: => T): T = {
     val (fs, lock) = hfs(spark, lockPath(dir))
     acquireLock(fs, lock, verb, leaseMs)
+    val renewer = new Thread(() => {
+      try {
+        while (!Thread.currentThread().isInterrupted) {
+          Thread.sleep(math.max(1L, leaseMs / 4))
+          try fs.setTimes(lock, System.currentTimeMillis(), -1)
+          catch { case _: java.io.IOException => () } // best-effort
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-lease-renewer-$verb")
+    renewer.setDaemon(true)
+    renewer.start()
     try body
-    finally fs.delete(lock, false)
+    finally {
+      // stop the heartbeat BEFORE releasing: a touch landing after the
+      // delete would recreate nothing (setTimes on a missing path just
+      // throws into the swallow), but joining makes release ordered
+      renewer.interrupt()
+      renewer.join(2000)
+      fs.delete(lock, false)
+    }
   }
 
   private def acquireLock(fs: org.apache.hadoop.fs.FileSystem,

@@ -107,6 +107,34 @@ class IndexLockSpec extends SparkSpec {
       "vec_id", "embedding", pqDir)
   }
 
+  test("a HEALTHY verb outliving the lease duration is never taken over (heartbeat renewal)") {
+    val corpus = emb.limit(64).localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lock_renew").toString + "/idx"
+    Ivf.buildIndex(corpus, "vec_id", "embedding", dir, maxIter = 5)
+    // a 300 ms lease held for 1200 ms: without renewal, the contender at
+    // t=800 ms would see a stale lease and take it over — two live
+    // writers, the exact corruption the lease exists to prevent
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val holder = new Thread(() =>
+      try IndexLifecycle.withIndexLock(spark, dir, "long-rebuild", leaseMs = 300L) {
+        entered.countDown()
+        Thread.sleep(1200)
+      } catch { case t: Throwable => errors.add(t) })
+    holder.start()
+    assert(entered.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    Thread.sleep(800) // well past the un-renewed lease age
+    val e = intercept[IllegalStateException](
+      IndexLifecycle.withIndexLock(spark, dir, "contender", leaseMs = 300L) {
+        fail("contender stole a HELD lease from a live, heartbeating holder")
+      })
+    assert(e.getMessage.contains("long-rebuild"), s"wrong error: ${e.getMessage}")
+    holder.join(30000)
+    assert(errors.isEmpty, s"holder failed: ${errors.peek()}")
+    // holder released cleanly; the lease is free again
+    IndexLifecycle.withIndexLock(spark, dir, "after", leaseMs = 300L) { () }
+  }
+
   test("two live writers race: exactly one wins the lease, the loser fails loudly") {
     val corpus = emb.limit(64).localCheckpoint(true)
     val dir = java.nio.file.Files.createTempDirectory("graft_lock_race").toString + "/idx"
