@@ -114,11 +114,18 @@ object Bench {
   /** Fold this session's healthy bests into the prior floors: per-query
     * min, new queries enter at their first best, queries gone from the
     * surface prune away (the file tracks the CURRENT surface — the
-    * cross-surface joins are what made the hand-attribution painful). */
+    * cross-surface joins are what made the hand-attribution painful).
+    * A query that ERRORED this session keeps its prior floor (review
+    * r16): it is still on the surface, and dropping it would re-seed
+    * the floor from whatever the next session happens to run — a
+    * regression landing meanwhile would then read as "at its floor"
+    * forever. */
   def mergedFloors(prior: Map[String, Double],
                    results: Map[String, (Double, Option[String])]): Map[String, Double] =
-    results.collect { case (n, (best, None)) =>
-      n -> prior.get(n).fold(best)(math.min(_, best))
+    results.flatMap {
+      case (n, (best, None)) =>
+        Some(n -> prior.get(n).fold(best)(math.min(_, best)))
+      case (n, (_, Some(_))) => prior.get(n).map(n -> _)
     }
 
   /** p50/p90 of best/floor across queries carrying a floor — the

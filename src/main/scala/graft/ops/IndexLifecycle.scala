@@ -111,7 +111,15 @@ object IndexLifecycle {
         while (!Thread.currentThread().isInterrupted) {
           Thread.sleep(math.max(1L, leaseMs / 4))
           try fs.setTimes(lock, System.currentTimeMillis(), -1)
-          catch { case _: java.io.IOException => () } // best-effort
+          catch {
+            // an interrupt landing INSIDE the fs call surfaces as
+            // InterruptedIOException with the flag cleared — re-assert
+            // it or the loop never exits and the thread leaks, touching
+            // whatever lock later verbs create at this path (review r16)
+            case _: java.io.InterruptedIOException =>
+              Thread.currentThread().interrupt()
+            case _: java.io.IOException => () // best-effort
+          }
         }
       } catch { case _: InterruptedException => () }
     }, s"graft-lease-renewer-$verb")
@@ -128,18 +136,89 @@ object IndexLifecycle {
     }
   }
 
+  /** Drop any lease left at `dir`'s lock path. ONLY for single-driver
+    * orchestration that is about to (re)build the dir from scratch
+    * (marker-gated fixtures, rebuild staging dirs, sweep tools): a
+    * crashed build leaves its lock as a SIBLING of the dir, so deleting
+    * the dir alone would block the recovery build for up to
+    * [[DefaultLeaseMs]] (review r16). Never call this where a second
+    * live writer could legitimately hold the lease — that is what the
+    * stale-takeover protocol is for. */
+  private[graft] def clearLock(spark: SparkSession, dir: String): Unit = {
+    val (fs, lock) = hfs(spark, lockPath(dir))
+    fs.delete(lock, false)
+  }
+
+  /** Create the lock file iff absent, ATOMICALLY. Hadoop's
+    * `create(path, overwrite = false)` is only atomic where the STORE
+    * makes it so (HDFS); on the local filesystem it is an exists-check
+    * followed by an open — two racing contenders BOTH pass the check
+    * and both "acquire" (caught red-handed by IndexLockSpec's takeover
+    * hammer: 8 of 8 contenders entered). Local paths go through
+    * `File.createNewFile` (POSIX O_CREAT|O_EXCL — genuinely atomic);
+    * everything else keeps the Hadoop create. Returns false when the
+    * lock already exists. */
+  private def atomicCreateLock(fs: org.apache.hadoop.fs.FileSystem,
+                               lock: org.apache.hadoop.fs.Path,
+                               content: String): Boolean = {
+    val isLocal = "file" == Option(fs.getUri).map(_.getScheme).orNull
+    if (isLocal) {
+      val f = new java.io.File(lock.toUri.getPath)
+      Option(f.getParentFile).foreach(_.mkdirs())
+      if (!f.createNewFile()) false
+      else {
+        val w = new java.io.FileWriter(f)
+        try w.write(content) finally w.close()
+        true
+      }
+    } else {
+      try {
+        val out = fs.create(lock, false)
+        try out.write(content.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    }
+  }
+
+  /** A takeover guard older than this is a crash leftover (the guard is
+    * only ever held across two driver-side metadata calls — never Spark
+    * work), so a contender may clear it. */
+  private val TakeoverGuardStaleMs = 60000L
+
+  /** Clear a STALE lock under the takeover guard — see the call site's
+    * comment for why acting on the lock path directly is an ABA race. */
+  private def takeoverStaleLock(fs: org.apache.hadoop.fs.FileSystem,
+                                lock: org.apache.hadoop.fs.Path,
+                                leaseMs: Long): Unit = {
+    val guard = new org.apache.hadoop.fs.Path(s"${lock.toString}.__takeover")
+    val guardSt =
+      try Some(fs.getFileStatus(guard))
+      catch { case _: java.io.FileNotFoundException => None }
+    guardSt.foreach { g =>
+      if (System.currentTimeMillis() - g.getModificationTime > TakeoverGuardStaleMs)
+        fs.delete(guard, false)
+    }
+    if (atomicCreateLock(fs, guard,
+        s"takeover ${System.currentTimeMillis()}\n")) {
+      try {
+        val still =
+          try Some(fs.getFileStatus(lock))
+          catch { case _: java.io.FileNotFoundException => None }
+        if (still.exists(s =>
+            System.currentTimeMillis() - s.getModificationTime > leaseMs))
+          fs.delete(lock, false)
+      } finally fs.delete(guard, false)
+    }
+  }
+
   private def acquireLock(fs: org.apache.hadoop.fs.FileSystem,
                           lock: org.apache.hadoop.fs.Path,
                           verb: String, leaseMs: Long): Unit = {
     var attempts = 3
     while (attempts > 0) {
-      try {
-        val out = fs.create(lock, false)
-        out.write(s"$verb ${System.currentTimeMillis()}\n".getBytes("UTF-8"))
-        out.close()
-        return
-      } catch {
-        case _: java.io.IOException =>
+      if (atomicCreateLock(fs, lock,
+          s"$verb ${System.currentTimeMillis()}\n")) return
+      else {
           val held =
             try Some(fs.getFileStatus(lock))
             catch { case _: java.io.FileNotFoundException => None }
@@ -148,9 +227,22 @@ object IndexLifecycle {
               val age = System.currentTimeMillis() - st.getModificationTime
               if (age > leaseMs) {
                 // stale-lease takeover: the holder crashed mid-verb (a
-                // healthy verb deletes its lock in finally). Delete and
-                // loop — the atomic create arbitrates racing contenders.
-                fs.delete(lock, false)
+                // healthy verb deletes its lock in finally, and a healthy
+                // LIVE one heartbeats its mtime). The takeover must not
+                // act directly on the lock path — stat-then-delete AND
+                // stat-then-rename are both ABA races on the path: the
+                // instrumented hammer caught a contender claiming away a
+                // FRESH lock created between its stat and its act (two
+                // live writers, the exact corruption the lease
+                // prevents). Instead the takeover itself serializes
+                // through a short-lived GUARD file (atomic create): a
+                // fresh lock can only appear at an EMPTY path, and the
+                // path only empties through the guarded delete below, so
+                // the re-stat INSIDE the guard is race-free — a fresh
+                // lock observed there is never deleted. The guard is
+                // held across two metadata calls only; one older than
+                // [[TakeoverGuardStaleMs]] is a crash leftover.
+                takeoverStaleLock(fs, lock, leaseMs)
               } else {
                 val holder = try {
                   val in = fs.open(lock)
@@ -287,12 +379,26 @@ object IndexLifecycle {
       // the same torn state must not fail each other spuriously. The
       // raced rename surfaces as false OR as FileNotFoundException
       // (Hadoop's local rename throws when the src was already moved).
+      // Re-check the destination IMMEDIATELY before renaming (review
+      // r16): a recoverer that statted live as missing, then lost the
+      // race to one on the OTHER branch (tmp promoted — its marker
+      // vanishes with it), would otherwise rename old ONTO the existing
+      // live — and Hadoop's local-FS rename fallback COPIES the source
+      // nested INSIDE an existing directory and reports success,
+      // silently mixing the stale set into the promoted one. The
+      // remaining microsecond window is repaired after the fact: a
+      // nested <live>/<src-basename> can only be that raced copy-into
+      // (no graft artifact nests its own staging names), so drop it.
       def renameOrRaced(src: org.apache.hadoop.fs.Path, what: String): Unit = {
         val ok =
-          try fs.rename(src, live)
+          try !fs.exists(live) && fs.rename(src, live)
           catch { case _: java.io.FileNotFoundException => false }
         if (!ok)
           require(fs.exists(live), s"swap recovery: $src -> $live failed ($what)")
+        else {
+          val nested = new org.apache.hadoop.fs.Path(live, src.getName)
+          if (fs.exists(nested)) fs.delete(nested, true)
+        }
       }
       if (completeMarkers.exists(m =>
           fs.exists(new org.apache.hadoop.fs.Path(m)))) {
@@ -327,29 +433,49 @@ object IndexLifecycle {
     if (nIds <= limit) table.join(broadcast(ids), Seq(idCol), joinType)
     else table.join(ids.hint("SHUFFLE_HASH"), Seq(idCol), joinType)
 
+  /** The dir's pending tombstone set as a MATERIALIZED distinct frame,
+    * or None when none exist — the one read path every tombstone
+    * consumer shares ([[minusTombstones]], [[indexStats]],
+    * [[compactIndex]]), so the backlog is loaded and counted ONCE per
+    * caller. Runs swap recovery first (a crash between
+    * [[swapInParquet]]'s two renames leaves the live file missing,
+    * which would read as "no tombstones" — silent resurrection).
+    * Readers are LOCK-FREE, so the exists-then-read can race a
+    * compaction's backlog clear or an in-flight swap's rename window
+    * (review r16): one failure recovers and retries — on the retry a
+    * missing file is genuinely "cleared", a second failure is real. */
+  private[graft] def loadTombstones(spark: SparkSession,
+                                    dir: String): Option[DataFrame] = {
+    val path = s"$dir/deletes.parquet"
+    def attempt(): Option[DataFrame] = {
+      recoverSwap(spark, path)
+      if (!Ivf.layoutFileExists(spark, dir, "deletes.parquet")) None
+      else Some(spark.read.parquet(path).distinct().localCheckpoint(true))
+    }
+    try attempt()
+    catch { case scala.util.control.NonFatal(_) => attempt() }
+  }
+
   /** Serve the `deletes.parquet` tombstones OUT of `table` — the single
     * read-side filter behind tombstoned removal on EVERY layout
     * ([[Similarity.lshVectors]] for LSH; [[Ivf.cellSource]],
     * [[Ivf.probeIndex]], [[Quantize.probePqIndex]] and the rebuild
-    * sources for the cell layouts). Runs swap recovery first (a crash
-    * between [[swapInParquet]]'s two renames leaves the live tombstone
-    * file missing, which would read as "no tombstones" — silent
-    * resurrection), then count-gates the anti-join like every bounded
-    * structure: broadcast under the gate, SHUFFLE_HASH past it — the
-    * backlog is compaction-bounded, not assumed small. A dir with no
-    * tombstone file passes through untouched. */
+    * sources for the cell layouts). Count-gates the anti-join like
+    * every bounded structure: broadcast under the gate, SHUFFLE_HASH
+    * past it — the backlog is compaction-bounded, not assumed small. A
+    * dir with no (or an empty) tombstone set passes through untouched. */
   private[graft] def minusTombstones(spark: SparkSession, dir: String,
                                      table: DataFrame, idCol: String,
                                      broadcastLimit: Long =
-                                       Dedup.HotShingleBroadcastLimit): DataFrame = {
-    recoverSwap(spark, s"$dir/deletes.parquet")
-    if (!Ivf.layoutFileExists(spark, dir, "deletes.parquet")) table
-    else {
-      val del = spark.read.parquet(s"$dir/deletes.parquet")
-        .select(col(idCol)).distinct().localCheckpoint(true)
-      idJoin(table, del, idCol, del.count(), broadcastLimit, "left_anti")
+                                       Dedup.HotShingleBroadcastLimit): DataFrame =
+    loadTombstones(spark, dir) match {
+      case None => table
+      case Some(del) =>
+        val n = del.count()
+        if (n == 0L) table
+        else idJoin(table, del.select(col(idCol)), idCol, n,
+          broadcastLimit, "left_anti")
     }
-  }
 
   /** Drop `batchIds` from the pending tombstone set — the re-insert
     * contract every append owes ([[Similarity.appendLshIndex]]'s rule,
@@ -492,7 +618,6 @@ object IndexLifecycle {
     cellFileOf(spark, dir) match {
       case None => compactLsh(spark, dir)
       case Some(file) =>
-        recoverSwap(spark, s"$dir/deletes.parquet")
         val (fs, root) = hfs(spark, s"$dir/$file")
         val heavy = fs.listStatus(root).toSeq
           .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
@@ -506,11 +631,7 @@ object IndexLifecycle {
         // and the backlog clears LAST — a crash after the rewrite but
         // before the clear re-applies an already-physical anti-join:
         // idempotent, never resurrecting
-        val del: Option[DataFrame] =
-          if (Ivf.layoutFileExists(spark, dir, "deletes.parquet"))
-            Some(spark.read.parquet(s"$dir/deletes.parquet")
-              .distinct().localCheckpoint(true))
-          else None
+        val del: Option[DataFrame] = loadTombstones(spark, dir)
         val table = spark.read.parquet(s"$dir/$file")
         val affected: Seq[Int] = del match {
           case Some(d) =>
@@ -580,15 +701,19 @@ object IndexLifecycle {
         // cell layouts can now carry a tombstone backlog too (removeIds
         // tombstone = true): live_rows serves it OUT, mirroring the LSH
         // arm, so the maintenance fraction compares the backlog against
-        // the index a compaction would actually rewrite
-        recoverSwap(spark, s"$dir/deletes.parquet")
+        // the index a compaction would actually rewrite. ONE load of the
+        // tombstone frame feeds both the count and the filter.
         val raw = spark.read.parquet(s"$dir/$file")
-        val (table, tomb) =
-          if (Ivf.layoutFileExists(spark, dir, "deletes.parquet")) {
-            val del = spark.read.parquet(s"$dir/deletes.parquet")
-            (minusTombstones(spark, dir, raw, del.columns.head),
-              del.distinct().count())
-          } else (raw, 0L)
+        val (table, tomb) = loadTombstones(spark, dir) match {
+          case Some(del) =>
+            val n = del.count()
+            val idCol = del.columns.head
+            (if (n == 0L) raw
+             else idJoin(raw, del.select(col(idCol)), idCol, n,
+               Dedup.HotShingleBroadcastLimit, "left_anti"),
+              n)
+          case None => (raw, 0L)
+        }
         val agg = table.agg(count(lit(1)), countDistinct(col("cell"))).head()
         val (fs, root) = hfs(spark, s"$dir/$file")
         val mf = fs.listStatus(root).toSeq
@@ -716,6 +841,10 @@ object IndexLifecycle {
     val tmp = s"$dir.__rebuild"
     val (fs, _) = hfs(spark, dir)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    // a PREVIOUS rebuild crashed mid-build leaves tmp's build lock as a
+    // sibling; the staging dir was just deleted, so its lock is orphaned
+    // by construction (we hold the PARENT dir's lease)
+    clearLock(spark, tmp)
     // persisted build parameters (buildinfo.parquet): caller override >
     // persisted > build-function default. Columns are probed by name so
     // pre-params dirs (built before the columns existed) keep working.
@@ -902,15 +1031,15 @@ object IndexLifecycle {
   }
 
   private def compactLsh(spark: SparkSession, dir: String): Unit = {
-    Seq("deletes.parquet", "postings.parquet", "vectors.parquet")
+    Seq("postings.parquet", "vectors.parquet")
       .foreach(n => recoverSwap(spark, s"$dir/$n"))
-    val hasDeletes = Ivf.layoutFileExists(spark, dir, "deletes.parquet")
+    // one load feeds both anti-joins (loadTombstones recovers its own swap)
+    val del = loadTombstones(spark, dir)
+    val hasDeletes = del.isDefined
     def minusDeletes(df: DataFrame, idCol: String): DataFrame =
-      if (!hasDeletes) df
-      else df.join(
-        spark.read.parquet(s"$dir/deletes.parquet").distinct()
-          .hint("SHUFFLE_HASH"),
-        Seq(idCol), "left_anti")
+      del.fold(df)(d =>
+        df.join(d.select(col(idCol)).hint("SHUFFLE_HASH"),
+          Seq(idCol), "left_anti"))
     // the postings' id column name = the vectors' non-vector column (the
     // build wrote both from the same (idCol, vecCol) selection)
     val idCol = spark.read.parquet(s"$dir/postings.parquet").columns

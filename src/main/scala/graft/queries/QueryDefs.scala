@@ -55,6 +55,10 @@ object QueryDefs {
     val marker = new org.apache.hadoop.fs.Path(s"$dir/_GRAFT_INDEX_OK")
     val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) {
+      // marker absent ⇒ any lock here is a crashed build's orphan (the
+      // single-driver contract above) — clear it or the recovery build
+      // blocks on its own corpse for up to DefaultLeaseMs (review r16)
+      IndexLifecycle.clearLock(s, dir)
       val corpus = t(s, d, "embeddings").filter(col("vec_id") =!= 0)
         .select("vec_id", "embedding")
       kind match {
@@ -86,6 +90,7 @@ object QueryDefs {
         .select("vec_id", "embedding")
       val half = corpus.agg(expr("percentile(vec_id, 0.5)")).head().getDouble(0)
       fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      IndexLifecycle.clearLock(s, dir) // crashed-build orphan (see ensureServeIndex)
       Ivf.buildIndex(corpus.filter(col("vec_id") <= half),
         "vec_id", "embedding", dir)
       Ivf.appendIndex(corpus.filter(col("vec_id") > half),
@@ -113,6 +118,7 @@ object QueryDefs {
     val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) {
       fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      IndexLifecycle.clearLock(s, dir) // crashed-build orphan (see ensureServeIndex)
       Ivf.buildIndex(
         t(s, d, "embeddings").filter(col("vec_id") =!= 0)
           .select("vec_id", "embedding"),

@@ -63,6 +63,9 @@ object LifecycleSweep {
       // convention) + sampled training: build cost is context, not the
       // measured claim — the remove wall is.
       val ivfDir = s"/tmp/graft_lcs_ivf_x$k"
+      // a crashed previous sweep leaves the build lock orphaned (single-
+      // driver tool; the dir is rebuilt from scratch every run anyway)
+      IndexLifecycle.clearLock(spark, ivfDir)
       val (tBuild, _) = timeIt {
         Ivf.buildIndex(emb, "vec_id", "embedding", ivfDir,
           sampleFraction = 0.25, maxIter = 5, hierarchicalThreshold = 64)

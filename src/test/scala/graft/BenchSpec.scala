@@ -99,16 +99,19 @@ class BenchSpec extends SparkSpec {
   }
 
   test("floors: per-query minima merge, prune to the surface, and self-attribute the session (r15 verdict #4)") {
-    val prior = Map("a" -> 1.0, "b" -> 2.0, "gone" -> 5.0)
+    val prior = Map("a" -> 1.0, "b" -> 2.0, "gone" -> 5.0, "flaky" -> 0.9)
     val results: Map[String, (Double, Option[String])] = Map(
       "a" -> (1.5, None),            // above floor: floor stays 1.0
       "b" -> (1.8, None),            // NEW floor: real improvement
       "fresh" -> (0.7, None),        // new query: enters at first best
-      "broken" -> (0.1, Some("boom")) // errored: never defines a floor
+      "broken" -> (0.1, Some("boom")), // errored, no history: no floor yet
+      "flaky" -> (0.1, Some("boom"))   // errored WITH history: floor KEPT
     )
     val merged = Bench.mergedFloors(prior, results)
-    assert(merged == Map("a" -> 1.0, "b" -> 1.8, "fresh" -> 0.7),
-      s"merge wrong: $merged") // "gone" pruned (not on the surface)
+    assert(merged == Map("a" -> 1.0, "b" -> 1.8, "fresh" -> 0.7, "flaky" -> 0.9),
+      s"merge wrong: $merged") // "gone" pruned (off the surface); a one-
+      // session failure must not erase history (re-seeding from the next
+      // session would bless an interim regression as the floor forever)
     // the artifact carries floors + the p50/p90 attribution
     val json = Bench.fullJson(results, "sf0.1", floors = merged)
     assert(json.contains("\"floors\":{"), json)

@@ -191,7 +191,10 @@ class FilteredProbeSpec extends SparkSpec {
         val src = Similarity.applySelector(inv, Some(allowed), "vec_id", limit)
         val probed = src.filter(
           col("cell").isin(probedCells.map(Integer.valueOf): _*))
-        probed.count() // drive the scan so numFiles materializes (final AQE plan)
+        // drive the INSPECTED QueryExecution (count() builds its own
+        // grouped plan whose metrics the assertions below never see —
+        // numFiles would read 0 and pass vacuously; review r16)
+        probed.collect()
         // the join makes the plan adaptive, which hides the scan inside
         // query stages — recurse through them to the one parquet scan
         // (the selector side is a checkpointed local relation, not a
@@ -213,6 +216,8 @@ class FilteredProbeSpec extends SparkSpec {
           s"$file/$gate: cell filter did not reach PartitionFilters under " +
             s"the selector join:\n${scans.head}")
         val filesRead = scans.head.metrics("numFiles").value
+        assert(filesRead > 0,
+          s"$file/$gate: numFiles never materialized — the pin is vacuous")
         assert(filesRead < allFiles,
           s"$file/$gate: scan read all $allFiles files despite the partition filter")
         assert(filesRead <= math.ceil(

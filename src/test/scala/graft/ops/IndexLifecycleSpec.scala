@@ -674,7 +674,9 @@ class IndexLifecycleSpec extends SparkSpec {
       val pruned = IndexLifecycle.minusTombstones(spark, dir,
           spark.read.parquet(s"$dir/invfile.parquet"), "vec_id")
         .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
-      pruned.count()
+      // collect(), not count(): count builds its OWN QueryExecution and
+      // the inspected plan's numFiles would stay 0 (vacuous; review r16)
+      pruned.collect()
       def fileScans(p: org.apache.spark.sql.execution.SparkPlan):
           Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
@@ -688,7 +690,9 @@ class IndexLifecycleSpec extends SparkSpec {
       assert(scans.length == 1 && scans.head.partitionFilters.nonEmpty,
         s"cell filter did not reach PartitionFilters under the tombstone anti-join")
       val allFiles = spark.read.parquet(s"$dir/invfile.parquet").inputFiles.length
-      assert(scans.head.metrics("numFiles").value < allFiles,
+      val filesRead = scans.head.metrics("numFiles").value
+      assert(filesRead > 0, "numFiles never materialized — the pin is vacuous")
+      assert(filesRead < allFiles,
         "tombstone anti-join defeated static pruning: scan read every file")
     }
     // stats: backlog visible, live serves it out — the maintenance

@@ -135,6 +135,41 @@ class IndexLockSpec extends SparkSpec {
     IndexLifecycle.withIndexLock(spark, dir, "after", leaseMs = 300L) { () }
   }
 
+  test("contenders racing a STALE lease: guarded takeover, never two live writers") {
+    // review r16: ANY direct act on the lock path after a staleness stat
+    // is an ABA race — an unconditional delete removes another
+    // contender's fresh lock, and even a claim-by-rename steals one
+    // created between the stat and the rename (this hammer caught both:
+    // 8/8 entered under Hadoop's non-atomic local create, then 5 under
+    // the rename claim). The takeover now serializes through a guard
+    // file and re-stats inside it. N contenders hit one stale lock
+    // simultaneously; body occupancy must never exceed 1.
+    val dir = java.nio.file.Files.createTempDirectory("graft_lock_steal").toString + "/idx"
+    val lock = holdLock(dir, "crashed-holder")
+    assert(lock.setLastModified(
+      System.currentTimeMillis() - IndexLifecycle.DefaultLeaseMs - 60000L))
+    val occupancy = new java.util.concurrent.atomic.AtomicInteger(0)
+    val overlaps = new java.util.concurrent.atomic.AtomicInteger(0)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val start = new java.util.concurrent.CyclicBarrier(8)
+    val threads = (1 to 8).map(i => new Thread(() => {
+      start.await()
+      try {
+        IndexLifecycle.withIndexLock(spark, dir, s"contender-$i") {
+          if (occupancy.incrementAndGet() > 1) overlaps.incrementAndGet()
+          Thread.sleep(50)
+          occupancy.decrementAndGet()
+        }
+        wins.incrementAndGet()
+      } catch { case _: IllegalStateException => () } // loser: loud, correct
+    }))
+    threads.foreach(_.start()); threads.foreach(_.join(30000))
+    assert(overlaps.get() == 0,
+      s"${overlaps.get()} overlapping writers inside the lease — takeover admitted two")
+    assert(wins.get() >= 1, "no contender ever took the stale lease over")
+    assert(!new java.io.File(IndexLifecycle.lockPath(dir)).exists())
+  }
+
   test("two live writers race: exactly one wins the lease, the loser fails loudly") {
     val corpus = emb.limit(64).localCheckpoint(true)
     val dir = java.nio.file.Files.createTempDirectory("graft_lock_race").toString + "/idx"

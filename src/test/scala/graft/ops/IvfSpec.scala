@@ -472,10 +472,14 @@ class IvfSpec extends SparkSpec {
     val plan = probed.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters:") && plan.contains("cell"),
       s"no partition filter on cell in:\n$plan")
-    probed.count() // drive the scan so the numFiles metric materializes
+    // collect(), not count(): count builds its OWN QueryExecution, so
+    // the inspected plan's numFiles metric would stay at 0 and the
+    // file-count assertions below would pass VACUOUSLY (review r16)
+    probed.collect()
     val filesRead = probed.queryExecution.executedPlan
       .collectLeaves().head.metrics("numFiles").value
     val allFiles = spark.read.parquet(s"$dir/invfile.parquet").inputFiles.length
+    assert(filesRead > 0, "numFiles never materialized — the pin is vacuous")
     val cellDirs = new java.io.File(s"$dir/invfile.parquet").listFiles()
       .count(_.getName.startsWith("cell="))
     assert(cellDirs > probedCells.length, s"only $cellDirs cell dirs — partitioning missing")
