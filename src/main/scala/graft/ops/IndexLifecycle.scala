@@ -161,22 +161,37 @@ object IndexLifecycle {
   private def atomicCreateLock(fs: org.apache.hadoop.fs.FileSystem,
                                lock: org.apache.hadoop.fs.Path,
                                content: String): Boolean = {
+    // a content-write failure AFTER the exclusive create must delete the
+    // just-created file before surfacing (review r16 #3): an orphaned
+    // empty lock with a fresh mtime and no heartbeat would block every
+    // writer — including the failed contender's own retry — for a full
+    // lease duration
     val isLocal = "file" == Option(fs.getUri).map(_.getScheme).orNull
     if (isLocal) {
       val f = new java.io.File(lock.toUri.getPath)
       Option(f.getParentFile).foreach(_.mkdirs())
       if (!f.createNewFile()) false
       else {
-        val w = new java.io.FileWriter(f)
-        try w.write(content) finally w.close()
-        true
+        try {
+          val w = new java.io.FileWriter(f)
+          try w.write(content) finally w.close()
+          true
+        } catch { case e: java.io.IOException => f.delete(); throw e }
       }
     } else {
-      try {
-        val out = fs.create(lock, false)
-        try out.write(content.getBytes("UTF-8")) finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
+      val created =
+        try Some(fs.create(lock, false))
+        catch { case _: java.io.IOException => None } // lost the create race
+      created match {
+        case None => false
+        case Some(out) =>
+          try { out.write(content.getBytes("UTF-8")); out.close(); true }
+          catch { case e: java.io.IOException =>
+            try fs.delete(lock, false)
+            catch { case _: java.io.IOException => () }
+            throw e
+          }
+      }
     }
   }
 
@@ -195,8 +210,18 @@ object IndexLifecycle {
       try Some(fs.getFileStatus(guard))
       catch { case _: java.io.FileNotFoundException => None }
     guardSt.foreach { g =>
-      if (System.currentTimeMillis() - g.getModificationTime > TakeoverGuardStaleMs)
-        fs.delete(guard, false)
+      if (System.currentTimeMillis() - g.getModificationTime > TakeoverGuardStaleMs) {
+        // identity-checked delete: clearing a stale guard is itself
+        // stat-then-delete, so re-stat and require the SAME mtime — a
+        // fresh guard (mtime ≈ now) can never satisfy it, which closes
+        // the one-level-down ABA to a sub-syscall window that also
+        // requires a ≥60 s-stale guard precondition (review r16 #2)
+        val again =
+          try Some(fs.getFileStatus(guard))
+          catch { case _: java.io.FileNotFoundException => None }
+        if (again.exists(_.getModificationTime == g.getModificationTime))
+          fs.delete(guard, false)
+      }
     }
     if (atomicCreateLock(fs, guard,
         s"takeover ${System.currentTimeMillis()}\n")) {
@@ -631,11 +656,14 @@ object IndexLifecycle {
         // and the backlog clears LAST — a crash after the rewrite but
         // before the clear re-applies an already-physical anti-join:
         // idempotent, never resurrecting
-        val del: Option[DataFrame] = loadTombstones(spark, dir)
+        // counted ONCE (the loadTombstones contract) — both idJoin gates
+        // below read the same n
+        val del: Option[(DataFrame, Long)] =
+          loadTombstones(spark, dir).map(d => (d, d.count()))
         val table = spark.read.parquet(s"$dir/$file")
         val affected: Seq[Int] = del match {
-          case Some(d) =>
-            idJoin(table, d, d.columns.head, d.count(),
+          case Some((d, n)) =>
+            idJoin(table, d, d.columns.head, n,
               Dedup.HotShingleBroadcastLimit, "left_semi")
               .select("cell").distinct().collect().map(_.getInt(0)).toSeq
           case None => Nil
@@ -644,9 +672,9 @@ object IndexLifecycle {
         if (rewrite.nonEmpty) {
           val base = table
             .filter(col("cell").isin(rewrite.map(Integer.valueOf): _*))
-          val rows = del.fold(base)(d =>
-              idJoin(base, d, d.columns.head, d.count(),
-                Dedup.HotShingleBroadcastLimit, "left_anti"))
+          val rows = del.fold(base) { case (d, n) =>
+              idJoin(base, d, d.columns.head, n,
+                Dedup.HotShingleBroadcastLimit, "left_anti") }
             .repartition(col("cell"))
             .localCheckpoint(true)
           rows.write.mode("overwrite")
@@ -737,11 +765,10 @@ object IndexLifecycle {
         val (fs, root) = hfs(spark, s"$dir/postings.parquet")
         val mf = fs.listStatus(root)
           .count(f => f.getPath.getName.startsWith("part-"))
-        recoverSwap(spark, s"$dir/deletes.parquet")
-        val tomb =
-          if (Ivf.layoutFileExists(spark, dir, "deletes.parquet"))
-            spark.read.parquet(s"$dir/deletes.parquet").distinct().count()
-          else 0L
+        // the shared loader, not a hand-rolled read: loadTombstones
+        // retries the race against a concurrent compaction's backlog
+        // clear that a bare exists-then-read would throw on (review r16)
+        val tomb = loadTombstones(spark, dir).fold(0L)(_.count())
         ("lsh", live, buckets, mf, tomb)
     }
     val frac: Option[Double] = built.map { b =>

@@ -2000,6 +2000,12 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
       "c14_ann_index_tombstone",
       (s, d) => {
         val dir = ensureTombIndex(s, d)
+        // this query MUTATES its fixture per run, so a session killed
+        // mid-verb orphans the lock under a PRESENT marker — the one
+        // case ensureTombIndex's marker-absent clearLock can't reach
+        // (review r16). Verify/Bench are single-driver by contract, so
+        // no live writer can hold it here.
+        IndexLifecycle.clearLock(s, dir)
         val emb = t(s, d, "embeddings")
         val victims = Seq(2L, 3L, 4L)
         IndexLifecycle.removeIds(s, dir,
