@@ -502,6 +502,44 @@ object IndexLifecycle {
           broadcastLimit, "left_anti")
     }
 
+  /** Run `body`, retrying when it fails on STALE FILE LISTINGS — the
+    * transient failure mode of a lock-free reader racing maintenance:
+    * a probe's plan resolves the index's file listing, a concurrent
+    * [[compactIndex]]/[[rebuildIndex]] swap replaces those files, and
+    * the tasks throw FILE_NOT_EXIST / missing-path. The race is
+    * transient BY CONSTRUCTION (the swap protocols leave a complete
+    * artifact set at every instant, and reader-side recovery heals torn
+    * states), so re-running the body re-resolves a consistent listing —
+    * caught red-handed by ConcurrentServeSpec's probe-during-compaction
+    * hammer, which fails without this. Serve probes wrap their WHOLE
+    * body (model load + candidate recovery + ranking + never-short
+    * gate all execute inside the call). Bounded attempts: a genuinely
+    * missing dir still fails, just after the retries. The running-
+    * STREAM loud-failure contract is untouched — streams don't pass
+    * through here (their plan snapshot must fail, not self-heal). */
+  private[graft] def retryOnStaleFiles[T](attempts: Int = 4)(body: => T): T = {
+    def staleFileFailure(t: Throwable): Boolean = {
+      val chain = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .take(10).toSeq
+      chain.exists {
+        case _: java.io.FileNotFoundException => true
+        case e =>
+          val m = String.valueOf(e.getMessage)
+          m.contains("FILE_NOT_EXIST") || m.contains("PATH_NOT_FOUND") ||
+            m.contains("does not exist")
+      }
+    }
+    var left = attempts
+    while (true) {
+      try return body
+      catch {
+        case scala.util.control.NonFatal(t) if left > 1 && staleFileFailure(t) =>
+          left -= 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Drop `batchIds` from the pending tombstone set — the re-insert
     * contract every append owes ([[Similarity.appendLshIndex]]'s rule,
     * extended to the cell layouts once they gained tombstoned removal):

@@ -560,7 +560,8 @@ object Ivf {
                  idCol: String, vecCol: String,
                  query: DataFrame, queryVecCol: String, k: Int,
                  nprobe: Int = 4,
-                 selector: Option[DataFrame] = None): DataFrame = {
+                 selector: Option[DataFrame] = None): DataFrame =
+  IndexLifecycle.retryOnStaleFiles() {
     // model FIRST: loadIndexModel runs whole-dir swap recovery, and the
     // invfile read resolves its file listing eagerly
     val model = loadIndexModel(spark, dir)
@@ -645,7 +646,8 @@ object Ivf {
                       idCol: String, vecCol: String,
                       queries: DataFrame, qIdCol: String, qVecCol: String,
                       k: Int, nprobe: Int = 4,
-                      selector: Option[DataFrame] = None): DataFrame = {
+                      selector: Option[DataFrame] = None): DataFrame =
+  IndexLifecycle.retryOnStaleFiles() {
     val model = loadIndexModel(spark, dir)
     val inv = Similarity.applySelector(
       cellSource(spark, dir, idCol, vecCol), selector, idCol)

@@ -401,7 +401,8 @@ object Quantize {
                    idCol: String, vecCol: String,
                    query: DataFrame, queryVecCol: String, k: Int,
                    nprobe: Int = 4, rerank: Int = 100,
-                   selector: Option[DataFrame] = None): DataFrame = {
+                   selector: Option[DataFrame] = None): DataFrame =
+  IndexLifecycle.retryOnStaleFiles() {
     // model first — loadPqIndex (via Ivf.loadIndexModel) runs whole-dir
     // swap recovery before the eager codes listing
     val model = loadPqIndex(spark, dir)

@@ -435,10 +435,18 @@ object Similarity {
                               query: DataFrame, queryVecCol: String,
                               k: Int): DataFrame = {
     val rows = probe.collect()
-    def local = probe.sparkSession.createDataFrame(
-      java.util.Arrays.asList(rows: _*), probe.schema)
-    if (rows.length >= k || emb.count() <= rows.length) local
-    else bruteForceTopK(emb, idCol, vecCol, query, queryVecCol, k)
+    def local(r: Array[org.apache.spark.sql.Row], schema: org.apache.spark.sql.types.StructType) =
+      probe.sparkSession.createDataFrame(java.util.Arrays.asList(r: _*), schema)
+    if (rows.length >= k || emb.count() <= rows.length) local(rows, probe.schema)
+    else {
+      // the fallback is ≤ k rows too (bruteForceTopK ends in limit(k)):
+      // materialize it as a local relation as well, so the WHOLE probe
+      // executes inside the call — the serve probes' stale-file retry
+      // (IndexLifecycle.retryOnStaleFiles) can then cover every scan,
+      // instead of leaving a lazy fallback tail to fail at the caller
+      val fb = bruteForceTopK(emb, idCol, vecCol, query, queryVecCol, k)
+      local(fb.collect(), fb.schema)
+    }
   }
 
   /** Table compensation for occupancy-sized probes: one extra table per
@@ -801,7 +809,8 @@ object Similarity {
                     query: DataFrame, queryVecCol: String, k: Int,
                     candidateIdLimit: Long = 10000L,
                     multiProbe: Int = 0,
-                    selector: Option[DataFrame] = None): DataFrame = {
+                    selector: Option[DataFrame] = None): DataFrame =
+  IndexLifecycle.retryOnStaleFiles() {
     IndexLifecycle.recoverIndexDir(spark, dir)
     val meta = spark.read.parquet(s"$dir/meta.parquet").head()
     val (planes, tables, dim, seed) =
@@ -894,7 +903,8 @@ object Similarity {
                          queries: DataFrame, qIdCol: String, qVecCol: String,
                          k: Int, candidateIdLimit: Long = 10000L,
                          multiProbe: Int = 0,
-                         selector: Option[DataFrame] = None): DataFrame = {
+                         selector: Option[DataFrame] = None): DataFrame =
+  IndexLifecycle.retryOnStaleFiles() {
     IndexLifecycle.recoverIndexDir(spark, dir)
     val meta = spark.read.parquet(s"$dir/meta.parquet").head()
     val (planes, tables, dim, seed) =

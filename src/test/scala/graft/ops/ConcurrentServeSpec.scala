@@ -1,0 +1,89 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Probes are LOCK-FREE while maintenance mutates (the r16 lease covers
+  * writers only): compaction swaps artifacts and clears tombstone
+  * backlogs under live readers, whose safety rests on reader-side swap
+  * recovery, the writer-side tolerated-promotion rules, and
+  * loadTombstones' raced-clear retry. This suite exercises that claim
+  * under real concurrency instead of trusting the reasoning: readers
+  * hammer a dir while compaction runs; no reader may fail, and every
+  * answer must be the (identical) pre- or post-compaction result. */
+class ConcurrentServeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = graft.engine.Tables.read(spark, sf0001, "embeddings")
+    .select("vec_id", "embedding")
+
+  private def hammer(readers: Int, probe: () => Seq[(Long, Double)],
+                     mutate: () => Unit): (Seq[Throwable], Set[Seq[(Long, Double)]]) = {
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val answers = java.util.concurrent.ConcurrentHashMap.newKeySet[Seq[(Long, Double)]]()
+    val threads = (1 to readers).map(_ => new Thread(() => {
+      while (!stop.get()) {
+        try answers.add(probe())
+        catch { case t: Throwable => errors.add(t); stop.set(true) }
+      }
+    }))
+    threads.foreach(_.start())
+    try mutate()
+    finally { stop.set(true); threads.foreach(_.join(60000)) }
+    import scala.jdk.CollectionConverters._
+    (errors.asScala.toSeq, answers.asScala.toSet)
+  }
+
+  test("LSH probes survive a live compaction applying + clearing a tombstone backlog") {
+    val corpus = emb.localCheckpoint(true)
+    val query = corpus.filter($"vec_id" === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_conc_lsh").toString + "/idx"
+    Similarity.buildLshIndex(corpus.filter($"vec_id" =!= 0), "vec_id", "embedding", dir)
+    // tombstone ids OUTSIDE the query's top-k so the answer is identical
+    // before and after the physical application — readers may observe
+    // either world, and with disjoint victims both worlds answer the same
+    val top = Similarity.probeLshIndex(spark, dir, "vec_id", "embedding",
+      query, "embedding", k = 20).select("vec_id").collect().map(_.getLong(0))
+    val victims = corpus.filter(!$"vec_id".isin(top.map(java.lang.Long.valueOf): _*))
+      .filter($"vec_id" =!= 0).limit(5).select("vec_id").localCheckpoint(true)
+    IndexLifecycle.removeIds(spark, dir, victims, "vec_id")
+    val expect = Similarity.probeLshIndex(spark, dir, "vec_id", "embedding",
+      query, "embedding", k = 5).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val (errors, answers) = hammer(
+      readers = 3,
+      probe = () => Similarity.probeLshIndex(spark, dir, "vec_id", "embedding",
+        query, "embedding", k = 5).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq,
+      mutate = () => IndexLifecycle.compactIndex(spark, dir))
+    assert(errors.isEmpty,
+      s"a live probe failed during compaction: ${errors.headOption}")
+    assert(answers == Set(expect),
+      s"probe answers drifted during compaction: ${answers.map(_.take(3))} vs ${expect.take(3)}")
+    // and the compaction actually did its job under the hammer
+    assert(!new java.io.File(s"$dir/deletes.parquet").exists())
+  }
+
+  test("IVF probes survive a live compaction applying + clearing cell-layout tombstones") {
+    val corpus = emb.localCheckpoint(true)
+    val query = corpus.filter($"vec_id" === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_conc_ivf").toString + "/idx"
+    Ivf.buildIndex(corpus.filter($"vec_id" =!= 0), "vec_id", "embedding", dir, maxIter = 5)
+    val top = Ivf.probeIndex(spark, dir, "vec_id", "embedding",
+      query, "embedding", k = 20).select("vec_id").collect().map(_.getLong(0))
+    val victims = corpus.filter(!$"vec_id".isin(top.map(java.lang.Long.valueOf): _*))
+      .filter($"vec_id" =!= 0).limit(5).select("vec_id").localCheckpoint(true)
+    IndexLifecycle.removeIds(spark, dir, victims, "vec_id", tombstone = true)
+    val expect = Ivf.probeIndex(spark, dir, "vec_id", "embedding",
+      query, "embedding", k = 5).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val (errors, answers) = hammer(
+      readers = 3,
+      probe = () => Ivf.probeIndex(spark, dir, "vec_id", "embedding",
+        query, "embedding", k = 5).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq,
+      mutate = () => IndexLifecycle.compactIndex(spark, dir))
+    assert(errors.isEmpty,
+      s"a live probe failed during cell compaction: ${errors.headOption}")
+    assert(answers == Set(expect),
+      s"probe answers drifted during cell compaction: ${answers.map(_.take(3))}")
+    assert(!new java.io.File(s"$dir/deletes.parquet").exists())
+  }
+}
