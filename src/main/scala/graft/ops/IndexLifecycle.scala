@@ -522,6 +522,7 @@ object IndexLifecycle {
       val chain = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
         .take(10).toSeq
       chain.exists {
+        case _: WorldChangedException => true
         case _: java.io.FileNotFoundException => true
         case e =>
           val m = String.valueOf(e.getMessage)
@@ -539,6 +540,41 @@ object IndexLifecycle {
     }
     throw new IllegalStateException("unreachable")
   }
+
+  /** Thrown by [[requireSameWorld]]; recognized by [[retryOnStaleFiles]]. */
+  private[graft] final class WorldChangedException(msg: String)
+    extends java.io.IOException(msg)
+
+  /** The dir's LIVE-artifact identity: (name, mtime, len) of its direct
+    * children, staging/lock names (`.__`) excluded — in-flight writers
+    * preparing a swap must not perturb readers that are still serving
+    * the consistent old world. */
+  private[graft] def dirEpoch(spark: SparkSession,
+                              dir: String): Seq[(String, Long, Long)] = {
+    val (fs, p) = hfs(spark, dir)
+    try fs.listStatus(p).toSeq
+      .filterNot(_.getPath.getName.contains(".__"))
+      .map(s => (s.getPath.getName, s.getModificationTime, s.getLen))
+      .sortBy(_._1)
+    catch { case _: java.io.IOException => Seq.empty }
+  }
+
+  /** SAME-WORLD fence for lock-free probes: a probe loads its driver
+    * model and resolves its file listings in separate eager steps, so a
+    * maintenance swap landing BETWEEN them hands the probe the old
+    * quantizer over the new artifacts — a silently MIXED answer (the
+    * reader-side twin of the "fresh centroids over a stale inverted
+    * file" hazard the whole-dir swap exists to prevent; caught by
+    * ConcurrentServeSpec's rebuild hammer as a third answer world).
+    * Probes capture [[dirEpoch]] first and call this LAST: a changed
+    * epoch throws the retry-recognized [[WorldChangedException]], and
+    * the re-run reads every artifact from the post-swap world. */
+  private[graft] def requireSameWorld(spark: SparkSession, dir: String,
+                                      epoch: Seq[(String, Long, Long)]): Unit =
+    if (dirEpoch(spark, dir) != epoch)
+      throw new WorldChangedException(
+        s"$dir changed mid-probe (concurrent maintenance swap) — retrying " +
+          "against the new world")
 
   /** Drop `batchIds` from the pending tombstone set — the re-insert
     * contract every append owes ([[Similarity.appendLshIndex]]'s rule,

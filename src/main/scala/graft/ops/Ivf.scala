@@ -562,15 +562,20 @@ object Ivf {
                  nprobe: Int = 4,
                  selector: Option[DataFrame] = None): DataFrame =
   IndexLifecycle.retryOnStaleFiles() {
+    val epoch = IndexLifecycle.dirEpoch(spark, dir)
     // model FIRST: loadIndexModel runs whole-dir swap recovery, and the
     // invfile read resolves its file listing eagerly
     val model = loadIndexModel(spark, dir)
     // tombstones filter at the inverted-file choke point: probed scan,
     // ranking, AND the never-short fallback read the filtered frame
-    probeIndexFrame(
+    val out = probeIndexFrame(
       IndexLifecycle.minusTombstones(spark, dir,
         spark.read.parquet(s"$dir/invfile.parquet"), idCol),
       model, idCol, vecCol, query, queryVecCol, k, nprobe, selector)
+    // same-world fence: the result above is fully materialized (local
+    // relation), so a swap after this check can no longer mix worlds
+    IndexLifecycle.requireSameWorld(spark, dir, epoch)
+    out
   }
 
   /** Does `dir/child` exist? The layout-dispatch primitive shared by
@@ -648,6 +653,7 @@ object Ivf {
                       k: Int, nprobe: Int = 4,
                       selector: Option[DataFrame] = None): DataFrame =
   IndexLifecycle.retryOnStaleFiles() {
+    val epoch = IndexLifecycle.dirEpoch(spark, dir)
     val model = loadIndexModel(spark, dir)
     val inv = Similarity.applySelector(
       cellSource(spark, dir, idCol, vecCol), selector, idCol)
@@ -657,7 +663,11 @@ object Ivf {
         probeCellsResidual(qf, "__qv",
           ResidualQuantizer(model.level1, model.level2), nprobe, nprobe)
       else probeCells(qf, "__qv", model.level1, nprobe)
-    batchedProbeTopK(inv, broadcast(probes), inv, idCol, vecCol, qf, k)
+    val out = batchedProbeTopK(inv, broadcast(probes), inv, idCol, vecCol, qf, k)
+    // same-world fence: the main candidate pass is checkpointed inside
+    // finishBatchTopK, so a post-check swap can't mix worlds there
+    IndexLifecycle.requireSameWorld(spark, dir, epoch)
+    out
   }
 
   /** The probe core over an already-loaded (inv, model) pair — shared by

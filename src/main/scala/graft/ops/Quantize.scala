@@ -403,15 +403,19 @@ object Quantize {
                    nprobe: Int = 4, rerank: Int = 100,
                    selector: Option[DataFrame] = None): DataFrame =
   IndexLifecycle.retryOnStaleFiles() {
+    val epoch = IndexLifecycle.dirEpoch(spark, dir)
     // model first — loadPqIndex (via Ivf.loadIndexModel) runs whole-dir
     // swap recovery before the eager codes listing
     val model = loadPqIndex(spark, dir)
     // tombstones filter at the code-table choke point (Ivf.probeIndex's
     // rationale): ADC shortlist AND exact fallback read the filtered frame
-    pqProbeCore(
+    val out = pqProbeCore(
       IndexLifecycle.minusTombstones(spark, dir,
         spark.read.parquet(s"$dir/codes.parquet"), idCol),
       model, idCol, vecCol, query, queryVecCol, k, nprobe, rerank, selector)
+    // same-world fence (Ivf.probeIndex's rationale)
+    IndexLifecycle.requireSameWorld(spark, dir, epoch)
+    out
   }
 
   /** The probe core over an already-loaded (codes, model) pair — shared

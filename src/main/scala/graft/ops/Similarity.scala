@@ -812,6 +812,7 @@ object Similarity {
                     selector: Option[DataFrame] = None): DataFrame =
   IndexLifecycle.retryOnStaleFiles() {
     IndexLifecycle.recoverIndexDir(spark, dir)
+    val epoch = IndexLifecycle.dirEpoch(spark, dir)
     val meta = spark.read.parquet(s"$dir/meta.parquet").head()
     val (planes, tables, dim, seed) =
       (meta.getAs[Int]("planes"), meta.getAs[Int]("tables"),
@@ -878,7 +879,11 @@ object Similarity {
     val probed = rankCandidates(
       cand.crossJoin(broadcast(query.select(col(queryVecCol).as("__qv")))),
       idCol, vecCol, k)
-    neverShort(probed, vectors, idCol, vecCol, query, queryVecCol, k)
+    val out = neverShort(probed, vectors, idCol, vecCol, query, queryVecCol, k)
+    // same-world fence (Ivf.probeIndex's rationale): out is a fully
+    // materialized local relation, so a swap after the check can't mix
+    IndexLifecycle.requireSameWorld(spark, dir, epoch)
+    out
   }
 
   /** Batched probe of a built LSH index — the zero-training counterpart
@@ -906,6 +911,7 @@ object Similarity {
                          selector: Option[DataFrame] = None): DataFrame =
   IndexLifecycle.retryOnStaleFiles() {
     IndexLifecycle.recoverIndexDir(spark, dir)
+    val epoch = IndexLifecycle.dirEpoch(spark, dir)
     val meta = spark.read.parquet(s"$dir/meta.parquet").head()
     val (planes, tables, dim, seed) =
       (meta.getAs[Int]("planes"), meta.getAs[Int]("tables"),
@@ -948,7 +954,10 @@ object Similarity {
       .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col(idCol),
         round(cosine(col(vecCol), col("__qv")), 4).as("sim"))
-    finishBatchTopK(scored, vectors, idCol, vecCol, q, k)
+    val out = finishBatchTopK(scored, vectors, idCol, vecCol, q, k)
+    // same-world fence (Ivf.probeIndexBatch's rationale)
+    IndexLifecycle.requireSameWorld(spark, dir, epoch)
+    out
   }
 
   /** ANN query: probe the query vector's buckets, brute-force only within

@@ -63,6 +63,37 @@ class ConcurrentServeSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/deletes.parquet").exists())
   }
 
+  test("IVF probes survive a live REBUILD's whole-dir swap (self-heal to old or new, never fail)") {
+    // the harshest reader-vs-maintenance case: rebuildIndex replaces the
+    // ENTIRE dir through the two-rename swap. The retrained quantizer is
+    // a DIFFERENT (equally valid) model — the rebuild reads the
+    // cell-ordered invfile, so seeded KMeans sees a different partition
+    // layout than the original build — so readers may legitimately
+    // observe the old world or the new one, but nothing else, and no
+    // reader may fail. (Streams are the documented exception: their
+    // plan snapshot must fail loudly.)
+    val corpus = emb.localCheckpoint(true)
+    val query = corpus.filter($"vec_id" === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_conc_rb").toString + "/idx"
+    Ivf.buildIndex(corpus.filter($"vec_id" =!= 0), "vec_id", "embedding", dir, maxIter = 5)
+    def answer(): Seq[(Long, Double)] = Ivf.probeIndex(spark, dir, "vec_id",
+      "embedding", query, "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val expectOld = answer()
+    val (errors, answers) = hammer(
+      readers = 3,
+      probe = () => answer(),
+      mutate = () => IndexLifecycle.rebuildIndex(spark, dir))
+    val expectNew = answer()
+    assert(errors.isEmpty,
+      s"a live probe failed during the whole-dir rebuild swap: ${errors.headOption}")
+    assert(answers.subsetOf(Set(expectOld, expectNew)),
+      s"a probe observed a MIXED world across the rebuild: " +
+        s"${(answers -- Set(expectOld, expectNew)).map(_.take(3))}")
+    assert(answers.contains(expectOld),
+      "no probe observed the old world — the hammer raced nothing")
+  }
+
   test("IVF probes survive a live compaction applying + clearing cell-layout tombstones") {
     val corpus = emb.localCheckpoint(true)
     val query = corpus.filter($"vec_id" === 0)
