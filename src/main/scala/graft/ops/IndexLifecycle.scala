@@ -576,6 +576,18 @@ object IndexLifecycle {
         s"$dir changed mid-probe (concurrent maintenance swap) — retrying " +
           "against the new world")
 
+  /** Drop the ENTIRE tombstone set (live file + any swap siblings) —
+    * called by every BUILD: a build defines a NEW world, and a stale
+    * `deletes.parquet` surviving a mode("overwrite") build would
+    * silently filter the fresh index by the OLD world's removals
+    * (caught by LifecycleSweep: a rebuilt 50k-row index served 44,384
+    * rows through the previous session's leftover backlog). */
+  private[graft] def clearTombstones(spark: SparkSession, dir: String): Unit = {
+    val (fs, _) = hfs(spark, dir)
+    Seq("deletes.parquet", "deletes.parquet.__compact", "deletes.parquet.__old")
+      .foreach(n => fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$n"), true))
+  }
+
   /** Drop `batchIds` from the pending tombstone set — the re-insert
     * contract every append owes ([[Similarity.appendLshIndex]]'s rule,
     * extended to the cell layouts once they gained tombstoned removal):

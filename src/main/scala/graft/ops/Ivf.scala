@@ -508,6 +508,10 @@ object Ivf {
                  sampleFraction: Double = 1.0, maxIter: Int = 10,
                  hierarchicalThreshold: Int = Dedup.HierarchicalCellsThreshold): IndexModel =
   IndexLifecycle.withIndexLock(emb.sparkSession, dir, "buildIndex") {
+    // a build defines a NEW world: a stale tombstone set surviving the
+    // overwrite would silently filter the fresh index (LifecycleSweep
+    // caught a rebuilt corpus serving minus the old session's backlog)
+    IndexLifecycle.clearTombstones(emb.sparkSession, dir)
     val n = emb.count()
     val cells = clampK(cellsForSearch(n, nprobe), n)
     val model = trainModel(emb, vecCol, cells, seed, sampleFraction, maxIter,

@@ -313,6 +313,8 @@ object Quantize {
                    hierarchicalThreshold: Int = Dedup.HierarchicalCellsThreshold): PqIndexModel =
   IndexLifecycle.withIndexLock(emb.sparkSession, dir, "buildPqIndex") {
     val spark = emb.sparkSession
+    // builds clear stale tombstones (Ivf.buildIndex's rationale)
+    IndexLifecycle.clearTombstones(spark, dir)
     val n = emb.count()
     val coarse = trainCoarse(emb, vecCol, nprobe, seed, trainSampleRows, n,
       hierarchicalThreshold)

@@ -544,6 +544,8 @@ object Similarity {
   IndexLifecycle.withIndexLock(emb.sparkSession, dir, "buildLshIndex") {
     val spark = emb.sparkSession
     import spark.implicits._
+    // builds clear stale tombstones (Ivf.buildIndex's rationale)
+    IndexLifecycle.clearTombstones(spark, dir)
     val n = emb.count()
     val planes = probePlanesFor(n)
     val tables = probeTablesFor(planes, baseTables)

@@ -773,6 +773,42 @@ class IndexLifecycleSpec extends SparkSpec {
       s"compaction left a backlog: $row")
   }
 
+  test("a fresh BUILD clears a stale tombstone set — the new world is never filtered by the old") {
+    // LifecycleSweep caught this live: a rebuilt 50k-row index served
+    // 44,384 rows because the previous session's deletes.parquet
+    // survived the mode("overwrite") build and kept filtering. A build
+    // defines a NEW world; pending deletions belonged to the old one.
+    val corpus = emb.localCheckpoint(true)
+    val query = corpus.filter($"vec_id" === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lc_stale").toString + "/idx"
+    Ivf.buildIndex(corpus, "vec_id", "embedding", dir, maxIter = 5)
+    val before = pairs(Ivf.probeIndex(spark, dir, "vec_id", "embedding",
+      query, "embedding", k = 10))
+    val victims = before.take(2).map(_._1)
+    IndexLifecycle.removeIds(spark, dir, victims.toDF("vec_id"), "vec_id",
+      tombstone = true)
+    // the stale-world simulation: rebuild the SAME corpus over the dir
+    Ivf.buildIndex(corpus, "vec_id", "embedding", dir, maxIter = 5)
+    assert(IndexLifecycle.indexStats(spark, dir).head()
+        .getAs[Long]("tombstones") == 0L,
+      "fresh build kept the old world's tombstone backlog")
+    val after = pairs(Ivf.probeIndex(spark, dir, "vec_id", "embedding",
+      query, "embedding", k = 10))
+    assert(victims.forall(after.map(_._1).contains),
+      s"fresh build still filtered by stale tombstones: $after")
+    // LSH arm: same contract
+    val lshDir = java.nio.file.Files.createTempDirectory("graft_lc_stale_lsh").toString + "/idx"
+    Similarity.buildLshIndex(corpus, "vec_id", "embedding", lshDir)
+    val lshTop = Similarity.probeLshIndex(spark, lshDir, "vec_id", "embedding",
+      query, "embedding", k = 5).select("vec_id").collect().map(_.getLong(0))
+    IndexLifecycle.removeIds(spark, lshDir, Seq(lshTop.head).toDF("vec_id"), "vec_id")
+    Similarity.buildLshIndex(corpus, "vec_id", "embedding", lshDir)
+    val lshAfter = Similarity.probeLshIndex(spark, lshDir, "vec_id", "embedding",
+      query, "embedding", k = 5).select("vec_id").collect().map(_.getLong(0))
+    assert(lshAfter.contains(lshTop.head),
+      "fresh LSH build still filtered by the old world's tombstones")
+  }
+
   test("cell layouts: remove-then-re-append restores the probe (the LSH re-insert contract's physical analog)") {
     val corpus = emb.localCheckpoint(true)
     val n = corpus.count()
