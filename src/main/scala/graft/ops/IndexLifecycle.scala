@@ -576,17 +576,46 @@ object IndexLifecycle {
         s"$dir changed mid-probe (concurrent maintenance swap) — retrying " +
           "against the new world")
 
-  /** Drop the ENTIRE tombstone set (live file + any swap siblings) —
-    * called by every BUILD: a build defines a NEW world, and a stale
-    * `deletes.parquet` surviving a mode("overwrite") build would
+  /** Drop the ENTIRE tombstone set (swap siblings first, live file
+    * LAST) — called by every BUILD at the moment the new world's
+    * artifacts are about to land: a build defines a NEW world, and a
+    * stale `deletes.parquet` surviving a mode("overwrite") build would
     * silently filter the fresh index by the OLD world's removals
     * (caught by LifecycleSweep: a rebuilt 50k-row index served 44,384
-    * rows through the previous session's leftover backlog). */
+    * rows through the previous session's leftover backlog).
+    *
+    * Ordering matters twice (review r16 #3): siblings delete FIRST — a
+    * concurrent reader's recoverSwap restoring the live file from a
+    * leftover `__compact` mid-clear would resurrect the set after our
+    * live delete; with the siblings gone there is nothing to restore
+    * from. And the call sits AFTER training in every build — clearing
+    * at build START would drop the tombstones minutes before the new
+    * artifacts exist, so probes during training (and forever, if the
+    * build crashes mid-training) would serve the OLD index with its
+    * removals resurrected. */
   private[graft] def clearTombstones(spark: SparkSession, dir: String): Unit = {
     val (fs, _) = hfs(spark, dir)
-    Seq("deletes.parquet", "deletes.parquet.__compact", "deletes.parquet.__old")
+    Seq("deletes.parquet.__compact", "deletes.parquet.__old", "deletes.parquet")
       .foreach(n => fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$n"), true))
   }
+
+  /** The reader-side harness every lock-free serve probe runs in
+    * (finding 34): capture the dir's [[dirEpoch]] BEFORE the first
+    * artifact read, run the probe body (whose result must be
+    * MATERIALIZED by the time it returns), fence with
+    * [[requireSameWorld]] AFTER — all inside [[retryOnStaleFiles]], so
+    * both failure modes of racing maintenance (loud stale listings,
+    * silent mixed worlds) convert into a consistent re-run. Extracted
+    * so the ordering invariant holds by construction instead of by
+    * comment at five call sites. */
+  private[graft] def fencedProbe[T](spark: SparkSession, dir: String)
+                                   (body: => T): T =
+    retryOnStaleFiles() {
+      val epoch = dirEpoch(spark, dir)
+      val out = body
+      requireSameWorld(spark, dir, epoch)
+      out
+    }
 
   /** Drop `batchIds` from the pending tombstone set — the re-insert
     * contract every append owes ([[Similarity.appendLshIndex]]'s rule,

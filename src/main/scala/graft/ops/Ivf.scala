@@ -508,14 +508,17 @@ object Ivf {
                  sampleFraction: Double = 1.0, maxIter: Int = 10,
                  hierarchicalThreshold: Int = Dedup.HierarchicalCellsThreshold): IndexModel =
   IndexLifecycle.withIndexLock(emb.sparkSession, dir, "buildIndex") {
-    // a build defines a NEW world: a stale tombstone set surviving the
-    // overwrite would silently filter the fresh index (LifecycleSweep
-    // caught a rebuilt corpus serving minus the old session's backlog)
-    IndexLifecycle.clearTombstones(emb.sparkSession, dir)
     val n = emb.count()
     val cells = clampK(cellsForSearch(n, nprobe), n)
     val model = trainModel(emb, vecCol, cells, seed, sampleFraction, maxIter,
       hierarchicalThreshold)
+    // a build defines a NEW world: a stale tombstone set surviving the
+    // overwrite would silently filter the fresh index (LifecycleSweep
+    // caught a rebuilt corpus serving minus the old session's backlog).
+    // Cleared HERE — after training, as the new artifacts land — never
+    // at build start (the old index must keep serving its tombstones
+    // through the training window, and keep them if training crashes)
+    IndexLifecycle.clearTombstones(emb.sparkSession, dir)
     writeModel(emb.sparkSession, dir, model)
     // repartition(cell): without it every write task holding a cell's
     // rows emits its own file — a parallelism-32 build starts life at
@@ -565,21 +568,18 @@ object Ivf {
                  query: DataFrame, queryVecCol: String, k: Int,
                  nprobe: Int = 4,
                  selector: Option[DataFrame] = None): DataFrame =
-  IndexLifecycle.retryOnStaleFiles() {
-    val epoch = IndexLifecycle.dirEpoch(spark, dir)
+  IndexLifecycle.fencedProbe(spark, dir) {
     // model FIRST: loadIndexModel runs whole-dir swap recovery, and the
-    // invfile read resolves its file listing eagerly
+    // invfile read resolves its file listing eagerly. The result is a
+    // fully materialized local relation (neverShort), so the harness's
+    // post-body fence covers every scan.
     val model = loadIndexModel(spark, dir)
     // tombstones filter at the inverted-file choke point: probed scan,
     // ranking, AND the never-short fallback read the filtered frame
-    val out = probeIndexFrame(
+    probeIndexFrame(
       IndexLifecycle.minusTombstones(spark, dir,
         spark.read.parquet(s"$dir/invfile.parquet"), idCol),
       model, idCol, vecCol, query, queryVecCol, k, nprobe, selector)
-    // same-world fence: the result above is fully materialized (local
-    // relation), so a swap after this check can no longer mix worlds
-    IndexLifecycle.requireSameWorld(spark, dir, epoch)
-    out
   }
 
   /** Does `dir/child` exist? The layout-dispatch primitive shared by
@@ -656,8 +656,9 @@ object Ivf {
                       queries: DataFrame, qIdCol: String, qVecCol: String,
                       k: Int, nprobe: Int = 4,
                       selector: Option[DataFrame] = None): DataFrame =
-  IndexLifecycle.retryOnStaleFiles() {
-    val epoch = IndexLifecycle.dirEpoch(spark, dir)
+  IndexLifecycle.fencedProbe(spark, dir) {
+    // result materializes inside finishBatchTopK (checkpointed on both
+    // branches), so the harness's post-body fence covers every scan
     val model = loadIndexModel(spark, dir)
     val inv = Similarity.applySelector(
       cellSource(spark, dir, idCol, vecCol), selector, idCol)
@@ -667,11 +668,7 @@ object Ivf {
         probeCellsResidual(qf, "__qv",
           ResidualQuantizer(model.level1, model.level2), nprobe, nprobe)
       else probeCells(qf, "__qv", model.level1, nprobe)
-    val out = batchedProbeTopK(inv, broadcast(probes), inv, idCol, vecCol, qf, k)
-    // same-world fence: the main candidate pass is checkpointed inside
-    // finishBatchTopK, so a post-check swap can't mix worlds there
-    IndexLifecycle.requireSameWorld(spark, dir, epoch)
-    out
+    batchedProbeTopK(inv, broadcast(probes), inv, idCol, vecCol, qf, k)
   }
 
   /** The probe core over an already-loaded (inv, model) pair — shared by

@@ -313,8 +313,6 @@ object Quantize {
                    hierarchicalThreshold: Int = Dedup.HierarchicalCellsThreshold): PqIndexModel =
   IndexLifecycle.withIndexLock(emb.sparkSession, dir, "buildPqIndex") {
     val spark = emb.sparkSession
-    // builds clear stale tombstones (Ivf.buildIndex's rationale)
-    IndexLifecycle.clearTombstones(spark, dir)
     val n = emb.count()
     val coarse = trainCoarse(emb, vecCol, nprobe, seed, trainSampleRows, n,
       hierarchicalThreshold)
@@ -326,6 +324,10 @@ object Quantize {
         .select(coarse.residualOf(col(vecCol)).as("__res")).localCheckpoint(true)
     // same clamp as the coarse stage: tiny corpora train one code per point
     val cb = trainPq(trainBase, "__res", m, Ivf.clampK(codebookSize, n), seed)
+    // stale tombstones clear as the new world's artifacts land — after
+    // BOTH training stages, never at build start (Ivf.buildIndex's
+    // rationale)
+    IndexLifecycle.clearTombstones(spark, dir)
     Ivf.writeModel(spark, dir, coarse)
     import spark.implicits._
     cb.books.zipWithIndex
@@ -404,20 +406,17 @@ object Quantize {
                    query: DataFrame, queryVecCol: String, k: Int,
                    nprobe: Int = 4, rerank: Int = 100,
                    selector: Option[DataFrame] = None): DataFrame =
-  IndexLifecycle.retryOnStaleFiles() {
-    val epoch = IndexLifecycle.dirEpoch(spark, dir)
+  IndexLifecycle.fencedProbe(spark, dir) {
     // model first — loadPqIndex (via Ivf.loadIndexModel) runs whole-dir
-    // swap recovery before the eager codes listing
+    // swap recovery before the eager codes listing; the result is a
+    // materialized local relation (neverShort), fence-coverable
     val model = loadPqIndex(spark, dir)
     // tombstones filter at the code-table choke point (Ivf.probeIndex's
     // rationale): ADC shortlist AND exact fallback read the filtered frame
-    val out = pqProbeCore(
+    pqProbeCore(
       IndexLifecycle.minusTombstones(spark, dir,
         spark.read.parquet(s"$dir/codes.parquet"), idCol),
       model, idCol, vecCol, query, queryVecCol, k, nprobe, rerank, selector)
-    // same-world fence (Ivf.probeIndex's rationale)
-    IndexLifecycle.requireSameWorld(spark, dir, epoch)
-    out
   }
 
   /** The probe core over an already-loaded (codes, model) pair — shared

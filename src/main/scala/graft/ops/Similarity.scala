@@ -413,6 +413,12 @@ object Similarity {
       .join(broadcast(deficient.select("query_id")), Seq("query_id"), "left_anti")
       .unionAll(bruteForceTopKBatch(emb, idCol, vecCol,
         deficient, "query_id", "__qv", k))
+      // MATERIALIZED like the healthy branch (review r16): a lazy
+      // exact-scan tail over the index files would execute at the
+      // CALLER, outside the serve probes' retry + same-world fence —
+      // failing on a stale listing or mixing checkpointed old-world
+      // candidates with new-world exact rows. Bounded: ≤ |queries|·k.
+      .localCheckpoint(true)
   }
 
   /** The never-short gate every single-query ANN path shares (topK /
@@ -544,11 +550,13 @@ object Similarity {
   IndexLifecycle.withIndexLock(emb.sparkSession, dir, "buildLshIndex") {
     val spark = emb.sparkSession
     import spark.implicits._
-    // builds clear stale tombstones (Ivf.buildIndex's rationale)
-    IndexLifecycle.clearTombstones(spark, dir)
     val n = emb.count()
     val planes = probePlanesFor(n)
     val tables = probeTablesFor(planes, baseTables)
+    // stale tombstones clear as the new world's artifacts land
+    // (Ivf.buildIndex's rationale; LSH has no training — sizing is the
+    // only pre-write stage)
+    IndexLifecycle.clearTombstones(spark, dir)
     Seq((planes, tables, dim, seed))
       .toDF("planes", "tables", "dim", "seed")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
@@ -812,9 +820,8 @@ object Similarity {
                     candidateIdLimit: Long = 10000L,
                     multiProbe: Int = 0,
                     selector: Option[DataFrame] = None): DataFrame =
-  IndexLifecycle.retryOnStaleFiles() {
+  IndexLifecycle.fencedProbe(spark, dir) {
     IndexLifecycle.recoverIndexDir(spark, dir)
-    val epoch = IndexLifecycle.dirEpoch(spark, dir)
     val meta = spark.read.parquet(s"$dir/meta.parquet").head()
     val (planes, tables, dim, seed) =
       (meta.getAs[Int]("planes"), meta.getAs[Int]("tables"),
@@ -881,11 +888,9 @@ object Similarity {
     val probed = rankCandidates(
       cand.crossJoin(broadcast(query.select(col(queryVecCol).as("__qv")))),
       idCol, vecCol, k)
-    val out = neverShort(probed, vectors, idCol, vecCol, query, queryVecCol, k)
-    // same-world fence (Ivf.probeIndex's rationale): out is a fully
-    // materialized local relation, so a swap after the check can't mix
-    IndexLifecycle.requireSameWorld(spark, dir, epoch)
-    out
+    // fully materialized local relation — the fencedProbe harness's
+    // post-body fence covers every scan
+    neverShort(probed, vectors, idCol, vecCol, query, queryVecCol, k)
   }
 
   /** Batched probe of a built LSH index — the zero-training counterpart
@@ -911,9 +916,8 @@ object Similarity {
                          k: Int, candidateIdLimit: Long = 10000L,
                          multiProbe: Int = 0,
                          selector: Option[DataFrame] = None): DataFrame =
-  IndexLifecycle.retryOnStaleFiles() {
+  IndexLifecycle.fencedProbe(spark, dir) {
     IndexLifecycle.recoverIndexDir(spark, dir)
-    val epoch = IndexLifecycle.dirEpoch(spark, dir)
     val meta = spark.read.parquet(s"$dir/meta.parquet").head()
     val (planes, tables, dim, seed) =
       (meta.getAs[Int]("planes"), meta.getAs[Int]("tables"),
@@ -956,10 +960,9 @@ object Similarity {
       .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col(idCol),
         round(cosine(col(vecCol), col("__qv")), 4).as("sim"))
-    val out = finishBatchTopK(scored, vectors, idCol, vecCol, q, k)
-    // same-world fence (Ivf.probeIndexBatch's rationale)
-    IndexLifecycle.requireSameWorld(spark, dir, epoch)
-    out
+    // materialized inside finishBatchTopK (both branches checkpoint),
+    // so the fencedProbe harness's post-body fence covers every scan
+    finishBatchTopK(scored, vectors, idCol, vecCol, q, k)
   }
 
   /** ANN query: probe the query vector's buckets, brute-force only within

@@ -2102,10 +2102,19 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
       (s, d) => {
         val dir = ensureServeIndex(s, d, "ivf")
         val emb = t(s, d, "embeddings")
-        graft.streaming.Streaming.annProbeStream(
-            emb.filter(col("vec_id") === 0), "vec_id", "embedding",
-            dir, tau = 0.2, nprobe = 16)
-          .orderBy(col("sim").desc, col("vec_id"))
+        // annProbeStream on a batch frame is a SIXTH lock-free probe
+        // over a swappable dir, and its plan stays lazy (a range result
+        // has no k bound to collect under) — so THIS serve surface runs
+        // the reader harness itself: materialize inside fencedProbe,
+        // never hand the caller a lazy plan that outlives the fence
+        // (review r16; finding 34's rule)
+        IndexLifecycle.fencedProbe(s, dir) {
+          graft.streaming.Streaming.annProbeStream(
+              emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+              dir, tau = 0.2, nprobe = 16)
+            .orderBy(col("sim").desc, col("vec_id"))
+            .localCheckpoint(true)
+        }
       },
       None
     ),

@@ -29,6 +29,13 @@ class ConcurrentServeSpec extends SparkSpec {
       }
     }))
     threads.foreach(_.start())
+    // warm-up barrier: require one COMPLETED pre-mutation answer before
+    // mutating, else on a slow host every reader's first probe could
+    // still be in flight when the swap lands and the "observed the old
+    // world" assertion would flake on timing, not on a contract
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (answers.isEmpty && errors.isEmpty && System.nanoTime() < deadline)
+      Thread.sleep(10)
     try mutate()
     finally { stop.set(true); threads.foreach(_.join(60000)) }
     import scala.jdk.CollectionConverters._
