@@ -62,6 +62,17 @@ object IndexLifecycle {
 
   private[graft] def lockPath(dir: String): String = s"$dir.__lock"
 
+  /** The acquired lease this thread currently holds (innermost when
+    * verbs nest — a rebuild's inner build leases its staging dir):
+    * (lock path, fencing token). Lets the protocol-critical renames
+    * re-verify the lease without threading the token through every
+    * signature; `None` outside any lease (direct [[swapInParquet]]
+    * callers, tests) skips the fence. */
+  private val currentLease =
+    new scala.util.DynamicVariable[Option[(String, String)]](None)
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Acquire the index dir's single-WRITER lease, run `body`, release.
     *
     * The crash-safe rename protocols ([[swapInParquet]], [[rebuildIndex]]'s
@@ -77,16 +88,25 @@ object IndexLifecycle {
     * arriving while another writer holds it FAILS LOUDLY (retry on the
     * caller's schedule) rather than corrupting.
     *
-    * Mechanics: a sibling `dir.__lock` file created atomically
-    * (`create(overwrite = false)` — the sibling placement survives
-    * [[rebuildIndex]]'s whole-dir swap, which renames `dir` itself). A
-    * holder that crashed mid-verb leaves the lock behind; a contender
-    * takes a lease older than `leaseMs` over (delete + re-create, with
-    * the atomic create arbitrating racing contenders) and the verb's own
-    * entry recovery heals whatever the crash tore. Best-effort by
+    * Mechanics: a sibling `dir.__lock` file created atomically (via the
+    * injectable [[LockIo]] primitive — POSIX O_EXCL locally, Hadoop
+    * `create(overwrite = false)` elsewhere; the sibling placement
+    * survives [[rebuildIndex]]'s whole-dir swap, which renames `dir`
+    * itself), holding `"verb timestamp token"` where the token is this
+    * acquisition's unique FENCING identity. A holder that crashed
+    * mid-verb leaves the lock behind; a contender takes a lease older
+    * than `leaseMs` over (delete + re-create, with the atomic create
+    * arbitrating racing contenders) and the verb's own entry recovery
+    * heals whatever the crash tore. Release is identity-checked against
+    * the token ([[releaseLock]]): a holder that stalled past takeover
+    * and resumes cannot delete the new holder's lock, and the
+    * protocol-critical renames re-verify the token first
+    * ([[requireLeaseStillHeld]]) so the zombie aborts loudly instead of
+    * interleaving its swap with the live writer's. Best-effort by
     * construction (object stores without atomic create weaken it to
-    * advisory), which is the contract: the lease prevents the OPERATIONAL
-    * race; crash-consistency never depended on it.
+    * advisory — see [[LockIo]] for restoring the hard guarantee via
+    * conditional writes), which is the contract: the lease prevents the
+    * OPERATIONAL race; crash-consistency never depended on it.
     *
     * READERS never take the lease — probes stay lock-free and self-heal
     * torn states via [[recoverSwap]]/[[recoverIndexDir]]; the writer-side
@@ -103,9 +123,15 @@ object IndexLifecycle {
     * degrades to the fixed-duration lease. */
   private[graft] def withIndexLock[T](spark: SparkSession, dir: String,
                                       verb: String,
-                                      leaseMs: Long = DefaultLeaseMs)(body: => T): T = {
+                                      leaseMs: Long = DefaultLeaseMs,
+                                      heartbeat: Boolean = true)(body: => T): T = {
     val (fs, lock) = hfs(spark, lockPath(dir))
-    acquireLock(fs, lock, verb, leaseMs)
+    // the FENCING TOKEN (r16 verdict #1): release and the
+    // protocol-critical renames identity-check against it, so a holder
+    // that stalled past takeover and RESUMES (a zombie) can neither
+    // delete the new holder's lock nor land its swap renames
+    val token = java.util.UUID.randomUUID().toString
+    acquireLock(fs, lock, verb, leaseMs, token)
     val renewer = new Thread(() => {
       try {
         while (!Thread.currentThread().isInterrupted) {
@@ -124,17 +150,74 @@ object IndexLifecycle {
       } catch { case _: InterruptedException => () }
     }, s"graft-lease-renewer-$verb")
     renewer.setDaemon(true)
-    renewer.start()
-    try body
+    // heartbeat=false is a TEST hook only (IndexLockSpec's zombie
+    // interleaving needs a holder whose renewal "silently fails", the
+    // exact degrade a store without setTimes produces)
+    if (heartbeat) renewer.start()
+    try currentLease.withValue(Some((lock.toString, token)))(body)
     finally {
       // stop the heartbeat BEFORE releasing: a touch landing after the
       // delete would recreate nothing (setTimes on a missing path just
       // throws into the swallow), but joining makes release ordered
       renewer.interrupt()
       renewer.join(2000)
-      fs.delete(lock, false)
+      releaseLock(fs, lock, verb, token)
     }
   }
+
+  /** FENCED release (r16 verdict #1): delete the lock only while it
+    * still carries OUR token. The unconditional delete it replaces was
+    * the textbook fencing gap — a holder whose heartbeat stalls past
+    * `leaseMs` (hung NFS, a long GC) gets legitimately taken over;
+    * when the zombie RESUMES, its finally would delete the NEW
+    * holder's lock, reopening the two-writer window for a third
+    * contender (the exact state the acquire-side hammer proves cannot
+    * happen at acquire time). A token mismatch means we were taken
+    * over: warn LOUDLY and leave the live lock alone — our verb's
+    * writes after the takeover are the zombie-write hazard the
+    * pre-rename [[requireLeaseStillHeld]] fence bounds. An unreadable
+    * or missing lock also skips the delete (missing: the takeover
+    * already cleared us; unreadable: deleting what we cannot identify
+    * is the same gap). */
+  private def releaseLock(fs: org.apache.hadoop.fs.FileSystem,
+                          lock: org.apache.hadoop.fs.Path,
+                          verb: String, token: String): Unit = {
+    val content =
+      try {
+        val in = fs.open(lock)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      } catch { case _: java.io.IOException => "" }
+    if (content.contains(token)) fs.delete(lock, false)
+    else log.warn(
+      s"graft lease release SKIPPED at $lock: verb [$verb] no longer holds " +
+        s"the lease (content [${content.trim}] lacks our token) — this verb " +
+        "stalled past its lease and was taken over; its work since the " +
+        "takeover may have raced the new holder's")
+  }
+
+  /** Re-verify, immediately before a protocol-critical rename, that the
+    * innermost lease this thread acquired is STILL ours — the fencing
+    * check that shrinks the zombie-write window from "whole verb" to
+    * "between this check and the rename". A verb that stalled past
+    * takeover fails here LOUDLY instead of interleaving its swap
+    * renames with the new holder's. No-op outside a lease (direct
+    * swap callers and readers are not fenced — their protocols are
+    * crash-safe without it). */
+  private def requireLeaseStillHeld(spark: SparkSession): Unit =
+    currentLease.value.foreach { case (lockStr, token) =>
+      val (fs, lock) = hfs(spark, lockStr)
+      val content =
+        try {
+          val in = fs.open(lock)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        } catch { case _: java.io.IOException => "" }
+      if (!content.contains(token))
+        throw new IllegalStateException(
+          s"index writer lease $lock lost before a protocol-critical rename " +
+            s"(content [${content.trim}] lacks our token): this verb stalled " +
+            "past its lease and was taken over — aborting instead of racing " +
+            "the new holder's renames")
+    }
 
   /** Drop any lease left at `dir`'s lock path. ONLY for single-driver
     * orchestration that is about to (re)build the dir from scratch
@@ -149,51 +232,91 @@ object IndexLifecycle {
     fs.delete(lock, false)
   }
 
-  /** Create the lock file iff absent, ATOMICALLY. Hadoop's
-    * `create(path, overwrite = false)` is only atomic where the STORE
-    * makes it so (HDFS); on the local filesystem it is an exists-check
-    * followed by an open — two racing contenders BOTH pass the check
-    * and both "acquire" (caught red-handed by IndexLockSpec's takeover
-    * hammer: 8 of 8 contenders entered). Local paths go through
-    * `File.createNewFile` (POSIX O_CREAT|O_EXCL — genuinely atomic);
-    * everything else keeps the Hadoop create. Returns false when the
-    * lock already exists. */
-  private def atomicCreateLock(fs: org.apache.hadoop.fs.FileSystem,
-                               lock: org.apache.hadoop.fs.Path,
-                               content: String): Boolean = {
-    // a content-write failure AFTER the exclusive create must delete the
-    // just-created file before surfacing (review r16 #3): an orphaned
-    // empty lock with a fresh mtime and no heartbeat would block every
-    // writer — including the failed contender's own retry — for a full
-    // lease duration
-    val isLocal = "file" == Option(fs.getUri).map(_.getScheme).orNull
-    if (isLocal) {
-      val f = new java.io.File(lock.toUri.getPath)
-      Option(f.getParentFile).foreach(_.mkdirs())
-      if (!f.createNewFile()) false
-      else {
-        try {
-          val w = new java.io.FileWriter(f)
-          try w.write(content) finally w.close()
-          true
-        } catch { case e: java.io.IOException => f.delete(); throw e }
-      }
-    } else {
-      val created =
-        try Some(fs.create(lock, false))
-        catch { case _: java.io.IOException => None } // lost the create race
-      created match {
-        case None => false
-        case Some(out) =>
-          try { out.write(content.getBytes("UTF-8")); out.close(); true }
-          catch { case e: java.io.IOException =>
-            try fs.delete(lock, false)
-            catch { case _: java.io.IOException => () }
-            throw e
-          }
+  /** The atomic create-iff-absent primitive the whole lease protocol
+    * rests on (r16 verdict #5): everything above it — acquire, the
+    * takeover guard, the guard's own stale cleanup — assumes
+    * `createExclusive` admits exactly ONE of N racing contenders.
+    * Injectable because the guarantee is PER-STORE:
+    *
+    *  - HDFS: `create(overwrite = false)` is atomic at the NameNode —
+    *    the default is hard.
+    *  - local `file://`: Hadoop's create is exists-then-open (NOT
+    *    atomic — IndexLockSpec's hammer caught 8/8 contenders
+    *    entering); the default routes it through POSIX
+    *    O_CREAT|O_EXCL, which is hard.
+    *  - S3/GCS/ABFS via the stock connectors: create-exclusive is
+    *    exists-then-PUT — ADVISORY only. A deployment with
+    *    conditional writes (S3 `If-None-Match: *`, GCS
+    *    `ifGenerationMatch=0`, ABFS ETag preconditions) should install
+    *    a [[LockIo]] that issues the conditional PUT directly and
+    *    treats a precondition failure as `false`, restoring the hard
+    *    guarantee.
+    *
+    * [[NonAtomicLockIoSpec]] is the negative control: substituting a
+    * deliberately non-atomic fake makes the acquire hammer admit
+    * multiple writers — the contract, demonstrated by its absence. */
+  private[graft] trait LockIo {
+    /** Create `lock` holding `content` iff absent, atomically per the
+      * store's guarantee. False when the lock already exists (or the
+      * conditional write lost the race). */
+    def createExclusive(fs: org.apache.hadoop.fs.FileSystem,
+                        lock: org.apache.hadoop.fs.Path,
+                        content: String): Boolean
+  }
+
+  /** Deployment hook for [[LockIo]] — process-wide, set it once at
+    * startup before any lifecycle verb runs. Defaults to
+    * [[HadoopLockIo]] (hard on HDFS and local, advisory on stock
+    * object-store connectors — see [[LockIo]]). */
+  @volatile private[graft] var lockIo: LockIo = HadoopLockIo
+
+  /** Default [[LockIo]]: POSIX O_CREAT|O_EXCL on `file://` (Hadoop's
+    * local create is a non-atomic exists-then-open — caught red-handed
+    * by IndexLockSpec's takeover hammer: 8 of 8 contenders entered),
+    * Hadoop `create(overwrite = false)` everywhere else. */
+  private[graft] object HadoopLockIo extends LockIo {
+    def createExclusive(fs: org.apache.hadoop.fs.FileSystem,
+                        lock: org.apache.hadoop.fs.Path,
+                        content: String): Boolean = {
+      // a content-write failure AFTER the exclusive create must delete the
+      // just-created file before surfacing (review r16 #3): an orphaned
+      // empty lock with a fresh mtime and no heartbeat would block every
+      // writer — including the failed contender's own retry — for a full
+      // lease duration
+      val isLocal = "file" == Option(fs.getUri).map(_.getScheme).orNull
+      if (isLocal) {
+        val f = new java.io.File(lock.toUri.getPath)
+        Option(f.getParentFile).foreach(_.mkdirs())
+        if (!f.createNewFile()) false
+        else {
+          try {
+            val w = new java.io.FileWriter(f)
+            try w.write(content) finally w.close()
+            true
+          } catch { case e: java.io.IOException => f.delete(); throw e }
+        }
+      } else {
+        val created =
+          try Some(fs.create(lock, false))
+          catch { case _: java.io.IOException => None } // lost the create race
+        created match {
+          case None => false
+          case Some(out) =>
+            try { out.write(content.getBytes("UTF-8")); out.close(); true }
+            catch { case e: java.io.IOException =>
+              try fs.delete(lock, false)
+              catch { case _: java.io.IOException => () }
+              throw e
+            }
+        }
       }
     }
   }
+
+  private def atomicCreateLock(fs: org.apache.hadoop.fs.FileSystem,
+                               lock: org.apache.hadoop.fs.Path,
+                               content: String): Boolean =
+    lockIo.createExclusive(fs, lock, content)
 
   /** A takeover guard older than this is a crash leftover (the guard is
     * only ever held across two driver-side metadata calls — never Spark
@@ -238,11 +361,12 @@ object IndexLifecycle {
 
   private def acquireLock(fs: org.apache.hadoop.fs.FileSystem,
                           lock: org.apache.hadoop.fs.Path,
-                          verb: String, leaseMs: Long): Unit = {
+                          verb: String, leaseMs: Long,
+                          token: String): Unit = {
     var attempts = 3
     while (attempts > 0) {
       if (atomicCreateLock(fs, lock,
-          s"$verb ${System.currentTimeMillis()}\n")) return
+          s"$verb ${System.currentTimeMillis()} $token\n")) return
       else {
           val held =
             try Some(fs.getFileStatus(lock))
@@ -333,6 +457,9 @@ object IndexLifecycle {
     fs.delete(tmp, true); fs.delete(old, true)
     fresh.write.mode("overwrite").parquet(tmp.toString)
     fs.create(new org.apache.hadoop.fs.Path(s"$tmp/$SwapOkMarker"), true).close()
+    // fencing check (r16 verdict #1): a verb that stalled past takeover
+    // must not land its renames under the NEW holder's feet
+    requireLeaseStillHeld(spark)
     require(fs.rename(live, old), s"swap: rename $live -> $old failed")
     val renamed =
       try fs.rename(tmp, live)
@@ -516,18 +643,35 @@ object IndexLifecycle {
     * gate all execute inside the call). Bounded attempts: a genuinely
     * missing dir still fails, just after the retries. The running-
     * STREAM loud-failure contract is untouched — streams don't pass
-    * through here (their plan snapshot must fail, not self-heal). */
-  private[graft] def retryOnStaleFiles[T](attempts: Int = 4)(body: => T): T = {
+    * through here (their plan snapshot must fail, not self-heal).
+    *
+    * Missing-path matches are ANCHORED to the probed `dir` (ADVICE
+    * r16): a probe body also scans OTHER tables (the query corpus, a
+    * selector frame), and a genuinely missing path there is a caller
+    * error, not a maintenance race — retrying it 4× would turn a typo
+    * into 4 slow identical failures. Only failures naming a path under
+    * `dir` (scheme-insensitively) are treated as transient; every
+    * swallowed retry is logged so a repeatedly-racing probe is visible
+    * rather than just slow. A genuinely missing INDEX dir still pays
+    * the retries — indistinguishable from the race by message — which
+    * the log line also surfaces. */
+  private[graft] def retryOnStaleFiles[T](dir: String, attempts: Int = 4)
+                                         (body: => T): T = {
+    // anchor scheme-insensitively: the dir arrives as "/tmp/idx" or
+    // "file:/tmp/idx" while Spark's task failures print "file:/tmp/idx/…"
+    val needle = dir.stripPrefix("file:")
+    def anchored(m: String): Boolean =
+      m != null && (m.contains(dir) || m.contains(needle))
     def staleFileFailure(t: Throwable): Boolean = {
       val chain = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
         .take(10).toSeq
       chain.exists {
         case _: WorldChangedException => true
-        case _: java.io.FileNotFoundException => true
+        case e: java.io.FileNotFoundException => anchored(e.getMessage)
         case e =>
           val m = String.valueOf(e.getMessage)
-          m.contains("FILE_NOT_EXIST") || m.contains("PATH_NOT_FOUND") ||
-            m.contains("does not exist")
+          (m.contains("FILE_NOT_EXIST") || m.contains("PATH_NOT_FOUND") ||
+            m.contains("does not exist")) && anchored(m)
       }
     }
     var left = attempts
@@ -536,6 +680,10 @@ object IndexLifecycle {
       catch {
         case scala.util.control.NonFatal(t) if left > 1 && staleFileFailure(t) =>
           left -= 1
+          log.info(
+            s"graft probe at $dir hit a stale file listing (concurrent " +
+              s"maintenance swap) — retrying (${attempts - left}/${attempts - 1}): " +
+              String.valueOf(t.getMessage).linesIterator.take(1).mkString)
       }
     }
     throw new IllegalStateException("unreachable")
@@ -610,7 +758,7 @@ object IndexLifecycle {
     * comment at five call sites. */
   private[graft] def fencedProbe[T](spark: SparkSession, dir: String)
                                    (body: => T): T =
-    retryOnStaleFiles() {
+    retryOnStaleFiles(dir) {
       val epoch = dirEpoch(spark, dir)
       val out = body
       requireSameWorld(spark, dir, epoch)
@@ -803,10 +951,16 @@ object IndexLifecycle {
             fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$file/cell=$c"), true)
           }
         }
-        if (del.isDefined) {
-          val (dfs, dpath) = hfs(spark, s"$dir/deletes.parquet")
-          dfs.delete(dpath, true)
-        }
+        if (del.isDefined)
+          // the SHARED clear, never a bare delete of the live file
+          // (ADVICE r16): an interrupted undeleteTombstones swap leaves
+          // a COMPLETE deletes.parquet.__compact sibling behind, and
+          // recoverSwap no-ops while live exists — so deleting only the
+          // live file hands the next reader's recovery a stale sibling
+          // to promote, resurrecting the backlog this compaction just
+          // applied (ids re-appended later would silently vanish from
+          // every probe). clearTombstones drops siblings FIRST.
+          clearTombstones(spark, dir)
     }
 
   /** One-row operational readout of a serve index — the numbers the
@@ -1072,7 +1226,10 @@ object IndexLifecycle {
     fs.delete(old, true)
     // checked renames (swapInParquet's rule): a false-returning rename
     // must not silently no-op the rebuild — the stale index would keep
-    // serving while maintainIndex retrains forever without landing
+    // serving while maintainIndex retrains forever without landing.
+    // Fencing check first (r16 verdict #1): a rebuild that stalled past
+    // takeover aborts here rather than swapping over the new holder
+    requireLeaseStillHeld(spark)
     require(fs.rename(live, old), s"rebuild swap: rename $dir -> $old failed")
     val renamed =
       try fs.rename(new org.apache.hadoop.fs.Path(tmp), live)
@@ -1194,9 +1351,8 @@ object IndexLifecycle {
         .sortWithinPartitions("table", "bucket"))
     swapIn("vectors.parquet")(
       minusDeletes(spark.read.parquet(s"$dir/vectors.parquet"), idCol))
-    if (hasDeletes) {
-      val (fs, del) = hfs(spark, s"$dir/deletes.parquet")
-      fs.delete(del, true)
-    }
+    if (hasDeletes)
+      // shared clear, siblings first — see compactIndexInner's cell arm
+      clearTombstones(spark, dir)
   }
 }

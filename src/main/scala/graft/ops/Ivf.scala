@@ -517,7 +517,15 @@ object Ivf {
     // caught a rebuilt corpus serving minus the old session's backlog).
     // Cleared HERE — after training, as the new artifacts land — never
     // at build start (the old index must keep serving its tombstones
-    // through the training window, and keep them if training crashes)
+    // through the training window, and keep them if training crashes).
+    // CONTRACT (ADVICE r16): this clear-then-overwrite is atomic only
+    // for a FRESH dir. Re-building in place over a LIVE serving dir
+    // leaves a window (clear landed, overwrite hasn't) where a crash —
+    // or a concurrent probe — serves the OLD artifacts with their
+    // tombstones dropped: resurrection. In-place retrains must go
+    // through IndexLifecycle.rebuildIndex, whose staging-dir build +
+    // whole-dir swap lands the clear and the new artifacts atomically
+    // (the tombstones die with the old dir, never before it).
     IndexLifecycle.clearTombstones(emb.sparkSession, dir)
     writeModel(emb.sparkSession, dir, model)
     // repartition(cell): without it every write task holding a cell's

@@ -326,7 +326,10 @@ object Quantize {
     val cb = trainPq(trainBase, "__res", m, Ivf.clampK(codebookSize, n), seed)
     // stale tombstones clear as the new world's artifacts land — after
     // BOTH training stages, never at build start (Ivf.buildIndex's
-    // rationale)
+    // rationale — incl. its ADVICE-r16 contract: in-place retrains over
+    // a LIVE dir go through IndexLifecycle.rebuildIndex's staged swap,
+    // never a direct re-build, or a crash in the clear-to-overwrite
+    // window resurrects the old world's removals)
     IndexLifecycle.clearTombstones(spark, dir)
     Ivf.writeModel(spark, dir, coarse)
     import spark.implicits._

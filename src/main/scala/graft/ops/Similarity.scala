@@ -555,7 +555,9 @@ object Similarity {
     val tables = probeTablesFor(planes, baseTables)
     // stale tombstones clear as the new world's artifacts land
     // (Ivf.buildIndex's rationale; LSH has no training — sizing is the
-    // only pre-write stage)
+    // only pre-write stage. Incl. the ADVICE-r16 contract: in-place
+    // retrains over a LIVE dir go through IndexLifecycle.rebuildIndex's
+    // staged swap, never a direct re-build)
     IndexLifecycle.clearTombstones(spark, dir)
     Seq((planes, tables, dim, seed))
       .toDF("planes", "tables", "dim", "seed")

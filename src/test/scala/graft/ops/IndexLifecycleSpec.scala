@@ -509,6 +509,65 @@ class IndexLifecycleSpec extends SparkSpec {
         s"only ${afterD.size} ids served")
   }
 
+  test("compaction clears tombstone swap SIBLINGS too — a crash-leftover __compact never resurrects a cleared backlog (ADVICE r16)") {
+    // the hazard: an interrupted undeleteTombstones swap leaves a
+    // COMPLETE deletes.parquet.__compact beside a still-live file;
+    // recoverSwap no-ops while live exists, so the sibling lingers.
+    // A compaction that deletes only the LIVE file then hands the next
+    // reader's recovery that stale sibling to promote — the backlog the
+    // compaction just applied physically comes back as tombstones over
+    // ids that were never re-removed (and ids re-appended later would
+    // silently vanish from every probe). Both arms must clear via
+    // clearTombstones (siblings first), not a bare delete.
+    val corpus = emb.localCheckpoint(true)
+    val query = corpus.filter($"vec_id" === 0)
+    def plantSibling(dir: String, ids: Seq[Long]): Unit = {
+      ids.toDF("vec_id").write.mode("overwrite")
+        .parquet(s"$dir/deletes.parquet.__compact")
+      new java.io.File(
+        s"$dir/deletes.parquet.__compact/${IndexLifecycle.SwapOkMarker}")
+        .createNewFile()
+    }
+    def noDebris(dir: String): Unit =
+      Seq("deletes.parquet", "deletes.parquet.__compact",
+          "deletes.parquet.__old").foreach(n =>
+        assert(!new java.io.File(s"$dir/$n").exists(),
+          s"compaction left $n behind — the next reader's recovery " +
+            "would resurrect the cleared backlog from it"))
+
+    // LSH arm
+    val lshDir = java.nio.file.Files.createTempDirectory("graft_comp_sib").toString
+    Similarity.buildLshIndex(corpus, "vec_id", "embedding", lshDir)
+    IndexLifecycle.removeIds(spark, lshDir, Seq(3L).toDF("vec_id"), "vec_id")
+    plantSibling(lshDir, Seq(5L))
+    IndexLifecycle.compactIndex(spark, lshDir)
+    noDebris(lshDir)
+    assert(IndexLifecycle.loadTombstones(spark, lshDir).isEmpty,
+      "a reader after compaction still sees a tombstone backlog")
+    val lshServed = pairs(Similarity.probeLshIndex(spark, lshDir,
+      "vec_id", "embedding", query, "embedding", k = 500)).map(_._1).toSet
+    assert(!lshServed.contains(3L), "compaction did not apply the real backlog")
+    assert(lshServed.contains(5L),
+      "the planted stale sibling's id is being filtered — the crash " +
+        "leftover was promoted after the clear")
+
+    // cell arm (tombstoned removeIds)
+    val ivfDir = java.nio.file.Files.createTempDirectory("graft_comp_sib_ivf")
+      .toString + "/idx"
+    Ivf.buildIndex(corpus, "vec_id", "embedding", ivfDir, maxIter = 5)
+    IndexLifecycle.removeIds(spark, ivfDir, Seq(3L).toDF("vec_id"), "vec_id",
+      tombstone = true)
+    plantSibling(ivfDir, Seq(5L))
+    IndexLifecycle.compactIndex(spark, ivfDir)
+    noDebris(ivfDir)
+    assert(IndexLifecycle.loadTombstones(spark, ivfDir).isEmpty)
+    val ivfServed = pairs(Ivf.probeIndex(spark, ivfDir, "vec_id", "embedding",
+      query, "embedding", k = 500)).map(_._1).toSet
+    assert(!ivfServed.contains(3L) && ivfServed.contains(5L),
+      s"cell-arm compaction mishandled the backlog/sibling: 3 in=" +
+        s"${ivfServed.contains(3L)}, 5 in=${ivfServed.contains(5L)}")
+  }
+
   test("whole-dir rebuild crash recovery: readers self-heal, torn rebuilds never serve") {
     // the dir-level analog of the tombstone-swap recovery: rebuildIndex's
     // two-rename window leaves the LIVE dir missing; the next reader must

@@ -193,6 +193,154 @@ class IndexLockSpec extends SparkSpec {
     IndexLifecycle.removeIds(spark, dir, Seq(0L).toDF("vec_id"), "vec_id")
   }
 
+  test("zombie release is fenced: a taken-over holder cannot delete the new holder's lock (r16 verdict #1)") {
+    // the textbook fencing-token gap: holder A stalls past its lease
+    // (heartbeat silently failing — the documented degrade on stores
+    // without setTimes), B legitimately takes the stale lease over, A
+    // RESUMES and completes — A's finally used to delete B's lock
+    // unconditionally, reopening the two-writer window for a third
+    // contender. The release now identity-checks the fencing token.
+    val dir = java.nio.file.Files.createTempDirectory("graft_lock_zombie").toString + "/idx"
+    val lockFile = new java.io.File(IndexLifecycle.lockPath(dir))
+    val aEntered = new java.util.concurrent.CountDownLatch(1)
+    val aProceed = new java.util.concurrent.CountDownLatch(1)
+    val aErrors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val zombie = new Thread(() =>
+      try IndexLifecycle.withIndexLock(spark, dir, "zombie", leaseMs = 300L,
+        heartbeat = false) {
+        aEntered.countDown()
+        aProceed.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      } catch { case t: Throwable => aErrors.add(t) })
+    zombie.start()
+    assert(aEntered.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    Thread.sleep(400) // past the un-renewed 300 ms lease: A is now stale
+    val bEntered = new java.util.concurrent.CountDownLatch(1)
+    val bRelease = new java.util.concurrent.CountDownLatch(1)
+    val bErrors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val usurper = new Thread(() =>
+      try IndexLifecycle.withIndexLock(spark, dir, "usurper", leaseMs = 300L) {
+        bEntered.countDown()
+        bRelease.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      } catch { case t: Throwable => bErrors.add(t) })
+    usurper.start()
+    assert(bEntered.await(30, java.util.concurrent.TimeUnit.SECONDS),
+      s"takeover of the stale lease never happened: ${bErrors.peek()}")
+    // resume the zombie; its body completes and its release runs
+    aProceed.countDown()
+    zombie.join(30000)
+    assert(aErrors.isEmpty, s"zombie failed: ${aErrors.peek()}")
+    assert(lockFile.exists(),
+      "zombie release DELETED the live holder's lock — the fencing gap is back")
+    // a third contender must still fail loudly against B's fresh lease
+    val e = intercept[IllegalStateException](
+      IndexLifecycle.withIndexLock(spark, dir, "third", leaseMs = 300L) {
+        fail("third contender entered while the usurper held the lease")
+      })
+    assert(e.getMessage.contains("usurper"), s"wrong error: ${e.getMessage}")
+    bRelease.countDown()
+    usurper.join(30000)
+    assert(bErrors.isEmpty, s"usurper failed: ${bErrors.peek()}")
+    assert(!lockFile.exists(), "usurper's own (token-matching) release did not delete")
+    // the lease is free again
+    IndexLifecycle.withIndexLock(spark, dir, "after", leaseMs = 300L) { () }
+  }
+
+  test("zombie swap is fenced: a taken-over holder's protocol-critical rename aborts loudly") {
+    // shrinking the zombie-WRITE window: release fencing alone still
+    // lets a resumed zombie land its swap renames over the new holder's
+    // artifacts — requireLeaseStillHeld re-verifies the token
+    // immediately before swapInParquet's first rename, so the zombie
+    // aborts with the old set intact instead of racing the live writer.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_lock_fence").toString + "/idx"
+    new java.io.File(dir).mkdirs()
+    val live = s"$dir/deletes.parquet"
+    Seq(1L, 2L).toDF("vec_id").write.parquet(live)
+    val aEntered = new java.util.concurrent.CountDownLatch(1)
+    val aProceed = new java.util.concurrent.CountDownLatch(1)
+    val aOutcome = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val zombie = new Thread(() =>
+      IndexLifecycle.withIndexLock(spark, dir, "zombie-swap", leaseMs = 300L,
+        heartbeat = false) {
+        aEntered.countDown()
+        aProceed.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        // taken over by now: the swap must fail the fence, not rename
+        try IndexLifecycle.swapInParquet(spark, live)(Seq(9L).toDF("vec_id"))
+        catch { case t: Throwable => aOutcome.add(t) }
+      })
+    zombie.start()
+    assert(aEntered.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    Thread.sleep(400)
+    val bRelease = new java.util.concurrent.CountDownLatch(1)
+    val bEntered = new java.util.concurrent.CountDownLatch(1)
+    val usurper = new Thread(() =>
+      IndexLifecycle.withIndexLock(spark, dir, "usurper", leaseMs = 300L) {
+        bEntered.countDown()
+        bRelease.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      })
+    usurper.start()
+    assert(bEntered.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    aProceed.countDown()
+    zombie.join(30000)
+    bRelease.countDown()
+    usurper.join(30000)
+    val t = aOutcome.peek()
+    assert(t != null, "zombie's swap went through under a lost lease")
+    assert(t.isInstanceOf[IllegalStateException] &&
+      t.getMessage.contains("lost before a protocol-critical rename"),
+      s"wrong failure: $t")
+    // the live artifact is untouched — the fence fired before any rename
+    assert(spark.read.parquet(live).as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("negative control: a non-atomic LockIo admits concurrent writers — the default primitive is load-bearing (r16 verdict #5)") {
+    // the lease's guarantee is exactly as hard as LockIo.createExclusive:
+    // substituting a deliberately non-atomic exists-then-create (the
+    // stock object-store connector shape) makes the same hammer that
+    // proves single-writer under the default admit MULTIPLE writers.
+    // A real deployment on S3/GCS restores the hard guarantee by
+    // installing a conditional-write LockIo (see the trait's scaladoc).
+    val naive = new IndexLifecycle.LockIo {
+      def createExclusive(fs: org.apache.hadoop.fs.FileSystem,
+                          lock: org.apache.hadoop.fs.Path,
+                          content: String): Boolean =
+        if (fs.exists(lock)) false
+        else {
+          Thread.sleep(200) // the check-to-create window, widened
+          val out = fs.create(lock, true) // last writer wins: non-atomic
+          out.write(content.getBytes("UTF-8")); out.close()
+          true
+        }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_lock_naive").toString + "/idx"
+    val lock = holdLock(dir, "crashed-holder")
+    assert(lock.setLastModified(
+      System.currentTimeMillis() - IndexLifecycle.DefaultLeaseMs - 60000L))
+    val prev = IndexLifecycle.lockIo
+    IndexLifecycle.lockIo = naive
+    try {
+      val occupancy = new java.util.concurrent.atomic.AtomicInteger(0)
+      val overlaps = new java.util.concurrent.atomic.AtomicInteger(0)
+      val start = new java.util.concurrent.CyclicBarrier(8)
+      val threads = (1 to 8).map(i => new Thread(() => {
+        start.await()
+        try IndexLifecycle.withIndexLock(spark, dir, s"naive-$i") {
+          if (occupancy.incrementAndGet() > 1) overlaps.incrementAndGet()
+          Thread.sleep(100)
+          occupancy.decrementAndGet()
+        } catch { case _: IllegalStateException => () }
+      }))
+      threads.foreach(_.start()); threads.foreach(_.join(30000))
+      assert(overlaps.get() > 0,
+        "the non-atomic fake still excluded all contenders — this negative " +
+          "control no longer demonstrates that the atomic primitive is what " +
+          "the lease's guarantee rests on")
+    } finally {
+      IndexLifecycle.lockIo = prev
+      new java.io.File(IndexLifecycle.lockPath(dir)).delete()
+    }
+  }
+
   test("swap completeness is graft-owned: recovery promotes a torn swap with no _SUCCESS (ADVICE r15)") {
     // a deployment that disables mapreduce.fileoutputcommitter
     // .marksuccessfuljobs writes no _SUCCESS; keying recovery on it
