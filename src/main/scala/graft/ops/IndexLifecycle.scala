@@ -788,8 +788,12 @@ object IndexLifecycle {
     * [[compactIndex]] applies them physically. Probes serve the
     * post-removal set immediately on every layout (modulo the running-
     * stream plan-snapshot contract, [[graft.streaming.Streaming
-    * .annProbeStream]]). Removing an id that is not in the index is a
-    * no-op, as in FAISS.
+    * .annProbeStream]]: a stream RUNNING when a tombstoned remove lands
+    * keeps serving the removed id — SILENTLY stale, unlike appends and
+    * rebuilds which fail loudly — until restart; spec-pinned on both
+    * tombstoning arms by StreamingSpec's stale-until-restart test,
+    * which must change together with this contract). Removing an id
+    * that is not in the index is a no-op, as in FAISS.
     *
     * `tombstone = true` (cell layouts only — the LSH layout ALWAYS
     * tombstones, its postings aren't id-clustered) switches the cell

@@ -174,7 +174,11 @@ object Streaming {
     * (every micro-batch serves exactly the build the plan saw), the
     * same snapshot semantics a batch report gets. An ingest topology
     * that appends continuously restarts the probe stream on its
-    * index-publish cadence.
+    * index-publish cadence. Tombstoned removes carry the SAME restart
+    * contract but fail SILENT where appends/rebuilds fail loud: the
+    * tombstone set resolves at plan time, so a
+    * [[graft.ops.IndexLifecycle.removeIds]] landing mid-stream keeps
+    * being served until restart (spec-pinned, both tombstoning arms).
     *
     * Per-arrival top-k needs a per-query rank (an aggregation — blocked
     * in append mode); the ≥ tau contract is the stateless ingest shape,
@@ -257,7 +261,11 @@ object Streaming {
     // tombstone-aware (IndexLifecycle.removeIds): removed ids must not
     // tag arrivals even before compaction applies them physically; the
     // selector composes on the same choke point. vectors resolve FIRST —
-    // lshVectors runs swap recovery before the eager postings listing
+    // lshVectors runs swap recovery before the eager postings listing.
+    // Both resolve at PLAN time: a removeIds landing while the stream
+    // RUNS serves STALE (silently — the deletes append touches no file
+    // this plan lists) until restart; spec-pinned in StreamingSpec's
+    // stale-until-restart test together with the cell arm's
     val vectors = graft.ops.Similarity.applySelector(
       graft.ops.Similarity.lshVectors(spark, indexDir, idCol),
       selector, idCol)

@@ -1086,4 +1086,77 @@ class StreamingSpec extends SparkSpec {
         "post-rebuild micro-batch served results from the stale plan snapshot")
     } finally q.stop()
   }
+
+  test("tombstoned removeIds under a RUNNING probe stream serves STALE until restart — the SILENT half of the plan-snapshot contract (r16 verdict #2)") {
+    // appends and rebuilds under a running stream carry the same
+    // restart contract but fail LOUDLY (pinned above); a removeIds
+    // landing mid-stream fails SILENT: the tombstone set resolves at
+    // PLAN time (loadTombstones materializes it eagerly — a backlog
+    // that is empty when the stream starts leaves NO anti-join in the
+    // plan at all), and the deletes.parquet append touches no file the
+    // plan snapshot lists, so the stream keeps tagging the removed id
+    // until restart. That asymmetry (stale vs loud) was prose-only —
+    // this pin makes a change to EITHER side of the contract (Spark
+    // re-listing mid-stream, or the tombstone resolve moving into the
+    // per-batch path) trip a spec instead of silently changing
+    // semantics. Both tombstoning arms: IVF under
+    // removeIds(tombstone = true), LSH (always tombstones).
+    val rnd = new scala.util.Random(97)
+    val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+    def near(eps: Float) = base.map(_ + eps)
+    val corpus = (1L to 10L).map(i => (i, near(0.01f * i)))
+      .toDF("vec_id", "embedding").localCheckpoint(true)
+    def tags(table: String) = spark.table(table)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def pin(dir: String, sink: String, tombstone: Boolean): Unit = {
+      val qvec = near(-0.02f)
+      val mem = MemoryStream[(Long, Array[Float])]
+      val q = Streaming.annProbeStream(
+          mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+          dir, tau = 0.9, nprobe = 16)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        mem.addData(Seq((100L, qvec))); q.processAllAvailable()
+        assert(tags(sink).contains((100L, 3L)), s"$sink: fixture id 3 not tagging")
+        // remove WHILE the stream runs: no failure, and — the contract —
+        // no effect on this plan either
+        graft.ops.IndexLifecycle.removeIds(spark, dir,
+          Seq(3L).toDF("vec_id"), "vec_id", tombstone = tombstone)
+        mem.addData(Seq((200L, qvec))); q.processAllAvailable()
+        val mid = tags(sink)
+        assert(mid.exists(t => t._1 == 200L),
+          s"$sink: post-remove batch tagged nothing at all — the remove " +
+            s"broke the running stream instead of serving stale: $mid")
+        assert(mid.contains((200L, 3L)),
+          s"$sink: a mid-stream tombstone became visible to the running " +
+            "plan — the documented stale-until-restart contract no longer " +
+            "holds; update removeIds' and annProbeStream's Scaladoc and " +
+            "this pin together")
+      } finally q.stop()
+      // restart = fresh plan = fresh tombstone resolve: the removal serves
+      val mem2 = MemoryStream[(Long, Array[Float])]
+      val q2 = Streaming.annProbeStream(
+          mem2.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+          dir, tau = 0.9, nprobe = 16)
+        .writeStream.format("memory").queryName(s"${sink}_rs")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        mem2.addData(Seq((300L, qvec))); q2.processAllAvailable()
+        val fresh = tags(s"${sink}_rs")
+        assert(fresh.exists(t => t._1 == 300L && t._2 != 3L),
+          s"$sink restart: stream dead after the remove: $fresh")
+        assert(!fresh.contains((300L, 3L)),
+          s"$sink: restarted stream still serves the tombstoned id")
+      } finally q2.stop()
+    }
+    val ivfDir = java.nio.file.Files
+      .createTempDirectory("graft_annps_tomb_ivf").toString
+    graft.ops.Ivf.buildIndex(corpus, "vec_id", "embedding", ivfDir, maxIter = 5)
+    pin(ivfDir, "sink_tomb_ivf", tombstone = true)
+    val lshDir = java.nio.file.Files
+      .createTempDirectory("graft_annps_tomb_lsh").toString
+    graft.ops.Similarity.buildLshIndex(corpus, "vec_id", "embedding", lshDir)
+    pin(lshDir, "sink_tomb_lsh", tombstone = false) // LSH always tombstones
+  }
 }
