@@ -1,0 +1,187 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Ivf, IndexLifecycle, Similarity}
+
+/** The 100× rung (r16 verdict #3): every scale claim in PERF.md is
+  * measured through 25× (1.4 decades); the north star is 100 TB. This
+  * tool adds ONE deeper rung — 500k docs / 200k vectors, 100× the
+  * sf0.1 corpus — for the HEADLINE columns only: jaccard near-dup,
+  * connected components, semantic two-level pairs, IVF build,
+  * tombstoned remove + compaction backlog, and the serve / filtered /
+  * range probes. A full ScaleBench pass at x100 would run for hours
+  * without adding evidence (the linear columns' slopes are already
+  * pinned by five rungs); this rung exists for the terms that are NOT
+  * in the 25× timed path — file counts, driver metadata walks (the
+  * [[IndexLifecycle.dirEpoch]] listing every fenced probe pays),
+  * candidate-volume bounds — any of which could bend only past 25×.
+  *
+  * Methodology matches ScaleBench/LifecycleSweep exactly (same scaled
+  * corpora in /tmp, same parameters, same noop sink) so the x100 row
+  * appends directly to their PERF.md sweep tables.
+  *
+  * Run: sbt "runMain graft.tools.Scale100"
+  * (SPARK_GRAFT_KS to add comparison rungs, default "25,100")
+  */
+object Scale100 {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val ks = sys.env.getOrElse("SPARK_GRAFT_KS", "25,100")
+      .split(",").map(_.trim.toInt).toSeq
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "15s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    import spark.implicits._
+
+    val base = graft.engine.Tables.read(spark, "/root/testdata/sf0.1", "documents")
+    val baseEmb = graft.engine.Tables.read(spark, "/root/testdata/sf0.1", "embeddings")
+
+    def timeIt(body: => Long): (Double, Long) = {
+      val t0 = System.nanoTime(); val out = body
+      ((System.nanoTime() - t0) / 1e9, out)
+    }
+    def noop(df: DataFrame): Long = {
+      df.write.format("noop").mode("overwrite").save(); 0L
+    }
+
+    // warm codegen/shuffle untimed (ScaleBench's rule)
+    Dedup.jaccardNearDup(base.limit(1000), "doc_id", "text",
+      n = 3, threshold = 0.6, maxDf = Some(100)).count()
+
+    for (k <- ks) {
+      val dir = s"/tmp/graft_scale_x$k"
+      if (!new java.io.File(s"$dir/documents.parquet").exists())
+        ScaleBench.scaled(base, k).write.mode("overwrite")
+          .parquet(s"$dir/documents.parquet")
+      if (!new java.io.File(s"$dir/embeddings.parquet").exists())
+        ScaleBench.scaledEmb(baseEmb, k).write.mode("overwrite")
+          .parquet(s"$dir/embeddings.parquet")
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .repartition(cpus.toInt).localCheckpoint(true)
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .repartition(cpus.toInt).localCheckpoint(true)
+      val nDocs = docs.count(); val nVecs = emb.count()
+
+      // ── jaccard near-dup + CC (the dedup headline) ───────────────────
+      val (tJac, _) = timeIt(noop(Dedup.jaccardNearDup(docs, "doc_id", "text",
+        n = 3, threshold = 0.6, maxDf = Some(100))))
+      val pairs = Dedup.jaccardNearDup(docs, "doc_id", "text",
+        n = 3, threshold = 0.6, maxDf = Some(100)).localCheckpoint(true)
+      val nPairs = pairs.count()
+      val (tCc, ccRounds) = timeIt {
+        val (labels, rounds) = Dedup.connectedComponentsWithRounds(pairs, maxIter = 20)
+        labels.write.format("noop").mode("overwrite").save()
+        rounds.toLong
+      }
+
+      // ── semantic two-level pairs at the sized level count ────────────
+      val kCells = Dedup.cellsFor(nVecs)
+      val kLevel = math.max(2, math.ceil(math.sqrt(kCells.toDouble)).toInt)
+      val (tSem2, nSem2) = timeIt {
+        val p = Dedup.semanticDupPairsHierarchical(emb, "vec_id", "embedding",
+          tau = 0.15, k1 = kLevel, k2 = kLevel).localCheckpoint(true)
+        val n = p.count(); noop(p); n
+      }
+
+      // ── IVF build (LifecycleSweep's convention: residual regime
+      //    forced, sampled training) ─────────────────────────────────────
+      val ivfDir = s"/tmp/graft_s100_ivf_x$k"
+      IndexLifecycle.clearLock(spark, ivfDir) // crashed prior sweep
+      val (tBuild, _) = timeIt {
+        Ivf.buildIndex(emb, "vec_id", "embedding", ivfDir,
+          sampleFraction = 0.25, maxIter = 5, hierarchicalThreshold = 64)
+        0L
+      }
+      val cellsTotal = spark.read.parquet(s"$ivfDir/invfile.parquet")
+        .select("cell").distinct().count()
+
+      // ── tombstoned scattered remove + compaction backlog ─────────────
+      // the finding-32 claims at 4× the previous deepest rung: the
+      // append must stay flat, the probe pays only the anti-join rider,
+      // compaction carries the deferred rewrite
+      val tombBatch = emb.filter(col("vec_id") >= 2001 && col("vec_id") <= 2500)
+        .select("vec_id").localCheckpoint(true)
+      val (tRmTomb, _) = timeIt {
+        IndexLifecycle.removeIds(spark, ivfDir, tombBatch, "vec_id",
+          tombstone = true); 0L
+      }
+      val (tProbeTomb, _) = timeIt(noop(
+        Ivf.probeIndex(spark, ivfDir, "vec_id", "embedding",
+          emb.filter(col("vec_id") === 0), "embedding", k = 10)))
+      // batch-size dimension (flat-in-batch claim): disjoint scattered
+      // batches through the tombstone verb before the one compaction
+      var lo = 10000L
+      val batchWalls = Seq(100L, 1000L, 4000L).map { bs =>
+        val b = emb.filter(col("vec_id") >= lo && col("vec_id") < lo + bs)
+          .select("vec_id").localCheckpoint(true)
+        lo += bs
+        val (tB, _) = timeIt {
+          IndexLifecycle.removeIds(spark, ivfDir, b, "vec_id",
+            tombstone = true); 0L
+        }
+        (bs, tB)
+      }
+      val backlog = IndexLifecycle.indexStats(spark, ivfDir).head()
+        .getAs[Long]("tombstones")
+      val (tCompact, _) = timeIt {
+        IndexLifecycle.compactIndex(spark, ivfDir); 0L
+      }
+      val liveAfter = IndexLifecycle.indexStats(spark, ivfDir).head()
+        .getAs[Long]("live_rows")
+      require(liveAfter == nVecs - 500L - 5100L,
+        s"tombstone+compact lost rows at x$k: $liveAfter vs ${nVecs - 5600L}")
+
+      // ── serve / filtered / range probes ──────────────────────────────
+      val lshDir = s"/tmp/graft_scale_lsh_x$k"
+      if (!new java.io.File(s"$lshDir/meta.parquet").exists())
+        Similarity.buildLshIndex(emb.filter(col("vec_id") =!= 0),
+          "vec_id", "embedding", lshDir)
+      val (tLshProbe, _) = timeIt(noop(
+        Similarity.probeLshIndex(spark, lshDir, "vec_id", "embedding",
+          emb.filter(col("vec_id") === 0), "embedding", k = 10)))
+      val (tIvfProbe, _) = timeIt(noop(
+        Ivf.probeIndex(spark, ivfDir, "vec_id", "embedding",
+          emb.filter(col("vec_id") === 0), "embedding", k = 10)))
+      // filtered, broadcast gate (10% allowlist)
+      val allowlist = emb.filter(pmod(col("vec_id"), lit(10)) === 1)
+        .select("vec_id").localCheckpoint(true)
+      val (tProbeF, _) = timeIt(noop(
+        Similarity.probeLshIndex(spark, lshDir, "vec_id", "embedding",
+          emb.filter(col("vec_id") === 0), "embedding", k = 10,
+          selector = Some(allowlist))))
+      // filtered, past the broadcast gate (ghost-padded allowlist
+      // through the public API — LifecycleSweep's construction)
+      val bigAllow = allowlist.union(
+          spark.range(Dedup.HotShingleBroadcastLimit + 100000L)
+            .select((col("id") + 8000000000L).as("vec_id")))
+        .localCheckpoint(true)
+      val (tProbeFSh, _) = timeIt(noop(
+        Similarity.probeLshIndex(spark, lshDir, "vec_id", "embedding",
+          emb.filter(col("vec_id") === 0), "embedding", k = 10,
+          selector = Some(bigAllow))))
+      // serve RANGE probe (annProbeStream's plan on a batch frame)
+      val (tRange, _) = timeIt(noop(
+        graft.streaming.Streaming.annProbeStream(
+          emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+          ivfDir, tau = 0.2, nprobe = 16)))
+
+      println(f"[s100] x$k%-3d docs=$nDocs%7d vecs=$nVecs%7d | " +
+        f"jaccard=$tJac%7.2fs pairs=$nPairs%8d cc=$tCc%6.2fs(r=$ccRounds) " +
+        f"sem2=$tSem2%6.2fs($nSem2%8d,k=$kLevel²) | " +
+        f"ivfBuild=$tBuild%7.2fs cells=$cellsTotal%5d | " +
+        f"rmT500=$tRmTomb%5.2fs probeT=$tProbeTomb%5.2fs " +
+        batchWalls.map { case (bs, t) => f"rmT$bs=$t%5.2fs" }.mkString(" ") +
+        f" backlog=$backlog%5d compact=$tCompact%6.2fs | " +
+        f"lshP=$tLshProbe%5.2fs ivfP=$tIvfProbe%5.2fs probeF=$tProbeF%5.2fs " +
+        f"probeFsh=$tProbeFSh%5.2fs range=$tRange%6.2fs")
+    }
+    spark.stop()
+  }
+}
