@@ -195,15 +195,18 @@ object IndexLifecycle {
         "takeover may have raced the new holder's")
   }
 
-  /** Re-verify, immediately before a protocol-critical rename, that the
-    * innermost lease this thread acquired is STILL ours — the fencing
-    * check that shrinks the zombie-write window from "whole verb" to
-    * "between this check and the rename". A verb that stalled past
-    * takeover fails here LOUDLY instead of interleaving its swap
-    * renames with the new holder's. No-op outside a lease (direct
-    * swap callers and readers are not fenced — their protocols are
-    * crash-safe without it). */
-  private def requireLeaseStillHeld(spark: SparkSession): Unit =
+  /** Re-verify, immediately before a protocol-critical rename or a
+    * live-artifact overwrite, that the innermost lease this thread
+    * acquired is STILL ours — the fencing check that shrinks the
+    * zombie-write window from "whole verb" to "between this check and
+    * the write". A verb that stalled past takeover fails here LOUDLY
+    * instead of interleaving its writes with the new holder's. Checked
+    * before both swap protocols' renames, the physical cell-partition
+    * overwrites ([[removeIdsInner]], [[compactIndexInner]]), and the
+    * tombstone append. No-op outside a lease (direct swap callers and
+    * readers are not fenced — their protocols are crash-safe without
+    * it). */
+  private[ops] def requireLeaseStillHeld(spark: SparkSession): Unit =
     currentLease.value.foreach { case (lockStr, token) =>
       val (fs, lock) = hfs(spark, lockStr)
       val content =
@@ -401,8 +404,8 @@ object IndexLifecycle {
                 throw new IllegalStateException(
                   s"index writer lease $lock held by [$holder] for ${age} ms " +
                     s"(lease ${leaseMs} ms): lifecycle verbs are single-writer — " +
-                    "retry after the holder finishes, or raise leaseMs takeover " +
-                    "only if the holder crashed")
+                    "retry after the holder finishes; takeover fires " +
+                    "automatically once a crashed holder's lease goes stale")
               }
             case None => // released between the failed create and the stat — retry
           }
@@ -828,6 +831,7 @@ object IndexLifecycle {
   private def appendTombstones(spark: SparkSession, dir: String,
                                ids: DataFrame, idCol: String): Unit = {
     recoverSwap(spark, s"$dir/deletes.parquet")
+    requireLeaseStillHeld(spark)
     ids.select(col(idCol)).distinct()
       .write.mode("append").parquet(s"$dir/deletes.parquet")
   }
@@ -865,6 +869,7 @@ object IndexLifecycle {
             idsDf, idCol, nIds, idBroadcastLimit, "left_anti")
             .repartition(col("cell"))
             .localCheckpoint(true)
+          requireLeaseStillHeld(spark)
           survivors.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("cell").parquet(s"$dir/$file")
@@ -944,6 +949,7 @@ object IndexLifecycle {
                 Dedup.HotShingleBroadcastLimit, "left_anti") }
             .repartition(col("cell"))
             .localCheckpoint(true)
+          requireLeaseStillHeld(spark)
           rows.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("cell").parquet(s"$dir/$file")

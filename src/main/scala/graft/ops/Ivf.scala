@@ -526,6 +526,10 @@ object Ivf {
     // through IndexLifecycle.rebuildIndex, whose staging-dir build +
     // whole-dir swap lands the clear and the new artifacts atomically
     // (the tombstones die with the old dir, never before it).
+    // Fencing check before the write phase: a build that stalled past
+    // takeover (training can be long) must not clear/overwrite under
+    // the new holder (IndexLifecycle.requireLeaseStillHeld's contract)
+    IndexLifecycle.requireLeaseStillHeld(emb.sparkSession)
     IndexLifecycle.clearTombstones(emb.sparkSession, dir)
     writeModel(emb.sparkSession, dir, model)
     // repartition(cell): without it every write task holding a cell's

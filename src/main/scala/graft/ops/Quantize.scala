@@ -330,6 +330,7 @@ object Quantize {
     // a LIVE dir go through IndexLifecycle.rebuildIndex's staged swap,
     // never a direct re-build, or a crash in the clear-to-overwrite
     // window resurrects the old world's removals)
+    IndexLifecycle.requireLeaseStillHeld(spark) // zombie-build fence
     IndexLifecycle.clearTombstones(spark, dir)
     Ivf.writeModel(spark, dir, coarse)
     import spark.implicits._

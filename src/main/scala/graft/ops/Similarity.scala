@@ -558,6 +558,7 @@ object Similarity {
     // only pre-write stage. Incl. the ADVICE-r16 contract: in-place
     // retrains over a LIVE dir go through IndexLifecycle.rebuildIndex's
     // staged swap, never a direct re-build)
+    IndexLifecycle.requireLeaseStillHeld(spark) // zombie-build fence
     IndexLifecycle.clearTombstones(spark, dir)
     Seq((planes, tables, dim, seed))
       .toDF("planes", "tables", "dim", "seed")

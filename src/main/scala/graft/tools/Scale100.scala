@@ -30,9 +30,22 @@ object Scale100 {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val ks = sys.env.getOrElse("SPARK_GRAFT_KS", "25,100")
       .split(",").map(_.trim.toInt).toSeq
+    // at x100 ONE session cannot hold both families' checkpointed
+    // frames without the later family reading driver-block pressure
+    // instead of its own cost (measured: compact 35.8 s after the dedup
+    // columns vs 6.1 s lean; jaccard 164 s after the serve columns vs
+    // 66 s leading) — run each family in its own session for the
+    // deepest rung: SPARK_GRAFT_S100=lifecycle|dedup|all
+    val section = sys.env.getOrElse("SPARK_GRAFT_S100", "all")
+    val doLifecycle = section != "dedup"
+    val doDedup = section != "lifecycle"
+    // shuffle partitions scale with the rung (the 100 TB rule CLAUDE.md
+    // states: size partitions to fit executor memory at the target SF) —
+    // cpus-many partitions hold 4× the rows at x100 vs x25 and spill
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.periodicGC.interval", "15s")
       .getOrCreate()
@@ -63,33 +76,16 @@ object Scale100 {
       if (!new java.io.File(s"$dir/embeddings.parquet").exists())
         ScaleBench.scaledEmb(baseEmb, k).write.mode("overwrite")
           .parquet(s"$dir/embeddings.parquet")
-      val docs = spark.read.parquet(s"$dir/documents.parquet")
-        .repartition(cpus.toInt).localCheckpoint(true)
+      // the lifecycle/serve columns run FIRST, in a lean session: the
+      // first x100 ordering ran compact after the dedup columns had
+      // checkpointed ~6 GB of corpus/pair blocks and read 35.8 s where
+      // the isolated stages sum to 5.2 s (CompactProfile) — driver-held
+      // block pressure, not the operator; docs checkpoint lazily below
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
         .repartition(cpus.toInt).localCheckpoint(true)
-      val nDocs = docs.count(); val nVecs = emb.count()
+      val nVecs = emb.count()
 
-      // ── jaccard near-dup + CC (the dedup headline) ───────────────────
-      val (tJac, _) = timeIt(noop(Dedup.jaccardNearDup(docs, "doc_id", "text",
-        n = 3, threshold = 0.6, maxDf = Some(100))))
-      val pairs = Dedup.jaccardNearDup(docs, "doc_id", "text",
-        n = 3, threshold = 0.6, maxDf = Some(100)).localCheckpoint(true)
-      val nPairs = pairs.count()
-      val (tCc, ccRounds) = timeIt {
-        val (labels, rounds) = Dedup.connectedComponentsWithRounds(pairs, maxIter = 20)
-        labels.write.format("noop").mode("overwrite").save()
-        rounds.toLong
-      }
-
-      // ── semantic two-level pairs at the sized level count ────────────
-      val kCells = Dedup.cellsFor(nVecs)
-      val kLevel = math.max(2, math.ceil(math.sqrt(kCells.toDouble)).toInt)
-      val (tSem2, nSem2) = timeIt {
-        val p = Dedup.semanticDupPairsHierarchical(emb, "vec_id", "embedding",
-          tau = 0.15, k1 = kLevel, k2 = kLevel).localCheckpoint(true)
-        val n = p.count(); noop(p); n
-      }
-
+      if (doLifecycle) {
       // ── IVF build (LifecycleSweep's convention: residual regime
       //    forced, sampled training) ─────────────────────────────────────
       val ivfDir = s"/tmp/graft_s100_ivf_x$k"
@@ -172,15 +168,44 @@ object Scale100 {
           emb.filter(col("vec_id") === 0), "vec_id", "embedding",
           ivfDir, tau = 0.2, nprobe = 16)))
 
-      println(f"[s100] x$k%-3d docs=$nDocs%7d vecs=$nVecs%7d | " +
-        f"jaccard=$tJac%7.2fs pairs=$nPairs%8d cc=$tCc%6.2fs(r=$ccRounds) " +
-        f"sem2=$tSem2%6.2fs($nSem2%8d,k=$kLevel²) | " +
+      println(f"[s100] x$k%-3d vecs=$nVecs%7d | " +
         f"ivfBuild=$tBuild%7.2fs cells=$cellsTotal%5d | " +
         f"rmT500=$tRmTomb%5.2fs probeT=$tProbeTomb%5.2fs " +
         batchWalls.map { case (bs, t) => f"rmT$bs=$t%5.2fs" }.mkString(" ") +
         f" backlog=$backlog%5d compact=$tCompact%6.2fs | " +
         f"lshP=$tLshProbe%5.2fs ivfP=$tIvfProbe%5.2fs probeF=$tProbeF%5.2fs " +
         f"probeFsh=$tProbeFSh%5.2fs range=$tRange%6.2fs")
+      }
+
+      if (doDedup) {
+      // ── jaccard near-dup + CC (the dedup headline) ───────────────────
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .repartition(cpus.toInt).localCheckpoint(true)
+      val nDocs = docs.count()
+      val (tJac, _) = timeIt(noop(Dedup.jaccardNearDup(docs, "doc_id", "text",
+        n = 3, threshold = 0.6, maxDf = Some(100))))
+      val pairs = Dedup.jaccardNearDup(docs, "doc_id", "text",
+        n = 3, threshold = 0.6, maxDf = Some(100)).localCheckpoint(true)
+      val nPairs = pairs.count()
+      val (tCc, ccRounds) = timeIt {
+        val (labels, rounds) = Dedup.connectedComponentsWithRounds(pairs, maxIter = 20)
+        labels.write.format("noop").mode("overwrite").save()
+        rounds.toLong
+      }
+
+      // ── semantic two-level pairs at the sized level count ────────────
+      val kCells = Dedup.cellsFor(nVecs)
+      val kLevel = math.max(2, math.ceil(math.sqrt(kCells.toDouble)).toInt)
+      val (tSem2, nSem2) = timeIt {
+        val p = Dedup.semanticDupPairsHierarchical(emb, "vec_id", "embedding",
+          tau = 0.15, k1 = kLevel, k2 = kLevel).localCheckpoint(true)
+        val n = p.count(); noop(p); n
+      }
+
+      println(f"[s100] x$k%-3d docs=$nDocs%7d vecs=$nVecs%7d | " +
+        f"jaccard=$tJac%7.2fs pairs=$nPairs%8d cc=$tCc%6.2fs(r=$ccRounds) " +
+        f"sem2=$tSem2%6.2fs($nSem2%8d,k=$kLevel^2)")
+      }
     }
     spark.stop()
   }
