@@ -60,17 +60,36 @@ object Dedup {
     *     groupBy that shuffled every co-posting row.
     *
     * At 100 TB: the only shuffles are the prefix self-join (on an ~(1−t)
-    * fraction of postings) and the two signature join-backs; `maxDf`
-    * bounds the df of any prefix key, keeping pair-gen near-linear.
+    * fraction of postings) and — below the [[SigTableBroadcastBytes]]
+    * gate — the narrow pair dedup; `maxDf` bounds the df of any prefix
+    * key, keeping pair-gen near-linear. Past the gate the verify runs as
+    * the sig-carrying kernel join (step 3 note): the signature table is
+    * NEVER shuffled onto candidate pairs, because that payload-bearing
+    * exchange is the one super-linear term this operator ever measured
+    * (PERF.md finding 35: 22× task time for 4× data at the 100× rung).
     */
   /** Above this many hot shingles the maxDf prune switches from a single
     * broadcast array row to a distributed anti-join: 4M longs ≈ 32 MB —
     * comfortably broadcastable, far below single-array/task limits. */
   val HotShingleBroadcastLimit: Long = 4000000L
 
+  /** Gate between [[jaccardNearDup]]'s two verify tails, in estimated
+    * signature-table bytes (PERF.md finding 35). At or under it the
+    * signature table broadcasts (pinned — AQE's own 10 MB threshold
+    * would otherwise flip a 20 MB table to the fat shuffle) and the
+    * candidate pairs stay NARROW through dedup and the two join-backs;
+    * past it the join-backs would shuffle every candidate row carrying
+    * ~full-signature payload (measured: 22× task-time growth for 4×
+    * data, 16 GB spill — the shuffle-keys-vs-payload rule violated at
+    * the verify stage) so the tail switches to the sig-carrying kernel
+    * join instead. 32 MB: well under driver/executor broadcast comfort,
+    * and the kernel already WINS at the ~50 MB rung (2.6 s vs 4.2 s). */
+  val SigTableBroadcastBytes: Long = 32L << 20
+
   def jaccardNearDup(docs: DataFrame, idCol: String, textCol: String,
                      n: Int, threshold: Double, maxDf: Option[Int] = None,
-                     hotBroadcastLimit: Long = HotShingleBroadcastLimit): DataFrame = {
+                     hotBroadcastLimit: Long = HotShingleBroadcastLimit,
+                     sigBroadcastBytes: Long = SigTableBroadcastBytes): DataFrame = {
     // signature = sorted distinct shingle hashes, fused into one codegen
     // pass ([[graft.functions.ShingleHashes]]) — the HOF chain it
     // replaces (zip → concat lambda → hash lambda → sort) interpreted
@@ -120,26 +139,69 @@ object Dedup {
     // false negative)
     val prefixLen = (col("n_sh") -
       ceil(col("n_sh") * lit(threshold) - lit(1e-9)) + 1).cast("int")
-    val pre = sets.select(col("doc"),
-      explode(slice(col("sig"), lit(1), prefixLen)).as("sh"))
-    val a = pre.select(col("sh"), col("doc").as("doc_a"))
-    val b = pre.select(col("sh"), col("doc").as("doc_b"))
-    // SHUFFLE_HASH pin: AQE otherwise flips between sort-merge and a
-    // driver-side broadcast build of the exploded prefix list (measured
-    // 3x run-to-run swings); shuffled-hash is deterministic and sortless
-    val cand = a.join(b.hint("SHUFFLE_HASH"), Seq("sh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .dropDuplicates("doc_a", "doc_b")
-    val sa = sets.select(col("doc").as("doc_a"), col("sig").as("sig_a"), col("n_sh").as("n_a"))
-    val sb = sets.select(col("doc").as("doc_b"), col("sig").as("sig_b"), col("n_sh").as("n_b"))
-    cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
-      .withColumn("common",
-        graft.functions.VecFunctions.sortedIntersectCount(col("sig_a"), col("sig_b")))
-      .withColumn("jaccard", col("common").cast("double") /
-        (col("n_a") + col("n_b") - col("common")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+    // Two result-identical verify tails, gated on the signature table's
+    // estimated bytes (sets is already materialized, the stats agg is one
+    // tiny job). PERF.md finding 35: every phase of this operator is
+    // linear through 100× EXCEPT the verify join-backs — once the
+    // signature table outgrows broadcast, joining it back onto the
+    // candidate pairs shuffles ~45M rows × ~450 B signature payload
+    // through two exchanges (22× task-time for 4× data, 16 GB spill).
+    val st = sets.agg(count(lit(1)).as("c"),
+      coalesce(sum(col("n_sh")), lit(0L)).as("s")).head()
+    val sigBytes = st.getLong(1) * 8L + st.getLong(0) * 24L
+    if (sigBytes <= sigBroadcastBytes) {
+      // small tail: narrow candidate pairs, then BROADCAST join-backs —
+      // pinned, not AQE-decided: between Spark's 10 MB auto threshold
+      // and this gate AQE would silently pick the fat sort-merge shape
+      // this gate exists to avoid
+      val pre = sets.select(col("doc"),
+        explode(slice(col("sig"), lit(1), prefixLen)).as("sh"))
+      val a = pre.select(col("sh"), col("doc").as("doc_a"))
+      val b = pre.select(col("sh"), col("doc").as("doc_b"))
+      // SHUFFLE_HASH pin: AQE otherwise flips between sort-merge and a
+      // driver-side broadcast build of the exploded prefix list (measured
+      // 3x run-to-run swings); shuffled-hash is deterministic and sortless
+      val cand = a.join(b.hint("SHUFFLE_HASH"), Seq("sh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates("doc_a", "doc_b")
+      val sa = sets.select(col("doc").as("doc_a"), col("sig").as("sig_a"), col("n_sh").as("n_a"))
+      val sb = sets.select(col("doc").as("doc_b"), col("sig").as("sig_b"), col("n_sh").as("n_b"))
+      cand.join(broadcast(sa), Seq("doc_a")).join(broadcast(sb), Seq("doc_b"))
+        .withColumn("common",
+          graft.functions.VecFunctions.sortedIntersectCount(col("sig_a"), col("sig_b")))
+        .withColumn("jaccard", col("common").cast("double") /
+          (col("n_a") + col("n_b") - col("common")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+    } else {
+      // scale tail — the kernel join (Vernica/Carey/Li, SIGMOD'10):
+      // carry each doc's signature THROUGH the prefix join and verify
+      // inline, so the only payload-bearing shuffle is the prefix
+      // postings themselves (linear in corpus, ~prefixLen × sig bytes
+      // per doc) and the signature table never re-shuffles onto pairs.
+      // MERGE pin, not SHUFFLE_HASH: the payload-bearing build side
+      // cannot spill as a HashedRelation (measured OOM at the 100×
+      // rung); sort-merge spills. Pair dedup moves AFTER the verify
+      // filter where survivors are tiny — a pair sharing j prefix
+      // shingles is verified j times, but measured j-multiplicity is
+      // ~5% (47.4M joined vs 45.1M distinct at 100×), far cheaper than
+      // a 45M-row pre-verify dedup exchange. Result-identical to the
+      // small tail (DedupSpec pins both paths equal).
+      val aF = sets.select(col("doc").as("doc_a"), col("sig").as("sig_a"),
+        col("n_sh").as("n_a"), explode(slice(col("sig"), lit(1), prefixLen)).as("sh"))
+      val bF = sets.select(col("doc").as("doc_b"), col("sig").as("sig_b"),
+        col("n_sh").as("n_b"), explode(slice(col("sig"), lit(1), prefixLen)).as("sh"))
+      aF.join(bF.hint("MERGE"), Seq("sh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("common",
+          graft.functions.VecFunctions.sortedIntersectCount(col("sig_a"), col("sig_b")))
+        .withColumn("jaccard", col("common").cast("double") /
+          (col("n_a") + col("n_b") - col("common")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+        .dropDuplicates("doc_a", "doc_b")
+    }
   }
 
   /** MinHash signatures as a pure projection — the whole k-permutation

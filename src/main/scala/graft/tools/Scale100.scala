@@ -63,6 +63,43 @@ object Scale100 {
     def noop(df: DataFrame): Long = {
       df.write.format("noop").mode("overwrite").save(); 0L
     }
+    // task-metric attribution for the dedup walls: total JVM GC time vs
+    // executor run time vs spill, PLUS per-stage runtime (which phase of
+    // the operator carries any superlinear term — wall alone can't say).
+    // Listener bus is async: drain before reading.
+    def gcFraction(tag: String)(body: => Unit): (Double, Double, Long, Long, Long) = {
+      val gc = new java.util.concurrent.atomic.AtomicLong(0L)
+      val run = new java.util.concurrent.atomic.AtomicLong(0L)
+      val spillM = new java.util.concurrent.atomic.AtomicLong(0L)
+      val spillD = new java.util.concurrent.atomic.AtomicLong(0L)
+      val stageRun = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      val stageName = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            gc.addAndGet(m.jvmGCTime); run.addAndGet(m.executorRunTime)
+            spillM.addAndGet(m.memoryBytesSpilled)
+            spillD.addAndGet(m.diskBytesSpilled)
+            stageRun.merge(te.stageId, m.executorRunTime, Long.box(_) + _)
+          }
+        }
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          stageName.put(sc.stageInfo.stageId, sc.stageInfo.name)
+      }
+      spark.sparkContext.addSparkListener(l)
+      try body
+      finally { Thread.sleep(1500); spark.sparkContext.removeSparkListener(l) }
+      import scala.jdk.CollectionConverters._
+      stageRun.asScala.toSeq.sortBy(-_._2).take(8).foreach { case (sid, ms) =>
+        println(f"[s100-stage] $tag s$sid%-4d ${ms / 1000.0}%8.1fs  " +
+          stageName.getOrDefault(sid, "?"))
+      }
+      (gc.get() / 1000.0, gc.get().toDouble / math.max(run.get(), 1L),
+        run.get() / 1000L, spillM.get() >> 20, spillD.get() >> 20)
+    }
 
     // warm codegen/shuffle untimed (ScaleBench's rule)
     Dedup.jaccardNearDup(base.limit(1000), "doc_id", "text",
@@ -182,8 +219,12 @@ object Scale100 {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
         .repartition(cpus.toInt).localCheckpoint(true)
       val nDocs = docs.count()
-      val (tJac, _) = timeIt(noop(Dedup.jaccardNearDup(docs, "doc_id", "text",
-        n = 3, threshold = 0.6, maxDf = Some(100))))
+      var tJac = 0.0
+      val (gcJac, gcFracJac, runJac, spillMJac, spillDJac) = gcFraction(s"x$k jac") {
+        val (t, _) = timeIt(noop(Dedup.jaccardNearDup(docs, "doc_id", "text",
+          n = 3, threshold = 0.6, maxDf = Some(100))))
+        tJac = t
+      }
       val pairs = Dedup.jaccardNearDup(docs, "doc_id", "text",
         n = 3, threshold = 0.6, maxDf = Some(100)).localCheckpoint(true)
       val nPairs = pairs.count()
@@ -203,7 +244,9 @@ object Scale100 {
       }
 
       println(f"[s100] x$k%-3d docs=$nDocs%7d vecs=$nVecs%7d | " +
-        f"jaccard=$tJac%7.2fs pairs=$nPairs%8d cc=$tCc%6.2fs(r=$ccRounds) " +
+        f"jaccard=$tJac%7.2fs(gc=$gcJac%6.1fs,${gcFracJac * 100}%4.1f%%," +
+        f"run=${runJac}s,spill=${spillMJac}MB/${spillDJac}MB) " +
+        f"pairs=$nPairs%8d cc=$tCc%6.2fs(r=$ccRounds) " +
         f"sem2=$tSem2%6.2fs($nSem2%8d,k=$kLevel^2)")
       }
     }

@@ -222,6 +222,34 @@ class DedupSpec extends SparkSpec {
     assert(broadcastPath.nonEmpty) // the cut fires AND pairs survive
   }
 
+  test("kernel verify tail matches the broadcast join-back tail pair-for-pair") {
+    // the verify has two physical shapes gated on signature-table bytes
+    // (PERF.md finding 35): small -> narrow pairs + pinned-broadcast
+    // join-backs; large -> the sig-carrying kernel join (verify inline,
+    // dedup after the filter). Forcing the gate to -1 exercises the
+    // kernel on a corpus where pairs share MULTIPLE prefix shingles, so
+    // the post-verify dropDuplicates (j-multiplicity collapse) is
+    // actually load-bearing — pairs and scores must match exactly
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta mu nu"),
+      (4L, "completely different words appear in this other document here now"),
+      (5L, "completely different words appear in this other document here too"),
+      (6L, "unrelated content that should pair with absolutely nobody at all"))
+      .toDF("doc_id", "text")
+    def run(gate: Long) =
+      Dedup.jaccardNearDup(corpus, "doc_id", "text", n = 3, threshold = 0.3,
+        sigBroadcastBytes = gate)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val broadcastTail = run(Dedup.SigTableBroadcastBytes)
+    val kernelTail = run(-1L)
+    assert(kernelTail == broadcastTail, s"$kernelTail vs $broadcastTail")
+    assert(broadcastTail.nonEmpty) // pairs survive on both shapes
+    // multiplicity really occurred: docs 1-3 share >1 prefix shingle
+    assert(broadcastTail.keySet.contains((1L, 2L)))
+  }
+
   test("connected components throw when maxIter is exhausted before convergence") {
     // silent partial labels are wrong clusters; the operator must fail
     // loudly instead (a diameter-11 chain cannot settle in one round)
