@@ -234,6 +234,22 @@ object Scale100 {
         rounds.toLong
       }
 
+      // ── hyperplane-LSH candidate pairs (finding-14 join-back tail:
+      //    the vector table stops broadcasting past ~25×, same ceiling
+      //    as the jaccard verify — finding 35) ────────────────────────────
+      var tAnnS = 0.0; var nAnnS = 0L
+      val (gcA, gcFracA, runA, spillMA, spillDA) = gcFraction(s"x$k annS") {
+        val (t, nn) = timeIt {
+          val c = Similarity.lshCandidatePairsSized(emb, "vec_id", "embedding")
+            .localCheckpoint(true)
+          c.count()
+        }
+        tAnnS = t; nAnnS = nn
+      }
+      println(f"[s100] x$k%-3d annS=$tAnnS%7.2fs($nAnnS%8d) " +
+        f"gc=$gcA%5.1fs(${gcFracA * 100}%4.1f%%) run=${runA}s " +
+        f"spill=${spillMA}MB/${spillDA}MB")
+
       // ── semantic two-level pairs at the sized level count ────────────
       val kCells = Dedup.cellsFor(nVecs)
       val kLevel = math.max(2, math.ceil(math.sqrt(kCells.toDouble)).toInt)
