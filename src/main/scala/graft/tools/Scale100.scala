@@ -36,9 +36,13 @@ object Scale100 {
     // columns vs 6.1 s lean; jaccard 164 s after the serve columns vs
     // 66 s leading) — run each family in its own session for the
     // deepest rung: SPARK_GRAFT_S100=lifecycle|dedup|all
+    // "jac": ONLY the corpus load + jaccard + CC — the leanest session
+    // for the deepest rung (x400), where even sibling columns'
+    // checkpoints would contaminate the measurement (reading (b))
     val section = sys.env.getOrElse("SPARK_GRAFT_S100", "all")
-    val doLifecycle = section != "dedup"
+    val doLifecycle = section != "dedup" && section != "jac"
     val doDedup = section != "lifecycle"
+    val jacOnly = section == "jac"
     // shuffle partitions scale with the rung (the 100 TB rule CLAUDE.md
     // states: size partitions to fit executor memory at the target SF) —
     // cpus-many partitions hold 4× the rows at x100 vs x25 and spill
@@ -110,7 +114,7 @@ object Scale100 {
       if (!new java.io.File(s"$dir/documents.parquet").exists())
         ScaleBench.scaled(base, k).write.mode("overwrite")
           .parquet(s"$dir/documents.parquet")
-      if (!new java.io.File(s"$dir/embeddings.parquet").exists())
+      if (!jacOnly && !new java.io.File(s"$dir/embeddings.parquet").exists())
         ScaleBench.scaledEmb(baseEmb, k).write.mode("overwrite")
           .parquet(s"$dir/embeddings.parquet")
       // the lifecycle/serve columns run FIRST, in a lean session: the
@@ -118,9 +122,10 @@ object Scale100 {
       // checkpointed ~6 GB of corpus/pair blocks and read 35.8 s where
       // the isolated stages sum to 5.2 s (CompactProfile) — driver-held
       // block pressure, not the operator; docs checkpoint lazily below
-      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-        .repartition(cpus.toInt).localCheckpoint(true)
-      val nVecs = emb.count()
+      val emb = if (jacOnly) null
+        else spark.read.parquet(s"$dir/embeddings.parquet")
+          .repartition(cpus.toInt).localCheckpoint(true)
+      val nVecs = if (jacOnly) 0L else emb.count()
 
       if (doLifecycle) {
       // ── IVF build (LifecycleSweep's convention: residual regime
@@ -234,6 +239,12 @@ object Scale100 {
         rounds.toLong
       }
 
+      if (jacOnly) {
+        println(f"[s100] x$k%-3d docs=$nDocs%7d | " +
+          f"jaccard=$tJac%7.2fs(gc=$gcJac%6.1fs,${gcFracJac * 100}%4.1f%%," +
+          f"run=${runJac}s,spill=${spillMJac}MB/${spillDJac}MB) " +
+          f"pairs=$nPairs%8d cc=$tCc%6.2fs(r=$ccRounds)")
+      } else {
       // ── hyperplane-LSH candidate pairs (finding-14 join-back tail:
       //    the vector table stops broadcasting past ~25×, same ceiling
       //    as the jaccard verify — finding 35) ────────────────────────────
@@ -250,6 +261,24 @@ object Scale100 {
         f"gc=$gcA%5.1fs(${gcFracA * 100}%4.1f%%) run=${runA}s " +
         f"spill=${spillMA}MB/${spillDA}MB")
 
+      // ── minhash-LSH banding (the last payload-bearing dedup exchange:
+      //    sig_a/sig_b ride the pair dropDuplicates; banding bounds the
+      //    candidate volume, so this should hold like annS — measured,
+      //    not assumed) ───────────────────────────────────────────────────
+      var tMh = 0.0; var nMh = 0L
+      val (gcM, gcFracM, runM, spillMM, spillDM) = gcFraction(s"x$k mh") {
+        val (t, nn) = timeIt {
+          val c = Dedup.minhashLshCandidates(docs, "doc_id", "text",
+            n = 3, bands = 8, rowsPerBand = 4, estThreshold = 0.5)
+            .localCheckpoint(true)
+          c.count()
+        }
+        tMh = t; nMh = nn
+      }
+      println(f"[s100] x$k%-3d mh=$tMh%7.2fs($nMh%8d) " +
+        f"gc=$gcM%5.1fs(${gcFracM * 100}%4.1f%%) run=${runM}s " +
+        f"spill=${spillMM}MB/${spillDM}MB")
+
       // ── semantic two-level pairs at the sized level count ────────────
       val kCells = Dedup.cellsFor(nVecs)
       val kLevel = math.max(2, math.ceil(math.sqrt(kCells.toDouble)).toInt)
@@ -264,6 +293,7 @@ object Scale100 {
         f"run=${runJac}s,spill=${spillMJac}MB/${spillDJac}MB) " +
         f"pairs=$nPairs%8d cc=$tCc%6.2fs(r=$ccRounds) " +
         f"sem2=$tSem2%6.2fs($nSem2%8d,k=$kLevel^2)")
+      }
       }
     }
     spark.stop()

@@ -85,6 +85,25 @@ class DedupSpec extends SparkSpec {
       !plan.contains("keys=[doc_a"), s"pair-counting aggregate resurfaced:\n$plan")
   }
 
+  test("verify-tail plan shapes: broadcast pinned below the gate, sort-merge kernel above") {
+    // finding 35's two physical shapes, pinned so a Spark upgrade or a
+    // hint regression can't silently re-open the fat shuffle: the small
+    // tail must BROADCAST the signature join-backs (between Spark's
+    // 10 MB auto threshold and the 32 MB gate AQE would pick sort-merge
+    // on its own), and the kernel tail must run the sig-carrying prefix
+    // join as SORT-MERGE (a payload-bearing SHUFFLE_HASH build side
+    // cannot spill a HashedRelation — measured OOM at the 100× rung)
+    val small = Dedup.jaccardNearDup(docs, "doc_id", "text", 3, 0.6)
+      .queryExecution.executedPlan.toString
+    assert(small.contains("BroadcastHashJoin"), s"join-backs not broadcast:\n$small")
+    val kernel = Dedup.jaccardNearDup(docs, "doc_id", "text", 3, 0.6,
+      sigBroadcastBytes = -1L)
+      .queryExecution.executedPlan.toString
+    assert(kernel.contains("SortMergeJoin"), s"kernel join not sort-merge:\n$kernel")
+    assert(!kernel.contains("BroadcastHashJoin"),
+      s"kernel tail still broadcasting a signature table:\n$kernel")
+  }
+
   test("minhash LSH: exact dups estimated 1.0; unrelated docs don't pair") {
     val cands = Dedup.minhashLshCandidates(docs, "doc_id", "text",
       n = 3, bands = 8, rowsPerBand = 4, estThreshold = 0.5)
