@@ -874,9 +874,13 @@ object IndexLifecycle {
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("cell").parquet(s"$dir/$file")
           // emptied cells keep stale files under dynamic overwrite
-          // (nothing was written for them) — drop their directories
+          // (nothing was written for them) — drop their directories.
+          // Re-fence first: the overwrite job + kept-cells collect run
+          // for minutes at scale, and a zombie resuming here would
+          // delete cell dirs the new holder has since rewritten
           val kept = survivors.select("cell").distinct()
             .collect().map(_.getInt(0)).toSet
+          requireLeaseStillHeld(spark)
           val (fs, _) = hfs(spark, dir)
           affected.filterNot(kept).foreach { c =>
             fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$file/cell=$c"), true)
@@ -910,8 +914,11 @@ object IndexLifecycle {
       compactIndexInner(spark, dir, maxFilesPerCell)
     }
 
-  private def compactIndexInner(spark: SparkSession, dir: String,
-                                maxFilesPerCell: Int): Unit =
+  // private[graft]: verb composition (maintainIndex) + the zombie
+  // tombstone-clear fence spec, which must drive this body directly
+  // under a test-held lease (the public verb acquires its own)
+  private[graft] def compactIndexInner(spark: SparkSession, dir: String,
+                                       maxFilesPerCell: Int): Unit =
     cellFileOf(spark, dir) match {
       case None => compactLsh(spark, dir)
       case Some(file) =>
@@ -954,14 +961,16 @@ object IndexLifecycle {
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("cell").parquet(s"$dir/$file")
           // emptied cells keep stale files under dynamic overwrite —
-          // drop their directories (removeIds' physical-arm rule)
+          // drop their directories (removeIds' physical-arm rule).
+          // Re-fence: same zombie window as removeIdsInner's deletes
           val kept = rows.select("cell").distinct()
             .collect().map(_.getInt(0)).toSet
+          requireLeaseStillHeld(spark)
           rewrite.filterNot(kept).foreach { c =>
             fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$file/cell=$c"), true)
           }
         }
-        if (del.isDefined)
+        if (del.isDefined) {
           // the SHARED clear, never a bare delete of the live file
           // (ADVICE r16): an interrupted undeleteTombstones swap leaves
           // a COMPLETE deletes.parquet.__compact sibling behind, and
@@ -970,7 +979,13 @@ object IndexLifecycle {
           // to promote, resurrecting the backlog this compaction just
           // applied (ids re-appended later would silently vanish from
           // every probe). clearTombstones drops siblings FIRST.
+          // Fenced: a zombie compaction resuming here would clear the
+          // NEW holder's fresh backlog — the removed ids would then
+          // silently reappear in every probe (and this is the verb's
+          // ONLY fence when rewrite was empty)
+          requireLeaseStillHeld(spark)
           clearTombstones(spark, dir)
+        }
     }
 
   /** One-row operational readout of a serve index — the numbers the
@@ -1361,8 +1376,12 @@ object IndexLifecycle {
         .sortWithinPartitions("table", "bucket"))
     swapIn("vectors.parquet")(
       minusDeletes(spark.read.parquet(s"$dir/vectors.parquet"), idCol))
-    if (hasDeletes)
-      // shared clear, siblings first — see compactIndexInner's cell arm
+    if (hasDeletes) {
+      // shared clear, siblings first — see compactIndexInner's cell arm.
+      // Fenced: a zombie LSH compaction resuming after takeover must
+      // not clear the new holder's fresh tombstone backlog
+      requireLeaseStillHeld(spark)
       clearTombstones(spark, dir)
+    }
   }
 }

@@ -635,9 +635,13 @@ object Ivf {
     // repartition(cell): one file per TOUCHED cell per append (instead
     // of one per task per cell) — appends still accumulate one file
     // batch per append, which stays compactIndex's job
-    model.indexOf(emb, idCol, vecCol)
+    val assigned = model.indexOf(emb, idCol, vecCol)
       .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell")
+    // zombie-append fence: a stalled append resuming after takeover
+    // would land rows assigned under a quantizer the new holder's
+    // rebuild has since replaced (or lose the batch with __old)
+    IndexLifecycle.requireLeaseStillHeld(emb.sparkSession)
+    assigned.write.mode("append").partitionBy("cell")
       .parquet(s"$dir/invfile.parquet")
     // re-insert contract (appendLshIndex's rule, now that cell layouts
     // can carry tombstones): appending a tombstoned id un-deletes it —

@@ -373,11 +373,14 @@ object Quantize {
       "appendPqIndex", "Ivf.appendIndex")
     val model = loadPqIndex(emb.sparkSession, dir)
     // repartition(cell): one file per touched cell per append
-    model.coarse.indexOf(emb, idCol, vecCol)
+    val coded = model.coarse.indexOf(emb, idCol, vecCol)
       .withColumn("code",
         pqCode(model.coarse.residualOf(col(vecCol)), model.cb))
       .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/codes.parquet")
+    // zombie-append fence (Ivf.appendIndex's rule): never land rows
+    // coded under a codebook the new holder has since replaced
+    IndexLifecycle.requireLeaseStillHeld(emb.sparkSession)
+    coded.write.mode("append").partitionBy("cell").parquet(s"$dir/codes.parquet")
     // re-insert contract: a tombstoned id that re-appends un-deletes
     // (Ivf.appendIndex's rule)
     IndexLifecycle.undeleteTombstones(emb.sparkSession, dir,

@@ -612,12 +612,22 @@ object Similarity {
       (meta.getAs[Int]("planes"), meta.getAs[Int]("tables"),
         meta.getAs[Int]("dim"), meta.getAs[Long]("seed"))
     val batch = emb.select(col(idCol), col(vecCol))
+    // zombie-append fence (Ivf.appendIndex's rule): a stalled append
+    // resuming after takeover must not interleave with the new
+    // holder's swaps — and fencing BEFORE the first write keeps the
+    // two appends (vectors, postings) from landing on different worlds
+    IndexLifecycle.requireLeaseStillHeld(spark)
     batch.write.mode("append").parquet(s"$dir/vectors.parquet")
-    lshIndex(batch, idCol, vecCol, tables, planes, dim, seed)
+    val posted = lshIndex(batch, idCol, vecCol, tables, planes, dim, seed)
       .select(col("table"), col("bucket"), col(idCol))
       .repartitionByRange(col("table"), col("bucket"))
       .sortWithinPartitions("table", "bucket")
-      .write.mode("append").parquet(s"$dir/postings.parquet")
+    // re-fence between the two appends: the vectors write can run long
+    // enough for a takeover, and half an append on each world is the
+    // worst outcome (vectors without postings are unreachable; the
+    // converse serves misses)
+    IndexLifecycle.requireLeaseStillHeld(spark)
+    posted.write.mode("append").parquet(s"$dir/postings.parquet")
     // re-insert contract: appending an id that was tombstoned by
     // IndexLifecycle.removeIds un-deletes it — without this the append
     // would land physically but lshVectors would keep filtering it out

@@ -48,6 +48,10 @@ object CompactProfile {
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
         .repartition(cpus.toInt).localCheckpoint(true)
       val nVecs = emb.count()
+      // the backlog ids below are FIXED ranges through 35099; a smaller
+      // rung would silently empty them — fail with the real reason
+      require(nVecs >= 36000,
+        s"CompactProfile needs vec_id range through 35099 (k >= 18, got $nVecs at x$k)")
       val ivfDir = s"/tmp/graft_s100_ivf_x$k"
       if (!new java.io.File(s"$ivfDir/invfile.parquet").exists()) {
         IndexLifecycle.clearLock(spark, ivfDir)
@@ -61,7 +65,14 @@ object CompactProfile {
         .select("vec_id").localCheckpoint(true)
       IndexLifecycle.removeIds(spark, ivfDir, batch, "vec_id", tombstone = true)
 
-      // ── the stages, mirroring compactIndexInner's cell arm ───────────
+      // ── the stages, mirroring compactIndexInner's cell arm — under
+      //    the single-writer lease (CLAUDE.md: every mutating verb
+      //    serializes through it; this tool's manual rewrite is one),
+      //    and with the verb's emptied-cell delete step, without which
+      //    a fully-tombstoned cell's stale files would survive the
+      //    overwrite and the clear would resurrect its ids in the
+      //    REUSED /tmp index later sessions share ─────────────────────────
+      IndexLifecycle.withIndexLock(spark, ivfDir, "compactProfile") {
       val file = "invfile.parquet"
       var del: DataFrame = null; var n = 0L
       val tLoad = timeIt {
@@ -88,15 +99,25 @@ object CompactProfile {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("cell").parquet(s"$ivfDir/$file")
       }
+      var kept: Set[Int] = Set.empty
       val tKept = timeIt {
-        rows.select("cell").distinct().collect()
+        kept = rows.select("cell").distinct().collect().map(_.getInt(0)).toSet
+      }
+      val tEmptied = timeIt {
+        val root = new org.apache.hadoop.fs.Path(ivfDir)
+        val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+        affected.filterNot(kept).foreach { c =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$ivfDir/$file/cell=$c"), true)
+        }
       }
       IndexLifecycle.clearTombstones(spark, ivfDir)
-      val total = tLoad + tDiscover + tSurvivors + tWrite + tKept
+      val total = tLoad + tDiscover + tSurvivors + tWrite + tKept + tEmptied
       println(f"[cprof] x$k%-3d vecs=$nVecs%7d backlog=$n%5d " +
         f"affected=${affected.length}%4d | load=$tLoad%5.2fs " +
         f"discover=$tDiscover%5.2fs survivors=$tSurvivors%6.2fs " +
-        f"write=$tWrite%6.2fs kept=$tKept%5.2fs | total=$total%6.2fs")
+        f"write=$tWrite%6.2fs kept=$tKept%5.2fs emptied=$tEmptied%5.2fs | " +
+        f"total=$total%6.2fs")
+      }
     }
     spark.stop()
   }

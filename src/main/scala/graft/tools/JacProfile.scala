@@ -101,10 +101,18 @@ object JacProfile {
       // exactly as the operator pins it
       val a = pre.select(col("sh"), col("doc").as("doc_a"))
       val b = pre.select(col("sh"), col("doc").as("doc_b"))
-      val joined = a.join(b.hint("SHUFFLE_HASH"), Seq("sh"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b")
-      val (tJoin, nJoined) = timeIt(joined.count())
+      // checkpoint so phase 6 times ONLY the dedup exchange — without
+      // it the dropDuplicates would re-run this whole join and the
+      // "dedup=" column would conflate the two (the exact confound
+      // this tool exists to resolve)
+      val (tJoin, joined) = timeIt {
+        val j = a.join(b.hint("SHUFFLE_HASH"), Seq("sh"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b")
+          .localCheckpoint(true)
+        j.count(); j
+      }
+      val nJoined = joined.count()
 
       // phase 6: pair dedup
       val (tDedup, cand) = timeIt {

@@ -128,6 +128,14 @@ object Scale100 {
       val nVecs = if (jacOnly) 0L else emb.count()
 
       if (doLifecycle) {
+      // the removal batches below are FIXED id ranges (so the increment
+      // stays constant while the corpus scales — the sweep convention);
+      // a smaller comparison rung would silently empty them and the
+      // liveAfter require would then abort with a misleading
+      // "lost rows" — fail with the real reason instead
+      require(nVecs >= 16000,
+        s"lifecycle section needs vec_id range through 15100 (k >= 8, " +
+          s"got $nVecs vectors at x$k) — run SPARK_GRAFT_S100=dedup for smaller rungs")
       // ── IVF build (LifecycleSweep's convention: residual regime
       //    forced, sampled training) ─────────────────────────────────────
       val ivfDir = s"/tmp/graft_s100_ivf_x$k"

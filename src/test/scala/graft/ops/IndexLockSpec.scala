@@ -293,6 +293,57 @@ class IndexLockSpec extends SparkSpec {
     assert(spark.read.parquet(live).as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("zombie tombstone clear is fenced: a taken-over compaction cannot drop the new holder's backlog") {
+    // the empty-rewrite arm of compactIndexInner mutates EXACTLY ONCE —
+    // clearTombstones — so without its own fence a zombie compaction
+    // (stalled past takeover, resumed) would delete a backlog the new
+    // holder appended meanwhile, silently resurrecting removed ids in
+    // every probe. Fixture: a one-cell layout whose deletes.parquet
+    // holds only a GHOST id (affected cells empty => no overwrite fence
+    // runs; the clear fence is the verb's only guard).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_lock_clear").toString + "/idx"
+    new java.io.File(dir).mkdirs()
+    Seq((1L, Seq(0.1f, 0.2f), 0)).toDF("vec_id", "embedding", "cell")
+      .write.partitionBy("cell").parquet(s"$dir/invfile.parquet")
+    Seq(999L).toDF("vec_id").write.parquet(s"$dir/deletes.parquet")
+    val aEntered = new java.util.concurrent.CountDownLatch(1)
+    val aProceed = new java.util.concurrent.CountDownLatch(1)
+    val aOutcome = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val zombie = new Thread(() =>
+      IndexLifecycle.withIndexLock(spark, dir, "zombie-compact", leaseMs = 300L,
+        heartbeat = false) {
+        aEntered.countDown()
+        aProceed.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        try IndexLifecycle.compactIndexInner(spark, dir, maxFilesPerCell = 4)
+        catch { case t: Throwable => aOutcome.add(t) }
+      })
+    zombie.start()
+    assert(aEntered.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    Thread.sleep(400)
+    val bRelease = new java.util.concurrent.CountDownLatch(1)
+    val bEntered = new java.util.concurrent.CountDownLatch(1)
+    val usurper = new Thread(() =>
+      IndexLifecycle.withIndexLock(spark, dir, "usurper", leaseMs = 300L) {
+        bEntered.countDown()
+        bRelease.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      })
+    usurper.start()
+    assert(bEntered.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    aProceed.countDown()
+    zombie.join(30000)
+    bRelease.countDown()
+    usurper.join(30000)
+    val t = aOutcome.peek()
+    assert(t != null, "zombie's tombstone clear went through under a lost lease")
+    assert(t.isInstanceOf[IllegalStateException] &&
+      t.getMessage.contains("lost before a protocol-critical rename"),
+      s"wrong failure: $t")
+    // the backlog survived — the live holder's tombstones are intact
+    assert(spark.read.parquet(s"$dir/deletes.parquet").as[Long].collect().toSeq == Seq(999L),
+      "zombie cleared the backlog despite the lost lease")
+  }
+
   test("negative control: a non-atomic LockIo admits concurrent writers — the default primitive is load-bearing (r16 verdict #5)") {
     // the lease's guarantee is exactly as hard as LockIo.createExclusive:
     // substituting a deliberately non-atomic exists-then-create (the
