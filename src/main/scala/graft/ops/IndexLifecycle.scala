@@ -206,7 +206,7 @@ object IndexLifecycle {
     * tombstone append. No-op outside a lease (direct swap callers and
     * readers are not fenced — their protocols are crash-safe without
     * it). */
-  private[ops] def requireLeaseStillHeld(spark: SparkSession): Unit =
+  private[graft] def requireLeaseStillHeld(spark: SparkSession): Unit =
     currentLease.value.foreach { case (lockStr, token) =>
       val (fs, lock) = hfs(spark, lockStr)
       val content =

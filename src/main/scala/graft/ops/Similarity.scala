@@ -612,22 +612,27 @@ object Similarity {
       (meta.getAs[Int]("planes"), meta.getAs[Int]("tables"),
         meta.getAs[Int]("dim"), meta.getAs[Long]("seed"))
     val batch = emb.select(col(idCol), col(vecCol))
-    // zombie-append fence (Ivf.appendIndex's rule): a stalled append
-    // resuming after takeover must not interleave with the new
-    // holder's swaps — and fencing BEFORE the first write keeps the
-    // two appends (vectors, postings) from landing on different worlds
-    IndexLifecycle.requireLeaseStillHeld(spark)
-    batch.write.mode("append").parquet(s"$dir/vectors.parquet")
     val posted = lshIndex(batch, idCol, vecCol, tables, planes, dim, seed)
       .select(col("table"), col("bucket"), col(idCol))
       .repartitionByRange(col("table"), col("bucket"))
       .sortWithinPartitions("table", "bucket")
-    // re-fence between the two appends: the vectors write can run long
-    // enough for a takeover, and half an append on each world is the
-    // worst outcome (vectors without postings are unreachable; the
-    // converse serves misses)
+    // POSTINGS FIRST, and a zombie-append fence before each write
+    // (Ivf.appendIndex's rule). Order matters for what an interrupted
+    // append (crash, or a fence abort after takeover) leaves behind:
+    // orphan postings rows are invisible — every probe path drops a
+    // posting id with no vector row at the postings⋈vectors join, the
+    // same already-embraced semantics as the stale postings tombstoned
+    // removal leaves ("stale hits just match nothing"), and a retried
+    // append only re-duplicates postings, which candidate dedup
+    // absorbs. The REVERSE order would strand fallback-visible vectors
+    // without postings: the exact-scan fallback, indexStats, and
+    // rebuildIndex all read vectors.parquet, so bucketed probes and
+    // the fallback would answer from different corpora, and a retry
+    // would bake duplicate vector rows into every later rebuild.
     IndexLifecycle.requireLeaseStillHeld(spark)
     posted.write.mode("append").parquet(s"$dir/postings.parquet")
+    IndexLifecycle.requireLeaseStillHeld(spark)
+    batch.write.mode("append").parquet(s"$dir/vectors.parquet")
     // re-insert contract: appending an id that was tombstoned by
     // IndexLifecycle.removeIds un-deletes it — without this the append
     // would land physically but lshVectors would keep filtering it out

@@ -154,6 +154,43 @@ class IndexLifecycleSpec extends SparkSpec {
       "re-inserted id still tombstoned")
   }
 
+  test("LSH torn append is benign: orphan postings serve nothing, completing the append heals") {
+    // appendLshIndex writes POSTINGS FIRST (fence-per-write): a crash or
+    // zombie fence abort between its two appends leaves orphan postings
+    // rows, which every probe path must drop at the postings⋈vectors
+    // join — the same embraced semantics as tombstoned removal's stale
+    // postings. The reverse order would strand fallback-visible vectors
+    // and split the answer across probe paths; this spec pins the
+    // benign-torn contract so a reorder trips it.
+    val corpus = emb.localCheckpoint(true)
+    val query = corpus.filter($"vec_id" === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lc_torn").toString
+    Similarity.buildLshIndex(corpus.filter($"vec_id" =!= 3), "vec_id", "embedding", dir)
+    val three = corpus.filter($"vec_id" === 3).localCheckpoint(true)
+    // reproduce the torn state: the verb's own postings write, no vectors
+    val meta = spark.read.parquet(s"$dir/meta.parquet").head()
+    Similarity.lshIndex(three, "vec_id", "embedding",
+        meta.getAs[Int]("tables"), meta.getAs[Int]("planes"),
+        meta.getAs[Int]("dim"), meta.getAs[Long]("seed"))
+      .select(col("table"), col("bucket"), col("vec_id"))
+      .write.mode("append").parquet(s"$dir/postings.parquet")
+    // bucketed probe AND the k-starved exact fallback agree: id 3 absent
+    val bucketed = pairs(Similarity.probeLshIndex(spark, dir, "vec_id",
+      "embedding", query, "embedding", k = 10)).map(_._1)
+    assert(!bucketed.contains(3L), "orphan posting served by the bucketed probe")
+    val starved = pairs(Similarity.probeLshIndex(spark, dir, "vec_id",
+      "embedding", query, "embedding", k = 500)).map(_._1)
+    assert(!starved.contains(3L), "orphan posting served by the exact fallback")
+    assert(starved.nonEmpty && !starved.contains(3L))
+    // a retried FULL append heals: id 3 serves on both paths, exactly once
+    Similarity.appendLshIndex(three, "vec_id", "embedding", dir)
+    val healed = pairs(Similarity.probeLshIndex(spark, dir, "vec_id",
+      "embedding", query, "embedding", k = 500)).map(_._1)
+    assert(healed.contains(3L), "completed append still unserved")
+    assert(healed.count(_ == 3L) == 1,
+      "duplicate postings leaked duplicate results through candidate dedup")
+  }
+
   test("IVF compactIndex: append-accumulated small files merge; probe unchanged") {
     val corpus = emb.localCheckpoint(true)
     val query = corpus.filter($"vec_id" === 0)
