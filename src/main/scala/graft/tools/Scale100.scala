@@ -39,10 +39,13 @@ object Scale100 {
     // "jac": ONLY the corpus load + jaccard + CC — the leanest session
     // for the deepest rung (x400), where even sibling columns'
     // checkpoints would contaminate the measurement (reading (b))
+    // "sem2": ONLY the embeddings load + semantic two-level pairs —
+    // the lean session for its deepest rung (same rationale as "jac")
     val section = sys.env.getOrElse("SPARK_GRAFT_S100", "all")
-    val doLifecycle = section != "dedup" && section != "jac"
-    val doDedup = section != "lifecycle"
+    val doLifecycle = section != "dedup" && section != "jac" && section != "sem2"
+    val doDedup = section != "lifecycle" && section != "sem2"
     val jacOnly = section == "jac"
+    val sem2Only = section == "sem2"
     // shuffle partitions scale with the rung (the 100 TB rule CLAUDE.md
     // states: size partitions to fit executor memory at the target SF) —
     // cpus-many partitions hold 4× the rows at x100 vs x25 and spill
@@ -111,7 +114,7 @@ object Scale100 {
 
     for (k <- ks) {
       val dir = s"/tmp/graft_scale_x$k"
-      if (!new java.io.File(s"$dir/documents.parquet").exists())
+      if (!sem2Only && !new java.io.File(s"$dir/documents.parquet").exists())
         ScaleBench.scaled(base, k).write.mode("overwrite")
           .parquet(s"$dir/documents.parquet")
       if (!jacOnly && !new java.io.File(s"$dir/embeddings.parquet").exists())
@@ -302,6 +305,18 @@ object Scale100 {
         f"pairs=$nPairs%8d cc=$tCc%6.2fs(r=$ccRounds) " +
         f"sem2=$tSem2%6.2fs($nSem2%8d,k=$kLevel^2)")
       }
+      }
+
+      if (sem2Only) {
+        val kCells = Dedup.cellsFor(nVecs)
+        val kLevel = math.max(2, math.ceil(math.sqrt(kCells.toDouble)).toInt)
+        val (tSem2, nSem2) = timeIt {
+          val p = Dedup.semanticDupPairsHierarchical(emb, "vec_id", "embedding",
+            tau = 0.15, k1 = kLevel, k2 = kLevel).localCheckpoint(true)
+          val n = p.count(); noop(p); n
+        }
+        println(f"[s100] x$k%-3d vecs=$nVecs%7d | " +
+          f"sem2=$tSem2%6.2fs($nSem2%9d,k=$kLevel^2)")
       }
     }
     spark.stop()
