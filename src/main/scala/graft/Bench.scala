@@ -107,7 +107,13 @@ object Bench {
     try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), "UTF-8")
-      """"([a-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(txt)
+      // \s* after the colon: the file is normally machine-written flat,
+      // but the floors protocol invites HAND edits (delete an entry on a
+      // deliberate plan change) — a pretty-printed rewrite must not
+      // silently parse as "no prior floors" and let the next session
+      // replace the whole history with its own values (r17 incident:
+      // an indent-formatted rewrite zeroed every ratio to 1.0)
+      """"([a-z0-9_]+)":\s*([0-9.]+)""".r.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case NonFatal(_) => Map.empty }
 

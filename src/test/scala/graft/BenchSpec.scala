@@ -126,6 +126,14 @@ class BenchSpec extends SparkSpec {
     assert(Bench.readFloors(f.toString) == Map("x" -> 1.25, "y" -> 0.5))
     assert(Bench.readFloors("/nonexistent/floors.json").isEmpty,
       "missing floors file must be advisory-empty, never fatal")
+    // a HAND-edited pretty-printed file (the protocol invites entry
+    // deletion) must parse too — r17 incident: a space after the colon
+    // read as "no prior floors" and a session replaced the history
+    val g = java.nio.file.Files.createTempFile("graft_floors_pretty", ".json")
+    java.nio.file.Files.write(g,
+      "{\n \"x\": 1.25,\n \"y\":  0.5\n}\n".getBytes("UTF-8"))
+    assert(Bench.readFloors(g.toString) == Map("x" -> 1.25, "y" -> 0.5),
+      "pretty-printed floors file silently parsed as empty")
   }
 
   test("a FILTERED session is self-identifying in its artifact (ADVICE r15)") {
