@@ -67,6 +67,14 @@ object Dedup {
     * NEVER shuffled onto candidate pairs, because that payload-bearing
     * exchange is the one super-linear term this operator ever measured
     * (PERF.md finding 35: 22× task time for 4× data at the 100× rung).
+    *
+    * NOT lazy: picking the verify tail needs the signature table's
+    * measured size, so CALLING this function runs two eager Spark jobs
+    * (the signature localCheckpoint and a one-row stats agg) before the
+    * composed plan is returned — callers assembling plans they may never
+    * execute pay that cost at call time. Forcing `sigBroadcastBytes`
+    * (-1 → kernel, Long.MaxValue → broadcast) does not skip it: the
+    * checkpoint also feeds the prefix explode and both tails.
     */
   /** Above this many hot shingles the maxDf prune switches from a single
     * broadcast array row to a distributed anti-join: 4M longs ≈ 32 MB —
@@ -74,17 +82,25 @@ object Dedup {
   val HotShingleBroadcastLimit: Long = 4000000L
 
   /** Gate between [[jaccardNearDup]]'s two verify tails, in estimated
-    * signature-table bytes (PERF.md finding 35). At or under it the
-    * signature table broadcasts (pinned — AQE's own 10 MB threshold
-    * would otherwise flip a 20 MB table to the fat shuffle) and the
-    * candidate pairs stay NARROW through dedup and the two join-backs;
-    * past it the join-backs would shuffle every candidate row carrying
+    * MATERIALIZED broadcast bytes (PERF.md finding 35). The small tail
+    * broadcasts the signature table TWICE (the doc_a and doc_b
+    * join-backs), each as an UnsafeRow HashedRelation, so the estimate
+    * is 2 × (8 B per shingle hash + ~48 B per row of UnsafeRow array
+    * header / row fields / HashedRelation slot overhead) — roughly 2–4×
+    * the raw column bytes, which a naive single-copy estimate would
+    * undercount exactly when the table sits near the gate. At or under
+    * the gate the broadcasts are pinned (AQE's own 10 MB threshold would
+    * otherwise flip a 20 MB table to the fat shuffle) and the candidate
+    * pairs stay NARROW through dedup and the two join-backs; past it the
+    * join-backs would shuffle every candidate row carrying
     * ~full-signature payload (measured: 22× task-time growth for 4×
     * data, 16 GB spill — the shuffle-keys-vs-payload rule violated at
     * the verify stage) so the tail switches to the sig-carrying kernel
-    * join instead. 32 MB: well under driver/executor broadcast comfort,
-    * and the kernel already WINS at the ~50 MB rung (2.6 s vs 4.2 s). */
-  val SigTableBroadcastBytes: Long = 32L << 20
+    * join instead. 64 MB of materialized-broadcast estimate ≈ the old
+    * 32 MB raw-bytes crossover (same flip point, now honestly
+    * accounted); the kernel already WINS at the ~50 MB-raw rung
+    * (2.6 s vs 4.2 s), comfortably past this gate. */
+  val SigTableBroadcastBytes: Long = 64L << 20
 
   def jaccardNearDup(docs: DataFrame, idCol: String, textCol: String,
                      n: Int, threshold: Double, maxDf: Option[Int] = None,
@@ -140,15 +156,21 @@ object Dedup {
     val prefixLen = (col("n_sh") -
       ceil(col("n_sh") * lit(threshold) - lit(1e-9)) + 1).cast("int")
     // Two result-identical verify tails, gated on the signature table's
-    // estimated bytes (sets is already materialized, the stats agg is one
-    // tiny job). PERF.md finding 35: every phase of this operator is
-    // linear through 100× EXCEPT the verify join-backs — once the
-    // signature table outgrows broadcast, joining it back onto the
-    // candidate pairs shuffles ~45M rows × ~450 B signature payload
-    // through two exchanges (22× task-time for 4× data, 16 GB spill).
+    // estimated MATERIALIZED broadcast bytes (sets is already
+    // materialized, the stats agg is one tiny job). NOTE this makes the
+    // call EAGER: composing the plan without executing it still runs the
+    // stats job (and the localCheckpoint above) at call time — the
+    // documented price of a measured gate (see scaladoc). PERF.md
+    // finding 35: every phase of this operator is linear through 100×
+    // EXCEPT the verify join-backs — once the signature table outgrows
+    // broadcast, joining it back onto the candidate pairs shuffles ~45M
+    // rows × ~450 B signature payload through two exchanges (22×
+    // task-time for 4× data, 16 GB spill). Estimate = two broadcasts ×
+    // (8 B/hash + ~48 B/row UnsafeRow + HashedRelation overhead); see
+    // [[SigTableBroadcastBytes]].
     val st = sets.agg(count(lit(1)).as("c"),
       coalesce(sum(col("n_sh")), lit(0L)).as("s")).head()
-    val sigBytes = st.getLong(1) * 8L + st.getLong(0) * 24L
+    val sigBytes = 2L * (st.getLong(1) * 8L + st.getLong(0) * 48L)
     if (sigBytes <= sigBroadcastBytes) {
       // small tail: narrow candidate pairs, then BROADCAST join-backs —
       // pinned, not AQE-decided: between Spark's 10 MB auto threshold

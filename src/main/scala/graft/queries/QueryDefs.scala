@@ -1273,6 +1273,32 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
               WHERE common * 1.0 / (ca.n_sh + cb.n_sh - common) >= 0.6""")
     ),
 
+    // C13 forced-gate twin of c13_jaccard_ngram: sigBroadcastBytes = -1
+    // forces the finding-35 MERGE kernel verify tail (sig-carrying prefix
+    // join, verify inline, dedup after the filter) even though the sf0.01/
+    // sf0.1 signature tables sit under the gate — so the scale-critical
+    // tail runs under the DuckDB oracle (the driver's hard signal), not
+    // only under DedupSpec's pair-for-pair equality. The oracle SQL is
+    // c13_jaccard_ngram's VERBATIM: the two tails are result-identical by
+    // construction, so the oracle is shared for free.
+    QueryDef(
+      "c13_jaccard_kernel",
+      (s, d) => Dedup.jaccardNearDup(t(s, d, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.6, maxDf = Some(100), sigBroadcastBytes = -1L),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+                sh AS (SELECT DISTINCT doc_id AS doc, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+                       FROM toks, UNNEST(generate_series(1, len(ws) - 2)) t(i)),
+                keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+                shk AS (SELECT doc, sh.shingle FROM sh JOIN keep ON sh.shingle = keep.shingle),
+                cnt AS (SELECT doc, count(*) AS n_sh FROM shk GROUP BY doc),
+                pair AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS common
+                         FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc < b.doc
+                         GROUP BY 1, 2)
+              SELECT doc_a, doc_b, round(common * 1.0 / (ca.n_sh + cb.n_sh - common), 4) AS jaccard
+              FROM pair JOIN cnt ca ON ca.doc = doc_a JOIN cnt cb ON cb.doc = doc_b
+              WHERE common * 1.0 / (ca.n_sh + cb.n_sh - common) >= 0.6""")
+    ),
+
     // C13 applied: the corpus with near-duplicates REMOVED (greedy min-id
     // survivor over the Jaccard pairs) — identify + drop, end to end.
     QueryDef(

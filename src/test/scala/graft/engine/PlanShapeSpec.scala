@@ -250,4 +250,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"minhash signatures shuffled:\n$plan")
   }
 
+  test("registered jaccard twins plan their gated verify tails (finding 35)") {
+    // the REGISTERED queries, not direct Dedup calls: c13_jaccard_ngram
+    // must plan the pinned-broadcast join-backs (its sig table sits under
+    // the gate at every test SF), and the forced-gate twin
+    // c13_jaccard_kernel must plan the sig-carrying SORT-MERGE kernel
+    // join with no signature broadcast anywhere — so the driver's oracle
+    // row for the kernel is guaranteed to be exercising the kernel shape,
+    // not silently falling back to broadcast
+    val small = graft.SparkEntry.queries("c13_jaccard_ngram")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(small.contains("BroadcastHashJoin"),
+      s"c13_jaccard_ngram join-backs not broadcast:\n$small")
+    val kernel = graft.SparkEntry.queries("c13_jaccard_kernel")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(kernel.contains("SortMergeJoin"),
+      s"c13_jaccard_kernel prefix join not sort-merge:\n$kernel")
+    assert(!kernel.contains("BroadcastHashJoin"),
+      s"c13_jaccard_kernel still broadcasting a signature table:\n$kernel")
+  }
+
 }
