@@ -178,21 +178,51 @@ object IndexLifecycle {
     * pre-rename [[requireLeaseStillHeld]] fence bounds. An unreadable
     * or missing lock also skips the delete (missing: the takeover
     * already cleared us; unreadable: deleting what we cannot identify
-    * is the same gap). */
+    * is the same gap).
+    *
+    * The read-verify-delete SERIALIZES through the same takeover guard
+    * the stale takeover uses (ADVICE r17): without it, a takeover
+    * landing between our content read and our delete replaces the lock
+    * and the delete removes the NEW holder's — the exact two-writer
+    * window the token exists to close. Inside the guard the lock path
+    * cannot empty or change hands (takeover's delete is guard-gated and
+    * a fresh acquire needs the path empty first), so the
+    * read-then-delete is atomic w.r.t. the protocol. If the guard stays
+    * contended past the retries (a contender crashed inside its
+    * two-metadata-call guard window less than [[TakeoverGuardStaleMs]]
+    * ago), release degrades to leave-it-stale: the lock ages out and
+    * the next writer's takeover clears it — a liveness cost of up to
+    * one lease, never a safety gap. */
   private def releaseLock(fs: org.apache.hadoop.fs.FileSystem,
                           lock: org.apache.hadoop.fs.Path,
                           verb: String, token: String): Unit = {
-    val content =
+    def content(): String =
       try {
         val in = fs.open(lock)
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
       } catch { case _: java.io.IOException => "" }
-    if (content.contains(token)) fs.delete(lock, false)
-    else log.warn(
-      s"graft lease release SKIPPED at $lock: verb [$verb] no longer holds " +
-        s"the lease (content [${content.trim}] lacks our token) — this verb " +
-        "stalled past its lease and was taken over; its work since the " +
-        "takeover may have raced the new holder's")
+    var attempts = 5
+    while (attempts > 0) {
+      if (tryTakeoverGuard(fs, lock, s"release $verb")) {
+        try {
+          val c = content()
+          if (c.contains(token)) fs.delete(lock, false)
+          else log.warn(
+            s"graft lease release SKIPPED at $lock: verb [$verb] no longer " +
+              s"holds the lease (content [${c.trim}] lacks our token) — this " +
+              "verb stalled past its lease and was taken over; its work " +
+              "since the takeover may have raced the new holder's")
+        } finally fs.delete(guardPath(lock), false)
+        return
+      }
+      attempts -= 1
+      if (attempts > 0) Thread.sleep(50)
+    }
+    log.warn(
+      s"graft lease release DEFERRED at $lock: verb [$verb] could not win " +
+        "the takeover guard (a contender is mid-takeover or crashed inside " +
+        "its guard window) — leaving the lock to age out; the next writer's " +
+        "stale takeover clears it after the lease duration")
   }
 
   /** Re-verify, immediately before a protocol-critical rename or a
@@ -202,11 +232,16 @@ object IndexLifecycle {
     * the write". A verb that stalled past takeover fails here LOUDLY
     * instead of interleaving its writes with the new holder's. Checked
     * before both swap protocols' renames, the physical cell-partition
-    * overwrites ([[removeIdsInner]], [[compactIndexInner]]), and the
-    * tombstone append. No-op outside a lease (direct swap callers and
-    * readers are not fenced — their protocols are crash-safe without
-    * it). */
-  private[graft] def requireLeaseStillHeld(spark: SparkSession): Unit =
+    * overwrites ([[removeIdsInner]], [[compactIndexInner]]), the
+    * appends, the emptied-cell dir deletes, and the tombstone
+    * appends/clears. `action` names the destructive write being fenced
+    * (ADVICE r17: a zombie abort diagnosing as "rename" when it was
+    * fencing a tombstone clear sent the reader to the wrong protocol).
+    * No-op outside a lease (direct swap callers and readers are not
+    * fenced — their protocols are crash-safe without it). */
+  private[graft] def requireLeaseStillHeld(
+      spark: SparkSession,
+      action: String = "protocol-critical rename"): Unit =
     currentLease.value.foreach { case (lockStr, token) =>
       val (fs, lock) = hfs(spark, lockStr)
       val content =
@@ -216,10 +251,10 @@ object IndexLifecycle {
         } catch { case _: java.io.IOException => "" }
       if (!content.contains(token))
         throw new IllegalStateException(
-          s"index writer lease $lock lost before a protocol-critical rename " +
+          s"index writer lease $lock lost before [$action] " +
             s"(content [${content.trim}] lacks our token): this verb stalled " +
             "past its lease and was taken over — aborting instead of racing " +
-            "the new holder's renames")
+            "the new holder's writes")
     }
 
   /** Drop any lease left at `dir`'s lock path. ONLY for single-driver
@@ -316,6 +351,49 @@ object IndexLifecycle {
     }
   }
 
+  /** The conditional-write primitive a deployment backs with its object
+    * store's precondition API (r17 verdict #7): create the object at
+    * `key` holding `content` iff nothing exists there, atomically per
+    * the STORE's guarantee. Contract: return true iff THIS call created
+    * the object, and the object must be readable at the same path
+    * through the Hadoop FileSystem the verbs use (heartbeat mtime
+    * touches and token reads go through `fs`, not the store adapter).
+    *
+    * Per-store guarantee matrix (public, documented semantics):
+    *  - S3: `PutObject` with `If-None-Match: *` — HTTP 412 → false.
+    *    Hard since S3 shipped conditional writes (2024); S3's strong
+    *    read-after-write consistency makes the follow-up reads safe.
+    *  - GCS: object insert with `ifGenerationMatch=0` — 412 → false.
+    *    Hard; generation numbers make the precondition exact.
+    *  - Azure Blob/ABFS: `Put Blob` with `If-None-Match: *` — 409/412
+    *    → false. Hard via ETag preconditions.
+    *  - HDFS/local: unnecessary — [[HadoopLockIo]] is already hard
+    *    there (NameNode-atomic create / POSIX O_EXCL).
+    *  - a store WITHOUT conditional writes: do not wrap it here; a
+    *    plain PUT is last-writer-wins and [[NonAtomicLockIoSpec]]'s
+    *    negative control shows exactly how that admits two writers —
+    *    stay on the default advisory posture instead, which at least
+    *    documents itself. */
+  private[graft] trait ConditionalStore {
+    def putIfAbsent(key: String, content: String): Boolean
+  }
+
+  /** [[LockIo]] over a [[ConditionalStore]]: restores the HARD
+    * exclusive-create on object stores whose stock Hadoop connector
+    * `create(overwrite = false)` is exists-then-PUT (advisory). Install
+    * at startup: `IndexLifecycle.lockIo = new PreconditionLockIo(store)`.
+    * The lease's guarantee is then EXACTLY the store's precondition
+    * guarantee — IndexLockSpec proves the acquire hammer admits one
+    * writer with an honoring store and multiple with a
+    * precondition-violating one (both controls, same hammer). */
+  private[graft] final class PreconditionLockIo(store: ConditionalStore)
+    extends LockIo {
+    def createExclusive(fs: org.apache.hadoop.fs.FileSystem,
+                        lock: org.apache.hadoop.fs.Path,
+                        content: String): Boolean =
+      store.putIfAbsent(lock.toString, content)
+  }
+
   private def atomicCreateLock(fs: org.apache.hadoop.fs.FileSystem,
                                lock: org.apache.hadoop.fs.Path,
                                content: String): Boolean =
@@ -326,11 +404,16 @@ object IndexLifecycle {
     * work), so a contender may clear it. */
   private val TakeoverGuardStaleMs = 60000L
 
-  /** Clear a STALE lock under the takeover guard — see the call site's
-    * comment for why acting on the lock path directly is an ABA race. */
-  private def takeoverStaleLock(fs: org.apache.hadoop.fs.FileSystem,
-                                lock: org.apache.hadoop.fs.Path,
-                                leaseMs: Long): Unit = {
+  /** One attempt to acquire `lock`'s takeover guard (the sibling
+    * `.__takeover` file, atomic create via [[lockIo]]), clearing a
+    * crash-stale guard first. Shared by the stale-lock takeover and
+    * the fenced release — BOTH of the protocol's lock-path deletes
+    * serialize through it, so neither can interleave with the other's
+    * read/stat-then-delete. Returns true iff acquired; the caller must
+    * delete the guard in `finally`. */
+  private def tryTakeoverGuard(fs: org.apache.hadoop.fs.FileSystem,
+                               lock: org.apache.hadoop.fs.Path,
+                               who: String): Boolean = {
     val guard = new org.apache.hadoop.fs.Path(s"${lock.toString}.__takeover")
     val guardSt =
       try Some(fs.getFileStatus(guard))
@@ -349,8 +432,18 @@ object IndexLifecycle {
           fs.delete(guard, false)
       }
     }
-    if (atomicCreateLock(fs, guard,
-        s"takeover ${System.currentTimeMillis()}\n")) {
+    atomicCreateLock(fs, guard, s"$who ${System.currentTimeMillis()}\n")
+  }
+
+  private def guardPath(lock: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(s"${lock.toString}.__takeover")
+
+  /** Clear a STALE lock under the takeover guard — see the call site's
+    * comment for why acting on the lock path directly is an ABA race. */
+  private def takeoverStaleLock(fs: org.apache.hadoop.fs.FileSystem,
+                                lock: org.apache.hadoop.fs.Path,
+                                leaseMs: Long): Unit = {
+    if (tryTakeoverGuard(fs, lock, "takeover")) {
       try {
         val still =
           try Some(fs.getFileStatus(lock))
@@ -358,7 +451,7 @@ object IndexLifecycle {
         if (still.exists(s =>
             System.currentTimeMillis() - s.getModificationTime > leaseMs))
           fs.delete(lock, false)
-      } finally fs.delete(guard, false)
+      } finally fs.delete(guardPath(lock), false)
     }
   }
 
@@ -462,7 +555,7 @@ object IndexLifecycle {
     fs.create(new org.apache.hadoop.fs.Path(s"$tmp/$SwapOkMarker"), true).close()
     // fencing check (r16 verdict #1): a verb that stalled past takeover
     // must not land its renames under the NEW holder's feet
-    requireLeaseStillHeld(spark)
+    requireLeaseStillHeld(spark, "artifact swap rename")
     require(fs.rename(live, old), s"swap: rename $live -> $old failed")
     val renamed =
       try fs.rename(tmp, live)
@@ -657,7 +750,17 @@ object IndexLifecycle {
     * swallowed retry is logged so a repeatedly-racing probe is visible
     * rather than just slow. A genuinely missing INDEX dir still pays
     * the retries — indistinguishable from the race by message — which
-    * the log line also surfaces. */
+    * the log line also surfaces.
+    *
+    * Anchoring escape hatch (ADVICE r17): some wrappers surface the
+    * race with a NULL message or quote only a bare filename/relative
+    * path, omitting the probed dir — a genuine maintenance race that
+    * strict anchoring would fail on the FIRST attempt. A
+    * FileNotFoundException anywhere in the cause chain whose messages
+    * never name the dir gets exactly ONE fallback retry (not the full
+    * budget — a typo'd OTHER path still fails fast, now after one
+    * extra attempt), and the unmatched message is logged at WARN so
+    * the anchor list can be tuned from field evidence. */
   private[graft] def retryOnStaleFiles[T](dir: String, attempts: Int = 4)
                                          (body: => T): T = {
     // anchor scheme-insensitively: the dir arrives as "/tmp/idx" or
@@ -665,10 +768,10 @@ object IndexLifecycle {
     val needle = dir.stripPrefix("file:")
     def anchored(m: String): Boolean =
       m != null && (m.contains(dir) || m.contains(needle))
-    def staleFileFailure(t: Throwable): Boolean = {
-      val chain = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
-        .take(10).toSeq
-      chain.exists {
+    def chainOf(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    def staleFileFailure(t: Throwable): Boolean =
+      chainOf(t).exists {
         case _: WorldChangedException => true
         case e: java.io.FileNotFoundException => anchored(e.getMessage)
         case e =>
@@ -676,8 +779,10 @@ object IndexLifecycle {
           (m.contains("FILE_NOT_EXIST") || m.contains("PATH_NOT_FOUND") ||
             m.contains("does not exist")) && anchored(m)
       }
-    }
+    def unanchoredFnfe(t: Throwable): Boolean =
+      chainOf(t).exists(_.isInstanceOf[java.io.FileNotFoundException])
     var left = attempts
+    var fallbackLeft = 1
     while (true) {
       try return body
       catch {
@@ -687,6 +792,16 @@ object IndexLifecycle {
             s"graft probe at $dir hit a stale file listing (concurrent " +
               s"maintenance swap) — retrying (${attempts - left}/${attempts - 1}): " +
               String.valueOf(t.getMessage).linesIterator.take(1).mkString)
+        case scala.util.control.NonFatal(t)
+            if left > 1 && fallbackLeft > 0 && unanchoredFnfe(t) =>
+          left -= 1; fallbackLeft -= 1
+          log.warn(
+            s"graft probe at $dir hit a FileNotFoundException whose message " +
+              "does not name the probed dir — granting ONE fallback retry in " +
+              "case a wrapper stripped the path from a maintenance race; if " +
+              "this recurs, add its shape to the retryOnStaleFiles anchors: " +
+              chainOf(t).map(e => String.valueOf(e.getMessage)
+                .linesIterator.take(1).mkString).mkString(" <- "))
       }
     }
     throw new IllegalStateException("unreachable")
@@ -831,7 +946,7 @@ object IndexLifecycle {
   private def appendTombstones(spark: SparkSession, dir: String,
                                ids: DataFrame, idCol: String): Unit = {
     recoverSwap(spark, s"$dir/deletes.parquet")
-    requireLeaseStillHeld(spark)
+    requireLeaseStillHeld(spark, "tombstone append")
     ids.select(col(idCol)).distinct()
       .write.mode("append").parquet(s"$dir/deletes.parquet")
   }
@@ -869,7 +984,7 @@ object IndexLifecycle {
             idsDf, idCol, nIds, idBroadcastLimit, "left_anti")
             .repartition(col("cell"))
             .localCheckpoint(true)
-          requireLeaseStillHeld(spark)
+          requireLeaseStillHeld(spark, "cell overwrite (removeIds)")
           survivors.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("cell").parquet(s"$dir/$file")
@@ -880,7 +995,7 @@ object IndexLifecycle {
           // delete cell dirs the new holder has since rewritten
           val kept = survivors.select("cell").distinct()
             .collect().map(_.getInt(0)).toSet
-          requireLeaseStillHeld(spark)
+          requireLeaseStillHeld(spark, "emptied-cell dir delete (removeIds)")
           val (fs, _) = hfs(spark, dir)
           affected.filterNot(kept).foreach { c =>
             fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$file/cell=$c"), true)
@@ -956,7 +1071,7 @@ object IndexLifecycle {
                 Dedup.HotShingleBroadcastLimit, "left_anti") }
             .repartition(col("cell"))
             .localCheckpoint(true)
-          requireLeaseStillHeld(spark)
+          requireLeaseStillHeld(spark, "cell overwrite (compaction)")
           rows.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("cell").parquet(s"$dir/$file")
@@ -965,7 +1080,7 @@ object IndexLifecycle {
           // Re-fence: same zombie window as removeIdsInner's deletes
           val kept = rows.select("cell").distinct()
             .collect().map(_.getInt(0)).toSet
-          requireLeaseStillHeld(spark)
+          requireLeaseStillHeld(spark, "emptied-cell dir delete (compaction)")
           rewrite.filterNot(kept).foreach { c =>
             fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$file/cell=$c"), true)
           }
@@ -983,7 +1098,7 @@ object IndexLifecycle {
           // NEW holder's fresh backlog — the removed ids would then
           // silently reappear in every probe (and this is the verb's
           // ONLY fence when rewrite was empty)
-          requireLeaseStillHeld(spark)
+          requireLeaseStillHeld(spark, "tombstone clear (compaction)")
           clearTombstones(spark, dir)
         }
     }
@@ -1254,7 +1369,7 @@ object IndexLifecycle {
     // serving while maintainIndex retrains forever without landing.
     // Fencing check first (r16 verdict #1): a rebuild that stalled past
     // takeover aborts here rather than swapping over the new holder
-    requireLeaseStillHeld(spark)
+    requireLeaseStillHeld(spark, "rebuild swap rename")
     require(fs.rename(live, old), s"rebuild swap: rename $dir -> $old failed")
     val renamed =
       try fs.rename(new org.apache.hadoop.fs.Path(tmp), live)
@@ -1380,7 +1495,7 @@ object IndexLifecycle {
       // shared clear, siblings first — see compactIndexInner's cell arm.
       // Fenced: a zombie LSH compaction resuming after takeover must
       // not clear the new holder's fresh tombstone backlog
-      requireLeaseStillHeld(spark)
+      requireLeaseStillHeld(spark, "tombstone clear (LSH compaction)")
       clearTombstones(spark, dir)
     }
   }

@@ -529,7 +529,7 @@ object Ivf {
     // Fencing check before the write phase: a build that stalled past
     // takeover (training can be long) must not clear/overwrite under
     // the new holder (IndexLifecycle.requireLeaseStillHeld's contract)
-    IndexLifecycle.requireLeaseStillHeld(emb.sparkSession)
+    IndexLifecycle.requireLeaseStillHeld(emb.sparkSession, "build tombstone clear + model overwrite")
     IndexLifecycle.clearTombstones(emb.sparkSession, dir)
     writeModel(emb.sparkSession, dir, model)
     // repartition(cell): without it every write task holding a cell's
@@ -640,7 +640,7 @@ object Ivf {
     // zombie-append fence: a stalled append resuming after takeover
     // would land rows assigned under a quantizer the new holder's
     // rebuild has since replaced (or lose the batch with __old)
-    IndexLifecycle.requireLeaseStillHeld(emb.sparkSession)
+    IndexLifecycle.requireLeaseStillHeld(emb.sparkSession, "invfile append")
     assigned.write.mode("append").partitionBy("cell")
       .parquet(s"$dir/invfile.parquet")
     // re-insert contract (appendLshIndex's rule, now that cell layouts

@@ -330,7 +330,7 @@ object Quantize {
     // a LIVE dir go through IndexLifecycle.rebuildIndex's staged swap,
     // never a direct re-build, or a crash in the clear-to-overwrite
     // window resurrects the old world's removals)
-    IndexLifecycle.requireLeaseStillHeld(spark) // zombie-build fence
+    IndexLifecycle.requireLeaseStillHeld(spark, "build tombstone clear + model overwrite") // zombie-build fence
     IndexLifecycle.clearTombstones(spark, dir)
     Ivf.writeModel(spark, dir, coarse)
     import spark.implicits._
@@ -379,7 +379,7 @@ object Quantize {
       .repartition(col("cell"))
     // zombie-append fence (Ivf.appendIndex's rule): never land rows
     // coded under a codebook the new holder has since replaced
-    IndexLifecycle.requireLeaseStillHeld(emb.sparkSession)
+    IndexLifecycle.requireLeaseStillHeld(emb.sparkSession, "codes append")
     coded.write.mode("append").partitionBy("cell").parquet(s"$dir/codes.parquet")
     // re-insert contract: a tombstoned id that re-appends un-deletes
     // (Ivf.appendIndex's rule)

@@ -558,7 +558,7 @@ object Similarity {
     // only pre-write stage. Incl. the ADVICE-r16 contract: in-place
     // retrains over a LIVE dir go through IndexLifecycle.rebuildIndex's
     // staged swap, never a direct re-build)
-    IndexLifecycle.requireLeaseStillHeld(spark) // zombie-build fence
+    IndexLifecycle.requireLeaseStillHeld(spark, "build tombstone clear + meta overwrite") // zombie-build fence
     IndexLifecycle.clearTombstones(spark, dir)
     Seq((planes, tables, dim, seed))
       .toDF("planes", "tables", "dim", "seed")
@@ -629,9 +629,9 @@ object Similarity {
     // rebuildIndex all read vectors.parquet, so bucketed probes and
     // the fallback would answer from different corpora, and a retry
     // would bake duplicate vector rows into every later rebuild.
-    IndexLifecycle.requireLeaseStillHeld(spark)
+    IndexLifecycle.requireLeaseStillHeld(spark, "postings append")
     posted.write.mode("append").parquet(s"$dir/postings.parquet")
-    IndexLifecycle.requireLeaseStillHeld(spark)
+    IndexLifecycle.requireLeaseStillHeld(spark, "vectors append")
     batch.write.mode("append").parquet(s"$dir/vectors.parquet")
     // re-insert contract: appending an id that was tombstoned by
     // IndexLifecycle.removeIds un-deletes it — without this the append

@@ -98,7 +98,7 @@ object CompactProfile {
         // the verb's own fences, mirrored (the staged jobs here ARE the
         // minutes-long takeover windows the fences exist for, and the
         // /tmp index is shared with later sessions)
-        IndexLifecycle.requireLeaseStillHeld(spark)
+        IndexLifecycle.requireLeaseStillHeld(spark, "cell overwrite (compaction)")
         rows.write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("cell").parquet(s"$ivfDir/$file")
@@ -108,14 +108,14 @@ object CompactProfile {
         kept = rows.select("cell").distinct().collect().map(_.getInt(0)).toSet
       }
       val tEmptied = timeIt {
-        IndexLifecycle.requireLeaseStillHeld(spark)
+        IndexLifecycle.requireLeaseStillHeld(spark, "emptied-cell dir delete (compaction)")
         val root = new org.apache.hadoop.fs.Path(ivfDir)
         val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
         affected.filterNot(kept).foreach { c =>
           fs.delete(new org.apache.hadoop.fs.Path(s"$ivfDir/$file/cell=$c"), true)
         }
       }
-      IndexLifecycle.requireLeaseStillHeld(spark)
+      IndexLifecycle.requireLeaseStillHeld(spark, "tombstone clear (compaction)")
       IndexLifecycle.clearTombstones(spark, ivfDir)
       val total = tLoad + tDiscover + tSurvivors + tWrite + tKept + tEmptied
       println(f"[cprof] x$k%-3d vecs=$nVecs%7d backlog=$n%5d " +

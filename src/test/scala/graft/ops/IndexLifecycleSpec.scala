@@ -949,4 +949,40 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(stats(pqDir).getAs[Long]("live_rows") == n,
       "PQ indexStats row count inconsistent after remove+re-append")
   }
+
+  test("retryOnStaleFiles: anchored failures retry; unanchored FNFE gets exactly one fallback retry") {
+    // ADVICE r17: wrappers can strip the probed dir from the message
+    // (null-message FNFE, bare-filename quotes) — a genuine maintenance
+    // race surfacing that way must not fail first-attempt, but a typo'd
+    // OTHER path must not inherit the full retry budget either.
+    val dir = "/tmp/graft_retry_idx"
+    // anchored: full budget — succeeds on the 3rd call
+    var calls = 0
+    val got = IndexLifecycle.retryOnStaleFiles(dir, attempts = 4) {
+      calls += 1
+      if (calls < 3)
+        throw new java.io.FileNotFoundException(s"$dir/vectors.parquet/part-0 does not exist")
+      42
+    }
+    assert(got == 42 && calls == 3)
+    // unanchored null-message FNFE: exactly ONE fallback retry, then out
+    var calls2 = 0
+    val e2 = intercept[java.io.FileNotFoundException] {
+      IndexLifecycle.retryOnStaleFiles(dir, attempts = 4) {
+        calls2 += 1
+        throw new java.io.FileNotFoundException()
+      }
+    }
+    assert(e2.getMessage == null && calls2 == 2,
+      s"expected 1 fallback retry (2 calls), got $calls2")
+    // unanchored NON-FNFE: no retry at all
+    var calls3 = 0
+    intercept[IllegalArgumentException] {
+      IndexLifecycle.retryOnStaleFiles(dir, attempts = 4) {
+        calls3 += 1
+        throw new IllegalArgumentException("some other path is wrong")
+      }
+    }
+    assert(calls3 == 1, s"non-FNFE must not retry, got $calls3 calls")
+  }
 }

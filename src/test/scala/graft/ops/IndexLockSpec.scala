@@ -287,7 +287,7 @@ class IndexLockSpec extends SparkSpec {
     val t = aOutcome.peek()
     assert(t != null, "zombie's swap went through under a lost lease")
     assert(t.isInstanceOf[IllegalStateException] &&
-      t.getMessage.contains("lost before a protocol-critical rename"),
+      t.getMessage.contains("lost before [artifact swap rename]"),
       s"wrong failure: $t")
     // the live artifact is untouched — the fence fired before any rename
     assert(spark.read.parquet(live).as[Long].collect().sorted.toSeq == Seq(1L, 2L))
@@ -337,11 +337,39 @@ class IndexLockSpec extends SparkSpec {
     val t = aOutcome.peek()
     assert(t != null, "zombie's tombstone clear went through under a lost lease")
     assert(t.isInstanceOf[IllegalStateException] &&
-      t.getMessage.contains("lost before a protocol-critical rename"),
+      t.getMessage.contains("lost before [tombstone clear (compaction)]"),
       s"wrong failure: $t")
     // the backlog survived — the live holder's tombstones are intact
     assert(spark.read.parquet(s"$dir/deletes.parquet").as[Long].collect().toSeq == Seq(999L),
       "zombie cleared the backlog despite the lost lease")
+  }
+
+  test("release serializes through the takeover guard: a held guard defers release; a stale guard is cleared") {
+    // ADVICE r17: the old read-token-then-delete release left a window —
+    // a takeover landing between the content read and the delete still
+    // lost its lock to the zombie. Release now takes the SAME guard the
+    // stale takeover uses. Observable contract, both arms:
+    //  (a) guard HELD by a live contender -> release defers (lock left
+    //      to age out; liveness cost, never a safety gap);
+    //  (b) guard is a ≥60s crash leftover -> release clears it and
+    //      deletes its own lock normally.
+    val dir = java.nio.file.Files.createTempDirectory("graft_lock_rel").toString + "/idx"
+    new java.io.File(dir).mkdirs()
+    val lock = new java.io.File(IndexLifecycle.lockPath(dir))
+    val guard = new java.io.File(IndexLifecycle.lockPath(dir) + ".__takeover")
+    // (a) fresh guard held across the verb's whole release
+    val w = new java.io.FileWriter(guard); w.write("takeover test\n"); w.close()
+    IndexLifecycle.withIndexLock(spark, dir, "rel-test", leaseMs = 60000L) { () }
+    assert(lock.exists(),
+      "release deleted its lock while a live contender held the takeover " +
+        "guard — the read-then-delete is racing takeovers again")
+    assert(lock.delete())
+    // (b) stale guard: crash leftover older than TakeoverGuardStaleMs
+    val w2 = new java.io.FileWriter(guard); w2.write("takeover crash\n"); w2.close()
+    assert(guard.setLastModified(System.currentTimeMillis() - 120000L))
+    IndexLifecycle.withIndexLock(spark, dir, "rel-test2", leaseMs = 60000L) { () }
+    assert(!lock.exists(), "release failed to clear a stale crash-leftover guard")
+    assert(!guard.exists(), "release left its guard behind")
   }
 
   test("negative control: a non-atomic LockIo admits concurrent writers — the default primitive is load-bearing (r16 verdict #5)") {
@@ -390,6 +418,72 @@ class IndexLockSpec extends SparkSpec {
       IndexLifecycle.lockIo = prev
       new java.io.File(IndexLifecycle.lockPath(dir)).delete()
     }
+  }
+
+  test("PreconditionLockIo: an honoring conditional store restores the hard guarantee; a violator loses it (r17 verdict #7)") {
+    // the object-store profile: LockIo backed by a conditional PUT
+    // (S3 If-None-Match / GCS ifGenerationMatch=0 / ABFS ETag). Same
+    // hammer as the negative control, both directions: a store that
+    // HONORS the precondition admits exactly one writer; a store that
+    // ignores it (plain last-writer-wins PUT) admits several — the
+    // lease's guarantee is exactly the store's, nothing more.
+    def fakeStore(honoring: Boolean) = new IndexLifecycle.ConditionalStore {
+      private val mutex = new Object
+      def putIfAbsent(key: String, content: String): Boolean = {
+        val f = new java.io.File(new java.net.URI(
+          if (key.startsWith("file:")) key else s"file:$key").getPath)
+        def createAndWrite(): Boolean = {
+          Option(f.getParentFile).foreach(_.mkdirs())
+          val w = new java.io.FileWriter(f); w.write(content); w.close()
+          true
+        }
+        if (honoring) mutex.synchronized {
+          if (f.exists()) false else createAndWrite() // atomic per store
+        } else {
+          // precondition violated: exists-check separated from the PUT
+          if (f.exists()) false
+          else { Thread.sleep(200); createAndWrite() }
+        }
+      }
+    }
+    def hammer(dir: String): (Int, Int) = {
+      val lock = holdLock(dir, "crashed-holder")
+      assert(lock.setLastModified(
+        System.currentTimeMillis() - IndexLifecycle.DefaultLeaseMs - 60000L))
+      val occupancy = new java.util.concurrent.atomic.AtomicInteger(0)
+      val overlaps = new java.util.concurrent.atomic.AtomicInteger(0)
+      val entered = new java.util.concurrent.atomic.AtomicInteger(0)
+      val start = new java.util.concurrent.CyclicBarrier(8)
+      val threads = (1 to 8).map(i => new Thread(() => {
+        start.await()
+        try IndexLifecycle.withIndexLock(spark, dir, s"cond-$i") {
+          entered.incrementAndGet()
+          if (occupancy.incrementAndGet() > 1) overlaps.incrementAndGet()
+          Thread.sleep(100)
+          occupancy.decrementAndGet()
+        } catch { case _: IllegalStateException => () }
+      }))
+      threads.foreach(_.start()); threads.foreach(_.join(30000))
+      (entered.get(), overlaps.get())
+    }
+    val prev = IndexLifecycle.lockIo
+    try {
+      IndexLifecycle.lockIo = new IndexLifecycle.PreconditionLockIo(fakeStore(honoring = true))
+      val dirA = java.nio.file.Files.createTempDirectory("graft_lock_cond").toString + "/idx"
+      val (enteredA, overlapsA) = hammer(dirA)
+      assert(enteredA >= 1, "honoring store admitted nobody")
+      assert(overlapsA == 0,
+        s"honoring conditional store admitted $overlapsA overlapping writers — " +
+          "PreconditionLockIo is not relaying the store's guarantee")
+      new java.io.File(IndexLifecycle.lockPath(dirA)).delete()
+      IndexLifecycle.lockIo = new IndexLifecycle.PreconditionLockIo(fakeStore(honoring = false))
+      val dirB = java.nio.file.Files.createTempDirectory("graft_lock_viol").toString + "/idx"
+      val (_, overlapsB) = hammer(dirB)
+      assert(overlapsB > 0,
+        "the violating store still excluded everyone — this control no longer " +
+          "demonstrates that the guarantee comes from the store's precondition")
+      new java.io.File(IndexLifecycle.lockPath(dirB)).delete()
+    } finally IndexLifecycle.lockIo = prev
   }
 
   test("swap completeness is graft-owned: recovery promotes a torn swap with no _SUCCESS (ADVICE r15)") {
