@@ -134,6 +134,52 @@ object Bench {
       case (n, (_, Some(_))) => prior.get(n).map(n -> _)
     }
 
+  /** Floors-history integrity guard (r17 verdict #3, automating the r17
+    * hand-edit incident's tell): if the floors file EXISTS with content
+    * but what we parsed from it is useless to this session's surface —
+    * zero entries, or zero overlap with the queries just measured — the
+    * PARSE (or a hand edit) is broken, not the history, and folding this
+    * session in would silently replace the whole history with session
+    * values (incident signature: every ratio reading exactly 1.00,
+    * floor_p50 == 1.0). Returns None when overwriting `path` is safe, or
+    * Some(sidePath): the caller warns loudly, writes the session's
+    * floors to the side artifact, and leaves the history untouched for
+    * repair (git show the pre-session file, re-fold with min). */
+  def floorsQuarantinePath(path: String, prior: Map[String, Double],
+                           resultKeys: Set[String]): Option[String] = {
+    val f = new java.io.File(path)
+    val nonTrivial = f.exists() && f.length() > 2 // "{}" is a valid empty history
+    val parsedUseless =
+      prior.isEmpty || prior.keySet.intersect(resultKeys).isEmpty
+    if (nonTrivial && parsedUseless) Some(path + ".session") else None
+  }
+
+  /** Fold this session's bests into the floors history and persist —
+    * through the [[floorsQuarantinePath]] guard. Returns the floors to
+    * EMBED in the session artifact: the merged history normally; EMPTY
+    * when quarantined (embedding session-equal "floors" would reproduce
+    * the fake floor_p50=1.00 the guard exists to catch). */
+  def persistFloors(floorsPath: String, prior: Map[String, Double],
+                    results: Map[String, (Double, Option[String])]): Map[String, Double] = {
+    val merged = mergedFloors(prior, results)
+    val quarantine = floorsQuarantinePath(floorsPath, prior, results.keySet)
+    quarantine.foreach { side =>
+      System.err.println(
+        s"[bench] FLOORS GUARD: $floorsPath exists but parsed to nothing " +
+          "this session recognizes — NOT overwriting the floors history " +
+          s"(a broken parse here once replaced it wholesale); writing this " +
+          s"session's floors to $side instead. Repair: git show the " +
+          "pre-session BENCH_FLOORS.json, re-fold the session file with min().")
+    }
+    val target = quarantine.getOrElse(floorsPath)
+    try java.nio.file.Files.write(java.nio.file.Paths.get(target),
+      (merged.toSeq.sorted.map { case (k, v) => s"\"$k\":${r3(v)}" }
+        .mkString("{", ",", "}") + "\n").getBytes("UTF-8"))
+    catch { case NonFatal(e) =>
+      System.err.println(s"[bench] floors write failed: $e") }
+    if (quarantine.isEmpty) merged else Map.empty
+  }
+
   /** p50/p90 of best/floor across queries carrying a floor — the
     * one-number noise attribution (≈1.0 = the session sat on the
     * historical minima; broadly elevated = a slow session, not a
@@ -300,15 +346,8 @@ object Bench {
     val prior = if (floorsApply) readFloors(floorsPath) else Map.empty[String, Double]
     val floors =
       if (!floorsApply) Map.empty[String, Double]
-      else if (only.isEmpty) {
-        val merged = mergedFloors(prior, results)
-        try java.nio.file.Files.write(java.nio.file.Paths.get(floorsPath),
-          (merged.toSeq.sorted.map { case (k, v) => s"\"$k\":${r3(v)}" }
-            .mkString("{", ",", "}") + "\n").getBytes("UTF-8"))
-        catch { case NonFatal(e) =>
-          System.err.println(s"[bench] floors write failed: $e") }
-        merged
-      } else prior.view.filterKeys(results.keySet).toMap
+      else if (only.isEmpty) persistFloors(floorsPath, prior, results)
+      else prior.view.filterKeys(results.keySet).toMap
     val json = fullJson(results, sfDir, Some(detailed), floors,
       only.map(_.toSeq.sorted))
     val failed = errsOf(results).size

@@ -136,6 +136,56 @@ class BenchSpec extends SparkSpec {
       "pretty-printed floors file silently parsed as empty")
   }
 
+  test("floors guard: a corrupt history file is never overwritten — session floors quarantine to a side artifact (r17 verdict #3)") {
+    // negative control for the r17 incident: the floors file EXISTS but
+    // parses to nothing the session recognizes — persisting must leave
+    // the history byte-identical, write the session's floors beside it,
+    // warn loudly, and embed NO floors (a fake floor_p50=1.00 artifact
+    // was the incident's signature).
+    val dir = java.nio.file.Files.createTempDirectory("graft_floors_guard")
+    val hist = dir.resolve("BENCH_FLOORS.json")
+    val corrupt = "not json at all {{{" // parses to zero entries
+    java.nio.file.Files.write(hist, corrupt.getBytes("UTF-8"))
+    val results: Map[String, (Double, Option[String])] =
+      Map("a" -> (1.5, None), "b" -> (2.0, None))
+    val prior = Bench.readFloors(hist.toString)
+    assert(prior.isEmpty)
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val realErr = System.err
+    System.setErr(new java.io.PrintStream(errBuf, true, "UTF-8"))
+    val embedded =
+      try Bench.persistFloors(hist.toString, prior, results)
+      finally System.setErr(realErr)
+    // history untouched, byte for byte
+    assert(new String(java.nio.file.Files.readAllBytes(hist), "UTF-8") == corrupt,
+      "guard overwrote the corrupt history instead of quarantining")
+    // session floors landed in the side artifact and parse back
+    val side = hist.toString + ".session"
+    assert(Bench.readFloors(side) == Map("a" -> 1.5, "b" -> 2.0),
+      "session floors missing from the quarantine side artifact")
+    // nothing misleading embedded; warning emitted
+    assert(embedded.isEmpty, "quarantined session must embed no floors")
+    assert(errBuf.toString("UTF-8").contains("FLOORS GUARD"),
+      "no loud warning on quarantine")
+    // disjoint-surface hand edit (entries exist, none on the surface)
+    // quarantines too; a healthy overlap does not
+    assert(Bench.floorsQuarantinePath(hist.toString,
+      Map("zz" -> 1.0), Set("a", "b")).isDefined)
+    assert(Bench.floorsQuarantinePath(hist.toString,
+      Map("a" -> 1.0, "zz" -> 1.0), Set("a", "b")).isEmpty)
+    // a MISSING or empty-object history is the normal first-session path
+    assert(Bench.floorsQuarantinePath(dir.resolve("nope.json").toString,
+      Map.empty, Set("a")).isEmpty)
+    // positive control: healthy history merges in place
+    val hist2 = dir.resolve("BENCH_FLOORS2.json")
+    java.nio.file.Files.write(hist2, "{\"a\":1.0}\n".getBytes("UTF-8"))
+    val prior2 = Bench.readFloors(hist2.toString)
+    val embedded2 = Bench.persistFloors(hist2.toString, prior2, results)
+    assert(embedded2 == Map("a" -> 1.0, "b" -> 2.0))
+    assert(Bench.readFloors(hist2.toString) == Map("a" -> 1.0, "b" -> 2.0),
+      "healthy merge did not land in the history file")
+  }
+
   test("a FILTERED session is self-identifying in its artifact (ADVICE r15)") {
     val results: Map[String, (Double, Option[String])] =
       Map("a" -> (1.0, None))
