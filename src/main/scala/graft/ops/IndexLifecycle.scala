@@ -842,6 +842,55 @@ object IndexLifecycle {
         s"$dir changed mid-probe (concurrent maintenance swap) — retrying " +
           "against the new world")
 
+  /** 1-row static guard frame for STREAMING probes — the loud half of
+    * the mid-stream tombstone contract (r17 verdict #2). A probe
+    * stream's plan resolves `deletes.parquet` ONCE at construction
+    * ([[loadTombstones]] materializes it), and a [[removeIds]] landing
+    * while the stream runs touches no file that plan lists — formerly
+    * the one SILENT member of the plan-snapshot family (appends are
+    * silent but deterministic-by-contract; rebuilds fail loud on the
+    * swapped files). This frame closes the asymmetry: broadcast-joined
+    * onto the stream side, it is re-EXECUTED every micro-batch (the
+    * static side of a stream-static join re-evaluates per batch —
+    * exactly the behavior the localCheckpoint notes elsewhere exist to
+    * avoid, used deliberately here), re-lists the tombstone dir on an
+    * executor, and THROWS when the listing differs from the plan-time
+    * epoch — failing the query loudly instead of serving removed ids
+    * until restart.
+    *
+    * The epoch must be captured BEFORE the caller resolves tombstones:
+    * a remove landing between capture and resolve then trips one
+    * conservative restart (whose fresh plan serves it) rather than ever
+    * hiding. Listing semantics mirror [[dirEpoch]] exactly — staging
+    * names excluded, so an in-flight compaction's `.__compact` sibling
+    * does not fire the guard before its swap lands; a missing dir is
+    * the empty epoch. Cost per batch: one 1-task job + one filesystem
+    * LIST — measured in LifecycleSweep's stream-guard row. */
+  private[graft] def tombstoneFreshnessGuard(spark: SparkSession,
+                                             dir: String): DataFrame = {
+    val path = s"$dir/deletes.parquet"
+    val expected = dirEpoch(spark, path)
+    val getConf = org.apache.spark.sql.graft.HadoopConfShim
+      .confGetter(spark.sparkContext)
+    import spark.implicits._
+    spark.range(1).mapPartitions { it =>
+      val p = new org.apache.hadoop.fs.Path(path)
+      val now =
+        try p.getFileSystem(getConf()).listStatus(p).toSeq
+          .filterNot(_.getPath.getName.contains(".__"))
+          .map(s => (s.getPath.getName, s.getModificationTime, s.getLen))
+          .sortBy(_._1)
+        catch { case _: java.io.IOException => Seq.empty[(String, Long, Long)] }
+      if (now != expected)
+        throw new IllegalStateException(
+          s"tombstone set at $path changed while this probe stream was " +
+            "running (a removeIds/compaction landed mid-stream); the plan's " +
+            "tombstone resolve is a plan-time snapshot — restart the stream " +
+            "to serve the current tombstones")
+      it.map(_ => 1)
+    }.toDF("__tombstones_fresh")
+  }
+
   /** Drop the ENTIRE tombstone set (swap siblings first, live file
     * LAST) — called by every BUILD at the moment the new world's
     * artifacts are about to land: a build defines a NEW world, and a
@@ -907,11 +956,14 @@ object IndexLifecycle {
     * post-removal set immediately on every layout (modulo the running-
     * stream plan-snapshot contract, [[graft.streaming.Streaming
     * .annProbeStream]]: a stream RUNNING when a tombstoned remove lands
-    * keeps serving the removed id — SILENTLY stale, unlike appends and
-    * rebuilds which fail loudly — until restart; spec-pinned on both
-    * tombstoning arms by StreamingSpec's stale-until-restart test,
-    * which must change together with this contract). Removing an id
-    * that is not in the index is a no-op, as in FAISS.
+    * fails LOUDLY on its next micro-batch — the default
+    * [[tombstoneFreshnessGuard]] detects the `deletes.parquet` change,
+    * matching the rebuild contract; restart to serve the removal. Only
+    * a stream opted out via `tombstoneGuard = false` keeps serving the
+    * removed id silently until restart. Spec-pinned on both tombstoning
+    * arms by StreamingSpec's loud-or-fresh test, which must change
+    * together with this contract). Removing an id that is not in the
+    * index is a no-op, as in FAISS.
     *
     * `tombstone = true` (cell layouts only — the LSH layout ALWAYS
     * tombstones, its postings aren't id-clustered) switches the cell

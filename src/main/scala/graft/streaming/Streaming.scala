@@ -175,10 +175,18 @@ object Streaming {
     * same snapshot semantics a batch report gets. An ingest topology
     * that appends continuously restarts the probe stream on its
     * index-publish cadence. Tombstoned removes carry the SAME restart
-    * contract but fail SILENT where appends/rebuilds fail loud: the
-    * tombstone set resolves at plan time, so a
-    * [[graft.ops.IndexLifecycle.removeIds]] landing mid-stream keeps
-    * being served until restart (spec-pinned, both tombstoning arms).
+    * contract and — as of r18 — fail LOUD like rebuilds instead of
+    * serving the removed id silently until restart: the tombstone set
+    * still resolves at plan time, but a 1-row
+    * [[graft.ops.IndexLifecycle.tombstoneFreshnessGuard]] frame rides
+    * the stream side and, re-executed every micro-batch, re-lists
+    * `deletes.parquet` and fails the query when a
+    * [[graft.ops.IndexLifecycle.removeIds]] (or a compaction's backlog
+    * clear) landed mid-stream — restart to serve the new tombstone set
+    * (spec-pinned, both tombstoning arms). `tombstoneGuard = false`
+    * opts out (restoring silent-stale-until-restart) for topologies
+    * with an external freshness protocol; per-batch guard cost is one
+    * 1-task LIST job (LifecycleSweep's stream-guard row).
     *
     * Per-arrival top-k needs a per-query rank (an aggregation — blocked
     * in append mode); the ≥ tau contract is the stateless ingest shape,
@@ -191,13 +199,25 @@ object Streaming {
   def annProbeStream(docs: DataFrame, idCol: String, vecCol: String,
                      indexDir: String, tau: Double,
                      nprobe: Int = 4, multiProbe: Int = 0,
-                     selector: Option[DataFrame] = None): DataFrame = {
+                     selector: Option[DataFrame] = None,
+                     tombstoneGuard: Boolean = true): DataFrame = {
     val spark = docs.sparkSession
-    val q = docs.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val q0 = docs.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
     // self-heal a rebuild crashed mid whole-dir swap BEFORE the layout
     // dispatch below — a missing dir would otherwise misroute an LSH
     // index (no meta.parquet visible) onto the cell arm
     graft.ops.IndexLifecycle.recoverIndexDir(spark, indexDir)
+    // freshness guard epoch captured AFTER recovery (a recovery rename
+    // must not read as a mid-stream remove) and BEFORE the arms resolve
+    // tombstones below (a remove landing in between trips one
+    // conservative loud restart, never hides) — then broadcast-joined
+    // onto the STREAM side so every micro-batch re-runs the check
+    val q =
+      if (tombstoneGuard)
+        q0.join(broadcast(
+            graft.ops.IndexLifecycle.tombstoneFreshnessGuard(spark, indexDir)))
+          .drop("__tombstones_fresh")
+      else q0
     // layout resolved ONCE, driver-side, at plan time (the cellSource
     // rule): an LSH dir (Similarity.buildLshIndex) carries meta.parquet +
     // postings/vectors; the cell layouts carry centroids.parquet +
@@ -263,9 +283,10 @@ object Streaming {
     // selector composes on the same choke point. vectors resolve FIRST —
     // lshVectors runs swap recovery before the eager postings listing.
     // Both resolve at PLAN time: a removeIds landing while the stream
-    // RUNS serves STALE (silently — the deletes append touches no file
-    // this plan lists) until restart; spec-pinned in StreamingSpec's
-    // stale-until-restart test together with the cell arm's
+    // RUNS touches no file this plan lists — the stream-side freshness
+    // guard (attached by annProbeStream before dispatching here) is what
+    // turns that into a loud per-batch failure; spec-pinned in
+    // StreamingSpec's loud-or-fresh test together with the cell arm's
     val vectors = graft.ops.Similarity.applySelector(
       graft.ops.Similarity.lshVectors(spark, indexDir, idCol),
       selector, idCol)

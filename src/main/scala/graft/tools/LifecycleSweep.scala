@@ -254,6 +254,43 @@ object LifecycleSweep {
           println(f"[lcs] x$k%-2d tombstone-batch: ids=$n%5d rmT=$tB%5.2fs")
           lo += bs
         }
+
+        // ── streaming tombstone-freshness guard cost (r17 verdict #2):
+        // the per-micro-batch price of the loud-or-fresh contract —
+        // median probe-stream batch wall with the guard on vs off (the
+        // same annProbeStream plan either way), plus the guard frame's
+        // standalone 1-task LIST job. Largest rung only: the guard cost
+        // is corpus-INDEPENDENT by construction (one fs listing), so one
+        // rung suffices and the biggest index is the honest backdrop.
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+        val qv = emb.filter(col("vec_id") === 1).select("embedding")
+          .head().getSeq[Float](0)
+        def medianBatch(guardOn: Boolean): Double = {
+          val mem = org.apache.spark.sql.execution.streaming
+            .runtime.MemoryStream[(Long, Seq[Float])]
+          val q = graft.streaming.Streaming.annProbeStream(
+              mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+              ivfDir, tau = 0.2, nprobe = 16, tombstoneGuard = guardOn)
+            .writeStream.format("noop").start()
+          try {
+            val walls = (1 to 21).map { i =>
+              mem.addData(Seq((100000L + i, qv)))
+              val (t, _) = timeIt { q.processAllAvailable(); 0L }
+              t
+            }.drop(1).sorted // first batch is plan warm-up
+            walls(walls.length / 2)
+          } finally q.stop()
+        }
+        val onMed = medianBatch(guardOn = true)
+        val offMed = medianBatch(guardOn = false)
+        val guardJobs = (1 to 20).map { _ =>
+          val g = IndexLifecycle.tombstoneFreshnessGuard(spark, ivfDir)
+          val (t, _) = timeIt { g.collect(); 0L }
+          t
+        }.sorted
+        println(f"[lcs] x$k%-2d stream-guard: batch on=$onMed%5.3fs " +
+          f"off=$offMed%5.3fs delta=${onMed - offMed}%+6.3fs " +
+          f"guardJob=${guardJobs(guardJobs.length / 2)}%5.3fs (medians of 20)")
       }
     }
     spark.stop()

@@ -1087,20 +1087,17 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("tombstoned removeIds under a RUNNING probe stream serves STALE until restart — the SILENT half of the plan-snapshot contract (r16 verdict #2)") {
-    // appends and rebuilds under a running stream carry the same
-    // restart contract but fail LOUDLY (pinned above); a removeIds
-    // landing mid-stream fails SILENT: the tombstone set resolves at
-    // PLAN time (loadTombstones materializes it eagerly — a backlog
-    // that is empty when the stream starts leaves NO anti-join in the
-    // plan at all), and the deletes.parquet append touches no file the
-    // plan snapshot lists, so the stream keeps tagging the removed id
-    // until restart. That asymmetry (stale vs loud) was prose-only —
-    // this pin makes a change to EITHER side of the contract (Spark
-    // re-listing mid-stream, or the tombstone resolve moving into the
-    // per-batch path) trip a spec instead of silently changing
-    // semantics. Both tombstoning arms: IVF under
-    // removeIds(tombstone = true), LSH (always tombstones).
+  test("tombstoned removeIds under a RUNNING probe stream fails LOUDLY on the next micro-batch; restart serves the removal (r17 verdict #2)") {
+    // The r16 pin documented this as the SILENT half of the plan-snapshot
+    // contract: the tombstone set resolves at PLAN time and a mid-stream
+    // removeIds touched no file the plan lists, so the stream kept
+    // tagging the removed id until restart. r18 closes the asymmetry:
+    // annProbeStream's default tombstoneFreshnessGuard re-lists
+    // deletes.parquet every micro-batch (the static side of a
+    // stream-static join re-executes per batch) and fails the query
+    // loudly on change — the rebuild contract, extended to removes. The
+    // restart's fresh plan serves the removal. Both tombstoning arms:
+    // IVF under removeIds(tombstone = true), LSH (always tombstones).
     val rnd = new scala.util.Random(97)
     val base = Array.fill(16)(rnd.nextGaussian().toFloat)
     def near(eps: Float) = base.map(_ + eps)
@@ -1119,20 +1116,22 @@ class StreamingSpec extends SparkSpec {
       try {
         mem.addData(Seq((100L, qvec))); q.processAllAvailable()
         assert(tags(sink).contains((100L, 3L)), s"$sink: fixture id 3 not tagging")
-        // remove WHILE the stream runs: no failure, and — the contract —
-        // no effect on this plan either
+        // remove WHILE the stream runs: the guard's next per-batch check
+        // sees the deletes.parquet change and fails the query LOUDLY —
+        // serving the removed id silently is no longer on the table
         graft.ops.IndexLifecycle.removeIds(spark, dir,
           Seq(3L).toDF("vec_id"), "vec_id", tombstone = tombstone)
-        mem.addData(Seq((200L, qvec))); q.processAllAvailable()
-        val mid = tags(sink)
-        assert(mid.exists(t => t._1 == 200L),
-          s"$sink: post-remove batch tagged nothing at all — the remove " +
-            s"broke the running stream instead of serving stale: $mid")
-        assert(mid.contains((200L, 3L)),
-          s"$sink: a mid-stream tombstone became visible to the running " +
-            "plan — the documented stale-until-restart contract no longer " +
-            "holds; update removeIds' and annProbeStream's Scaladoc and " +
-            "this pin together")
+        mem.addData(Seq((200L, qvec)))
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable()
+        }
+        val chain = Iterator.iterate(e: Throwable)(_.getCause)
+          .takeWhile(_ != null).take(20).toSeq
+        assert(chain.exists(c => String.valueOf(c.getMessage)
+            .contains("changed while this probe stream was running")),
+          s"$sink: stream failed, but not on the tombstone freshness guard: $e")
+        assert(!tags(sink).exists(_._1 == 200L),
+          s"$sink: the failed micro-batch still shipped rows to the sink")
       } finally q.stop()
       // restart = fresh plan = fresh tombstone resolve: the removal serves
       val mem2 = MemoryStream[(Long, Array[Float])]
@@ -1158,5 +1157,44 @@ class StreamingSpec extends SparkSpec {
       .createTempDirectory("graft_annps_tomb_lsh").toString
     graft.ops.Similarity.buildLshIndex(corpus, "vec_id", "embedding", lshDir)
     pin(lshDir, "sink_tomb_lsh", tombstone = false) // LSH always tombstones
+  }
+
+  test("tombstoneGuard = false opts back into stale-until-restart (the pre-r18 contract, now explicit)") {
+    // The opt-out arm of the loud-or-fresh contract: a topology with an
+    // external freshness protocol can disable the per-batch guard, and
+    // gets EXACTLY the old documented semantics — a mid-stream removeIds
+    // neither fails the query nor affects the running plan. One arm
+    // (LSH) suffices: the guard attaches in annProbeStream BEFORE the
+    // layout dispatch, so opting out is layout-independent.
+    val rnd = new scala.util.Random(101)
+    val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+    def near(eps: Float) = base.map(_ + eps)
+    val corpus = (1L to 10L).map(i => (i, near(0.01f * i)))
+      .toDF("vec_id", "embedding").localCheckpoint(true)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_annps_tomb_optout").toString
+    graft.ops.Similarity.buildLshIndex(corpus, "vec_id", "embedding", dir)
+    val qvec = near(-0.02f)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Streaming.annProbeStream(
+        mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        dir, tau = 0.9, nprobe = 16, tombstoneGuard = false)
+      .writeStream.format("memory").queryName("sink_tomb_optout")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(Seq((100L, qvec))); q.processAllAvailable()
+      val t0 = spark.table("sink_tomb_optout")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(t0.contains((100L, 3L)), s"fixture id 3 not tagging: $t0")
+      graft.ops.IndexLifecycle.removeIds(spark, dir,
+        Seq(3L).toDF("vec_id"), "vec_id")
+      mem.addData(Seq((200L, qvec))); q.processAllAvailable()
+      val mid = spark.table("sink_tomb_optout")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(mid.contains((200L, 3L)),
+        "opted-out stream no longer serves the plan snapshot — the " +
+          "tombstoneGuard = false contract changed; update annProbeStream's " +
+          "Scaladoc and this pin together")
+    } finally q.stop()
   }
 }
