@@ -1174,6 +1174,16 @@ object IndexLifecycle {
     *    apply physically (the LSH layout always tombstones; cell
     *    layouts carry one only under `removeIds(tombstone = true)` —
     *    their default removes are physical and immediate, backlog 0).
+    *  - `postings_dup_fraction` (LSH only; NULL on cell layouts) —
+    *    duplicate postings rows as a fraction of the postings table:
+    *    1 − distinct(table, bucket, id) / count. Retried torn appends
+    *    bake exact-duplicate postings rows ([[Similarity
+    *    .appendLshIndex]] lands postings first, so a crash-then-retry
+    *    re-posts the batch); candidate dedup absorbs them CORRECTLY
+    *    but every probe's candidate volume inflates by the fraction
+    *    forever — [[maintainIndex]] thresholds it so repeated retries
+    *    eventually trigger the compaction that rewrites postings
+    *    distinct (r17 verdict #5).
     *
     * `live_rows`/`cells` are distributed aggregates; the file-count walk
     * is driver-side filesystem METADATA, bounded by the cell count ×
@@ -1185,7 +1195,7 @@ object IndexLifecycle {
         Some(spark.read.parquet(s"$dir/buildinfo.parquet")
           .head().getAs[Long]("built_rows"))
       else None
-    val (layout, live, cells, maxFiles, tombstones) = cellFileOf(spark, dir) match {
+    val (layout, live, cells, maxFiles, tombstones, dupFrac) = cellFileOf(spark, dir) match {
       case Some(file) =>
         // cell layouts can now carry a tombstone backlog too (removeIds
         // tombstone = true): live_rows serves it OUT, mirroring the LSH
@@ -1211,7 +1221,7 @@ object IndexLifecycle {
             .count(f => f.getPath.getName.startsWith("part-")))
           .foldLeft(0)(math.max)
         (if (file == "invfile.parquet") "ivf" else "pq",
-          agg.getLong(0), agg.getLong(1), mf, tomb)
+          agg.getLong(0), agg.getLong(1), mf, tomb, None: Option[Double])
       case None =>
         // recover BEFORE the eager postings read below — maintenance is
         // the natural first call after a compaction crash and must
@@ -1221,8 +1231,16 @@ object IndexLifecycle {
         val idCol = spark.read.parquet(s"$dir/postings.parquet").columns
           .filterNot(Set("table", "bucket")).head
         val live = Similarity.lshVectors(spark, dir, idCol).count()
-        val buckets = spark.read.parquet(s"$dir/postings.parquet")
-          .agg(countDistinct(col("table"), col("bucket"))).head().getLong(0)
+        // one pass over postings feeds all three counts; countDistinct
+        // over the FULL row (table, bucket, id) is what a retried append
+        // duplicates exactly
+        val pAgg = spark.read.parquet(s"$dir/postings.parquet")
+          .agg(count(lit(1)), countDistinct(col("table"), col("bucket")),
+            countDistinct(col("table"), col("bucket"), col(idCol))).head()
+        val buckets = pAgg.getLong(1)
+        val dup: Option[Double] = Some(
+          if (pAgg.getLong(0) == 0L) 0.0
+          else (pAgg.getLong(0) - pAgg.getLong(2)).toDouble / pAgg.getLong(0))
         val (fs, root) = hfs(spark, s"$dir/postings.parquet")
         val mf = fs.listStatus(root)
           .count(f => f.getPath.getName.startsWith("part-"))
@@ -1230,16 +1248,17 @@ object IndexLifecycle {
         // retries the race against a concurrent compaction's backlog
         // clear that a bare exists-then-read would throw on (review r16)
         val tomb = loadTombstones(spark, dir).fold(0L)(_.count())
-        ("lsh", live, buckets, mf, tomb)
+        ("lsh", live, buckets, mf, tomb, dup)
     }
     val frac: Option[Double] = built.map { b =>
       if (live <= 0L) 0.0
       else math.max(0.0, (live - b).toDouble / live)
     }
     Seq((layout, live, built, frac.map(f => math.rint(f * 10000) / 10000),
-        cells, maxFiles, tombstones))
+        cells, maxFiles, tombstones,
+        dupFrac.map(f => math.rint(f * 10000) / 10000)))
       .toDF("layout", "live_rows", "built_rows", "appended_fraction",
-        "cells", "max_files_per_cell", "tombstones")
+        "cells", "max_files_per_cell", "tombstones", "postings_dup_fraction")
   }
 
   /** Retrain the index at `dir` from its OWN persisted rows — the
@@ -1466,7 +1485,15 @@ object IndexLifecycle {
     *     served out of every probe ([[Similarity.lshVectors]]) at
     *     O(tombstones) anti-join cost — the Lucene/Delta
     *     deletion-vector cadence (rewrite when deletes reach a fraction
-    *     of the segment, not per delete);
+    *     of the segment, not per delete) — or duplicate-postings
+    *     pressure (LSH only, r17 verdict #5): `postings_dup_fraction >
+    *     maxDuplicateFraction` (strict — at 0 this reads "compact on
+    *     any duplicate" and a clean index can never fire) →
+    *     [[compactIndex]], whose postings
+    *     distinct() resets it to 0. Fractional for the same
+    *     rewrite-amplification reason as the tombstone rule: below the
+    *     threshold, per-probe candidate dedup absorbs the duplicates at
+    *     O(duplicates) cost;
     *  3. otherwise no-op.
     *
     * Returns the action taken (`"rebuild" | "compact" | "none"`) so a
@@ -1487,10 +1514,12 @@ object IndexLifecycle {
                     maxFilesPerCell: Int = 4,
                     lshMaxPostingsFiles: Int = 256,
                     minTombstoneBacklog: Long = 64L,
-                    tombstoneFraction: Double = 0.1): String =
+                    tombstoneFraction: Double = 0.1,
+                    maxDuplicateFraction: Double = 0.25): String =
     withIndexLock(spark, dir, "maintainIndex") {
       maintainIndexInner(spark, dir, rebuildAt, maxFilesPerCell,
-        lshMaxPostingsFiles, minTombstoneBacklog, tombstoneFraction)
+        lshMaxPostingsFiles, minTombstoneBacklog, tombstoneFraction,
+        maxDuplicateFraction)
     }
 
   private def maintainIndexInner(spark: SparkSession, dir: String,
@@ -1498,7 +1527,8 @@ object IndexLifecycle {
                                  maxFilesPerCell: Int,
                                  lshMaxPostingsFiles: Int,
                                  minTombstoneBacklog: Long,
-                                 tombstoneFraction: Double): String = {
+                                 tombstoneFraction: Double,
+                                 maxDuplicateFraction: Double = 0.25): String = {
     val s = indexStats(spark, dir).head()
     val isLsh = s.getAs[String]("layout") == "lsh"
     val frac = Option(s.getAs[java.lang.Double]("appended_fraction"))
@@ -1511,12 +1541,23 @@ object IndexLifecycle {
     val tombstonePressure = s.getAs[Long]("tombstones") >= math.max(
       minTombstoneBacklog,
       math.ceil(tombstoneFraction * s.getAs[Long]("live_rows")).toLong)
+    // duplicate-postings pressure (LSH only; r17 verdict #5): retried
+    // torn appends inflate every probe's candidate volume by the
+    // fraction — fractional like the tombstone rule (firing on ANY
+    // duplicate would make one retry cost a wholesale rewrite), and
+    // compaction's distinct() resets it to 0
+    // strict >: threshold 0 means "compact on ANY duplicate" while a
+    // clean index (fraction 0) can never fire — a >= rule at 0 would
+    // compact every pass forever
+    val dupPressure = Option(
+        s.getAs[java.lang.Double]("postings_dup_fraction"))
+      .exists(_.doubleValue > maxDuplicateFraction)
     if (frac.exists(_ >= rebuildAt)) {
       // inner verbs: the lease is already held (re-acquiring would
       // self-deadlock on our own lock file)
       rebuildIndexInner(spark, dir, None, None, None, None, None, None)
       "rebuild"
-    } else if (filePressure || tombstonePressure) {
+    } else if (filePressure || tombstonePressure || dupPressure) {
       compactIndexInner(spark, dir, maxFilesPerCell); "compact"
     } else "none"
   }
@@ -1539,6 +1580,11 @@ object IndexLifecycle {
       swapInParquet(spark, s"$dir/$name")(fresh)
     swapIn("postings.parquet")(
       minusDeletes(spark.read.parquet(s"$dir/postings.parquet"), idCol)
+        // retried torn appends bake exact-duplicate (table, bucket, id)
+        // rows — candidate dedup absorbs them per probe, compaction is
+        // where they physically die (indexStats' postings_dup_fraction
+        // returns to 0 here; maintainIndex thresholds it)
+        .distinct()
         .repartitionByRange(col("table"), col("bucket"))
         .sortWithinPartitions("table", "bucket"))
     swapIn("vectors.parquet")(

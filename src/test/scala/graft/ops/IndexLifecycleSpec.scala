@@ -410,6 +410,65 @@ class IndexLifecycleSpec extends SparkSpec {
       "rebuilt on a fabricated fraction")
   }
 
+  test("duplicate-postings pressure: fraction reported, probes unaffected, maintain compacts, fraction resets (r17 verdict #5)") {
+    // appendLshIndex lands postings FIRST, so a crash-then-retry bakes
+    // exact-duplicate (table, bucket, id) postings rows. Per-probe
+    // candidate dedup absorbs them CORRECTLY — but every probe pays the
+    // inflated candidate volume forever unless something measures the
+    // pressure: indexStats' postings_dup_fraction, thresholded in
+    // maintainIndex, with compaction's distinct() as the reset.
+    val corpus = emb.localCheckpoint(true)
+    val query = corpus.filter($"vec_id" === 0)
+    def stats(dir: String) = IndexLifecycle.indexStats(spark, dir).head()
+    val dir = java.nio.file.Files.createTempDirectory("graft_mt_dup").toString
+    Similarity.buildLshIndex(corpus, "vec_id", "embedding", dir)
+    assert(stats(dir).getAs[Double]("postings_dup_fraction") == 0.0,
+      "fresh build reports duplicates")
+    val before = pairs(Similarity.probeLshIndex(spark, dir, "vec_id",
+      "embedding", query, "embedding", k = 10))
+    // the torn-retry state: every postings row twice (a full re-post of
+    // the whole build is the worst case — fraction 0.5). Materialize the
+    // copy first: appending into a path while lazily reading it races
+    // the scan's file listing.
+    val copy = spark.read.parquet(s"$dir/postings.parquet")
+      .localCheckpoint(true)
+    copy.write.mode("append").parquet(s"$dir/postings.parquet")
+    assert(stats(dir).getAs[Double]("postings_dup_fraction") == 0.5,
+      s"full re-post must read as fraction 0.5: ${stats(dir)}")
+    assert(pairs(Similarity.probeLshIndex(spark, dir, "vec_id",
+      "embedding", query, "embedding", k = 10)) == before,
+      "candidate dedup no longer absorbs duplicate postings")
+    // sub-threshold waits (the rewrite-amplification rule: one retry
+    // must not cost a wholesale postings rewrite)...
+    assert(IndexLifecycle.maintainIndex(spark, dir,
+      maxDuplicateFraction = 0.6) == "none",
+      "sub-threshold duplicate fraction fired a wholesale rewrite")
+    // ...at the default threshold (0.5 > 0.25) the compaction fires,
+    // distinct() kills the duplicates, and the metric resets
+    assert(IndexLifecycle.maintainIndex(spark, dir) == "compact")
+    val after = stats(dir)
+    assert(after.getAs[Double]("postings_dup_fraction") == 0.0,
+      s"compaction left duplicates behind: $after")
+    assert(IndexLifecycle.maintainIndex(spark, dir) == "none", "not idempotent")
+    // the rule is STRICT: threshold 0 = "compact on any duplicate", so a
+    // clean index at threshold 0 must still be a fixpoint
+    assert(IndexLifecycle.maintainIndex(spark, dir,
+      maxDuplicateFraction = 0.0) == "none",
+      "clean index fired the duplicate rule at threshold 0")
+    assert(pairs(Similarity.probeLshIndex(spark, dir, "vec_id",
+      "embedding", query, "embedding", k = 10)) == before,
+      "dedup compaction changed probe results")
+    // cell layouts have no postings table: the column is NULL, and the
+    // pressure rule must not fire on it
+    val ivfDir = java.nio.file.Files.createTempDirectory("graft_mt_dup_ivf").toString
+    Ivf.buildIndex(corpus, "vec_id", "embedding", ivfDir, maxIter = 5)
+    assert(stats(ivfDir).getAs[java.lang.Double]("postings_dup_fraction") == null,
+      "cell layout fabricated a duplicate fraction")
+    assert(IndexLifecycle.maintainIndex(spark, ivfDir,
+      maxDuplicateFraction = 0.0) == "none",
+      "NULL duplicate fraction tripped the pressure rule")
+  }
+
   test("indexStats tracks the lifecycle arithmetic on all three layouts") {
     val corpus = emb.localCheckpoint(true)
     val n = corpus.count()
