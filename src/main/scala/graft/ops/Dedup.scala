@@ -74,12 +74,34 @@ object Dedup {
     * composed plan is returned — callers assembling plans they may never
     * execute pay that cost at call time. Forcing `sigBroadcastBytes`
     * (-1 → kernel, Long.MaxValue → broadcast) does not skip it: the
-    * checkpoint also feeds the prefix explode and both tails.
+    * checkpoint also feeds the prefix explode and both tails. In the
+    * kernel tail with `maxDf` absent (or maxDf² past `hotPairBudget`)
+    * TWO more eager jobs run — the prefix-key df pass + count that arms
+    * the hot-key salt (see [[HotPrefixPairBudget]]).
     */
   /** Above this many hot shingles the maxDf prune switches from a single
     * broadcast array row to a distributed anti-join: 4M longs ≈ 32 MB —
     * comfortably broadcastable, far below single-array/task limits. */
   val HotShingleBroadcastLimit: Long = 4000000L
+
+  /** Per-prefix-key candidate-pair budget for [[jaccardNearDup]]'s
+    * kernel tail (r17 verdict #6). The kernel join's unit of work is
+    * the prefix-shingle posting list: a key with prefix-df d lands
+    * ~d²/2 verify-inline pairs under ONE sort-merge key, and AQE's skew
+    * split CANNOT help — it keys on map-output partition BYTES, while
+    * this skew is join FAN-OUT from a few-KB input (measured at x100:
+    * a planted df-5,000 shingle put 12.5M pairs in one 117 s task
+    * against a 7.9 s median — SkewProfile). `maxDf` bounds d in the
+    * documented operating mode, so the salted path below only arms when
+    * maxDf is absent or maxDf² exceeds this budget: prefix keys whose
+    * df² passes it are salted — the doc_a side hashed into
+    * g = ⌈df²/budget⌉ groups, the doc_b side replicated to all g — so
+    * the same pairs emerge exactly once each but spread over g
+    * sort-merge partitions. 1M pairs ≈ a ~1.5 s worst task at the x100
+    * verify rate. The salted join is a SEPARATE branch unioned after
+    * the verbatim cold join, never a salt column on the full corpus —
+    * marking every row measured ~2× task time on the cold mass. */
+  val HotPrefixPairBudget: Long = 1000000L
 
   /** Gate between [[jaccardNearDup]]'s two verify tails, in estimated
     * MATERIALIZED broadcast bytes (PERF.md finding 35). The small tail
@@ -105,7 +127,8 @@ object Dedup {
   def jaccardNearDup(docs: DataFrame, idCol: String, textCol: String,
                      n: Int, threshold: Double, maxDf: Option[Int] = None,
                      hotBroadcastLimit: Long = HotShingleBroadcastLimit,
-                     sigBroadcastBytes: Long = SigTableBroadcastBytes): DataFrame = {
+                     sigBroadcastBytes: Long = SigTableBroadcastBytes,
+                     hotPairBudget: Long = HotPrefixPairBudget): DataFrame = {
     // signature = sorted distinct shingle hashes, fused into one codegen
     // pass ([[graft.functions.ShingleHashes]]) — the HOF chain it
     // replaces (zip → concat lambda → hash lambda → sort) interpreted
@@ -214,7 +237,72 @@ object Dedup {
         col("n_sh").as("n_a"), explode(slice(col("sig"), lit(1), prefixLen)).as("sh"))
       val bF = sets.select(col("doc").as("doc_b"), col("sig").as("sig_b"),
         col("n_sh").as("n_b"), explode(slice(col("sig"), lit(1), prefixLen)).as("sh"))
-      aF.join(bF.hint("MERGE"), Seq("sh"))
+      // hot-prefix-key salt (r17 verdict #6, [[HotPrefixPairBudget]]):
+      // a key with prefix-df d carries ~d²/2 verify-inline pairs under
+      // ONE sort-merge key, which AQE's byte-keyed skew split never
+      // touches (measured: a planted df-5k mass = one 117 s task). When
+      // maxDf already bounds d²  under the budget, the plan is EXACTLY
+      // the unsalted join — zero cost in the documented operating mode.
+      // Otherwise one extra eager pass computes prefix-key dfs; cold
+      // keys take the VERBATIM raw join behind a codegen broadcast
+      // anti-join filter, hot keys route through a separate salted join
+      // (doc_a hashed into g = ⌈df²/budget⌉ groups, doc_b replicated to
+      // all g — every pair meets exactly once, at doc_a's salt), and the
+      // two verify inline identically before the union (DedupSpec pins
+      // salted == unsalted == small tail pair-for-pair).
+      val boundedByMaxDf =
+        maxDf.exists(m => m.toLong * m.toLong <= hotPairBudget)
+      val joined =
+        if (boundedByMaxDf) aF.join(bF.hint("MERGE"), Seq("sh"))
+        else {
+          val hotKeys = sets
+            .select(explode(slice(col("sig"), lit(1), prefixLen)).as("sh"))
+            .groupBy("sh").agg(count(lit(1)).as("__hdf"))
+            .filter(col("__hdf") * col("__hdf") > hotPairBudget)
+            .select(col("sh"), ceil(col("__hdf") * col("__hdf") /
+              lit(hotPairBudget.toDouble)).cast("int").as("__g"))
+            .localCheckpoint(true)
+          val nHotKeys = hotKeys.count()
+          // past the broadcast gate the hot-key SET alone is millions of
+          // entries — a corpus that is quadratic nearly everywhere, where
+          // no execution trick rescues exact all-pairs semantics and
+          // maxDf (stop-shingle removal) is the published remedy; keep
+          // the plain join rather than pay marker shuffles on both sides
+          if (nHotKeys == 0L || nHotKeys > HotShingleBroadcastLimit)
+            aF.join(bF.hint("MERGE"), Seq("sh"))
+          else {
+            // UNION shape, not a marker column: the first cut marked
+            // every row and carried the salt through the full-corpus
+            // sort — measured ~2× task time on the 97%-cold mass (GC
+            // 22 s/task vs 6 s at x100). Cold rows must pay ONLY a
+            // codegen broadcast anti-join filter and then take the
+            // VERBATIM raw join; the salted join touches hot-key
+            // postings alone (df×~1 rows per hot key — tiny inputs,
+            // huge fan-out, which is the point).
+            val hotB = broadcast(hotKeys)
+            val cold = aF.join(hotB, Seq("sh"), "left_anti")
+              .join(bF.join(hotB, Seq("sh"), "left_anti").hint("MERGE"),
+                Seq("sh"))
+            val aH = aF.join(hotB, Seq("sh"))
+              .withColumn("__salt",
+                pmod(xxhash64(col("doc_a")), col("__g")).cast("int"))
+              .drop("__g")
+            val bH = bF.join(hotB, Seq("sh"))
+              .withColumn("__salt", explode(sequence(lit(0), col("__g") - 1)))
+              .drop("__g")
+            // explicit-numPartitions repartition on the salted key: the
+            // hot partitions are tiny in INPUT bytes but huge in join
+            // fan-out — exactly what AQE's byte-keyed partition
+            // coalescing would merge back together
+            val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+            val hot = aH.repartition(parts, col("sh"), col("__salt"))
+              .join(bH.repartition(parts, col("sh"), col("__salt"))
+                .hint("MERGE"), Seq("sh", "__salt"))
+              .drop("__salt")
+            cold.unionByName(hot)
+          }
+        }
+      joined
         .filter(col("doc_a") < col("doc_b"))
         .withColumn("common",
           graft.functions.VecFunctions.sortedIntersectCount(col("sig_a"), col("sig_b")))

@@ -189,9 +189,12 @@ object Scale100 {
 
       // ── serve / filtered / range probes ──────────────────────────────
       val lshDir = s"/tmp/graft_scale_lsh_x$k"
-      if (!new java.io.File(s"$lshDir/meta.parquet").exists())
-        Similarity.buildLshIndex(emb.filter(col("vec_id") =!= 0),
-          "vec_id", "embedding", lshDir)
+      val tLshBuild =
+        if (new java.io.File(s"$lshDir/meta.parquet").exists()) -1.0 // cached
+        else timeIt {
+          Similarity.buildLshIndex(emb.filter(col("vec_id") =!= 0),
+            "vec_id", "embedding", lshDir); 0L
+        }._1
       val (tLshProbe, _) = timeIt(noop(
         Similarity.probeLshIndex(spark, lshDir, "vec_id", "embedding",
           emb.filter(col("vec_id") === 0), "embedding", k = 10)))
@@ -222,7 +225,8 @@ object Scale100 {
           ivfDir, tau = 0.2, nprobe = 16)))
 
       println(f"[s100] x$k%-3d vecs=$nVecs%7d | " +
-        f"ivfBuild=$tBuild%7.2fs cells=$cellsTotal%5d | " +
+        f"ivfBuild=$tBuild%7.2fs cells=$cellsTotal%5d " +
+        f"lshBuild=$tLshBuild%7.2fs | " +
         f"rmT500=$tRmTomb%5.2fs probeT=$tProbeTomb%5.2fs " +
         batchWalls.map { case (bs, t) => f"rmT$bs=$t%5.2fs" }.mkString(" ") +
         f" backlog=$backlog%5d compact=$tCompact%6.2fs | " +

@@ -269,6 +269,39 @@ class DedupSpec extends SparkSpec {
     assert(broadcastTail.keySet.contains((1L, 2L)))
   }
 
+  test("hot-prefix-key salt: salted kernel equals unsalted kernel and small tail pair-for-pair (point mass)") {
+    // r17 verdict #6: a prefix key with df d carries ~d²/2 verify pairs
+    // under ONE sort-merge key and AQE's byte-keyed skew split never
+    // touches join fan-out (SkewProfile: a planted df-5k mass = one
+    // 117 s task). The kernel tail salts keys past hotPairBudget —
+    // doc_a hashed into g groups, doc_b replicated to all g — which
+    // must be invisible in the result. Point mass: 30 docs share one
+    // planted shingle; budget 1 makes EVERY key hot (all pairs traverse
+    // the salted join), budget MaxValue disarms it, the small tail is
+    // the third witness. maxDf deliberately absent — the one regime
+    // where the guard arms.
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh", "ii", "jj")
+    val corpus = ((1L to 30L).map { i =>
+      val toks = Vector.fill(8)(vocab(rnd.nextInt(vocab.size)))
+      (i, (toks ++ Seq("zz0", "zz1", "zz2")).mkString(" "))
+    } ++ Seq((100L, "alpha beta gamma delta epsilon"),
+      (101L, "alpha beta gamma delta zeta")))
+      .toDF("doc_id", "text")
+    def run(budget: Long, gate: Long) =
+      Dedup.jaccardNearDup(corpus, "doc_id", "text", n = 3, threshold = 0.3,
+        sigBroadcastBytes = gate, hotPairBudget = budget)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val smallTail = run(Long.MaxValue, Long.MaxValue)
+    val unsalted = run(Long.MaxValue, -1L)
+    val allSalted = run(1L, -1L)
+    assert(unsalted == smallTail, s"unsalted kernel diverged: $unsalted vs $smallTail")
+    assert(allSalted == smallTail, s"salted kernel diverged: $allSalted vs $smallTail")
+    // load-bearing: pairs survive, and under budget 1 every surviving
+    // pair met through a salted hot key
+    assert(smallTail.contains((100L, 101L)))
+  }
+
   test("connected components throw when maxIter is exhausted before convergence") {
     // silent partial labels are wrong clusters; the operator must fail
     // loudly instead (a diameter-11 chain cannot settle in one round)
