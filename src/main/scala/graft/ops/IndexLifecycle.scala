@@ -1588,7 +1588,15 @@ object IndexLifecycle {
         .repartitionByRange(col("table"), col("bucket"))
         .sortWithinPartitions("table", "bucket"))
     swapIn("vectors.parquet")(
-      minusDeletes(spark.read.parquet(s"$dir/vectors.parquet"), idCol))
+      // a FULLY-retried append (crash after the vectors write, before
+      // the undelete swap) duplicates vectors rows too — probes dedup
+      // candidates so answers are right, but a rebuild would train on
+      // and re-write the duplicates forever; exact-row distinct is
+      // result-preserving by construction (same id with a DIFFERENT
+      // vector — the re-insert-after-remove shape — keeps both rows,
+      // unchanged semantics)
+      minusDeletes(spark.read.parquet(s"$dir/vectors.parquet"), idCol)
+        .distinct())
     if (hasDeletes) {
       // shared clear, siblings first — see compactIndexInner's cell arm.
       // Fenced: a zombie LSH compaction resuming after takeover must

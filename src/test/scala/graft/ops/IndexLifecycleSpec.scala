@@ -458,6 +458,36 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(pairs(Similarity.probeLshIndex(spark, dir, "vec_id",
       "embedding", query, "embedding", k = 10)) == before,
       "dedup compaction changed probe results")
+    // the FULL-retry shape (crash after the vectors write): duplicate
+    // VECTORS rows ride along too — probes stay right (candidate
+    // dedup), live_rows reads the physical inflation, and the same
+    // compaction collapses exact-duplicate rows so a later rebuild
+    // never trains on them
+    val n = corpus.count()
+    val vCopy = spark.read.parquet(s"$dir/vectors.parquet")
+      .localCheckpoint(true)
+    vCopy.write.mode("append").parquet(s"$dir/vectors.parquet")
+    spark.read.parquet(s"$dir/postings.parquet").localCheckpoint(true)
+      .write.mode("append").parquet(s"$dir/postings.parquet")
+    assert(stats(dir).getAs[Long]("live_rows") == 2 * n,
+      "vectors duplication fixture did not take")
+    assert(pairs(Similarity.probeLshIndex(spark, dir, "vec_id",
+      "embedding", query, "embedding", k = 10)) == before,
+      "candidate dedup no longer absorbs duplicate vectors rows")
+    // the doubled live_rows also inflates appended_fraction to 0.5, so
+    // the default severity order would rebuild first (also operable —
+    // the metric keeps duplicates visible through a rebuild, and the
+    // next compaction still collapses them); rebuildAt 1.01 isolates
+    // the compact arm this pin is about
+    assert(IndexLifecycle.maintainIndex(spark, dir, rebuildAt = 1.01) ==
+      "compact")
+    val afterFull = stats(dir)
+    assert(afterFull.getAs[Long]("live_rows") == n &&
+      afterFull.getAs[Double]("postings_dup_fraction") == 0.0,
+      s"full-retry duplicates survived compaction: $afterFull")
+    assert(pairs(Similarity.probeLshIndex(spark, dir, "vec_id",
+      "embedding", query, "embedding", k = 10)) == before)
+
     // cell layouts have no postings table: the column is NULL, and the
     // pressure rule must not fire on it
     val ivfDir = java.nio.file.Files.createTempDirectory("graft_mt_dup_ivf").toString
