@@ -873,7 +873,10 @@ object IndexLifecycle {
     val getConf = org.apache.spark.sql.graft.HadoopConfShim
       .confGetter(spark.sparkContext)
     import spark.implicits._
-    spark.range(1).mapPartitions { it =>
+    // explicitly ONE partition: a bare range(1) defaults to
+    // defaultParallelism slices and the partition-open check would then
+    // run one filesystem LIST per slice per micro-batch
+    spark.range(0L, 1L, 1L, 1).mapPartitions { it =>
       val p = new org.apache.hadoop.fs.Path(path)
       val now =
         try p.getFileSystem(getConf()).listStatus(p).toSeq
