@@ -148,7 +148,17 @@ object Bench {
   def floorsQuarantinePath(path: String, prior: Map[String, Double],
                            resultKeys: Set[String]): Option[String] = {
     val f = new java.io.File(path)
-    val nonTrivial = f.exists() && f.length() > 2 // "{}" is a valid empty history
+    // "{}" is a valid empty history — and persistFloors itself writes it
+    // NEWLINE-terminated, so the triviality test must read the trimmed
+    // CONTENT, not the byte length (a length>2 check read the
+    // machine-written "{}\n" as corrupt and self-quarantined every later
+    // session — review r18)
+    val nonTrivial = f.exists() && {
+      val content =
+        try new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
+        catch { case NonFatal(_) => "" }
+      content.nonEmpty && content != "{}"
+    }
     val parsedUseless =
       prior.isEmpty || prior.keySet.intersect(resultKeys).isEmpty
     if (nonTrivial && parsedUseless) Some(path + ".session") else None

@@ -255,20 +255,31 @@ object Dedup {
       val joined =
         if (boundedByMaxDf) aF.join(bF.hint("MERGE"), Seq("sh"))
         else {
+          // g computed in LONG and clamped: ceil(df²/budget) past
+          // Int.MaxValue would wrap negative under the non-ANSI cast and
+          // the two salt spaces (pmod vs sequence) would only partially
+          // overlap — silently DROPPED pairs (review r18). Any g is
+          // pair-complete (a-side pmod g, b-side replicated g ways), so
+          // the clamp only coarsens the split, never the result.
           val hotKeys = sets
             .select(explode(slice(col("sig"), lit(1), prefixLen)).as("sh"))
             .groupBy("sh").agg(count(lit(1)).as("__hdf"))
             .filter(col("__hdf") * col("__hdf") > hotPairBudget)
-            .select(col("sh"), ceil(col("__hdf") * col("__hdf") /
-              lit(hotPairBudget.toDouble)).cast("int").as("__g"))
+            .select(col("sh"), least(ceil(col("__hdf") * col("__hdf") /
+                lit(hotPairBudget.toDouble)).cast("long"), lit(1L << 20))
+              .cast("int").as("__g"))
             .localCheckpoint(true)
           val nHotKeys = hotKeys.count()
-          // past the broadcast gate the hot-key SET alone is millions of
+          // past the broadcast bound the hot-key SET alone is ~a million
           // entries — a corpus that is quadratic nearly everywhere, where
           // no execution trick rescues exact all-pairs semantics and
           // maxDf (stop-shingle removal) is the published remedy; keep
-          // the plain join rather than pay marker shuffles on both sides
-          if (nHotKeys == 0L || nHotKeys > HotShingleBroadcastLimit)
+          // the plain join rather than pay marker shuffles on both sides.
+          // The bound is MATERIALIZED-broadcast bytes, not the array-row
+          // constant: hotKeys broadcasts as an (sh, g) HashedRelation at
+          // ~64 B/entry of UnsafeRow + slot overhead (the same
+          // raw-vs-materialized accounting as [[SigTableBroadcastBytes]])
+          if (nHotKeys == 0L || nHotKeys * 64L > SigTableBroadcastBytes)
             aF.join(bF.hint("MERGE"), Seq("sh"))
           else {
             // UNION shape, not a marker column: the first cut marked

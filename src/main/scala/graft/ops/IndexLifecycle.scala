@@ -869,6 +869,13 @@ object IndexLifecycle {
   private[graft] def tombstoneFreshnessGuard(spark: SparkSession,
                                              dir: String): DataFrame = {
     val path = s"$dir/deletes.parquet"
+    // heal a torn tombstone swap BEFORE capturing the epoch (review
+    // r18): recoverIndexDir only handles the whole-DIR rebuild swap, so
+    // a crash-torn deletes.parquet (live missing, __compact complete)
+    // would read as the empty epoch here and then the arm's
+    // loadTombstones recovery would promote the file — the brand-new
+    // stream's first batch failing spuriously
+    recoverSwap(spark, path)
     val expected = dirEpoch(spark, path)
     val getConf = org.apache.spark.sql.graft.HadoopConfShim
       .confGetter(spark.sparkContext)
@@ -941,15 +948,26 @@ object IndexLifecycle {
     * appending an id that was tombstoned un-deletes it, else the append
     * lands physically but every probe keeps filtering it out until
     * compaction. Tombstone-sized (the set is compaction-bounded), via
-    * the crash-safe swap. */
+    * the crash-safe swap — taken ONLY when the batch actually intersects
+    * the set (review r18): an unconditional rewrite changes the
+    * `deletes.parquet` listing on every append over a non-empty backlog,
+    * and the default-on [[tombstoneFreshnessGuard]] would then kill a
+    * running probe stream on an append of brand-new ids — exactly the
+    * silent append-between-micro-batches contract appends are pinned to
+    * keep. An append that DOES un-delete must still trip the guard: the
+    * plan's stale tombstone filter would wrongly keep serving that id
+    * out. */
   private[graft] def undeleteTombstones(spark: SparkSession, dir: String,
                                         batchIds: DataFrame,
                                         idCol: String): Unit = {
     recoverSwap(spark, s"$dir/deletes.parquet")
-    if (Ivf.layoutFileExists(spark, dir, "deletes.parquet"))
-      swapInParquet(spark, s"$dir/deletes.parquet")(
-        spark.read.parquet(s"$dir/deletes.parquet")
-          .join(batchIds.select(col(idCol)), Seq(idCol), "left_anti"))
+    if (Ivf.layoutFileExists(spark, dir, "deletes.parquet")) {
+      val deletes = spark.read.parquet(s"$dir/deletes.parquet")
+      if (deletes.join(batchIds.select(col(idCol)), Seq(idCol), "left_semi")
+          .limit(1).count() > 0L)
+        swapInParquet(spark, s"$dir/deletes.parquet")(
+          deletes.join(batchIds.select(col(idCol)), Seq(idCol), "left_anti"))
+    }
   }
 
   /** Remove `ids` rows from the index at `dir` (FAISS `remove_ids`):
@@ -1531,7 +1549,7 @@ object IndexLifecycle {
                                  lshMaxPostingsFiles: Int,
                                  minTombstoneBacklog: Long,
                                  tombstoneFraction: Double,
-                                 maxDuplicateFraction: Double = 0.25): String = {
+                                 maxDuplicateFraction: Double): String = {
     val s = indexStats(spark, dir).head()
     val isLsh = s.getAs[String]("layout") == "lsh"
     val frac = Option(s.getAs[java.lang.Double]("appended_fraction"))

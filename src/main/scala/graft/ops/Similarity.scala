@@ -644,9 +644,17 @@ object Similarity {
     // swap leaves either the old or the new set intact. (Swap recovery
     // already ran at function entry.)
     if (Ivf.layoutFileExists(spark, dir, "deletes.parquet")) {
-      IndexLifecycle.swapInParquet(spark, s"$dir/deletes.parquet")(
-        spark.read.parquet(s"$dir/deletes.parquet")
-          .join(batch.select(col(idCol)), Seq(idCol), "left_anti"))
+      // swap ONLY when the batch intersects the set (review r18, the
+      // undeleteTombstones rule): an unconditional rewrite of
+      // deletes.parquet on every append over a non-empty backlog would
+      // trip the default-on streaming tombstoneFreshnessGuard for
+      // appends of brand-new ids — the one verb pinned to stay SILENT
+      // under a running stream. A real un-delete must still trip it.
+      val deletes = spark.read.parquet(s"$dir/deletes.parquet")
+      if (deletes.join(batch.select(col(idCol)), Seq(idCol), "left_semi")
+          .limit(1).count() > 0L)
+        IndexLifecycle.swapInParquet(spark, s"$dir/deletes.parquet")(
+          deletes.join(batch.select(col(idCol)), Seq(idCol), "left_anti"))
     }
   }
 

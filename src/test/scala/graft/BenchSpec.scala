@@ -176,6 +176,22 @@ class BenchSpec extends SparkSpec {
     // a MISSING or empty-object history is the normal first-session path
     assert(Bench.floorsQuarantinePath(dir.resolve("nope.json").toString,
       Map.empty, Set("a")).isEmpty)
+    // ...including the NEWLINE-terminated "{}\n" persistFloors itself
+    // writes after an all-errors session (review r18: a byte-length
+    // check read the machine-written empty history as corrupt and
+    // self-quarantined every later session forever)
+    val histEmpty = dir.resolve("BENCH_FLOORS_EMPTY.json")
+    Bench.persistFloors(histEmpty.toString, Map.empty, Map.empty)
+    assert(new String(java.nio.file.Files.readAllBytes(histEmpty), "UTF-8")
+      .trim == "{}", "empty-session persist no longer writes {}")
+    assert(Bench.floorsQuarantinePath(histEmpty.toString,
+      Bench.readFloors(histEmpty.toString), Set("a")).isEmpty,
+      "machine-written empty history self-quarantines")
+    val embeddedAfterEmpty = Bench.persistFloors(histEmpty.toString,
+      Bench.readFloors(histEmpty.toString), results)
+    assert(embeddedAfterEmpty == Map("a" -> 1.5, "b" -> 2.0) &&
+      Bench.readFloors(histEmpty.toString) == Map("a" -> 1.5, "b" -> 2.0),
+      "floors never accumulate after an empty first session")
     // positive control: healthy history merges in place
     val hist2 = dir.resolve("BENCH_FLOORS2.json")
     java.nio.file.Files.write(hist2, "{\"a\":1.0}\n".getBytes("UTF-8"))

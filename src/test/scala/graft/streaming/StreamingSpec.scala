@@ -1159,6 +1159,67 @@ class StreamingSpec extends SparkSpec {
     pin(lshDir, "sink_tomb_lsh", tombstone = false) // LSH always tombstones
   }
 
+  test("append over a NON-EMPTY tombstone backlog keeps the silent append contract; an append that UN-DELETES trips the guard (review r18)") {
+    // The guard watches deletes.parquet's listing — and the append verbs
+    // owe the re-insert contract a tombstone rewrite. Unconditional, that
+    // rewrite (same effective set, new part files) would kill a guarded
+    // running stream on ANY append over a backlog, contradicting the
+    // pinned silent append-between-micro-batches contract; gated on
+    // actual intersection, a brand-new-ids append stays silent while a
+    // genuine un-delete — where the plan's stale tombstone filter WOULD
+    // keep suppressing the re-inserted id — fails loud like a remove.
+    val rnd = new scala.util.Random(109)
+    val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+    def near(eps: Float) = base.map(_ + eps)
+    val corpus = (1L to 10L).map(i => (i, near(0.01f * i)))
+      .toDF("vec_id", "embedding").localCheckpoint(true)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_annps_tomb_append").toString
+    graft.ops.Similarity.buildLshIndex(corpus, "vec_id", "embedding", dir)
+    graft.ops.IndexLifecycle.removeIds(spark, dir,
+      Seq(3L).toDF("vec_id"), "vec_id") // backlog {3} BEFORE the stream
+    val qvec = near(-0.02f)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Streaming.annProbeStream(
+        mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        dir, tau = 0.9, nprobe = 16)
+      .writeStream.format("memory").queryName("sink_tomb_append")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(Seq((100L, qvec))); q.processAllAvailable()
+      def tags = spark.table("sink_tomb_append")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(tags.exists(_._1 == 100L) && !tags.contains((100L, 3L)),
+        s"fixture drifted: $tags")
+      // brand-new id: postings/vectors append + a SKIPPED undelete swap —
+      // the stream must survive and keep the plan snapshot (id 50
+      // invisible until restart)
+      graft.ops.Similarity.appendLshIndex(
+        Seq((50L, near(0.015f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dir)
+      mem.addData(Seq((200L, qvec))); q.processAllAvailable()
+      assert(tags.exists(_._1 == 200L),
+        "append of new ids over a backlog broke the guarded stream — " +
+          "the undelete swap ran without an intersection")
+      assert(!tags.exists(t => t._1 == 200L && t._2 == 50L),
+        "mid-stream append became visible to the running plan")
+      // re-insert of the tombstoned id: the swap must run and the guard
+      // must trip — the plan's stale tombstone filter would otherwise
+      // keep suppressing id 3 silently
+      graft.ops.Similarity.appendLshIndex(
+        corpus.filter(col("vec_id") === 3L), "vec_id", "embedding", dir)
+      mem.addData(Seq((300L, qvec)))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      val chain = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).take(20).toSeq
+      assert(chain.exists(c => String.valueOf(c.getMessage)
+          .contains("changed while this probe stream was running")),
+        s"un-deleting append failed the stream, but not via the guard: $e")
+    } finally q.stop()
+  }
+
   test("tombstoneGuard = false opts back into stale-until-restart (the pre-r18 contract, now explicit)") {
     // The opt-out arm of the loud-or-fresh contract: a topology with an
     // external freshness protocol can disable the per-batch guard, and
