@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// JUnit-XML report per suite (target/test-reports/TEST-*.xml): a flaky
+// failure in a long full-suite run survives as an ARTIFACT with its full
+// assertion message + stack, never lost to truncated console capture
+// (r18 verdict #1 — a ConcurrentServeSpec flake's assertion was lost
+// exactly that way).
+Test / testOptions += Tests.Argument(
+  TestFrameworks.ScalaTest, "-u", "target/test-reports")
 // pass the forked app's stdout through RAW (no "[info] " logger prefix):
 // Bench prints one machine-parsed JSON line that must arrive unmangled
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)

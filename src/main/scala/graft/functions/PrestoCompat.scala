@@ -23,9 +23,22 @@ object PrestoCompat {
     * fragment: unquote alpha-only unit literals in the first argument
     * position. The native 2-arg form is untouchable by construction — a
     * quoted first argument there is a date string (`'2024-03-01'`), which
-    * the digits/dashes keep from matching. */
+    * the digits/dashes keep from matching. `date_add`/`dateadd`/
+    * `timestampadd` (B7 closure audit, r19) are the same parser delta
+    * with the same fix: Presto's `date_add('day', 5, ts)` becomes
+    * Spark's unquoted-unit 3-arg form (TimestampAdd — note it returns
+    * TIMESTAMP even for DATE input, where Presto preserves DATE; cast
+    * if the date type matters), and Spark's native 2-arg
+    * `date_add('2024-01-01', n)` again can't match. */
   private val DateDiffUnit =
-    "(?i)\\b(date_diff|timestampdiff)\\s*\\(\\s*'([a-z]+)'\\s*,".r
+    "(?i)\\b(date_diff|timestampdiff|date_add|dateadd|timestampadd)\\s*\\(\\s*'([a-z]+)'\\s*,".r
+
+  /** Presto allows a bare `CAST(x AS VARCHAR)` (unbounded); Spark's
+    * grammar requires a length on VARCHAR — the equivalent unbounded
+    * type is STRING. `VARCHAR(n)` parses fine in Spark and is left
+    * alone; an alias literally named VARCHAR never matches (no
+    * closing paren directly after). B7 closure audit, r19. */
+  private val BareVarcharCast = "(?i)\\b(AS\\s+)VARCHAR\\s*\\)".r
 
   /** Rewrite Presto-spelled fragments to Spark grammar; apply to raw
     * `condition`/`fields` strings before Catalyst parses them (the
@@ -41,6 +54,17 @@ object PrestoCompat {
     * it would flip the parity and suppress rewriting a GENUINE
     * date_diff later in the fragment). */
   def rewriteDialect(sql: String): String = {
+    // passes chain, so each recomputes the literal map over ITS input —
+    // the earlier pass changes offsets (it strips quote chars)
+    val unitFixed = replaceOutsideLiterals(sql, DateDiffUnit,
+      m => s"${m.group(1)}(${m.group(2)},")
+    replaceOutsideLiterals(unitFixed, BareVarcharCast,
+      m => s"${m.group(1)}STRING)")
+  }
+
+  private def replaceOutsideLiterals(
+      sql: String, re: scala.util.matching.Regex,
+      rewrite: scala.util.matching.Regex.Match => String): String = {
     val inLit = new Array[Boolean](sql.length)
     var q = false
     var i = 0
@@ -54,9 +78,9 @@ object PrestoCompat {
         i += 1
       }
     }
-    DateDiffUnit.replaceAllIn(sql, m =>
+    re.replaceAllIn(sql, m =>
       if (inLit(m.start)) scala.util.matching.Regex.quoteReplacement(m.matched)
-      else s"${m.group(1)}(${m.group(2)},")
+      else scala.util.matching.Regex.quoteReplacement(rewrite(m)))
   }
 
   def register(spark: SparkSession): Unit = {
@@ -69,6 +93,19 @@ object PrestoCompat {
     // approx_distinct(x) -> HLL++ estimate
     ColumnShim.registerFunction(spark, "approx_distinct",
       args => HyperLogLogPlusPlus(args.head).toAggregateExpression())
+    // element_at with Presto's out-of-bounds semantics (B7 closure
+    // audit, r19): Presto returns NULL past the array end; Spark under
+    // ANSI (the 4.x default, on in our sessions) THROWS there — the one
+    // place ANSI is STRICTER than Presto rather than matching its
+    // error-on-bad-input posture. Overriding the registry entry with
+    // failOnError=false restores Presto's contract for SQL-parsed
+    // fragments only (the reference pass-through surface); graft's own
+    // DataFrame-API element_at calls resolve at Column level and keep
+    // ANSI behavior. Missing MAP keys return NULL on both engines
+    // either way.
+    ColumnShim.registerFunction(spark, "element_at",
+      args => org.apache.spark.sql.catalyst.expressions.ElementAt(
+        args(0), args(1), failOnError = false))
     // date_parse(string, mysqlFormat) -> timestamp. Presto's format is
     // MySQL %-tokens; translate to a Java pattern at plan time (the
     // format is a literal in every reference-shaped call) and delegate

@@ -100,7 +100,9 @@ object Dedup {
     * sort-merge partitions. 1M pairs ≈ a ~1.5 s worst task at the x100
     * verify rate. The salted join is a SEPARATE branch unioned after
     * the verbatim cold join, never a salt column on the full corpus —
-    * marking every row measured ~2× task time on the cold mass. */
+    * marking every row measured ~2× task time on the cold mass.
+    * `hotPairBudget <= 0` disables salting entirely (the plain join);
+    * `Long.MaxValue` keeps the df pass but never salts. */
   val HotPrefixPairBudget: Long = 1000000L
 
   /** Gate between [[jaccardNearDup]]'s two verify tails, in estimated
@@ -250,7 +252,13 @@ object Dedup {
       // all g — every pair meets exactly once, at doc_a's salt), and the
       // two verify inline identically before the union (DedupSpec pins
       // salted == unsalted == small tail pair-for-pair).
-      val boundedByMaxDf =
+      // hotPairBudget <= 0 DISABLES salting (plain MERGE join) — the
+      // sibling knob sigBroadcastBytes uses -1 as a force value, and a
+      // caller reaching for the same idiom here would otherwise make
+      // df² > budget true for EVERY key with g = ceil(df²/0) = ∞
+      // clamped to 2²⁰ — replicating every posting row ~1M ways
+      // (ADVICE r18). Long.MaxValue is the never-salt-by-size value.
+      val boundedByMaxDf = hotPairBudget <= 0L ||
         maxDf.exists(m => m.toLong * m.toLong <= hotPairBudget)
       val joined =
         if (boundedByMaxDf) aF.join(bF.hint("MERGE"), Seq("sh"))

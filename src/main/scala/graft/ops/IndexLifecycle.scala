@@ -351,6 +351,57 @@ object IndexLifecycle {
     }
   }
 
+  /** The rename primitive both swap protocols (file-level
+    * [[swapInParquet]]/[[recoverSwap]], whole-dir [[rebuildIndex]]/
+    * [[recoverIndexDir]]) stand on — injectable so the ATOMICITY
+    * assumption is a tested contract, not a comment (r18 verdict #5;
+    * the [[LockIo]] treatment applied to the other filesystem
+    * primitive the protocols trust).
+    *
+    * Per-store guarantee matrix (public, documented semantics):
+    *  - HDFS: NameNode-atomic metadata move — the protocol's
+    *    assumption holds as stated.
+    *  - local (`file://`): POSIX `rename(2)` — atomic; Hadoop's
+    *    RawLocalFileSystem delegates to it for same-volume moves (the
+    *    swap siblings `x.__compact`/`x.__old` are same-directory by
+    *    construction, so the fallback copy path never engages).
+    *  - S3A/GCS/ABFS stock connectors: "rename" is COPY-then-DELETE —
+    *    NOT atomic. A crash tears it mid-copy, and even a successful
+    *    one exposes windows where source and destination are both
+    *    visible or the source is partially deleted. The swap
+    *    protocol's reader guarantee ("a complete artifact set at
+    *    every instant") does NOT survive this: NonAtomicRenameSpec is
+    *    the negative control showing a reader observing a TORN world
+    *    under a copy+delete fake — crucially, a torn LIVE path that
+    *    still exists looks healthy to [[recoverSwap]] (which keys on
+    *    live-missing) and serves silently-partial data. On such
+    *    stores, do not run the in-place lifecycle verbs against the
+    *    store directly: either mount a rename-atomic layer, or
+    *    rebuild into a NEW dir and flip a pointer via a conditional
+    *    write ([[ConditionalStore]]) instead of renaming in place. */
+  private[graft] trait RenameIo {
+    def rename(fs: org.apache.hadoop.fs.FileSystem,
+               src: org.apache.hadoop.fs.Path,
+               dst: org.apache.hadoop.fs.Path): Boolean
+  }
+
+  /** Default [[RenameIo]]: the Hadoop filesystem's own rename (atomic
+    * on HDFS/local — see the matrix on [[RenameIo]]). */
+  private[graft] object HadoopRenameIo extends RenameIo {
+    def rename(fs: org.apache.hadoop.fs.FileSystem,
+               src: org.apache.hadoop.fs.Path,
+               dst: org.apache.hadoop.fs.Path): Boolean = fs.rename(src, dst)
+  }
+
+  /** Deployment/test hook for [[RenameIo]] — process-wide, the
+    * [[lockIo]] posture. */
+  @volatile private[graft] var renameIo: RenameIo = HadoopRenameIo
+
+  private def swapRename(fs: org.apache.hadoop.fs.FileSystem,
+                         src: org.apache.hadoop.fs.Path,
+                         dst: org.apache.hadoop.fs.Path): Boolean =
+    renameIo.rename(fs, src, dst)
+
   /** The conditional-write primitive a deployment backs with its object
     * store's precondition API (r17 verdict #7): create the object at
     * `key` holding `content` iff nothing exists there, atomically per
@@ -556,9 +607,9 @@ object IndexLifecycle {
     // fencing check (r16 verdict #1): a verb that stalled past takeover
     // must not land its renames under the NEW holder's feet
     requireLeaseStillHeld(spark, "artifact swap rename")
-    require(fs.rename(live, old), s"swap: rename $live -> $old failed")
+    require(swapRename(fs, live, old), s"swap: rename $live -> $old failed")
     val renamed =
-      try fs.rename(tmp, live)
+      try swapRename(fs, tmp, live)
       catch { case _: java.io.FileNotFoundException => false }
     if (!renamed) {
       // tolerated iff another party (a reader's recovery) already
@@ -639,7 +690,7 @@ object IndexLifecycle {
       // (no graft artifact nests its own staging names), so drop it.
       def renameOrRaced(src: org.apache.hadoop.fs.Path, what: String): Unit = {
         val ok =
-          try !fs.exists(live) && fs.rename(src, live)
+          try !fs.exists(live) && swapRename(fs, src, live)
           catch { case _: java.io.FileNotFoundException => false }
         if (!ok)
           require(fs.exists(live), s"swap recovery: $src -> $live failed ($what)")
@@ -896,7 +947,10 @@ object IndexLifecycle {
           s"tombstone set at $path changed while this probe stream was " +
             "running (a removeIds/compaction landed mid-stream); the plan's " +
             "tombstone resolve is a plan-time snapshot — restart the stream " +
-            "to serve the current tombstones")
+            "from a FRESH annProbeStream call to serve the current " +
+            "tombstones (the expected epoch is captured at plan " +
+            "construction, so re-starting the same retained DataFrame " +
+            "would fail every first micro-batch against the stale epoch)")
       it.map(_ => 1)
     }.toDF("__tombstones_fresh")
   }
@@ -1462,9 +1516,9 @@ object IndexLifecycle {
     // Fencing check first (r16 verdict #1): a rebuild that stalled past
     // takeover aborts here rather than swapping over the new holder
     requireLeaseStillHeld(spark, "rebuild swap rename")
-    require(fs.rename(live, old), s"rebuild swap: rename $dir -> $old failed")
+    require(swapRename(fs, live, old), s"rebuild swap: rename $dir -> $old failed")
     val renamed =
-      try fs.rename(new org.apache.hadoop.fs.Path(tmp), live)
+      try swapRename(fs, new org.apache.hadoop.fs.Path(tmp), live)
       catch { case _: java.io.FileNotFoundException => false }
     if (!renamed) {
       // swapInParquet's tolerated failure: a concurrent reader's

@@ -593,8 +593,9 @@ object Similarity {
     * Bucket occupancy grows past the build-time target until the caller
     * rebuilds — the LSH analog of coarse-quantizer drift under
     * [[Quantize.appendPqIndex]], and the same rebuild-policy decision.
-    * The append batch is evaluated twice (vectors + postings) — batches
-    * are increment-sized; a corpus-scale append is a rebuild. */
+    * The append batch is evaluated up to four times (postings write,
+    * vectors write, and the un-delete's intersect check + rewrite) —
+    * batches are increment-sized; a corpus-scale append is a rebuild. */
   def appendLshIndex(emb: DataFrame, idCol: String, vecCol: String,
                      dir: String): Unit =
   IndexLifecycle.withIndexLock(emb.sparkSession, dir, "appendLshIndex") {
@@ -636,26 +637,11 @@ object Similarity {
     // re-insert contract: appending an id that was tombstoned by
     // IndexLifecycle.removeIds un-deletes it — without this the append
     // would land physically but lshVectors would keep filtering it out
-    // until compaction. The tombstone set is compaction-bounded, so this
-    // rewrite is tombstone-sized, not corpus-sized. Crash-safe tmp+rename
-    // swap (ADVICE r14): a plain in-place overwrite deletes the live
-    // tombstone set before writing the survivors, so a crash mid-rewrite
-    // would silently resurrect EVERY removed id on every probe — the
-    // swap leaves either the old or the new set intact. (Swap recovery
-    // already ran at function entry.)
-    if (Ivf.layoutFileExists(spark, dir, "deletes.parquet")) {
-      // swap ONLY when the batch intersects the set (review r18, the
-      // undeleteTombstones rule): an unconditional rewrite of
-      // deletes.parquet on every append over a non-empty backlog would
-      // trip the default-on streaming tombstoneFreshnessGuard for
-      // appends of brand-new ids — the one verb pinned to stay SILENT
-      // under a running stream. A real un-delete must still trip it.
-      val deletes = spark.read.parquet(s"$dir/deletes.parquet")
-      if (deletes.join(batch.select(col(idCol)), Seq(idCol), "left_semi")
-          .limit(1).count() > 0L)
-        IndexLifecycle.swapInParquet(spark, s"$dir/deletes.parquet")(
-          deletes.join(batch.select(col(idCol)), Seq(idCol), "left_anti"))
-    }
+    // until compaction. All the guard-interaction rules (swap only when
+    // the batch intersects the set; crash-safe tmp+rename swap) live in
+    // the ONE shared implementation — this used to be an inlined copy
+    // that could silently diverge from the cell layouts' (ADVICE r18).
+    IndexLifecycle.undeleteTombstones(spark, dir, batch.select(col(idCol)), idCol)
   }
 
   /** Driver-side single-vector replica of

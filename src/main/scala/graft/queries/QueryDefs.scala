@@ -446,6 +446,32 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
                 AND (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00')) // 86400000000 >= 1""")
     ),
 
+    // Presto date_add (quoted unit) + bare CAST(.. AS VARCHAR) through
+    // the pass-through — the two parser-level deltas the r18 B7 closure
+    // audit found still open (SURVEY §2 B7). Same rewriteDialect pass as
+    // date_diff: Presto's `date_add('day', n, ts)` becomes Spark's
+    // unquoted-unit 3-arg form (TimestampAdd, identical add-n-units
+    // semantics), `CAST(x AS VARCHAR)` (no length — Presto's unbounded
+    // varchar, which Spark's grammar rejects) becomes AS STRING. DuckDB
+    // mirror: interval arithmetic + its own unbounded VARCHAR.
+    QueryDef(
+      "b7_presto_dateadd",
+      (s, d) => graft.engine.QueryBuilder.select(
+        t(s, d, "events"),
+        fields = "event_id, " +
+          "date_add('hour', 3, ts) AS plus3h, " +
+          "dateadd('day', 1, ts) AS next_day, " +
+          "CAST(event_id AS VARCHAR) AS id_str",
+        condition = Some("event_type = 'view' AND " +
+          "date_add('minute', 90, ts) > TIMESTAMP '2024-01-08 12:00:00'")),
+      Some("""SELECT event_id,
+                     ts + INTERVAL 3 HOUR AS plus3h,
+                     ts + INTERVAL 1 DAY AS next_day,
+                     CAST(event_id AS VARCHAR) AS id_str
+              FROM events WHERE event_type = 'view'
+                AND ts + INTERVAL 90 MINUTE > TIMESTAMP '2024-01-08 12:00:00'""")
+    ),
+
     // ── Layer C: relational ────────────────────────────────────────────
     QueryDef(
       "c1_join_inner",

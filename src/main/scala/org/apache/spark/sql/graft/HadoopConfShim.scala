@@ -14,8 +14,19 @@ import org.apache.spark.util.SerializableConfiguration
   * only a `Broadcast` (serializable, shipped once) and is itself a
   * serializable Scala lambda. */
 object HadoopConfShim {
-  def confGetter(sc: SparkContext): () => Configuration = {
-    val b = sc.broadcast(new SerializableConfiguration(sc.hadoopConfiguration))
-    () => b.value.value
+  // ONE broadcast per SparkContext (ADVICE r18): every caller used to
+  // broadcast afresh — a long-lived driver constructing many probe
+  // streams (or LifecycleSweep's 20-guards-per-rung loop) accumulated
+  // dead broadcast blocks that are never unpersisted. The cached value
+  // is a SNAPSHOT of the context's hadoopConfiguration at first call —
+  // fine for the guard's use (opening a FileSystem for a LIST), which
+  // needs scheme handlers, not late session-conf mutations.
+  @volatile private var cached: (SparkContext, () => Configuration) = _
+  def confGetter(sc: SparkContext): () => Configuration = synchronized {
+    if (cached == null || (cached._1 ne sc) || sc.isStopped) {
+      val b = sc.broadcast(new SerializableConfiguration(sc.hadoopConfiguration))
+      cached = (sc, () => b.value.value)
+    }
+    cached._2
   }
 }
