@@ -788,7 +788,12 @@ object IndexLifecycle {
     * hammer, which fails without this. Serve probes wrap their WHOLE
     * body (model load + candidate recovery + ranking + never-short
     * gate all execute inside the call). Bounded attempts: a genuinely
-    * missing dir still fails, just after the retries. The running-
+    * missing dir still fails, just after the retries — but the budget
+    * is PROGRESS-aware (r19): a failure after which the dir epoch has
+    * advanced since the previous failure is keeping pace with a
+    * multi-rename verb on a slow host, not spinning, and draws from a
+    * separate freeCap pool instead of the charged budget (see the
+    * accounting comment in the body). The running-
     * STREAM loud-failure contract is untouched — streams don't pass
     * through here (their plan snapshot must fail, not self-heal).
     *
@@ -832,20 +837,54 @@ object IndexLifecycle {
       }
     def unanchoredFnfe(t: Throwable): Boolean =
       chainOf(t).exists(_.isInstanceOf[java.io.FileNotFoundException])
-    var left = attempts
+    // budget accounting is PROGRESS-aware (r18 verdict #1 hardening): a
+    // failure after which the dir's epoch has CHANGED since the previous
+    // failure means another maintenance mutation landed — the retry is
+    // not spinning on one stuck state, it is keeping pace with a
+    // multi-rename verb (a compaction over k affected cells changes the
+    // epoch k+ times; on a loaded host each slow probe body can straddle
+    // a different rename, and a FIXED budget conflates that steady
+    // progress with futility). Progress failures draw from a separate
+    // larger pool (freeCap bounds livelock against a pathological
+    // always-mutating dir); only no-progress failures charge the
+    // original budget. Epoch observation needs a session — absent one
+    // (never the case on the driver probe paths), failures just charge.
+    val freeCap = 12
+    var charged = 0
+    var free = 0
     var fallbackLeft = 1
+    var lastEpoch: Option[Any] = None
+    def epochNow(): Option[Any] =
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .flatMap(s => try Some(dirEpoch(s, dir)) catch {
+          case scala.util.control.NonFatal(_) => None
+        })
     while (true) {
       try return body
       catch {
-        case scala.util.control.NonFatal(t) if left > 1 && staleFileFailure(t) =>
-          left -= 1
-          log.info(
-            s"graft probe at $dir hit a stale file listing (concurrent " +
-              s"maintenance swap) — retrying (${attempts - left}/${attempts - 1}): " +
-              String.valueOf(t.getMessage).linesIterator.take(1).mkString)
+        case scala.util.control.NonFatal(t) if staleFileFailure(t) =>
+          val now = epochNow()
+          val progressed =
+            lastEpoch.isDefined && now.isDefined && now != lastEpoch
+          if (now.isDefined) lastEpoch = now
+          if (progressed && free < freeCap) {
+            free += 1
+            log.info(
+              s"graft probe at $dir raced a NEWER maintenance mutation " +
+                s"(epoch advanced since the last attempt) — free retry " +
+                s"($free/$freeCap): " +
+                String.valueOf(t.getMessage).linesIterator.take(1).mkString)
+          } else if (charged < attempts - 1) {
+            charged += 1
+            log.info(
+              s"graft probe at $dir hit a stale file listing (concurrent " +
+                s"maintenance swap) — retrying ($charged/${attempts - 1}): " +
+                String.valueOf(t.getMessage).linesIterator.take(1).mkString)
+          } else throw t
         case scala.util.control.NonFatal(t)
-            if left > 1 && fallbackLeft > 0 && unanchoredFnfe(t) =>
-          left -= 1; fallbackLeft -= 1
+            if charged < attempts - 1 && fallbackLeft > 0 && unanchoredFnfe(t) =>
+          charged += 1; fallbackLeft -= 1
           log.warn(
             s"graft probe at $dir hit a FileNotFoundException whose message " +
               "does not name the probed dir — granting ONE fallback retry in " +

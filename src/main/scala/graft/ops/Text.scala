@@ -97,6 +97,37 @@ object Text {
     * probe is a SHUFFLE_HASH equi-join, the same plan [[bigramNll]]
     * always uses for its never-broadcastable pair table. Both paths are
     * result-identical (TextSpec pins it). */
+  /** (rows, estimated MATERIALIZED broadcast bytes) of a string-keyed
+    * stats table, in ONE agg job (these gates already paid a count()):
+    * ~64 B/row of UnsafeRow + HashedRelation slot overhead — the
+    * [[Dedup.SigTableBroadcastBytes]] accounting — plus the actual
+    * string payload. PERF.md finding 37: a row-count gate sized for
+    * 8-byte longs ("4M longs ≈ 32 MB") admits a 4M-row STRING vocab at
+    * 10–20× the intended bytes; the x100 curation rung measured the
+    * consequence (a 1313 s broadcast-probe stage, 22% GC) before the
+    * byte term flipped it to the SHUFFLE_HASH plan the scale shape
+    * always intended. Non-string key columns are estimated through a
+    * string cast — an over-estimate, which only ever flips toward the
+    * always-correct shuffle plan. */
+  private[ops] def tableBroadcastEstimate(df: DataFrame,
+                                          strCols: Seq[String]): (Long, Long) = {
+    val payload = coalesce(
+      strCols.map(c => sum(octet_length(col(c).cast("string")))).reduce(_ + _),
+      lit(0L))
+    val r = df.agg(count(lit(1)), payload).head()
+    val n = r.getLong(0)
+    (n, n * 64L + r.getLong(1))
+  }
+
+  /** True iff a string-keyed stats table may broadcast: under the
+    * caller's ROW limit (API-compat knob; 0 still forces the shuffle
+    * path in specs) AND under the materialized-bytes bound. */
+  private[ops] def broadcastableVocab(df: DataFrame, strCols: Seq[String],
+                                      rowLimit: Long): Boolean = {
+    val (n, bytes) = tableBroadcastEstimate(df, strCols)
+    n <= rowLimit && bytes <= Dedup.SigTableBroadcastBytes
+  }
+
   def tfidf(docs: DataFrame, idCol: String, textCol: String,
             vocabBroadcastLimit: Long = Dedup.HotShingleBroadcastLimit): DataFrame = {
     // localCheckpoint: both the df aggregate and the probe side read the
@@ -119,7 +150,7 @@ object Text {
     // instead of a separate docs.count() driver action per call.
     val nRow = broadcast(docs.agg(count(lit(1)).cast("double").as("__n")))
     val probed =
-      if (dfTable.count() <= vocabBroadcastLimit)
+      if (broadcastableVocab(dfTable, Seq("token"), vocabBroadcastLimit))
         termCounts.join(broadcast(dfTable), Seq("token"))
       else
         termCounts.join(dfTable.hint("SHUFFLE_HASH"), Seq("token"))
@@ -224,7 +255,7 @@ object Text {
       .localCheckpoint(true)
     val nRow = broadcast(vocab.agg(sum(col("c")).cast("double").as("__n")))
     val probed =
-      if (vocab.count() <= vocabBroadcastLimit)
+      if (broadcastableVocab(vocab, Seq("token"), vocabBroadcastLimit))
         tok.join(broadcast(vocab), Seq("token"))
       else
         tok.join(vocab.hint("SHUFFLE_HASH"), Seq("token"))
@@ -321,7 +352,8 @@ object Text {
     val uni = tok.groupBy(keyCols.map(col) :+ col("token"): _*)
       .agg(count(lit(1)).as("cu"))
       .localCheckpoint(true) // feeds the gate count, the totals, AND the probe
-    val vocabGated = uni.count() <= vocabBroadcastLimit
+    val vocabGated =
+      broadcastableVocab(uni, keyCols :+ "token", vocabBroadcastLimit)
     val totals = uni.groupBy(keyCols.map(col): _*)
       .agg(sum(col("cu")).cast("double").as("__n"))
     val pairs = docs
@@ -409,7 +441,8 @@ object Text {
       .join(c2.hint("SHUFFLE_HASH"), Seq("w1", "w2"))
       .join(w1Stats.hint("SHUFFLE_HASH"), Seq("w1"))
     val withCont =
-      if (n1b.count() <= vocabBroadcastLimit) probed.join(broadcast(n1b), Seq("w2"))
+      if (broadcastableVocab(n1b, Seq("w2"), vocabBroadcastLimit))
+        probed.join(broadcast(n1b), Seq("w2"))
       else probed.join(n1b.hint("SHUFFLE_HASH"), Seq("w2"))
     withCont
       .crossJoin(tRow)
@@ -624,7 +657,7 @@ object Text {
           .localCheckpoint(true)
         val totals = vocab.groupBy("lang").agg(sum(col("c")).cast("double").as("__n"))
         val probed =
-          if (vocab.count() <= vocabBroadcastLimit)
+          if (broadcastableVocab(vocab, Seq("lang", "token"), vocabBroadcastLimit))
             tok.join(broadcast(vocab), Seq("lang", "token"))
               .join(broadcast(totals), Seq("lang"))
           else
@@ -999,7 +1032,7 @@ object Text {
       }.toDF("word", "tok_len")
       .localCheckpoint(true) // encode once: feeds the gate count AND the join
     val probed =
-      if (wordLens.count() <= vocabBroadcastLimit)
+      if (broadcastableVocab(wordLens, Seq("word"), vocabBroadcastLimit))
         wordCounts.join(broadcast(wordLens), Seq("word"))
       else wordCounts.join(wordLens.hint("SHUFFLE_HASH"), Seq("word"))
     probed.groupBy("doc")
