@@ -1056,9 +1056,16 @@ object Similarity {
 
   /** Cosine of `vec` to a prototype row carrying the centroid array
     * `cen` and its precomputed self-norm Σc² `nc`, rounded 4 dp —
-    * deterministic wherever the decimal folds are. */
-  private[graft] def protoSim(vec: Column, cen: Column, nc: Column): Column =
-    round(dotDec(vec, cen) / (sqrt(normDec(vec)) * sqrt(nc)), 4)
+    * deterministic wherever the decimal folds are. NULL when either
+    * quantized norm is zero (the [[prototypeScores]] no-row contract,
+    * r19): a `sim >= tau` stream filter then drops exactly the rows the
+    * batch scorer drops, and no ANSI DIVIDE_BY_ZERO can escape a
+    * micro-batch. */
+  private[graft] def protoSim(vec: Column, cen: Column, nc: Column): Column = {
+    val ne = normDec(vec)
+    when(ne > 0 && nc > 0,
+      round(dotDec(vec, cen) / (sqrt(ne) * sqrt(nc)), 4))
+  }
 
   /** The positional centroid frames shared by [[prototypeScores]] and
     * [[prototypes]]: cen = (__grp, __i, __c) — per-position 6-dp means,
@@ -1149,8 +1156,20 @@ object Similarity {
           .select(col("__pid").as(idCol), col("__grp").as(groupCol),
             col("__dot"), col("__ne"), col("__nc"))
       }
-    scored.select(col(idCol), col(groupCol),
-      round(col("__dot") / (sqrt(col("__ne")) * sqrt(col("__nc"))), 4).as("sim"))
+    // zero-QUANTIZED norms carry no cosine and emit NO row — the
+    // ADVICE-r11 degenerate contract extended (r19, found by the x400
+    // curation rung): the decimal(18,6) per-element quantization of c²
+    // floors Σc² to EXACTLY 0 once a large group's centroid entries
+    // fall below ~1e-3 (mean of n near-zero-mean vectors shrinks as
+    // 1/√n — the ±-flip scale fixture is the pathological case; a real
+    // language prototype keeps a strong mean), and the unguarded
+    // division then throws DIVIDE_BY_ZERO under ANSI. One shared
+    // filter on the gate-independent __ne/__nc columns keeps both gate
+    // paths row-identical; [[protoSim]] mirrors it as null-on-zero so
+    // stream filtering drops the same rows.
+    scored.filter(col("__ne") > 0 && col("__nc") > 0)
+      .select(col(idCol), col(groupCol),
+        round(col("__dot") / (sqrt(col("__ne")) * sqrt(col("__nc"))), 4).as("sim"))
   }
 
   /** Fixed-parameter probe (callers that know their corpus); prefer

@@ -128,6 +128,30 @@ object Text {
     n <= rowLimit && bytes <= Dedup.SigTableBroadcastBytes
   }
 
+  /** Materialize-for-reuse has a size ceiling, and a corpus-TOKEN-sized
+    * frame crosses it (the finding-14/35 pattern applied to
+    * checkpoints — PERF.md finding 37, the x400 rung: the eager tok
+    * checkpoint was 67% of c24_curation_v7's wall at 47% GC; the frame
+    * it "saves" is one codegen tokenize+explode, recomputed for ~2 s).
+    * So token streams checkpoint only while the corpus's total TEXT
+    * bytes (one cheap agg over the text column, paid once per call)
+    * stay under this bound; past it every consumer recomputes the
+    * projection — identical results, no corpus-sized write into
+    * executor storage. interpNllCore's `pairs` checkpoint is the known
+    * sibling (corpus-BIGRAM-sized, 3 consumers); it keeps the
+    * checkpoint until a measurement inverts that trade too. */
+  private[ops] val TokCheckpointTextBytes: Long = 64L << 20
+
+  /** `frame.localCheckpoint(true)` while `docs`' total text bytes stay
+    * under [[TokCheckpointTextBytes]]; `frame` unchanged (lazy,
+    * recomputed per consumer) past it. */
+  private[ops] def checkpointTokens(docs: DataFrame, textCol: String,
+                                    frame: DataFrame): DataFrame = {
+    val bytes = docs.agg(coalesce(sum(octet_length(col(textCol))), lit(0L)))
+      .head().getLong(0)
+    if (bytes <= TokCheckpointTextBytes) frame.localCheckpoint(true) else frame
+  }
+
   def tfidf(docs: DataFrame, idCol: String, textCol: String,
             vocabBroadcastLimit: Long = Dedup.HotShingleBroadcastLimit): DataFrame = {
     // localCheckpoint: both the df aggregate and the probe side read the
@@ -246,9 +270,11 @@ object Text {
     * paths are result-identical (TextSpec pins it). */
   def unigramNll(docs: DataFrame, idCol: String, textCol: String,
                  vocabBroadcastLimit: Long = Dedup.HotShingleBroadcastLimit): DataFrame = {
-    val tok = docs
-      .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("token"))
-      .localCheckpoint(true) // feeds the vocab aggregate AND the probe side
+    // feeds the vocab aggregate AND the probe side — checkpointed only
+    // under the text-bytes bound (finding 37: corpus-token-sized
+    // materializations invert the reuse trade at scale)
+    val tok = checkpointTokens(docs, textCol, docs
+      .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("token")))
     // localCheckpoint: the vocab feeds the count gate, the N total, AND
     // the join back
     val vocab = tok.groupBy("token").agg(count(lit(1)).as("c"))
@@ -647,10 +673,11 @@ object Text {
     require(lmOrder == 1 || lmOrder == 2, s"lmOrder $lmOrder not in {1, 2}")
     val scored =
       if (lmOrder == 1) {
-        val tok = docs
+        // feeds the vocab aggregate AND the probe side — checkpointed
+        // only under the text-bytes bound (finding 37)
+        val tok = checkpointTokens(docs, textCol, docs
           .select(col(idCol).as("doc"), col(langCol).as("lang"),
-            explode(tokens(col(textCol))).as("token"))
-          .localCheckpoint(true) // feeds the vocab aggregate AND the probe side
+            explode(tokens(col(textCol))).as("token")))
         // localCheckpoint: the vocab feeds the gate count, the totals,
         // AND the join back
         val vocab = tok.groupBy("lang", "token").agg(count(lit(1)).as("c"))

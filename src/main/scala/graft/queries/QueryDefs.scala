@@ -1694,6 +1694,7 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
               SELECT d.vec_id, d.label,
                      round(d.dot / (sqrt(d.ne) * sqrt(nc.nc)), 4) AS sim
               FROM d JOIN nc ON d.label = nc.label
+              WHERE d.ne > 0 AND nc.nc > 0
               ORDER BY sim ASC, d.vec_id LIMIT 10""")
     ),
 
@@ -3840,7 +3841,8 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
                         GROUP BY e.doc_id, e.lang),
                 scored AS (SELECT d.doc_id, d.lang,
                              round(d.dot / (sqrt(d.ne) * sqrt(nc.nc)), 4) AS sim
-                           FROM dts d JOIN nc USING (lang)),
+                           FROM dts d JOIN nc USING (lang)
+                           WHERE d.ne > 0 AND nc.nc > 0),
                 r AS (SELECT doc_id, lang, sim,
                         row_number() OVER (PARTITION BY lang ORDER BY sim, doc_id) AS r,
                         count(*) OVER (PARTITION BY lang) AS n

@@ -47,9 +47,12 @@ object CurationScale {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val ks = sys.env.getOrElse("SPARK_GRAFT_KS", "25,100")
       .split(",").map(_.trim.toInt).toSeq
+    // shuffle partitions scale with the rung (Scale100's rule: size
+    // partitions to fit executor memory at the target SF)
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.periodicGC.interval", "15s")

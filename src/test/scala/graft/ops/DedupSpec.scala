@@ -300,6 +300,13 @@ class DedupSpec extends SparkSpec {
     // load-bearing: pairs survive, and under budget 1 every surviving
     // pair met through a salted hot key
     assert(smallTail.contains((100L, 101L)))
+    // ADVICE r18: hotPairBudget <= 0 means salting DISABLED (the plain
+    // MERGE join), never "every key hot" — the -1 idiom of the sibling
+    // sigBroadcastBytes knob used to make g = ceil(df²/0) = ∞ clamp to
+    // 2²⁰ and replicate every posting row ~1M ways. Result-identical,
+    // and fast enough here to prove the blowup didn't happen.
+    val disabled = run(-1L, -1L)
+    assert(disabled == smallTail, s"disabled-salt kernel diverged: $disabled")
   }
 
   test("connected components throw when maxIter is exhausted before convergence") {

@@ -1074,4 +1074,51 @@ class IndexLifecycleSpec extends SparkSpec {
     }
     assert(calls3 == 1, s"non-FNFE must not retry, got $calls3 calls")
   }
+
+  test("retryOnStaleFiles: epoch-PROGRESS failures draw from the free pool; stagnant failures exhaust the charged budget (r19)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_retry_prog").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/seed"),
+      "x".getBytes("UTF-8"))
+    // STAGNANT: the dir never changes between failures — the original
+    // attempts semantics must hold exactly (attempts=3 -> 3 calls)
+    var stagnant = 0
+    intercept[IndexLifecycle.WorldChangedException] {
+      IndexLifecycle.retryOnStaleFiles(dir, attempts = 3) {
+        stagnant += 1
+        throw new IndexLifecycle.WorldChangedException("stale, not moving")
+      }
+    }
+    assert(stagnant == 3, s"stagnant failures must charge the budget: $stagnant")
+    // PROGRESSING: every failure lands a NEW file first (a maintenance
+    // verb's next rename, as the probe would observe it) — a 2-attempt
+    // budget survives 6 failures because each one shows epoch progress
+    var racing = 0
+    val out = IndexLifecycle.retryOnStaleFiles(dir, attempts = 2) {
+      racing += 1
+      if (racing <= 6) {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$dir/mutation_$racing"),
+          "m".getBytes("UTF-8"))
+        throw new IndexLifecycle.WorldChangedException(s"racing rename $racing")
+      }
+      42
+    }
+    assert(out == 42 && racing == 7,
+      s"expected 6 free progress-retries then success, got $racing calls")
+    // and the free pool is BOUNDED: a pathologically always-mutating dir
+    // still fails once freeCap (12) + the charged budget are spent
+    var livelock = 0
+    intercept[IndexLifecycle.WorldChangedException] {
+      IndexLifecycle.retryOnStaleFiles(dir, attempts = 2) {
+        livelock += 1
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$dir/live_$livelock"),
+          "m".getBytes("UTF-8"))
+        throw new IndexLifecycle.WorldChangedException("never converges")
+      }
+    }
+    // 1 charged (first failure, no prior epoch) + 12 free + the final
+    // uncaught one = 14 calls
+    assert(livelock == 14, s"freeCap must bound the livelock: $livelock")
+  }
 }

@@ -404,6 +404,46 @@ class SimilaritySpec extends SparkSpec {
       s"degenerate rows must emit no row: ${fast.map(_._1)}")
   }
 
+  test("prototypeScores: zero-QUANTIZED norms emit no row on either gate path, never DIVIDE_BY_ZERO (r19 x400)") {
+    // two mechanisms make sqrt(norm) exactly 0 under the decimal(18,6)
+    // discipline: (a) a group's vectors cancel (±v pairs) so every
+    // centroid entry is 0; (b) magnitudes below ~1e-3 square to < 1e-6
+    // and the per-element decimal cast floors them — the x400 scaled
+    // fixture hit (b) on every large group (mean of n near-zero-mean
+    // vectors ~ 1/√n) and the unguarded division threw under ANSI.
+    val df = Seq(
+      // group 0: exact ± cancellation -> centroid 0, nc = 0
+      (1L, 0, Array(1.0f, 2.0f, 3.0f)),
+      (2L, 0, Array(-1.0f, -2.0f, -3.0f)),
+      // group 1: tiny magnitudes -> ne and nc both quantize to 0
+      (3L, 1, Array(5e-4f, 5e-4f, 5e-4f)),
+      // group 2: healthy -> still scores
+      (4L, 2, Array(1.0f, 0.0f, 0.0f)),
+      (5L, 2, Array(1.0f, 1.0f, 0.0f))).toDF("vec_id", "label", "embedding")
+    def rows(limit: Long) =
+      Similarity.prototypeScores(df, "vec_id", "embedding", "label",
+          centroidBroadcastLimit = limit)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val fast = rows(Dedup.HotShingleBroadcastLimit)
+    val dist = rows(0L)
+    assert(fast == dist, s"zero-norm membership diverges: $fast vs $dist")
+    assert(fast.keySet == Set(4L, 5L),
+      s"zero-quantized-norm groups must emit no row: ${fast.keySet}")
+    // and the streaming scorer drops the SAME rows: protoSim is null on
+    // the zero-norm side, so a sim >= tau filter removes them
+    val protos = Similarity.prototypes(df, "embedding", "label")
+      .withColumnRenamed("label", "__lbl")
+    val streamSide = df.join(protos, col("label") === col("__lbl"))
+      .select(col("vec_id"),
+        Similarity.protoSim(col("embedding"), col("__cen"), col("__nc")).as("sim"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(streamSide.filter(_._2.isEmpty).keySet == Set(1L, 2L, 3L),
+      s"protoSim must be null exactly on the zero-norm rows: $streamSide")
+    assert(streamSide(4L) == Some(fast(4L)) && streamSide(5L) == Some(fast(5L)),
+      "stream scores must match the batch scorer on healthy rows")
+  }
+
   test("buildLshIndex/probeLshIndex: zero-pass serve equals the in-query sized probe; filters push to the scan") {
     // the LSH arm of build-once/serve-many: same persisted sizing ⇒ same
     // seeded hyperplanes ⇒ same buckets ⇒ same candidates ⇒ identical
