@@ -717,4 +717,40 @@ class TextSpec extends SparkSpec {
     // sharing the same buckets except the junction gram
     assert(s(11L).abs > s(10L).abs * 2, s"got $s")
   }
+
+  test("vocab broadcast gate counts BYTES, not rows: a fat-string table under the row limit still flips (finding 37)") {
+    // the x100 curation bug in miniature: few rows, huge payload —
+    // 3 rows x ~32MB strings estimate to ~96MB materialized, past the
+    // 64MB bound, while the row count sails under any row limit
+    val fat = Seq.tabulate(3)(i => (i.toString * (32 << 20), 1L))
+      .toDF("token", "c")
+    assert(!Text.broadcastableVocab(fat, Seq("token"), rowLimit = 1000L),
+      "a 96MB 3-row vocab must not broadcast")
+    // and a small table under both bounds still does
+    val thin = Seq(("a", 1L), ("b", 2L)).toDF("token", "c")
+    assert(Text.broadcastableVocab(thin, Seq("token"), rowLimit = 1000L))
+    // the row limit stays a hard knob for specs forcing the shuffle path
+    assert(!Text.broadcastableVocab(thin, Seq("token"), rowLimit = 0L))
+    // estimate arithmetic: rows*64 overhead + string payload
+    val (n, bytes) = Text.tableBroadcastEstimate(thin, Seq("token"))
+    assert(n == 2 && bytes == 2 * 64L + 2, s"estimate wrong: ($n, $bytes)")
+  }
+
+  test("checkpointTokens materializes under the text-bytes bound and stays lazy past it (finding 37)") {
+    val small = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text")
+    val frame = small.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    def isCheckpointed(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.logical
+        .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+    assert(isCheckpointed(Text.checkpointTokens(small, "text", frame)),
+      "a tiny corpus's token frame must checkpoint (the reuse win)")
+    // a corpus past the bound returns the SAME lazy frame untouched —
+    // fake the size by shrinking the bound? the bound is a val, so
+    // instead feed a docs frame whose text column is wide enough: one
+    // doc of 65MB crosses the 64MB bound without materializing anything
+    val big = Seq((1L, "x" * (65 << 20))).toDF("doc_id", "text")
+    val lazyFrame = big.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val out = Text.checkpointTokens(big, "text", lazyFrame)
+    assert(out eq lazyFrame, "past the bound the frame must come back untouched")
+  }
 }
