@@ -376,9 +376,13 @@ object IndexLifecycle {
     *    still exists looks healthy to [[recoverSwap]] (which keys on
     *    live-missing) and serves silently-partial data. On such
     *    stores, do not run the in-place lifecycle verbs against the
-    *    store directly: either mount a rename-atomic layer, or
-    *    rebuild into a NEW dir and flip a pointer via a conditional
-    *    write ([[ConditionalStore]]) instead of renaming in place. */
+    *    store directly: either mount a rename-atomic layer, or use
+    *    POINTER MODE (r20 — [[initPointerRoot]]/[[buildIndexGeneration]]
+    *    and the generation machinery below): every verb then publishes
+    *    an immutable new generation and flips a commit pointer via one
+    *    conditional create, never renaming live data at all —
+    *    NonAtomicRenameSpec re-runs its four torn-rename scenarios in
+    *    pointer mode and reads exactly one world in each. */
   private[graft] trait RenameIo {
     def rename(fs: org.apache.hadoop.fs.FileSystem,
                src: org.apache.hadoop.fs.Path,
@@ -449,6 +453,190 @@ object IndexLifecycle {
                                lock: org.apache.hadoop.fs.Path,
                                content: String): Boolean =
     lockIo.createExclusive(fs, lock, content)
+
+  // ── pointer-flip generations (copy+delete object stores) ───────────
+  //
+  // The in-place swap protocols rename LIVE artifacts, and on stores
+  // whose rename is copy-then-delete (stock S3A/GCS/ABFS connectors) a
+  // torn rename serves silently PARTIAL data — demonstrated, not
+  // guessed (NonAtomicRenameSpec's two broken rows; the RenameIo
+  // matrix). Pointer mode is the supported alternative the matrix
+  // prescribes (r19 verdict #1): a pointer-mode root is never a parquet
+  // dir itself but a directory of IMMUTABLE `gen-*` generations plus
+  // `commit-<seq>.<gen>` pointer files. Writers publish a COMPLETE new
+  // generation (plain writes into a fresh dir — no live data is ever
+  // renamed) and flip the pointer with ONE conditional create through
+  // [[lockIo]] (the [[ConditionalStore]] injection point: hard on
+  // HDFS/local by default, hard on object stores once a
+  // [[PreconditionLockIo]] is installed); readers resolve the highest
+  // committed generation before every read, under the existing
+  // [[retryOnStaleFiles]]/[[requireSameWorld]] fences. The generation
+  // name rides IN the commit FILENAME, so a commit is visible atomically
+  // with its content — no reader can observe a half-written pointer.
+  // Crash anywhere before the commit leaves an orphan generation that no
+  // reader ever resolves (GC'd by the next successful flip); crash after
+  // the commit leaves stale old generations (same). Exactly-one-world at
+  // every instant, on every store, by construction — the Iceberg-style
+  // metadata-commit shape, at generation granularity.
+  //
+  // Opt-in per ROOT via the [[PointerMarker]] file ([[initPointerRoot]]
+  // / [[buildIndexGeneration]]); everything else auto-detects. Trades
+  // documented on the verbs: pointer-mode removal always tombstones
+  // (dynamic partition overwrite is rename-based), tombstone appends
+  // rewrite the (compaction-bounded) backlog instead of appending one
+  // file, and compaction is generation-granular — untouched cells COPY
+  // into the new generation (server-side copy on object stores) while
+  // pressured cells rewrite through Spark.
+
+  /** Marker file naming a pointer-mode root. Its PRESENCE is the mode
+    * switch — per-dir, persisted, survives every flip (it lives beside
+    * the generations, not inside them). */
+  private[graft] val PointerMarker = "_GRAFT_PTR"
+
+  private[graft] def isPointerRoot(spark: SparkSession, path: String): Boolean = {
+    val (fs, _) = hfs(spark, path)
+    fs.exists(new org.apache.hadoop.fs.Path(s"$path/$PointerMarker"))
+  }
+
+  /** Mark `path` as a pointer-mode root (idempotent). The root must not
+    * already hold a plain parquet artifact — the marker would turn its
+    * files invisible to resolution. */
+  private[graft] def initPointerRoot(spark: SparkSession, path: String): Unit = {
+    val (fs, p) = hfs(spark, path)
+    fs.mkdirs(p)
+    val marker = new org.apache.hadoop.fs.Path(s"$path/$PointerMarker")
+    if (!fs.exists(marker)) fs.create(marker, true).close()
+  }
+
+  private def freshGenName(): String =
+    s"gen-${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
+
+  private def commitFileName(seq: Long, gen: String): String =
+    f"commit-$seq%012d.$gen"
+
+  /** (seq, generation name) of every commit file under `root` —
+    * resolution is ONE metadata LIST; the gen name is encoded in the
+    * filename so no content read (and no half-written-content window)
+    * exists. */
+  private def listCommits(fs: org.apache.hadoop.fs.FileSystem,
+                          root: String): Seq[(Long, String)] =
+    try fs.listStatus(new org.apache.hadoop.fs.Path(root)).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("commit-"))
+      .flatMap { n =>
+        val rest = n.stripPrefix("commit-")
+        val dot = rest.indexOf('.')
+        if (dot <= 0) None
+        else scala.util.Try(
+          (rest.substring(0, dot).toLong, rest.substring(dot + 1))).toOption
+      }
+    catch { case _: java.io.IOException => Seq.empty }
+
+  /** The currently-committed generation's PHYSICAL path under a
+    * pointer-mode root, or None when nothing has committed yet. */
+  private[graft] def resolvePointer(spark: SparkSession,
+                                    root: String): Option[String] = {
+    val (fs, _) = hfs(spark, root)
+    listCommits(fs, root).sortBy(_._1).lastOption.map(c => s"$root/${c._2}")
+  }
+
+  /** Flip the root's pointer to `gen`: one conditional create of the
+    * next-sequence commit file through [[lockIo]]. Callers fence with
+    * [[requireLeaseStillHeld]] FIRST — the commit is the pointer mode's
+    * one protocol-critical write (the analog of the swap renames). A
+    * lost create race re-reads the sequence and retries; mutating verbs
+    * are single-writer by contract, so contention here means a protocol
+    * violation and fails loudly after bounded attempts. */
+  private[graft] def commitGeneration(spark: SparkSession, root: String,
+                                      gen: String): Unit = {
+    val (fs, _) = hfs(spark, root)
+    var attempts = 5
+    while (attempts > 0) {
+      val next = listCommits(fs, root).map(_._1).foldLeft(0L)(math.max) + 1L
+      val cPath = new org.apache.hadoop.fs.Path(s"$root/${commitFileName(next, gen)}")
+      if (lockIo.createExclusive(fs, cPath, s"$gen\n")) return
+      attempts -= 1
+    }
+    throw new IllegalStateException(
+      s"could not commit generation $gen at $root after 5 attempts — " +
+        "racing commits on a single-writer root (another writer is " +
+        "violating the lease protocol, or the store's conditional create " +
+        "is reporting spurious conflicts)")
+  }
+
+  /** Best-effort GC after a successful flip: superseded commit files and
+    * every generation the surviving commit does not reference (stale
+    * worlds AND crash-orphaned never-committed writes) are deleted. A
+    * lock-free reader mid-read on a deleted generation fails on the
+    * missing path and re-resolves under [[retryOnStaleFiles]] (the path
+    * is under the probed root, so the anchor matches). IOExceptions are
+    * swallowed — the next flip retries the cleanup. */
+  private def gcGenerations(spark: SparkSession, root: String): Unit = {
+    val (fs, p) = hfs(spark, root)
+    try {
+      val commits = listCommits(fs, root)
+      if (commits.isEmpty) return
+      val maxSeq = commits.map(_._1).max
+      val current = commits.find(_._1 == maxSeq).get._2
+      commits.filter(_._1 < maxSeq).foreach { case (s, g) =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$root/${commitFileName(s, g)}"), false)
+      }
+      fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(n => n.startsWith("gen-") && !n.contains(".__") && n != current)
+        .foreach(n => fs.delete(new org.apache.hadoop.fs.Path(s"$root/$n"), true))
+    } catch { case _: java.io.IOException => () }
+  }
+
+  /** The physical dir a reader/verb operates on: the committed
+    * generation under a pointer-mode root, the dir itself otherwise.
+    * Every probe resolves INSIDE its retry harness
+    * ([[fencedProbeResolved]]) so a concurrent flip re-resolves; plan-
+    * snapshot consumers (streams) resolve once at plan time and fail
+    * loudly on the flip, the rebuild contract. */
+  private[graft] def resolveIndexDir(spark: SparkSession, dir: String): String =
+    if (isPointerRoot(spark, dir))
+      resolvePointer(spark, dir).getOrElse(throw new IllegalStateException(
+        s"$dir is a pointer-mode index root with no committed generation — " +
+          "build into it first (IndexLifecycle.buildIndexGeneration)"))
+    else dir
+
+  /** Loud guard for the build functions: writing a plain index's
+    * artifacts INTO a pointer-mode root would land them beside the
+    * generations where no resolution ever reads them (and a later flip's
+    * GC would not touch them) — a silently dead build. Pointer-mode
+    * builds go through [[buildIndexGeneration]]. */
+  private[graft] def requireNotPointerRoot(spark: SparkSession, dir: String,
+                                           op: String): Unit =
+    require(!isPointerRoot(spark, dir),
+      s"$op: $dir is a pointer-mode index root — direct builds write " +
+        "artifacts beside the generations, where no reader resolves them. " +
+        "Build through IndexLifecycle.buildIndexGeneration(spark, dir) " +
+        "{ gen => ... } instead.")
+
+  /** Build an index into a pointer-mode root: run `build` against a
+    * fresh generation path, then flip the pointer — the pointer-mode
+    * counterpart of calling a build function on a plain dir (which the
+    * builds themselves REJECT on a marked root: writing artifacts beside
+    * the generations would corrupt resolution). Usage:
+    * {{{
+    * IndexLifecycle.buildIndexGeneration(spark, root) { gen =>
+    *   Ivf.buildIndex(emb, "id", "vec", gen)
+    * }
+    * }}}
+    * Holds the root's single-writer lease across build + flip (the inner
+    * build takes its own lease on the generation path — a sibling lock
+    * under the root, never the root's own). Idempotent against crashes:
+    * a failed build leaves an orphan generation no reader resolves. */
+  def buildIndexGeneration(spark: SparkSession, root: String)
+                          (build: String => Unit): Unit =
+    withIndexLock(spark, root, "buildGeneration") {
+      initPointerRoot(spark, root)
+      val gen = freshGenName()
+      build(s"$root/$gen")
+      requireLeaseStillHeld(spark, "generation pointer commit (build)")
+      commitGeneration(spark, root, gen)
+      gcGenerations(spark, root)
+    }
 
   /** A takeover guard older than this is a crash leftover (the guard is
     * only ever held across two driver-side metadata calls — never Spark
@@ -597,6 +785,23 @@ object IndexLifecycle {
     * reader finishing our swap, not an error. */
   private[ops] def swapInParquet(spark: SparkSession, path: String)
                                 (fresh: DataFrame): Unit = {
+    // pointer-mode artifact roots replace by GENERATION FLIP — no rename
+    // of live data ever happens, which is what makes this arm safe on
+    // copy+delete stores (the RenameIo matrix's prescription; the rename
+    // arm below is for rename-atomic stores). Same fence discipline: the
+    // commit is the one protocol-critical write.
+    if (isPointerRoot(spark, path)) {
+      val (fs, _) = hfs(spark, path)
+      val gen = freshGenName()
+      val genPath = s"$path/$gen"
+      fresh.write.mode("overwrite").parquet(genPath)
+      fs.create(new org.apache.hadoop.fs.Path(s"$genPath/$SwapOkMarker"), true)
+        .close()
+      requireLeaseStillHeld(spark, "generation pointer commit (artifact swap)")
+      commitGeneration(spark, path, gen)
+      gcGenerations(spark, path)
+      return
+    }
     recoverSwap(spark, path)
     val (fs, live) = hfs(spark, path)
     val tmp = new org.apache.hadoop.fs.Path(s"$path.__compact")
@@ -746,13 +951,27 @@ object IndexLifecycle {
   private[graft] def loadTombstones(spark: SparkSession,
                                     dir: String): Option[DataFrame] = {
     val path = s"$dir/deletes.parquet"
-    def attempt(): Option[DataFrame] = {
-      recoverSwap(spark, path)
-      if (!Ivf.layoutFileExists(spark, dir, "deletes.parquet")) None
-      else Some(spark.read.parquet(path).distinct().localCheckpoint(true))
-    }
+    def attempt(): Option[DataFrame] =
+      tombstonePhysicalPath(spark, dir)
+        .map(p => spark.read.parquet(p).distinct().localCheckpoint(true))
     try attempt()
     catch { case scala.util.control.NonFatal(_) => attempt() }
+  }
+
+  /** The readable tombstone-set path under `dir`, or None when none
+    * exists: the committed generation for a pointer-mode artifact root
+    * (pointer-mode indexes keep `deletes.parquet` as a NESTED pointer
+    * root inside the live generation — its rewrites flip, never rename),
+    * the swap-recovered live file otherwise. */
+  private def tombstonePhysicalPath(spark: SparkSession,
+                                    dir: String): Option[String] = {
+    val path = s"$dir/deletes.parquet"
+    if (isPointerRoot(spark, path)) resolvePointer(spark, path)
+    else {
+      recoverSwap(spark, path)
+      if (Ivf.layoutFileExists(spark, dir, "deletes.parquet")) Some(path)
+      else None
+    }
   }
 
   /** Serve the `deletes.parquet` tombstones OUT of `table` — the single
@@ -1013,6 +1232,17 @@ object IndexLifecycle {
     * removals resurrected. */
   private[graft] def clearTombstones(spark: SparkSession, dir: String): Unit = {
     val (fs, _) = hfs(spark, dir)
+    val path = s"$dir/deletes.parquet"
+    if (isPointerRoot(spark, path)) {
+      // pointer-mode clear = flip to an EMPTY generation: one atomic
+      // commit, exactly-one-world throughout (deleting commit files
+      // piecemeal would expose intermediate worlds). A root with no
+      // commit yet has nothing to clear.
+      resolvePointer(spark, path).foreach { p =>
+        swapInParquet(spark, path)(spark.read.parquet(p).limit(0))
+      }
+      return
+    }
     Seq("deletes.parquet.__compact", "deletes.parquet.__old", "deletes.parquet")
       .foreach(n => fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$n"), true))
   }
@@ -1028,9 +1258,24 @@ object IndexLifecycle {
     * comment at five call sites. */
   private[graft] def fencedProbe[T](spark: SparkSession, dir: String)
                                    (body: => T): T =
+    fencedProbeResolved(spark, dir)(_ => body)
+
+  /** [[fencedProbe]] with pointer-mode resolution INSIDE the harness:
+    * the body receives the physical dir (the committed generation under
+    * a pointer root, the dir itself otherwise). Epoch captured on the
+    * ROOT before resolution — a flip landing between capture and the
+    * body's reads changes the root listing (a new commit file), so the
+    * post-body fence throws and the retry re-resolves against the new
+    * world; a generation GC'd mid-read fails on the missing path, which
+    * the retry anchor also matches (the generation lives under the
+    * root). Every serve probe runs through this, which is what "readers
+    * resolve the pointer before every probe under the existing fences"
+    * means mechanically. */
+  private[graft] def fencedProbeResolved[T](spark: SparkSession, dir: String)
+                                           (body: String => T): T =
     retryOnStaleFiles(dir) {
       val epoch = dirEpoch(spark, dir)
-      val out = body
+      val out = body(resolveIndexDir(spark, dir))
       requireSameWorld(spark, dir, epoch)
       out
     }
@@ -1052,16 +1297,16 @@ object IndexLifecycle {
     * out. */
   private[graft] def undeleteTombstones(spark: SparkSession, dir: String,
                                         batchIds: DataFrame,
-                                        idCol: String): Unit = {
-    recoverSwap(spark, s"$dir/deletes.parquet")
-    if (Ivf.layoutFileExists(spark, dir, "deletes.parquet")) {
-      val deletes = spark.read.parquet(s"$dir/deletes.parquet")
+                                        idCol: String): Unit =
+    // pointer-aware read (the nested-pointer-root tombstone shape);
+    // swapInParquet dispatches the rewrite to the matching protocol
+    tombstonePhysicalPath(spark, dir).foreach { p =>
+      val deletes = spark.read.parquet(p)
       if (deletes.join(batchIds.select(col(idCol)), Seq(idCol), "left_semi")
           .limit(1).count() > 0L)
         swapInParquet(spark, s"$dir/deletes.parquet")(
           deletes.join(batchIds.select(col(idCol)), Seq(idCol), "left_anti"))
     }
-  }
 
   /** Remove `ids` rows from the index at `dir` (FAISS `remove_ids`):
     * cell layouts rewrite only the affected cell partitions; the LSH
@@ -1108,25 +1353,52 @@ object IndexLifecycle {
   /** Append the batch to the dir's tombstone set: O(removed ids) —
     * dedup is the anti join's job, compaction clears the set. Recover
     * first: an append landing while deletes.parquet sits mid-swap would
-    * strand the prior tombstones in the sibling dirs forever. */
+    * strand the prior tombstones in the sibling dirs forever.
+    *
+    * `pointer = true` (the dir is a pointer-mode generation): the
+    * tombstone set lives as a NESTED pointer root and every change is a
+    * generation flip of the whole (compaction-bounded) set — O(backlog)
+    * instead of O(batch), the documented pointer-mode trade: a plain
+    * mode("append") would be rename-free too, but the un-delete rewrite
+    * and the compaction clear could NOT be, so the artifact commits to
+    * one protocol for all three mutations. The freshness guard fires on
+    * the commit exactly as it fires on the append arm's new file. */
   private def appendTombstones(spark: SparkSession, dir: String,
-                               ids: DataFrame, idCol: String): Unit = {
-    recoverSwap(spark, s"$dir/deletes.parquet")
-    requireLeaseStillHeld(spark, "tombstone append")
-    ids.select(col(idCol)).distinct()
-      .write.mode("append").parquet(s"$dir/deletes.parquet")
+                               ids: DataFrame, idCol: String,
+                               pointer: Boolean = false): Unit = {
+    val path = s"$dir/deletes.parquet"
+    if (pointer) {
+      initPointerRoot(spark, path)
+      val batch = ids.select(col(idCol)).distinct()
+      val all = resolvePointer(spark, path)
+        .map(p => spark.read.parquet(p).select(col(idCol)).union(batch).distinct())
+        .getOrElse(batch)
+      swapInParquet(spark, path)(all) // pointer arm: fenced commit inside
+    } else {
+      recoverSwap(spark, path)
+      requireLeaseStillHeld(spark, "tombstone append")
+      ids.select(col(idCol)).distinct()
+        .write.mode("append").parquet(path)
+    }
   }
 
   private def removeIdsInner(spark: SparkSession, dir: String, ids: DataFrame,
                              idCol: String, idBroadcastLimit: Long,
-                             tombstone: Boolean): Unit =
-    cellFileOf(spark, dir) match {
+                             tombstone: Boolean): Unit = {
+    // pointer-mode roots ALWAYS tombstone, whatever the caller asked:
+    // the physical arm's dynamic partition overwrite is rename-based
+    // (stage-then-move inside the committer), exactly the primitive
+    // pointer mode exists to avoid — compaction (a generation flip)
+    // applies the backlog physically instead.
+    val pointer = isPointerRoot(spark, dir)
+    val phys = resolveIndexDir(spark, dir)
+    cellFileOf(spark, phys) match {
       case None =>
-        appendTombstones(spark, dir, ids, idCol)
-      case Some(_) if tombstone =>
-        appendTombstones(spark, dir, ids, idCol)
+        appendTombstones(spark, phys, ids, idCol, pointer)
+      case Some(_) if tombstone || pointer =>
+        appendTombstones(spark, phys, ids, idCol, pointer)
       case Some(file) =>
-        val table = spark.read.parquet(s"$dir/$file")
+        val table = spark.read.parquet(s"$phys/$file")
         val idsDf = ids.select(col(idCol)).distinct().localCheckpoint(true)
         val nIds = idsDf.count()
         // affected cells: bounded by the cell count, driver-holdable
@@ -1153,7 +1425,7 @@ object IndexLifecycle {
           requireLeaseStillHeld(spark, "cell overwrite (removeIds)")
           survivors.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("cell").parquet(s"$dir/$file")
+            .partitionBy("cell").parquet(s"$phys/$file")
           // emptied cells keep stale files under dynamic overwrite
           // (nothing was written for them) — drop their directories.
           // Re-fence first: the overwrite job + kept-cells collect run
@@ -1162,12 +1434,13 @@ object IndexLifecycle {
           val kept = survivors.select("cell").distinct()
             .collect().map(_.getInt(0)).toSet
           requireLeaseStillHeld(spark, "emptied-cell dir delete (removeIds)")
-          val (fs, _) = hfs(spark, dir)
+          val (fs, _) = hfs(spark, phys)
           affected.filterNot(kept).foreach { c =>
-            fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$file/cell=$c"), true)
+            fs.delete(new org.apache.hadoop.fs.Path(s"$phys/$file/cell=$c"), true)
           }
         }
     }
+  }
 
   /** Compact the index at `dir`: repeated [[Ivf.appendIndex]]-family
     * appends accumulate one file batch per touched cell per append — the
@@ -1200,6 +1473,12 @@ object IndexLifecycle {
   // under a test-held lease (the public verb acquires its own)
   private[graft] def compactIndexInner(spark: SparkSession, dir: String,
                                        maxFilesPerCell: Int): Unit =
+    if (isPointerRoot(spark, dir))
+      compactIntoGeneration(spark, dir, maxFilesPerCell)
+    else compactInPlace(spark, dir, maxFilesPerCell)
+
+  private def compactInPlace(spark: SparkSession, dir: String,
+                             maxFilesPerCell: Int): Unit =
     cellFileOf(spark, dir) match {
       case None => compactLsh(spark, dir)
       case Some(file) =>
@@ -1269,6 +1548,117 @@ object IndexLifecycle {
         }
     }
 
+  /** Pointer-mode compaction: write the compacted world into a FRESH
+    * generation and flip — GENERATION-granular where the in-place arm is
+    * cell-granular, because dynamic partition overwrite (the surgical
+    * per-cell rewrite) is committer-rename-based, the exact primitive
+    * pointer mode exists to avoid. The cost stays proportional to the
+    * pressure: cells over the file bound (or holding tombstoned ids)
+    * rewrite through Spark; every untouched cell directory and every
+    * small artifact (model, meta, buildinfo, books) COPIES into the new
+    * generation driver-side — a metadata-priced server-side copy on
+    * object stores, never a corpus pass. The new generation carries NO
+    * tombstone set: the flip IS the backlog clear, atomic with the
+    * rewrite by construction (the in-place arm needs fence + ordering
+    * discipline for the same guarantee). No-ops when nothing is under
+    * pressure — a healthy index never churns generations. */
+  private def compactIntoGeneration(spark: SparkSession, root: String,
+                                    maxFilesPerCell: Int): Unit = {
+    val phys = resolveIndexDir(spark, root)
+    val (fs, _) = hfs(spark, root)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def copyInto(srcPath: String, dstPath: String): Unit =
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(srcPath), fs,
+        new org.apache.hadoop.fs.Path(dstPath), false, conf)
+    // small artifacts = every direct child except the rewritten data
+    // set, the tombstone set (cleared by the flip), and staging/lock
+    // siblings — model/meta/buildinfo/books and completeness markers
+    def copySmallArtifacts(genPath: String, exclude: Set[String]): Unit =
+      fs.listStatus(new org.apache.hadoop.fs.Path(phys)).toSeq
+        .map(_.getPath.getName)
+        .filterNot(n => exclude(n) || n.contains(".__"))
+        .foreach(n => copyInto(s"$phys/$n", s"$genPath/$n"))
+    cellFileOf(spark, phys) match {
+      case None =>
+        // LSH: compaction is wholesale by construction (postings are not
+        // id-clustered) — same rewrite as compactLsh, into the new gen;
+        // never gated on pressure here (the in-place arm isn't either:
+        // a direct compact is how duplicate postings die)
+        val del = loadTombstones(spark, phys).filter(_.count() > 0L)
+        val gen = freshGenName()
+        val genPath = s"$root/$gen"
+        fs.delete(new org.apache.hadoop.fs.Path(genPath), true)
+        def minusDeletes(df: DataFrame, idCol: String): DataFrame =
+          del.fold(df)(d =>
+            df.join(d.select(col(idCol)).hint("SHUFFLE_HASH"),
+              Seq(idCol), "left_anti"))
+        val idCol = spark.read.parquet(s"$phys/postings.parquet").columns
+          .filterNot(Set("table", "bucket")).head
+        minusDeletes(spark.read.parquet(s"$phys/postings.parquet"), idCol)
+          .distinct()
+          .repartitionByRange(col("table"), col("bucket"))
+          .sortWithinPartitions("table", "bucket")
+          .write.mode("overwrite").parquet(s"$genPath/postings.parquet")
+        minusDeletes(spark.read.parquet(s"$phys/vectors.parquet"), idCol)
+          .distinct()
+          .write.mode("overwrite").parquet(s"$genPath/vectors.parquet")
+        copySmallArtifacts(genPath,
+          Set("postings.parquet", "vectors.parquet", "deletes.parquet"))
+        requireLeaseStillHeld(spark, "generation pointer commit (compaction)")
+        commitGeneration(spark, root, gen)
+        gcGenerations(spark, root)
+      case Some(file) =>
+        val dataRoot = new org.apache.hadoop.fs.Path(s"$phys/$file")
+        val cellDirs = fs.listStatus(dataRoot).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+        val heavy = cellDirs
+          .filter(s => fs.listStatus(s.getPath)
+            .count(f => f.getPath.getName.startsWith("part-")) > maxFilesPerCell)
+          .map(_.getPath.getName.stripPrefix("cell=").toInt)
+        val del: Option[(DataFrame, Long)] =
+          loadTombstones(spark, phys).map(d => (d, d.count()))
+            .filter(_._2 > 0L)
+        val table = spark.read.parquet(s"$phys/$file")
+        val affected: Seq[Int] = del match {
+          case Some((d, n)) =>
+            idJoin(table, d, d.columns.head, n,
+              Dedup.HotShingleBroadcastLimit, "left_semi")
+              .select("cell").distinct().collect().map(_.getInt(0)).toSeq
+          case None => Nil
+        }
+        val rewrite = (heavy ++ affected).distinct
+        if (rewrite.isEmpty && del.isEmpty) return
+        val gen = freshGenName()
+        val genPath = s"$root/$gen"
+        fs.delete(new org.apache.hadoop.fs.Path(genPath), true)
+        if (rewrite.nonEmpty) {
+          val base = table
+            .filter(col("cell").isin(rewrite.map(Integer.valueOf): _*))
+          del.fold(base) { case (d, n) =>
+              idJoin(base, d, d.columns.head, n,
+                Dedup.HotShingleBroadcastLimit, "left_anti") }
+            .repartition(col("cell"))
+            .write.mode("overwrite")
+            .partitionBy("cell").parquet(s"$genPath/$file")
+        } else {
+          fs.mkdirs(new org.apache.hadoop.fs.Path(s"$genPath/$file"))
+        }
+        // untouched cells COPY (no Spark job; a rewritten-empty cell just
+        // isn't in the new data set — the emptied-cell delete for free)
+        val rewriteSet = rewrite.toSet
+        cellDirs
+          .filterNot(s =>
+            rewriteSet(s.getPath.getName.stripPrefix("cell=").toInt))
+          .foreach(s =>
+            copyInto(s.getPath.toString, s"$genPath/$file/${s.getPath.getName}"))
+        copySmallArtifacts(genPath, Set(file, "deletes.parquet"))
+        requireLeaseStillHeld(spark, "generation pointer commit (compaction)")
+        commitGeneration(spark, root, gen)
+        gcGenerations(spark, root)
+    }
+  }
+
   /** One-row operational readout of a serve index — the numbers the
     * lifecycle policies act on, none of which a probe surfaces:
     *
@@ -1302,8 +1692,10 @@ object IndexLifecycle {
     * `live_rows`/`cells` are distributed aggregates; the file-count walk
     * is driver-side filesystem METADATA, bounded by the cell count ×
     * compaction cadence — never by corpus rows. */
-  def indexStats(spark: SparkSession, dir: String): DataFrame = {
+  def indexStats(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
+    // pointer-mode roots read through the committed generation
+    val dir = resolveIndexDir(spark, root)
     val built: Option[Long] =
       if (Ivf.layoutFileExists(spark, dir, "buildinfo.parquet"))
         Some(spark.read.parquet(s"$dir/buildinfo.parquet")
@@ -1459,7 +1851,13 @@ object IndexLifecycle {
     // first restore it (also before the buildinfo read below — the
     // persisted params live inside the dir being recovered)
     recoverIndexDir(spark, dir)
-    val tmp = s"$dir.__rebuild"
+    // pointer-mode roots rebuild into a fresh GENERATION and flip —
+    // the same build logic, a commit instead of the two renames (no
+    // live data moves, so copy+delete stores are safe); sources read
+    // from the live generation throughout
+    val pointer = isPointerRoot(spark, dir)
+    val src = resolveIndexDir(spark, dir)
+    val tmp = if (pointer) s"$dir/${freshGenName()}" else s"$dir.__rebuild"
     val (fs, _) = hfs(spark, dir)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     // a PREVIOUS rebuild crashed mid-build leaves tmp's build lock as a
@@ -1470,8 +1868,8 @@ object IndexLifecycle {
     // persisted > build-function default. Columns are probed by name so
     // pre-params dirs (built before the columns existed) keep working.
     val info: Map[String, Any] =
-      if (Ivf.layoutFileExists(spark, dir, "buildinfo.parquet")) {
-        val r = spark.read.parquet(s"$dir/buildinfo.parquet").head()
+      if (Ivf.layoutFileExists(spark, src, "buildinfo.parquet")) {
+        val r = spark.read.parquet(s"$src/buildinfo.parquet").head()
         r.schema.fieldNames.map(f => f -> r.get(r.fieldIndex(f))).toMap
       } else Map.empty
     def pLong(name: String): Option[Long] = info.get(name).collect {
@@ -1498,42 +1896,42 @@ object IndexLifecycle {
         s"$dir: no array column to rebuild from (${df.columns.mkString(",")})"))
       (fields.map(_.name).filterNot(_ == vec).head, vec)
     }
-    cellFileOf(spark, dir) match {
+    cellFileOf(spark, src) match {
       case None =>
         // a rebuild is how an operator restores a crashed index — it
         // must recover interrupted swaps, not throw on them
         Seq("deletes.parquet", "postings.parquet", "vectors.parquet")
-          .foreach(n => recoverSwap(spark, s"$dir/$n"))
-        val meta = spark.read.parquet(s"$dir/meta.parquet").head()
+          .foreach(n => recoverSwap(spark, s"$src/$n"))
+        val meta = spark.read.parquet(s"$src/meta.parquet").head()
         val (idCol, vecCol) =
-          inferCols(spark.read.parquet(s"$dir/vectors.parquet"))
+          inferCols(spark.read.parquet(s"$src/vectors.parquet"))
         Similarity.buildLshIndex(
-          Similarity.lshVectors(spark, dir, idCol).select(idCol, vecCol),
+          Similarity.lshVectors(spark, src, idCol).select(idCol, vecCol),
           idCol, vecCol, tmp,
           baseTables = lshBaseTables.orElse(pInt("base_tables")).getOrElse(8),
           dim = meta.getAs[Int]("dim"),
           seed = seed.getOrElse(meta.getAs[Long]("seed")))
       case Some("invfile.parquet") =>
-        val raw = spark.read.parquet(s"$dir/invfile.parquet")
+        val raw = spark.read.parquet(s"$src/invfile.parquet")
         val (idCol, vecCol) = inferCols(raw)
         // pending cell-layout tombstones apply physically here, like
         // the LSH arm's read-through-lshVectors: the rebuilt index
         // never carries them (the whole-dir swap drops deletes.parquet)
-        val src = minusTombstones(spark, dir, raw, idCol)
-        Ivf.buildIndex(src.select(idCol, vecCol), idCol, vecCol, tmp,
+        val rows = minusTombstones(spark, src, raw, idCol)
+        Ivf.buildIndex(rows.select(idCol, vecCol), idCol, vecCol, tmp,
           nprobe = rNprobe, seed = rSeed, maxIter = rMaxIter,
           sampleFraction = pDouble("sample_fraction").getOrElse(1.0),
           hierarchicalThreshold = rHier)
       case Some(_) =>
-        val raw = spark.read.parquet(s"$dir/codes.parquet")
+        val raw = spark.read.parquet(s"$src/codes.parquet")
         val (idCol, vecCol) = inferCols(raw)
-        val src = minusTombstones(spark, dir, raw, idCol)
+        val rows = minusTombstones(spark, src, raw, idCol)
         // trained-geometry fallback for pre-params dirs only: m (subspace
         // count) is never clamped, so countDistinct(j) == the request;
         // countDistinct(c) is the clamp-SHRUNK codebook — see scaladoc
-        lazy val books = spark.read.parquet(s"$dir/books.parquet")
+        lazy val books = spark.read.parquet(s"$src/books.parquet")
           .agg(countDistinct(col("j")), countDistinct(col("c"))).head()
-        Quantize.buildPqIndex(src.select(idCol, vecCol), idCol, vecCol, tmp,
+        Quantize.buildPqIndex(rows.select(idCol, vecCol), idCol, vecCol, tmp,
           nprobe = rNprobe,
           m = pqM.orElse(pInt("m")).getOrElse(books.getLong(0).toInt),
           codebookSize = pqCodebookSize.orElse(pInt("codebook_size"))
@@ -1546,6 +1944,14 @@ object IndexLifecycle {
     // __rebuild dir only when this landed — a torn rebuild is never served
     fs.create(new org.apache.hadoop.fs.Path(s"$tmp/$RebuildOkMarker"), true)
       .close()
+    if (pointer) {
+      // the build's own lease (on tmp, a sibling lock under the root)
+      // released in its finally; the flip is OURS to fence and land
+      requireLeaseStillHeld(spark, "generation pointer commit (rebuild)")
+      commitGeneration(spark, dir, tmp.substring(dir.length + 1))
+      gcGenerations(spark, dir)
+      return
+    }
     val live = new org.apache.hadoop.fs.Path(dir)
     val old = new org.apache.hadoop.fs.Path(s"$dir.__old")
     fs.delete(old, true)

@@ -508,6 +508,7 @@ object Ivf {
                  sampleFraction: Double = 1.0, maxIter: Int = 10,
                  hierarchicalThreshold: Int = Dedup.HierarchicalCellsThreshold): IndexModel =
   IndexLifecycle.withIndexLock(emb.sparkSession, dir, "buildIndex") {
+    IndexLifecycle.requireNotPointerRoot(emb.sparkSession, dir, "buildIndex")
     val n = emb.count()
     val cells = clampK(cellsForSearch(n, nprobe), n)
     val model = trainModel(emb, vecCol, cells, seed, sampleFraction, maxIter,
@@ -580,17 +581,17 @@ object Ivf {
                  query: DataFrame, queryVecCol: String, k: Int,
                  nprobe: Int = 4,
                  selector: Option[DataFrame] = None): DataFrame =
-  IndexLifecycle.fencedProbe(spark, dir) {
+  IndexLifecycle.fencedProbeResolved(spark, dir) { phys =>
     // model FIRST: loadIndexModel runs whole-dir swap recovery, and the
     // invfile read resolves its file listing eagerly. The result is a
     // fully materialized local relation (neverShort), so the harness's
     // post-body fence covers every scan.
-    val model = loadIndexModel(spark, dir)
+    val model = loadIndexModel(spark, phys)
     // tombstones filter at the inverted-file choke point: probed scan,
     // ranking, AND the never-short fallback read the filtered frame
     probeIndexFrame(
-      IndexLifecycle.minusTombstones(spark, dir,
-        spark.read.parquet(s"$dir/invfile.parquet"), idCol),
+      IndexLifecycle.minusTombstones(spark, phys,
+        spark.read.parquet(s"$phys/invfile.parquet"), idCol),
       model, idCol, vecCol, query, queryVecCol, k, nprobe, selector)
   }
 
@@ -629,9 +630,13 @@ object Ivf {
   def appendIndex(emb: DataFrame, idCol: String, vecCol: String,
                   dir: String): IndexModel =
   IndexLifecycle.withIndexLock(emb.sparkSession, dir, "appendIndex") {
-    requireLayout(emb.sparkSession, dir, "invfile.parquet",
+    // pointer-mode roots append INTO the live generation: appends add
+    // new files (committer-staged, but never a rename of EXISTING data)
+    // and keep the plan-snapshot visibility contract unchanged
+    val phys = IndexLifecycle.resolveIndexDir(emb.sparkSession, dir)
+    requireLayout(emb.sparkSession, phys, "invfile.parquet",
       "appendIndex", "Quantize.appendPqIndex")
-    val model = loadIndexModel(emb.sparkSession, dir)
+    val model = loadIndexModel(emb.sparkSession, phys)
     // repartition(cell): one file per TOUCHED cell per append (instead
     // of one per task per cell) — appends still accumulate one file
     // batch per append, which stays compactIndex's job
@@ -642,12 +647,12 @@ object Ivf {
     // rebuild has since replaced (or lose the batch with __old)
     IndexLifecycle.requireLeaseStillHeld(emb.sparkSession, "invfile append")
     assigned.write.mode("append").partitionBy("cell")
-      .parquet(s"$dir/invfile.parquet")
+      .parquet(s"$phys/invfile.parquet")
     // re-insert contract (appendLshIndex's rule, now that cell layouts
     // can carry tombstones): appending a tombstoned id un-deletes it —
     // without this the append lands physically but every probe keeps
     // filtering it out until compaction
-    IndexLifecycle.undeleteTombstones(emb.sparkSession, dir,
+    IndexLifecycle.undeleteTombstones(emb.sparkSession, phys,
       emb.select(col(idCol)), idCol)
     model
   }
@@ -672,12 +677,12 @@ object Ivf {
                       queries: DataFrame, qIdCol: String, qVecCol: String,
                       k: Int, nprobe: Int = 4,
                       selector: Option[DataFrame] = None): DataFrame =
-  IndexLifecycle.fencedProbe(spark, dir) {
+  IndexLifecycle.fencedProbeResolved(spark, dir) { phys =>
     // result materializes inside finishBatchTopK (checkpointed on both
     // branches), so the harness's post-body fence covers every scan
-    val model = loadIndexModel(spark, dir)
+    val model = loadIndexModel(spark, phys)
     val inv = Similarity.applySelector(
-      cellSource(spark, dir, idCol, vecCol), selector, idCol)
+      cellSource(spark, phys, idCol, vecCol), selector, idCol)
     val qf = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"))
     val probes =
       if (model.isResidual)

@@ -313,6 +313,7 @@ object Quantize {
                    hierarchicalThreshold: Int = Dedup.HierarchicalCellsThreshold): PqIndexModel =
   IndexLifecycle.withIndexLock(emb.sparkSession, dir, "buildPqIndex") {
     val spark = emb.sparkSession
+    IndexLifecycle.requireNotPointerRoot(spark, dir, "buildPqIndex")
     val n = emb.count()
     val coarse = trainCoarse(emb, vecCol, nprobe, seed, trainSampleRows, n,
       hierarchicalThreshold)
@@ -366,12 +367,15 @@ object Quantize {
   def appendPqIndex(emb: DataFrame, idCol: String, vecCol: String,
                     dir: String): PqIndexModel =
   IndexLifecycle.withIndexLock(emb.sparkSession, dir, "appendPqIndex") {
+    // pointer-mode roots append INTO the live generation (Ivf.appendIndex's
+    // rationale — new files only, never a rename of existing data)
+    val phys = IndexLifecycle.resolveIndexDir(emb.sparkSession, dir)
     // layout guard (ADVICE r13, symmetric with Ivf.appendIndex's): an
     // IVF-flat dir would fail later on books.parquet anyway, but with a
     // bare path error — fail here with the split-index rationale instead
-    Ivf.requireLayout(emb.sparkSession, dir, "codes.parquet",
+    Ivf.requireLayout(emb.sparkSession, phys, "codes.parquet",
       "appendPqIndex", "Ivf.appendIndex")
-    val model = loadPqIndex(emb.sparkSession, dir)
+    val model = loadPqIndex(emb.sparkSession, phys)
     // repartition(cell): one file per touched cell per append
     val coded = model.coarse.indexOf(emb, idCol, vecCol)
       .withColumn("code",
@@ -380,10 +384,10 @@ object Quantize {
     // zombie-append fence (Ivf.appendIndex's rule): never land rows
     // coded under a codebook the new holder has since replaced
     IndexLifecycle.requireLeaseStillHeld(emb.sparkSession, "codes append")
-    coded.write.mode("append").partitionBy("cell").parquet(s"$dir/codes.parquet")
+    coded.write.mode("append").partitionBy("cell").parquet(s"$phys/codes.parquet")
     // re-insert contract: a tombstoned id that re-appends un-deletes
     // (Ivf.appendIndex's rule)
-    IndexLifecycle.undeleteTombstones(emb.sparkSession, dir,
+    IndexLifecycle.undeleteTombstones(emb.sparkSession, phys,
       emb.select(col(idCol)), idCol)
     model
   }
@@ -413,16 +417,16 @@ object Quantize {
                    query: DataFrame, queryVecCol: String, k: Int,
                    nprobe: Int = 4, rerank: Int = 100,
                    selector: Option[DataFrame] = None): DataFrame =
-  IndexLifecycle.fencedProbe(spark, dir) {
+  IndexLifecycle.fencedProbeResolved(spark, dir) { phys =>
     // model first — loadPqIndex (via Ivf.loadIndexModel) runs whole-dir
     // swap recovery before the eager codes listing; the result is a
     // materialized local relation (neverShort), fence-coverable
-    val model = loadPqIndex(spark, dir)
+    val model = loadPqIndex(spark, phys)
     // tombstones filter at the code-table choke point (Ivf.probeIndex's
     // rationale): ADC shortlist AND exact fallback read the filtered frame
     pqProbeCore(
-      IndexLifecycle.minusTombstones(spark, dir,
-        spark.read.parquet(s"$dir/codes.parquet"), idCol),
+      IndexLifecycle.minusTombstones(spark, phys,
+        spark.read.parquet(s"$phys/codes.parquet"), idCol),
       model, idCol, vecCol, query, queryVecCol, k, nprobe, rerank, selector)
   }
 

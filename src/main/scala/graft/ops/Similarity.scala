@@ -521,11 +521,13 @@ object Similarity {
     * only — no vector bytes decode), one tiny job per probe call; the
     * tombstone backlog is compaction-bounded and deliberately ignored
     * here (it moves occupancy by O(backlog/live)). */
-  def multiProbeFor(spark: org.apache.spark.sql.SparkSession, dir: String,
+  def multiProbeFor(spark: org.apache.spark.sql.SparkSession, root: String,
                     targetCandidates: Int = 4096): Int = {
     // reader of a swappable artifact — and callers evaluate this BEFORE
-    // entering the probe whose own recovery would otherwise run first
-    IndexLifecycle.recoverIndexDir(spark, dir)
+    // entering the probe whose own recovery would otherwise run first;
+    // pointer-mode roots read through the committed generation
+    IndexLifecycle.recoverIndexDir(spark, root)
+    val dir = IndexLifecycle.resolveIndexDir(spark, root)
     IndexLifecycle.recoverSwap(spark, s"$dir/vectors.parquet")
     val meta = spark.read.parquet(s"$dir/meta.parquet").head()
     val live = spark.read.parquet(s"$dir/vectors.parquet").count()
@@ -550,6 +552,7 @@ object Similarity {
   IndexLifecycle.withIndexLock(emb.sparkSession, dir, "buildLshIndex") {
     val spark = emb.sparkSession
     import spark.implicits._
+    IndexLifecycle.requireNotPointerRoot(spark, dir, "buildLshIndex")
     val n = emb.count()
     val planes = probePlanesFor(n)
     val tables = probeTablesFor(planes, baseTables)
@@ -604,11 +607,13 @@ object Similarity {
     // mode("append") onto a mid-swap missing path would CREATE a fresh
     // file holding only this batch and strand the whole pre-crash set
     // in the sibling dirs — silent corpus loss, worse than the crash
-    // being recovered
+    // being recovered. Pointer-mode roots append INTO the live
+    // generation (Ivf.appendIndex's rationale).
     IndexLifecycle.recoverIndexDir(spark, dir)
+    val phys = IndexLifecycle.resolveIndexDir(spark, dir)
     Seq("deletes.parquet", "postings.parquet", "vectors.parquet")
-      .foreach(n => IndexLifecycle.recoverSwap(spark, s"$dir/$n"))
-    val meta = spark.read.parquet(s"$dir/meta.parquet").head()
+      .foreach(n => IndexLifecycle.recoverSwap(spark, s"$phys/$n"))
+    val meta = spark.read.parquet(s"$phys/meta.parquet").head()
     val (planes, tables, dim, seed) =
       (meta.getAs[Int]("planes"), meta.getAs[Int]("tables"),
         meta.getAs[Int]("dim"), meta.getAs[Long]("seed"))
@@ -631,9 +636,9 @@ object Similarity {
     // the fallback would answer from different corpora, and a retry
     // would bake duplicate vector rows into every later rebuild.
     IndexLifecycle.requireLeaseStillHeld(spark, "postings append")
-    posted.write.mode("append").parquet(s"$dir/postings.parquet")
+    posted.write.mode("append").parquet(s"$phys/postings.parquet")
     IndexLifecycle.requireLeaseStillHeld(spark, "vectors append")
-    batch.write.mode("append").parquet(s"$dir/vectors.parquet")
+    batch.write.mode("append").parquet(s"$phys/vectors.parquet")
     // re-insert contract: appending an id that was tombstoned by
     // IndexLifecycle.removeIds un-deletes it — without this the append
     // would land physically but lshVectors would keep filtering it out
@@ -641,7 +646,7 @@ object Similarity {
     // the batch intersects the set; crash-safe tmp+rename swap) live in
     // the ONE shared implementation — this used to be an inlined copy
     // that could silently diverge from the cell layouts' (ADVICE r18).
-    IndexLifecycle.undeleteTombstones(spark, dir, batch.select(col(idCol)), idCol)
+    IndexLifecycle.undeleteTombstones(spark, phys, batch.select(col(idCol)), idCol)
   }
 
   /** Driver-side single-vector replica of
@@ -832,9 +837,9 @@ object Similarity {
                     candidateIdLimit: Long = 10000L,
                     multiProbe: Int = 0,
                     selector: Option[DataFrame] = None): DataFrame =
-  IndexLifecycle.fencedProbe(spark, dir) {
-    IndexLifecycle.recoverIndexDir(spark, dir)
-    val meta = spark.read.parquet(s"$dir/meta.parquet").head()
+  IndexLifecycle.fencedProbeResolved(spark, dir) { phys =>
+    IndexLifecycle.recoverIndexDir(spark, phys)
+    val meta = spark.read.parquet(s"$phys/meta.parquet").head()
     val (planes, tables, dim, seed) =
       (meta.getAs[Int]("planes"), meta.getAs[Int]("tables"),
         meta.getAs[Int]("dim"), meta.getAs[Long]("seed"))
@@ -876,8 +881,8 @@ object Similarity {
     // The selector rides the vectors choke point exactly like the
     // tombstone filter — postings stay unfiltered (stale hits just
     // match nothing).
-    val vectors = applySelector(lshVectors(spark, dir, idCol), selector, idCol)
-    val postings = spark.read.parquet(s"$dir/postings.parquet")
+    val vectors = applySelector(lshVectors(spark, phys, idCol), selector, idCol)
+    val postings = spark.read.parquet(s"$phys/postings.parquet")
     // foldLeft(false): an empty pair set (null query vector) selects
     // nothing instead of crashing an empty reduce — the fallback answers.
     // Past [[OrPairCap]] pairs the OR becomes the cost: MpProfile at 25×
@@ -928,9 +933,9 @@ object Similarity {
                          k: Int, candidateIdLimit: Long = 10000L,
                          multiProbe: Int = 0,
                          selector: Option[DataFrame] = None): DataFrame =
-  IndexLifecycle.fencedProbe(spark, dir) {
-    IndexLifecycle.recoverIndexDir(spark, dir)
-    val meta = spark.read.parquet(s"$dir/meta.parquet").head()
+  IndexLifecycle.fencedProbeResolved(spark, dir) { phys =>
+    IndexLifecycle.recoverIndexDir(spark, phys)
+    val meta = spark.read.parquet(s"$phys/meta.parquet").head()
     val (planes, tables, dim, seed) =
       (meta.getAs[Int]("planes"), meta.getAs[Int]("tables"),
         meta.getAs[Int]("dim"), meta.getAs[Long]("seed"))
@@ -955,9 +960,9 @@ object Similarity {
       }
     // vectors first — lshVectors runs swap recovery before the eager
     // postings listing (probeLshIndex's rationale)
-    val vectors = applySelector(lshVectors(spark, dir, idCol), selector, idCol)
+    val vectors = applySelector(lshVectors(spark, phys, idCol), selector, idCol)
     val qIdx = broadcast(qPairsDf)
-    val postings = spark.read.parquet(s"$dir/postings.parquet")
+    val postings = spark.read.parquet(s"$phys/postings.parquet")
     // (query, candidate) pairs: ids that share any (table, bucket) with
     // the query — distinct BEFORE scoring so multi-table collisions
     // score once, same as the single probe's dropDuplicates

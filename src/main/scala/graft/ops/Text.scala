@@ -108,12 +108,16 @@ object Text {
     * byte term flipped it to the SHUFFLE_HASH plan the scale shape
     * always intended. Non-string key columns are estimated through a
     * string cast — an over-estimate, which only ever flips toward the
-    * always-correct shuffle plan. */
+    * always-correct shuffle plan. Coalesce is PER COLUMN (ADVICE r19):
+    * an entirely-NULL key column's sum is NULL, and a single outer
+    * coalesce over the summed expression would null the WHOLE payload
+    * term to 0 — silently degrading the gate to rows-only, re-admitting
+    * exactly the oversized broadcast the byte term exists to reject. */
   private[ops] def tableBroadcastEstimate(df: DataFrame,
                                           strCols: Seq[String]): (Long, Long) = {
-    val payload = coalesce(
-      strCols.map(c => sum(octet_length(col(c).cast("string")))).reduce(_ + _),
-      lit(0L))
+    val payload = strCols
+      .map(c => coalesce(sum(octet_length(col(c).cast("string"))), lit(0L)))
+      .reduce(_ + _)
     val r = df.agg(count(lit(1)), payload).head()
     val n = r.getLong(0)
     (n, n * 64L + r.getLong(1))

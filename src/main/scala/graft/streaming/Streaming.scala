@@ -207,6 +207,12 @@ object Streaming {
     // dispatch below — a missing dir would otherwise misroute an LSH
     // index (no meta.parquet visible) onto the cell arm
     graft.ops.IndexLifecycle.recoverIndexDir(spark, indexDir)
+    // pointer-mode roots resolve ONCE at plan time — the same
+    // plan-snapshot contract as the file listing itself: a generation
+    // flip (rebuild/compaction) mid-stream deletes this generation's
+    // files and the stream fails LOUDLY on its next micro-batch, the
+    // existing rebuild restart contract
+    val dir = graft.ops.IndexLifecycle.resolveIndexDir(spark, indexDir)
     // freshness guard epoch captured AFTER recovery (a recovery rename
     // must not read as a mid-stream remove) and BEFORE the arms resolve
     // tombstones below (a remove landing in between trips one
@@ -215,7 +221,7 @@ object Streaming {
     val q =
       if (tombstoneGuard)
         q0.join(broadcast(
-            graft.ops.IndexLifecycle.tombstoneFreshnessGuard(spark, indexDir)))
+            graft.ops.IndexLifecycle.tombstoneFreshnessGuard(spark, dir)))
           .drop("__tombstones_fresh")
       else q0
     // layout resolved ONCE, driver-side, at plan time (the cellSource
@@ -225,15 +231,15 @@ object Streaming {
     // is ignored on that arm — recall is the persisted tables' job, plus
     // `multiProbe` extra flipped-bit buckets per table (ignored by the
     // cell layouts in turn: their recall lever IS nprobe).
-    if (graft.ops.Ivf.layoutFileExists(spark, indexDir, "meta.parquet"))
-      return lshProbeStream(spark, q, idCol, vecCol, indexDir, tau, multiProbe,
+    if (graft.ops.Ivf.layoutFileExists(spark, dir, "meta.parquet"))
+      return lshProbeStream(spark, q, idCol, vecCol, dir, tau, multiProbe,
         selector)
-    val model = graft.ops.Ivf.loadIndexModel(spark, indexDir)
+    val model = graft.ops.Ivf.loadIndexModel(spark, dir)
     // selector (FAISS IDSelector analog, a STATIC frame): per-tenant
     // filtered tagging at ingest — rides the static side's choke point
     // exactly like the batch probes', resolved once at plan time
     val inv = graft.ops.Similarity.applySelector(
-      graft.ops.Ivf.cellSource(spark, indexDir, idCol, vecCol),
+      graft.ops.Ivf.cellSource(spark, dir, idCol, vecCol),
       selector, idCol)
     val probes =
       if (model.isResidual)

@@ -20,10 +20,20 @@ object HadoopConfShim {
   // dead broadcast blocks that are never unpersisted. The cached value
   // is a SNAPSHOT of the context's hadoopConfiguration at first call —
   // fine for the guard's use (opening a FileSystem for a LIST), which
-  // needs scheme handlers, not late session-conf mutations.
+  // needs scheme handlers, not late session-conf mutations; a caller
+  // that mutates hadoopConfiguration AFTER the first guard is built
+  // (fs.* credentials set late) must do so before any stream/guard
+  // construction — the snapshot will not see it.
   @volatile private var cached: (SparkContext, () => Configuration) = _
   def confGetter(sc: SparkContext): () => Configuration = synchronized {
-    if (cached == null || (cached._1 ne sc) || sc.isStopped) {
+    // fail CLEARLY on a stopped context (ADVICE r19): re-broadcasting on
+    // it would throw an opaque IllegalStateException from deep inside
+    // SparkContext.broadcast — name the actual precondition instead
+    require(!sc.isStopped,
+      "HadoopConfShim.confGetter: SparkContext is stopped — construct " +
+        "guards/streams on a live session (a cached getter from a stopped " +
+        "context is never reused; callers must re-acquire after restart)")
+    if (cached == null || (cached._1 ne sc) || cached._1.isStopped) {
       val b = sc.broadcast(new SerializableConfiguration(sc.hadoopConfiguration))
       cached = (sc, () => b.value.value)
     }

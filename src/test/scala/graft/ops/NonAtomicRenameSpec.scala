@@ -37,14 +37,24 @@ class NonAtomicRenameSpec extends SparkSpec {
 
   /** Stock-object-store rename: copy children one-by-one, then delete
     * the source — with a tear injected at the chosen phase of the
-    * chosen rename (matched on the destination's staging suffix). */
+    * chosen rename (matched on the destination's staging suffix).
+    * Scoped to THIS spec's fixture dirs (ADVICE r19): the hook is
+    * process-wide, so renames under any other path — another suite's
+    * artifacts, if suite-level parallelism is ever enabled — delegate
+    * to the real [[IndexLifecycle.HadoopRenameIo]] untouched. */
   private final class CopyDeleteRenameIo(
       tearPhase: String, // "mid-copy" | "mid-delete" | "before-delete" | "none"
-      tearWhenDst: org.apache.hadoop.fs.Path => Boolean)
+      tearWhenDst: org.apache.hadoop.fs.Path => Boolean,
+      fixtureDir: String)
     extends IndexLifecycle.RenameIo {
+    /** fixture-scoped rename invocations — pointer mode pins this at 0 */
+    @volatile var invoked: Int = 0
     def rename(fs: org.apache.hadoop.fs.FileSystem,
                src: org.apache.hadoop.fs.Path,
                dst: org.apache.hadoop.fs.Path): Boolean = {
+      if (!src.toUri.getPath.startsWith(fixtureDir))
+        return IndexLifecycle.HadoopRenameIo.rename(fs, src, dst)
+      invoked += 1
       val conf = spark.sparkContext.hadoopConfiguration
       val children = fs.listStatus(src).sortBy(_.getPath.getName)
       def copyN(n: Int): Unit = {
@@ -88,6 +98,23 @@ class NonAtomicRenameSpec extends SparkSpec {
     (path, spark.range(100, 200).toDF("id").repartition(4))
   }
 
+  /** The same artifact as a POINTER-MODE root: generation + commit,
+    * nothing at the root but the marker/commit/generation entries. */
+  private def pointerFixture(): (String, org.apache.spark.sql.DataFrame) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_nar_ptr").toString
+    val path = s"$dir/art.parquet"
+    IndexLifecycle.initPointerRoot(spark, path)
+    IndexLifecycle.swapInParquet(spark, path)(
+      spark.range(0, 100).toDF("id").repartition(4))
+    (path, spark.range(100, 200).toDF("id").repartition(4))
+  }
+
+  private def readPtrIds(path: String): Set[Long] = {
+    val phys = IndexLifecycle.resolvePointer(spark, path)
+      .getOrElse(fail(s"pointer root $path has no committed generation"))
+    spark.read.parquet(phys).as[Long].collect().toSet
+  }
+
   private def withFake[T](io: IndexLifecycle.RenameIo)(body: => T): T = {
     IndexLifecycle.renameIo = io
     try body finally IndexLifecycle.renameIo = IndexLifecycle.HadoopRenameIo
@@ -101,7 +128,8 @@ class NonAtomicRenameSpec extends SparkSpec {
   test("tear mid-copy of live->old: readers heal to exactly the old world; the retried swap lands the new one") {
     val (path, fresh) = fixture()
     val boom = intercept[java.io.IOException] {
-      withFake(new CopyDeleteRenameIo("mid-copy", isOld)) {
+      withFake(new CopyDeleteRenameIo("mid-copy", isOld,
+          new java.io.File(path).getParent)) {
         IndexLifecycle.swapInParquet(spark, path)(fresh)
       }
     }
@@ -116,7 +144,8 @@ class NonAtomicRenameSpec extends SparkSpec {
   test("crash between copy and delete (source+dest both visible): readers heal to exactly the old world") {
     val (path, fresh) = fixture()
     intercept[java.io.IOException] {
-      withFake(new CopyDeleteRenameIo("before-delete", isOld)) {
+      withFake(new CopyDeleteRenameIo("before-delete", isOld,
+          new java.io.File(path).getParent)) {
         IndexLifecycle.swapInParquet(spark, path)(fresh)
       }
     }
@@ -133,7 +162,8 @@ class NonAtomicRenameSpec extends SparkSpec {
   test("NEGATIVE CONTROL: tear mid-delete of the live source serves a silently PARTIAL old world") {
     val (path, fresh) = fixture()
     intercept[java.io.IOException] {
-      withFake(new CopyDeleteRenameIo("mid-delete", isOld)) {
+      withFake(new CopyDeleteRenameIo("mid-delete", isOld,
+          new java.io.File(path).getParent)) {
         IndexLifecycle.swapInParquet(spark, path)(fresh)
       }
     }
@@ -155,7 +185,8 @@ class NonAtomicRenameSpec extends SparkSpec {
     intercept[java.io.IOException] {
       // first rename (live->old) completes as a faithful copy+delete;
       // the second (tmp->live) tears halfway through its copy
-      withFake(new CopyDeleteRenameIo("mid-copy", isLive)) {
+      withFake(new CopyDeleteRenameIo("mid-copy", isLive,
+          new java.io.File(path).getParent)) {
         IndexLifecycle.swapInParquet(spark, path)(fresh)
       }
     }
@@ -165,5 +196,55 @@ class NonAtomicRenameSpec extends SparkSpec {
       s"expected rows only from the NEW world, got ${served.take(5)}")
     assert(served.size < 100,
       s"expected a PARTIAL new world, got all ${served.size} rows — the tear did nothing")
+  }
+
+  // ── pointer mode: the same fake, all four scenarios, one world ──────
+  //
+  // r19 verdict #1's done-criterion: with the SAME CopyDeleteRenameIo
+  // fake installed, a pointer-mode artifact reads exactly one COMPLETE
+  // world in every scenario — because the pointer-flip protocol issues
+  // ZERO renames of live data (pinned by the fake's invocation counter),
+  // there is nothing for the copy+delete store to tear.
+
+  test("POINTER MODE: all four torn-rename scenarios read exactly one world — the protocol issues zero renames") {
+    val scenarios = Seq[(String, org.apache.hadoop.fs.Path => Boolean)](
+      ("mid-copy", isOld), ("before-delete", isOld),
+      ("mid-delete", isOld), ("mid-copy", isLive))
+    scenarios.foreach { case (phase, matcher) =>
+      val (path, fresh) = pointerFixture()
+      val fake = new CopyDeleteRenameIo(phase, matcher,
+        new java.io.File(path).getParent)
+      withFake(fake) {
+        IndexLifecycle.swapInParquet(spark, path)(fresh)
+      }
+      // exactly the complete NEW world — never partial, never mixed
+      assert(readPtrIds(path) == (100L until 200L).toSet,
+        s"scenario ($phase): pointer-mode swap did not read one complete world")
+      // and the reason: the generation flip never called rename at all
+      assert(fake.invoked == 0,
+        s"scenario ($phase): pointer mode issued ${fake.invoked} rename(s) " +
+          "on fixture paths — the whole point is that it must issue none")
+    }
+  }
+
+  test("POINTER MODE: a crash between generation write and commit leaves readers on exactly the old world; the retry lands the new") {
+    val (path, fresh) = pointerFixture()
+    // simulate the one crash window the flip protocol has: a COMPLETE
+    // generation written, the commit never created (the analog of the
+    // in-place protocol's between-renames window — except here the old
+    // world is still fully committed, not missing)
+    fresh.write.parquet(s"$path/gen-orphan0000")
+    assert(readPtrIds(path) == (0L until 100L).toSet,
+      "an uncommitted generation must be invisible to readers")
+    // the retried swap commits a fresh generation and GCs the orphan
+    IndexLifecycle.swapInParquet(spark, path)(fresh)
+    assert(readPtrIds(path) == (100L until 200L).toSet)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val leftovers = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath.getName).filter(_.startsWith("gen-"))
+    assert(leftovers.length == 1,
+      s"GC after the flip should leave exactly the live generation, got: ${leftovers.mkString(",")}")
+    assert(!leftovers.contains("gen-orphan0000"))
   }
 }

@@ -1,0 +1,301 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pointer-flip lifecycle mode end-to-end (r19 verdict #1): on a
+  * pointer-mode root, EVERY lifecycle verb — build, probe (single +
+  * batch), append, remove, compact, stats, rebuild, maintain — runs
+  * with a [[IndexLifecycle.RenameIo]] installed that THROWS on any
+  * rename under the fixture: the protocol's safety on copy+delete
+  * stores comes from never renaming live data, and this suite turns
+  * that claim into a hard pin (a single protocol rename anywhere in
+  * the lifecycle fails the test loudly). Probe results are pinned
+  * EQUAL to the same-seed plain-dir index, so pointer mode changes
+  * deployment semantics, never answers.
+  *
+  * The zombie fence extends to the commit — the pointer protocol's one
+  * protocol-critical write: a writer taken over mid-verb aborts BEFORE
+  * flipping the pointer (the swap-rename fence's exact posture), pinned
+  * here by replacing the lease content under a held lock. And
+  * [[IndexLifecycle.fencedProbeResolved]] re-resolves across a
+  * concurrent flip: a probe that straddles a generation commit retries
+  * against the NEW world instead of serving a mixed one. */
+class PointerModeLifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = graft.engine.Tables.read(spark, sf0001, "embeddings")
+    .select("vec_id", "embedding")
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  /** Throws on any fixture-scoped rename; delegates elsewhere (the
+    * NonAtomicRenameSpec scoping rule). Protocol renames only — parquet
+    * committer renames go through the filesystem directly, which is the
+    * point: those happen inside FRESH generation dirs. */
+  private final class ForbiddenRenameIo(fixtureDir: String)
+    extends IndexLifecycle.RenameIo {
+    def rename(fs: org.apache.hadoop.fs.FileSystem,
+               src: org.apache.hadoop.fs.Path,
+               dst: org.apache.hadoop.fs.Path): Boolean = {
+      if (!src.toUri.getPath.startsWith(fixtureDir))
+        return IndexLifecycle.HadoopRenameIo.rename(fs, src, dst)
+      throw new AssertionError(
+        s"pointer-mode lifecycle issued a protocol rename $src -> $dst — " +
+          "the mode's contract is that live data is never renamed")
+    }
+  }
+
+  private def withFake[T](io: IndexLifecycle.RenameIo)(body: => T): T = {
+    IndexLifecycle.renameIo = io
+    try body finally IndexLifecycle.renameIo = IndexLifecycle.HadoopRenameIo
+  }
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def genNames(root: String): Seq[String] =
+    new java.io.File(root).listFiles().map(_.getName).toSeq
+      .filter(n => n.startsWith("gen-") && !n.contains(".__")).sorted
+
+  test("IVF pointer lifecycle: build/probe/append/remove/compact/rebuild/maintain, zero renames, equal answers") {
+    val corpus = emb.localCheckpoint(true)
+    val query = corpus.filter($"vec_id" === 0)
+    val fixture = tmpDir("graft_ptr_ivf")
+    val root = s"$fixture/idx"
+    val plainDir = s"$fixture/plain"
+    // the plain twin builds OUTSIDE the forbidden scope? No — builds
+    // rename nothing either way; both run under the forbidden fake so
+    // the whole test doubles as a rename audit of the build path too
+    withFake(new ForbiddenRenameIo(fixture)) {
+      Ivf.buildIndex(corpus, "vec_id", "embedding", plainDir, maxIter = 5)
+      IndexLifecycle.buildIndexGeneration(spark, root) { gen =>
+        Ivf.buildIndex(corpus, "vec_id", "embedding", gen, maxIter = 5)
+      }
+      // direct builds against a pointer root fail loudly with the remedy
+      val boom = intercept[IllegalArgumentException] {
+        Ivf.buildIndex(corpus, "vec_id", "embedding", root, maxIter = 5)
+      }
+      assert(boom.getMessage.contains("buildIndexGeneration"))
+
+      // probes resolve the pointer and answer exactly like the plain twin
+      val fromPtr = pairs(Ivf.probeIndex(spark, root, "vec_id", "embedding",
+        query, "embedding", k = 10))
+      val fromPlain = pairs(Ivf.probeIndex(spark, plainDir, "vec_id", "embedding",
+        query, "embedding", k = 10))
+      assert(fromPtr == fromPlain,
+        s"pointer-mode probe diverged from the plain twin: $fromPtr vs $fromPlain")
+      assert(fromPtr.head._1 == 0L, "planted self not first")
+
+      // batch probe resolves too
+      val batchQ = corpus.filter($"vec_id" < 3)
+        .select($"vec_id".as("qid"), $"embedding")
+      val fromPtrBatch = Ivf.probeIndexBatch(spark, root, "vec_id", "embedding",
+        batchQ, "qid", "embedding", k = 5).collect().toSet
+      val fromPlainBatch = Ivf.probeIndexBatch(spark, plainDir, "vec_id",
+        "embedding", batchQ, "qid", "embedding", k = 5).collect().toSet
+      assert(fromPtrBatch == fromPlainBatch)
+
+      // append lands INSIDE the live generation (no flip), serves union
+      val extra = corpus.limit(5)
+        .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+        .localCheckpoint(true)
+      val gensBefore = genNames(root)
+      Ivf.appendIndex(extra, "vec_id", "embedding", root)
+      assert(genNames(root) == gensBefore, "append must not churn generations")
+      val self = extra.limit(1)
+      val appendedProbe = pairs(Ivf.probeIndex(spark, root, "vec_id",
+        "embedding", self, "embedding", k = 3))
+      // the appended row is a DUPLICATE of its source vector (sim 1.0
+      // tie, id-ordered) — containment is the membership pin
+      assert(appendedProbe.map(_._1).contains(self.head().getLong(0)),
+        s"appended row not served: $appendedProbe")
+
+      // removal on a pointer root ALWAYS tombstones (the physical arm's
+      // dynamic overwrite is rename-based): invfile untouched, nested
+      // pointer-root tombstone set appears, probes serve it out
+      val victims = fromPtr.take(2).map(_._1)
+      val livGen = IndexLifecycle.resolveIndexDir(spark, root)
+      val cellFilesBefore = new java.io.File(s"$livGen/invfile.parquet")
+        .listFiles().map(_.getName).toSet
+      IndexLifecycle.removeIds(spark, root, victims.toDF("vec_id"), "vec_id",
+        tombstone = false)
+      assert(new java.io.File(s"$livGen/invfile.parquet")
+        .listFiles().map(_.getName).toSet == cellFilesBefore,
+        "pointer-mode remove physically rewrote cells")
+      assert(IndexLifecycle.isPointerRoot(spark, s"$livGen/deletes.parquet"),
+        "pointer-mode tombstone set is not a nested pointer root")
+      val afterRemove = pairs(Ivf.probeIndex(spark, root, "vec_id", "embedding",
+        query, "embedding", k = 10))
+      assert(afterRemove.map(_._1).toSet.intersect(victims.toSet).isEmpty,
+        s"removed ids still served: $afterRemove")
+      assert(IndexLifecycle.indexStats(spark, root).head()
+        .getAs[Long]("tombstones") == victims.length.toLong)
+
+      // compaction flips a generation, applies the backlog physically,
+      // clears it — and the old generation is GC'd
+      val genBeforeCompact = genNames(root)
+      IndexLifecycle.compactIndex(spark, root)
+      val genAfterCompact = genNames(root)
+      assert(genAfterCompact.length == 1 &&
+        genAfterCompact != genBeforeCompact,
+        s"compaction should flip to one fresh generation: $genBeforeCompact -> $genAfterCompact")
+      val newGen = IndexLifecycle.resolveIndexDir(spark, root)
+      assert(spark.read.parquet(s"$newGen/invfile.parquet")
+        .filter($"vec_id".isin(victims: _*)).count() == 0L,
+        "compaction did not apply the tombstone backlog physically")
+      assert(IndexLifecycle.indexStats(spark, root).head()
+        .getAs[Long]("tombstones") == 0L, "backlog not cleared by the flip")
+      assert(pairs(Ivf.probeIndex(spark, root, "vec_id", "embedding",
+        query, "embedding", k = 10)) == afterRemove,
+        "compaction changed probe answers")
+
+      // rebuild retrains into a fresh generation and flips
+      val statsBefore = IndexLifecycle.indexStats(spark, root).head()
+      IndexLifecycle.rebuildIndex(spark, root)
+      val statsAfter = IndexLifecycle.indexStats(spark, root).head()
+      assert(statsAfter.getAs[Long]("built_rows") ==
+        statsAfter.getAs[Long]("live_rows"),
+        "rebuild should reset built==live")
+      assert(statsAfter.getAs[Long]("live_rows") ==
+        statsBefore.getAs[Long]("live_rows"),
+        "rebuild changed the corpus")
+      assert(genNames(root).length == 1, "stale generations survived the rebuild GC")
+      val rebuiltProbe = pairs(Ivf.probeIndex(spark, root, "vec_id", "embedding",
+        query, "embedding", k = 10))
+      // the query's own id was among the removed victims — the rebuilt
+      // index must keep serving the post-removal world: full k, still no
+      // victim, and the appended duplicate of vec 0 now answers first
+      assert(rebuiltProbe.length == 10)
+      assert(rebuiltProbe.map(_._1).toSet.intersect(victims.toSet).isEmpty,
+        s"removed ids resurrected by rebuild: $rebuiltProbe")
+
+      // maintenance runs the same policy loop through the pointer verbs
+      assert(IndexLifecycle.maintainIndex(spark, root) == "none",
+        "fresh rebuild should be a maintenance fixpoint")
+    }
+  }
+
+  test("LSH pointer lifecycle: build/probe/append/remove/compact, zero renames, equal answers") {
+    val corpus = emb.localCheckpoint(true)
+    val query = corpus.filter($"vec_id" === 0)
+    val fixture = tmpDir("graft_ptr_lsh")
+    val root = s"$fixture/idx"
+    val plainDir = s"$fixture/plain"
+    withFake(new ForbiddenRenameIo(fixture)) {
+      Similarity.buildLshIndex(corpus, "vec_id", "embedding", plainDir)
+      IndexLifecycle.buildIndexGeneration(spark, root) { gen =>
+        Similarity.buildLshIndex(corpus, "vec_id", "embedding", gen)
+      }
+      val fromPtr = pairs(Similarity.probeLshIndex(spark, root, "vec_id",
+        "embedding", query, "embedding", k = 10))
+      val fromPlain = pairs(Similarity.probeLshIndex(spark, plainDir, "vec_id",
+        "embedding", query, "embedding", k = 10))
+      assert(fromPtr == fromPlain)
+      // batch probe parity
+      val batchQ = corpus.filter($"vec_id" < 3)
+        .select($"vec_id".as("qid"), $"embedding")
+      assert(
+        Similarity.probeLshIndexBatch(spark, root, "vec_id", "embedding",
+          batchQ, "qid", "embedding", k = 5).collect().toSet ==
+        Similarity.probeLshIndexBatch(spark, plainDir, "vec_id", "embedding",
+          batchQ, "qid", "embedding", k = 5).collect().toSet)
+
+      // append (postings-first protocol, inside the live generation) +
+      // the un-delete rewrite of the nested tombstone pointer root —
+      // the one mutation that is a SWAP in rename mode
+      val victims = fromPtr.take(2).map(_._1)
+      IndexLifecycle.removeIds(spark, root, victims.toDF("vec_id"), "vec_id")
+      val afterRemove = pairs(Similarity.probeLshIndex(spark, root, "vec_id",
+        "embedding", query, "embedding", k = 10))
+      assert(afterRemove.map(_._1).toSet.intersect(victims.toSet).isEmpty)
+      val reinsert = corpus.filter($"vec_id" === victims.head)
+        .localCheckpoint(true)
+      Similarity.appendLshIndex(reinsert, "vec_id", "embedding", root)
+      val afterReinsert = pairs(Similarity.probeLshIndex(spark, root, "vec_id",
+        "embedding", query, "embedding", k = 10))
+      assert(afterReinsert.map(_._1).contains(victims.head),
+        s"re-appended id not un-deleted: $afterReinsert")
+      // compaction: generation flip, backlog applied + postings distinct
+      IndexLifecycle.compactIndex(spark, root)
+      assert(genNames(root).length == 1)
+      val stats = IndexLifecycle.indexStats(spark, root).head()
+      assert(stats.getAs[Long]("tombstones") == 0L)
+      assert(stats.getAs[Double]("postings_dup_fraction") == 0.0)
+      assert(pairs(Similarity.probeLshIndex(spark, root, "vec_id",
+        "embedding", query, "embedding", k = 10)) == afterReinsert,
+        "compaction changed probe answers")
+    }
+  }
+
+  test("PQ pointer probe: resolves and answers like the plain twin") {
+    val corpus = emb.localCheckpoint(true)
+    val query = corpus.filter($"vec_id" === 0)
+    val fixture = tmpDir("graft_ptr_pq")
+    val root = s"$fixture/idx"
+    val plainDir = s"$fixture/plain"
+    withFake(new ForbiddenRenameIo(fixture)) {
+      Quantize.buildPqIndex(corpus, "vec_id", "embedding", plainDir, m = 4)
+      IndexLifecycle.buildIndexGeneration(spark, root) { gen =>
+        Quantize.buildPqIndex(corpus, "vec_id", "embedding", gen, m = 4)
+      }
+      assert(
+        pairs(Quantize.probePqIndex(spark, root, "vec_id", "embedding",
+          query, "embedding", k = 10)) ==
+        pairs(Quantize.probePqIndex(spark, plainDir, "vec_id", "embedding",
+          query, "embedding", k = 10)))
+    }
+  }
+
+  test("zombie fence covers the pointer commit: a taken-over writer aborts BEFORE flipping") {
+    val corpus = emb.limit(50).localCheckpoint(true)
+    val fixture = tmpDir("graft_ptr_zombie")
+    val root = s"$fixture/idx"
+    IndexLifecycle.buildIndexGeneration(spark, root) { gen =>
+      Ivf.buildIndex(corpus, "vec_id", "embedding", gen, maxIter = 2)
+    }
+    val committedBefore = IndexLifecycle.resolvePointer(spark, root)
+    val lock = new java.io.File(IndexLifecycle.lockPath(root))
+    val boom = intercept[IllegalStateException] {
+      IndexLifecycle.withIndexLock(spark, root, "zombieCompact") {
+        // simulate a takeover landing mid-verb: the lock now carries a
+        // DIFFERENT holder's token
+        val w = new java.io.FileWriter(lock)
+        try w.write("newHolder 0 other-token\n") finally w.close()
+        IndexLifecycle.compactIndexInner(spark, root, maxFilesPerCell = 0)
+      }
+    }
+    assert(boom.getMessage.contains("taken over"),
+      s"wrong failure: ${boom.getMessage}")
+    // the fence sits between the generation WRITE (an invisible orphan —
+    // harmless, GC'd by the next flip) and the COMMIT: the committed
+    // world must be untouched
+    assert(IndexLifecycle.resolvePointer(spark, root) == committedBefore,
+      "a taken-over writer still flipped the pointer")
+    // clean up the fake lock so later suites can take the path over
+    lock.delete()
+  }
+
+  test("fencedProbeResolved re-resolves across a concurrent flip: one world, never mixed") {
+    val fixture = tmpDir("graft_ptr_flip")
+    val root = s"$fixture/art.parquet"
+    IndexLifecycle.initPointerRoot(spark, root)
+    IndexLifecycle.swapInParquet(spark, root)(spark.range(0, 50).toDF("id"))
+    var invocations = 0
+    val out = IndexLifecycle.fencedProbeResolved(spark, root) { phys =>
+      invocations += 1
+      val ids = spark.read.parquet(phys).as[Long].collect().toSet
+      if (invocations == 1)
+        // a maintenance flip lands AFTER this probe read its artifacts:
+        // the post-body fence must reject the stale world and retry
+        IndexLifecycle.swapInParquet(spark, root)(
+          spark.range(100, 150).toDF("id"))
+      ids
+    }
+    assert(invocations == 2,
+      s"probe straddling a flip should retry exactly once, ran $invocations")
+    assert(out == (100L until 150L).toSet,
+      "the retried probe must serve exactly the post-flip world")
+  }
+}
