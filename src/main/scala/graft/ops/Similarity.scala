@@ -1043,21 +1043,20 @@ object Similarity {
   /** Decimal-accumulated Σ aᵢ·bᵢ (order-independent: each double product
     * rounds to 6 dp before an exact decimal fold) — the deterministic
     * scoring core [[prototypeScores]] and
-    * [[graft.streaming.Streaming.prototypeFilterStream]] share. */
+    * [[graft.streaming.Streaming.prototypeFilterStream]] share. As of
+    * r20 the fold runs in the codegen [[graft.functions.DecDot]]
+    * expression — DecProfile measured the HOF spelling
+    * (`aggregate(zip_with(...))` with per-element decimal casts) at
+    * 4.99 s where the double codegen floor reads 0.16 s on the same
+    * x400 projection, ~86% of it decimal boxing (PERF finding 40);
+    * value semantics are BIT-IDENTICAL by construction and pinned
+    * against the literal HOF chain in DecExpressionsSpec. */
   private[graft] def dotDec(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => (x.cast("double") * y).cast("decimal(18,6)")),
-      lit(BigDecimal(0)).cast("decimal(28,6)"),
-      (acc, z) => (acc + z).cast("decimal(28,6)"))
-      .cast("double")
+    graft.functions.DecFunctions.decDot(a, b)
 
   /** Decimal-accumulated Σ aᵢ² (same discipline as [[dotDec]]). */
   private[graft] def normDec(a: Column): Column =
-    aggregate(
-      transform(a, x => (x.cast("double") * x.cast("double")).cast("decimal(18,6)")),
-      lit(BigDecimal(0)).cast("decimal(28,6)"),
-      (acc, z) => (acc + z).cast("decimal(28,6)"))
-      .cast("double")
+    graft.functions.DecFunctions.decNorm(a)
 
   /** Cosine of `vec` to a prototype row carrying the centroid array
     * `cen` and its precomputed self-norm Σc² `nc`, rounded 4 dp —

@@ -17,6 +17,13 @@ object ColumnShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Current session/task ANSI flag — `SQLConf` is `private[sql]`; the
+    * decimal expressions need it to replicate the Cast error-vs-null
+    * contract on their rare slow paths (driver AND executor: SQLConf.get
+    * reads the task-local conf inside tasks). */
+  def ansiEnabled: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
+
   /** Register a temp SQL function backed by a Catalyst expression builder
     * (so `spark.sql("SELECT cosine_sim(a, b) ...")` works without
     * SparkSessionExtensions — the registry is session state, also
