@@ -65,6 +65,12 @@ object QueryDefs {
         case "ivf" => Ivf.buildIndex(corpus, "vec_id", "embedding", dir)
         case "pq"  => Quantize.buildPqIndex(corpus, "vec_id", "embedding", dir)
         case "lsh" => Similarity.buildLshIndex(corpus, "vec_id", "embedding", dir)
+        // the copy+delete-store deployment mode (r20): same IVF build,
+        // published as a committed generation under a pointer root —
+        // probes resolve the pointer inside their fence harness
+        case "ptr" => IndexLifecycle.buildIndexGeneration(s, dir) { gen =>
+          Ivf.buildIndex(corpus, "vec_id", "embedding", gen); ()
+        }
       }
       fs.create(marker, true).close()
     }
@@ -137,7 +143,7 @@ object QueryDefs {
     * then hit warm fixtures, the same way ScaleBench pre-materializes
     * its pair corpora. */
   def warmServeFixtures(s: SparkSession, d: String): Unit = {
-    Seq("ivf", "pq", "lsh").foreach(kind => ensureServeIndex(s, d, kind))
+    Seq("ivf", "pq", "lsh", "ptr").foreach(kind => ensureServeIndex(s, d, kind))
     ensureRebuiltIndex(s, d)
     ensureTombIndex(s, d)
   }
@@ -1934,6 +1940,25 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
       (s, d) => {
         val dir = ensureServeIndex(s, d, "pq")
         Quantize.probePqIndex(s, dir, "vec_id", "embedding",
+          t(s, d, "embeddings").filter(col("vec_id") === 0), "embedding", k = 10)
+      },
+      None
+    ),
+
+    // POINTER-MODE serve (r20): the same IVF probe against an index
+    // deployed for copy+delete object stores — a committed generation
+    // under a pointer root, resolved per probe inside the fence
+    // harness (the bench row prices the resolution: one marker check +
+    // one commit LIST over the plain probe). Rows-only for the same
+    // KMeans reason as c14_ann_serve; PointerModeLifecycleSpec pins
+    // probe answers EQUAL to the same-seed plain-dir index, zero
+    // protocol renames across the whole lifecycle, and exactly-one-
+    // world reads under a torn copy+delete rename fake.
+    QueryDef(
+      "c14_ann_serve_pointer",
+      (s, d) => {
+        val dir = ensureServeIndex(s, d, "ptr")
+        Ivf.probeIndex(s, dir, "vec_id", "embedding",
           t(s, d, "embeddings").filter(col("vec_id") === 0), "embedding", k = 10)
       },
       None
