@@ -204,6 +204,77 @@ class ConcurrentServeSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/deletes.parquet").exists())
   }
 
+  test("POINTER MODE: probes survive a live rebuild's generation flip + old-generation GC") {
+    // the riskiest pointer-mode reader path: a probe resolves the
+    // pointer, reads the generation's files — and the rebuild commits a
+    // NEW generation and GC-DELETES the one being read. The probe must
+    // either finish on the old world (it resolved and materialized
+    // first), fail transiently on the vanished files and retry into the
+    // new world (retryOnStaleFiles — the generation lives under the
+    // probed root, so the anchor matches), or trip the same-world fence
+    // on the root's changed commit listing. Never a mixed or partial
+    // answer, never a surfaced failure.
+    val corpus = emb.localCheckpoint(true)
+    val query = corpus.filter($"vec_id" === 0)
+    val root = java.nio.file.Files.createTempDirectory("graft_conc_ptr").toString + "/idx"
+    IndexLifecycle.buildIndexGeneration(spark, root) { gen =>
+      Ivf.buildIndex(corpus.filter($"vec_id" =!= 0), "vec_id", "embedding",
+        gen, maxIter = 5)
+    }
+    def answer(): Seq[(Long, Double)] = Ivf.probeIndex(spark, root, "vec_id",
+      "embedding", query, "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val expectOld = answer()
+    val (errors, answers) = hammer(
+      readers = 3,
+      probe = () => answer(),
+      mutate = () => IndexLifecycle.rebuildIndex(spark, root))
+    val expectNew = answer()
+    assert(errors.isEmpty,
+      s"a live probe failed during the pointer-mode generation flip: ${errors.headOption}")
+    assert(answers.subsetOf(Set(expectOld, expectNew)),
+      s"a probe observed a MIXED world across the generation flip: " +
+        s"${(answers -- Set(expectOld, expectNew)).map(_.take(3))}")
+    assert(answers.contains(expectOld),
+      "no probe observed the old world — the hammer raced nothing")
+    // the flip GC'd down to exactly the live generation
+    val gens = new java.io.File(root).listFiles().map(_.getName)
+      .filter(n => n.startsWith("gen-") && !n.contains(".__"))
+    assert(gens.length == 1, s"stale generations survived the flip GC: ${gens.mkString(",")}")
+  }
+
+  test("POINTER MODE: probes survive a live generation-flip compaction applying a tombstone backlog") {
+    val corpus = emb.localCheckpoint(true)
+    val query = corpus.filter($"vec_id" === 0)
+    val root = java.nio.file.Files.createTempDirectory("graft_conc_ptrc").toString + "/idx"
+    IndexLifecycle.buildIndexGeneration(spark, root) { gen =>
+      Ivf.buildIndex(corpus.filter($"vec_id" =!= 0), "vec_id", "embedding",
+        gen, maxIter = 5)
+    }
+    // victims OUTSIDE the top-k: both worlds answer identically, so any
+    // drift the hammer sees is a real torn/mixed read
+    val top = Ivf.probeIndex(spark, root, "vec_id", "embedding",
+      query, "embedding", k = 20).select("vec_id").collect().map(_.getLong(0))
+    val victims = corpus.filter(!$"vec_id".isin(top.map(java.lang.Long.valueOf): _*))
+      .filter($"vec_id" =!= 0).limit(5).select("vec_id").localCheckpoint(true)
+    IndexLifecycle.removeIds(spark, root, victims, "vec_id") // ptr: always tombstones
+    def answer(): Seq[(Long, Double)] = Ivf.probeIndex(spark, root, "vec_id",
+      "embedding", query, "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val expect = answer()
+    val (errors, answers) = hammer(
+      readers = 3,
+      probe = () => answer(),
+      mutate = () => IndexLifecycle.compactIndex(spark, root))
+    assert(errors.isEmpty,
+      s"a live probe failed during the pointer-mode compaction flip: ${errors.headOption}")
+    assert(answers == Set(expect),
+      s"probe answers drifted during the pointer-mode compaction flip: ${answers.map(_.take(3))}")
+    // the flip IS the backlog clear
+    assert(IndexLifecycle.indexStats(spark, root).head()
+      .getAs[Long]("tombstones") == 0L)
+  }
+
   test("IVF probes survive a live compaction applying + clearing cell-layout tombstones") {
     val corpus = emb.localCheckpoint(true)
     val query = corpus.filter($"vec_id" === 0)
