@@ -1044,6 +1044,68 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("POINTER MODE: probe stream serves the committed generation; a mid-stream tombstone flip fails LOUDLY; a fresh plan serves it") {
+    // streams on pointer roots resolve the pointer ONCE at plan time
+    // (annProbeStream's plan-snapshot contract). The removal path is
+    // where pointer mode differs mechanically: removeIds on a pointer
+    // root ALWAYS tombstones, via a generation flip of the NESTED
+    // deletes pointer root — the per-batch freshness guard must see
+    // that flip (a new commit file in the artifact root's listing) and
+    // fail the running stream exactly like the plain-dir append arm.
+    val rnd = new scala.util.Random(97)
+    val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+    def near(eps: Float) = base.map(_ + eps)
+    val corpus = (1L to 10L).map(i => (i, near(0.01f * i)))
+      .toDF("vec_id", "embedding").localCheckpoint(true)
+    val root = java.nio.file.Files.createTempDirectory("graft_annps_ptr").toString + "/idx"
+    graft.ops.IndexLifecycle.buildIndexGeneration(spark, root) { gen =>
+      graft.ops.Ivf.buildIndex(corpus, "vec_id", "embedding", gen, maxIter = 5)
+    }
+    val qvec = near(-0.02f)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Streaming.annProbeStream(
+        mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        root, tau = 0.9, nprobe = 16)
+      .writeStream.format("memory").queryName("sink_ptrstream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(Seq((100L, qvec))); q.processAllAvailable()
+      val got = spark.table("sink_ptrstream")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.contains((100L, 1L)),
+        s"pointer-root probe stream dead on arrival: $got")
+      // removal lands WHILE the stream runs: the deletes flip must trip
+      // the guard on the next micro-batch — loud, never silently stale
+      graft.ops.IndexLifecycle.removeIds(spark, root,
+        Seq(1L).toDF("vec_id"), "vec_id")
+      mem.addData(Seq((200L, qvec)))
+      val boom = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def chain(t: Throwable) =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+      assert(chain(boom).exists(e =>
+          String.valueOf(e.getMessage).contains("tombstone set")),
+        s"wrong failure for a mid-stream pointer-root remove: $boom")
+    } finally q.stop()
+    // a FRESH plan resolves the new tombstone generation and serves it
+    val mem2 = MemoryStream[(Long, Array[Float])]
+    val q2 = Streaming.annProbeStream(
+        mem2.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        root, tau = 0.9, nprobe = 16)
+      .writeStream.format("memory").queryName("sink_ptrstream2")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem2.addData(Seq((300L, qvec))); q2.processAllAvailable()
+    } finally q2.stop()
+    val after = spark.table("sink_ptrstream2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!after.contains((300L, 1L)),
+      s"tombstoned id still tagged by the fresh pointer-root plan: $after")
+    assert(after.exists(_._1 == 300L),
+      s"fresh pointer-root plan tagged nothing: $after")
+  }
+
   test("rebuild under a RUNNING probe stream fails LOUDLY on the next micro-batch") {
     // The other half of the maintenance-cadence contract (r14 verdict
     // #5): rebuildIndex's scaladoc promises that a running stream's plan
