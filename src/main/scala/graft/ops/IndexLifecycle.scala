@@ -401,6 +401,34 @@ object IndexLifecycle {
     * [[lockIo]] posture. */
   @volatile private[graft] var renameIo: RenameIo = HadoopRenameIo
 
+  /** The byte-copy primitive pointer-mode compaction uses to carry
+    * UNTOUCHED cells and small artifacts into a new generation —
+    * injectable like [[LockIo]]/[[RenameIo]] because the COST model is
+    * per-store (r20 review): the default streams bytes through the
+    * driver (Hadoop `FileUtil.copy`, the only portable form) — honest
+    * on local disk, but a data-plane corpus pass on object stores. A
+    * deployment there installs a store-native SERVER-SIDE copy (S3
+    * `CopyObject`, GCS `rewrite`, ABFS copy), making untouched-cell
+    * carryover metadata-priced; PtrSweep's numbers (PERF.md finding 41)
+    * measure the DEFAULT, i.e. the worst case. */
+  private[graft] trait CopyIo {
+    def copy(fs: org.apache.hadoop.fs.FileSystem,
+             src: org.apache.hadoop.fs.Path,
+             dst: org.apache.hadoop.fs.Path,
+             conf: org.apache.hadoop.conf.Configuration): Unit
+  }
+
+  private[graft] object StreamingCopyIo extends CopyIo {
+    def copy(fs: org.apache.hadoop.fs.FileSystem,
+             src: org.apache.hadoop.fs.Path,
+             dst: org.apache.hadoop.fs.Path,
+             conf: org.apache.hadoop.conf.Configuration): Unit =
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
+  }
+
+  /** Deployment/test hook for [[CopyIo]] — process-wide. */
+  @volatile private[graft] var copyIo: CopyIo = StreamingCopyIo
+
   private def swapRename(fs: org.apache.hadoop.fs.FileSystem,
                          src: org.apache.hadoop.fs.Path,
                          dst: org.apache.hadoop.fs.Path): Boolean =
@@ -479,14 +507,26 @@ object IndexLifecycle {
   // every instant, on every store, by construction — the Iceberg-style
   // metadata-commit shape, at generation granularity.
   //
+  // SCOPE of that guarantee (r20 review): it covers every REPLACE the
+  // protocol itself performs — the operations that were rename-swaps in
+  // place. The APPEND verbs still add files inside the live generation
+  // through the configured output committer, exactly as they do on
+  // plain dirs: on a copy+delete store a crash mid task-commit can
+  // leave a partial part-file, which parquet readers reject LOUDLY
+  // (torn footer — never a silent wrong answer, but a repair, not a
+  // self-heal). Deployments there pair pointer mode with a store-native
+  // committer (e.g. the S3A committers, which upload without rename);
+  // the protocol's own writes need no such pairing.
+  //
   // Opt-in per ROOT via the [[PointerMarker]] file ([[initPointerRoot]]
   // / [[buildIndexGeneration]]); everything else auto-detects. Trades
   // documented on the verbs: pointer-mode removal always tombstones
   // (dynamic partition overwrite is rename-based), tombstone appends
   // rewrite the (compaction-bounded) backlog instead of appending one
-  // file, and compaction is generation-granular — untouched cells COPY
-  // into the new generation (server-side copy on object stores) while
-  // pressured cells rewrite through Spark.
+  // file, and compaction is generation-granular — untouched cells carry
+  // over via the injectable [[CopyIo]] (server-side on object stores
+  // once a store-native copy is installed; driver-streamed by default)
+  // while pressured cells rewrite through Spark.
 
   /** Marker file naming a pointer-mode root. Its PRESENCE is the mode
     * switch — per-dir, persisted, survives every flip (it lives beside
@@ -500,12 +540,28 @@ object IndexLifecycle {
 
   /** Mark `path` as a pointer-mode root (idempotent). The root must not
     * already hold a plain parquet artifact — the marker would turn its
-    * files invisible to resolution. */
+    * files invisible to resolution — ENFORCED, not just documented (r20
+    * review): marking a LIVE plain index would blind every probe for
+    * the duration of the first generation build (an outage) and strand
+    * the old artifacts as an invisible permanent leak (GC only touches
+    * `gen-*` names). Migration is a build into a NEW root plus a
+    * serving-path switch, never an in-place marking. */
   private[graft] def initPointerRoot(spark: SparkSession, path: String): Unit = {
     val (fs, p) = hfs(spark, path)
     fs.mkdirs(p)
     val marker = new org.apache.hadoop.fs.Path(s"$path/$PointerMarker")
-    if (!fs.exists(marker)) fs.create(marker, true).close()
+    if (!fs.exists(marker)) {
+      val foreign = fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filterNot(n => n == PointerMarker || n.startsWith("commit-") ||
+          n.startsWith("gen-") || n.contains(".__"))
+      require(foreign.isEmpty,
+        s"initPointerRoot: $path already holds non-generation artifacts " +
+          s"(${foreign.take(5).mkString(", ")}) — marking it pointer-mode " +
+          "would hide them from every reader without reclaiming them. " +
+          "Migrate by building into a NEW pointer root and switching the " +
+          "serving path.")
+      fs.create(marker, true).close()
+    }
   }
 
   private def freshGenName(): String =
@@ -517,10 +573,15 @@ object IndexLifecycle {
   /** (seq, generation name) of every commit file under `root` —
     * resolution is ONE metadata LIST; the gen name is encoded in the
     * filename so no content read (and no half-written-content window)
-    * exists. */
+    * exists. IOExceptions PROPAGATE (r20 review): swallowing a
+    * transient store listing failure here made [[resolvePointer]]
+    * return None and [[resolveIndexDir]] misdiagnose a throttled LIST
+    * as "no committed generation — build first", a protocol-shaped lie
+    * about index state; callers that are genuinely best-effort
+    * ([[gcGenerations]]) catch at their own boundary. */
   private def listCommits(fs: org.apache.hadoop.fs.FileSystem,
                           root: String): Seq[(Long, String)] =
-    try fs.listStatus(new org.apache.hadoop.fs.Path(root)).toSeq
+    fs.listStatus(new org.apache.hadoop.fs.Path(root)).toSeq
       .map(_.getPath.getName)
       .filter(_.startsWith("commit-"))
       .flatMap { n =>
@@ -530,7 +591,6 @@ object IndexLifecycle {
         else scala.util.Try(
           (rest.substring(0, dot).toLong, rest.substring(dot + 1))).toOption
       }
-    catch { case _: java.io.IOException => Seq.empty }
 
   /** The currently-committed generation's PHYSICAL path under a
     * pointer-mode root, or None when nothing has committed yet. */
@@ -1123,14 +1183,31 @@ object IndexLifecycle {
   /** The dir's LIVE-artifact identity: (name, mtime, len) of its direct
     * children, staging/lock names (`.__`) excluded — in-flight writers
     * preparing a swap must not perturb readers that are still serving
-    * the consistent old world. */
+    * the consistent old world. On a POINTER-MODE root the same
+    * invariant means keying on the COMMIT FILES (plus the marker) only
+    * (r20 review): an uncommitted `gen-*` being written by a long
+    * rebuild is staging too — including it would make every artifact
+    * landing inside it bump the root listing and spuriously retry
+    * lock-free probes for the whole build, burning the retry budget on
+    * a world that never changed. Commit files are immutable once
+    * created (the gen name rides in the filename), so the filtered
+    * epoch changes exactly when the committed world does. The rule is
+    * [[epochEntries]], shared verbatim with
+    * [[tombstoneFreshnessGuard]]'s executor-side listing. */
+  private[graft] def epochEntries(
+      entries: Seq[(String, Long, Long)]): Seq[(String, Long, Long)] = {
+    val base = entries.filterNot(_._1.contains(".__"))
+    if (base.exists(_._1 == PointerMarker))
+      base.filter(e => e._1.startsWith("commit-") || e._1 == PointerMarker)
+        .sortBy(_._1)
+    else base.sortBy(_._1)
+  }
+
   private[graft] def dirEpoch(spark: SparkSession,
                               dir: String): Seq[(String, Long, Long)] = {
     val (fs, p) = hfs(spark, dir)
-    try fs.listStatus(p).toSeq
-      .filterNot(_.getPath.getName.contains(".__"))
-      .map(s => (s.getPath.getName, s.getModificationTime, s.getLen))
-      .sortBy(_._1)
+    try epochEntries(fs.listStatus(p).toSeq
+      .map(s => (s.getPath.getName, s.getModificationTime, s.getLen)))
     catch { case _: java.io.IOException => Seq.empty }
   }
 
@@ -1194,11 +1271,12 @@ object IndexLifecycle {
     // run one filesystem LIST per slice per micro-batch
     spark.range(0L, 1L, 1L, 1).mapPartitions { it =>
       val p = new org.apache.hadoop.fs.Path(path)
+      // the SAME filtering rule as dirEpoch (epochEntries — commits-only
+      // on a pointer root), or the comparison below would flap
       val now =
-        try p.getFileSystem(getConf()).listStatus(p).toSeq
-          .filterNot(_.getPath.getName.contains(".__"))
-          .map(s => (s.getPath.getName, s.getModificationTime, s.getLen))
-          .sortBy(_._1)
+        try IndexLifecycle.epochEntries(
+          p.getFileSystem(getConf()).listStatus(p).toSeq
+            .map(s => (s.getPath.getName, s.getModificationTime, s.getLen)))
         catch { case _: java.io.IOException => Seq.empty[(String, Long, Long)] }
       if (now != expected)
         throw new IllegalStateException(
@@ -1555,9 +1633,11 @@ object IndexLifecycle {
     * pointer mode exists to avoid. The cost stays proportional to the
     * pressure: cells over the file bound (or holding tombstoned ids)
     * rewrite through Spark; every untouched cell directory and every
-    * small artifact (model, meta, buildinfo, books) COPIES into the new
-    * generation driver-side — a metadata-priced server-side copy on
-    * object stores, never a corpus pass. The new generation carries NO
+    * small artifact (model, meta, buildinfo, books) carries over via
+    * the injectable [[CopyIo]] — server-side (metadata-priced) on
+    * object stores once a store-native copy is installed, a
+    * driver-streamed byte copy by default (the cost PtrSweep measures —
+    * finding 41's 21 s local worst case). The new generation carries NO
     * tombstone set: the flip IS the backlog clear, atomic with the
     * rewrite by construction (the in-place arm needs fence + ordering
     * discipline for the same guarantee). No-ops when nothing is under
@@ -1568,9 +1648,8 @@ object IndexLifecycle {
     val (fs, _) = hfs(spark, root)
     val conf = spark.sparkContext.hadoopConfiguration
     def copyInto(srcPath: String, dstPath: String): Unit =
-      org.apache.hadoop.fs.FileUtil.copy(fs,
-        new org.apache.hadoop.fs.Path(srcPath), fs,
-        new org.apache.hadoop.fs.Path(dstPath), false, conf)
+      copyIo.copy(fs, new org.apache.hadoop.fs.Path(srcPath),
+        new org.apache.hadoop.fs.Path(dstPath), conf)
     // small artifacts = every direct child except the rewritten data
     // set, the tombstone set (cleared by the flip), and staging/lock
     // siblings — model/meta/buildinfo/books and completeness markers
@@ -1628,7 +1707,20 @@ object IndexLifecycle {
           case None => Nil
         }
         val rewrite = (heavy ++ affected).distinct
-        if (rewrite.isEmpty && del.isEmpty) return
+        if (rewrite.isEmpty && del.isEmpty) {
+          // nothing to rewrite — but a committed-EMPTY nested tombstone
+          // root (re-appends un-deleted everything) still taxes every
+          // probe with loadTombstones' read+distinct+checkpoint job;
+          // the in-place arm clears empty sets, so match it (r20
+          // review). Commits delete OLDEST-first: every intermediate
+          // state resolves to the newest (empty) set or to "none" —
+          // never to an older, non-empty one.
+          if (isPointerRoot(spark, s"$phys/deletes.parquet")) {
+            requireLeaseStillHeld(spark, "empty tombstone-root drop (compaction)")
+            dropTombstonePointerRoot(spark, phys)
+          }
+          return
+        }
         val gen = freshGenName()
         val genPath = s"$root/$gen"
         fs.delete(new org.apache.hadoop.fs.Path(genPath), true)
@@ -1657,6 +1749,27 @@ object IndexLifecycle {
         commitGeneration(spark, root, gen)
         gcGenerations(spark, root)
     }
+  }
+
+  /** Remove a nested tombstone pointer root whose committed set the
+    * caller verified EMPTY. Deletion order makes every crash window
+    * consistent: commits go OLDEST-first (intermediate states resolve
+    * to the newest = the empty set, then to none — never to an older
+    * non-empty one), then the generations, the marker last; a crash
+    * anywhere leaves "empty or no tombstones", both correct. Caller
+    * holds the lease and fences first. */
+  private def dropTombstonePointerRoot(spark: SparkSession, dir: String): Unit = {
+    val rootPath = s"$dir/deletes.parquet"
+    val (fs, root) = hfs(spark, rootPath)
+    listCommits(fs, rootPath).sortBy(_._1).foreach { case (s, g) =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$rootPath/${commitFileName(s, g)}"), false)
+    }
+    fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("gen-"))
+      .foreach(n => fs.delete(new org.apache.hadoop.fs.Path(s"$rootPath/$n"), true))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$rootPath/$PointerMarker"), false)
+    fs.delete(root, true)
   }
 
   /** One-row operational readout of a serve index — the numbers the

@@ -631,8 +631,11 @@ object Ivf {
                   dir: String): IndexModel =
   IndexLifecycle.withIndexLock(emb.sparkSession, dir, "appendIndex") {
     // pointer-mode roots append INTO the live generation: appends add
-    // new files (committer-staged, but never a rename of EXISTING data)
-    // and keep the plan-snapshot visibility contract unchanged
+    // new files (committer-staged — never a rename of EXISTING data,
+    // but the task-commit itself rides the configured committer; see
+    // the SCOPE paragraph on IndexLifecycle's pointer-mode intro for
+    // the copy+delete-store caveat) and keep the plan-snapshot
+    // visibility contract unchanged
     val phys = IndexLifecycle.resolveIndexDir(emb.sparkSession, dir)
     requireLayout(emb.sparkSession, phys, "invfile.parquet",
       "appendIndex", "Quantize.appendPqIndex")

@@ -367,8 +367,10 @@ object Quantize {
   def appendPqIndex(emb: DataFrame, idCol: String, vecCol: String,
                     dir: String): PqIndexModel =
   IndexLifecycle.withIndexLock(emb.sparkSession, dir, "appendPqIndex") {
-    // pointer-mode roots append INTO the live generation (Ivf.appendIndex's
-    // rationale — new files only, never a rename of existing data)
+    // pointer-mode roots append INTO the live generation
+    // (Ivf.appendIndex's rationale — new files only, never a rename of
+    // existing data; the committer caveat on IndexLifecycle's
+    // pointer-mode intro applies)
     val phys = IndexLifecycle.resolveIndexDir(emb.sparkSession, dir)
     // layout guard (ADVICE r13, symmetric with Ivf.appendIndex's): an
     // IVF-flat dir would fail later on books.parquet anyway, but with a

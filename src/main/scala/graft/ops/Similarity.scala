@@ -608,7 +608,8 @@ object Similarity {
     // file holding only this batch and strand the whole pre-crash set
     // in the sibling dirs — silent corpus loss, worse than the crash
     // being recovered. Pointer-mode roots append INTO the live
-    // generation (Ivf.appendIndex's rationale).
+    // generation (Ivf.appendIndex's rationale; the committer caveat on
+    // IndexLifecycle's pointer-mode intro applies).
     IndexLifecycle.recoverIndexDir(spark, dir)
     val phys = IndexLifecycle.resolveIndexDir(spark, dir)
     Seq("deletes.parquet", "postings.parquet", "vectors.parquet")

@@ -33,7 +33,9 @@ object HadoopConfShim {
       "HadoopConfShim.confGetter: SparkContext is stopped — construct " +
         "guards/streams on a live session (a cached getter from a stopped " +
         "context is never reused; callers must re-acquire after restart)")
-    if (cached == null || (cached._1 ne sc) || cached._1.isStopped) {
+    // no stopped-context clause needed: cached._1 eq sc is live per the
+    // require above, and cached._1 ne sc already triggers the rebuild
+    if (cached == null || (cached._1 ne sc)) {
       val b = sc.broadcast(new SerializableConfiguration(sc.hadoopConfiguration))
       cached = (sc, () => b.value.value)
     }

@@ -32,8 +32,11 @@ class PointerModeLifecycleSpec extends SparkSpec {
 
   /** Throws on any fixture-scoped rename; delegates elsewhere (the
     * NonAtomicRenameSpec scoping rule). Protocol renames only — parquet
-    * committer renames go through the filesystem directly, which is the
-    * point: those happen inside FRESH generation dirs. */
+    * committer renames go through the filesystem directly: for the
+    * REPLACE verbs those happen inside fresh generation dirs; for the
+    * append verbs they land inside the live generation and ride the
+    * configured committer (the documented SCOPE caveat on
+    * IndexLifecycle's pointer-mode intro). */
   private final class ForbiddenRenameIo(fixtureDir: String)
     extends IndexLifecycle.RenameIo {
     def rename(fs: org.apache.hadoop.fs.FileSystem,
@@ -275,6 +278,77 @@ class PointerModeLifecycleSpec extends SparkSpec {
       "a taken-over writer still flipped the pointer")
     // clean up the fake lock so later suites can take the path over
     lock.delete()
+  }
+
+  test("an UNCOMMITTED generation write does not perturb probes (epoch keys on commits only)") {
+    // r20 review: a long rebuild writes artifacts into its staging
+    // generation for minutes — if the root epoch included gen-* dirs,
+    // every such write would spuriously retry live probes and burn the
+    // budget on a committed world that never changed
+    val fixture = tmpDir("graft_ptr_epoch")
+    val root = s"$fixture/art.parquet"
+    IndexLifecycle.initPointerRoot(spark, root)
+    IndexLifecycle.swapInParquet(spark, root)(spark.range(0, 50).toDF("id"))
+    var invocations = 0
+    val out = IndexLifecycle.fencedProbeResolved(spark, root) { phys =>
+      invocations += 1
+      val ids = spark.read.parquet(phys).as[Long].collect().toSet
+      // an in-flight writer lands a FULL but uncommitted generation
+      // while this probe is mid-body — staging, not a new world
+      spark.range(500, 550).toDF("id").write.mode("overwrite")
+        .parquet(s"$root/gen-staging99")
+      ids
+    }
+    assert(invocations == 1,
+      s"an uncommitted generation write retried the probe ($invocations runs) — " +
+        "the epoch must key on commit files only")
+    assert(out == (0L until 50L).toSet)
+  }
+
+  test("initPointerRoot refuses a root already holding plain artifacts (migration footgun)") {
+    val dir = tmpDir("graft_ptr_mig")
+    val live = s"$dir/idx"
+    spark.range(0, 10).toDF("id").write.parquet(s"$live/invfile.parquet")
+    val boom = intercept[IllegalArgumentException] {
+      IndexLifecycle.buildIndexGeneration(spark, live) { gen =>
+        spark.range(0, 10).toDF("id").write.parquet(s"$gen/invfile.parquet")
+      }
+    }
+    assert(boom.getMessage.contains("invfile.parquet") &&
+      boom.getMessage.contains("NEW pointer root"),
+      s"wrong failure: ${boom.getMessage}")
+    // the refused marking left the plain artifacts readable
+    assert(spark.read.parquet(s"$live/invfile.parquet").count() == 10L)
+  }
+
+  test("compaction DROPS a committed-empty tombstone root instead of taxing every probe forever") {
+    val corpus = emb.localCheckpoint(true)
+    val query = corpus.filter($"vec_id" === 0)
+    val fixture = tmpDir("graft_ptr_emptytomb")
+    val root = s"$fixture/idx"
+    IndexLifecycle.buildIndexGeneration(spark, root) { gen =>
+      Ivf.buildIndex(corpus, "vec_id", "embedding", gen, maxIter = 5); ()
+    }
+    val victims = corpus.filter($"vec_id" =!= 0).limit(3)
+      .select("vec_id", "embedding").localCheckpoint(true)
+    IndexLifecycle.removeIds(spark, root, victims.select("vec_id"), "vec_id")
+    // re-append every victim: undeleteTombstones commits an EMPTY set
+    Ivf.appendIndex(victims, "vec_id", "embedding", root)
+    val phys = IndexLifecycle.resolveIndexDir(spark, root)
+    assert(IndexLifecycle.isPointerRoot(spark, s"$phys/deletes.parquet"),
+      "fixture broken: no tombstone root to drop")
+    assert(IndexLifecycle.loadTombstones(spark, phys).exists(_.count() == 0L),
+      "fixture broken: tombstone set not empty")
+    val before = pairs(Ivf.probeIndex(spark, root, "vec_id", "embedding",
+      query, "embedding", k = 10))
+    val gensBefore = genNames(root)
+    IndexLifecycle.compactIndex(spark, root)
+    assert(!new java.io.File(s"$phys/deletes.parquet").exists(),
+      "committed-empty tombstone root survived compaction")
+    assert(genNames(root) == gensBefore,
+      "dropping an empty tombstone root must not churn a full generation")
+    assert(pairs(Ivf.probeIndex(spark, root, "vec_id", "embedding",
+      query, "embedding", k = 10)) == before)
   }
 
   test("fencedProbeResolved re-resolves across a concurrent flip: one world, never mixed") {
