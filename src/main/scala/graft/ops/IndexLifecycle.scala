@@ -1111,7 +1111,14 @@ object IndexLifecycle {
         case e: java.io.FileNotFoundException => anchored(e.getMessage)
         case e =>
           val m = String.valueOf(e.getMessage)
+          // FAILED_READ_FILE covers the NO_HINT variant too (r20, caught
+          // by the pointer-compaction hammer in a full-suite run): a
+          // reader mid-file when the flip's GC deletes it can surface a
+          // generic read failure instead of FILE_NOT_EXIST — under the
+          // probed dir that IS the maintenance race (and a genuinely
+          // corrupt file stays loud: the bounded retry re-fails)
           (m.contains("FILE_NOT_EXIST") || m.contains("PATH_NOT_FOUND") ||
+            m.contains("FAILED_READ_FILE") ||
             m.contains("does not exist")) && anchored(m)
       }
     def unanchoredFnfe(t: Throwable): Boolean =

@@ -21,6 +21,11 @@ import graft.SparkSpec
 class RetryBudgetSpec extends SparkSpec {
 
   private def fixture(): String = {
+    // epoch observation NEEDS a live session (retryOnStaleFiles'
+    // documented degrade: absent one, failures just charge) — force the
+    // lazy shared session here, or this suite running FIRST in a JVM
+    // would test the chargeback path instead of the progress provision
+    spark.sparkContext
     val dir = java.nio.file.Files.createTempDirectory("graft_retry").toString
     new java.io.File(s"$dir/seed").createNewFile()
     dir
@@ -51,6 +56,38 @@ class RetryBudgetSpec extends SparkSpec {
     // 8 failures: the first charges (no prior epoch observation), the
     // rest ride the free pool — well past the charged budget of 3
     assert(calls == 9, s"expected 9 calls (8 races + success), got $calls")
+  }
+
+  test("a FAILED_READ_FILE under the probed dir is a recognized race shape (incl. the NO_HINT variant)") {
+    // caught in the field (r20): a reader mid-file when a generation
+    // flip's GC deletes it surfaces FAILED_READ_FILE.NO_HINT — a
+    // generic read failure, not FILE_NOT_EXIST — which the retry
+    // harness must treat as the transient maintenance race it is
+    val dir = fixture()
+    var calls = 0
+    val out = IndexLifecycle.retryOnStaleFiles(dir, attempts = 4) {
+      calls += 1
+      if (calls == 1)
+        throw new RuntimeException(
+          s"[FAILED_READ_FILE.NO_HINT] Encountered error while reading file " +
+            s"file://$dir/gen-abc/centroids.parquet/part-0.snappy.parquet.  " +
+            "SQLSTATE: KD001")
+      "served"
+    }
+    assert(out == "served" && calls == 2)
+    // and the SAME shape under an UNRELATED path is a caller error, not
+    // a race — no anchored retry (only the one FNFE fallback could
+    // apply, and this is not an FNFE)
+    var calls2 = 0
+    intercept[RuntimeException] {
+      IndexLifecycle.retryOnStaleFiles(dir, attempts = 4) {
+        calls2 += 1
+        throw new RuntimeException(
+          "[FAILED_READ_FILE.NO_HINT] Encountered error while reading file " +
+            "file:///somewhere/else/part-0.parquet.  SQLSTATE: KD001")
+      }
+    }
+    assert(calls2 == 1, s"unanchored read failure was retried $calls2 times")
   }
 
   test("a genuinely STUCK state (no epoch movement) fails after exactly `attempts` tries") {
