@@ -280,11 +280,18 @@ object Quantize {
     val cb = trainPq(trainBase, "__res", m, codebookSize, seed)
     val q = query.select(col(queryVecCol).cast("array<double>").as("__q"))
       .head().getSeq[Double](0).toArray
+    // residual computed ONCE into a column, never inline in pqCode:
+    // pqCode slices its argument into all m subspaces, and interpreted
+    // eval (zip_with is a HOF — no codegen, no CSE) re-evaluates the
+    // duplicated residual subtree m times per row. Measured (PqProbeAb,
+    // r21): 1.06 s → 0.10 s per shortlist execution at sf0.1,
+    // rows bit-identical. Same fix in buildPqIndex/appendPqIndex.
     val shortlist = indexed
       .filter(col("cell").isin(model.probedCells(q, nprobe).map(Integer.valueOf): _*))
+      .withColumn("__res0", model.residualOf(col(vecCol)))
       .select(col(idCol), col(vecCol),
         (model.cellDot(q) +
-          pqAdcScore(pqCode(model.residualOf(col(vecCol)), cb), cb, q)).as("__adc"))
+          pqAdcScore(pqCode(col("__res0"), cb), cb, q)).as("__adc"))
       .orderBy(col("__adc").desc, col(idCol))
       .limit(rerank)
     Similarity.neverShort(
@@ -342,8 +349,12 @@ object Quantize {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/books.parquet")
     // repartition(cell): one file per cell (Ivf.buildIndex's rationale —
     // a parallel build must not start at compaction-pressure file counts)
+    // residual once into a column (ivfPqWithModel's rationale: pqCode
+    // duplicates its arg m× and the HOF residual evals interpreted)
     indexed
-      .withColumn("code", pqCode(coarse.residualOf(col(vecCol)), cb))
+      .withColumn("__res0", coarse.residualOf(col(vecCol)))
+      .withColumn("code", pqCode(col("__res0"), cb))
+      .drop("__res0")
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes.parquet")
     // codebook_size is the REQUESTED size, pre-clamp (ADVICE r14): a
@@ -379,9 +390,11 @@ object Quantize {
       "appendPqIndex", "Ivf.appendIndex")
     val model = loadPqIndex(emb.sparkSession, phys)
     // repartition(cell): one file per touched cell per append
+    // residual once into a column (ivfPqWithModel's rationale)
     val coded = model.coarse.indexOf(emb, idCol, vecCol)
-      .withColumn("code",
-        pqCode(model.coarse.residualOf(col(vecCol)), model.cb))
+      .withColumn("__res0", model.coarse.residualOf(col(vecCol)))
+      .withColumn("code", pqCode(col("__res0"), model.cb))
+      .drop("__res0")
       .repartition(col("cell"))
     // zombie-append fence (Ivf.appendIndex's rule): never land rows
     // coded under a codebook the new holder has since replaced

@@ -284,18 +284,27 @@ object Text {
     val vocab = tok.groupBy("token").agg(count(lit(1)).as("c"))
       .localCheckpoint(true)
     val nRow = broadcast(vocab.agg(sum(col("c")).cast("double").as("__n")))
+    // the per-token NLL term is a function of the VOCAB row alone, so it
+    // is computed once per vocab TYPE here and the occurrence stream only
+    // sums precomputed decimals (r21 opt: −log + decimal cast per
+    // occurrence was the hottest task in the ppl family; guide §2.3
+    // "aggregate before you shuffle" applied to scalar work). Decimal
+    // sums are exact integer arithmetic, so the doc totals are
+    // bit-identical to the per-occurrence form — the oracle hash pins it.
+    val scored = vocab.crossJoin(nRow)
+      .select(col("token"),
+        (-log(col("c").cast("double") / col("__n")))
+          .cast("decimal(18,6)").as("__nll"))
     val probed =
       if (broadcastableVocab(vocab, Seq("token"), vocabBroadcastLimit))
-        tok.join(broadcast(vocab), Seq("token"))
+        tok.join(broadcast(scored), Seq("token"))
       else
-        tok.join(vocab.hint("SHUFFLE_HASH"), Seq("token"))
+        tok.join(scored.hint("SHUFFLE_HASH"), Seq("token"))
     probed
-      .crossJoin(nRow)
       .groupBy(col("doc"))
       .agg(
         count(lit(1)).as("n_tok"),
-        round(sum((-log(col("c").cast("double") / col("__n")))
-          .cast("decimal(18,6)")), 4).cast("double").as("sum_nll"))
+        round(sum(col("__nll")), 4).cast("double").as("sum_nll"))
   }
 
   /** Bigram conditional NLL per document: −Σ log P(w₂|w₁) with MLE
@@ -323,14 +332,25 @@ object Text {
       .localCheckpoint(true)
     val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // compose the stats at TYPE level first (c2 ⋈ c1 is |bigram types| ⋈
+    // |V| rows), precompute the decimal NLL term per type, and probe the
+    // pair STREAM exactly once — the stream previously paid two
+    // SHUFFLE_HASH joins (by (w1,w2), then re-shuffled by w1) and the
+    // −log + decimal cast per OCCURRENCE (r21 opt; guide §2.3: shuffle
+    // fewer bytes — types ≤ occurrences — and §8: decide on small rows).
+    // Per-type term values and the exact decimal sums are bit-identical;
+    // every observed bigram has a c2 and c1 row, so inner-join
+    // multiplicity (n_big) is unchanged. The oracle hash pins all of it.
+    val stats = c2.join(c1.hint("SHUFFLE_HASH"), Seq("w1"))
+      .select(col("w1"), col("w2"),
+        (-log(col("c12").cast("double") / col("c1")))
+          .cast("decimal(18,6)").as("__nll"))
     pairs
-      .join(c2.hint("SHUFFLE_HASH"), Seq("w1", "w2"))
-      .join(c1.hint("SHUFFLE_HASH"), Seq("w1"))
+      .join(stats.hint("SHUFFLE_HASH"), Seq("w1", "w2"))
       .groupBy(col("doc"))
       .agg(
         count(lit(1)).as("n_big"),
-        round(sum((-log(col("c12").cast("double") / col("c1")))
-          .cast("decimal(18,6)")), 4).cast("double").as("sum_nll"))
+        round(sum(col("__nll")), 4).cast("double").as("sum_nll"))
   }
 
   /** Interpolated bigram NLL — Jelinek–Mercer smoothing, the
@@ -398,24 +418,36 @@ object Text {
     val c1 = pairs.groupBy(keyCols.map(col) :+ col("w1"): _*)
       .agg(count(lit(1)).as("c1"))
     val uniAsW2 = uni.withColumnRenamed("token", "w2")
-    val probed = pairs
-      .join(c2.hint("SHUFFLE_HASH"), keyCols :+ "w1" :+ "w2")
-      .join(c1.hint("SHUFFLE_HASH"), keyCols :+ "w1")
-    val withUni =
-      if (vocabGated) probed.join(broadcast(uniAsW2), keyCols :+ "w2")
-      else probed.join(uniAsW2.hint("SHUFFLE_HASH"), keyCols :+ "w2")
-    val withTotal =
-      if (keyCols.isEmpty) withUni.crossJoin(broadcast(totals))
-      else if (vocabGated) withUni.join(broadcast(totals), keyCols)
-      else withUni.join(totals.hint("SHUFFLE_HASH"), keyCols)
-    withTotal
+    // compose the stats at TYPE level (all joins are |bigram types| ⋈
+    // |V|-or-smaller frames), precompute the decimal mixture term per
+    // type, and probe the pair STREAM exactly once — the stream
+    // previously paid up to four joins (two of them re-shuffles of every
+    // occurrence) plus the mixture's −log + decimal cast per OCCURRENCE
+    // (r21 opt; guide §2.3/§8). The mixture expression, its operand
+    // order, and the exact decimal sums are unchanged per type, so doc
+    // scores are bit-identical — the oracle hash pins it. The uni/totals
+    // gate still decides broadcast ↔ SHUFFLE_HASH for the type-level
+    // joins; the pair probe is SHUFFLE_HASH either way (|V|²-ish stats
+    // never broadcast).
+    val statsBase = c2.join(c1.hint("SHUFFLE_HASH"), keyCols :+ "w1")
+    val statsUni =
+      if (vocabGated) statsBase.join(broadcast(uniAsW2), keyCols :+ "w2")
+      else statsBase.join(uniAsW2.hint("SHUFFLE_HASH"), keyCols :+ "w2")
+    val statsTotal =
+      if (keyCols.isEmpty) statsUni.crossJoin(broadcast(totals))
+      else if (vocabGated) statsUni.join(broadcast(totals), keyCols)
+      else statsUni.join(totals.hint("SHUFFLE_HASH"), keyCols)
+    val stats = statsTotal.select(keys ++ Seq(col("w1"), col("w2"),
+      (-log(
+        lit(lambda) * col("c12").cast("double") / col("c1") +
+          lit(1.0 - lambda) * col("cu").cast("double") / col("__n")))
+        .cast("decimal(18,6)").as("__nll")): _*)
+    pairs
+      .join(stats.hint("SHUFFLE_HASH"), keyCols :+ "w1" :+ "w2")
       .groupBy(col("doc") +: keys: _*)
       .agg(
         count(lit(1)).as("n_big"),
-        round(sum((-log(
-          lit(lambda) * col("c12").cast("double") / col("c1") +
-            lit(1.0 - lambda) * col("cu").cast("double") / col("__n")))
-          .cast("decimal(18,6)")), 4).cast("double").as("sum_nll"))
+        round(sum(col("__nll")), 4).cast("double").as("sum_nll"))
   }
 
   /** Interpolated Kneser–Ney bigram NLL (Kneser & Ney 1995; the
@@ -467,23 +499,32 @@ object Text {
       .localCheckpoint(true) // feeds the gate count AND the probe
     val tRow = broadcast(c2.agg(count(lit(1)).cast("double").as("__t")))
     val w1Stats = c1.join(n1f, Seq("w1")) // both |V|-sized, keyed alike
-    val probed = pairs
-      .join(c2.hint("SHUFFLE_HASH"), Seq("w1", "w2"))
-      .join(w1Stats.hint("SHUFFLE_HASH"), Seq("w1"))
-    val withCont =
+    // compose the stats at TYPE level and precompute the decimal KN term
+    // per bigram type; the pair STREAM probes exactly once instead of
+    // three times, and the −log + decimal cast runs per TYPE, not per
+    // occurrence (r21 opt, interpNllCore's rationale — guide §2.3/§8).
+    // Term expression and operand order unchanged ⇒ bit-identical doc
+    // scores; every observed bigram has c2/w1Stats/n1b rows ⇒ n_big
+    // multiplicity unchanged. The oracle hash pins it.
+    val statsBase = c2.join(w1Stats.hint("SHUFFLE_HASH"), Seq("w1"))
+    val statsCont =
       if (broadcastableVocab(n1b, Seq("w2"), vocabBroadcastLimit))
-        probed.join(broadcast(n1b), Seq("w2"))
-      else probed.join(n1b.hint("SHUFFLE_HASH"), Seq("w2"))
-    withCont
+        statsBase.join(broadcast(n1b), Seq("w2"))
+      else statsBase.join(n1b.hint("SHUFFLE_HASH"), Seq("w2"))
+    val stats = statsCont
       .crossJoin(tRow)
-      .groupBy(col("doc"))
-      .agg(
-        count(lit(1)).as("n_big"),
-        round(sum((-log(
+      .select(col("w1"), col("w2"),
+        (-log(
           greatest(col("c12").cast("double") - lit(discount), lit(0.0)) / col("c1") +
             lit(discount) * col("n1f") / col("c1") *
               (col("n1b").cast("double") / col("__t"))))
-          .cast("decimal(18,6)")), 4).cast("double").as("sum_nll"))
+          .cast("decimal(18,6)").as("__nll"))
+    pairs
+      .join(stats.hint("SHUFFLE_HASH"), Seq("w1", "w2"))
+      .groupBy(col("doc"))
+      .agg(
+        count(lit(1)).as("n_big"),
+        round(sum(col("__nll")), 4).cast("double").as("sum_nll"))
   }
 
   /** Shared quality-signal columns — [[gopherFilter]] and
@@ -687,19 +728,24 @@ object Text {
         val vocab = tok.groupBy("lang", "token").agg(count(lit(1)).as("c"))
           .localCheckpoint(true)
         val totals = vocab.groupBy("lang").agg(sum(col("c")).cast("double").as("__n"))
+        // per-type decimal NLL term precomputed on the vocab side, the
+        // token stream probes ONE stats table (unigramNll's r21 shape:
+        // −log + decimal cast per occurrence was the family's hottest
+        // task; decimal sums are exact ⇒ bit-identical, oracle-pinned)
+        val scored = vocab.join(totals, Seq("lang"))
+          .select(col("lang"), col("token"),
+            (-log(col("c").cast("double") / col("__n")))
+              .cast("decimal(18,6)").as("__nll"))
         val probed =
           if (broadcastableVocab(vocab, Seq("lang", "token"), vocabBroadcastLimit))
-            tok.join(broadcast(vocab), Seq("lang", "token"))
-              .join(broadcast(totals), Seq("lang"))
+            tok.join(broadcast(scored), Seq("lang", "token"))
           else
-            tok.join(vocab.hint("SHUFFLE_HASH"), Seq("lang", "token"))
-              .join(totals.hint("SHUFFLE_HASH"), Seq("lang"))
+            tok.join(scored.hint("SHUFFLE_HASH"), Seq("lang", "token"))
         probed
           .groupBy(col("doc"), col("lang"))
           .agg(
             count(lit(1)).as("n_tok"),
-            round(sum((-log(col("c").cast("double") / col("__n")))
-              .cast("decimal(18,6)")), 4).cast("double").as("sum_nll"))
+            round(sum(col("__nll")), 4).cast("double").as("sum_nll"))
           .select(col("doc"), col("lang"),
             round(col("sum_nll") / col("n_tok"), 6).as("ppl"))
       } else
