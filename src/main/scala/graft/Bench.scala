@@ -44,12 +44,36 @@ object Bench {
     * rarely the same query a full pass (~minutes) apart.
     * noop sink, not count(): count() lets Catalyst prune projections the
     * count never reads (PERF.md finding 9); noop materializes every column. */
+  /** One-line session-state witness at a pass boundary (r20 verdict #3:
+    * the driver's r20 session read the c24 family 3–6× slower in pass 2;
+    * min-of-2 hides it, but if it is INTRA-SESSION state — accumulated
+    * localCheckpoint blocks, heap/GC pressure — rather than host noise,
+    * the noise stats lie. This stderr line makes the next such session
+    * self-attributing: flat storage+GC across passes = host noise;
+    * monotone growth = session state). Observability only — timings and
+    * methodology unchanged. */
+  private def passStateLine(spark: SparkSession, label: String): Unit =
+    try {
+      val rdds = spark.sparkContext.getRDDStorageInfo
+      val memMb = rdds.map(_.memSize).sum / (1024.0 * 1024.0)
+      val gc = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans
+      var gcMs = 0L; gc.forEach(b => gcMs += math.max(0L, b.getCollectionTime))
+      val heapMb = (Runtime.getRuntime.totalMemory -
+        Runtime.getRuntime.freeMemory) / (1024.0 * 1024.0)
+      System.err.println(
+        f"[bench] $label: cachedRdds=${rdds.length} storedMem=$memMb%.1fMB " +
+          f"heapUsed=$heapMb%.0fMB gcTotal=${gcMs / 1000.0}%.1fs")
+    } catch { case NonFatal(_) => () }
+
   def measureDetailed(spark: SparkSession, sfDir: String,
                       queries: Map[String, (SparkSession, String) => DataFrame])
       : Map[String, Timing] = {
     val names = queries.keys.toSeq.sorted
+    passStateLine(spark, "pass 1 start")
     val pass1 = names.map(n => n -> once(spark, sfDir, queries(n))).toMap
-    names.map { n =>
+    passStateLine(spark, "pass 2 start")
+    val out = names.map { n =>
       val (t1, e1) = pass1(n)
       if (e1.isDefined) n -> Timing(t1, None, e1) // broken: don't re-run, report
       else {
@@ -57,6 +81,8 @@ object Bench {
         n -> Timing(t1, Some(t2), e2)
       }
     }.toMap
+    passStateLine(spark, "pass 2 end")
+    out
   }
 
   def measure(spark: SparkSession, sfDir: String,

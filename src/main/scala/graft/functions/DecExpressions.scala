@@ -47,7 +47,17 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * cast — float arrays widen exactly, matching the HOF's x.cast). Norm
   * is `decDot(a, a)`: the HOF norm quantizes x² per element exactly
   * like the dot quantizes x·y. Bit-identity is pinned by
-  * DecExpressionsSpec's property run against the literal HOF chain. */
+  * DecExpressionsSpec's property run against the literal HOF chain.
+  *
+  * SCOPE of the bit-identity claim (ADVICE r20): it covers VALUES and
+  * null/overflow BEHAVIOR, not the error SURFACE — the ANSI slow path
+  * throws a bare [[ArithmeticException]] with a dec_dot-prefixed
+  * message where the HOF fold throws Spark's classed errors
+  * (NUMERIC_VALUE_OUT_OF_RANGE / CAST_OVERFLOW with SQLSTATE). Callers
+  * matching Spark error classes or SQLSTATEs on this path will see the
+  * graft message instead; DecExpressionsSpec's overflow test matches
+  * loosely BY DESIGN. No registered query catches these errors (ANSI
+  * overflow here means the query fails either way). */
 case class DecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 

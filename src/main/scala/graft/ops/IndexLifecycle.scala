@@ -641,9 +641,25 @@ object IndexLifecycle {
       commits.filter(_._1 < maxSeq).foreach { case (s, g) =>
         fs.delete(new org.apache.hadoop.fs.Path(s"$root/${commitFileName(s, g)}"), false)
       }
-      fs.listStatus(p).toSeq.map(_.getPath.getName)
+      val names = fs.listStatus(p).toSeq.map(_.getPath.getName)
+      val stale = names
         .filter(n => n.startsWith("gen-") && !n.contains(".__") && n != current)
-        .foreach(n => fs.delete(new org.apache.hadoop.fs.Path(s"$root/$n"), true))
+      stale.foreach(n =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$root/$n"), true))
+      // ADVICE r20 (low): a build that crashed inside buildIndexGeneration/
+      // rebuildIndex leaves the generation's sibling `gen-*.__lock` behind,
+      // and nothing else ever reclaims it (every other sweep skips `.__`
+      // names) — one leaked file per crash, forever. A lock whose
+      // generation dir is absent or was just GC'd can never be
+      // legitimately held (the root lease serializes gc against builds, so
+      // an in-flight build's staging generation — whose dir exists — keeps
+      // its lock). Reclaim exactly those.
+      val liveGens = names
+        .filter(n => n.startsWith("gen-") && !n.contains(".__")).toSet -- stale
+      names.filter(n => n.startsWith("gen-") && n.endsWith(".__lock"))
+        .filterNot(n => liveGens.contains(n.stripSuffix(".__lock")))
+        .foreach(n =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$root/$n"), false))
     } catch { case _: java.io.IOException => () }
   }
 
@@ -1360,8 +1376,25 @@ object IndexLifecycle {
                                            (body: String => T): T =
     retryOnStaleFiles(dir) {
       val epoch = dirEpoch(spark, dir)
-      val out = body(resolveIndexDir(spark, dir))
+      val phys = resolveIndexDir(spark, dir)
+      // ADVICE r20 (medium): on a pointer root the commit-keyed root
+      // epoch is deliberately blind to everything but flips — which made
+      // it blind to mutations INSIDE the live generation too (an append's
+      // new files, a removeIds/undeleteTombstones flip of the NESTED
+      // deletes.parquet pointer root). A probe racing an un-delete could
+      // then serve a mixed world (pre-append data listing + post-undelete
+      // tombstone set) with no retry — the finding-34 silent class. So
+      // the probe fences the RESOLVED generation's own listing as well:
+      // its direct children (invfile/codes/deletes.parquet) bump exactly
+      // like a plain dir's, and an uncommitted staging `gen-*` under the
+      // root still never perturbs it — the no-spurious-retry goal of the
+      // commits-only root epoch is preserved. Pinned by
+      // ConcurrentServeSpec's pointer-root mid-probe mutation tests.
+      val genEpoch = if (phys != dir) dirEpoch(spark, phys)
+                     else Seq.empty[(String, Long, Long)]
+      val out = body(phys)
       requireSameWorld(spark, dir, epoch)
+      if (phys != dir) requireSameWorld(spark, phys, genEpoch)
       out
     }
 

@@ -177,17 +177,23 @@ object Text {
     // corpus size N folded into the plan as a broadcast 1-row frame
     // instead of a separate docs.count() driver action per call.
     val nRow = broadcast(docs.agg(count(lit(1)).cast("double").as("__n")))
+    // idf is a function of the df-table row alone: compute log(N/df) once
+    // per token TYPE and join the precomputed double (r21 opt, the NLL
+    // family's stats-side rule) — the (doc, token) stream previously paid
+    // the division + log per row. Same doubles, same final round ⇒
+    // bit-identical (oracle-pinned).
+    val idfTable = dfTable.crossJoin(nRow)
+      .select(col("token"), log(col("__n") / col("df")).as("__idf"))
     val probed =
       if (broadcastableVocab(dfTable, Seq("token"), vocabBroadcastLimit))
-        termCounts.join(broadcast(dfTable), Seq("token"))
+        termCounts.join(broadcast(idfTable), Seq("token"))
       else
-        termCounts.join(dfTable.hint("SHUFFLE_HASH"), Seq("token"))
+        termCounts.join(idfTable.hint("SHUFFLE_HASH"), Seq("token"))
     probed
-      .crossJoin(nRow)
       .select(
         col("doc"), col("token"),
         round((col("tf_raw").cast("double") / col("doc_len")) *
-          log(col("__n") / col("df")), 6).as("tfidf")
+          col("__idf"), 6).as("tfidf")
       )
   }
 

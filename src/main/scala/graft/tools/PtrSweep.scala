@@ -62,7 +62,14 @@ object PtrSweep {
             if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(del))
             f.delete()
           }
-          del(fs); del(new java.io.File(root + ".__lock"))
+          del(fs)
+          // ADVICE r20 (low): every `root.__*` sibling too — a stale
+          // __old/__rebuild from a previously crashed sweep would leak
+          // into the plain arm's recovery logic and skew the numbers the
+          // pointer comparison is priced against
+          Option(fs.getParentFile.listFiles()).foreach(_.foreach { f =>
+            if (f.getName.startsWith(fs.getName + ".__")) del(f)
+          })
         }
         rm()
         val tBuild = timed(build(root))

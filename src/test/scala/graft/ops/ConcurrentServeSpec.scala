@@ -298,4 +298,82 @@ class ConcurrentServeSpec extends SparkSpec {
       s"probe answers drifted during cell compaction: ${answers.map(_.take(3))}")
     assert(!new java.io.File(s"$dir/deletes.parquet").exists())
   }
+
+  test("POINTER MODE: a mid-probe mutation INSIDE the live generation trips the fence; the retry serves the new world (ADVICE r20)") {
+    // The root epoch keys on commit files only, so it is deliberately
+    // blind to everything but flips — which made it blind to a
+    // removeIds/undeleteTombstones flip of the NESTED deletes.parquet
+    // pointer root and to append files landing inside the generation. A
+    // probe racing such a mutation could serve the stale
+    // supposedly-removed vector with NO retry (the finding-34 silent
+    // mixed-world class). fencedProbeResolved now fences the RESOLVED
+    // generation's own listing too; this pin mutates DETERMINISTICALLY
+    // mid-body and requires the retry.
+    val corpus = emb.localCheckpoint(true)
+    val query = corpus.filter($"vec_id" === 0)
+    val root = java.nio.file.Files.createTempDirectory("graft_conc_ptrm").toString + "/idx"
+    IndexLifecycle.buildIndexGeneration(spark, root) { gen =>
+      Ivf.buildIndex(corpus.filter($"vec_id" =!= 0), "vec_id", "embedding",
+        gen, maxIter = 5)
+    }
+    val expectOld = Ivf.probeIndex(spark, root, "vec_id", "embedding",
+      query, "embedding", k = 5).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // victim INSIDE the current top-k: serving the pre-remove answer
+    // after the remove landed is exactly the stale-removed-vector hazard
+    val victim = expectOld.head._1
+    val victims = corpus.filter($"vec_id" === victim)
+      .select("vec_id").localCheckpoint(true)
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val out = IndexLifecycle.fencedProbeResolved(spark, root) { phys =>
+      val model = Ivf.loadIndexModel(spark, phys)
+      val ans = Ivf.probeIndexFrame(
+        IndexLifecycle.minusTombstones(spark, phys,
+          spark.read.parquet(s"$phys/invfile.parquet"), "vec_id"),
+        model, "vec_id", "embedding", query, "embedding", 5, 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      // first pass only: the tombstone flip lands AFTER the body read its
+      // answer — before the fix the fence passed and `ans` (containing
+      // the removed id) was served
+      if (calls.incrementAndGet() == 1)
+        IndexLifecycle.removeIds(spark, root, victims, "vec_id")
+      ans
+    }
+    assert(calls.get() >= 2,
+      "the generation fence did not trip on a mid-probe nested-tombstone " +
+        "flip — the commits-only root epoch is blind to it and the probe " +
+        "served a pre-remove answer")
+    assert(!out.map(_._1).contains(victim),
+      s"the retried probe still served the removed id $victim")
+    val expectNew = Ivf.probeIndex(spark, root, "vec_id", "embedding",
+      query, "embedding", k = 5).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(out == expectNew,
+      s"the retried probe's answer is not the post-remove world: $out vs $expectNew")
+  }
+
+  test("POINTER MODE: probes race a removeIds tombstone flip inside the live generation (ADVICE r20 hammer)") {
+    val corpus = emb.localCheckpoint(true)
+    val query = corpus.filter($"vec_id" === 0)
+    val root = java.nio.file.Files.createTempDirectory("graft_conc_ptrr").toString + "/idx"
+    IndexLifecycle.buildIndexGeneration(spark, root) { gen =>
+      Ivf.buildIndex(corpus.filter($"vec_id" =!= 0), "vec_id", "embedding",
+        gen, maxIter = 5)
+    }
+    // victims OUTSIDE the top-k: both worlds answer identically, so any
+    // drifted answer is a real mixed-world read, never an expected delta
+    val top = Ivf.probeIndex(spark, root, "vec_id", "embedding",
+      query, "embedding", k = 20).select("vec_id").collect().map(_.getLong(0))
+    val victims = corpus.filter(!$"vec_id".isin(top.map(java.lang.Long.valueOf): _*))
+      .filter($"vec_id" =!= 0).limit(5).select("vec_id").localCheckpoint(true)
+    val expect = Ivf.probeIndex(spark, root, "vec_id", "embedding",
+      query, "embedding", k = 5).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val (errors, answers) = hammer(
+      readers = 3,
+      probe = () => Ivf.probeIndex(spark, root, "vec_id", "embedding",
+        query, "embedding", k = 5).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq,
+      mutate = () => IndexLifecycle.removeIds(spark, root, victims, "vec_id"))
+    assert(errors.isEmpty,
+      s"a live probe failed during the pointer-root tombstone flip: ${errors.headOption}")
+    assert(answers == Set(expect),
+      s"probe answers drifted during the pointer-root tombstone flip: ${answers.map(_.take(3))}")
+  }
 }

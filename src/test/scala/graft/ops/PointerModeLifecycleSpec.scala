@@ -305,6 +305,38 @@ class PointerModeLifecycleSpec extends SparkSpec {
     assert(out == (0L until 50L).toSet)
   }
 
+  test("flip GC reclaims orphaned gen-*.__lock files; a live generation keeps its lock (ADVICE r20)") {
+    // a build that crashed inside buildIndexGeneration leaves its
+    // generation's sibling lock behind — before this fix every sweep
+    // skipped `.__` names, so each crash leaked one lock file forever
+    val fixture = tmpDir("graft_ptr_lockgc")
+    val root = s"$fixture/idx"
+    IndexLifecycle.buildIndexGeneration(spark, root) { gen =>
+      Ivf.buildIndex(emb.localCheckpoint(true), "vec_id", "embedding",
+        gen, maxIter = 5); ()
+    }
+    // plant: a lock with NO generation (crash before any artifact), and
+    // a crashed build's orphan generation WITH its lock
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$root/gen-dead.__lock"))
+    spark.range(0, 5).toDF("id").write.parquet(s"$root/gen-orphan/x.parquet")
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$root/gen-orphan.__lock"))
+    // next flip: gc sweeps stale generations AND their/now-dirless locks
+    IndexLifecycle.rebuildIndex(spark, root)
+    val names = new java.io.File(root).listFiles().map(_.getName).toSet
+    assert(!names.contains("gen-dead.__lock"),
+      "a lock with no generation survived the flip GC")
+    assert(!names.contains("gen-orphan.__lock") && !names.contains("gen-orphan"),
+      s"a crashed build's orphan generation or its lock survived: $names")
+    val gens = names.filter(n => n.startsWith("gen-") && !n.contains(".__"))
+    assert(gens.size == 1, s"expected exactly the live generation: $names")
+    // the live world still answers
+    val q = emb.filter($"vec_id" === 0)
+    assert(Ivf.probeIndex(spark, root, "vec_id", "embedding",
+      q, "embedding", k = 5).count() == 5L)
+  }
+
   test("initPointerRoot refuses a root already holding plain artifacts (migration footgun)") {
     val dir = tmpDir("graft_ptr_mig")
     val live = s"$dir/idx"
