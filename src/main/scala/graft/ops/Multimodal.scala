@@ -107,27 +107,11 @@ object Multimodal {
     * so a SQL oracle can check a REAL ImageIO decode without being able
     * to decode PNG itself. `ImageIO.write` runs per row inside
     * `mapPartitions` — encoded bytes never touch the driver. */
-  /** Parallelism floor for the CPU-bound per-row codec stages: a small
-    * input (one parquet row group) plans ONE scan task, serializing the
-    * whole ImageIO/WAV encode+decode chain onto a single core while the
-    * rest idle (r21 opt: c16_image_resize ran 5,000 PNG codecs in one
-    * task). The repartition happens BEFORE payload synthesis, so the
-    * shuffle carries only the few-byte parameter rows, never media bytes
-    * (guide §8: move metadata, not payloads) — and only when the scan
-    * under-splits (at scale, splits ≥ cores and this is a no-op). Values
-    * are per-row functions of the row, so results are partition-layout
-    * independent (the closed-form oracles pin them). */
-  private def withCodecParallelism(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
-
   def synthesizeImages(df: DataFrame, idCol: String,
                        widthCol: Column, heightCol: Column): Dataset[EncodedImage] = {
     val session = df.sparkSession
     import session.implicits._
-    withCodecParallelism(
-      df.select(col(idCol).cast("long"), widthCol.cast("int"), heightCol.cast("int")))
+    df.select(col(idCol).cast("long"), widthCol.cast("int"), heightCol.cast("int"))
       .mapPartitions { rows =>
         rows.map { r =>
           val (id, w, h) = (r.getLong(0), r.getInt(1), r.getInt(2))
@@ -226,8 +210,7 @@ object Multimodal {
                       sampleRate: Int = 8000): Dataset[EncodedAudio] = {
     val session = df.sparkSession
     import session.implicits._
-    withCodecParallelism(
-      df.select(col(idCol).cast("long"), nSamplesCol.cast("int")))
+    df.select(col(idCol).cast("long"), nSamplesCol.cast("int"))
       .mapPartitions { rows =>
         rows.map { r =>
           val (id, n) = (r.getLong(0), r.getInt(1))

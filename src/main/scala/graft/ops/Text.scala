@@ -141,9 +141,9 @@ object Text {
     * bytes (one cheap agg over the text column, paid once per call)
     * stay under this bound; past it every consumer recomputes the
     * projection — identical results, no corpus-sized write into
-    * executor storage. interpNllCore's `pairs` checkpoint is the known
-    * sibling (corpus-BIGRAM-sized, 3 consumers); it keeps the
-    * checkpoint until a measurement inverts that trade too. */
+    * executor storage. Since r21 the corpus-BIGRAM-sized streams
+    * (interpNllCore/bigramNll/bigramKnNll `pairs`, dsirScores
+    * `corpusGrams`) ride the same bound — same ceiling, same remedy. */
   private[ops] val TokCheckpointTextBytes: Long = 64L << 20
 
   /** `frame.localCheckpoint(true)` while `docs`' total text bytes stay
@@ -327,15 +327,16 @@ object Text {
   def bigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ws = tokens(col(textCol))
     val cnt = size(ws) - 1
-    // localCheckpoint: the pair stream feeds both count aggregates AND the
-    // probe side — tokenize once
-    val pairs = docs
+    // the pair stream feeds both count aggregates AND the probe side —
+    // checkpointed only under the text-bytes bound (r21: corpus-BIGRAM-
+    // sized, the finding-37 materialize-for-reuse ceiling; past the bound
+    // each consumer recomputes the codegen tokenize+zip+explode)
+    val pairs = checkpointTokens(docs, textCol, docs
       .select(col(idCol).as("doc"),
         explode(when(size(ws) >= 2,
           arrays_zip(slice(ws, lit(1), cnt), slice(ws, lit(2), cnt)))
           .otherwise(array().cast("array<struct<`0`:string,`1`:string>>"))).as("bg"))
-      .select(col("doc"), col("bg.0").as("w1"), col("bg.1").as("w2"))
-      .localCheckpoint(true)
+      .select(col("doc"), col("bg.0").as("w1"), col("bg.1").as("w2")))
     val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
     // compose the stats at TYPE level first (c2 ⋈ c1 is |bigram types| ⋈
@@ -412,13 +413,17 @@ object Text {
       broadcastableVocab(uni, keyCols :+ "token", vocabBroadcastLimit)
     val totals = uni.groupBy(keyCols.map(col): _*)
       .agg(sum(col("cu")).cast("double").as("__n"))
-    val pairs = docs
+    // feeds both count aggregates AND the probe side — checkpointed only
+    // under the text-bytes bound (r21: a corpus-BIGRAM-sized frame is the
+    // finding-37 materialize-for-reuse ceiling the tok checkpoint already
+    // respects; past the bound each consumer recomputes the codegen
+    // tokenize+zip+explode, identical results)
+    val pairs = checkpointTokens(docs, textCol, docs
       .select(col(idCol).as("doc") +: keys :+
         explode(when(size(ws) >= 2,
           arrays_zip(slice(ws, lit(1), cnt), slice(ws, lit(2), cnt)))
           .otherwise(array().cast("array<struct<`0`:string,`1`:string>>"))).as("bg"): _*)
-      .select(col("doc") +: keys :+ col("bg.0").as("w1") :+ col("bg.1").as("w2"): _*)
-      .localCheckpoint(true) // feeds both count aggregates AND the probe side
+      .select(col("doc") +: keys :+ col("bg.0").as("w1") :+ col("bg.1").as("w2"): _*))
     val c2 = pairs.groupBy(keyCols.map(col) :+ col("w1") :+ col("w2"): _*)
       .agg(count(lit(1)).as("c12"))
     val c1 = pairs.groupBy(keyCols.map(col) :+ col("w1"): _*)
@@ -490,13 +495,14 @@ object Text {
     require(discount > 0.0 && discount < 1.0, s"discount $discount outside (0,1)")
     val ws = tokens(col(textCol))
     val cnt = size(ws) - 1
-    val pairs = docs
+    // bigram stream checkpointed only under the text-bytes bound
+    // (interpNllCore's r21 rationale — the finding-37 ceiling)
+    val pairs = checkpointTokens(docs, textCol, docs
       .select(col(idCol).as("doc"),
         explode(when(size(ws) >= 2,
           arrays_zip(slice(ws, lit(1), cnt), slice(ws, lit(2), cnt)))
           .otherwise(array().cast("array<struct<`0`:string,`1`:string>>"))).as("bg"))
-      .select(col("doc"), col("bg.0").as("w1"), col("bg.1").as("w2"))
-      .localCheckpoint(true) // feeds the count aggregates AND the probe side
+      .select(col("doc"), col("bg.0").as("w1"), col("bg.1").as("w2")))
     val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       .localCheckpoint(true) // feeds the probe, both type counts, AND the total
     val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
@@ -1283,9 +1289,10 @@ object Text {
           .otherwise(array().cast("array<struct<`0`:string,`1`:string>>"))).as("bg"))
       .select(col("doc"),
         substring(md5(concat_ws(" ", col("bg.`0`"), col("bg.`1`"))), 1, 2).as("b"))
-    // localCheckpoint: the corpus gram stream feeds the raw distribution
-    // AND the per-doc feature counts — tokenize/hash once
-    val corpusGrams = gramBuckets(corpus).localCheckpoint(true)
+    // the corpus gram stream feeds the raw distribution AND the per-doc
+    // feature counts — checkpointed only under the text-bytes bound
+    // (r21: corpus-bigram-sized, the finding-37 ceiling)
+    val corpusGrams = checkpointTokens(corpus, textCol, gramBuckets(corpus))
     // the two distributions are ≤256-row aggregates: collect them (the
     // tiny-frame pattern, PERF.md finding 21) instead of checkpointing,
     // so the target gram stream is scanned exactly once
