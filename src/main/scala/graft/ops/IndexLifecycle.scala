@@ -647,17 +647,21 @@ object IndexLifecycle {
       stale.foreach(n =>
         fs.delete(new org.apache.hadoop.fs.Path(s"$root/$n"), true))
       // ADVICE r20 (low): a build that crashed inside buildIndexGeneration/
-      // rebuildIndex leaves the generation's sibling `gen-*.__lock` behind,
-      // and nothing else ever reclaims it (every other sweep skips `.__`
-      // names) — one leaked file per crash, forever. A lock whose
-      // generation dir is absent or was just GC'd can never be
-      // legitimately held (the root lease serializes gc against builds, so
-      // an in-flight build's staging generation — whose dir exists — keeps
-      // its lock). Reclaim exactly those.
-      val liveGens = names
-        .filter(n => n.startsWith("gen-") && !n.contains(".__")).toSet -- stale
-      names.filter(n => n.startsWith("gen-") && n.endsWith(".__lock"))
-        .filterNot(n => liveGens.contains(n.stripSuffix(".__lock")))
+      // rebuildIndex leaves the generation's sibling `gen-*.__lock` (and,
+      // if it crashed mid-takeover, `gen-*.__lock.__takeover`) behind, and
+      // nothing else ever reclaims them (every other sweep skips `.__`
+      // names) — one leaked file per crash, forever. A lock/guard whose
+      // generation is not the CURRENT one can never be legitimately held
+      // while gc runs: gc only executes inside the root lease, which
+      // serializes it against every builder (an in-flight build holds the
+      // root lease too, so no staging generation can be mid-build here —
+      // the sweep above deletes non-current staging dirs for the same
+      // reason). Reclaim every gen lock/guard except the current
+      // generation's.
+      names.filter(n => n.startsWith("gen-") &&
+          (n.endsWith(".__lock") || n.endsWith(".__lock.__takeover")))
+        .filterNot(n => n.stripSuffix(".__takeover")
+          .stripSuffix(".__lock") == current)
         .foreach(n =>
           fs.delete(new org.apache.hadoop.fs.Path(s"$root/$n"), false))
     } catch { case _: java.io.IOException => () }
@@ -1383,18 +1387,33 @@ object IndexLifecycle {
       // new files, a removeIds/undeleteTombstones flip of the NESTED
       // deletes.parquet pointer root). A probe racing an un-delete could
       // then serve a mixed world (pre-append data listing + post-undelete
-      // tombstone set) with no retry — the finding-34 silent class. So
-      // the probe fences the RESOLVED generation's own listing as well:
-      // its direct children (invfile/codes/deletes.parquet) bump exactly
-      // like a plain dir's, and an uncommitted staging `gen-*` under the
-      // root still never perturbs it — the no-spurious-retry goal of the
-      // commits-only root epoch is preserved. Pinned by
+      // tombstone set) with no retry — the finding-34 silent class. Two
+      // fences close it, one per substrate signal (r21 review):
+      //  - the TOMBSTONE epoch lists the nested deletes.parquet root,
+      //    whose dirEpoch keys on immutable COMMIT FILE NAMES when it is
+      //    a pointer root — valid on copy+delete object stores (the
+      //    deployment this mode exists for), where directory mtimes are
+      //    synthetic and a child-mtime fence would silently pass;
+      //  - the GENERATION listing fence additionally catches any direct-
+      //    child churn on POSIX filesystems (parent-dir mtime bumps).
+      // A mid-probe APPEND that the object-store arm cannot see stays
+      // within the established plan-snapshot contract (postings-first /
+      // parquet-loud — benign by construction); the tombstone flip, the
+      // one mutation that can serve a STALE REMOVED id, is name-keyed on
+      // both substrates. An uncommitted staging `gen-*` under the root
+      // still never perturbs either fence — the no-spurious-retry goal of
+      // the commits-only root epoch is preserved. Pinned by
       // ConcurrentServeSpec's pointer-root mid-probe mutation tests.
       val genEpoch = if (phys != dir) dirEpoch(spark, phys)
                      else Seq.empty[(String, Long, Long)]
+      val tombEpoch = if (phys != dir) dirEpoch(spark, s"$phys/deletes.parquet")
+                      else Seq.empty[(String, Long, Long)]
       val out = body(phys)
       requireSameWorld(spark, dir, epoch)
-      if (phys != dir) requireSameWorld(spark, phys, genEpoch)
+      if (phys != dir) {
+        requireSameWorld(spark, phys, genEpoch)
+        requireSameWorld(spark, s"$phys/deletes.parquet", tombEpoch)
+      }
       out
     }
 

@@ -78,8 +78,10 @@ object CurProfile {
       for (i <- 1 to 4; mode <- Seq("default", "coalesce")) {
         spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst",
           if (mode == "coalesce") "false" else "true")
-        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-          if (mode == "coalesce") "64m" else "64m")
+        // advisory size is Spark's 64m default on both arms — the A/B
+        // varies parallelismFirst only (r21 review: the earlier
+        // conditional selected "64m" on both branches, a dead knob)
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         time(s"v7 full [$mode] rep$i")(v7full())
       }
       spark.stop(); return

@@ -315,18 +315,22 @@ class PointerModeLifecycleSpec extends SparkSpec {
       Ivf.buildIndex(emb.localCheckpoint(true), "vec_id", "embedding",
         gen, maxIter = 5); ()
     }
-    // plant: a lock with NO generation (crash before any artifact), and
-    // a crashed build's orphan generation WITH its lock
+    // plant: a lock with NO generation (crash before any artifact), a
+    // crashed build's orphan generation WITH its lock, and a crashed
+    // TAKEOVER's guard file (r21 review: the guard leaks the same way)
     java.nio.file.Files.createFile(
       java.nio.file.Paths.get(s"$root/gen-dead.__lock"))
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$root/gen-dead.__lock.__takeover"))
     spark.range(0, 5).toDF("id").write.parquet(s"$root/gen-orphan/x.parquet")
     java.nio.file.Files.createFile(
       java.nio.file.Paths.get(s"$root/gen-orphan.__lock"))
     // next flip: gc sweeps stale generations AND their/now-dirless locks
     IndexLifecycle.rebuildIndex(spark, root)
     val names = new java.io.File(root).listFiles().map(_.getName).toSet
-    assert(!names.contains("gen-dead.__lock"),
-      "a lock with no generation survived the flip GC")
+    assert(!names.contains("gen-dead.__lock") &&
+      !names.contains("gen-dead.__lock.__takeover"),
+      "a lock/guard with no generation survived the flip GC")
     assert(!names.contains("gen-orphan.__lock") && !names.contains("gen-orphan"),
       s"a crashed build's orphan generation or its lock survived: $names")
     val gens = names.filter(n => n.startsWith("gen-") && !n.contains(".__"))
@@ -335,6 +339,37 @@ class PointerModeLifecycleSpec extends SparkSpec {
     val q = emb.filter($"vec_id" === 0)
     assert(Ivf.probeIndex(spark, root, "vec_id", "embedding",
       q, "embedding", k = 5).count() == 5L)
+  }
+
+  test("the mid-probe tombstone fence is NAME-keyed: a removeIds changes the nested root's commit-file listing (object-store-valid signal)") {
+    // r21 review: the generation-listing fence rides POSIX parent-dir
+    // mtime bumps, which copy+delete object stores don't provide — the
+    // fence arm that must hold THERE is the nested deletes.parquet
+    // pointer root's epoch, which dirEpoch keys on immutable commit FILE
+    // NAMES. Pin that the names themselves change across a removeIds, so
+    // the signal never depends on mtime semantics.
+    val corpus = emb.localCheckpoint(true)
+    val root = s"${tmpDir("graft_ptr_tombname")}/idx"
+    IndexLifecycle.buildIndexGeneration(spark, root) { gen =>
+      Ivf.buildIndex(corpus.filter($"vec_id" =!= 0), "vec_id", "embedding",
+        gen, maxIter = 5); ()
+    }
+    val phys = IndexLifecycle.resolveIndexDir(spark, root)
+    val before = IndexLifecycle.dirEpoch(spark, s"$phys/deletes.parquet")
+      .map(_._1).toSet
+    IndexLifecycle.removeIds(spark, root,
+      corpus.filter($"vec_id" === 1).select("vec_id"), "vec_id")
+    val after = IndexLifecycle.dirEpoch(spark, s"$phys/deletes.parquet")
+      .map(_._1).toSet
+    assert(before != after,
+      s"the nested tombstone root's NAME listing did not change across a " +
+        s"removeIds — the object-store fence arm would be blind: $before vs $after")
+    // a second flip changes the names again (commit seq advances)
+    IndexLifecycle.removeIds(spark, root,
+      corpus.filter($"vec_id" === 2).select("vec_id"), "vec_id")
+    val after2 = IndexLifecycle.dirEpoch(spark, s"$phys/deletes.parquet")
+      .map(_._1).toSet
+    assert(after != after2, "a second tombstone flip did not advance the commit names")
   }
 
   test("initPointerRoot refuses a root already holding plain artifacts (migration footgun)") {
