@@ -1271,10 +1271,22 @@ object Dedup {
     // distinct 8-gram set is ~tokens-sized — much larger than its id
     // set — and past the gate the semi-joins run shuffled-hash (the
     // corpus postings pay a hash partition, nothing funnels the driver).
-    // localCheckpoint: the set feeds the count gate AND the semi-join(s).
-    val benchShRaw = postingsOf(benchmark).select("sh").distinct().localCheckpoint(true)
-    val nBenchSh = benchShRaw.count()
-    val useBroadcast = nBenchSh <= shingleBroadcastLimit
+    // Under the gate (r22) the distinct shingle hashes collect in ONE
+    // take action and ship as a local relation — replaces the eager
+    // checkpoint + count pair AND the broadcast-collect job the semi-join
+    // paid to pull the same longs back off executors (the
+    // collectUnderGate posture; same driver bytes the broadcast already
+    // held). Past the gate the distinct re-runs into a checkpoint — one
+    // extra pass over the BENCHMARK postings, the small side, on an arm
+    // whose corpus-postings shuffle dominates it.
+    val benchShDistinct = postingsOf(benchmark).select("sh").distinct()
+    val localSh = Relational.collectUnderGate(benchShDistinct, shingleBroadcastLimit)
+    val useBroadcast = localSh.isDefined
+    val benchShRaw = localSh match {
+      case Some(rows) => Relational.localFrame(benchShDistinct, rows, benchShDistinct.schema)
+      case None => benchShDistinct.localCheckpoint(true)
+    }
+    lazy val nBenchSh = benchShRaw.count()
     // MIDDLE path (the [[incrementalCandidates]] posture): past the
     // exact-set broadcast gate but under the Bloom cap, a ~10-bit/key
     // Bloom filter over the benchmark shingles still broadcasts where the

@@ -10,6 +10,42 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** Row-count gate that hands the SMALL arm its rows: one `take(limit+1)`
+    * action; `Some(rows)` iff the frame proved ≤ `limit` — the caller then
+    * builds a [[localFrame]] and skips the eager localCheckpoint + count
+    * pair the gate previously paid PLUS the distributed broadcast-collect
+    * the final plan would pay to ship the same rows (guide §1.2: fewer
+    * sequential driver actions; PERF.md finding 21's local-relation
+    * posture generalized to measured-small frames). `None` past the gate:
+    * the caller takes its distributed fallback and re-derives the frame —
+    * one extra pass over the gate INPUT on that arm, which every caller
+    * documents (the inputs are already-materialized checkpoints or frames
+    * whose past-gate shuffle join dominates the re-aggregation, and the
+    * arm only exists past `limit` distinct gate rows). take(), never
+    * collect(): the guard must fail before materializing an unbounded
+    * frame on the driver (the k-bounded-guard rule). NOT for byte-gated
+    * string tables ([[graft.ops.Text.broadcastableVocab]]): their gate
+    * exists to REJECT oversized payloads without collecting them. */
+  private[graft] def collectUnderGate(df: DataFrame,
+                                      limit: Long): Option[Array[org.apache.spark.sql.Row]] =
+    if (limit < 0L) None
+    else {
+      // take() needs an Int; a limit past Int.MaxValue clamps — any frame
+      // the clamped take still exhausts is under the caller's limit too,
+      // and one it can't exhaust would also blow the 512M-row broadcast
+      // cap on the arm this gate selects, so the distributed arm is right
+      val eff = math.min(limit, Int.MaxValue - 2L).toInt
+      val head = df.take(eff + 1)
+      if (head.length <= eff && head.length <= limit) Some(head) else None
+    }
+
+  /** The collected gate rows as a local relation (no job to build, no job
+    * to broadcast — the rows are already on the driver). */
+  private[graft] def localFrame(df: DataFrame,
+                                rows: Array[org.apache.spark.sql.Row],
+                                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    df.sparkSession.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+
   /** C5: as-of join — for each left row, the single most recent right row
     * with `rightTime <= leftTime`, matched on an equality key.
     *
@@ -166,21 +202,46 @@ object Relational {
     val local = ranged.withColumn("__lrn",
       row_number().over(Window.partitionBy(keys: _*).orderBy(orderCols: _*)))
     val counts = ranged.groupBy(keys: _*).agg(count(lit(1)).as("__c"))
-      .localCheckpoint(true) // feeds the gate count AND the offsets join
-    val off = counts.withColumn("__offset",
-      coalesce(sum(col("__c")).over(
-        Window.partitionBy(groupCols.map(col): _*).orderBy("__pid")
-          .rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select(keys :+ col("__offset"): _*)
     // The offsets frame scales with partitions × |groups| — low-cardinality
     // for language/source callers, but nothing here assumes that: a
     // high-cardinality group column falls back to a distributed join on
     // the same (pid, group) keys instead of an unbounded broadcast.
-    val joined =
-      if (counts.count() <= offsetBroadcastLimit)
-        local.join(broadcast(off), "__pid" +: groupCols)
-      else local.join(off.hint("SHUFFLE_HASH"), "__pid" +: groupCols)
+    // Under the gate (r22): the per-group starting offsets are cumulative
+    // INTEGER sums of the collected counts in __pid order — computed on
+    // the driver and shipped as a local relation, which replaces the
+    // eager checkpoint + count gate pair and the tiny offsets window with
+    // ONE take action (pure integer arithmetic, bit-identical to the
+    // window form; RelationalSpec pins both arms against the naive
+    // per-group window). Past the gate the counts aggregate runs once
+    // more inside the checkpoint — one extra pass over the CACHED ranged
+    // blocks, on an arm that only exists past `offsetBroadcastLimit`
+    // distinct (pid, group) rows where the rank's own shuffle dominates.
+    val joined = collectUnderGate(counts, offsetBroadcastLimit) match {
+      case Some(rows) =>
+        val nGroup = groupCols.size
+        val acc = scala.collection.mutable.HashMap.empty[IndexedSeq[Any], Long]
+        val offRows = rows.sortBy(_.getInt(0)).map { r =>
+          val g = (1 to nGroup).map(r.get).toIndexedSeq
+          val off = acc.getOrElse(g, 0L)
+          acc(g) = off + r.getLong(nGroup + 1)
+          org.apache.spark.sql.Row.fromSeq(r.toSeq.dropRight(1) :+ off)
+        }
+        val schema = org.apache.spark.sql.types.StructType(
+          counts.schema.fields.dropRight(1) :+
+            org.apache.spark.sql.types.StructField("__offset",
+              org.apache.spark.sql.types.LongType, nullable = false))
+        local.join(broadcast(localFrame(counts, offRows, schema)),
+          "__pid" +: groupCols)
+      case None =>
+        val cnts = counts.localCheckpoint(true) // feeds the offsets window + join
+        val off = cnts.withColumn("__offset",
+          coalesce(sum(col("__c")).over(
+            Window.partitionBy(groupCols.map(col): _*).orderBy("__pid")
+              .rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+          .select(keys :+ col("__offset"): _*)
+        local.join(off.hint("SHUFFLE_HASH"), "__pid" +: groupCols)
+    }
     joined
       .withColumn(alias, col("__offset") + col("__lrn"))
       .drop("__pid", "__lrn", "__offset")
@@ -345,16 +406,35 @@ object Relational {
                         rateBroadcastLimit: Long = Dedup.HotShingleBroadcastLimit): DataFrame = {
     require(baseFrac > 0.0 && baseFrac <= 1.0, s"bad baseFrac $baseFrac")
     val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__c"))
-      .localCheckpoint(true) // feeds the gate count, the max, and the join
-    val cmax = broadcast(counts.agg(max(col("__c")).as("__cmax")))
-    val thr = counts.crossJoin(cmax)
+    // the per-stratum threshold expression — ONE definition for both gate
+    // arms, evaluated IN-PLAN on both (the float surface — ÷, √, round —
+    // stays Spark's own; only the SOURCE of cmax differs: an integer max
+    // over collected longs under the gate, the same max as an aggregate
+    // past it — identical long, identical cast, identical IEEE ops)
+    def thrFrom(cnts: DataFrame, cmaxCol: Column): DataFrame = cnts
       .select(col(stratumCol),
         round(least(lit(1.0),
-          lit(baseFrac) * sqrt(col("__cmax").cast("double") / col("__c"))) * 65536, 0)
+          lit(baseFrac) * sqrt(cmaxCol.cast("double") / col("__c"))) * 65536, 0)
           .cast("long").as("__thr"))
-    val joined =
-      if (counts.count() <= rateBroadcastLimit) df.join(broadcast(thr), Seq(stratumCol))
-      else df.join(thr.hint("SHUFFLE_HASH"), Seq(stratumCol))
+    // Under the gate (r22): collect the |strata| counts in one take action
+    // and build the rate table over a local relation — replaces the eager
+    // checkpoint + count pair and the broadcast 1-row max subquery. Past
+    // the gate (> rateBroadcastLimit strata) the counts aggregate runs
+    // once more into the checkpoint — one extra pass over `df`, on an arm
+    // where the corpus-sized SHUFFLE_HASH rate join dominates it.
+    val joined = collectUnderGate(counts, rateBroadcastLimit) match {
+      case Some(rows) =>
+        val cIdx = counts.schema.fieldIndex("__c")
+        val cmaxV = rows.foldLeft(0L)((m, r) => math.max(m, r.getLong(cIdx)))
+        val thr = thrFrom(localFrame(counts, rows, counts.schema), lit(cmaxV))
+        df.join(broadcast(thr), Seq(stratumCol))
+      case None =>
+        val cnts = counts.localCheckpoint(true) // feeds the max AND the join
+        val thr = thrFrom(
+          cnts.crossJoin(broadcast(cnts.agg(max(col("__c")).as("__cmax")))),
+          col("__cmax"))
+        df.join(thr.hint("SHUFFLE_HASH"), Seq(stratumCol))
+    }
     joined
       .filter(col("__thr") >= 65536 ||
         substring(md5(col(idCol).cast("string")), 1, 4) < format_string("%04x", col("__thr")))

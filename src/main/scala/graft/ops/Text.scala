@@ -773,14 +773,20 @@ object Text {
     val ppl = scored
       .localCheckpoint(true) // feeds the per-lang counts AND the rank
     val n = ppl.groupBy("lang").agg(count(lit(1)).as("__n"))
-      .localCheckpoint(true) // feeds the gate count AND the join
     val ranked = Relational.groupedRank(ppl, Seq("lang"),
       Seq(col("ppl"), col("doc")), "__r")
     // n is |langs|-sized — gate the BROADCAST on its own count (it, not
-    // the vocab, is what ships)
-    val withN =
-      if (n.count() <= vocabBroadcastLimit) ranked.join(broadcast(n), Seq("lang"))
-      else ranked.join(n.hint("SHUFFLE_HASH"), Seq("lang"))
+    // the vocab, is what ships). Under the gate (r22) the counts collect
+    // in one take action and join back as a local relation (the
+    // collectUnderGate posture — replaces the checkpoint + count pair);
+    // past it the aggregate re-runs into the checkpoint, one extra pass
+    // over the CHECKPOINTED ppl blocks on the > limit-langs arm.
+    val withN = Relational.collectUnderGate(n, vocabBroadcastLimit) match {
+      case Some(rows) =>
+        ranked.join(broadcast(Relational.localFrame(n, rows, n.schema)), Seq("lang"))
+      case None =>
+        ranked.join(n.localCheckpoint(true).hint("SHUFFLE_HASH"), Seq("lang"))
+    }
     withN.select(col("doc"), col("lang"), col("ppl"),
       when(col("__r") * 3 <= col("__n"), "head")
         .when(col("__r") * 3 <= col("__n") * 2, "middle")

@@ -3826,13 +3826,17 @@ FROM dwc JOIN wl USING (word) GROUP BY doc_id"""
         val scored = Similarity.prototypeScores(
           withVec, "doc_id", "embedding", "lang").localCheckpoint(true)
         val n = scored.groupBy("lang").agg(count(lit(1)).as("__n"))
-          .localCheckpoint(true) // feeds the gate count AND the join
         val ranked = Relational.groupedRank(scored, Seq("lang"),
           Seq(col("sim"), col("doc_id")), "__r")
-        val withN =
-          if (n.count() <= Dedup.HotShingleBroadcastLimit)
-            ranked.join(broadcast(n), Seq("lang"))
-          else ranked.join(n.hint("SHUFFLE_HASH"), Seq("lang"))
+        // |langs|-sized gate: one take action, local relation under the
+        // gate (the collectUnderGate posture, r22); past it the aggregate
+        // re-runs into the checkpoint over the CHECKPOINTED scored blocks
+        val withN = Relational.collectUnderGate(n, Dedup.HotShingleBroadcastLimit) match {
+          case Some(rows) =>
+            ranked.join(broadcast(Relational.localFrame(n, rows, n.schema)), Seq("lang"))
+          case None =>
+            ranked.join(n.localCheckpoint(true).hint("SHUFFLE_HASH"), Seq("lang"))
+        }
         val kept = withN.filter(col("__r") * 3 > col("__n"))
           .select(col("doc_id"), col("lang"), col("sim"))
         Relational.temperatureSample(kept, "lang", "doc_id", baseFrac = 0.5)

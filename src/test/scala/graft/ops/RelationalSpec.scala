@@ -132,6 +132,15 @@ class RelationalSpec extends SparkSpec {
       Seq($"n_chars", $"doc_id"), "r", numPartitions = 7)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("r")).toMap
     assert(dist == naive)
+    // both offset arms agree: the default (r22) collects the per-(pid,
+    // group) counts and computes driver-side integer offsets into a local
+    // relation; offsetBroadcastLimit = 0 forces the distributed
+    // checkpoint + window + SHUFFLE_HASH arm — same ranks bit-for-bit
+    val shuffledArm = Relational.groupedRank(docs, Seq("lang"),
+      Seq($"n_chars", $"doc_id"), "r", numPartitions = 7,
+      offsetBroadcastLimit = 0L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("r")).toMap
+    assert(shuffledArm == naive, "offset gate arms diverge")
   }
 
   test("intervalJoin matches brute-force overlap on random intervals (property)") {
