@@ -515,11 +515,16 @@ object Dedup {
     // final semi-join; materialize the whole pair pipeline once
     val keptIds = removeNearDups(reps, idCol, pairsOf(reps), idBroadcastLimit)
       .select(col(idCol).as("__keep")).localCheckpoint(true)
-    val kept =
-      if (keptIds.count() <= idBroadcastLimit)
-        withText.join(broadcast(keptIds), withText(idCol) === keptIds("__keep"), "left_semi")
-      else
+    // r22 take-gate: the survivor ids collect in the gate action itself
+    // and broadcast as a local relation (the checkpoint stays — the pair
+    // pipeline behind it is too expensive to re-derive past the gate)
+    val kept = Relational.collectUnderGate(keptIds, idBroadcastLimit) match {
+      case Some(rows) =>
+        val local = Relational.localFrame(keptIds, rows, keptIds.schema)
+        withText.join(broadcast(local), withText(idCol) === local("__keep"), "left_semi")
+      case None =>
         withText.join(keptIds.hint("SHUFFLE_HASH"), withText(idCol) === keptIds("__keep"), "left_semi")
+    }
     kept.unionAll(nullText)
   }
 
@@ -577,25 +582,34 @@ object Dedup {
       .agg(survivorAgg.as("__rid"),
         (min(h2) =!= max(h2)).as("__collided"))
       .localCheckpoint(true)
+    // r22 take-gates over the CHECKPOINTED groups (both filters are cheap
+    // re-reads of cached blocks): the clean-survivor ids and the collided
+    // keys broadcast as local relations under their gates — the gate
+    // action replaces the count AND the execution-time broadcast collect
     val cleanIds = groups.filter(!col("__collided")).select(col("__rid").as("__keep"))
-    val cleanReps =
-      if (cleanIds.count() <= idBroadcastLimit)
-        withText.join(broadcast(cleanIds), withText(idCol) === cleanIds("__keep"), "left_semi")
+    val cleanReps = Relational.collectUnderGate(cleanIds, idBroadcastLimit) match {
+      case Some(rows) =>
+        val local = Relational.localFrame(cleanIds, rows, cleanIds.schema)
+        withText.join(broadcast(local), withText(idCol) === local("__keep"), "left_semi")
           .select(col(idCol), col(textCol))
-      else
+      case None =>
         withText.join(cleanIds.hint("SHUFFLE_HASH"), withText(idCol) === cleanIds("__keep"), "left_semi")
           .select(col(idCol), col(textCol))
+    }
     val collidedKeys = groups.filter(col("__collided")).select(dgNames.map(col): _*)
-    val nCollided = collidedKeys.count()
-    if (nCollided == 0L) cleanReps
-    else {
-      val members =
-        if (nCollided <= idBroadcastLimit)
-          keyed.join(broadcast(collidedKeys), dgNames, "left_semi")
-        else keyed.join(collidedKeys.hint("SHUFFLE_HASH"), dgNames, "left_semi")
-      val exact = members.groupBy(col(textCol)).agg(survivorAgg.as(idCol))
-        .select(col(idCol), col(textCol))
-      cleanReps.unionAll(exact)
+    Relational.collectUnderGate(collidedKeys, idBroadcastLimit) match {
+      case Some(rows) if rows.isEmpty => cleanReps
+      case gate =>
+        val members = gate match {
+          case Some(rows) =>
+            keyed.join(broadcast(Relational.localFrame(collidedKeys, rows,
+              collidedKeys.schema)), dgNames, "left_semi")
+          case None =>
+            keyed.join(collidedKeys.hint("SHUFFLE_HASH"), dgNames, "left_semi")
+        }
+        val exact = members.groupBy(col(textCol)).agg(survivorAgg.as(idCol))
+          .select(col(idCol), col(textCol))
+        cleanReps.unionAll(exact)
     }
   }
 
@@ -637,7 +651,9 @@ object Dedup {
       .select(col(idCol), col(sourceCol), col("__n"), col("__rid"))
     val collidedKeys = groups.filter(col("__collided")).select(dgNames.map(col): _*)
     val memberStats =
-      if (collidedKeys.count() == 0L) cleanStats
+      // r22: emptiness probe short-circuits at the first collided row
+      // instead of counting every group (reads the checkpointed blocks)
+      if (Relational.collectUnderGate(collidedKeys, 0L).isDefined) cleanStats
       else {
         // exact regroup BY TEXT for the collided members only — tiny by
         // the ~2^-128-per-pair collision bound, verified not assumed
@@ -1031,11 +1047,21 @@ object Dedup {
     def hashedFps(df: DataFrame) =
       winnowFingerprints(df, idCol, textCol, k, w)
         .select(col("doc"), xxhash64(col("fp")).as("fp"))
-    // localCheckpoint: the benchmark set feeds the count gate AND the
-    // semi-join
-    val benchFp = hashedFps(benchmark)
-      .select("fp").distinct().localCheckpoint(true)
-    val useBroadcast = benchFp.count() <= fpBroadcastLimit
+    // r22 take-gate (the contaminatedIds posture): the benchmark
+    // fingerprint longs collect in ONE action and ship as a local
+    // relation under the gate — replaces the eager checkpoint + count
+    // pair and the execution-time broadcast collect. Past the gate the
+    // distinct re-runs into a checkpoint: one extra pass over the
+    // BENCHMARK fingerprints, the small side, on an arm whose
+    // corpus-postings shuffle dominates it.
+    val benchFpDistinct = hashedFps(benchmark).select("fp").distinct()
+    val localFp = Relational.collectUnderGate(benchFpDistinct, fpBroadcastLimit)
+    val useBroadcast = localFp.isDefined
+    val benchFp = localFp match {
+      case Some(rows) =>
+        Relational.localFrame(benchFpDistinct, rows, benchFpDistinct.schema)
+      case None => benchFpDistinct.localCheckpoint(true)
+    }
     def fpJoin(df: DataFrame, set: DataFrame): DataFrame =
       if (useBroadcast) df.join(broadcast(set), Seq("fp"), "left_semi")
       else df.join(set.hint("SHUFFLE_HASH"), Seq("fp"), "left_semi")
@@ -1172,15 +1198,22 @@ object Dedup {
                         k: Int = 16, w: Int = 8,
                         fpBroadcastLimit: Long = HotShingleBroadcastLimit): DataFrame = {
     val base = corpus.select(col(idCol).as("doc"), col(textCol).cast("string").as("__text"))
-    // localCheckpoint: the benchmark set feeds the count gate AND the join
-    val benchFp = winnowFingerprints(benchmark, idCol, textCol, k, w)
-      .select(xxhash64(col("fp")).as("fp")).distinct().localCheckpoint(true)
+    // r22 take-gate (the substringContaminatedIds posture): benchmark
+    // fingerprint longs ship as a local relation under the gate; past it
+    // the distinct re-runs into a checkpoint — one extra pass over the
+    // benchmark side only
+    val benchFpDistinct = winnowFingerprints(benchmark, idCol, textCol, k, w)
+      .select(xxhash64(col("fp")).as("fp")).distinct()
     val posting = spanPosting(base, k, w)
     val cuts =
-      (if (benchFp.count() <= fpBroadcastLimit)
-         posting.join(broadcast(benchFp), Seq("fp"), "left_semi")
-       else posting.join(benchFp.hint("SHUFFLE_HASH"), Seq("fp"), "left_semi"))
-        .select(col("doc"), col("pos"))
+      (Relational.collectUnderGate(benchFpDistinct, fpBroadcastLimit) match {
+        case Some(rows) =>
+          posting.join(broadcast(Relational.localFrame(benchFpDistinct, rows,
+            benchFpDistinct.schema)), Seq("fp"), "left_semi")
+        case None =>
+          posting.join(benchFpDistinct.localCheckpoint(true).hint("SHUFFLE_HASH"),
+            Seq("fp"), "left_semi")
+      }).select(col("doc"), col("pos"))
     cutAndReassemble(base, cuts, idCol, textCol, k)
   }
 
@@ -1363,11 +1396,19 @@ object Dedup {
       .select(col(idCol).as("doc"), Text.tokens(col(textCol)).as("__ws"))
       .select(col("doc"),
         explode(graft.functions.ShingleHashes.sortedShingleHashes(col("__ws"), n)).as("sh"))
-    // localCheckpoint: the posting set feeds the count gate AND the join
-    val benchP = postingsOf(benchmark)
+    // r22 take-gate (the contaminatedIds posture): under the gate the
+    // benchmark posting rows ship as a local relation; past it the
+    // distinct re-runs into a checkpoint — an extra pass over the
+    // benchmark side only
+    val benchPDistinct = postingsOf(benchmark)
       .select(col("doc").as("bench_doc"), col("sh")).distinct()
-      .localCheckpoint(true)
-    val useBroadcast = benchP.count() <= shingleBroadcastLimit
+    val localP = Relational.collectUnderGate(benchPDistinct, shingleBroadcastLimit)
+    val useBroadcast = localP.isDefined
+    val benchP = localP match {
+      case Some(rows) =>
+        Relational.localFrame(benchPDistinct, rows, benchPDistinct.schema)
+      case None => benchPDistinct.localCheckpoint(true)
+    }
     // the [[contaminatedIds]] Bloom middle path, over the DISTINCT
     // benchmark shingles (benchP repeats a shingle per bench doc): every
     // corpus-side probe below prefilters map-side before its shuffled
@@ -1416,14 +1457,23 @@ object Dedup {
     * filters contributed (see the curation v4 query). */
   def removeIds(df: DataFrame, idCol: String, doomedIds: DataFrame,
                 idBroadcastLimit: Long = HotShingleBroadcastLimit): DataFrame = {
-    // localCheckpoint: the id set feeds the count gate AND the anti-join
+    // localCheckpoint: the id set feeds the gate AND the anti-join — it
+    // STAYS even though the r22 take-gate could skip it, because the
+    // doomed-id pipeline behind it (a full contamination pass) is the one
+    // input in this family too expensive to re-derive on a failed gate
     val doomed = doomedIds.select(col("doc")).distinct().localCheckpoint(true)
-    if (doomed.count() <= idBroadcastLimit)
-      df.join(broadcast(doomed), df(idCol) === doomed("doc"), "left_anti")
-    else
-      // scale path: the corpus pays one hash-partition shuffle, but the
-      // doomed set never funnels through the driver
-      df.join(doomed.hint("SHUFFLE_HASH"), df(idCol) === doomed("doc"), "left_anti")
+    Relational.collectUnderGate(doomed, idBroadcastLimit) match {
+      case Some(rows) =>
+        // rows are on the driver from the gate itself — the anti-join
+        // broadcasts a local relation instead of re-collecting the
+        // checkpoint at execution (r22: one fewer action per removal)
+        val local = Relational.localFrame(doomed, rows, doomed.schema)
+        df.join(broadcast(local), df(idCol) === local("doc"), "left_anti")
+      case None =>
+        // scale path: the corpus pays one hash-partition shuffle, but the
+        // doomed set never funnels through the driver
+        df.join(doomed.hint("SHUFFLE_HASH"), df(idCol) === doomed("doc"), "left_anti")
+    }
   }
 
   /** SEMANTIC test-set decontamination ids: corpus rows whose embedding
