@@ -632,6 +632,16 @@ object IndexLifecycle {
     * is under the probed root, so the anchor matches). IOExceptions are
     * swallowed — the next flip retries the cleanup. */
   private def gcGenerations(spark: SparkSession, root: String): Unit = {
+    // ADVICE r21, scoped to what the call graph actually guarantees: a
+    // LEASED caller (every mutating verb) re-verifies its lease here in
+    // CODE before the sweep — a zombie that stalled past takeover aborts
+    // loudly instead of deleting a lock/staging dir the new holder
+    // legitimately owns. Unleased callers exist by contract
+    // (swapInParquet's direct-use arm, whose protocols are crash-safe
+    // without fencing — e.g. the nested deletes.parquet root swap in
+    // specs), so the fence is the lease-aware requireLeaseStillHeld,
+    // not a hard "must hold a lease" require.
+    requireLeaseStillHeld(spark, "generation GC sweep")
     val (fs, p) = hfs(spark, root)
     try {
       val commits = listCommits(fs, root)
@@ -1230,6 +1240,24 @@ object IndexLifecycle {
     else base.sortBy(_._1)
   }
 
+  /** The artifact stores appends legitimately mutate inside a LIVE
+    * generation (LSH postings/vectors, the cell layouts' inverted file /
+    * code table). Their churn is the benign-by-contract append class;
+    * [[fencedProbeResolved]]'s generation-listing fence excludes them
+    * (ADVICE r21) so sustained appends cannot exhaust a probe's retry
+    * budget. Everything else in a generation is protocol-immutable. */
+  private val AppendMutableStores =
+    Set("postings.parquet", "vectors.parquet", "invfile.parquet", "codes.parquet")
+
+  /** [[dirEpoch]] of a live GENERATION dir with the append-mutable
+    * artifact stores excluded — both the capture and the re-listing side
+    * of the fence go through this one definition. */
+  private def genListingEpoch(spark: SparkSession,
+                              dir: String): Seq[(String, Long, Long)] =
+    dirEpoch(spark, dir).filterNot(e =>
+      AppendMutableStores(e._1) ||
+        AppendMutableStores.exists(a => e._1 == s".$a.crc"))
+
   private[graft] def dirEpoch(spark: SparkSession,
                               dir: String): Seq[(String, Long, Long)] = {
     val (fs, p) = hfs(spark, dir)
@@ -1404,14 +1432,32 @@ object IndexLifecycle {
       // still never perturbs either fence — the no-spurious-retry goal of
       // the commits-only root epoch is preserved. Pinned by
       // ConcurrentServeSpec's pointer-root mid-probe mutation tests.
-      val genEpoch = if (phys != dir) dirEpoch(spark, phys)
+      // ADVICE r21 (low): the generation listing excludes the
+      // APPEND-MUTABLE artifact stores — their in-generation churn is
+      // exactly the benign append class (postings-first orphan-drop,
+      // parquet-loud torn part-files: the established append-visibility
+      // contract), and fencing on them made every concurrent append a
+      // WorldChangedException; under sustained append load a probe could
+      // exhaust its bounded retry budget with no wrong-data mutation in
+      // sight. Every mutation that CAN serve wrong data keeps a trigger:
+      // the nested deletes.parquet root (its parent entry here AND the
+      // name-keyed tombEpoch below), the quantizer/meta artifacts
+      // (protocol-immutable inside a live generation — churn there is a
+      // bug worth the loud retry), and every generation flip (the
+      // commit-keyed root epoch). ConcurrentServeSpec pins both sides:
+      // a mid-probe append does NOT trip the fence, a mid-probe
+      // removeIds still does.
+      val genEpoch = if (phys != dir) genListingEpoch(spark, phys)
                      else Seq.empty[(String, Long, Long)]
       val tombEpoch = if (phys != dir) dirEpoch(spark, s"$phys/deletes.parquet")
                       else Seq.empty[(String, Long, Long)]
       val out = body(phys)
       requireSameWorld(spark, dir, epoch)
       if (phys != dir) {
-        requireSameWorld(spark, phys, genEpoch)
+        if (genListingEpoch(spark, phys) != genEpoch)
+          throw new WorldChangedException(
+            s"$phys changed mid-probe (concurrent maintenance swap) — " +
+              "retrying against the new world")
         requireSameWorld(spark, s"$phys/deletes.parquet", tombEpoch)
       }
       out

@@ -147,13 +147,41 @@ object Text {
   private[ops] val TokCheckpointTextBytes: Long = 64L << 20
 
   /** `frame.localCheckpoint(true)` while `docs`' total text bytes stay
-    * under [[TokCheckpointTextBytes]]; `frame` unchanged (lazy,
-    * recomputed per consumer) past it. */
+    * under [[TokCheckpointTextBytes]] / `shapeFactor`; `frame` unchanged
+    * (lazy, recomputed per consumer) past it. `shapeFactor = 2` for
+    * PAIR-shaped frames (the bigram streams): a (w1, w2) struct stream
+    * materializes at roughly twice the token stream's constant factor,
+    * so near the bound the eager checkpoint could exceed the ceiling the
+    * 64 MB text bound was measured for (ADVICE r21) — halving the
+    * effective bound keeps the materialized bytes in the measured band.
+    * Results are identical on both arms at any factor.
+    *
+    * Gate cost (r22): the exact byte aggregate is a FULL corpus-text
+    * scan whose only product is this yes/no — at 100 TB that is an
+    * entire corpus pass to learn the obvious "no". The plan's size
+    * statistics answer for free on the ONE side where a wrong call is
+    * harmless: when `stats > bound`, skip the checkpoint without the
+    * scan. File-backed stats are COMPRESSED bytes (raw text only
+    * larger), so the skip is right whenever text carries the table; a
+    * frame whose stats are inflated estimates (join shapes) lands here
+    * too, and the worst case of a wrong skip is re-running one codegen
+    * projection (measured ~2 s at x400 — finding 37's cheap side). The
+    * SMALL side never trusts stats: LocalRelation/LogicalRDD stats are
+    * schema-default row estimates that read a 65 MB string as ~20 B
+    * (TextSpec plants exactly that), and a wrong CHECKPOINT at scale is
+    * the 47%-GC materialization regression — so under the stats bound
+    * the exact aggregate still decides, as before. */
   private[ops] def checkpointTokens(docs: DataFrame, textCol: String,
-                                    frame: DataFrame): DataFrame = {
-    val bytes = docs.agg(coalesce(sum(octet_length(col(textCol))), lit(0L)))
-      .head().getLong(0)
-    if (bytes <= TokCheckpointTextBytes) frame.localCheckpoint(true) else frame
+                                    frame: DataFrame,
+                                    shapeFactor: Int = 1): DataFrame = {
+    val bound = TokCheckpointTextBytes / shapeFactor
+    val statBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (statBytes > BigInt(bound)) frame
+    else {
+      val bytes = docs.agg(coalesce(sum(octet_length(col(textCol))), lit(0L)))
+        .head().getLong(0)
+      if (bytes <= bound) frame.localCheckpoint(true) else frame
+    }
   }
 
   def tfidf(docs: DataFrame, idCol: String, textCol: String,
@@ -336,7 +364,7 @@ object Text {
         explode(when(size(ws) >= 2,
           arrays_zip(slice(ws, lit(1), cnt), slice(ws, lit(2), cnt)))
           .otherwise(array().cast("array<struct<`0`:string,`1`:string>>"))).as("bg"))
-      .select(col("doc"), col("bg.0").as("w1"), col("bg.1").as("w2")))
+      .select(col("doc"), col("bg.0").as("w1"), col("bg.1").as("w2")), shapeFactor = 2)
     val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
     // compose the stats at TYPE level first (c2 ⋈ c1 is |bigram types| ⋈
@@ -423,7 +451,7 @@ object Text {
         explode(when(size(ws) >= 2,
           arrays_zip(slice(ws, lit(1), cnt), slice(ws, lit(2), cnt)))
           .otherwise(array().cast("array<struct<`0`:string,`1`:string>>"))).as("bg"): _*)
-      .select(col("doc") +: keys :+ col("bg.0").as("w1") :+ col("bg.1").as("w2"): _*))
+      .select(col("doc") +: keys :+ col("bg.0").as("w1") :+ col("bg.1").as("w2"): _*), shapeFactor = 2)
     val c2 = pairs.groupBy(keyCols.map(col) :+ col("w1") :+ col("w2"): _*)
       .agg(count(lit(1)).as("c12"))
     val c1 = pairs.groupBy(keyCols.map(col) :+ col("w1"): _*)
@@ -496,13 +524,14 @@ object Text {
     val ws = tokens(col(textCol))
     val cnt = size(ws) - 1
     // bigram stream checkpointed only under the text-bytes bound
-    // (interpNllCore's r21 rationale — the finding-37 ceiling)
+    // (interpNllCore's r21 rationale — the finding-37 ceiling; pair
+    // shape ⇒ the halved effective bound, ADVICE r21)
     val pairs = checkpointTokens(docs, textCol, docs
       .select(col(idCol).as("doc"),
         explode(when(size(ws) >= 2,
           arrays_zip(slice(ws, lit(1), cnt), slice(ws, lit(2), cnt)))
           .otherwise(array().cast("array<struct<`0`:string,`1`:string>>"))).as("bg"))
-      .select(col("doc"), col("bg.0").as("w1"), col("bg.1").as("w2")))
+      .select(col("doc"), col("bg.0").as("w1"), col("bg.1").as("w2")), shapeFactor = 2)
     val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       .localCheckpoint(true) // feeds the probe, both type counts, AND the total
     val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))

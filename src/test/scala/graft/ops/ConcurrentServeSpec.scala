@@ -350,6 +350,44 @@ class ConcurrentServeSpec extends SparkSpec {
       s"the retried probe's answer is not the post-remove world: $out vs $expectNew")
   }
 
+  test("POINTER MODE: a mid-probe APPEND does not trip the generation fence (ADVICE r21 — benign-by-contract churn never burns the retry budget)") {
+    // The inverse pin of the removeIds test above: append files landing
+    // inside the live generation's artifact stores are the established
+    // benign plan-snapshot class (postings-first orphan-drop /
+    // parquet-loud torn files), so the r22 generation fence EXCLUDES the
+    // append-mutable stores — under sustained append load probes must
+    // not exhaust their bounded retries on churn that cannot serve wrong
+    // data. A deterministic mid-body append must leave calls == 1; the
+    // served answer is the body's own materialized result (the plan
+    // snapshot), and a mutation that CAN serve wrong data (removeIds)
+    // still trips — pinned by the sibling test.
+    val corpus = emb.localCheckpoint(true)
+    val query = corpus.filter($"vec_id" === 0)
+    val root = java.nio.file.Files.createTempDirectory("graft_conc_ptra").toString + "/idx"
+    IndexLifecycle.buildIndexGeneration(spark, root) { gen =>
+      Ivf.buildIndex(corpus.filter($"vec_id" =!= 0).filter($"vec_id" < 400),
+        "vec_id", "embedding", gen, maxIter = 5)
+    }
+    val extra = corpus.filter($"vec_id" >= 400).limit(5)
+      .select("vec_id", "embedding").localCheckpoint(true)
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val out = IndexLifecycle.fencedProbeResolved(spark, root) { phys =>
+      val model = Ivf.loadIndexModel(spark, phys)
+      val ans = Ivf.probeIndexFrame(
+        IndexLifecycle.minusTombstones(spark, phys,
+          spark.read.parquet(s"$phys/invfile.parquet"), "vec_id"),
+        model, "vec_id", "embedding", query, "embedding", 5, 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      if (calls.incrementAndGet() == 1)
+        Ivf.appendIndex(extra, "vec_id", "embedding", root)
+      ans
+    }
+    assert(calls.get() == 1,
+      s"a benign mid-probe append tripped the generation fence " +
+        s"(${calls.get()} passes) — sustained appends would exhaust the retry budget")
+    assert(out.nonEmpty)
+  }
+
   test("POINTER MODE: probes race a removeIds tombstone flip inside the live generation (ADVICE r20 hammer)") {
     val corpus = emb.localCheckpoint(true)
     val query = corpus.filter($"vec_id" === 0)
