@@ -150,22 +150,36 @@ object Dedup {
         // single-row form is gated on an actual count.
         val hot = base.select(explode(col("sig")).as("sh"))
           .groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") > m)
-          .select("sh").localCheckpoint(true) // count + reuse: one pass
-        if (hot.count() <= hotBroadcastLimit) {
-          // small Zipf head (the common case): ship it as one broadcast
-          // array row so pruning stays a map-side projection — no
-          // re-grouping shuffle of the corpus postings
-          val hotArr = hot.agg(collect_list(col("sh")).as("hot"))
-          base.crossJoin(broadcast(hotArr))
-            .select(col("doc"), array_except(col("sig"), col("hot")).as("sig"))
-        } else {
-          // scale path: fully-distributed anti-join on exploded postings
-          // then re-group to sorted signatures. Costs one extra postings
-          // shuffle (the groupBy doc) but never a driver-side funnel —
-          // both joins and the regroup partition across the cluster.
-          base.select(col("doc"), explode(col("sig")).as("sh"))
-            .join(hot.hint("SHUFFLE_HASH"), Seq("sh"), "left_anti")
-            .groupBy("doc").agg(sort_array(collect_list(col("sh"))).as("sig"))
+          .select("sh")
+        // r22 take-gate: the hot head collects in the gate action itself
+        // and ships as a one-array-row LOCAL relation (array_except is
+        // order-insensitive in its second argument, so the take order is
+        // as good as collect_list's). Past the gate the aggregate re-runs
+        // into a checkpoint — one extra postings pass on an arm that only
+        // exists past `hotBroadcastLimit` distinct hot shingles, where
+        // the re-grouping shuffle below dominates it.
+        Relational.collectUnderGate(hot, hotBroadcastLimit) match {
+          case Some(rows) =>
+            // small Zipf head (the common case): ship it as one broadcast
+            // array row so pruning stays a map-side projection — no
+            // re-grouping shuffle of the corpus postings
+            val schema = org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("hot",
+                org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.LongType), nullable = false)))
+            val hotArr = Relational.localFrame(hot,
+              Array(org.apache.spark.sql.Row(rows.map(_.getLong(0)).toSeq)), schema)
+            base.crossJoin(broadcast(hotArr))
+              .select(col("doc"), array_except(col("sig"), col("hot")).as("sig"))
+          case None =>
+            // scale path: fully-distributed anti-join on exploded postings
+            // then re-group to sorted signatures. Costs one extra postings
+            // shuffle (the groupBy doc) but never a driver-side funnel —
+            // both joins and the regroup partition across the cluster.
+            val hotCk = hot.localCheckpoint(true)
+            base.select(col("doc"), explode(col("sig")).as("sh"))
+              .join(hotCk.hint("SHUFFLE_HASH"), Seq("sh"), "left_anti")
+              .groupBy("doc").agg(sort_array(collect_list(col("sh"))).as("sig"))
         }
       case None => base
     }
@@ -1518,14 +1532,19 @@ object Dedup {
                               seed: Long = 42L,
                               sampleFraction: Double = 1.0,
                               hierarchicalThreshold: Int = HierarchicalCellsThreshold): DataFrame = {
-    // localCheckpoint: the benchmark feeds the count gate AND the join
-    val b = benchmark.select(col(benchVecCol).as("__bv")).localCheckpoint(true)
-    val nBench = b.count()
+    // r22 take-gate: under the gate the benchmark vectors ship as a
+    // local relation (the same driver bytes the broadcast cartesian
+    // already held); past it the select re-runs into a checkpoint — one
+    // extra pass over the BENCHMARK side only
+    val b0 = benchmark.select(col(benchVecCol).as("__bv"))
+    val localB = Relational.collectUnderGate(b0, benchBroadcastLimit)
     val c = corpus.select(col(idCol).as("doc"), col(vecCol).as("__cv"))
-    val scored =
-      if (nBench <= benchBroadcastLimit)
-        c.crossJoin(broadcast(b))
-      else {
+    val scored = localB match {
+      case Some(rows) =>
+        c.crossJoin(broadcast(Relational.localFrame(b0, rows, b0.schema)))
+      case None =>
+        val b = b0.localCheckpoint(true)
+        val nBench = b.count()
         // cell-scoped candidates: train on the
         // union so benchmark-only dense regions still get cells — a
         // quantizer trained on the corpus alone would fold an unseen
@@ -1549,7 +1568,7 @@ object Dedup {
             .join(Ivf.probeCellsResidual(b, "__bv", rq, nprobe, nprobe)
               .hint("SHUFFLE_HASH"), Seq("cell"))
         }
-      }
+    }
     scored
       .filter(Similarity.cosine(col("__cv"), col("__bv")) >= tau)
       .select("doc").distinct()

@@ -116,7 +116,7 @@ object QueryDefs {
     * that no longer exist (a no-op by the removeIds contract), so the
     * probe result, live count, and post-compact backlog (0) never
     * change. */
-  private def ensureTombIndex(s: SparkSession, d: String): String = {
+  private[graft] def ensureTombIndex(s: SparkSession, d: String): String = {
     val base = ensureServeIndex(s, d, "ivf") // forces the shared parent dir
     val parent = base.stripSuffix("/ivf")
     val dir = s"$parent/ivf_tomb"
