@@ -1330,12 +1330,17 @@ object Text {
     val corpusGrams = checkpointTokens(corpus, textCol, gramBuckets(corpus))
     // the two distributions are ≤256-row aggregates: collect them (the
     // tiny-frame pattern, PERF.md finding 21) instead of checkpointing,
-    // so the target gram stream is scanned exactly once
-    def dist(grams: DataFrame): Map[String, Long] = grams
-      .groupBy("b").agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val rawCounts = dist(corpusGrams)
-    val tgtCounts = dist(gramBuckets(target))
+    // so the target gram stream is scanned exactly once — and in ONE
+    // action (r22): a source-tagged union aggregates both distributions
+    // in a single job instead of two sequential collects (counts are
+    // exact integers either way; the weight-table arithmetic below is
+    // unchanged)
+    val both = corpusGrams.select(lit(0).as("__src"), col("b"))
+      .unionAll(gramBuckets(target).select(lit(1).as("__src"), col("b")))
+      .groupBy("__src", "b").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    val rawCounts = both.collect { case ((0, b2), c2) => b2 -> c2 }
+    val tgtCounts = both.collect { case ((1, b2), c2) => b2 -> c2 }
     val nr = rawCounts.valuesIterator.sum
     val nt = tgtCounts.valuesIterator.sum
     val spark = corpus.sparkSession
